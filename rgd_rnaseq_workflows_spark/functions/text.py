@@ -1,0 +1,162 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+Tokenization, n-gram shingles, token counting, quality scoring, language-ID
+heuristics, and document fingerprinting — all as JVM-side built-in
+expressions (whole-stage codegen, no Python boundary), each with a matching
+ANSI-SQL text builder so the DuckDB oracle computes the identical value.
+
+These extend the reference's surface (its text handling is awk field
+splitting); they are first-class operators for the 100 TB use case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from rgd_rnaseq_workflows_spark.functions.hashing import md5_long, md5_long_sql
+
+# Minimal multilingual stopword lists for the language-ID heuristic.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein", "zu"),
+    "fr": ("le", "la", "de", "et", "est", "un", "une", "que"),
+}
+STOPWORDS_ALL = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
+
+
+# --- tokenization ------------------------------------------------------------
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, empties dropped (handles trailing/multiple spaces)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"list_filter(string_split({expr}, ' '), x -> x <> '')"
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def token_count_sql(expr: str) -> str:
+    return f"CAST(len({tokens_sql(expr)}) AS BIGINT)"
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct, sorted for determinism).
+
+    Built from ``sequence`` + ``slice`` + ``concat_ws`` — all codegen'd;
+    documents shorter than ``n`` tokens yield their full token string.
+    """
+    toks = tokens(col)
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    sh = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_sort(F.array_distinct(sh))
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"list_sort(list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))))"
+    )
+
+
+# --- quality scoring ---------------------------------------------------------
+
+def quality_features(text_col: str = "text") -> list[Column]:
+    """Length / punctuation / stopword-ratio features, rounded for
+    cross-engine float stability."""
+    c = F.col(text_col)
+    n_tok = token_count(c)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))
+    n_stop = F.size(F.filter(tokens(c), lambda t: t.isin(*STOPWORDS_ALL)))
+    return [
+        F.length(c).cast("long").alias("n_chars_measured"),
+        n_tok.alias("n_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
+        F.round(F.length(c) / n_tok, 4).alias("chars_per_token"),
+    ]
+
+
+def quality_features_sql(expr: str = "text") -> dict[str, str]:
+    toks = tokens_sql(expr)
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_ALL)
+    n_tok = f"CAST(len({toks}) AS BIGINT)"
+    return {
+        "n_chars_measured": f"CAST(length({expr}) AS BIGINT)",
+        "n_tokens": n_tok,
+        "n_punct": (f"CAST(length({expr}) - length(regexp_replace({expr},"
+                    f" '[.,;:!?]', '', 'g')) AS BIGINT)"),
+        "stopword_ratio": (f"round(CAST(len(list_filter({toks}, t -> t IN"
+                           f" ({stop_list}))) AS DOUBLE) / {n_tok}, 4)"),
+        "chars_per_token": f"round(CAST(length({expr}) AS DOUBLE) / {n_tok}, 4)",
+    }
+
+
+# --- language identification ---------------------------------------------------
+
+def _stopword_hits(toks: Column, ws: tuple[str, ...]) -> Column:
+    # helper binds ws eagerly; a default-arg lambda would change the
+    # higher-order function's arity and break Spark's lambda binding
+    return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+
+def lang_hits(text_col: str = "text") -> list[Column]:
+    """Per-language stopword hit counts (one column per language)."""
+    toks = tokens(text_col)
+    return [
+        _stopword_hits(toks, ws).cast("long").alias(f"hits_{lang}")
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """Stopword-vote language ID: the language whose stopword list hits the
+    most tokens wins; ties break lexicographically via the fixed CASE order
+    (identical in the SQL twin below)."""
+    toks = tokens(text_col)
+    hits = {
+        lang: _stopword_hits(toks, ws)
+        for lang, ws in sorted(STOPWORDS.items())
+    }
+    best = F.greatest(*hits.values())
+    expr = None
+    for lang in sorted(STOPWORDS):
+        cond = hits[lang] == best
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr
+
+
+def lang_id_sql(expr: str = "text") -> str:
+    toks = tokens_sql(expr)
+    hits = {}
+    for lang, ws in sorted(STOPWORDS.items()):
+        wl = ", ".join(f"'{w}'" for w in ws)
+        hits[lang] = f"len(list_filter({toks}, t -> t IN ({wl})))"
+    best = f"greatest({', '.join(hits.values())})"
+    cases = " ".join(f"WHEN {h} = {best} THEN '{lang}'"
+                     for lang, h in sorted(hits.items()))
+    return f"(CASE {cases} END)"
+
+
+# --- fingerprinting ------------------------------------------------------------
+
+def fingerprint(col: Column | str, n: int = 3) -> Column:
+    """64-bit-style document fingerprint: min md5-hash over word n-grams
+    (a 1-permutation MinHash — robust to reordering of identical content)."""
+    return F.array_min(F.transform(shingles(col, n),
+                                   lambda s: md5_long(s, seed=0)))
+
+
+def fingerprint_sql(expr: str, n: int = 3) -> str:
+    return (f"list_min(list_transform({shingles_sql(expr, n)},"
+            f" s -> {md5_long_sql('s', seed=0)}))")

@@ -1,0 +1,197 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+SimHash, and n-gram Jaccard near-dup — all built from built-in expressions
+over the portable md5 hash family (``functions.hashing``), so every step is
+reproducible in the DuckDB oracle AND runs JVM-side with whole-stage codegen.
+
+Scale design notes (100 TB):
+- the only shuffles are the per-doc signature aggregation and the band
+  bucket join; candidate pairs are generated per-bucket, never all-pairs;
+- md5-per-shingle is CPU inside codegen — no Python boundary anywhere;
+- band hashes are 60-bit ints, so the bucket join shuffles (long, long)
+  keys, not shingle strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rgd_rnaseq_workflows_spark.functions.hashing import md5_long
+from rgd_rnaseq_workflows_spark.functions.text import shingles, tokens
+
+
+# --- exact -------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5 fingerprint groupBy, keep the lowest id per group
+    (deterministic — `dropDuplicates` would keep an arbitrary row)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-group report: (fingerprint, n_copies, keeper_id) for
+    groups with >1 member."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+            .agg(F.count("*").alias("n_copies"),
+                 F.min(id_col).alias("keeper_id"))
+            .filter(F.col("n_copies") > 1))
+
+
+# --- MinHash + LSH -------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       num_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: k columns ``h0..h{k-1}``, each the min of
+    an md5 hash family over the doc's word n-gram shingles.
+
+    One explode + one groupBy (partial-aggregated map-side). The hash
+    family ``md5(seed || ':' || shingle)`` is engine-portable.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
+    aggs = [F.min(md5_long(F.col("s"), seed=i)).alias(f"h{i}")
+            for i in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """LSH banding: hash each band of the signature, bucket-join docs that
+    collide in ANY band → candidate pairs (a << b).
+
+    The self-join shuffles only (band_idx, band_hash, id) — tiny rows —
+    and buckets are natural partitions; a skewed bucket (e.g. empty-doc
+    signature) is handled by AQE skew-join splitting.
+    """
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_size + r}").cast("string")
+                for r in range(band_size)]
+        bands.append(F.struct(
+            F.lit(b).alias("band_idx"),
+            md5_long(F.concat_ws("_", *cols)).alias("band_hash")))
+    banded = (signatures
+              .select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
+              .select(id_col, "band.band_idx", "band.band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, ["band_idx", "band_hash"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def verify_jaccard(pairs: DataFrame, df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", shingle_n: int = 3,
+                   threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs: join shingle sets
+    back, ``|∩| / |∪|`` via array built-ins, keep pairs ≥ threshold."""
+    sets_df = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    out = (pairs
+           .join(sets_df.withColumnRenamed(id_col, "id_a")
+                        .withColumnRenamed("sh", "sh_a"), "id_a")
+           .join(sets_df.withColumnRenamed(id_col, "id_b")
+                        .withColumnRenamed("sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (out.withColumn("jaccard", F.round(inter / union, 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", num_hashes: int = 8,
+                        band_size: int = 2, shingle_n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup: signatures → banded candidates →
+    exact-Jaccard verification."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
+    return verify_jaccard(cand, df, text_col, id_col, shingle_n, threshold)
+
+
+# --- n-gram Jaccard with key blocking -------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, block_col: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 1,
+                        threshold: float = 0.5) -> DataFrame:
+    """Blocked all-pairs n-gram Jaccard: compare only docs sharing
+    ``block_col`` (at scale the block is a cheap partition key — source,
+    language, LSH bucket), then exact set Jaccard.
+
+    The join is an equi-join on the block key, so pair generation is
+    per-block, not global cross."""
+    sets_df = df.select(F.col(id_col), F.col(block_col).alias("_blk"),
+                        shingles(text_col, shingle_n).alias("sh"))
+    a = sets_df.alias("a")
+    b = sets_df.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size(F.array_union("a.sh", "b.sh"))
+    return (a.join(b, F.col("a._blk") == F.col("b._blk"))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.round(inter / union, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+# --- SimHash -------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32, seed: int = 101) -> DataFrame:
+    """Per-doc SimHash over distinct tokens: for each bit j, sum ±1 votes
+    from the token hash's j-th bit; the sign becomes the fingerprint bit.
+
+    Explode + one groupBy with ``bits`` conditional sums (all partial-
+    aggregated). Portable: the same bit extraction runs in ANSI SQL."""
+    toks = df.select(F.col(id_col),
+                     F.explode(F.array_distinct(tokens(text_col))).alias("t"))
+    h = md5_long(F.col("t"), seed=seed)
+    votes = [
+        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 32,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on fingerprint
+    halves (two docs within ``max_hamming`` ≤ bits/2 share at least one
+    exact half — pigeonhole), so the join is equi on a half, never cross."""
+    fps = simhash(df, text_col, id_col, bits)
+    half = bits // 2
+    blocked = fps.select(
+        id_col, "simhash",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("part"),
+                     (F.col("simhash").bitwiseAND(F.lit(2 ** half - 1))).alias("key")),
+            F.struct(F.lit(1).alias("part"),
+                     F.shiftright("simhash", half).alias("key")),
+        )).alias("blk")
+    ).select(id_col, "simhash", "blk.part", "blk.key")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, ["part", "key"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())

@@ -1,0 +1,71 @@
+"""M5 — visualization artifacts: BED9 expression tracks + session coloring.
+
+Reproduces the archived track generators and the session builder:
+- BED9 TPM track (``archive/illuminaPaired_multipleSRA_IDperSample_v3/
+  GeneTPMbed_v2.sh``): broadcast join annotation ⋈ TPM (JN2 ``:96``),
+  drop ``NW_`` scaffolds / keep ``chr`` (FIL6 ``:122-124``), drop TPM == 0,
+  4-bucket RGB binning (F13 ``:52-63``), genomic sort (SRT2 ``:141``).
+- Session color assignment (``scripts/make_jbrowse_session_for_bioproject.py:
+  33-39,81-145``): dense-rank first-appearance palette cycling (WIN1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rgd_rnaseq_workflows_spark.operators.relational import (
+    broadcast_annotate, dense_rank_palette)
+
+# 4-bucket value→RGB binning, GeneTPMbed_v2.sh:52-63.
+RGB_GRAY = "128,128,128"
+RGB_LIGHT_BLUE = "173,216,230"
+RGB_BLUE = "0,0,255"
+RGB_DARK_BLUE = "0,0,139"
+
+
+def tpm_rgb(tpm) -> F.Column:
+    """F13 — chained CASE: ≤0.5 gray; ≤10 light blue; ≤1000 blue; else dark."""
+    c = F.col(tpm) if isinstance(tpm, str) else tpm
+    return (F.when(c <= 0.5, RGB_GRAY)
+            .when(c <= 10, RGB_LIGHT_BLUE)
+            .when(c <= 1000, RGB_BLUE)
+            .otherwise(RGB_DARK_BLUE))
+
+
+def tpm_bed9(bed: DataFrame, tpm: DataFrame) -> DataFrame:
+    """Gene BED4 ⋈ per-sample TPM → sorted BED9 expression track.
+
+    The TPM side is one sample's gene table (small) → broadcast; filters
+    run before the join so scaffold rows never reach it.
+    """
+    filtered = (bed
+                .filter(F.col("chrom").rlike("^chr"))
+                .filter(~F.col("chrom").rlike("^NW_")))
+    tpm_nonzero = tpm.filter(F.col("TPM") != 0.0) \
+                     .select(F.col("feature_id").alias("name"), "TPM")
+    joined = broadcast_annotate(filtered, tpm_nonzero, "name")
+    score = F.least(F.round(F.col("TPM")).cast("long"), F.lit(1000))
+    return (joined.select(
+        "chrom", "start", "end", "name",
+        score.alias("score"),
+        F.lit(".").alias("strand"),
+        F.col("start").alias("thickStart"),
+        F.col("end").alias("thickEnd"),
+        tpm_rgb("TPM").alias("itemRgb"))
+        .orderBy("chrom", "start", "end"))
+
+
+def assign_track_colors(tracks: DataFrame,
+                        palette_size: int = 10) -> DataFrame:
+    """WIN1 — deterministic palette index per (Tissue, Strain-before-comma,
+    Sex, Sample_characteristics) combo; Strain truncated at the first comma
+    and whitespace collapsed as in the reference (F8, ``:133,137-138``)."""
+    t = (tracks
+         .withColumn("strain_key",
+                     F.split(F.col("Strain"), ",").getItem(0))
+         .withColumn("chars_key",
+                     F.regexp_replace(F.col("Sample_characteristics"),
+                                      r"\s+", " ")))
+    return dense_rank_palette(
+        t, ["Tissue", "strain_key", "Sex", "chars_key"], palette_size)

@@ -1,0 +1,787 @@
+"""Query registry: every implemented operator as a (Spark plan, oracle SQL)
+twin pair over the driver's test tables.
+
+Each entry maps a SURVEY §2 operator (or an LLM-data-pipeline extension) to:
+- a callable ``(spark, sf_dir) -> DataFrame`` built from the engine's
+  operator modules, and
+- the equivalent ANSI SQL the DuckDB oracle runs on the same parquet.
+
+Column names and types are aligned on both sides (the driver's comparator
+sorts columns by name and hashes values). Floating aggregates are rounded
+identically on both sides to absorb summation-order noise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rgd_rnaseq_workflows_spark.functions import text as TX
+from rgd_rnaseq_workflows_spark.functions.hashing import md5_long, md5_long_sql
+from rgd_rnaseq_workflows_spark.operators import dedup as DD
+from rgd_rnaseq_workflows_spark.operators import relational as R
+from rgd_rnaseq_workflows_spark.operators import similarity as SIM
+from rgd_rnaseq_workflows_spark.streaming import events_stream as ST
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey_ids: tuple[str, ...] = field(default=tuple)
+    note: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def q(name: str, survey_ids: tuple[str, ...], oracle: str | None = None,
+      note: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle,
+                                   survey_ids=survey_ids, note=note)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _isum(col, scale: int):
+    """Exact sum of a fixed-point double column: scale each row to an
+    integer (unambiguous — rows are exact multiples of 1/scale), sum as
+    long. Order-independent, so Spark and the oracle agree bit-for-bit —
+    unlike summing doubles, where partition order shifts the last bit and
+    can flip a round() at a .005 boundary.
+
+    SQL twin: ``CAST(sum(CAST(round(x * scale) AS BIGINT)) AS BIGINT)``.
+    int64 headroom: 2-decimal money scaled by 1e4 leaves ~2^49 of row
+    count headroom; a 100 TB deployment with wider values would move to
+    DecimalType (also exact) at the same call sites.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * scale).cast("long"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects by default; read nanos as long and convert to a microsecond
+    timestamp (floor — matches DuckDB's ns→s flooring in the oracles)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+# =============================================================================
+# Flagship: pricing summary (TPC-H Q1 shape) — AGG partial+final, arithmetic,
+# rounding; the matrix-style "per-group many measures" aggregation (AGG6/F9/F15)
+# =============================================================================
+
+@q("q1_pricing_summary", ("AGG6", "F9", "F15", "SRT1"), oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0
+         AS sum_disc_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0
+         AS sum_charge,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*)
+         AS avg_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*)
+         AS avg_price,
+       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*)
+         AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""", note="exact fixed-point aggregation: scale to int64 per row, sum exactly")
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count("*")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg((_isum("l_quantity", 100) / 100.0).alias("sum_qty"),
+                 (_isum("l_extendedprice", 100) / 100.0).alias("sum_base_price"),
+                 (_isum(disc_price, 10000) / 10000.0).alias("sum_disc_price"),
+                 (_isum(charge, 1000000) / 1000000.0).alias("sum_charge"),
+                 (_isum("l_quantity", 100) / 100.0 / n).alias("avg_qty"),
+                 (_isum("l_extendedprice", 100) / 100.0 / n).alias("avg_price"),
+                 (_isum("l_discount", 100) / 100.0 / n).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+# =============================================================================
+# Projections / filters (PRJ3, F1/F2, FIL4-8, F11-F13)
+# =============================================================================
+
+@q("prj3_computed_projection", ("PRJ3", "F1", "F2", "F4"), oracle="""
+SELECT c_custkey,
+       concat_ws('_', c_mktsegment, CAST(c_nationkey AS VARCHAR),
+                 CAST(c_custkey AS VARCHAR))                  AS unique_name,
+       trim(replace(c_name, ',', ''))                         AS clean_name,
+       str_split(c_name, '#')[-1]                             AS name_suffix
+FROM customer
+""", note="unique_name concat (run_RNApipeline:286) + trim/de-comma (pSTARQC_v1.sh:55-56)")
+def prj3_computed_projection(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws("_", "c_mktsegment",
+                    F.col("c_nationkey").cast("string"),
+                    F.col("c_custkey").cast("string")).alias("unique_name"),
+        F.trim(F.regexp_replace("c_name", ",", "")).alias("clean_name"),
+        F.element_at(F.split("c_name", "#"), -1).alias("name_suffix"))
+
+
+@q("fil4_threshold_status", ("FIL4", "F11", "AGG5"), oracle="""
+SELECT status, count(*) AS n
+FROM (SELECT CASE WHEN l_discount * 100 < 5.0 THEN 'PASS' ELSE 'FAIL' END AS status
+      FROM lineitem)
+GROUP BY status
+""", note="unmapped_pct<50→PASS analog (pSTARQC_v1.sh:93-94)")
+def fil4_threshold_status(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    status = F.when(F.col("l_discount") * 100 < 5.0, "PASS").otherwise("FAIL")
+    return (li.select(status.alias("status"))
+            .groupBy("status").agg(F.count("*").alias("n")))
+
+
+@q("fil6_regex_predicates", ("FIL6", "FIL7"), oracle="""
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE regexp_matches(p_type, '^(ECONOMY|STANDARD)')
+  AND NOT regexp_matches(p_name, 'green')
+  AND p_retailprice <> 0.0
+""", note="keep ^chr / drop ^NW_ / drop zero analog (GeneTPMbed_v2.sh:122-124)")
+def fil6_regex_predicates(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (p.filter(F.col("p_type").rlike("^(ECONOMY|STANDARD)")
+                     & ~F.col("p_name").rlike("green")
+                     & (F.col("p_retailprice") != 0.0))
+            .select("p_partkey", "p_name", "p_type"))
+
+
+@q("fil8_in_list_slice", ("FIL8",), oracle="""
+SELECT n_name, n_nationkey
+FROM nation
+WHERE n_name IN ('FRANCE', 'GERMANY', 'JAPAN', 'BRAZIL', 'CANADA', 'KENYA')
+""", note="six-sex-genes IN-list analog (ConflictedSampleReport_v4.sh:30)")
+def fil8_in_list_slice(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    return (n.filter(F.col("n_name").isin(
+        "FRANCE", "GERMANY", "JAPAN", "BRAZIL", "CANADA", "KENYA"))
+        .select("n_name", "n_nationkey"))
+
+
+@q("f13_case_buckets", ("F13",), oracle="""
+SELECT bucket, count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
+FROM (SELECT CASE WHEN o_totalprice <= 500 THEN 'gray'
+                  WHEN o_totalprice <= 5000 THEN 'light_blue'
+                  WHEN o_totalprice <= 50000 THEN 'blue'
+                  ELSE 'dark_blue' END AS bucket,
+             o_totalprice
+      FROM orders)
+GROUP BY bucket
+""", note="4-bucket TPM→RGB binning analog (GeneTPMbed_v2.sh:52-63)")
+def f13_case_buckets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    bucket = (F.when(F.col("o_totalprice") <= 500, "gray")
+              .when(F.col("o_totalprice") <= 5000, "light_blue")
+              .when(F.col("o_totalprice") <= 50000, "blue")
+              .otherwise("dark_blue"))
+    return (o.select(bucket.alias("bucket"), "o_totalprice")
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 (_isum("o_totalprice", 100) / 100.0).alias("total")))
+
+
+# =============================================================================
+# Joins (JN1-JN6, SET3)
+# =============================================================================
+
+@q("jn1_semi_join", ("JN1",), oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+""", note="awk hash semi-join on PASS set (run_RNApipeline:429-431)")
+def jn1_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    keys = (o.filter(F.col("o_orderstatus") == "F")
+            .select(F.col("o_custkey").alias("c_custkey")))
+    return R.semi_join_filter(c, keys, "c_custkey") \
+            .select("c_custkey", "c_name", "c_mktsegment")
+
+
+@q("set3_anti_join", ("SET3",), oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""", note="FAIL set = unique − PASS, made explicit (run_RNApipeline:434-436)")
+def set3_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return R.anti_join(c, o.select(F.col("o_custkey").alias("c_custkey")),
+                       "c_custkey").select("c_custkey", "c_name")
+
+
+@q("jn2_broadcast_annotate", ("JN2",), oracle="""
+SELECT p.p_brand AS brand,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""", note="awk in-memory map join (GeneTPMbed_v2.sh:96) → broadcast hash join")
+def jn2_broadcast_annotate(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = R.broadcast_annotate(li, p, li.l_partkey == p.p_partkey)
+    dp = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (joined.groupBy(F.col("p_brand").alias("brand"))
+            .agg((_isum(dp, 10000) / 10000.0).alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+@q("jn3_merge_join", ("JN3", "SRT1"), oracle="""
+SELECT o.o_orderkey, o.o_orderpriority,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+       count(*) AS n_lines
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY o.o_orderkey, o.o_orderpriority
+""", note="coreutils sort|join matrix merge (combine_multStrategy:242-245)")
+def jn3_merge_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = _t(spark, sf_dir, "lineitem")
+    dp = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey", "o_orderpriority")
+            .agg((_isum(dp, 10000) / 10000.0).alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+@q("jn5_lookup_default", ("JN5", "F10"), oracle="""
+WITH europe AS (
+  SELECT n.n_nationkey, n.n_name
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE')
+SELECT s.s_suppkey, s.s_name,
+       coalesce(e.n_name, 'Unknown') AS nation_name
+FROM supplier s LEFT JOIN europe e ON s.s_nationkey = e.n_nationkey
+""", note="left-join lookup w/ Unknown default (BWjson_v7.sh:79-87)")
+def jn5_lookup_default(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    europe = (n.join(r, n.n_regionkey == r.r_regionkey)
+              .filter(F.col("r_name") == "EUROPE")
+              .select(F.col("n_nationkey").alias("s_nationkey"),
+                      F.col("n_name").alias("nation_name")))
+    return (R.lookup_with_default(s, europe, "s_nationkey",
+                                  "nation_name", "Unknown")
+            .select("s_suppkey", "s_name", "nation_name"))
+
+
+@q("jn6_outer_validation", ("JN6", "AGG10"), oracle="""
+SELECT
+  count(*) FILTER (WHERE o.o_custkey IS NULL)    AS customers_without_orders,
+  count(*) FILTER (WHERE c.c_custkey IS NULL)    AS orphan_order_customers,
+  count(*) FILTER (WHERE c.c_custkey IS NOT NULL
+               AND o.o_custkey IS NOT NULL)      AS matched
+FROM customer c
+FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders) o
+  ON c.c_custkey = o.o_custkey
+""", note="positional-zip assert → full-outer null check (rsem-generate-data-matrix:46-69)")
+def jn6_outer_validation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("customers_without_orders"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("orphan_order_customers"),
+        F.count(F.when(F.col("c_custkey").isNotNull()
+                       & F.col("o_custkey").isNotNull(), 1)).alias("matched"))
+
+
+# =============================================================================
+# Aggregations (AGG1-AGG9)
+# =============================================================================
+
+@q("agg1_count_distinct", ("AGG1",), oracle="""
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""", note="distinct GSM count (sample_counting.sh:48-55) — exact, drives scheduling")
+def agg1_count_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.countDistinct("o_custkey").alias("n_customers"),
+                 F.count("*").alias("n_orders")))
+
+
+@q("agg2_collect_sorted_list", ("AGG2", "F1"), oracle="""
+SELECT o_custkey AS custkey,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_list,
+       count(*) AS n
+FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
+""", note="runs-per-sample comma-joined lists (run_RNApipeline:281,289-290)")
+def agg2_collect_sorted_list(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    lst = R.collect_group_list(o, "o_custkey", "o_orderkey", alias="order_list")
+    n = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return (lst.join(n, "o_custkey")
+            .select(F.col("o_custkey").alias("custkey"), "order_list", "n"))
+
+
+@q("agg3_first_per_group", ("AGG3",), oracle="""
+SELECT o_custkey AS custkey,
+       arg_min(o_orderstatus, o_orderkey)  AS first_status,
+       arg_min(o_orderpriority, o_orderkey) AS first_priority
+FROM orders GROUP BY o_custkey
+""", note="first-matching-row metadata (awk '{print; exit}', run_RNApipeline:284)")
+def agg3_first_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = R.first_per_group(o, "o_custkey", "o_orderkey",
+                            ["o_orderstatus", "o_orderpriority"])
+    return out.select(F.col("o_custkey").alias("custkey"),
+                      F.col("o_orderstatus").alias("first_status"),
+                      F.col("o_orderpriority").alias("first_priority"))
+
+
+@q("agg4_dedup_keep_first", ("AGG4", "WIN2"), oracle="""
+SELECT o_custkey AS custkey, o_orderkey, o_orderstatus
+FROM (SELECT o_custkey, o_orderkey, o_orderstatus,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+WHERE rn = 1
+""", note="sort -u keep-first dedup, pinned deterministic (run_RNApipeline:362-366)")
+def agg4_dedup_keep_first(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = R.dedup_keep_first(o, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+    return out.select(F.col("o_custkey").alias("custkey"),
+                      "o_orderkey", "o_orderstatus")
+
+
+@q("agg7_binned_rate", ("AGG7", "SNK7"), oracle="""
+WITH counts AS (
+  SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+         count(*) AS n
+  FROM events GROUP BY event_type, bin)
+SELECT event_type, bin, n,
+       round(n * 1e6 / (SELECT sum(n) FROM counts), 4) AS per_million
+FROM counts
+""", note="bamCoverage 10bp-bin BPM normalization (STAR_bigwig2.sh:245-251)")
+def agg7_binned_rate(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return R.binned_rate(e, ["event_type"], "value", 10.0)
+
+
+@q("agg8_ratio_classify", ("AGG8", "F10", "F11", "F12"), oracle="""
+WITH pivoted AS (
+  SELECT user_id,
+         coalesce(CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'click') AS BIGINT), 0) / 100.0 AS click_value,
+         coalesce(CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'view') AS BIGINT), 0) / 100.0 AS view_value
+  FROM events GROUP BY user_id)
+SELECT user_id, click_value, view_value,
+       CASE WHEN view_value = 0 THEN NULL
+            ELSE round(click_value / view_value, 4) END AS ratio,
+       CASE WHEN view_value = 0 OR click_value / view_value > 1.0
+            THEN 'HIGH' ELSE 'LOW' END AS class
+FROM pivoted
+""", note="chrX/chrY coverage ratio + Inf guard + threshold sex call (ComputeSex_v5.sh:111-129)")
+def agg8_ratio_classify(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    click = F.when(F.col("event_type") == "click", F.col("value"))
+    view = F.when(F.col("event_type") == "view", F.col("value"))
+    pv = (e.groupBy("user_id")
+          .agg((F.coalesce(_isum(click, 100), F.lit(0)) / 100.0).alias("click_value"),
+               (F.coalesce(_isum(view, 100), F.lit(0)) / 100.0).alias("view_value")))
+    ratio = (F.when(F.col("view_value") == 0, F.lit(None))
+             .otherwise(F.round(F.col("click_value") / F.col("view_value"), 4)))
+    cls = (F.when((F.col("view_value") == 0)
+                  | (F.col("click_value") / F.col("view_value") > 1.0), "HIGH")
+           .otherwise("LOW"))
+    return (pv.withColumn("ratio", ratio).withColumn("class", cls))
+
+
+@q("agg9_histogram", ("AGG9",), oracle="""
+SELECT n_orders, count(*) AS n_customers
+FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+GROUP BY n_orders
+""", note="runs-per-GSM distribution (sample_counting.sh:64)")
+def agg9_histogram(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return per.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@q("aggp1_pivot_matrix", ("AGG-P1", "SNK2"), oracle="""
+SELECT n.n_name AS Symbol,
+       coalesce(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) FILTER (WHERE o.o_orderpriority = '1-URGENT') AS BIGINT), 0) / 100.0 AS p1,
+       round(coalesce(sum(o.o_totalprice) FILTER (WHERE o.o_orderpriority = '2-HIGH'), 0), 2)   AS p2,
+       coalesce(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) FILTER (WHERE o.o_orderpriority = '3-MEDIUM') AS BIGINT), 0) / 100.0 AS p3,
+       coalesce(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) FILTER (WHERE o.o_orderpriority = '4-NOT SPECIFIED') AS BIGINT), 0) / 100.0 AS p4,
+       round(coalesce(sum(o.o_totalprice) FILTER (WHERE o.o_orderpriority = '5-LOW'), 0), 2)    AS p5
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""", note="feature×sample matrix pivot (RSEMmatrix_v5.sh:76-113) with pinned column list")
+def aggp1_pivot_matrix(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    joined = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    wide = (joined.groupBy(F.col("n_name").alias("Symbol"))
+            .pivot("o_orderpriority", pris)
+            .agg(_isum("o_totalprice", 100) / 100.0))
+    renames = dict(zip(pris, ["p1", "p2", "p3", "p4", "p5"]))
+    out = wide
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    # pivot leaves NULL for absent cells; reference matrix cells default 0
+    for new in renames.values():
+        out = out.withColumn(new, F.coalesce(F.col(new), F.lit(0.0)))
+    return out
+
+
+# =============================================================================
+# Windows / ranking / sorts (WIN1, WIN2, SRT, LIM, top-k)
+# =============================================================================
+
+@q("win1_dense_rank_palette", ("WIN1",), oracle="""
+SELECT n_name, CAST(dense_rank() OVER (ORDER BY n_name) - 1 AS BIGINT) % 10 AS palette_idx
+FROM nation
+""", note="palette cycling by first-appearance rank (make_jbrowse_session:33-39,81-145)")
+def win1_dense_rank_palette(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    out = R.dense_rank_palette(n, ["n_name"], 10)
+    return out.select("n_name", F.col("palette_idx").cast("long").alias("palette_idx"))
+
+
+@q("win2_topk_per_group", ("WIN2", "LIM1"), oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+WHERE rk <= 3
+""", note="top-K per group — rank window (extension of head/tail limits §2.6)")
+def win2_topk_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = R.topk_per_group(o, ["o_orderpriority"],
+                           [F.desc("o_totalprice"), F.asc("o_orderkey")], 3)
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
+@q("srt_topk_global", ("SRT2", "LIM1"), oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 10
+""", note="multi-key sort + limit (GeneTPMbed_v2.sh:141; sample_counting.sh:31)")
+def srt_topk_global(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+            .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+            .limit(10))
+
+
+# =============================================================================
+# Set operations (SET1, SET2)
+# =============================================================================
+
+@q("set1_union", ("SET1",), oracle="""
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000
+""", note="report-table union w/ dedup (combine_multStrategy:135-152)")
+def set1_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_mktsegment")
+    b = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_mktsegment")
+    return a.unionByName(b).distinct()
+
+
+@q("set2_intersect", ("SET2",), oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""", note="duplicate sample dirs via comm -12 (combine_multStrategy:506-532)")
+def set2_intersect(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+# =============================================================================
+# Semi-structured scan (SRC3/SRC7 analog): JSON key-value extraction
+# =============================================================================
+
+@q("src7_json_extract", ("SRC7", "SRC3", "F16"), oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) * 1.0 / count(*) AS avg_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+""", note="JSON document field extraction (make_jbrowse_session:62-70 / kv scan pSTARQC_v1.sh:50-61)")
+def src7_json_extract(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (e.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 (F.sum(k) * 1.0 / F.count("*")).alias("avg_k"),
+                 F.max(k).alias("max_k")))
+
+
+# =============================================================================
+# Streaming-shaped (batch twins; SURVEY §2.9 extension)
+# =============================================================================
+
+@q("stream_window_agg", ("STREAM-WIN",), oracle="""
+SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS window_start,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+""", note="watermarked tumbling window agg — batch twin of streaming/events_stream.py")
+def stream_window_agg(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return ST.windowed_counts(e, "1 hour")
+
+
+@q("stream_sessionize", ("STREAM-SESS",), oracle="""
+WITH marked AS (
+  SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+, sess AS (
+  SELECT user_id, tsec,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(tsec) AS session_start_epoch,
+       max(tsec) - min(tsec) AS session_seconds
+FROM sess GROUP BY user_id, session_id
+""", note="lag-gap sessionization (streaming twin: session_window)")
+def stream_sessionize(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return ST.sessionize(e, gap_minutes=30)
+
+
+# =============================================================================
+# Dedup family (LLM-data-pipeline extensions)
+# =============================================================================
+
+@q("dedup_exact_stats", ("DEDUP-EXACT",), oracle="""
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct,
+       count(*) - count(DISTINCT md5(text)) AS n_dupes
+FROM documents GROUP BY source
+""", note="exact dedup via content hash groupBy")
+def dedup_exact_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct(F.md5("text")).alias("n_distinct"),
+                 (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dupes")))
+
+
+def _minhash_oracle(num_hashes: int = 8, band_size: int = 2,
+                    shingle_n: int = 2, threshold: float = 0.8) -> str:
+    sh_expr = TX.shingles_sql("text", shingle_n)
+    mins = ",\n         ".join(
+        f"MIN({md5_long_sql('s', seed=i)}) AS h{i}" for i in range(num_hashes))
+    n_bands = num_hashes // band_size
+    band_selects = []
+    for b in range(n_bands):
+        cols = " || '_' || ".join(
+            f"CAST(h{b * band_size + r} AS VARCHAR)" for r in range(band_size))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, "
+            f"{md5_long_sql(f'({cols})')} AS band_hash FROM sig")
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+WITH sh AS (SELECT doc_id, unnest({sh_expr}) AS s FROM documents),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b USING (band_idx, band_hash)
+         WHERE a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, {sh_expr} AS sh FROM documents)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(x.sh || y.sh)), 4) AS jaccard
+  FROM cand JOIN sets x ON x.doc_id = id_a JOIN sets y ON y.doc_id = id_b)
+WHERE jaccard >= {threshold}
+"""
+
+
+@q("dedup_minhash_lsh", ("DEDUP-MINHASH",), oracle=_minhash_oracle(),
+   note="MinHash(8)→LSH(4 bands of 2)→exact-Jaccard verify; portable md5 hash family")
+def dedup_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_dedup_pairs(d, num_hashes=8, band_size=2,
+                                  shingle_n=2, threshold=0.8)
+
+
+def _simhash_oracle(bits: int = 16, seed: int = 101) -> str:
+    toks = TX.tokens_sql("text")
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits))
+    fp = " + ".join(f"CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END"
+                    for j in range(bits))
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(list_distinct({toks})) AS t FROM documents),
+h AS (SELECT doc_id, {md5_long_sql('t', seed=seed)} AS hv FROM toks),
+votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@q("dedup_simhash", ("DEDUP-SIMHASH",), oracle=_simhash_oracle(),
+   note="16-bit SimHash fingerprint per doc (engine default 32/64-bit)")
+def dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash(d, bits=16, seed=101)
+
+
+@q("dedup_ngram_jaccard", ("DEDUP-NGRAM",), oracle="""
+WITH s AS (SELECT doc_id, lang,
+                  """ + TX.shingles_sql("text", 2) + """ AS sh
+           FROM documents)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+WHERE jaccard >= 0.8
+""", note="blocked all-pairs 2-gram Jaccard (block = lang)")
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, block_col="lang", shingle_n=2,
+                                  threshold=0.8)
+
+
+# =============================================================================
+# Text analysis (LLM-data-pipeline extensions)
+# =============================================================================
+
+@q("text_quality_features", ("TEXT-QUALITY",), oracle="""
+SELECT doc_id,
+       {n_chars_measured} AS n_chars_measured,
+       {n_tokens} AS n_tokens,
+       {n_punct} AS n_punct,
+       {stopword_ratio} AS stopword_ratio,
+       {chars_per_token} AS chars_per_token
+FROM documents
+""".format(**TX.quality_features_sql("text")),
+   note="length/punct/stopword quality features, all codegen'd")
+def text_quality_features(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", *TX.quality_features("text"))
+
+
+@q("text_lang_id", ("TEXT-LANGID",), oracle=f"""
+SELECT lang, lang_pred, count(*) AS n FROM (
+  SELECT lang, {TX.lang_id_sql('text')} AS lang_pred FROM documents)
+GROUP BY lang, lang_pred
+""", note="stopword-vote language ID vs labeled lang — confusion matrix")
+def text_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.select("lang", TX.lang_id("text").alias("lang_pred"))
+            .groupBy("lang", "lang_pred").agg(F.count("*").alias("n")))
+
+
+@q("text_token_stats", ("TEXT-TOKENS",), oracle=f"""
+SELECT source,
+       CAST(sum({TX.token_count_sql('text')}) AS BIGINT) AS total_tokens,
+       CAST(sum({TX.token_count_sql('text')}) AS BIGINT) * 1.0 / count(*) AS avg_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+""", note="token counting (whitespace) aggregated per source")
+def text_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tc = TX.token_count("text")
+    return (d.groupBy("source")
+            .agg(F.sum(tc).alias("total_tokens"),
+                 (F.sum(tc) * 1.0 / F.count("*")).alias("avg_tokens"),
+                 F.sum(F.length("text")).cast("long").alias("total_chars")))
+
+
+@q("text_fingerprint", ("TEXT-FINGERPRINT",), oracle=f"""
+SELECT doc_id, {TX.fingerprint_sql('text', 3)} AS fingerprint
+FROM documents
+""", note="min-hash document fingerprint over 3-gram shingles (rolling-hash analog)")
+def text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text", 3).alias("fingerprint"))
+
+
+# =============================================================================
+# Similarity search (LLM-data-pipeline extensions)
+# =============================================================================
+
+@q("ann_cosine_topk", ("ANN-BRUTE",), oracle="""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6)
+         AS cosine_sim
+FROM embeddings
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+""", note="brute-force cosine top-10 vs vec_id=0; per-partition TakeOrdered, no shuffle")
+def ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = SIM.query_vector(emb, 0)
+    return SIM.brute_force_topk(emb, qv, k=10)
+
+
+@q("ann_embedding_neardup", ("ANN-NEARDUP",), oracle="""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+SELECT id_a, id_b, cosine_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine_sim
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+WHERE cosine_sim >= 0.4
+""", note="embedding-cosine near-dup pairs, label-blocked equi-join (never cross)")
+def ann_embedding_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup(emb, block_col="label", threshold=0.4)
+
+
+# =============================================================================
+# public accessors
+# =============================================================================
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items()
+            if spec.oracle is not None}

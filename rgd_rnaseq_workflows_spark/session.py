@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference pipeline hand-tunes per-stage SLURM resources
+(``scripts/STAR_bigwig2.sh:4-6`` et al.); in Spark the equivalents are
+session-level knobs: AQE for runtime re-planning (skew joins, partition
+coalescing), shuffle-partition sizing, and Arrow for the Python boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Local test harness runs on local[$SPARK_GRAFT_CPUS]; a production
+# deployment passes its own master/conf and only inherits the SQL conf.
+_SQL_CONF = {
+    # AQE: runtime partition coalescing, skew-join splitting, dynamic
+    # broadcast — essential at 100 TB where static planning misjudges.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic oracle comparison: DuckDB timestamps are UTC-naive.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for any pandas boundary (vectorized UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: reference semantics are permissive (awk math never throws).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "rgd_rnaseq_workflows_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``shuffle_partitions`` defaults to the local core count — the guide's
+    "~cores for local" rule; on a real cluster leave AQE to coalesce.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if not os.environ.get("SPARK_GRAFT_NO_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in _SQL_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

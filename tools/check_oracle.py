@@ -1,0 +1,107 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given scale factor; compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted, floats
+rounded to 9 significant digits before hashing).
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+from rgd_rnaseq_workflows_spark.schemas import TESTDATA_TABLES
+from rgd_rnaseq_workflows_spark.session import get_spark
+
+
+def canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = []
+    for row in df.itertuples(index=False):
+        out = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                out.append(None)
+            elif isinstance(v, float):
+                out.append(float(f"{v:.9g}"))
+            elif hasattr(v, "isoformat"):
+                out.append(v.isoformat())
+            else:
+                out.append(v)
+        rows.append(tuple(out))
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(sdf)} (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows spark={len(sdf)} oracle={len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols spark={sorted(sdf.columns)} "
+                            f"oracle={sorted(odf.columns)}")
+        if not problems:
+            cs, co = canon(sdf), canon(odf)
+            if cs != co:
+                n_bad = sum(1 for a, b in zip(cs, co) if a != b)
+                problems.append(f"values differ ({n_bad}/{len(cs)} rows)")
+                for a, b in list(zip(cs, co))[:200]:
+                    if a != b:
+                        problems.append(f"  spark={a}")
+                        problems.append(f"  duck ={b}")
+                        break
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            print(f"ok    {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
