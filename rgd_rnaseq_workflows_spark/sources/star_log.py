@@ -28,10 +28,16 @@ def read_star_logs(spark: SparkSession, glob_path: str,
     kv = (lines
           .filter(F.col("value").contains("|"))
           .withColumn("sample", F.regexp_extract("path", sample_pattern, 1))
-          .withColumn("key", F.trim(F.split("value", r"\|").getItem(0)))
+          # the reference pads with tabs AND spaces (pSTARQC_v1.sh:55-56);
+          # trim() only strips spaces, so strip all leading/trailing \s
+          .withColumn("key",
+                      F.regexp_replace(F.split("value", r"\|").getItem(0),
+                                       r"^\s+|\s+$", ""))
           .withColumn("val",
-                      F.regexp_replace(F.trim(F.split("value", r"\|").getItem(1)),
-                                       ",", ""))
+                      F.regexp_replace(
+                          F.regexp_replace(F.split("value", r"\|").getItem(1),
+                                           r"^\s+|\s+$", ""),
+                          ",", ""))
           .select("sample", "key", "val"))
     return kv.withColumnRenamed("val", "value")
 

@@ -1,0 +1,22 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rgd_rnaseq_workflows_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+    s = get_spark("tests", shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture()
+def tmp_out(tmp_path):
+    return str(tmp_path)

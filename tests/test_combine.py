@@ -1,0 +1,33 @@
+"""M6 — combine/merge workflow (SURVEY SET1, SET2, JN3+AGG10)."""
+
+from __future__ import annotations
+
+from rgd_rnaseq_workflows_spark.plans.combine import (
+    duplicate_keys, merge_matrices, union_reports)
+
+
+def test_union_strips_crlf_and_blank_rows(spark):
+    a = spark.createDataFrame([("GSM1", "M\r"), ("", "")],
+                              ["SampleID", "Sex"])
+    b = spark.createDataFrame([("GSM2", "F")], ["SampleID", "Sex"])
+    out = union_reports(a, b)
+    rows = sorted((r["SampleID"], r["Sex"]) for r in out.collect())
+    assert rows == [("GSM1", "M"), ("GSM2", "F")]
+
+
+def test_merge_matrices_inner_with_loss_metrics(spark):
+    m1 = spark.createDataFrame(
+        [("Xist", 1.0), ("Uty", 2.0), ("OnlyIn1", 3.0)], ["Symbol", "s1"])
+    m2 = spark.createDataFrame(
+        [("Xist", 9.0), ("Uty", 8.0), ("OnlyIn2", 7.0)], ["Symbol", "s2"])
+    merged, loss = merge_matrices(m1, m2)
+    assert sorted(r["Symbol"] for r in merged.collect()) == ["Uty", "Xist"]
+    # the reference's row-loss warning (combine_multStrategy:247-256)
+    assert loss == {"lost_left": 1, "lost_right": 1}
+
+
+def test_duplicate_keys_intersection(spark):
+    a = spark.createDataFrame([("GSM1",), ("GSM2",)], ["SampleID"])
+    b = spark.createDataFrame([("GSM2",), ("GSM3",)], ["SampleID"])
+    assert [r["SampleID"] for r in
+            duplicate_keys(a, b, "SampleID").collect()] == ["GSM2"]

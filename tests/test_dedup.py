@@ -1,0 +1,79 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rgd_rnaseq_workflows_spark.operators.dedup import (
+    exact_dedup, exact_duplicate_groups, minhash_dedup_pairs,
+    minhash_signatures, ngram_jaccard_pairs, simhash, simhash_near_pairs)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "en", "a"),
+    (2, "the quick brown fox jumps over the lazy dog", "en", "a"),   # exact dup
+    (3, "the quick brown fox jumps over the lazy cat", "en", "a"),   # near dup
+    (4, "completely different words entirely unrelated text here now", "en", "a"),
+    (5, "der schnelle braune fuchs springt", "de", "b"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "lang", "source"])
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    out = exact_dedup(_docs(spark))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5]
+    groups = exact_duplicate_groups(_docs(spark)).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_copies"] == 2 and groups[0]["keeper_id"] == 1
+
+
+def test_minhash_finds_exact_and_near_dups(spark):
+    pairs = minhash_dedup_pairs(_docs(spark), num_hashes=8, band_size=2,
+                                shingle_n=2, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0          # identical docs always collide
+    assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_minhash_signature_identical_for_identical_text(spark):
+    sigs = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(4))
+            for r in minhash_signatures(_docs(spark), num_hashes=4).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_simhash_stability_and_near_pairs(spark):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+    assert fps[1] == fps[2]                      # identical text
+    assert 0 <= fps[1] < 2 ** 32
+    pairs = simhash_near_pairs(_docs(spark), max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got                         # hamming 0
+    assert (1, 5) not in got
+
+
+def test_ngram_jaccard_matches_naive(spark):
+    """PPJoin prefix/length pruning must not change the result set."""
+    docs = _docs(spark)
+    fast = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, "lang", shingle_n=1,
+                                         threshold=0.3).collect()}
+    # naive blocked all-pairs on token sets
+    from rgd_rnaseq_workflows_spark.functions.text import shingles
+    s = docs.select("doc_id", F.col("lang").alias("blk"),
+                    shingles("text", 1).alias("sh"))
+    naive = (s.alias("a").join(s.alias("b"),
+                               (F.col("a.blk") == F.col("b.blk"))
+                               & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"),
+                     F.round(F.size(F.array_intersect("a.sh", "b.sh"))
+                             / F.size(F.array_union("a.sh", "b.sh")), 4)
+                     .alias("jaccard"))
+             .filter(F.col("jaccard") >= 0.3))
+    naive_map = {(r["id_a"], r["id_b"]): r["jaccard"] for r in naive.collect()}
+    assert fast == naive_map
+    assert (1, 2) in fast and fast[(1, 2)] == 1.0

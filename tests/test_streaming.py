@@ -1,0 +1,59 @@
+"""Structured Streaming: the streaming windowed agg must equal its batch twin."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from rgd_rnaseq_workflows_spark.streaming.events_stream import (
+    EVENTS_SCHEMA, session_window_counts, sessionize, stream_windowed_counts,
+    windowed_counts)
+
+
+def _events_df(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(40):
+        rows.append((i, base + dt.timedelta(minutes=7 * i), i % 3,
+                     "click" if i % 2 else "view", float(i), "{}"))
+    return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+
+def test_stream_equals_batch(spark, tmp_out):
+    df = _events_df(spark)
+    src = os.path.join(tmp_out, "src")
+    df.write.parquet(src)
+    batch = {tuple(r) for r in windowed_counts(df).collect()}
+
+    q = (stream_windowed_counts(spark, src, watermark="10 minutes")
+         .writeStream.format("memory").queryName("win_out")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        streamed = {tuple(r) for r in
+                    spark.sql("SELECT * FROM win_out").collect()}
+    finally:
+        q.stop()
+    assert streamed == batch and len(batch) > 0
+
+
+def test_sessionize_gap_splits(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base, 7, "view", 1.0, "{}"),
+            (2, base + dt.timedelta(minutes=10), 7, "view", 1.0, "{}"),
+            (3, base + dt.timedelta(minutes=80), 7, "view", 1.0, "{}")]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    out = sessionize(df, gap_minutes=30).collect()
+    assert len(out) == 2
+    sizes = sorted(r["n_events"] for r in out)
+    assert sizes == [1, 2]
+
+
+def test_session_window_native_matches_lag_based(spark):
+    df = _events_df(spark)
+    lag_based = sessionize(df, gap_minutes=30)
+    native = session_window_counts(df, "30 minutes")
+    # same number of sessions and same total events per user
+    a = {(r["user_id"], r["n_events"]) for r in lag_based.collect()}
+    b = {(r["user_id"], r["n_events"]) for r in native.collect()}
+    assert a == b
