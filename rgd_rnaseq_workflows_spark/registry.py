@@ -176,12 +176,13 @@ def fil6_regex_predicates(spark, sf_dir):
 @q("fil8_in_list_slice", ("FIL8",), oracle="""
 SELECT n_name, n_nationkey
 FROM nation
-WHERE n_name IN ('FRANCE', 'GERMANY', 'JAPAN', 'BRAZIL', 'CANADA', 'KENYA')
+WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7', 'NATION_11', 'NATION_13')
 """, note="six-sex-genes IN-list analog (ConflictedSampleReport_v4.sh:30)")
 def fil8_in_list_slice(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     return (n.filter(F.col("n_name").isin(
-        "FRANCE", "GERMANY", "JAPAN", "BRAZIL", "CANADA", "KENYA"))
+        "NATION_1", "NATION_3", "NATION_5", "NATION_7", "NATION_11",
+        "NATION_13"))
         .select("n_name", "n_nationkey"))
 
 
@@ -228,11 +229,11 @@ def jn1_semi_join(spark, sf_dir):
 @q("set3_anti_join", ("SET3",), oracle="""
 SELECT c_custkey, c_name
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
 """, note="FAIL set = unique − PASS, made explicit (run_RNApipeline:434-436)")
 def set3_anti_join(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     return R.anti_join(c, o.select(F.col("o_custkey").alias("c_custkey")),
                        "c_custkey").select("c_custkey", "c_name")
 
@@ -785,3 +786,160 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {name: spec.oracle for name, spec in REGISTRY.items()
             if spec.oracle is not None}
+
+
+# =============================================================================
+# Batch 2 — as-of / range joins, rollup, percentiles, date & template scalars
+# =============================================================================
+
+@q("asof_join_events", ("ASOF",), oracle="""
+WITH ordered AS (
+  SELECT event_id, user_id, event_type, value, ts,
+         last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+           OVER w AS asof_value,
+         last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER w AS asof_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id, 1
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id, value AS purchase_value,
+       asof_value AS last_click_value,
+       CAST(floor((epoch_us(ts) - asof_us) / 1000000) AS BIGINT) AS seconds_since_click
+FROM ordered WHERE event_type = 'purchase'
+""", note="as-of join via union+window (no join explosion, one shuffle) — operators/asof.py")
+def asof_join_events(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.asof import asof_join
+    e = _events(spark, sf_dir).withColumn("us", F.unix_micros("ts"))
+    probe = (e.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "us",
+                     F.col("value").alias("purchase_value")))
+    ref = (e.filter(F.col("event_type") == "click")
+           .select(F.col("event_id").alias("click_id"), "user_id", "us",
+                   F.col("value").alias("click_value"),
+                   F.col("us").alias("click_us")))
+    # order by (µs, event_id): µs is the cross-engine-stable resolution
+    out = asof_join(probe.withColumnRenamed("event_id", "eid")
+                    .withColumn("event_id", F.col("eid")),
+                    ref.withColumnRenamed("click_id", "eid"),
+                    keys=["user_id"], order_cols=["us", "eid"],
+                    payload_cols=["click_value", "click_us"])
+    return out.select(
+        "event_id", "user_id", "purchase_value",
+        F.col("asof_click_value").alias("last_click_value"),
+        F.floor((F.col("us") - F.col("asof_click_us")) / 1_000_000)
+        .cast("long").alias("seconds_since_click"))
+
+
+@q("range_join_dim", ("RANGE-JOIN",), oracle="""
+WITH bins(bucket, lo, hi) AS (VALUES
+  ('xs', 0.0, 10.0), ('s', 10.0, 20.0), ('m', 20.0, 35.0), ('l', 35.0, 1e9))
+SELECT b.bucket, count(*) AS n,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
+FROM lineitem l JOIN bins b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+GROUP BY b.bucket
+""", note="range join against small dim — broadcast + non-equi predicate (BNLJ on tiny side)")
+def range_join_dim(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    bins = spark.createDataFrame(
+        [("xs", 0.0, 10.0), ("s", 10.0, 20.0), ("m", 20.0, 35.0),
+         ("l", 35.0, 1e9)], ["bucket", "lo", "hi"])
+    j = li.join(F.broadcast(bins),
+                (F.col("l_quantity") >= F.col("lo"))
+                & (F.col("l_quantity") < F.col("hi")))
+    return (j.groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 (_isum("l_extendedprice", 100) / 100.0).alias("total_price")))
+
+
+@q("rollup_aggregate", ("ROLLUP",), oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""", note="grouping-set rollup (SURVEY §2.4 'not present' — beyond-parity, built-in)")
+def rollup_aggregate(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 (_isum("l_quantity", 100) / 100.0).alias("sum_qty")))
+
+
+@q("agg_percentiles", ("PCTL",), oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.5)  AS p50,
+       quantile_cont(l_extendedprice, 0.9)  AS p90,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""", note="exact linear-interpolation percentiles (identical math both engines)")
+def agg_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+                 F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+                 F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+                 F.max("l_extendedprice").alias("max_price")))
+
+
+@q("win3_running_total", ("WIN-FRAME",), oracle="""
+SELECT o_custkey AS custkey, o_orderkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0 AS running_total
+FROM orders
+""", note="frame-spec running aggregate (SURVEY §2.5 'not present' — extension)")
+def win3_running_total(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(F.col("o_custkey").alias("custkey"), "o_orderkey",
+                    (F.sum(cents).over(w) / 100.0).alias("running_total"))
+
+
+@q("win4_lead_lag", ("WIN-LAG",), oracle="""
+SELECT o_custkey AS custkey, o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT)
+         - CAST(floor(epoch(lag(o_orderdate) OVER w)) AS BIGINT) AS seconds_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""", note="lead/lag window (SURVEY §2.5 'not present' — extension)")
+def win4_lead_lag(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # parquet gives TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+    # ntz→tz→long cast is the same epoch DuckDB computes
+    sec = F.col("o_orderdate").cast("timestamp").cast("long")
+    return o.select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey",
+        (sec - F.lag(sec).over(w)).alias("seconds_since_prev"))
+
+
+@q("f16_date_arithmetic", ("F16", "F14"), oracle="""
+SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start_epoch,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY 1
+""", note="timestamp bucketing/arithmetic (ComputeSex_v5.sh:73; sjdbOverhang=len-1)")
+def f16_date_arithmetic(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.unix_timestamp(F.date_trunc("month", "o_orderdate"))
+                      .alias("month_start_epoch"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.countDistinct("o_custkey").alias("n_customers")))
+
+
+@q("f17_url_template", ("F17", "F1"), oracle="""
+SELECT s_suppkey,
+       'https://rgd.mcw.edu/rgdweb/report/main.html?id=' || CAST(s_suppkey AS VARCHAR)
+         || '&name=' || replace(s_name, ' ', '%20') AS url
+FROM supplier
+""", note="URL templating from columns (BWjson_v7.sh:139)")
+def f17_url_template(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.concat(F.lit("https://rgd.mcw.edu/rgdweb/report/main.html?id="),
+                 F.col("s_suppkey").cast("string"),
+                 F.lit("&name="),
+                 F.regexp_replace("s_name", " ", "%20")).alias("url"))
