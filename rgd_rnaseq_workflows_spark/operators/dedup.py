@@ -45,18 +45,34 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
 
 # --- MinHash + LSH -------------------------------------------------------------
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime > the 2^30-reduced base universe
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the universal family
+    h_i(x) = (a_i·x + b_i) mod p — fixed integer literals, so any engine
+    (the DuckDB oracle included) reproduces them exactly."""
+    return [((2654435761 * (i + 1)) % MINHASH_P | 1,
+             (40503 * (i + 7919) + 12345) % MINHASH_P)
+            for i in range(num_hashes)]
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        num_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
-    """Per-doc MinHash signature: k columns ``h0..h{k-1}``, each the min of
-    an md5 hash family over the doc's word n-gram shingles.
+    """Per-doc MinHash signature: k columns ``h0..h{k-1}``.
 
-    One explode + one groupBy (partial-aggregated map-side). The hash
-    family ``md5(seed || ':' || shingle)`` is engine-portable.
+    ONE md5 per shingle (not k): the 60-bit md5 is reduced to a 30-bit
+    base, then k universal hashes (a_i·x + b_i) mod p permute it — pure
+    int64 arithmetic inside codegen, overflow-free (a_i < 2^31, x < 2^30).
+    One explode + one groupBy with k partial-aggregated mins.
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
-    aggs = [F.min(md5_long(F.col("s"), seed=i)).alias(f"h{i}")
-            for i in range(num_hashes)]
+    base = F.pmod(md5_long(F.col("s")), F.lit(1 << 30))
+    sh = (df.select(F.col(id_col),
+                    F.explode(shingles(text_col, shingle_n)).alias("s"))
+          .select(F.col(id_col), base.alias("x")))
+    aggs = [F.min((F.col("x") * a + b) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_params(num_hashes))]
     return sh.groupBy(id_col).agg(*aggs)
 
 

@@ -612,9 +612,13 @@ def dedup_exact_stats(spark, sf_dir):
 
 def _minhash_oracle(num_hashes: int = 8, band_size: int = 2,
                     shingle_n: int = 2, threshold: float = 0.8) -> str:
+    from rgd_rnaseq_workflows_spark.operators.dedup import (
+        MINHASH_P, minhash_params)
     sh_expr = TX.shingles_sql("text", shingle_n)
+    base = f"(({md5_long_sql('s')}) % {1 << 30})"
     mins = ",\n         ".join(
-        f"MIN({md5_long_sql('s', seed=i)}) AS h{i}" for i in range(num_hashes))
+        f"MIN(({base} * {a} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes)))
     n_bands = num_hashes // band_size
     band_selects = []
     for b in range(n_bands):
