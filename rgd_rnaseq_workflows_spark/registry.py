@@ -947,3 +947,100 @@ def f17_url_template(spark, sf_dir):
                  F.col("s_suppkey").cast("string"),
                  F.lit("&name="),
                  F.regexp_replace("s_name", " ", "%20")).alias("url"))
+
+
+# =============================================================================
+# Batch 3 — BPE-ish tokenization, IVF ANN, corpus curation composite
+# =============================================================================
+
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+@q("text_bpe_tokens", ("TEXT-BPE",), oracle=f"""
+SELECT source,
+       CAST(sum(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS BIGINT)
+         AS bpe_tokens,
+       CAST(sum({TX.token_count_sql('text')}) AS BIGINT) AS ws_tokens
+FROM documents GROUP BY source
+""", note="BPE-ish regex token counting vs whitespace tokens, per source")
+def text_bpe_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bpe = F.regexp_count("text", F.lit(BPE_PATTERN)).cast("long")
+    return (d.groupBy("source")
+            .agg(F.sum(bpe).alias("bpe_tokens"),
+                 F.sum(TX.token_count("text")).alias("ws_tokens")))
+
+
+@q("ann_ivf_topk", ("ANN-IVF",), oracle="""
+WITH e AS (
+  SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings),
+centroid AS (                      -- exact integer centroid components
+  SELECT label, d, CAST(sum(CAST(round(x * 10000000) AS BIGINT)) AS BIGINT) AS c
+  FROM e GROUP BY label, d),
+qv AS (
+  SELECT d, CAST(round(x * 10000000) AS BIGINT) AS qx
+  FROM e WHERE vec_id = 0),
+label_rank AS (                    -- probe order: exact integer dot product
+  -- division-free: |c| <= n_vecs*3e6, |qx| <= 3e6, 64-dim sum stays
+  -- far inside int64 at the driver's scale factors
+  SELECT c.label,
+         CAST(sum(c.c * q.qx) AS BIGINT) AS dot
+  FROM centroid c JOIN qv q USING (d) GROUP BY c.label
+  ORDER BY dot DESC, label LIMIT 2),
+probe AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+  FROM embeddings WHERE label IN (SELECT label FROM label_rank))
+SELECT vec_id,
+       round(list_cosine_similarity(ve,
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6)
+         AS cosine_sim
+FROM probe
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+""", note="IVF-style ANN: probe top-2 clusters by exact-int centroid dot, then exact cosine")
+def ann_ivf_topk(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        brute_force_topk, query_vector)
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label",
+                   F.posexplode(F.col("embedding")).alias("d0", "x")) \
+           .withColumn("d", F.col("d0") + 1) \
+           .withColumn("x", F.col("x").cast("double"))
+    centroid = (e.groupBy("label", "d")
+                .agg(F.sum(F.round(F.col("x") * 10000000).cast("long"))
+                     .alias("c")))
+    qv = (e.filter(F.col("vec_id") == 0)
+          .select("d", F.round(F.col("x") * 10000000).cast("long").alias("qx")))
+    label_rank = (centroid.join(qv, "d")
+                  .groupBy("label")
+                  .agg(F.sum(F.col("c") * F.col("qx")).alias("dot"))
+                  .orderBy(F.desc("dot"), "label").limit(2))
+    probe = emb.join(F.broadcast(label_rank.select("label")), "label")
+    return brute_force_topk(probe, query_vector(emb, 0), k=10)
+
+
+@q("corpus_curation", ("CURATION",), oracle=f"""
+WITH feats AS (
+  SELECT doc_id, lang, source,
+         {TX.quality_features_sql('text')['n_tokens']} AS n_tokens,
+         {TX.lang_id_sql('text')} AS lang_pred
+  FROM documents),
+kept AS (
+  SELECT * FROM feats
+  WHERE n_tokens >= 20 AND lang_pred = lang)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM kept GROUP BY lang
+""", note="composite curation: quality gate + language-consistency filter → per-lang stats")
+def corpus_curation(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select("doc_id", "lang", "source",
+                     TX.token_count("text").alias("n_tokens"),
+                     TX.lang_id("text").alias("lang_pred"))
+    kept = feats.filter((F.col("n_tokens") >= 20)
+                        & (F.col("lang_pred") == F.col("lang")))
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens")))
