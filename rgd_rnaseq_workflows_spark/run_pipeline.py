@@ -1,0 +1,161 @@
+"""CLI entry point: run the full RNA-seq analytic pipeline on a project.
+
+The Spark-native equivalent of the reference's step-2 controller
+(``run_RNApipeline_pairedG8_diskGuard.bash``): one driver program, one
+Catalyst lineage, marker-based incremental skip. A user of the reference
+points this at the same artifacts (AccList TSV, STAR ``Log.final.out``
+directories, RSEM ``.genes.results``, idxstats TSVs) and gets the same
+outputs (STARQC summary, PASS AccList, TPM/counts matrices, sex result
+with ``Inf`` sentinels, conflict report).
+
+Usage:
+  python -m rgd_rnaseq_workflows_spark.run_pipeline \
+      --acclist AccList.txt --star-logs 'scratch/logs' \
+      --rsem 'scratch/rsem' --idxstats 'scratch/idxstats' --out out/PRJ1
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+from rgd_rnaseq_workflows_spark.plans.acclist import (
+    pass_filter, qc_stats, unique_acclist)
+from rgd_rnaseq_workflows_spark.plans.orchestrator import Orchestrator, ProjectRun, Stage
+from rgd_rnaseq_workflows_spark.plans.sexcheck import compute_sex, conflict_report
+from rgd_rnaseq_workflows_spark.plans.starqc import starqc_summary
+from rgd_rnaseq_workflows_spark.operators.matrix import (
+    pivot_matrix, validate_feature_alignment)
+from rgd_rnaseq_workflows_spark.schemas import ACCLIST
+from rgd_rnaseq_workflows_spark.session import get_spark
+from rgd_rnaseq_workflows_spark.sources.idxstats import read_idxstats
+from rgd_rnaseq_workflows_spark.sources.rsem import read_rsem_results
+from rgd_rnaseq_workflows_spark.sources.star_log import read_star_logs
+from rgd_rnaseq_workflows_spark.sources.tsv import read_tsv, write_tsv
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rgd_rnaseq_workflows_spark.run_pipeline",
+        description="Spark-native RNA-seq project pipeline (STARQC → PASS "
+                    "filter → matrices → sex check → conflict report)")
+    p.add_argument("--acclist", required=True, help="AccList TSV (D1 schema)")
+    p.add_argument("--star-logs", required=True,
+                   help="glob for per-sample Log.final.out files")
+    p.add_argument("--rsem", required=True,
+                   help="glob for per-sample .genes.results files")
+    p.add_argument("--idxstats", default=None,
+                   help="glob for per-sample .idxstats files (optional; "
+                        "sex check skipped when absent — non-critical, "
+                        "matching the reference)")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--project", default="project", help="project ID")
+    return p
+
+
+def run(args: argparse.Namespace) -> int:
+    spark = get_spark(f"rnaseq-{args.project}")
+    out = args.out.rstrip("/")
+
+    acclist = read_tsv(spark, args.acclist, ACCLIST)
+    unique = unique_acclist(acclist).cache()
+    expected = unique.select(F.col("geo_accession").alias("sample"))
+
+    state = {}
+
+    # On an incremental re-run a completed stage is skipped via its marker,
+    # so downstream stages re-load its artifact from disk instead of the
+    # in-memory handle (the reference's contract: success = artifact
+    # exists, run_RNApipeline:171-209).
+    def get_qc():
+        if "qc" not in state:
+            from rgd_rnaseq_workflows_spark.schemas import STARQC_SUMMARY
+            state["qc"] = read_tsv(spark, f"{out}/STAR_Align_sum",
+                                   STARQC_SUMMARY)
+        return state["qc"]
+
+    def get_passed():
+        if "passed" not in state:
+            state["passed"] = read_tsv(spark, f"{out}/Unique_AccList_PASS",
+                                       ACCLIST)
+        return state["passed"]
+
+    def get_expr():
+        if "expr" not in state:
+            expr = read_rsem_results(spark, args.rsem)
+            passed_ids = get_passed().select(
+                F.col("geo_accession").alias("sample"))
+            state["expr"] = expr.join(passed_ids, "sample", "left_semi")
+        return state["expr"]
+
+    def stage_starqc():
+        kv = read_star_logs(spark, args.star_logs,
+                            sample_pattern=r"([^/]+)/Log\.final\.out$")
+        qc = starqc_summary(kv, expected).cache()
+        state["qc"] = qc
+        write_tsv(qc, f"{out}/STAR_Align_sum", single_file=True,
+                  sentinel_map={"Input_Reads": "NA", "Unmapped_Total": "NA",
+                                "Unmapped_Rate": "NA"},
+                  float_format={"Unmapped_Rate": 2})
+        stats = {r["Status"]: r["n"] for r in qc_stats(qc).collect()}
+        print(f"[starqc] {stats}", file=sys.stderr)
+
+    def stage_pass():
+        passed = pass_filter(unique, get_qc()).cache()
+        state["passed"] = passed
+        # pin the reference's column order (Run first): the equi-join moves
+        # the join key to the front, and the resume-path read_tsv parses by
+        # POSITION against the ACCLIST schema
+        write_tsv(passed.select(*[f.name for f in ACCLIST.fields]),
+                  f"{out}/Unique_AccList_PASS", single_file=True)
+
+    def stage_matrix():
+        expr = get_expr().cache()
+        bad = validate_feature_alignment(expr)
+        offenders = [r["sample"] for r in bad.collect()]
+        if offenders:
+            raise RuntimeError(
+                f"feature sets differ across samples: {offenders}")
+        state["expr"] = expr
+        write_tsv(pivot_matrix(expr, "TPM"),
+                  f"{out}/GeneMat_TPM", single_file=True)
+        write_tsv(pivot_matrix(expr, "expected_count"),
+                  f"{out}/GeneMat_counts", single_file=True)
+
+    def stage_sex():
+        if not args.idxstats:
+            raise RuntimeError("no idxstats provided")
+        idx = read_idxstats(spark, args.idxstats)
+        input_sex = get_passed().select(
+            F.col("geo_accession").alias("sample"),
+            F.col("Sex").alias("InputSex"))
+        sex = compute_sex(idx, input_sex).cache()
+        state["sex"] = sex
+        write_tsv(sex, f"{out}/sex_result", single_file=True,
+                  sentinel_map={"Ratio": "Inf"})
+        rep = conflict_report(sex, get_expr())
+        write_tsv(rep, f"{out}/ConflictedSampleReport", single_file=True,
+                  sentinel_map={"XYRatio": "Inf"})
+
+    orch = Orchestrator(f"{out}/.markers")
+    run_ = ProjectRun(args.project, unique.count(), [
+        Stage("starqc", stage_starqc),
+        Stage("pass", stage_pass),
+        Stage("matrix", stage_matrix),
+        # sex check is non-critical, run_RNApipeline:485-488
+        Stage("sex", stage_sex, critical=False),
+    ])
+    ok = orch.run_project(run_)
+    for entry in orch.log:
+        print(f"[orchestrator] {entry}", file=sys.stderr)
+    return 0 if ok else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    return run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

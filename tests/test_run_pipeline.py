@@ -1,0 +1,86 @@
+"""CLI pipeline runner: full run, output shapes, and marker-based resume."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from rgd_rnaseq_workflows_spark import run_pipeline
+
+GENES = ["Xist", "Uty", "Sry", "Ddx3y", "Kdm5d", "Eif2s3y", "Actb"]
+
+
+def _fixtures(root):
+    acc = ["Run\tgeo_accession\tTissue\tStrain\tSex\tPMID\tGEOpath\tTitle\t"
+           "Sample_characteristics\tStrainInfo"]
+    for i, (gsm, sex) in enumerate([("GSM1", "M"), ("GSM2", "M"),
+                                    ("GSM3", "F")]):
+        acc.append(f"SRR{i}\t{gsm}\tLiver\tBN\t{sex}\t1\tu\tt\tc\ts")
+    with open(f"{root}/AccList.txt", "w") as f:
+        f.write("\n".join(acc) + "\n")
+    for gsm, unmapped in [("GSM1", 100), ("GSM2", 7000), ("GSM3", 200)]:
+        os.makedirs(f"{root}/logs/{gsm}", exist_ok=True)
+        with open(f"{root}/logs/{gsm}/Log.final.out", "w") as f:
+            f.write(f"  Number of input reads |\t10,000\n"
+                    f"  Number of reads unmapped: too many mismatches |\t{unmapped}\n"
+                    f"  Number of reads unmapped: too short |\t0\n"
+                    f"  Number of reads unmapped: other |\t0\n")
+    os.makedirs(f"{root}/rsem", exist_ok=True)
+    for si, gsm in enumerate(["GSM1", "GSM3"], 1):
+        with open(f"{root}/rsem/{gsm}.genes.results", "w") as f:
+            f.write("gene_id\ttranscript_id(s)\tlength\teffective_length\t"
+                    "expected_count\tTPM\tFPKM\n")
+            for gi, g in enumerate(GENES):
+                f.write(f"{g}\tNM_{gi}\t1000\t900\t{10 * si}.00\t"
+                        f"{gi + si}.00\t1.0\n")
+    os.makedirs(f"{root}/idx", exist_ok=True)
+    with open(f"{root}/idx/GSM1.idxstats", "w") as f:
+        f.write("chrX\t1000\t2000\t0\nchrY\t1000\t1000\t0\n")
+    with open(f"{root}/idx/GSM3.idxstats", "w") as f:
+        f.write("chrX\t1000\t5000\t0\nchrY\t1000\t0\t0\n")
+
+
+def _read_single(path_glob):
+    [p] = glob.glob(path_glob)
+    with open(p) as f:
+        return f.read().strip().split("\n")
+
+
+def _argv(root, out):
+    return ["--acclist", f"{root}/AccList.txt",
+            "--star-logs", f"{root}/logs/*/Log.final.out",
+            "--rsem", f"{root}/rsem/*.genes.results",
+            "--idxstats", f"{root}/idx/*.idxstats",
+            "--out", out, "--project", "PRJT"]
+
+
+def test_cli_full_run_and_resume(spark, tmp_out):
+    _fixtures(tmp_out)
+    out = f"{tmp_out}/out"
+    assert run_pipeline.main(_argv(tmp_out, out)) == 0
+
+    qc = _read_single(f"{out}/STAR_Align_sum/part*.csv")
+    assert qc[0].startswith("SampleID\t")
+    assert any(line.endswith("FAIL") and "GSM2" in line for line in qc)
+
+    passed = _read_single(f"{out}/Unique_AccList_PASS/part*.csv")
+    assert passed[0].split("\t")[0] == "Run"       # reference column order
+    assert len(passed) == 3                         # header + 2 PASS samples
+
+    sex = _read_single(f"{out}/sex_result/part*.csv")
+    assert any("Inf" in line for line in sex)       # GSM3 chrY=0 sentinel
+
+    tpm = _read_single(f"{out}/GeneMat_TPM/part*.csv")
+    assert tpm[0] == "Symbol\tGSM1\tGSM3"
+
+    markers = sorted(os.listdir(f"{out}/.markers"))
+    assert markers == ["PRJT.matrix_complete", "PRJT.pass_complete",
+                       "PRJT.sex_complete", "PRJT.starqc_complete"]
+
+    # resume: drop matrix marker + artifact; stage recomputes from disk
+    os.remove(f"{out}/.markers/PRJT.matrix_complete")
+    import shutil
+    shutil.rmtree(f"{out}/GeneMat_TPM")
+    assert run_pipeline.main(_argv(tmp_out, out)) == 0
+    tpm2 = _read_single(f"{out}/GeneMat_TPM/part*.csv")
+    assert sorted(tpm2) == sorted(tpm)
