@@ -43,3 +43,29 @@ def merge_matrices(m1: DataFrame, m2: DataFrame,
 def duplicate_keys(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
     """SET2 — keys present in both inputs (``comm -12`` on sorted lists)."""
     return a.select(key).intersect(b.select(key))
+
+
+def combine_projects(pe: dict[str, DataFrame],
+                     se: dict[str, DataFrame]) -> tuple[dict[str, DataFrame], dict]:
+    """Full combine_multStrategy parity: merge a paired-end and a
+    single-end processing run of the same project.
+
+    Inputs: dicts with keys among {"tpm", "counts", "tx_tpm", "tx_counts",
+    "sex"} — the four matrices (wide, Symbol-keyed) and the sex table.
+    Returns (merged outputs, metrics): matrices inner-joined on Symbol with
+    row-loss counts (the reference's warnings, ``:242-256`` et al.), sex
+    tables unioned with CRLF/blank cleanup (``:135-152``), and the
+    duplicate-sample check across the two runs (``:506-532``).
+    """
+    out: dict[str, DataFrame] = {}
+    metrics: dict[str, object] = {}
+    for key in ("tpm", "counts", "tx_tpm", "tx_counts"):
+        if key in pe and key in se:
+            merged, loss = merge_with_loss_metrics(pe[key], se[key], "Symbol")
+            out[key] = merged
+            metrics[f"{key}_loss"] = loss
+    if "sex" in pe and "sex" in se:
+        out["sex"] = union_reports(pe["sex"], se["sex"])
+        dups = duplicate_keys(pe["sex"], se["sex"], "SampleID")
+        metrics["duplicate_samples"] = [r["SampleID"] for r in dups.collect()]
+    return out, metrics

@@ -31,3 +31,28 @@ def test_duplicate_keys_intersection(spark):
     b = spark.createDataFrame([("GSM2",), ("GSM3",)], ["SampleID"])
     assert [r["SampleID"] for r in
             duplicate_keys(a, b, "SampleID").collect()] == ["GSM2"]
+
+
+def test_combine_projects_full(spark):
+    from rgd_rnaseq_workflows_spark.plans.combine import combine_projects
+    pe = {
+        "tpm": spark.createDataFrame([("Xist", 1.0), ("Uty", 2.0)],
+                                     ["Symbol", "pe_s1"]),
+        "sex": spark.createDataFrame([("GSM1", "M", "M", "2.0", "Agree")],
+                                     ["SampleID", "InputSex", "ComputedSex",
+                                      "Ratio", "Agreement"]),
+    }
+    se = {
+        "tpm": spark.createDataFrame([("Xist", 9.0), ("OnlySE", 7.0)],
+                                     ["Symbol", "se_s2"]),
+        "sex": spark.createDataFrame([("GSM1", "M", "F", "99.0", "Conflict"),
+                                      ("GSM2", "F", "F", "50.0", "Agree")],
+                                     ["SampleID", "InputSex", "ComputedSex",
+                                      "Ratio", "Agreement"]),
+    }
+    out, metrics = combine_projects(pe, se)
+    assert [r["Symbol"] for r in out["tpm"].collect()] == ["Xist"]
+    assert metrics["tpm_loss"] == {"lost_left": 1, "lost_right": 1}
+    assert out["sex"].count() == 3
+    # GSM1 processed in both runs → flagged duplicate (comm -12 analog)
+    assert metrics["duplicate_samples"] == ["GSM1"]
