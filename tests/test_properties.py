@@ -1,0 +1,83 @@
+"""Property-based invariants (SURVEY §5.4) via Hypothesis.
+
+Kept to few examples per property — each example drives real Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = settings(max_examples=8, deadline=None)
+
+word = st.text(alphabet="abcdef", min_size=1, max_size=4)
+doc = st.lists(word, min_size=1, max_size=12).map(" ".join)
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.sampled_from(["s1", "s2", "s3"]),
+                          st.sampled_from(["g1", "g2", "g3", "g4"]),
+                          st.floats(0, 1e6, allow_nan=False)),
+                min_size=1, max_size=30, unique_by=lambda t: (t[0], t[1])))
+def test_pivot_preserves_per_sample_sums(spark, rows):
+    from rgd_rnaseq_workflows_spark.operators.matrix import pivot_matrix
+    long_df = spark.createDataFrame(
+        [(s, g, v, 0.0) for s, g, v in rows],
+        ["sample", "feature_id", "TPM", "expected_count"])
+    wide = pivot_matrix(long_df, "TPM")
+    for s in {r[0] for r in rows}:
+        expected = sum(v for s2, _, v in rows if s2 == s)
+        got = wide.agg(F.sum(s)).collect()[0][0] or 0.0
+        assert abs(got - expected) < 1e-6
+
+
+@SETTINGS
+@given(st.lists(doc, min_size=2, max_size=8))
+def test_jaccard_pairs_bounded_and_symmetric_ids(spark, texts):
+    from rgd_rnaseq_workflows_spark.operators.dedup import ngram_jaccard_pairs
+    df = spark.createDataFrame(
+        [(i, t, "blk") for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang"])
+    pairs = ngram_jaccard_pairs(df, "lang", shingle_n=1,
+                                threshold=0.0).collect()
+    for r in pairs:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["id_a"] < r["id_b"]
+    # identical docs → jaccard exactly 1
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    for i, a in enumerate(texts):
+        for j, b in enumerate(texts[i + 1:], i + 1):
+            if set(a.split()) == set(b.split()):
+                assert got[(i, j)] == 1.0
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 3), st.floats(0, 100,
+                                                       allow_nan=False)),
+                min_size=1, max_size=40))
+def test_semi_join_is_subset_and_anti_is_complement(spark, rows):
+    from rgd_rnaseq_workflows_spark.operators.relational import (
+        anti_join, semi_join_filter)
+    df = spark.createDataFrame([(k, v) for k, v in rows], ["k", "v"])
+    keys = spark.createDataFrame([(0,), (2,)], ["k"])
+    semi = semi_join_filter(df, keys, "k")
+    anti = anti_join(df, keys, "k")
+    assert semi.count() + anti.count() == df.count()
+    assert {r["k"] for r in semi.collect()} <= {0, 2}
+    assert {r["k"] for r in anti.collect()}.isdisjoint({0, 2})
+
+
+@SETTINGS
+@given(st.lists(doc, min_size=1, max_size=6))
+def test_minhash_signature_of_identical_docs_collides(spark, texts):
+    from rgd_rnaseq_workflows_spark.operators.dedup import minhash_signatures
+    # duplicate every doc once with a new id
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [(100 + i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(4))
+            for r in minhash_signatures(df, num_hashes=4,
+                                        shingle_n=1).collect()}
+    for i in range(len(texts)):
+        assert sigs[i] == sigs[100 + i]
