@@ -200,14 +200,17 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
 # --- SimHash -------------------------------------------------------------------
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 32, seed: int = 101) -> DataFrame:
-    """Per-doc SimHash over distinct tokens: for each bit j, sum ±1 votes
-    from the token hash's j-th bit; the sign becomes the fingerprint bit.
+            bits: int = 32, seed: int = 101, shingle_n: int = 1) -> DataFrame:
+    """Per-doc SimHash over distinct features (tokens, or word n-grams when
+    ``shingle_n`` > 1 — much more discriminative on small vocabularies):
+    for each bit j, sum ±1 votes from the feature hash's j-th bit; the
+    sign becomes the fingerprint bit.
 
     Explode + one groupBy with ``bits`` conditional sums (all partial-
     aggregated). Portable: the same bit extraction runs in ANSI SQL."""
-    toks = df.select(F.col(id_col),
-                     F.explode(F.array_distinct(tokens(text_col))).alias("t"))
+    feats = (F.array_distinct(tokens(text_col)) if shingle_n == 1
+             else shingles(text_col, shingle_n))
+    toks = df.select(F.col(id_col), F.explode(feats).alias("t"))
     h = md5_long(F.col("t"), seed=seed)
     votes = [
         F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
@@ -224,11 +227,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 32,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       shingle_n: int = 1) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on fingerprint
     halves (two docs within ``max_hamming`` ≤ bits/2 share at least one
     exact half — pigeonhole), so the join is equi on a half, never cross."""
-    fps = simhash(df, text_col, id_col, bits)
+    fps = simhash(df, text_col, id_col, bits, shingle_n=shingle_n)
     half = bits // 2
     blocked = fps.select(
         id_col, "simhash",

@@ -55,23 +55,34 @@ def query_vector(emb: DataFrame, query_id: int, id_col: str = "vec_id",
             .select(_as_double(vec_col).alias("qvec")))
 
 
+def plane_components(dims: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """±1 hyperplane normals derived from the portable md5 family —
+    computed DRIVER-SIDE (hashlib md5 == Spark md5 == any engine's md5),
+    so the executor plan carries plain float literals instead of
+    n_planes×dims hash expressions (which cost ~30 s of codegen)."""
+    import hashlib
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dims):
+            h = int(hashlib.md5(f"{seed}:{p}_{d}".encode()).hexdigest()[:15], 16)
+            row.append(1.0 if h & 1 else -1.0)
+        out.append(row)
+    return out
+
+
 def hyperplane_signature(vec: Column, dims: int, n_planes: int = 16,
                          seed: int = 7) -> Column:
     """Random-hyperplane LSH signature: plane p's normal has component
     md5-derived in {-1, +1} per dimension; bit p = sign(v · n_p).
 
-    Deterministic and model-free: any executor (or another engine)
-    reproduces the same signature from (seed, dims, n_planes).
+    Deterministic and model-free: any engine reproduces the same
+    signature from (seed, dims, n_planes).
     """
-    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long
     bits = None
-    for p in range(n_planes):
-        comps = F.array(*[
-            F.when(md5_long(F.lit(f"{p}_{d}"), seed=seed)
-                   .bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
-            for d in range(dims)
-        ])
-        proj = F.aggregate(F.zip_with(vec, comps, lambda x, y: x * y),
+    for p, comps in enumerate(plane_components(dims, n_planes, seed)):
+        arr = F.array(*[F.lit(c) for c in comps])
+        proj = F.aggregate(F.zip_with(vec, arr, lambda x, y: x * y),
                            F.lit(0.0), lambda acc, v: acc + v)
         bit = F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
         bits = bit if bits is None else bits + bit

@@ -1044,3 +1044,71 @@ def corpus_curation(spark, sf_dir):
     return (kept.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens")))
+
+
+# =============================================================================
+# Batch 4 — skew-mitigation parity + non-SQL-expressible ops (weak checks)
+# =============================================================================
+
+@q("skew_salted_agg", ("SKEW-AGG",), oracle="""
+SELECT event_type,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_value,
+       count(*) AS n
+FROM events GROUP BY event_type
+""", note="salted two-phase aggregation — oracle runs the NAIVE form, proving "
+          "the hot-key mitigation is result-identical")
+def skew_salted_agg(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.skew import salted_sum
+    e = _events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = salted_sum(e, ["event_type"], ["cents"], n_salts=16)
+    return out.select("event_type",
+                      (F.col("sum_cents") / 100.0).alias("sum_value"),
+                      "n")
+
+
+# Non-SQL-expressible operators: exposed for the driver's rows-only check.
+
+@q("stateful_dedup_kernel", ("STREAM-STATEFUL",), oracle=None,
+   note="Arrow applyInPandas dedup kernel (streaming twin uses "
+        "applyInPandasWithState) — imperative state, not SQL-expressible")
+def stateful_dedup_kernel(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.streaming.stateful import batch_dedup_kernel
+    d = _t(spark, sf_dir, "documents")
+    return batch_dedup_kernel(d)
+
+
+@q("ann_lsh_topk", ("ANN-LSH",), oracle=None,
+   note="hyperplane-LSH pruned top-k; subset-of-brute-force asserted in "
+        "tests/test_similarity.py — 16 planes x 64 dims of hash literals "
+        "would be impractical as SQL")
+def ann_lsh_topk(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        lsh_topk, query_vector)
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, query_vector(emb, 0), dims=64, k=10,
+                    n_planes=16, max_hamming=5)
+
+
+@q("simhash_near_pairs_q", ("DEDUP-SIMHASH-PAIRS",), oracle=None,
+   note="SimHash hamming near-pairs with pigeonhole half-blocking; "
+        "bit_count has no DuckDB twin with identical semantics guarantees")
+def simhash_near_pairs_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash_near_pairs(d, bits=48, max_hamming=3, shingle_n=2)
+
+
+@q("multimodal_image_features", ("MULTIMODAL",), oracle=None,
+   note="Arrow-batched binary decode plumbing over synthetic media built "
+        "from document bytes (no media table in testdata); codec stubbed "
+        "deterministically")
+def multimodal_image_features(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.multimodal.binary import image_features
+    d = _t(spark, sf_dir, "documents").limit(64)
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.lit("image").alias("kind"),
+                     F.lit("image/png").alias("mime"),
+                     F.encode("text", "utf-8").alias("content"),
+                     F.create_map().cast("map<string,string>").alias("meta"))
+    return image_features(media)
