@@ -212,15 +212,33 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              else shingles(text_col, shingle_n))
     toks = df.select(F.col(id_col), F.explode(feats).alias("t"))
     h = md5_long(F.col("t"), seed=seed)
-    votes = [
-        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
-              .otherwise(-1)).alias(f"v{j}")
-        for j in range(bits)
-    ]
-    per_doc = toks.groupBy(id_col).agg(*votes)
+
+    # Bit-packed vote aggregation: instead of `bits` conditional sums,
+    # pack 3 bit-lanes of 20-bit one-counts per int64 (ones_j < 2^20 ⇒
+    # docs < 1M distinct features) → bits/3 sums. votes_j = 2·ones_j − n,
+    # so bit_j = (2·ones_j > n). Result identical to the naive ±1 voting
+    # (ties → 0), which is what the SQL oracle computes.
+    lanes_per_word = 3
+    n_words = (bits + lanes_per_word - 1) // lanes_per_word
+    packed_sums = []
+    for w in range(n_words):
+        word = None
+        for lane in range(lanes_per_word):
+            j = w * lanes_per_word + lane
+            if j >= bits:
+                break
+            one = F.shiftright(h, j).bitwiseAND(F.lit(1))
+            contrib = one.cast("long") * F.lit(1 << (20 * lane))
+            word = contrib if word is None else word + contrib
+        packed_sums.append(F.sum(word).alias(f"w{w}"))
+    per_doc = toks.groupBy(id_col).agg(*packed_sums,
+                                       F.count("*").alias("_n"))
     fp = None
     for j in range(bits):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        w, lane = divmod(j, lanes_per_word)
+        ones = F.shiftright(F.col(f"w{w}"), 20 * lane) \
+                .bitwiseAND(F.lit((1 << 20) - 1))
+        bit = F.when(ones * 2 > F.col("_n"), F.lit(2 ** j)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
 

@@ -1112,3 +1112,49 @@ def multimodal_image_features(spark, sf_dir):
                      F.encode("text", "utf-8").alias("content"),
                      F.create_map().cast("map<string,string>").alias("meta"))
     return image_features(media)
+
+
+@q("grouping_sets_agg", ("GROUPING-SETS",), oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""", note="explicit grouping sets (SURVEY §2.4 'not present' — beyond-parity)")
+def grouping_sets_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               -- 100.0D: in Spark SQL a bare 100.0 literal is DECIMAL and
+               -- would make the division decimal-typed (oracle is double)
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0D
+                 AS total_price
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@q("observe_metrics", ("AGG10-OBS",), oracle="""
+SELECT count(*) AS n_rows,
+       count(*) FILTER (WHERE l_discount > 0.05) AS n_high_discount,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_qty
+FROM lineitem
+""", note="df.observe() pipeline metrics — the reference's row-count sanity "
+          "checks (AGG10) as zero-extra-pass observations")
+def observe_metrics(spark, sf_dir):
+    from pyspark.sql import Observation
+    li = _t(spark, sf_dir, "lineitem")
+    obs = Observation("li_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_high_discount"),
+        (F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100.0)
+        .alias("total_qty"))
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_high_discount"], m["total_qty"])],
+        "n_rows long, n_high_discount long, total_qty double")

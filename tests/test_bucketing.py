@@ -1,0 +1,51 @@
+"""Bucketing: co-located joins with NO shuffle — the scale path for
+repeated joins on the same key (SURVEY §4 'broadcast-style hash join' row;
+guide: 'bucketing ... so later joins on key co-locate without a shuffle').
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    # managed tables land in spark.sql.warehouse.dir; the in-memory
+    # catalog is enough for bucketed tables (no Hive needed)
+    return spark
+
+
+def test_bucketed_join_has_no_exchange(warehouse):
+    spark = warehouse
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable("b_orders"))
+    (lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable("b_lineitem"))
+
+    bo = spark.table("b_orders")
+    bl = spark.table("b_lineitem")
+    joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+
+    # disable auto-broadcast so the join strategy decision is about
+    # co-location, not size
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+    # both sides pre-bucketed on the join key → SortMergeJoin with zero
+    # Exchange operators
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+    # and the result is correct
+    n = joined.count()
+    naive = orders.join(lineitem,
+                        orders.o_orderkey == lineitem.l_orderkey).count()
+    assert n == naive
