@@ -20,8 +20,15 @@ def test_bucketed_join_has_no_exchange(warehouse):
     orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
     lineitem = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
 
+    import shutil
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # a fresh session's catalog doesn't know tables a previous test run
+    # left in spark.sql.warehouse.dir — clear the physical locations too
+    warehouse_dir = spark.conf.get(
+        "spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{warehouse_dir}/{t}", ignore_errors=True)
     (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
      .mode("overwrite").saveAsTable("b_orders"))
     (lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
