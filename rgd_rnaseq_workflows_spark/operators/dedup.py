@@ -108,9 +108,18 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 def verify_jaccard(pairs: DataFrame, df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", shingle_n: int = 3,
                    threshold: float = 0.5) -> DataFrame:
-    """Exact Jaccard verification of candidate pairs: join shingle sets
-    back, ``|∩| / |∪|`` via array built-ins, keep pairs ≥ threshold."""
-    sets_df = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    """Exact Jaccard verification of candidate pairs: join each side's
+    shingle set back, ``|∩| / |∪|``, keep pairs ≥ threshold.
+
+    Sets are carried as md5-hashed sorted longs (8 bytes/shingle instead
+    of the shingle string) — the candidate-pair join shuffles a fraction
+    of the bytes and the intersection compares longs. Set cardinalities
+    are preserved (60-bit hashes; a collision inside one pair's union is
+    ~2^-40 at 1M shingles)."""
+    sets_df = df.select(
+        F.col(id_col),
+        F.array_sort(F.transform(shingles(text_col, shingle_n),
+                                 lambda s: md5_long(s))).alias("sh"))
     out = (pairs
            .join(sets_df.withColumnRenamed(id_col, "id_a")
                         .withColumnRenamed("sh", "sh_a"), "id_a")
