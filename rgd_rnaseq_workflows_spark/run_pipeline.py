@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="glob for per-sample Log.final.out files")
     p.add_argument("--rsem", required=True,
                    help="glob for per-sample .genes.results files")
+    p.add_argument("--rsem-tx", default=None,
+                   help="glob for per-sample .isoforms/.transcripts.results "
+                        "files (optional; adds the TxMat pair — the "
+                        "reference's 4-matrix output, RSEMmatrix_v5.sh)")
     p.add_argument("--idxstats", default=None,
                    help="glob for per-sample .idxstats files (optional; "
                         "sex check skipped when absent — non-critical, "
@@ -123,6 +127,15 @@ def run(args: argparse.Namespace) -> int:
                   f"{out}/GeneMat_TPM", single_file=True)
         write_tsv(pivot_matrix(expr, "expected_count"),
                   f"{out}/GeneMat_counts", single_file=True)
+        if args.rsem_tx:
+            tx = read_rsem_results(spark, args.rsem_tx, isoforms=True)
+            passed_ids = get_passed().select(
+                F.col("geo_accession").alias("sample"))
+            tx = tx.join(passed_ids, "sample", "left_semi").cache()
+            write_tsv(pivot_matrix(tx, "TPM"),
+                      f"{out}/TxMat_TPM", single_file=True)
+            write_tsv(pivot_matrix(tx, "expected_count"),
+                      f"{out}/TxMat_counts", single_file=True)
 
     def stage_sex():
         if not args.idxstats:

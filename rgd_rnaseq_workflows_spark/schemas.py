@@ -78,9 +78,11 @@ RSEM_GENES = T.StructType([
     T.StructField("FPKM", T.DoubleType()),
 ])
 
+# Isoform layout: transcript_id leads, gene_id second, IsoPct appended
+# (dependencies/rsem-generate-data-matrix:16-17 positional contract).
 RSEM_ISOFORMS = T.StructType(
-    RSEM_GENES.fields[:1]
-    + [T.StructField("gene_id_2", T.StringType())]
+    [T.StructField("transcript_id", T.StringType()),
+     T.StructField("gene_id", T.StringType())]
     + RSEM_GENES.fields[2:]
     + [T.StructField("IsoPct", T.DoubleType())]
 )

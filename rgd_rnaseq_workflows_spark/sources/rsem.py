@@ -14,21 +14,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rgd_rnaseq_workflows_spark.schemas import EXPRESSION_LONG, RSEM_GENES
+from rgd_rnaseq_workflows_spark.schemas import (
+    EXPRESSION_LONG, RSEM_GENES, RSEM_ISOFORMS)
 
 
 def read_rsem_results(spark: SparkSession, glob_path: str,
-                      feature_col: str = "gene_id") -> DataFrame:
-    """Distributed scan of many ``*.genes.results`` files → long-form
-    expression table (sample, feature_id, TPM, expected_count).
+                      feature_col: str = "gene_id",
+                      isoforms: bool = False) -> DataFrame:
+    """Distributed scan of many ``*.genes.results`` (or, with
+    ``isoforms=True``, ``*.isoforms.results``/``*.transcripts.results``)
+    files → long-form expression table (sample, feature_id, TPM,
+    expected_count).
 
     One Spark job reads every per-sample file; the reference loops files
     serially in Perl. ``input_file_name()`` + basename (F4) recovers the
     sample; the ``.genes.results`` suffix is stripped as in
-    ``scripts/ConflictedSampleReport_v4.sh:52`` (F3).
+    ``scripts/ConflictedSampleReport_v4.sh:52`` (F3). The isoforms layout
+    (transcript_id first, extra IsoPct column; ``dependencies/
+    rsem-generate-data-matrix:16-17``) shares the measure columns.
     """
+    schema = RSEM_ISOFORMS if isoforms else RSEM_GENES
+    if isoforms and feature_col == "gene_id":
+        feature_col = RSEM_ISOFORMS.fields[0].name
     df = (spark.read.option("sep", "\t").option("header", True)
-          .schema(RSEM_GENES).csv(glob_path)
+          .schema(schema).csv(glob_path)
           .withColumn("_path", F.input_file_name()))
     sample = F.regexp_replace(
         F.element_at(F.split(F.col("_path"), "/"), -1),

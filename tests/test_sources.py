@@ -70,3 +70,17 @@ def test_idxstats_reader(spark, tmp_out):
 def test_sex_result_schema_shape():
     names = [f.name for f in SEX_RESULT.fields]
     assert names == ["SampleID", "InputSex", "ComputedSex", "Ratio", "Agreement"]
+
+
+def test_rsem_isoforms_reader(spark, tmp_out):
+    hdr = ("transcript_id\tgene_id\tlength\teffective_length\t"
+           "expected_count\tTPM\tFPKM\tIsoPct\n")
+    with open(os.path.join(tmp_out, "GSMT.isoforms.results"), "w") as f:
+        f.write(hdr)
+        f.write("NM_1\tXist\t1000\t900\t50.00\t12.50\t8.0\t100.00\n")
+        f.write("NM_2\tUty\t800\t700\t10.00\t1.25\t1.0\t40.00\n")
+    df = read_rsem_results(spark, f"{tmp_out}/*.isoforms.results",
+                           isoforms=True)
+    rows = {(r["sample"], r["feature_id"]): r["TPM"] for r in df.collect()}
+    # feature grain is the TRANSCRIPT id for the Tx matrices
+    assert rows == {("GSMT", "NM_1"): 12.5, ("GSMT", "NM_2"): 1.25}
