@@ -1135,6 +1135,9 @@ def grouping_sets_agg(spark, sf_dir):
     """)
 
 
+_OBS_COUNTER = iter(range(1, 1 << 30))
+
+
 @q("observe_metrics", ("AGG10-OBS",), oracle="""
 SELECT count(*) AS n_rows,
        count(*) FILTER (WHERE l_discount > 0.05) AS n_high_discount,
@@ -1146,7 +1149,9 @@ FROM lineitem
 def observe_metrics(spark, sf_dir):
     from pyspark.sql import Observation
     li = _t(spark, sf_dir, "lineitem")
-    obs = Observation("li_metrics")
+    # unique name per invocation: the listener is matched by name, and the
+    # driver may run this query more than once on one session
+    obs = Observation(f"li_metrics_{next(_OBS_COUNTER)}")
     observed = li.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
