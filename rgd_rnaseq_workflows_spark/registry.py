@@ -1163,3 +1163,30 @@ def observe_metrics(spark, sf_dir):
     return spark.createDataFrame(
         [(m["n_rows"], m["n_high_discount"], m["total_qty"])],
         "n_rows long, n_high_discount long, total_qty double")
+
+
+@q("scalar_cleanup", ("F3", "F5", "F7", "F8"), oracle="""
+SELECT doc_id,
+       regexp_replace(source || '.genes.results', '\\.genes\\.results$', '')
+         AS sample_name,
+       replace('"' || source || '"', '"', '')            AS unquoted,
+       regexp_replace(source || chr(13), chr(13) || '$', '') AS crlf_stripped,
+       regexp_replace('a  b   c', ' +', ' ', 'g')        AS collapsed,
+       str_split('BN/NHsdMcwi,extra info', ',')[1]       AS strain_primary
+FROM documents WHERE doc_id < 50
+""", note="suffix strip (ConflictedSampleReport_v4.sh:52), quote strip (:60), "
+          "CRLF strip (combine:137), whitespace collapse + take-before-comma "
+          "(make_jbrowse_session:133,137-138)")
+def scalar_cleanup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.concat("source", F.lit(".genes.results")),
+                         r"\.genes\.results$", "").alias("sample_name"),
+        F.regexp_replace(F.concat(F.lit('"'), F.col("source"), F.lit('"')),
+                         '"', "").alias("unquoted"),
+        F.regexp_replace(F.concat("source", F.lit("\r")), "\r$", "")
+        .alias("crlf_stripped"),
+        F.regexp_replace(F.lit("a  b   c"), " +", " ").alias("collapsed"),
+        F.split(F.lit("BN/NHsdMcwi,extra info"), ",").getItem(0)
+        .alias("strain_primary"))
