@@ -51,6 +51,24 @@ def pivot_matrix(long_df: DataFrame, measure: str,
             .agg(F.first(measure)))
 
 
+def format_reference_matrix(wide: DataFrame, suffix: str = ".genes.results",
+                            decimals: int = 2) -> DataFrame:
+    """Render a wide matrix byte-compatible with the Perl builder's output
+    (``dependencies/rsem-generate-data-matrix:76-89``): feature ids
+    double-quoted, sample columns renamed ``"<sample><suffix>"`` (the
+    builder headers columns with the quoted input file basename, F4), and
+    values printed ``%.Nf`` (RSEM emits 2-decimal fixed point, which the
+    builder copies verbatim)."""
+    # format_number adds thousands separators; reference values are bare
+    # numerics — strip before aliasing (the aliases contain dots/quotes,
+    # so post-hoc F.col() references would need backtick gymnastics)
+    return wide.select(
+        F.concat(F.lit('"'), F.col("Symbol"), F.lit('"')).alias("Symbol"),
+        *[F.regexp_replace(F.format_number(F.col(c), decimals), ",", "")
+          .alias(f'"{c}{suffix}"')
+          for c in wide.columns if c != "Symbol"])
+
+
 def unpivot_matrix(wide: DataFrame, feature_col: str = "Symbol",
                    measure_name: str = "TPM") -> DataFrame:
     """Inverse of :func:`pivot_matrix` — wide matrix back to canonical long
