@@ -51,10 +51,14 @@ def starqc_summary(star_kv: DataFrame, expected_samples: DataFrame,
         .when(F.col("input_reads") == 0, "INVALID_LOG")
         .when(rate < pass_threshold, "PASS")
         .otherwise("FAIL"))
+    # the reference emits NA (typed NULL here) for the derived measures of
+    # NO_LOG and INVALID_LOG rows (pSTARQC_v1.sh:74,85) — an INVALID row
+    # still shows its literal 0 input_reads
+    computable = ~status.isin("NO_LOG", "INVALID_LOG")
     return (joined.select(
         F.col("sample").alias("SampleID"),
         F.col("input_reads").alias("Input_Reads"),
-        unmapped_total.alias("Unmapped_Total"),
-        rate.alias("Unmapped_Rate"),
+        F.when(computable, unmapped_total).alias("Unmapped_Total"),
+        F.when(computable, rate).alias("Unmapped_Rate"),
         status.alias("Status"))
         .orderBy("SampleID"))

@@ -70,3 +70,72 @@ def test_counts_matrix_matches_reference_builder(spark, tmp_out):
     header, rows = _ours(spark, tmp_out, "expected_count")
     assert header == golden_lines[0]
     assert rows == sorted(golden_lines[1:])
+
+
+REF_STARQC = ("/root/reference/RGD_Illumina_PairedEnd_RNAseq_pipeline/"
+              "scripts/pSTARQC_v1.sh")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_STARQC),
+                    reason="reference script unavailable")
+def test_starqc_matches_reference_script(spark, tmp_out):
+    """Execute the reference's own pSTARQC_v1.sh (user config pointed at a
+    temp home) on shared fixtures and byte-compare the data rows."""
+    import re
+
+    home = os.path.join(tmp_out, "home")
+    prj = "PRJTEST"
+    base = os.path.join(home, "data/expression/GEO", prj)
+    logs = [("GSM1", "24,776,293", "1,000", "2,000", "3,000"),  # PASS
+            ("GSM2", "1,000", "300", "150", "50"),               # 50.00 FAIL
+            ("GSM3", "0", "0", "0", "0")]                        # INVALID
+    for gsm, n, a, b, c in logs:
+        d = os.path.join(base, "reads_fastq", gsm, "log_files/STARQC")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{gsm}_STARLog.final.out"), "w") as f:
+            f.write(f"  Number of input reads |\t{n}\n"
+                    f"  Number of reads unmapped: too many mismatches |\t{a}\n"
+                    f"  Number of reads unmapped: too short |\t{b}\n"
+                    f"  Number of reads unmapped: other |\t{c}\n")
+    acclist = os.path.join(tmp_out, "unique.tsv")
+    with open(acclist, "w") as f:
+        f.write("Run\tgeo_accession\n")
+        for i, (gsm, *_rest) in enumerate(logs):
+            f.write(f"SRR{i}\t{gsm}\n")
+        f.write("SRR9\tGSM_MISSING\n")                           # NO_LOG
+
+    # run the reference script with its USER CONFIGURATION block pointed
+    # at the temp home (executed from a throwaway copy — nothing from the
+    # reference enters this repo)
+    script = open(REF_STARQC).read()
+    script = re.sub(r'myDir="[^"]*"', f'myDir="{home}"', script, count=1)
+    script = re.sub(r'SCRATCH_BASE="[^"]*"', f'SCRATCH_BASE="{tmp_out}"',
+                    script, count=1)
+    tmp_script = os.path.join(tmp_out, "ref_starqc.sh")
+    open(tmp_script, "w").write(script)
+    # the production caller exports scratch_dir (run_RNApipeline does this
+    # via --export); without it the set -u loop dies on first iteration
+    subprocess.run(["bash", tmp_script, acclist, prj], check=True,
+                   capture_output=True, text=True,
+                   env={**os.environ, "scratch_dir": tmp_out})
+    golden_path = os.path.join(base, "log_files/STARQC",
+                               f"{prj}_STAR_Align_sum.txt")
+    golden = open(golden_path).read().rstrip("\n").split("\n")
+
+    # our engine on the same logs
+    from rgd_rnaseq_workflows_spark.plans.starqc import starqc_summary
+    from rgd_rnaseq_workflows_spark.sources.star_log import read_star_logs
+    kv = read_star_logs(
+        spark, f"{base}/reads_fastq/*/log_files/STARQC/*_STARLog.final.out",
+        sample_pattern=r"([^/]+)_STARLog\.final\.out$")
+    expected = spark.createDataFrame(
+        [(g,) for g in ["GSM1", "GSM2", "GSM3", "GSM_MISSING"]], ["sample"])
+    ours = starqc_summary(kv, expected).collect()
+
+    def render(r):
+        na = lambda v, fmt="{}": "NA" if v is None else fmt.format(v)
+        return "\t".join([
+            r["SampleID"], na(r["Input_Reads"]), na(r["Unmapped_Total"]),
+            na(r["Unmapped_Rate"], "{:.2f}"), r["Status"]])
+
+    assert sorted(render(r) for r in ours) == sorted(golden[1:])
