@@ -139,3 +139,80 @@ def test_starqc_matches_reference_script(spark, tmp_out):
             na(r["Unmapped_Rate"], "{:.2f}"), r["Status"]])
 
     assert sorted(render(r) for r in ours) == sorted(golden[1:])
+
+
+REF_CONFLICT = ("/root/reference/RGD_Illumina_PairedEnd_RNAseq_pipeline/"
+                "scripts/ConflictedSampleReport_v4.sh")
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(REF_CONFLICT) and shutil.which("gawk")),
+    reason="reference script needs gawk (its awk uses multidimensional "
+           "arrays, tpm_values[sample][gene] — a GNU extension; this "
+           "container ships mawk only)")
+def test_conflict_report_matches_reference_script(spark, tmp_out):
+    """Execute the reference's ConflictedSampleReport_v4.sh on a shared
+    sex table + TPM matrix and compare the joined gene slice. Runs only
+    where gawk exists; the same semantics are covered gawk-free by
+    test_sexcheck.py::test_conflict_report_gene_slice."""
+    from rgd_rnaseq_workflows_spark.plans.sexcheck import (
+        SEX_GENES, conflict_report)
+
+    prj = "PRJC"
+    prjdir = os.path.join(tmp_out, "prj")
+    os.makedirs(prjdir)
+    sex_rows = [("GSM1", "M", "M", "2.118354", "Agree"),
+                ("GSM2", "F", "F", "Inf", "Agree"),
+                ("GSM3", "M", "F", "77.5", "Conflict")]
+    with open(os.path.join(prjdir, f"{prj}_sex_result.txt"), "w") as f:
+        f.write("SampleID\tInputSex\tComputedSex\tRatio\tAgreement\n")
+        for r in sex_rows:
+            f.write("\t".join(r) + "\n")
+    samples = [r[0] for r in sex_rows]
+    genes = [*SEX_GENES, "Actb"]
+    with open(os.path.join(prjdir, f"{prj}.genes.TPM.matrix"), "w") as f:
+        f.write("Symbol\t" + "\t".join(f'"{s}.genes.results"'
+                                       for s in samples) + "\n")
+        for gi, g in enumerate(genes):
+            f.write(f'"{g}"\t' + "\t".join(f"{gi + si + 1}.25"
+                                           for si in range(3)) + "\n")
+
+    # the script calls bare `awk`; route it to gawk regardless of the
+    # system default
+    bin_dir = os.path.join(tmp_out, "bin")
+    os.makedirs(bin_dir, exist_ok=True)
+    os.symlink(shutil.which("gawk"), os.path.join(bin_dir, "awk"))
+    subprocess.run(["bash", REF_CONFLICT, prj], check=True,
+                   capture_output=True, text=True,
+                   env={**os.environ, "PRJdir": prjdir,
+                        "PATH": f"{bin_dir}:{os.environ['PATH']}"})
+    golden_path = os.path.join(prjdir, f"{prj}_sex_conflict_report.txt")
+    lines = open(golden_path).read().rstrip("\n").split("\n")
+    golden = {}
+    for line in lines[2:]:                      # note + header rows
+        parts = line.split("\t")
+        sample, input_sex, computed, ratio, agreement = parts[:5]
+        tpms = [float(v) for v in parts[5].split(" ")]
+        golden[sample] = (input_sex, computed, ratio, agreement, tpms)
+
+    sex_df = spark.createDataFrame(
+        [(s, i, c, None if r == "Inf" else float(r), a)
+         for s, i, c, r, a in sex_rows],
+        "SampleID string, InputSex string, ComputedSex string, "
+        "Ratio double, Agreement string")
+    expr = spark.createDataFrame(
+        [(s, g, float(f"{gi + si + 1}.25"), 0.0)
+         for si, s in enumerate(samples) for gi, g in enumerate(genes)],
+        ["sample", "feature_id", "TPM", "expected_count"])
+    ours = {r["SampleID"]: r for r in conflict_report(sex_df, expr).collect()}
+
+    assert set(ours) == set(golden)
+    for s, (input_sex, computed, ratio, agreement, tpms) in golden.items():
+        r = ours[s]
+        assert (r["InputSex"], r["ComputedSex"], r["Agreement"]) == \
+            (input_sex, computed, agreement)
+        assert [r[g] for g in SEX_GENES] == tpms
+        if ratio == "Inf":
+            assert r["XYRatio"] is None        # sentinel at sink
+        else:
+            assert r["XYRatio"] == float(ratio)
