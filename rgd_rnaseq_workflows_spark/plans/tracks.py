@@ -58,9 +58,13 @@ def tpm_bed9(bed: DataFrame, tpm: DataFrame) -> DataFrame:
 
 def assign_track_colors(tracks: DataFrame,
                         palette_size: int = 10) -> DataFrame:
-    """WIN1 — deterministic palette index per (Tissue, Strain-before-comma,
-    Sex, Sample_characteristics) combo; Strain truncated at the first comma
-    and whitespace collapsed as in the reference (F8, ``:133,137-138``)."""
+    """Deterministic palette index per (Tissue, Strain-before-comma, Sex,
+    Sample_characteristics) combo, ranked by sorted combo key; Strain
+    truncated at the first comma and whitespace collapsed (F8,
+    ``:133,137-138``). NOTE: the reference's session builder ranks combos
+    by FIRST APPEARANCE in sorted file order — that exact WIN1 variant
+    lives in ``plans.session_json`` (golden-tested against the reference
+    script); this sorted-key variant is the order-free generic form."""
     t = (tracks
          .withColumn("strain_key",
                      F.split(F.col("Strain"), ",").getItem(0))
