@@ -216,3 +216,79 @@ def test_conflict_report_matches_reference_script(spark, tmp_out):
             assert r["XYRatio"] is None        # sentinel at sink
         else:
             assert r["XYRatio"] == float(ratio)
+
+
+REF_COMBINE = ("/root/reference/utilities/combined_project_processing/"
+               "combine_multStrategy_Directories.bash")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_COMBINE),
+                    reason="reference script unavailable")
+def test_combine_matches_reference_script(spark, tmp_out):
+    """Execute the reference's combine_multStrategy_Directories.bash on a
+    PE+SE fixture pair (CRLF + trailing blanks included) and compare the
+    merged sex table and gene TPM matrix against plans.combine."""
+    import re
+    base = os.path.join(tmp_out, "data")
+    d1, d2, comb = "GSE1_PE", "GSE1_SE", "GSE1"
+    for d in (d1, d2):
+        os.makedirs(os.path.join(base, d, "log_files"), exist_ok=True)
+        os.makedirs(os.path.join(base, d, "reads_fastq"), exist_ok=True)
+
+    # sex results: dir2 carries CRLF line endings + a trailing blank line
+    with open(f"{base}/{d1}/{d1}_sex_result.txt", "w") as f:
+        f.write("SampleID\tInputSex\tComputedSex\tRatio\tAgreement\n"
+                "GSM1\tM\tM\t2.5\tAgree\n")
+    with open(f"{base}/{d2}/{d2}_sex_result.txt", "w") as f:
+        f.write("SampleID\tInputSex\tComputedSex\tRatio\tAgreement\r\n"
+                "GSM2\tF\tF\tInf\tAgree\r\n\n")
+
+    # gene TPM matrices: overlapping-but-unequal feature sets (loss path)
+    with open(f"{base}/{d1}/{d1}.genes.TPM.matrix", "w") as f:
+        f.write('Symbol\t"GSM1.genes.results"\n'
+                '"Xist"\t1.25\n"Uty"\t2.25\n"OnlyPE"\t3.25\n')
+    with open(f"{base}/{d2}/{d2}.genes.TPM.matrix", "w") as f:
+        f.write('Symbol\t"GSM2.genes.results"\n'
+                '"Xist"\t9.25\n"Uty"\t8.25\n"OnlySE"\t7.25\n')
+
+    script = open(REF_COMBINE).read()
+    script = re.sub(r'BASE_PATH="[^"]*"', f'BASE_PATH="{base}"', script,
+                    count=1)
+    stub = os.path.join(tmp_out, "jbrowse_stub.py")
+    open(stub, "w").write("import sys; sys.exit(0)\n")
+    script = re.sub(r'JBROWSE_PY="[^"]*"', f'JBROWSE_PY="{stub}"', script,
+                    count=1)
+    tmp_script = os.path.join(tmp_out, "ref_combine.sh")
+    open(tmp_script, "w").write(script)
+    # later copy/report steps may abort on this sparse fixture layout —
+    # the merge outputs (steps 1-3) are what we compare
+    subprocess.run(["bash", tmp_script, d1, d2, comb],
+                   capture_output=True, text=True)
+
+    golden_sex = open(f"{base}/{comb}/{comb}_sex_result.txt").read() \
+        .rstrip("\n").split("\n")
+    golden_mat = open(f"{base}/{comb}/{comb}.genes.TPM.matrix").read() \
+        .rstrip("\n").split("\n")
+
+    from rgd_rnaseq_workflows_spark.plans.combine import (
+        merge_matrices, union_reports)
+    sex1 = spark.createDataFrame(
+        [("GSM1", "M", "M", "2.5", "Agree")],
+        ["SampleID", "InputSex", "ComputedSex", "Ratio", "Agreement"])
+    sex2 = spark.createDataFrame(
+        [("GSM2", "F", "F", "Inf\r", "Agree")],
+        ["SampleID", "InputSex", "ComputedSex", "Ratio", "Agreement"])
+    merged_sex = sorted("\t".join(r) for r in union_reports(sex1, sex2).collect())
+    assert merged_sex == sorted(golden_sex[1:])
+
+    m1 = spark.createDataFrame(
+        [('"Xist"', "1.25"), ('"Uty"', "2.25"), ('"OnlyPE"', "3.25")],
+        ["Symbol", "GSM1"])
+    m2 = spark.createDataFrame(
+        [('"Xist"', "9.25"), ('"Uty"', "8.25"), ('"OnlySE"', "7.25")],
+        ["Symbol", "GSM2"])
+    merged, loss = merge_matrices(m1, m2)
+    ours = sorted("\t".join(r) for r in merged.collect())
+    assert ours == sorted(golden_mat[1:])
+    # the reference's row-loss warning fires; our metrics quantify it
+    assert loss == {"lost_left": 1, "lost_right": 1}
