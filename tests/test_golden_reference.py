@@ -292,3 +292,66 @@ def test_combine_matches_reference_script(spark, tmp_out):
     assert ours == sorted(golden_mat[1:])
     # the reference's row-loss warning fires; our metrics quantify it
     assert loss == {"lost_left": 1, "lost_right": 1}
+
+
+REF_BWJSON = ("/root/reference/RGD_Illumina_PairedEnd_RNAseq_pipeline/"
+              "scripts/BWjson_v7.sh")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BWJSON),
+                    reason="reference script unavailable")
+def test_track_json_matches_reference_script(spark, tmp_out):
+    """Execute BWjson_v7.sh with metadata containing JSON-hostile
+    characters and compare the parsed document with our to_json output —
+    the reference needed a handwritten escaper; to_json gets it free."""
+    import json
+
+    gsm, run, prj = "GSM77", "SRR77", "PRJB"
+    unique = f"Liver_BN_M_{gsm}"
+    prjdir = os.path.join(tmp_out, "prj")
+    basedir = os.path.join(tmp_out, "base")
+    scratch = os.path.join(tmp_out, "scratch")
+    for d in (os.path.join(prjdir, gsm), basedir, scratch):
+        os.makedirs(d, exist_ok=True)
+    # sex result consulted by the script's awk lookup (JN5)
+    with open(os.path.join(basedir, f"{prj}_sex_result.txt"), "w") as f:
+        f.write("SampleID\tInputSex\tComputedSex\tRatio\tAgreement\n"
+                f"{gsm}\tM\tF\t99.0\tConflict\n")
+    # the script asserts the bigwig artifact exists
+    open(os.path.join(prjdir, gsm, f"RNAseq_{unique}.bigwig"), "w").close()
+
+    title = 'Study "quoted" with \\backslash\\ and\ttab'
+    env = {
+        **os.environ,
+        "Run": run, "geo_accession": gsm, "BIOProjectID": prj,
+        "unique_name": unique, "PRJdir": prjdir, "scratch_dir": scratch,
+        "Logdir": os.path.join(tmp_out, "log"), "baseDir": basedir,
+        "tissue": "Liver", "strain": "BN/NHsdMcwi, extra", "sex": "M",
+        "title": title, "Sample_characteristics": "age: 12 weeks",
+        "StrainInfo": "https://rgd.mcw.edu/strain/1", "PMID": "12345678",
+        "GEOpath": "https://www.ncbi.nlm.nih.gov/geo/?acc=GSE1",
+    }
+    subprocess.run(["bash", REF_BWJSON], check=True, capture_output=True,
+                   text=True, env=env)
+    golden = json.load(open(os.path.join(prjdir, gsm,
+                                         f"RNAseq_{unique}.json")))
+
+    from rgd_rnaseq_workflows_spark.sources.track_json import track_document
+    from pyspark.sql import functions as F
+    row = spark.createDataFrame([{
+        "unique_name": unique, "geo_accession": gsm, "Tissue": "Liver",
+        "Strain": "BN/NHsdMcwi, extra", "Sex": "M", "ComputedSex": "F",
+        "Sample_characteristics": "age: 12 weeks",
+        "StrainInfo": "https://rgd.mcw.edu/strain/1", "PMID": "12345678",
+        "GEOpath": "https://www.ncbi.nlm.nih.gov/geo/?acc=GSE1",
+        "Title": title,
+    }])
+    ours = json.loads(row.select(
+        F.to_json(track_document(prj)).alias("j")).collect()[0]["j"])
+    assert ours == golden
+
+    # JN5 default: sample absent from the sex table → "Unknown"
+    row2 = row.withColumn("ComputedSex", F.lit(None).cast("string"))
+    ours2 = json.loads(row2.select(
+        F.to_json(track_document(prj)).alias("j")).collect()[0]["j"])
+    assert ours2["metadata"]["Computed Sex"] == "Unknown"
