@@ -17,10 +17,10 @@ from pyspark.sql import functions as F
 from rgd_rnaseq_workflows_spark.operators.relational import (
     broadcast_annotate, dense_rank_palette)
 
-# 4-bucket value→RGB binning, GeneTPMbed_v2.sh:52-63.
+# 4-bucket value→RGB binning, GeneTPMbed_v2.sh:51-62 (exact values).
 RGB_GRAY = "128,128,128"
 RGB_LIGHT_BLUE = "173,216,230"
-RGB_BLUE = "0,0,255"
+RGB_BLUE = "0,0,205"
 RGB_DARK_BLUE = "0,0,139"
 
 
@@ -45,10 +45,11 @@ def tpm_bed9(bed: DataFrame, tpm: DataFrame) -> DataFrame:
     tpm_nonzero = tpm.filter(F.col("TPM") != 0.0) \
                      .select(F.col("feature_id").alias("name"), "TPM")
     joined = broadcast_annotate(filtered, tpm_nonzero, "name")
-    score = F.least(F.round(F.col("TPM")).cast("long"), F.lit(1000))
+    # BED9 score carries the TPM value itself (the reference prints the
+    # RSEM field verbatim, GeneTPMbed_v2.sh:107-110)
     return (joined.select(
         "chrom", "start", "end", "name",
-        score.alias("score"),
+        F.col("TPM").alias("score"),
         F.lit(".").alias("strand"),
         F.col("start").alias("thickStart"),
         F.col("end").alias("thickEnd"),

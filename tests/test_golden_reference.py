@@ -355,3 +355,85 @@ def test_track_json_matches_reference_script(spark, tmp_out):
     ours2 = json.loads(row2.select(
         F.to_json(track_document(prj)).alias("j")).collect()[0]["j"])
     assert ours2["metadata"]["Computed Sex"] == "Unknown"
+
+
+REF_GENEBED = ("/root/reference/archive/illuminaPaired_multipleSRA_"
+               "IDperSample_v3/GeneTPMbed_v2.sh")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_GENEBED),
+                    reason="reference script unavailable")
+def test_gene_tpm_bed_matches_reference_script(spark, tmp_out):
+    """Execute GeneTPMbed_v2.sh (GBed path patched to a fixture; bgzip is
+    absent here so the script fails AFTER writing the final sorted BED,
+    which is the artifact compared) and byte-compare the BED9 rows."""
+    import re
+
+    gsm, prj_id = "GSM5", "PRJBED"
+    unique = f"Liver_BN_M_{gsm}"
+    scratch = os.path.join(tmp_out, "scratch")
+    prjdir = os.path.join(tmp_out, "prj")
+    os.makedirs(os.path.join(scratch, gsm), exist_ok=True)
+    os.makedirs(os.path.join(prjdir, gsm), exist_ok=True)
+
+    # RSEM genes.results: zero-TPM row filtered, plus a no-annotation gene
+    genes = [("Xist", "0.40"), ("Uty", "500.00"), ("Sry", "5.00"),
+             ("Ddx3y", "2000.00"), ("ZeroGene", "0.00"), ("NoBed", "7.00")]
+    with open(f"{scratch}/{gsm}/{gsm}.genes.results", "w") as f:
+        f.write("gene_id\ttranscript_id(s)\tlength\teffective_length\t"
+                "expected_count\tTPM\tFPKM\n")
+        for g, tpm in genes:
+            f.write(f"{g}\tNM\t1000\t900\t10.00\t{tpm}\t1.0\n")
+    # gene annotation BED (col4 = gene), includes scaffold + non-chr rows
+    gbed = os.path.join(tmp_out, "mod_genes_sorted.bed")
+    with open(gbed, "w") as f:
+        f.write("chr1\t100\t200\tXist\n"
+                "chr2\t50\t150\tUty\n"
+                "chr1\t10\t20\tSry\n"
+                "NW_123\t1\t2\tDdx3y\n"
+                "scaff_7\t5\t6\tSry\n"
+                "chr3\t7\t8\tZeroGene\n")
+
+    script = open(REF_GENEBED).read()
+    script = re.sub(r'GBed="[^"]*"', f'GBed="{gbed}"', script, count=1)
+    tmp_script = os.path.join(tmp_out, "ref_genebed.sh")
+    open(tmp_script, "w").write(script)
+    # this container has no `bc`; shim it (the script's get_rgb pipes
+    # comparison expressions like "5.00 <= 0.5" into `bc -l`)
+    bin_dir = os.path.join(tmp_out, "bin")
+    os.makedirs(bin_dir, exist_ok=True)
+    bc = os.path.join(bin_dir, "bc")
+    with open(bc, "w") as f:
+        f.write("#!/usr/bin/env python3\n"
+                "import sys\n"
+                "expr = sys.stdin.read()\n"
+                "print(1 if eval(expr, {'__builtins__': {}}) else 0)\n")
+    os.chmod(bc, 0o755)
+    env = {**os.environ, "Run": "SRR5", "geo_accession": gsm,
+           "BIOProjectID": prj_id, "Tissue": "Liver", "Strain": "BN",
+           "Sex": "M", "unique_name": unique, "scratch_dir": scratch,
+           "PRJdir": prjdir,
+           "PATH": f"{bin_dir}:{os.environ['PATH']}"}
+    subprocess.run(["bash", tmp_script], capture_output=True, text=True,
+                   env=env)       # exits nonzero at the bgzip step
+    final_bed = os.path.join(prjdir, gsm,
+                             f"RNAseq_{unique}_geneTPMfinalOP.bed")
+    assert os.path.exists(final_bed), "reference did not produce the BED"
+    golden = open(final_bed).read().rstrip("\n").split("\n")
+
+    from rgd_rnaseq_workflows_spark.plans.tracks import tpm_bed9
+    bed = spark.createDataFrame(
+        [("chr1", 100, 200, "Xist"), ("chr2", 50, 150, "Uty"),
+         ("chr1", 10, 20, "Sry"), ("NW_123", 1, 2, "Ddx3y"),
+         ("scaff_7", 5, 6, "Sry"), ("chr3", 7, 8, "ZeroGene")],
+        ["chrom", "start", "end", "name"])
+    tpm = spark.createDataFrame(
+        [(gsm, g, float(t), 10.0) for g, t in genes],
+        ["sample", "feature_id", "TPM", "expected_count"])
+    ours = [
+        "\t".join([r["chrom"], str(r["start"]), str(r["end"]), r["name"],
+                   f"{r['score']:.2f}", r["strand"], str(r["thickStart"]),
+                   str(r["thickEnd"]), r["itemRgb"]])
+        for r in tpm_bed9(bed, tpm).collect()
+    ]
+    assert ours == golden

@@ -37,6 +37,7 @@ def test_bed9_filters_buckets_and_sort(spark):
     row = {r["name"]: r for r in out}
     assert row["Xist"]["strand"] == "."
     assert row["Xist"]["thickStart"] == 100
+    assert row["Uty"]["score"] == 500.0     # score = TPM verbatim
 
 
 def test_rgb_bucket_boundaries(spark):
