@@ -437,3 +437,124 @@ def test_gene_tpm_bed_matches_reference_script(spark, tmp_out):
         for r in tpm_bed9(bed, tpm).collect()
     ]
     assert ours == golden
+
+
+REF_COMPUTESEX = ("/root/reference/RGD_Illumina_PairedEnd_RNAseq_pipeline/"
+                  "scripts/ComputeSex_v5.sh")
+
+_BC_SHIM = '''#!/usr/bin/env python3
+"""bc shim: supports the two shapes ComputeSex pipes in —
+'scale=N; A/B' (TRUNCATING division, like real bc) and comparison
+expressions under -l (prints 1/0). Output formatting mirrors bc:
+no leading zero before the decimal point, bare 0 for zero."""
+import sys
+from fractions import Fraction
+expr = sys.stdin.read().strip()
+scale = 20 if "-l" in sys.argv else 0
+if expr.startswith("scale="):
+    head, expr = expr.split(";", 1)
+    scale = int(head.split("=")[1])
+    expr = expr.strip()
+for op in ("<=", ">=", "==", "<", ">"):
+    if op in expr:
+        a, b = expr.split(op)
+        print(1 if eval(f"Fraction('{a.strip()}'){op}Fraction('{b.strip()}')")
+              else 0)
+        sys.exit(0)
+a, b = expr.split("/")
+q = Fraction(a.strip()) / Fraction(b.strip())
+if scale == 0:
+    print(int(q))
+else:
+    scaled = int(q * 10 ** scale)          # truncation toward zero
+    if scaled == 0:
+        print(0)
+    else:
+        s = f"{scaled / 10 ** scale:.{scale}f}"
+        print(s[1:] if s.startswith("0.") else s)
+'''
+
+_SAMTOOLS_SHIM = '''#!/usr/bin/env bash
+# samtools shim: `samtools idxstats <bam>` -> cat the sidecar fixture
+[ "$1" = "idxstats" ] && exec cat "$2.idxstats"
+exit 1
+'''
+
+
+@pytest.mark.skipif(not os.path.exists(REF_COMPUTESEX),
+                    reason="reference script unavailable")
+def test_compute_sex_matches_reference_script(spark, tmp_out):
+    """Execute ComputeSex_v5.sh with samtools/bc shimmed (idxstats served
+    from fixtures; bc emulated with true truncating division) and compare
+    the whole sex_result table — including bc scale=6 truncation, the Inf
+    guard, and the 40.00 boundary."""
+    prj = "PRJS"
+    scratch = os.path.join(tmp_out, "scratch")
+    basedir = os.path.join(tmp_out, "base")
+    logdir = os.path.join(tmp_out, "log")
+    prjdir = os.path.join(tmp_out, "prj")
+    os.makedirs(os.path.join(logdir, "ComputeSex"), exist_ok=True)
+    os.makedirs(basedir, exist_ok=True)
+    os.makedirs(prjdir, exist_ok=True)
+
+    # (sample, input_sex, (x_len, x_map), (y_len, y_map))
+    cases = [
+        ("GSM1", "M", (152453651, 100000), (18730765, 1042)),  # M agree
+        ("GSM2", "M", (152453651, 5000000), (18730765, 0)),    # Inf → F
+        ("GSM3", "F", (1000000, 400000), (1000000, 10000)),    # exactly 40 → M
+        ("GSM4", "F", (1000000, 6530), (1000000, 10000)),      # sub-1 ratio → M
+    ]
+    for gsm, _sex, (xl, xm), (yl, ym) in cases:
+        d = os.path.join(scratch, gsm)
+        os.makedirs(d, exist_ok=True)
+        bam = os.path.join(d, f"{gsm}_GENOME_SORT.bam")
+        open(bam, "w").close()
+        with open(bam + ".idxstats", "w") as f:
+            f.write(f"chr1\t1000\t99\t0\nchrX\t{xl}\t{xm}\t0\n"
+                    f"chrY\t{yl}\t{ym}\t0\n")
+    acclist = os.path.join(tmp_out, "acc.tsv")
+    with open(acclist, "w") as f:
+        f.write("Run\tgeo_accession\tTissue\tStrain\tSex\tPMID\tGEOpath\t"
+                "Title\tSample_characteristics\tStrainInfo\n")
+        for i, (gsm, sex, *_r) in enumerate(cases):
+            f.write(f"SRR{i}\t{gsm}\tLiver\tBN\t{sex}\t1\tu\tt\tc\ts\n")
+
+    bin_dir = os.path.join(tmp_out, "bin")
+    os.makedirs(bin_dir, exist_ok=True)
+    for name, body in (("bc", _BC_SHIM), ("samtools", _SAMTOOLS_SHIM)):
+        p = os.path.join(bin_dir, name)
+        open(p, "w").write(body)
+        os.chmod(p, 0o755)
+    env = {**os.environ, "Run": "SRR0", "geo_accession": "GSM1",
+           "BIOProjectID": prj, "PRJdir": prjdir, "baseDir": basedir,
+           "Logdir": logdir, "AccList": acclist, "scratch_dir": scratch,
+           "PATH": f"{bin_dir}:{os.environ['PATH']}"}
+    subprocess.run(["bash", REF_COMPUTESEX], capture_output=True,
+                   text=True, env=env)
+    golden_path = os.path.join(scratch, f"{prj}_sex_result.txt")
+    assert os.path.exists(golden_path)
+    golden = {}
+    for line in open(golden_path).read().rstrip("\n").split("\n")[1:]:
+        s, isex, csex, ratio, agr = line.split("\t")
+        golden[s] = (isex, csex, ratio, agr)
+    assert len(golden) == 4
+
+    from rgd_rnaseq_workflows_spark.plans.sexcheck import compute_sex
+    idx_rows = []
+    for gsm, _sex, (xl, xm), (yl, ym) in cases:
+        idx_rows += [(gsm, "chr1", 1000, 99, 0),
+                     (gsm, "chrX", xl, xm, 0), (gsm, "chrY", yl, ym, 0)]
+    idx = spark.createDataFrame(
+        idx_rows, ["sample", "chrom", "seq_length", "mapped", "unmapped"])
+    input_sex = spark.createDataFrame(
+        [(g, s) for g, s, *_ in cases], ["sample", "InputSex"])
+    ours = {r["SampleID"]: r for r in compute_sex(idx, input_sex).collect()}
+
+    for gsm, (isex, csex, ratio, agr) in golden.items():
+        r = ours[gsm]
+        assert (r["InputSex"], r["ComputedSex"], r["Agreement"]) == \
+            (isex, csex, agr), gsm
+        if ratio == "Inf":
+            assert r["Ratio"] is None
+        else:
+            assert r["Ratio"] == float(ratio), (gsm, ratio, r["Ratio"])
