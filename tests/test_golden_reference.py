@@ -558,3 +558,48 @@ def test_compute_sex_matches_reference_script(spark, tmp_out):
             assert r["Ratio"] is None
         else:
             assert r["Ratio"] == float(ratio), (gsm, ratio, r["Ratio"])
+
+
+REF_COUNTING = ("/root/reference/RGD_Illumina_PairedEnd_RNAseq_pipeline/"
+                "scripts/sample_counting.sh")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_COUNTING),
+                    reason="reference script unavailable")
+def test_sample_counting_matches_reference_script(spark, tmp_out):
+    """The reference's own 'test script': distinct-GSM count, runs-per-GSM
+    distribution, and the small/large classification (AGG1/AGG9 + the
+    orchestrator threshold)."""
+    import re
+    acclist_path = os.path.join(tmp_out, "acc.tsv")
+    rows = [("SRR%d" % i, "GSM%02d" % (i % 22), "L", "B", "M",
+             "1", "u", "t", "c", "s") for i in range(30)]
+    rows.append(("SRRX", "", "L", "B", "M", "1", "u", "t", "c", "s"))
+    with open(acclist_path, "w") as f:
+        f.write("Run\tgeo_accession\tTissue\tStrain\tSex\tPMID\tGEOpath\t"
+                "Title\tSample_characteristics\tStrainInfo\n")
+        for r in rows:
+            f.write("\t".join(r) + "\n")
+
+    out = subprocess.run(["bash", REF_COUNTING, acclist_path], check=True,
+                         capture_output=True, text=True).stdout
+    golden_unique = int(re.search(r"RESULT: (\d+) unique samples", out).group(1))
+    golden_class = "LARGE" if "LARGE" in out else "SMALL"
+    golden_dist = dict(re.findall(r"^(GSM\d+): (\d+) runs$", out, re.M))
+
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.plans.acclist import clean_acclist
+    from rgd_rnaseq_workflows_spark.plans.orchestrator import ProjectRun
+    acc = spark.createDataFrame(rows, ["Run", "geo_accession", "Tissue",
+                                       "Strain", "Sex", "PMID", "GEOpath",
+                                       "Title", "Sample_characteristics",
+                                       "StrainInfo"])
+    cleaned = clean_acclist(acc)
+    n_unique = cleaned.select("geo_accession").distinct().count()
+    assert n_unique == golden_unique
+    dist = {r["geo_accession"]: str(r["n"]) for r in
+            cleaned.groupBy("geo_accession").agg(F.count("*").alias("n"))
+            .collect()}
+    assert dist == golden_dist
+    run = ProjectRun("P", n_unique)
+    assert ("LARGE" if run.is_large() else "SMALL") == golden_class
