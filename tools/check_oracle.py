@@ -83,6 +83,16 @@ def main() -> int:
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols spark={sorted(sdf.columns)} "
                             f"oracle={sorted(odf.columns)}")
+        else:
+            # dtype KIND must agree too (int vs float vs object) — a
+            # Decimal-typed Spark column, say, reads as object and would
+            # hash differently in the driver
+            for c in sdf.columns:
+                ks, ko = sdf[c].dtype.kind, odf[c].dtype.kind
+                if ks != ko and {ks, ko} != {"O"} and not (
+                        {ks, ko} <= {"i", "u"}):
+                    problems.append(f"dtype {c}: spark={sdf[c].dtype} "
+                                    f"oracle={odf[c].dtype}")
         if not problems:
             cs, co = canon(sdf), canon(odf)
             if cs != co:
