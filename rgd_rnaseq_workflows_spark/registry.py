@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rgd_rnaseq_workflows_spark.functions import text as TX
-from rgd_rnaseq_workflows_spark.functions.hashing import md5_long, md5_long_sql
+from rgd_rnaseq_workflows_spark.functions.hashing import md5_long_sql
 from rgd_rnaseq_workflows_spark.operators import dedup as DD
 from rgd_rnaseq_workflows_spark.operators import relational as R
 from rgd_rnaseq_workflows_spark.operators import similarity as SIM

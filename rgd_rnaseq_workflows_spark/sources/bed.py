@@ -10,7 +10,6 @@ and tabix indexing are binary post-processing outside relational scope
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from rgd_rnaseq_workflows_spark.schemas import BED4
 
