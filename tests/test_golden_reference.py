@@ -603,3 +603,79 @@ def test_sample_counting_matches_reference_script(spark, tmp_out):
     assert dist == golden_dist
     run = ProjectRun("P", n_unique)
     assert ("LARGE" if run.is_large() else "SMALL") == golden_class
+
+
+REF_TXBED = ("/root/reference/archive/illuminaPaired_multipleSRA_"
+             "IDperSample_v3/txTPMbed_v2.sh")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_TXBED),
+                    reason="reference script unavailable")
+def test_tx_tpm_bed_matches_reference_script(spark, tmp_out):
+    """Transcript-level twin of the gene BED golden: execute
+    txTPMbed_v2.sh (TBed patched, bc shimmed) and byte-compare the final
+    sorted BED against tpm_bed9 on the transcript grain."""
+    import re
+
+    gsm, prj_id = "GSM6", "PRJTX"
+    unique = f"Liver_BN_M_{gsm}"
+    scratch = os.path.join(tmp_out, "scratch")
+    prjdir = os.path.join(tmp_out, "prj")
+    os.makedirs(os.path.join(scratch, gsm), exist_ok=True)
+    os.makedirs(os.path.join(prjdir, gsm), exist_ok=True)
+
+    txs = [("NM_1", "0.40"), ("NM_2", "15.00"), ("NM_3", "0.00"),
+           ("NM_4", "1200.50")]
+    with open(f"{scratch}/{gsm}/{gsm}.transcripts.results", "w") as f:
+        f.write("transcript_id\tgene_id\tlength\teffective_length\t"
+                "expected_count\tTPM\tFPKM\tIsoPct\n")
+        for t, tpm in txs:
+            f.write(f"{t}\tG\t1000\t900\t10.00\t{tpm}\t1.0\t100.00\n")
+    tbed = os.path.join(tmp_out, "mod_transcripts_sorted.bed")
+    with open(tbed, "w") as f:
+        f.write("chr1\t500\t900\tNM_2\n"
+                "chr1\t100\t200\tNM_1\n"
+                "chr2\t10\t20\tNM_4\n"
+                "chr3\t1\t5\tNM_3\n"
+                "NW_9\t1\t2\tNM_2\n")
+
+    script = open(REF_TXBED).read()
+    script = re.sub(r'TBed=\S+', f'TBed="{tbed}"', script, count=1)
+    tmp_script = os.path.join(tmp_out, "ref_txbed.sh")
+    open(tmp_script, "w").write(script)
+    bin_dir = os.path.join(tmp_out, "bin")
+    os.makedirs(bin_dir, exist_ok=True)
+    bc = os.path.join(bin_dir, "bc")
+    with open(bc, "w") as f:
+        f.write("#!/usr/bin/env python3\n"
+                "import sys\n"
+                "print(1 if eval(sys.stdin.read(), {'__builtins__': {}}) "
+                "else 0)\n")
+    os.chmod(bc, 0o755)
+    env = {**os.environ, "Run": "SRR6", "geo_accession": gsm,
+           "BIOProjectID": prj_id, "Tissue": "Liver", "Strain": "BN",
+           "Sex": "M", "unique_name": unique, "scratch_dir": scratch,
+           "PRJdir": prjdir, "PATH": f"{bin_dir}:{os.environ['PATH']}"}
+    subprocess.run(["bash", tmp_script], capture_output=True, text=True,
+                   env=env)
+    final_bed = os.path.join(prjdir, gsm,
+                             f"RNAseq_{unique}_TXTPMfinalOP.bed")
+    assert os.path.exists(final_bed)
+    golden = open(final_bed).read().rstrip("\n").split("\n")
+
+    from rgd_rnaseq_workflows_spark.plans.tracks import tpm_bed9
+    bed = spark.createDataFrame(
+        [("chr1", 500, 900, "NM_2"), ("chr1", 100, 200, "NM_1"),
+         ("chr2", 10, 20, "NM_4"), ("chr3", 1, 5, "NM_3"),
+         ("NW_9", 1, 2, "NM_2")],
+        ["chrom", "start", "end", "name"])
+    tpm = spark.createDataFrame(
+        [(gsm, t, float(v), 10.0) for t, v in txs],
+        ["sample", "feature_id", "TPM", "expected_count"])
+    ours = [
+        "\t".join([r["chrom"], str(r["start"]), str(r["end"]), r["name"],
+                   f"{r['score']:.2f}", r["strand"], str(r["thickStart"]),
+                   str(r["thickEnd"]), r["itemRgb"]])
+        for r in tpm_bed9(bed, tpm).collect()
+    ]
+    assert ours == golden
