@@ -20,12 +20,40 @@ def printf_round(col: Column | str, places: int) -> Column:
     return F.round(c, places)
 
 
-def bc_scale_truncate(col: Column | str, scale: int = 6) -> Column:
-    """``bc scale=N`` semantics: TRUNCATE toward zero at N decimals — bc
-    does not round (``ComputeSex_v5.sh:113,117,124``)."""
-    c = F.col(col) if isinstance(col, str) else col
+def bc_div_scaled(numer: Column | str, denom: Column | str,
+                  scale: int = 6) -> Column:
+    """``bc scale=N`` division of two non-negative INTEGER columns, returned
+    as the scaled integer ``trunc(numer/denom · 10^N)`` (long) — bc does not
+    round (``ComputeSex_v5.sh:113,117,124``).
+
+    Exact: computed as ``floor(numer·10^N / denom)`` in decimal(38) integer
+    arithmetic, never through a double. (Multiplying a double quotient by
+    10^N and casting diverges from bc — e.g. 249/1000000 at scale 6 gives
+    double 248.999…e-6 → 248, while bc yields 249.)
+    """
+    n = (F.col(numer) if isinstance(numer, str) else numer).cast("decimal(38,0)")
+    d = (F.col(denom) if isinstance(denom, str) else denom).cast("decimal(38,0)")
+    return F.floor(n * F.lit(10 ** scale) / d).cast("long")
+
+
+def bc_div(numer: Column | str, denom: Column | str,
+           scale: int = 6) -> Column:
+    """:func:`bc_div_scaled` as a double (``scaled / 10^N``) for typed
+    plans; format with :func:`bc_fixed_str` at the sink for byte parity."""
+    return bc_div_scaled(numer, denom, scale) / F.lit(float(10 ** scale))
+
+
+def bc_fixed_str(scaled: Column | str, scale: int = 6) -> Column:
+    """Render a bc ``scale=N`` result from its scaled-integer form exactly
+    as bc prints it: ``0`` for zero, no leading integer zero for |x| < 1
+    (``.000249``), fixed N fractional digits otherwise (``2.500000``)."""
+    s = F.col(scaled) if isinstance(scaled, str) else scaled
     factor = 10 ** scale
-    return (c * factor).cast("long") / F.lit(float(factor))
+    intpart = F.floor(s / F.lit(float(factor))).cast("long")
+    frac = F.lpad(F.pmod(s, F.lit(factor)).cast("string"), scale, "0")
+    return (F.when(s == 0, F.lit("0"))
+            .when(intpart == 0, F.concat(F.lit("."), frac))
+            .otherwise(F.concat(intpart.cast("string"), F.lit("."), frac)))
 
 
 def sentinel_inf(col: Column | str) -> Column:

@@ -256,19 +256,25 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 32,
                        max_hamming: int = 3,
                        shingle_n: int = 1) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on fingerprint
-    halves (two docs within ``max_hamming`` ≤ bits/2 share at least one
-    exact half — pigeonhole), so the join is equi on a half, never cross."""
+    """Near-dup pairs by SimHash Hamming distance, COMPLETE under the
+    standard Hamming-LSH guarantee: the fingerprint is split into
+    ``max_hamming + 1`` disjoint bit blocks, so any pair differing in at
+    most ``max_hamming`` bits must agree exactly on at least one block
+    (pigeonhole over the blocks), and the join is equi on (block, key) —
+    never cross. (Two halves would only cover ``max_hamming`` ≤ 1.)"""
     fps = simhash(df, text_col, id_col, bits, shingle_n=shingle_n)
-    half = bits // 2
+    n_blocks = max_hamming + 1
+    base, extra = divmod(bits, n_blocks)
+    parts, off = [], 0
+    for p in range(n_blocks):
+        width = base + (1 if p < extra else 0)
+        parts.append(F.struct(
+            F.lit(p).alias("part"),
+            (F.shiftright("simhash", off)
+             .bitwiseAND(F.lit(2 ** width - 1))).alias("key")))
+        off += width
     blocked = fps.select(
-        id_col, "simhash",
-        F.explode(F.array(
-            F.struct(F.lit(0).alias("part"),
-                     (F.col("simhash").bitwiseAND(F.lit(2 ** half - 1))).alias("key")),
-            F.struct(F.lit(1).alias("part"),
-                     F.shiftright("simhash", half).alias("key")),
-        )).alias("blk")
+        id_col, "simhash", F.explode(F.array(*parts)).alias("blk")
     ).select(id_col, "simhash", "blk.part", "blk.key")
     a, b = blocked.alias("a"), blocked.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -19,25 +19,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rgd_rnaseq_workflows_spark.functions.formatting import bc_scale_truncate
+from rgd_rnaseq_workflows_spark.functions.formatting import bc_div_scaled
 
 SEX_GENES = ("Xist", "Uty", "Sry", "Ddx3y", "Kdm5d", "Eif2s3y")
+
+_SCALE = 6
 
 
 def compute_sex(idxstats: DataFrame, input_sex: DataFrame,
                 ratio_threshold: float = 40.0) -> DataFrame:
     """idxstats (sample, chrom, seq_length, mapped, unmapped) + input sex
-    (sample, InputSex) → D7 sex_result table (Ratio nullable = Inf)."""
+    (sample, InputSex) → D7 sex_result table (Ratio nullable = Inf).
+
+    All divisions run in exact scaled-integer arithmetic so coverage and
+    Ratio match ``bc scale=6`` byte-for-byte (the chain is
+    x_cov = trunc(x_mapped/x_len), y_cov likewise, ratio = trunc(x_cov/y_cov)
+    — with scaled integers X, Y that last step is exactly (X·10^6) div Y).
+    The 40.0 threshold compares scaled integers, so boundary samples can't
+    flip on double rounding.
+    """
     cov = (idxstats
            .filter(F.col("chrom").isin("chrX", "chrY"))
-           .withColumn("cov", bc_scale_truncate(F.col("mapped") / F.col("seq_length")))
+           .withColumn("cov", bc_div_scaled("mapped", "seq_length", _SCALE))
            .groupBy("sample")
            .pivot("chrom", ["chrX", "chrY"])
            .agg(F.first("cov")))
-    ratio = F.when(F.col("chrY") == 0, F.lit(None)) \
-             .otherwise(bc_scale_truncate(F.col("chrX") / F.col("chrY")))
-    with_ratio = cov.withColumn("Ratio", ratio)
-    computed = F.when(F.col("Ratio").isNull() | (F.col("Ratio") > ratio_threshold),
+    ratio_scaled = F.when(F.col("chrY") == 0, F.lit(None)) \
+                    .otherwise(bc_div_scaled("chrX", "chrY", _SCALE))
+    with_ratio = (cov.withColumn("RatioScaled", ratio_scaled)
+                  .withColumn("Ratio",
+                              F.col("RatioScaled") / F.lit(float(10 ** _SCALE))))
+    computed = F.when(F.col("RatioScaled").isNull()
+                      | (F.col("RatioScaled")
+                         > int(ratio_threshold * 10 ** _SCALE)),
                       "F").otherwise("M")
     out = (with_ratio
            .join(input_sex, "sample", "left")

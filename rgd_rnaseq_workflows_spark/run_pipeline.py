@@ -99,8 +99,16 @@ def run(args: argparse.Namespace) -> int:
                             sample_pattern=r"([^/]+)/Log\.final\.out$")
         qc = starqc_summary(kv, expected).cache()
         state["qc"] = qc
-        write_tsv(qc, f"{out}/STAR_Align_sum", single_file=True,
-                  sentinel_map={"Input_Reads": "NA", "Unmapped_Total": "NA",
+        # sink under the reference's exact header (pSTARQC_v1.sh:63:
+        # "SampleID input_reads unaligned_reads Unmapped_Rate Status");
+        # internal names stay typed — the resume-path read_tsv parses by
+        # position against STARQC_SUMMARY, so the alias is sink-only
+        write_tsv(qc.select(F.col("SampleID"),
+                            F.col("Input_Reads").alias("input_reads"),
+                            F.col("Unmapped_Total").alias("unaligned_reads"),
+                            "Unmapped_Rate", "Status"),
+                  f"{out}/STAR_Align_sum", single_file=True,
+                  sentinel_map={"input_reads": "NA", "unaligned_reads": "NA",
                                 "Unmapped_Rate": "NA"},
                   float_format={"Unmapped_Rate": 2})
         stats = {r["Status"]: r["n"] for r in qc_stats(qc).collect()}
@@ -140,17 +148,22 @@ def run(args: argparse.Namespace) -> int:
     def stage_sex():
         if not args.idxstats:
             raise RuntimeError("no idxstats provided")
-        idx = read_idxstats(spark, args.idxstats)
+        # ComputeSex_v5.sh iterates the PASS AccList only
+        # (run_RNApipeline:461): FAILed samples' idxstats files still exist
+        # on disk, so the glob must be semi-joined down to PASS samples or
+        # the sex table grows rows the reference never emits.
         input_sex = get_passed().select(
             F.col("geo_accession").alias("sample"),
             F.col("Sex").alias("InputSex"))
+        idx = read_idxstats(spark, args.idxstats).join(
+            input_sex.select("sample"), "sample", "left_semi")
         sex = compute_sex(idx, input_sex).cache()
         state["sex"] = sex
         write_tsv(sex, f"{out}/sex_result", single_file=True,
-                  sentinel_map={"Ratio": "Inf"})
+                  sentinel_map={"Ratio": "Inf"}, bc_format={"Ratio": 6})
         rep = conflict_report(sex, get_expr())
         write_tsv(rep, f"{out}/ConflictedSampleReport", single_file=True,
-                  sentinel_map={"XYRatio": "Inf"})
+                  sentinel_map={"XYRatio": "Inf"}, bc_format={"XYRatio": 6})
 
     orch = Orchestrator(f"{out}/.markers")
     run_ = ProjectRun(args.project, unique.count(), [

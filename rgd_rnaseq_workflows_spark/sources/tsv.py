@@ -45,17 +45,30 @@ def read_tsv(spark: SparkSession, path: str, schema: T.StructType,
 def write_tsv(df: DataFrame, path: str,
               sentinel_map: dict[str, str] | None = None,
               single_file: bool = False,
-              float_format: dict[str, int] | None = None) -> None:
+              float_format: dict[str, int] | None = None,
+              bc_format: dict[str, int] | None = None) -> None:
     """TSV sink with header; NULLs re-materialized as reference sentinels.
 
     ``sentinel_map`` maps column name → sentinel string for NULLs in that
     column (e.g. ``{"Ratio": "Inf"}`` per ``ComputeSex_v5.sh:120-124``).
     ``float_format`` maps column → decimal places, reproducing the
     reference's ``printf %.Nf`` sink rounding (``pSTARQC_v1.sh:90-91``).
+    ``bc_format`` maps column → bc ``scale=N``: the double (an exact
+    scaled-integer / 10^N, see ``formatting.bc_div``) is rendered exactly
+    as bc prints — ``2.500000``, ``.000249``, ``0`` — instead of Spark's
+    minimal double repr (``ComputeSex_v5.sh:113-124`` writes bc output
+    verbatim).
     ``single_file`` coalesces to one part for report-style outputs the
     reference treats as single files; leave False for large tables.
     """
+    from rgd_rnaseq_workflows_spark.functions.formatting import bc_fixed_str
     out = df
+    if bc_format:
+        for col, scale in bc_format.items():
+            scaled = F.round(F.col(col) * (10 ** scale)).cast("long")
+            out = out.withColumn(
+                col, F.when(F.col(col).isNull(), F.lit(None))
+                .otherwise(bc_fixed_str(scaled, scale)))
     if float_format:
         for col, places in float_format.items():
             out = out.withColumn(col, F.format_number(F.col(col), places))

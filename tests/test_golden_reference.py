@@ -550,6 +550,17 @@ def test_compute_sex_matches_reference_script(spark, tmp_out):
         [(g, s) for g, s, *_ in cases], ["sample", "InputSex"])
     ours = {r["SampleID"]: r for r in compute_sex(idx, input_sex).collect()}
 
+    # sink-path byte parity: the bc_fixed_str rendering must reproduce the
+    # reference's bc output string exactly (".653000", "41.666666", "Inf")
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.functions.formatting import bc_fixed_str
+    rendered = {r["SampleID"]: r["s"] for r in compute_sex(idx, input_sex)
+                .select("SampleID",
+                        F.coalesce(
+                            bc_fixed_str(F.round(F.col("Ratio") * 1e6)
+                                         .cast("long")),
+                            F.lit("Inf")).alias("s")).collect()}
+
     for gsm, (isex, csex, ratio, agr) in golden.items():
         r = ours[gsm]
         assert (r["InputSex"], r["ComputedSex"], r["Agreement"]) == \
@@ -558,6 +569,7 @@ def test_compute_sex_matches_reference_script(spark, tmp_out):
             assert r["Ratio"] is None
         else:
             assert r["Ratio"] == float(ratio), (gsm, ratio, r["Ratio"])
+        assert rendered[gsm] == ratio, (gsm, ratio, rendered[gsm])
 
 
 REF_COUNTING = ("/root/reference/RGD_Illumina_PairedEnd_RNAseq_pipeline/"
