@@ -653,19 +653,28 @@ def dedup_minhash_lsh(spark, sf_dir):
                                   shingle_n=2, threshold=0.8)
 
 
-def _simhash_oracle(bits: int = 16, seed: int = 101) -> str:
-    toks = TX.tokens_sql("text")
+def _simhash_fps_ctes(bits: int = 16, seed: int = 101,
+                      shingle_n: int = 1) -> str:
+    """CTE chain ending in ``fps(doc_id, simhash)`` — the naive per-bit
+    ±1 vote form of ``operators.dedup.simhash`` (whose packed-lane
+    aggregation is provably identical)."""
+    feats = (f"list_distinct({TX.tokens_sql('text')})" if shingle_n == 1
+             else TX.shingles_sql("text", shingle_n))
     votes = ",\n       ".join(
         f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
         for j in range(bits))
     fp = " + ".join(f"CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END"
                     for j in range(bits))
     return f"""
-WITH toks AS (SELECT doc_id, unnest(list_distinct({toks})) AS t FROM documents),
+WITH toks AS (SELECT doc_id, unnest({feats}) AS t FROM documents),
 h AS (SELECT doc_id, {md5_long_sql('t', seed=seed)} AS hv FROM toks),
-votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
-SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
-"""
+votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes)"""
+
+
+def _simhash_oracle(bits: int = 16, seed: int = 101) -> str:
+    return _simhash_fps_ctes(bits, seed) + \
+        "\nSELECT doc_id, simhash FROM fps\n"
 
 
 @q("dedup_simhash", ("DEDUP-SIMHASH",), oracle=_simhash_oracle(),
@@ -1068,21 +1077,56 @@ def skew_salted_agg(spark, sf_dir):
                       "n")
 
 
-# Non-SQL-expressible operators: exposed for the driver's rows-only check.
+# Imperative/UDF-backed operators: each still gets a FULL value oracle —
+# the kernels are deterministic md5-family computations DuckDB reproduces.
 
-@q("stateful_dedup_kernel", ("STREAM-STATEFUL",), oracle=None,
-   note="Arrow applyInPandas dedup kernel (streaming twin uses "
-        "applyInPandasWithState) — imperative state, not SQL-expressible")
+@q("stateful_dedup_kernel", ("STREAM-STATEFUL",), oracle=f"""
+SELECT min(doc_id) AS doc_id, fp AS fingerprint
+FROM (SELECT doc_id, {md5_long_sql('text')} AS fp FROM documents)
+GROUP BY fp
+""", note="Arrow applyInPandas dedup kernel (streaming twin uses "
+          "applyInPandasWithState); oracle = exact-dedup equivalence: the "
+          "kernel keeps the min doc_id per content fingerprint")
 def stateful_dedup_kernel(spark, sf_dir):
     from rgd_rnaseq_workflows_spark.streaming.stateful import batch_dedup_kernel
     d = _t(spark, sf_dir, "documents")
     return batch_dedup_kernel(d)
 
 
-@q("ann_lsh_topk", ("ANN-LSH",), oracle=None,
-   note="hyperplane-LSH pruned top-k; subset-of-brute-force asserted in "
-        "tests/test_similarity.py — 16 planes x 64 dims of hash literals "
-        "would be impractical as SQL")
+def _lsh_topk_oracle(dims: int = 64, n_planes: int = 16, seed: int = 7,
+                     max_hamming: int = 5, k: int = 10,
+                     query_id: int = 0) -> str:
+    """Full hyperplane-LSH oracle: the ±1 plane components come from the
+    same md5 derivation as ``similarity.plane_components``, and each
+    projection is emitted as a left-associated ± chain so the fold order
+    (hence every IEEE rounding step) matches Spark's sequential
+    ``aggregate`` exactly."""
+    from rgd_rnaseq_workflows_spark.operators.similarity import plane_components
+    comps = plane_components(dims, n_planes, seed)
+    sig_terms = []
+    for p, row in enumerate(comps):
+        proj = " ".join(
+            ("+" if c > 0 else "-") + f" ve[{d + 1}]"
+            for d, c in enumerate(row)).lstrip("+ ")
+        sig_terms.append(
+            f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
+    sig = "\n       + ".join(sig_terms)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+s AS (SELECT vec_id, ve, CAST({sig} AS BIGINT) AS sig FROM v),
+q AS (SELECT ve AS qv, sig AS qsig FROM s WHERE vec_id = {query_id})
+SELECT vec_id,
+       round(list_cosine_similarity(ve, (SELECT qv FROM q)), 6) AS cosine_sim
+FROM s
+WHERE bit_count(xor(sig, (SELECT qsig FROM q))) <= {max_hamming}
+ORDER BY cosine_sim DESC, vec_id
+LIMIT {k}
+"""
+
+
+@q("ann_lsh_topk", ("ANN-LSH",), oracle=_lsh_topk_oracle(),
+   note="hyperplane-LSH pruned top-k; oracle reproduces the md5-derived "
+        "plane signs and the exact fold order of each projection")
 def ann_lsh_topk(spark, sf_dir):
     from rgd_rnaseq_workflows_spark.operators.similarity import (
         lsh_topk, query_vector)
@@ -1091,21 +1135,39 @@ def ann_lsh_topk(spark, sf_dir):
                     n_planes=16, max_hamming=5)
 
 
-@q("simhash_near_pairs_q", ("DEDUP-SIMHASH-PAIRS",), oracle=None,
-   note="SimHash hamming near-pairs with pigeonhole half-blocking; "
-        "bit_count has no DuckDB twin with identical semantics guarantees")
+@q("simhash_near_pairs_q", ("DEDUP-SIMHASH-PAIRS",),
+   oracle=_simhash_fps_ctes(bits=48, seed=101, shingle_n=2) + """
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM fps a JOIN fps b ON a.doc_id < b.doc_id)
+WHERE hamming <= 3
+""", note="SimHash hamming near-pairs, (max_hamming+1)-block complete "
+          "blocking; oracle runs the NAIVE all-pairs form, proving the "
+          "blocking loses no pair")
 def simhash_near_pairs_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return DD.simhash_near_pairs(d, bits=48, max_hamming=3, shingle_n=2)
 
 
-@q("multimodal_image_features", ("MULTIMODAL",), oracle=None,
-   note="Arrow-batched binary decode plumbing over synthetic media built "
-        "from document bytes (no media table in testdata); codec stubbed "
-        "deterministically")
+@q("multimodal_image_features", ("MULTIMODAL",), oracle=f"""
+SELECT doc_id AS media_id,
+       CAST(64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 512
+            AS INTEGER) AS width,
+       CAST(64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 512
+            AS INTEGER) AS height,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       {md5_long_sql('text')} AS phash
+FROM documents WHERE doc_id < 64
+""", note="Arrow-batched binary decode plumbing over synthetic media built "
+          "from document bytes (no media table in testdata); the stub codec "
+          "is a deterministic md5 derivation, so the oracle reproduces "
+          "width/height/phash exactly")
 def multimodal_image_features(spark, sf_dir):
     from rgd_rnaseq_workflows_spark.multimodal.binary import image_features
-    d = _t(spark, sf_dir, "documents").limit(64)
+    # doc_id < 64, not limit(64): a limit over a parallel scan is not a
+    # deterministic row set, and the oracle needs the identical subset
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
     media = d.select(F.col("doc_id").alias("media_id"),
                      F.lit("image").alias("kind"),
                      F.lit("image/png").alias("mime"),
