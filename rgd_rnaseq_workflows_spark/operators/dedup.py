@@ -148,25 +148,33 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, block_col: str,
                         text_col: str = "text", id_col: str = "doc_id",
                         shingle_n: int = 1,
-                        threshold: float = 0.5) -> DataFrame:
-    """Blocked all-pairs n-gram Jaccard: compare only docs sharing
-    ``block_col`` (at scale the block is a cheap partition key — source,
-    language, LSH bucket), then exact set Jaccard.
+                        threshold: float = 0.5,
+                        broadcast_verify: bool = True) -> DataFrame:
+    """Blocked n-gram Jaccard: compare only docs sharing ``block_col``
+    (at scale the block is a cheap partition key — source, language, LSH
+    bucket), then exact set Jaccard.
 
-    Scale design — this is a PPJoin-style set-similarity join, never an
+    Scale design — this is a PPJoin set-similarity join, never an
     all-pairs loop:
     - shingles are hashed to 60-bit ints once (array ops on longs, not
-      strings) and each doc's array is sorted by that hash — a global
-      total order shared by every executor;
-    - **prefix filtering**: two sets with J(A,B) ≥ t must share at least
-      one element among each one's first ⌊(1−t)·|A|⌋+1 elements under the
-      global order, so only those prefix tokens are exploded into the
-      inverted index. At t=0.8 that indexes ~20% of tokens;
-    - candidate pairs come from the (token, block) equi-join of the two
-      prefix indexes, with **length filtering** (|A| ≥ t·|B|) pushed into
-      the join condition;
+      strings); the hashed table is materialized once (``localCheckpoint``)
+      because four plan subtrees consume it;
+    - **canonical frequency ordering**: tokens are ranked per block by
+      ascending document frequency (one agg + one per-doc window), so each
+      doc's prefix holds its RAREST tokens — the classic PPJoin ordering;
+      a hot token that appears in thousands of docs lands in nobody's
+      prefix and generates no candidates;
+    - **prefix filtering**: two sets with J(A,B) ≥ t must share a token
+      among each one's first ⌊(1−t)·|A|⌋+1 under the shared order; only
+      those are exploded into the inverted index (~20% at t=0.8);
+    - **length + position filtering** pushed into the join condition:
+      |A| ≥ t·|B|, and from match positions the overlap upper bound
+      1 + min(|A|−i, |B|−j) must reach α = ⌈t·(|A|+|B|)/(1+t)⌉;
     - exact Jaccard verifies each distinct candidate once via sorted-long
-      array intersection: |A∩B| / (|A|+|B|−|A∩B|).
+      array intersection: |A∩B| / (|A|+|B|−|A∩B|). With
+      ``broadcast_verify`` the per-doc set table broadcasts into both
+      verify joins (right whenever the blocked corpus fits in executor
+      memory — at full-corpus scale set False for the shuffle plan).
 
     Output is provably identical to the naive blocked all-pairs version —
     the DuckDB oracle runs that naive form, so the pruning logic itself is
@@ -177,28 +185,40 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
               .select(F.col(id_col), "_blk",
                       F.array_sort(F.transform(
                           "sh", lambda s: md5_long(s))).alias("hs"))
-              .withColumn("sz", F.size("hs")))
+              .withColumn("sz", F.size("hs"))
+              .localCheckpoint(eager=False))
+    exploded = hashed.select(F.col(id_col), "_blk", "sz",
+                             F.explode("hs").alias("tok"))
+    freq = exploded.groupBy("_blk", "tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "tok")
     prefix_len = (F.floor(F.col("sz") * (1.0 - threshold)) + 1).cast("int")
-    pref = hashed.select(
-        F.col(id_col), "_blk", "sz",
-        F.explode(F.slice("hs", 1, prefix_len)).alias("tok"))
+    pref = (exploded.join(freq, ["_blk", "tok"])
+            .withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= prefix_len)
+            .select(F.col(id_col), "_blk", "sz", "pos", "tok"))
     a, b = pref.alias("a"), pref.alias("b")
+    alpha = F.ceil((F.col("a.sz") + F.col("b.sz"))
+                   * threshold / (1.0 + threshold))
+    ubound = 1 + F.least(F.col("a.sz") - F.col("a.pos"),
+                         F.col("b.sz") - F.col("b.pos"))
     cand = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
                    & (F.col("a._blk") == F.col("b._blk"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
                    & (F.col("a.sz") >= F.col("b.sz") * threshold)
-                   & (F.col("b.sz") >= F.col("a.sz") * threshold))
+                   & (F.col("b.sz") >= F.col("a.sz") * threshold)
+                   & (ubound >= alpha))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
             .distinct())
     sets = hashed.select(F.col(id_col), "hs", "sz")
+    maybe_bc = F.broadcast if broadcast_verify else (lambda x: x)
     out = (cand
-           .join(sets.select(F.col(id_col).alias("id_a"),
-                             F.col("hs").alias("hs_a"),
-                             F.col("sz").alias("sz_a")), "id_a")
-           .join(sets.select(F.col(id_col).alias("id_b"),
-                             F.col("hs").alias("hs_b"),
-                             F.col("sz").alias("sz_b")), "id_b"))
+           .join(maybe_bc(sets.select(F.col(id_col).alias("id_a"),
+                                      F.col("hs").alias("hs_a"),
+                                      F.col("sz").alias("sz_a"))), "id_a")
+           .join(maybe_bc(sets.select(F.col(id_col).alias("id_b"),
+                                      F.col("hs").alias("hs_b"),
+                                      F.col("sz").alias("sz_b"))), "id_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.col("sz_a") + F.col("sz_b") - inter
     return (out.select("id_a", "id_b",

@@ -49,14 +49,43 @@ def lookup_with_default(left: DataFrame, right: DataFrame, on,
             .withColumn(col, F.coalesce(F.col(col), F.lit(default))))
 
 
-def merge_with_loss_metrics(m1: DataFrame, m2: DataFrame, on: str) -> tuple[DataFrame, dict]:
+class LossMetrics:
+    """Lazy row-loss metrics backed by ``df.observe``: populated by the
+    FIRST action on the merged DataFrame (zero extra jobs — the eager
+    version cost two anti-join passes on top of the merge itself)."""
+
+    def __init__(self, observation):
+        self._obs = observation
+
+    @property
+    def get(self) -> dict:
+        m = self._obs.get
+        return {"lost_left": m["lost_left"], "lost_right": m["lost_right"]}
+
+
+_MERGE_OBS_COUNTER = iter(range(1, 1 << 30))
+
+
+def merge_with_loss_metrics(m1: DataFrame, m2: DataFrame,
+                            on: str) -> tuple[DataFrame, LossMetrics]:
     """JN3 + AGG10 — inner matrix merge plus the reference's row-loss
-    warning (``combine_multStrategy_Directories.bash:242-256``) computed as
-    anti-join counts instead of wc-l arithmetic."""
-    merged = m1.join(m2, on, "inner")
-    lost_left = m1.join(m2, on, "left_anti").count()
-    lost_right = m2.join(m1, on, "left_anti").count()
-    return merged, {"lost_left": lost_left, "lost_right": lost_right}
+    warning (``combine_multStrategy_Directories.bash:242-256``).
+
+    Single pass: one full-outer join with presence markers; an
+    ``observe`` node counts the one-sided rows while the inner filter
+    streams past — no separate anti-join jobs, no second/third scan of
+    either matrix. Read ``metrics.get`` after acting on the result."""
+    from pyspark.sql import Observation
+    a = m1.withColumn("_l", F.lit(1))
+    b = m2.withColumn("_r", F.lit(1))
+    obs = Observation(f"merge_loss_{next(_MERGE_OBS_COUNTER)}")
+    full = (a.join(b, on, "full_outer")
+            .observe(obs,
+                     F.count(F.when(F.col("_r").isNull(), 1)).alias("lost_left"),
+                     F.count(F.when(F.col("_l").isNull(), 1)).alias("lost_right")))
+    merged = (full.filter(F.col("_l").isNotNull() & F.col("_r").isNotNull())
+              .drop("_l", "_r"))
+    return merged, LossMetrics(obs)
 
 
 # --- dedup / per-group selection (SURVEY §2.4/2.5) ----------------------------
@@ -98,7 +127,13 @@ def dense_rank_palette(df: DataFrame, group_cols: Sequence[str],
                        alias: str = "palette_idx") -> DataFrame:
     """WIN1 — deterministic categorical color assignment
     (``make_jbrowse_session_for_bioproject.py:33-39,81-145``): rank the
-    distinct group keys in sorted order, cycle a fixed palette with modulo."""
+    distinct group keys in sorted order, cycle a fixed palette with modulo.
+
+    SCALE GUARD: the partition-less ``Window.orderBy`` funnels the input
+    through ONE task — correct here because the input is per-project track
+    metadata (at most a few thousand rows). Do NOT point this at a fact
+    table; for large inputs rank the ``distinct`` group keys first (tiny)
+    and broadcast-join the assignment back."""
     w = Window.orderBy(*group_cols)
     return df.withColumn(
         alias, F.pmod(F.dense_rank().over(w) - 1, F.lit(palette_size)))

@@ -34,9 +34,11 @@ def union_reports(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def merge_matrices(m1: DataFrame, m2: DataFrame,
-                   on: str = "Symbol") -> tuple[DataFrame, dict]:
+                   on: str = "Symbol"):
     """JN3 + AGG10 — inner join of two wide matrices on the feature key,
-    with row-loss metrics exactly where the reference warns."""
+    with row-loss metrics exactly where the reference warns. The metrics
+    are observe-backed: read ``metrics.get`` after acting on the merge
+    (zero extra jobs)."""
     return merge_with_loss_metrics(m1, m2, on)
 
 
@@ -53,7 +55,8 @@ def combine_projects(pe: dict[str, DataFrame],
     Inputs: dicts with keys among {"tpm", "counts", "tx_tpm", "tx_counts",
     "sex"} — the four matrices (wide, Symbol-keyed) and the sex table.
     Returns (merged outputs, metrics): matrices inner-joined on Symbol with
-    row-loss counts (the reference's warnings, ``:242-256`` et al.), sex
+    row-loss counts (the reference's warnings, ``:242-256`` et al. —
+    ``metrics["<key>_loss"].get`` after acting on ``out[<key>]``), sex
     tables unioned with CRLF/blank cleanup (``:135-152``), and the
     duplicate-sample check across the two runs (``:506-532``).
     """

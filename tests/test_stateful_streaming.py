@@ -1,13 +1,17 @@
-"""Stateful streaming dedup: state persists across micro-batches."""
+"""Stateful streaming dedup: state persists across micro-batches, is sized
+one row per distinct fingerprint, and is evicted once the event-time
+watermark passes a fingerprint's last sighting + TTL."""
 
 from __future__ import annotations
 
 import os
+from datetime import datetime
 
 from rgd_rnaseq_workflows_spark.streaming.stateful import (
     batch_dedup_kernel, stream_dedup)
 
 SCHEMA = "doc_id long, text string"
+TS_SCHEMA = "doc_id long, text string, ts timestamp"
 
 
 def test_batch_kernel_dedups(spark):
@@ -16,6 +20,10 @@ def test_batch_kernel_dedups(spark):
     out = batch_dedup_kernel(docs)
     ids = sorted(r["doc_id"] for r in out.collect())
     assert ids == [1, 3]
+
+
+def _state_rows(q):
+    return next(op["numRowsTotal"] for op in q.lastProgress["stateOperators"])
 
 
 def test_stream_dedup_across_microbatches(spark, tmp_out):
@@ -43,5 +51,49 @@ def test_stream_dedup_across_microbatches(spark, tmp_out):
                  spark.sql("SELECT * FROM dedup_out").collect()}
         # doc 10 replays batch-1 content → dropped; doc 11 is new
         assert after == {1, 3, 11}
+
+        # state is ONE ROW PER DISTINCT FINGERPRINT (xxx, yyy, zzz) — not
+        # a per-shard set that re-serializes wholesale every batch
+        assert _state_rows(q) == 3
+    finally:
+        q.stop()
+
+
+def test_stream_dedup_event_time_ttl_evicts_state(spark, tmp_out):
+    """TTL = 30 min of EVENT time: eviction is driven by the watermark, so
+    the test advances timestamps, not the wall clock."""
+    src = os.path.join(tmp_out, "ttl_src")
+    os.makedirs(src)
+
+    def send(*rows):
+        spark.createDataFrame(
+            [(i, t, datetime(2026, 1, 1, h, m)) for i, t, h, m in rows],
+            schema=TS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+
+    stream = spark.readStream.schema(TS_SCHEMA).parquet(src)
+    q = (stream_dedup(stream, ts_col="ts", ttl="30 minutes")
+         .writeStream.format("memory").queryName("dedup_ttl")
+         .outputMode("append").start())
+    try:
+        send((1, "xxx", 10, 0), (2, "xxx", 10, 0), (3, "yyy", 10, 0))
+        send((10, "xxx", 10, 5), (11, "zzz", 10, 5))   # replay dropped
+        got = {r["doc_id"] for r in
+               spark.sql("SELECT * FROM dedup_ttl").collect()}
+        assert got == {1, 3, 11}
+        assert _state_rows(q) == 3
+
+        # jump event time to 12:00 → next batch's watermark (11:30) passes
+        # every timeout (≤ 10:35), evicting xxx/yyy/zzz
+        send((20, "www", 12, 0))
+        send((21, "qqq", 12, 1))
+        assert _state_rows(q) == 2                      # www, qqq only
+
+        # an evicted fingerprint is re-admitted on its next sighting —
+        # the dropDuplicatesWithinWatermark contract
+        send((30, "xxx", 12, 2))
+        got = {r["doc_id"] for r in
+               spark.sql("SELECT * FROM dedup_ttl").collect()}
+        assert got == {1, 3, 11, 20, 21, 30}
     finally:
         q.stop()
