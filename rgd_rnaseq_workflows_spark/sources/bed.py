@@ -33,3 +33,30 @@ def write_sorted_bed(df: DataFrame, path: str) -> None:
     reference contract is a single indexable file."""
     (df.orderBy("chrom", "start", "end").coalesce(1)
      .write.mode("overwrite").option("sep", "\t").csv(path))
+
+
+def index_commands(bed_path: str) -> list[list[str]]:
+    """SNK5's binary post-process, as the reference runs it
+    (``GeneTPMbed_v2.sh:139-161``): block-compress the sorted BED with
+    ``bgzip`` then index with ``tabix -p bed``. Returns the argv lists so
+    callers (CLI, orchestrator stage) can run them where htslib is
+    installed — the compression/indexing codecs are deliberately outside
+    the relational engine."""
+    return [["bgzip", "-f", bed_path],
+            ["tabix", "-p", "bed", f"{bed_path}.gz"]]
+
+
+def write_indexed_bed(df: DataFrame, dir_path: str,
+                      bed_name: str = "out.bed") -> list[list[str]]:
+    """Sorted single-file BED sink + the bgzip/tabix post-step: writes the
+    part file, renames it to ``bed_name``, and returns the index commands
+    (executed by the caller if htslib is present — matching the reference's
+    sink contract end-to-end)."""
+    import glob
+    import os
+    import shutil
+    write_sorted_bed(df, dir_path)
+    part = glob.glob(os.path.join(dir_path, "part-*"))[0]
+    target = os.path.join(dir_path, bed_name)
+    shutil.move(part, target)
+    return index_commands(target)
