@@ -1,0 +1,76 @@
+"""Connected components over near-duplicate pair edges.
+
+The dedup operators (``operators.dedup``) emit PAIRS; deduplicating a
+corpus needs CLUSTERS — a replay chain a↔b, b↔c must collapse to one
+keeper even though (a,c) was never a candidate pair. This is iterative
+min-label propagation expressed as DataFrame joins:
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+Scale design (100 TB):
+- each iteration is ONE shuffle join (adjacency ⋈ labels) + one groupBy
+  min — both partial-aggregated; no driver-side graph;
+- iterations converge in the cluster diameter, and near-dup clusters are
+  shallow (dozens of hops at worst, not the corpus size); ``max_iter``
+  caps pathological chains;
+- the adjacency materializes once (eager ``localCheckpoint`` — the loop
+  is inherently eager, every round runs a convergence job) and the label
+  table re-checkpoints every few rounds: often enough to stop lineage
+  replanning from compounding, rarely enough that shallow graphs (the
+  common case — measured 2 rounds on near-dup pairs) skip the
+  materialization cost entirely;
+- convergence is detected by an aggregate fingerprint (sum of labels —
+  strictly decreasing until fixpoint), one cheap job per iteration.
+
+The DuckDB oracle computes the same fixpoint with a recursive CTE
+(min reachable id), so the iterative implementation is value-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Undirected connected components: (id, comp) with comp = the
+    smallest node id reachable from ``id``. Includes every node appearing
+    in ``edges`` (isolated nodes never enter — prepend them upstream if
+    singleton clusters are wanted)."""
+    adj = (edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+           .union(edges.select(F.col(id_b).alias("src"),
+                               F.col(id_a).alias("dst")))
+           .distinct()
+           .localCheckpoint())
+    labels = (adj.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("comp", F.col("id")))
+    prev_sum = None
+    for i in range(max_iter):
+        neigh = (adj.join(labels.withColumnRenamed("id", "dst")
+                          .withColumnRenamed("comp", "n_comp"), "dst")
+                 .groupBy(F.col("src").alias("id"))
+                 .agg(F.min("n_comp").alias("n_comp")))
+        labels = (labels.join(neigh, "id", "left")
+                  .select("id", F.least(
+                      "comp", F.coalesce("n_comp", "comp")).alias("comp")))
+        if (i + 1) % 5 == 0:
+            labels = labels.localCheckpoint(eager=False)
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def cluster_keepers(edges: DataFrame, id_a: str = "id_a",
+                    id_b: str = "id_b") -> DataFrame:
+    """Duplicate-cluster report from pair edges: one row per cluster —
+    (comp, n_members, keeper_id) with the deterministic min-id keeper,
+    the cluster-level twin of ``dedup.exact_duplicate_groups``."""
+    comps = connected_components(edges, id_a, id_b)
+    return (comps.groupBy("comp")
+            .agg(F.count("*").alias("n_members"),
+                 F.min("id").alias("keeper_id")))

@@ -701,6 +701,43 @@ def dedup_ngram_jaccard(spark, sf_dir):
                                   threshold=0.8)
 
 
+def _cluster_keepers_oracle() -> str:
+    """Recursive-CTE fixpoint twin of the iterative min-label propagation:
+    comp(v) = min id reachable from v over the SAME pair edges the
+    dedup_ngram_jaccard oracle computes."""
+    pairs_sql = REGISTRY["dedup_ngram_jaccard"].oracle.strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+comps AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
+SELECT comp, CAST(count(*) AS BIGINT) AS n_members,
+       min(id) AS keeper_id
+FROM comps GROUP BY comp
+"""
+
+
+@q("dedup_cluster_keepers", ("DEDUP-CLUSTERS",),
+   oracle=None,  # set after definition — composes the ngram oracle text
+   note="near-dup pairs → connected components → per-cluster keeper: "
+        "iterative min-label propagation (one join + one agg per round, "
+        "localCheckpoint-truncated lineage); oracle = recursive-CTE "
+        "reachability fixpoint over the identical edge set")
+def dedup_cluster_keepers(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.components import cluster_keepers
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, block_col="lang", shingle_n=2,
+                                   threshold=0.8)
+    return cluster_keepers(pairs)
+
+
+REGISTRY["dedup_cluster_keepers"].oracle = _cluster_keepers_oracle()
+
+
 # =============================================================================
 # Text analysis (LLM-data-pipeline extensions)
 # =============================================================================

@@ -1,0 +1,33 @@
+"""Connected components / cluster keepers over near-dup pair edges."""
+
+from __future__ import annotations
+
+from rgd_rnaseq_workflows_spark.operators.components import (
+    cluster_keepers, connected_components)
+
+
+def test_chain_collapses_to_one_component(spark):
+    # a-b, b-c, c-d chain: (a,d) never a pair, still one cluster —
+    # multiple propagation iterations required
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 4), (9, 8)], ["id_a", "id_b"])
+    comps = {r["id"]: r["comp"]
+             for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+
+
+def test_cluster_keepers_report(spark):
+    edges = spark.createDataFrame(
+        [(5, 1), (5, 3), (7, 6)], ["id_a", "id_b"])
+    rows = {r["comp"]: (r["n_members"], r["keeper_id"])
+            for r in cluster_keepers(edges).collect()}
+    assert rows == {1: (3, 1), 6: (2, 6)}
+
+
+def test_long_path_converges(spark):
+    # a 12-node path exercises the iteration cap logic well past one hop
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"])
+    comps = connected_components(edges)
+    assert comps.select("comp").distinct().count() == 1
+    assert comps.count() == 13
