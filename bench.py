@@ -9,6 +9,7 @@ plan including result production, without driver-collect overhead).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -32,6 +33,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
+        # free the previous query's DataFrame refs so the ContextCleaner
+        # can drop its localCheckpoint RDDs / broadcasts before timing
+        gc.collect()
         t0 = time.time()
         try:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

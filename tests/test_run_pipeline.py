@@ -54,6 +54,28 @@ def _argv(root, out):
             "--out", out, "--project", "PRJT"]
 
 
+def test_cli_layout_routing_excludes_se_runs(spark, tmp_out):
+    """SRC9 end-to-end: a mixed-layout FASTQ inventory routes SE runs away
+    from the PE pipeline instance (the reference's exit-2 contract)."""
+    _fixtures(tmp_out)
+    for run, files in [("SRR0", ["SRR0_1.fastq.gz", "SRR0_2.fastq.gz"]),
+                       ("SRR1", ["SRR1_1.fastq.gz", "SRR1_2.fastq.gz"]),
+                       ("SRR2", ["SRR2.fastq.gz"])]:       # GSM3: single-end
+        os.makedirs(f"{tmp_out}/fastq/{run}", exist_ok=True)
+        for fn in files:
+            open(f"{tmp_out}/fastq/{run}/{fn}", "w").close()
+    out = f"{tmp_out}/out_pe"
+    argv = _argv(tmp_out, out) + [
+        "--layout", "PE", "--fastq-inventory", f"{tmp_out}/fastq/*/*.fastq.gz"]
+    assert run_pipeline.main(argv) == 0
+    qc = _read_single(f"{out}/STAR_Align_sum/part*.csv")
+    # GSM3's run is SE → excluded before STARQC; GSM1/GSM2 remain
+    assert not any("GSM3" in line for line in qc)
+    assert len(qc) == 3                                 # header + 2 samples
+    passed = _read_single(f"{out}/Unique_AccList_PASS/part*.csv")
+    assert len(passed) == 2 and "GSM1" in passed[1]     # GSM2 fails QC
+
+
 def test_cli_full_run_and_resume(spark, tmp_out):
     _fixtures(tmp_out)
     out = f"{tmp_out}/out"
