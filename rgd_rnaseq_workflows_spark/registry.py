@@ -592,6 +592,25 @@ def stream_sessionize(spark, sf_dir):
     return ST.sessionize(e, gap_minutes=30)
 
 
+@q("stream_interval_join", ("STREAM-JOIN",), oracle="""
+SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT)
+         - CAST(floor(epoch(v.ts)) AS BIGINT) AS lag_seconds
+FROM events c JOIN events v
+  ON v.user_id = c.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
+""", note="event-time interval join (attribution shape) — batch twin of "
+          "the watermark-bounded stream-stream join "
+          "(streaming/events_stream.py::stream_interval_join; "
+          "stream-equals-batch asserted in tests/test_streaming.py)")
+def stream_interval_join_q(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return ST.interval_join(e.filter(F.col("event_type") == "click"),
+                            e.filter(F.col("event_type") == "view"),
+                            max_lag="1 hour")
+
+
 # =============================================================================
 # Dedup family (LLM-data-pipeline extensions)
 # =============================================================================

@@ -55,6 +55,50 @@ def stream_windowed_counts(spark: SparkSession, source_dir: str,
     return windowed_counts(stream, window)
 
 
+def interval_join(clicks: DataFrame, views: DataFrame,
+                  max_lag: str = "1 hour") -> DataFrame:
+    """Event-time interval join: each click pairs with the same user's
+    views at or before it within ``max_lag`` — the attribution-join shape.
+
+    One definition, two modes: on batch DataFrames it is a plain range
+    equi-join (Catalyst: hash join on user_id + time-range residual); on
+    two watermarked streams the SAME condition becomes a stream-stream
+    join whose state is bounded by the watermark + the lag bound (the
+    join condition's time range tells Spark when buffered rows expire —
+    a stream-stream join WITHOUT a range condition grows state forever).
+    """
+    secs = {"minute": 60, "minutes": 60, "hour": 3600, "hours": 3600,
+            "second": 1, "seconds": 1}
+    num, unit = max_lag.split()
+    lag_s = int(float(num) * secs[unit])
+    c = clicks.select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"))
+    v = views.select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("v_ts"))
+    cond = ((F.col("c_user") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("c_ts"))
+            & (F.col("v_ts") >= F.col("c_ts") - F.expr(
+                f"INTERVAL {lag_s} SECONDS")))
+    return (c.join(v, cond)
+            .select(F.col("c_user").alias("user_id"), "click_id", "view_id",
+                    (F.col("c_ts").cast("long")
+                     - F.col("v_ts").cast("long")).alias("lag_seconds")))
+
+
+def stream_interval_join(spark: SparkSession, source_dir: str,
+                         max_lag: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin: two watermarked readers over the same feed, split
+    by event_type, joined with the identical interval condition."""
+    def side(t):
+        return (spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+                .withWatermark("ts", watermark)
+                .filter(F.col("event_type") == t))
+    return interval_join(side("click"), side("view"), max_lag)
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch sessionization: lag-gap cumulative session ids per user
     (the classic window composition; streaming twin would use

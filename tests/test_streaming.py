@@ -57,3 +57,26 @@ def test_session_window_native_matches_lag_based(spark):
     a = {(r["user_id"], r["n_events"]) for r in lag_based.collect()}
     b = {(r["user_id"], r["n_events"]) for r in native.collect()}
     assert a == b
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_out):
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.streaming.events_stream import (
+        interval_join, stream_interval_join)
+    df = _events_df(spark)
+    src = os.path.join(tmp_out, "ij_src")
+    df.write.parquet(src)
+    batch = {tuple(r) for r in interval_join(
+        df.filter(F.col("event_type") == "click"),
+        df.filter(F.col("event_type") == "view")).collect()}
+
+    q = (stream_interval_join(spark, src, watermark="10 minutes")
+         .writeStream.format("memory").queryName("ij_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        streamed = {tuple(r) for r in
+                    spark.sql("SELECT * FROM ij_out").collect()}
+    finally:
+        q.stop()
+    assert streamed == batch and len(batch) > 0
