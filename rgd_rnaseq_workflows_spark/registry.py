@@ -1279,6 +1279,45 @@ def grouping_sets_agg(spark, sf_dir):
     """)
 
 
+@q("cube_aggregate", ("CUBE",), oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""", note="full cube — completes the grouping-sets family "
+          "(rollup_aggregate, grouping_sets_agg)")
+def cube_aggregate(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 (_isum("l_quantity", 100) / 100.0).alias("sum_qty")))
+
+
+@q("multimodal_frame_plan", ("MULTIMODAL-FRAMES",), oracle="""
+SELECT doc_id AS media_id, CAST(f.frame_idx AS BIGINT) AS frame_idx
+FROM documents,
+     LATERAL (SELECT unnest(range(0, (doc_id % 5 + 1) * 30, 30))
+              AS frame_idx) f
+WHERE doc_id < 32
+""", note="video frame-sampling plan: per-media (media_id, frame_idx) "
+          "explosion from metadata frame counts; the decode of each "
+          "sampled frame is the stubbed codec kernel "
+          "(multimodal/binary.py::frame_sample_plan)")
+def multimodal_frame_plan(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.multimodal.binary import frame_sample_plan
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 32)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/mp4").alias("mime"),
+        F.encode("text", "utf-8").alias("content"),
+        F.create_map(
+            F.lit("n_frames"),
+            ((F.col("doc_id") % 5 + 1) * 30).cast("string")).alias("meta"))
+    return frame_sample_plan(media, every_n=30)
+
+
 _OBS_COUNTER = iter(range(1, 1 << 30))
 
 
