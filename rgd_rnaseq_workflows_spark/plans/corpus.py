@@ -1,0 +1,60 @@
+"""End-to-end training-corpus curation: the flagship LLM-data pipeline.
+
+Chains the engine's text + dedup operator families into one declarative
+lineage (Catalyst plans the quality/language/exact-dedup stages as a
+single pass over the corpus; only the near-dup stage adds joins):
+
+1. quality gate — token count ≥ ``min_tokens`` (``functions.text``);
+2. language consistency — n-gram/stopword language ID must agree with the
+   labeled language (mislabeled docs are the classic web-corpus defect);
+3. exact dedup — keep the lowest doc_id per content md5 fingerprint;
+4. near-dup removal — PPJoin n-gram Jaccard pairs (blocked by language)
+   → connected components → drop every non-keeper cluster member, so
+   replay CHAINS collapse (a~b, b~c drops both b and c even when (a,c)
+   was never a candidate pair).
+
+Every stage is an independently oracle-checked operator; the composite is
+itself value-checked end-to-end (registry ``corpus_full_curation``).
+
+Scale notes (100 TB): stages 1-3 are one scan + one shuffle (the dedup
+window); stage 4's cost profile is the PPJoin + component loop documented
+in ``operators/dedup.py`` / ``operators/components.py``. The pipeline
+never collects documents to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rgd_rnaseq_workflows_spark.functions import text as TX
+from rgd_rnaseq_workflows_spark.operators.components import connected_components
+from rgd_rnaseq_workflows_spark.operators.dedup import (
+    exact_dedup, ngram_jaccard_pairs)
+
+
+def curate_corpus(docs: DataFrame, min_tokens: int = 20,
+                  shingle_n: int = 2,
+                  threshold: float = 0.8) -> DataFrame:
+    """documents(doc_id, lang, source, text, …) → the curated subset
+    (same columns + ``n_tokens``), deterministic keeper choice."""
+    feats = docs.select("doc_id", "lang", "source", "text",
+                        TX.token_count("text").alias("n_tokens"),
+                        TX.lang_id("text").alias("lang_pred"))
+    kept = (feats.filter((F.col("n_tokens") >= min_tokens)
+                         & (F.col("lang_pred") == F.col("lang")))
+            .drop("lang_pred"))
+    uniq = exact_dedup(kept, text_col="text", id_col="doc_id")
+    pairs = ngram_jaccard_pairs(uniq, block_col="lang",
+                                shingle_n=shingle_n, threshold=threshold)
+    comps = connected_components(pairs)
+    non_keepers = (comps.filter(F.col("comp") != F.col("id"))
+                   .select(F.col("id").alias("doc_id")))
+    return uniq.join(non_keepers, "doc_id", "left_anti")
+
+
+def curation_stats(curated: DataFrame) -> DataFrame:
+    """Per-language corpus report over the curated subset."""
+    return (curated.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens")))

@@ -703,17 +703,27 @@ def dedup_simhash(spark, sf_dir):
     return DD.simhash(d, bits=16, seed=101)
 
 
-@q("dedup_ngram_jaccard", ("DEDUP-NGRAM",), oracle="""
-WITH s AS (SELECT doc_id, lang,
-                  """ + TX.shingles_sql("text", 2) + """ AS sh
-           FROM documents)
+def _ngram_pairs_sql(src: str = "documents", shingle_n: int = 2,
+                     threshold: float = 0.8) -> str:
+    """Naive blocked all-pairs Jaccard SQL over any doc-shaped relation
+    ``src(doc_id, lang, text)`` — the oracle twin of the PPJoin operator,
+    reusable as a sub-CTE (cluster keepers, corpus curation)."""
+    return f"""
 SELECT id_a, id_b, jaccard FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
-  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-WHERE jaccard >= 0.8
-""", note="blocked all-pairs 2-gram Jaccard (block = lang)")
+  FROM (SELECT doc_id, lang, {TX.shingles_sql('text', shingle_n)} AS sh
+        FROM {src}) a
+  JOIN (SELECT doc_id, lang, {TX.shingles_sql('text', shingle_n)} AS sh
+        FROM {src}) b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id)
+WHERE jaccard >= {threshold}
+"""
+
+
+@q("dedup_ngram_jaccard", ("DEDUP-NGRAM",), oracle=_ngram_pairs_sql(),
+   note="blocked all-pairs 2-gram Jaccard (block = lang)")
 def dedup_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(d, block_col="lang", shingle_n=2,
@@ -1135,6 +1145,53 @@ def corpus_curation(spark, sf_dir):
     return (kept.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens")))
+
+
+def _full_curation_oracle(min_tokens: int = 20) -> str:
+    """The whole curation chain as one recursive-CTE query: quality gate →
+    language consistency → exact dedup (min id per md5) → near-dup
+    cluster removal (reachability fixpoint) → per-lang stats."""
+    n_tokens = TX.quality_features_sql("text")["n_tokens"]
+    return f"""
+WITH RECURSIVE feats AS (
+  SELECT doc_id, lang, text, {n_tokens} AS n_tokens,
+         {TX.lang_id_sql('text')} AS lang_pred
+  FROM documents),
+kept AS (
+  SELECT doc_id, lang, text, n_tokens FROM feats
+  WHERE n_tokens >= {min_tokens} AND lang_pred = lang),
+uniq AS (
+  SELECT doc_id, lang, text, n_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn FROM kept)
+  WHERE rn = 1),
+pairs AS ({_ngram_pairs_sql(src='uniq').strip()}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+non_keepers AS (
+  SELECT id FROM (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
+  WHERE comp <> id),
+final AS (SELECT * FROM uniq
+          WHERE doc_id NOT IN (SELECT id FROM non_keepers))
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM final GROUP BY lang
+"""
+
+
+@q("corpus_full_curation", ("CURATION-FULL",), oracle=_full_curation_oracle(),
+   note="flagship LLM-data pipeline: quality gate → language consistency "
+        "→ exact dedup → PPJoin near-dup clusters → keeper-only stats; "
+        "five operator families in one value-checked lineage")
+def corpus_full_curation(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.plans.corpus import (
+        curate_corpus, curation_stats)
+    d = _t(spark, sf_dir, "documents")
+    return curation_stats(curate_corpus(d))
 
 
 # =============================================================================

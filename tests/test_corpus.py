@@ -1,0 +1,47 @@
+"""End-to-end corpus curation: quality → lang → exact dedup → near-dup
+cluster removal with deterministic keepers."""
+
+from __future__ import annotations
+
+from rgd_rnaseq_workflows_spark.plans.corpus import (
+    curate_corpus, curation_stats)
+
+# 20 distinct tokens, English-stopword heavy → lang_id = en;
+# bigram shingles are all distinct → controllable Jaccard arithmetic
+BASE = ("the cat and dog of mouse to house in barn "
+        "is red it runs over fields near rivers under stars")
+
+
+def _docs(spark):
+    near_a = BASE + " alpha"                     # J(a,b) = 19/21 ≈ 0.905
+    near_b = BASE + " beta"                      # J(b,c) = 20/21 ≈ 0.952
+    near_c = BASE + " beta gamma"                # J(a,c) = 19/22 ≈ 0.864
+    rows = [
+        (1, "en", "web", near_a),
+        (2, "en", "web", near_a),                # exact dup of 1
+        (3, "en", "web", near_b),                # near-dup of 1 and 4
+        (4, "en", "web", near_c),                # chains to 1 only VIA 3
+        (5, "en", "web", "too short"),           # quality gate
+        (6, "de", "web", BASE + " delta"),       # lang mislabel (en text)
+        (7, "en", "web", ("der und das ist von ein zu die " * 4).strip()),
+        # ^ labeled en but German stopwords → lang_pred=de → dropped
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"])
+
+
+def test_curate_corpus_stages(spark):
+    # threshold 0.9: pairs (1,3) and (3,4) qualify, (1,4) does NOT —
+    # only the connected-component pass can collapse the chain
+    out = curate_corpus(_docs(spark), min_tokens=20,
+                        shingle_n=2, threshold=0.9)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 2 exact-dups 1; 3,4 fall in 1's cluster via the chain (keeper 1);
+    # 5 too short; 6,7 language mismatch
+    assert ids == [1]
+
+
+def test_curation_stats_shape(spark):
+    curated = curate_corpus(_docs(spark), min_tokens=5, threshold=0.999)
+    stats = {r["lang"]: (r["n_docs"], r["total_tokens"])
+             for r in curation_stats(curated).collect()}
+    assert "en" in stats and stats["en"][0] >= 1
