@@ -44,7 +44,11 @@ def curate_corpus(docs: DataFrame, min_tokens: int = 20,
     kept = (feats.filter((F.col("n_tokens") >= min_tokens)
                          & (F.col("lang_pred") == F.col("lang")))
             .drop("lang_pred"))
-    uniq = exact_dedup(kept, text_col="text", id_col="doc_id")
+    # materialize the deduped survivor set once: it feeds the near-dup
+    # pair generator AND the final keeper anti-join, and its lineage
+    # (lang-ID stopword scoring + a dedup window) is the expensive part
+    uniq = exact_dedup(kept, text_col="text",
+                       id_col="doc_id").localCheckpoint(eager=False)
     pairs = ngram_jaccard_pairs(uniq, block_col="lang",
                                 shingle_n=shingle_n, threshold=threshold)
     comps = connected_components(pairs)

@@ -1,0 +1,61 @@
+"""CLI: curate a document corpus (the LLM-training-data pipeline).
+
+Usage:
+  python -m rgd_rnaseq_workflows_spark.run_corpus \
+      --docs /data/documents.parquet --out out/corpus \
+      [--min-tokens 20] [--shingle-n 2] [--threshold 0.8]
+
+Reads a parquet documents table (doc_id, lang, source, text, …), runs
+quality gate → language-consistency filter → exact dedup → near-dup
+cluster removal (``plans/corpus.py``), writes the curated subset as
+parquet partitioned by lang plus a per-language stats TSV.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from rgd_rnaseq_workflows_spark.plans.corpus import curate_corpus, curation_stats
+from rgd_rnaseq_workflows_spark.session import get_spark
+from rgd_rnaseq_workflows_spark.sources.tsv import write_tsv
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rgd_rnaseq_workflows_spark.run_corpus",
+        description="corpus curation: quality -> lang -> exact dedup -> "
+                    "near-dup clusters")
+    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--min-tokens", type=int, default=20)
+    p.add_argument("--shingle-n", type=int, default=2)
+    p.add_argument("--threshold", type=float, default=0.8)
+    return p
+
+
+def run(args: argparse.Namespace) -> int:
+    spark = get_spark("corpus-curation")
+    out = args.out.rstrip("/")
+    docs = spark.read.parquet(args.docs)
+    curated = curate_corpus(docs, min_tokens=args.min_tokens,
+                            shingle_n=args.shingle_n,
+                            threshold=args.threshold)
+    # partition by lang: downstream training jobs prune per-language;
+    # the curated set is a fraction of the input, so files stay chunky
+    (curated.write.mode("overwrite").partitionBy("lang")
+     .parquet(f"{out}/curated"))
+    stats = curation_stats(spark.read.parquet(f"{out}/curated"))
+    write_tsv(stats.orderBy("lang"), f"{out}/stats", single_file=True)
+    for r in stats.orderBy("lang").collect():
+        print(f"[corpus] {r['lang']}: {r['n_docs']} docs, "
+              f"{r['total_tokens']} tokens", file=sys.stderr)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    return run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

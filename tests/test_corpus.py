@@ -45,3 +45,21 @@ def test_curation_stats_shape(spark):
     stats = {r["lang"]: (r["n_docs"], r["total_tokens"])
              for r in curation_stats(curated).collect()}
     assert "en" in stats and stats["en"][0] >= 1
+
+
+def test_corpus_cli(spark, tmp_out):
+    import glob
+    import os
+    from rgd_rnaseq_workflows_spark import run_corpus
+    src = os.path.join(tmp_out, "docs.parquet")
+    _docs(spark).write.parquet(src)
+    out = os.path.join(tmp_out, "corpus_out")
+    rc = run_corpus.main(["--docs", src, "--out", out,
+                          "--min-tokens", "20", "--threshold", "0.9"])
+    assert rc == 0
+    curated = spark.read.parquet(f"{out}/curated")
+    assert [r["doc_id"] for r in curated.collect()] == [1]
+    assert os.path.isdir(f"{out}/curated/lang=en")     # partitioned layout
+    [stats] = glob.glob(f"{out}/stats/part*.csv")
+    lines = open(stats).read().strip().split("\n")
+    assert lines[0] == "lang\tn_docs\ttotal_tokens"
