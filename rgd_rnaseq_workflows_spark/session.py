@@ -20,6 +20,10 @@ _SQL_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # runtime bloom-filter pushdown: a selective join's build side prunes
+    # the probe-side SCAN — at 100 TB this is the difference between
+    # shuffling the fact table and shuffling the matching slice.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Deterministic oracle comparison: DuckDB timestamps are UTC-naive.
     "spark.sql.session.timeZone": "UTC",
     # Arrow for any pandas boundary (vectorized UDFs, toPandas).

@@ -1,0 +1,53 @@
+"""Physical-plan regression guards: the scale-relevant plan facts PLANS.md
+documents, pinned as assertions so a refactor can't silently lose them."""
+
+from __future__ import annotations
+
+import pytest
+
+from rgd_rnaseq_workflows_spark.registry import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # 7-column projection reaches the scan (no SELECT *)
+    assert "l_comment" not in plan
+
+
+def test_jn1_semi_join_is_broadcast(spark):
+    plan = _plan(spark, "jn1_semi_join")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_jn2_broadcast_no_big_side_shuffle(spark):
+    plan = _plan(spark, "jn2_broadcast_annotate")
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("name", [
+    "q1_pricing_summary", "jn1_semi_join", "jn3_merge_join",
+    "aggp1_pivot_matrix", "agg8_ratio_classify", "win1_dense_rank_palette",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "text_lang_id",
+    "text_quality_features", "ann_cosine_topk", "srt_topk_global",
+])
+def test_parity_surface_is_jvm_only(spark, name):
+    """The §2 parity surface and the dedup/text/ANN hot paths run with no
+    Python boundary — no BatchEvalPython / ArrowEvalPython nodes."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "srt_topk_global")
+    assert "TakeOrderedAndProject" in plan
