@@ -67,7 +67,10 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     norm = F.trim(F.regexp_replace(c, " +", " "))
     gram = "[^ ]+" + (" [^ ]+" * (n - 1))
-    rx = F.regexp_extract_all(norm, F.lit(f"(?=({gram}))[^ ]+ "), 1)
+    # consume `token( |$)` — end-of-string alternative matters at n=1,
+    # where the LAST token is itself a shingle (caught by the property
+    # test: a trailing-space-only consume silently dropped it)
+    rx = F.regexp_extract_all(norm, F.lit(f"(?=({gram}))[^ ]+( |$)"), 1)
     return F.array_sort(F.array_distinct(
         F.when(F.size(rx) == 0, F.array(norm)).otherwise(rx)))
 

@@ -81,3 +81,41 @@ def test_minhash_signature_of_identical_docs_collides(spark, texts):
                                         shingle_n=1).collect()}
     for i in range(len(texts)):
         assert sigs[i] == sigs[100 + i]
+
+
+# messy strings: words, runs of spaces, leading/trailing spaces
+messy_doc = st.lists(
+    st.one_of(word, st.just(" "), st.just("  ")),
+    min_size=0, max_size=14).map(" ".join)
+
+
+@SETTINGS
+@given(st.lists(messy_doc, min_size=1, max_size=6),
+       st.integers(min_value=1, max_value=4))
+def test_regex_shingles_equal_reference_hof_build(spark, texts, n):
+    """The codegen regex shingle scan must equal the straightforward
+    transform(sequence(slice)) construction for ANY spacing — the regex
+    rewrite is a pure performance substitution."""
+    from rgd_rnaseq_workflows_spark.functions.text import shingles, tokens
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["i", "t"])
+    toks = tokens("t")
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    reference = F.array_sort(F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda j: F.concat_ws(" ", F.slice(toks, j, n)))))
+    diff = df.select(
+        (shingles("t", n) == reference).alias("eq")).collect()
+    assert all(r["eq"] for r in diff)
+
+
+@SETTINGS
+@given(st.lists(messy_doc, min_size=1, max_size=6))
+def test_tokens_drop_empties_for_any_spacing(spark, texts):
+    from rgd_rnaseq_workflows_spark.functions.text import tokens
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["i", "t"])
+    got = df.select("i", tokens("t").alias("tk")).collect()
+    for r in got:
+        expected = [w for w in texts[r["i"]].split(" ") if w]
+        assert r["tk"] == expected
