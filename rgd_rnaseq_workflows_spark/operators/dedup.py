@@ -137,10 +137,36 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         band_size: int = 2, shingle_n: int = 3,
                         threshold: float = 0.5) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: signatures → banded candidates →
-    exact-Jaccard verification."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    exact-Jaccard verification.
+
+    The hashed shingle-set table is built ONCE (``localCheckpoint``) and
+    feeds both stages: signatures derive from the exploded 60-bit hashes
+    (the signature's base is the same md5 family), and verification
+    intersects the sorted arrays — without the shared materialization the
+    shingle scan runs three times (signature + two verify sides)."""
+    hashed = (df.select(
+        F.col(id_col),
+        F.array_sort(F.transform(shingles(text_col, shingle_n),
+                                 lambda s: md5_long(s))).alias("hs"))
+        .localCheckpoint(eager=False))
+    base = F.pmod(F.col("h"), F.lit(1 << 30))
+    sh = (hashed.select(F.col(id_col), F.explode("hs").alias("h"))
+          .select(F.col(id_col), base.alias("x")))
+    aggs = [F.min((F.col("x") * a + b) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_params(num_hashes))]
+    sigs = sh.groupBy(id_col).agg(*aggs)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
-    return verify_jaccard(cand, df, text_col, id_col, shingle_n, threshold)
+    sets_df = hashed
+    out = (cand
+           .join(sets_df.withColumnRenamed(id_col, "id_a")
+                        .withColumnRenamed("hs", "sh_a"), "id_a")
+           .join(sets_df.withColumnRenamed(id_col, "id_b")
+                        .withColumnRenamed("hs", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (out.withColumn("jaccard", F.round(inter / union, 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
 
 
 # --- n-gram Jaccard with key blocking -------------------------------------------

@@ -119,3 +119,24 @@ def test_tokens_drop_empties_for_any_spacing(spark, texts):
     for r in got:
         expected = [w for w in texts[r["i"]].split(" ") if w]
         assert r["tk"] == expected
+
+
+@SETTINGS
+@given(st.lists(
+    st.lists(st.one_of(st.sampled_from(["the", "and", "der", "das", "le",
+                                        "el", "que", "a", "an", "thee"]),
+                       word),
+             min_size=0, max_size=10).map(" ".join),
+    min_size=1, max_size=6))
+def test_regex_stopword_hits_equal_hof_filter(spark, texts):
+    """The codegen regex stopword counter must equal filtering the token
+    array (occurrences, whole-token matches only — 'thee' ≠ 'the')."""
+    from rgd_rnaseq_workflows_spark.functions.text import (
+        STOPWORDS, _stopword_hits, tokens)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["i", "t"])
+    for lang, ws in sorted(STOPWORDS.items())[:2]:
+        got = df.select("i", _stopword_hits("t", ws).alias("n")).collect()
+        for r in got:
+            expected = sum(1 for w in texts[r["i"]].split(" ") if w in ws)
+            assert r["n"] == expected, (lang, texts[r["i"]])
