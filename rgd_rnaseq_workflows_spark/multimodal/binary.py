@@ -83,6 +83,36 @@ def image_features(media: DataFrame,
             .mapInPandas(extract, IMAGE_FEATURES_SCHEMA))
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("content", T.BinaryType()),
+])
+
+
+def resize_images(media: DataFrame, width: int,
+                  height: int) -> DataFrame:
+    """Resize plumbing via mapInPandas: Arrow batches in, fixed target
+    dims + resized bytes out. The pixel kernel is a deterministic fake
+    (md5 of source bytes + dims → pseudo-content) — swap the body for
+    PIL/libvips in production; schema, batch shape, and the
+    embarrassingly-parallel zero-shuffle layout are the real contract."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                fake = hashlib.md5(
+                    raw + f":{width}x{height}".encode()).digest()
+                rows.append((mid, width, height, fake))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "content"])
+
+    return (media.select("media_id", "content")
+            .mapInPandas(kernel, RESIZED_SCHEMA))
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling plumbing: explodes a (media_id, frame_idx) plan
     per video from metadata frame counts — the decode of each sampled frame

@@ -41,3 +41,20 @@ def test_frame_sample_plan(spark):
 def test_audio_stub_is_explicit(spark):
     with pytest.raises(NotImplementedError):
         decode_audio(_media(spark))
+
+
+def test_resize_images_plumbing(spark):
+    import hashlib
+    from rgd_rnaseq_workflows_spark.multimodal.binary import resize_images
+    out = {r["media_id"]: r for r in
+           resize_images(_media(spark).filter("kind = 'image'"),
+                         width=224, height=224).collect()}
+    assert set(out) == {1, 2}
+    assert all(r["width"] == 224 and r["height"] == 224
+               for r in out.values())
+    # deterministic fake kernel: md5(source bytes + dims)
+    src = {r["media_id"]: bytes(r["content"]) for r in
+           _media(spark).filter("kind = 'image'").collect()}
+    expect = hashlib.md5(src[1] + b":224x224").digest()
+    assert bytes(out[1]["content"]) == expect
+    assert bytes(out[1]["content"]) != bytes(out[2]["content"])
