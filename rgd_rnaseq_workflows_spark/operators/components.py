@@ -44,9 +44,12 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                                F.col(id_a).alias("dst")))
            .distinct()
            .localCheckpoint())
-    labels = (adj.select(F.col("src").alias("id"))
-              .distinct()
-              .withColumn("comp", F.col("id")))
+    # label init WITH the first propagation fused: every node appears as
+    # src (adjacency holds both directions), so min(id, min neighbor) is
+    # one aggregation over adj — cheaper than the loop's join form
+    labels = (adj.groupBy("src").agg(F.min("dst").alias("_mn"))
+              .select(F.col("src").alias("id"),
+                      F.least("src", "_mn").alias("comp")))
     prev_sum = None
     for i in range(max_iter):
         neigh = (adj.join(labels.withColumnRenamed("id", "dst")
