@@ -46,3 +46,16 @@ def test_route_by_layout_mixed_acclist(spark):
         ["SRR4", "SRR9"]
     # routing preserves the AccList schema for downstream plans
     assert routed[PAIRED_END].columns == ["Run", "geo_accession"]
+
+
+def test_classify_layout_geo_prefixed_renames(spark):
+    """After the reference's rename step files carry the geo prefix
+    (GSM1_SRR1_1.fastq, SRA2QC_production.sh:211-224) — the run id still
+    extracts from the segment before the mate suffix."""
+    inv = inventory_from_paths(spark, [
+        "scratch/SRR5/GSM9_SRR5_1.fastq.gz",
+        "scratch/SRR5/GSM9_SRR5_2.fastq.gz",
+        "scratch/SRR6/GSM9_SRR6.fastq",          # renamed unpaired/SE
+    ])
+    got = {r["run"]: r["layout"] for r in classify_layout(inv).collect()}
+    assert got == {"SRR5": PAIRED_END, "SRR6": SINGLE_END}

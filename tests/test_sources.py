@@ -84,3 +84,22 @@ def test_rsem_isoforms_reader(spark, tmp_out):
     rows = {(r["sample"], r["feature_id"]): r["TPM"] for r in df.collect()}
     # feature grain is the TRANSCRIPT id for the Tx matrices
     assert rows == {("GSMT", "NM_1"): 12.5, ("GSMT", "NM_2"): 1.25}
+
+
+def test_write_tsv_bc_format_bytes(spark, tmp_out):
+    """The bc_format sink path renders bc's exact strings (ComputeSex
+    writes bc output verbatim): fixed 6 decimals, no leading zero under
+    1, bare 0, Inf sentinel for NULL."""
+    import glob
+    from rgd_rnaseq_workflows_spark.sources.tsv import write_tsv
+    df = spark.createDataFrame(
+        [("a", 2.5), ("b", 0.000249), ("c", 0.0), ("d", None),
+         ("e", 41.666666)],
+        "k string, Ratio double")
+    out = f"{tmp_out}/bc_sink"
+    write_tsv(df.orderBy("k"), out, single_file=True,
+              sentinel_map={"Ratio": "Inf"}, bc_format={"Ratio": 6})
+    [part] = glob.glob(f"{out}/part*.csv")
+    lines = open(part).read().strip().split("\n")
+    assert lines[1:] == ["a\t2.500000", "b\t.000249", "c\t0",
+                         "d\tInf", "e\t41.666666"]
