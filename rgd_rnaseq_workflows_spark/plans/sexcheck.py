@@ -65,18 +65,25 @@ def compute_sex(idxstats: DataFrame, input_sex: DataFrame,
 
 
 def conflict_report(sex_result: DataFrame, expression_long: DataFrame,
-                    genes: tuple[str, ...] = SEX_GENES) -> DataFrame:
+                    genes: tuple[str, ...] = SEX_GENES,
+                    how: str = "inner") -> DataFrame:
     """Sex table ⋈ pivoted six-gene TPM slice (JN4 + FIL8).
 
     Filter-then-pivot: only the six genes shuffle, not the whole matrix —
     at 100 TB the gene filter prunes before the exchange.
+
+    ``how``: the PE pipeline drops sex rows absent from the matrix
+    (``ConflictedSampleReport_v4.sh:78-92`` — inner); the SE mirror keeps
+    them with ``NA`` gene values (``RGD_Illumina_SingleEnd_RNAseq_pipeline/
+    ConflictedSampleReport_v5.sh:113-115`` — ``how="left"``, NULL gene
+    columns that the TSV sink renders as NA).
     """
     slice_wide = (expression_long
                   .filter(F.col("feature_id").isin(*genes))
                   .groupBy(F.col("sample").alias("SampleID"))
                   .pivot("feature_id", list(genes))
                   .agg(F.first("TPM")))
-    return (sex_result.join(slice_wide, "SampleID", "inner")
+    return (sex_result.join(slice_wide, "SampleID", how)
             .select("SampleID", "InputSex", "ComputedSex",
                     F.col("Ratio").alias("XYRatio"), "Agreement", *genes)
             .orderBy("SampleID"))

@@ -734,3 +734,82 @@ def test_tx_tpm_bed_matches_reference_script(spark, tmp_out):
         for r in tpm_bed9(bed, tpm).collect()
     ]
     assert ours == golden
+
+
+REF_CONFLICT_SE = ("/root/reference/RGD_Illumina_SingleEnd_RNAseq_pipeline/"
+                   "ConflictedSampleReport_v5.sh")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CONFLICT_SE),
+                    reason="reference script unavailable")
+def test_conflict_report_se_matches_reference_script(spark, tmp_out):
+    """The SE mirror (ConflictedSampleReport_v5.sh) KEEPS sex rows whose
+    sample is absent from the matrix, filling the gene columns with NA —
+    left-join semantics where the PE v4 is inner — and carries
+    ratio/agreement into the data rows. Execute it (awk shimmed/gawk) and
+    compare conflict_report(how='left')."""
+    from rgd_rnaseq_workflows_spark.plans.sexcheck import (
+        SEX_GENES, conflict_report)
+
+    prj = "PRJSE"
+    basedir = os.path.join(tmp_out, "base")
+    os.makedirs(basedir, exist_ok=True)
+    sex_rows = [("GSM1", "M", "M", "2.118354", "Agree"),
+                ("GSM2", "F", "F", "Inf", "Agree"),
+                ("GSMX", "F", "M", "1.5", "Conflict")]   # not in matrix
+    with open(os.path.join(basedir, f"{prj}_sex_result.txt"), "w") as f:
+        f.write("SampleID\tInputSex\tComputedSex\tRatio\tAgreement\n")
+        for r in sex_rows:
+            f.write("\t".join(r) + "\n")
+    samples = ["GSM1", "GSM2"]
+    genes = [*SEX_GENES, "Actb"]
+    with open(os.path.join(basedir, f"{prj}.genes.TPM.matrix"), "w") as f:
+        f.write("Symbol\t" + "\t".join(f'"{s}.genes.results"'
+                                       for s in samples) + "\n")
+        for gi, g in enumerate(genes):
+            f.write(f'"{g}"\t' + "\t".join(f"{gi + si + 1}.25"
+                                           for si in range(2)) + "\n")
+
+    bin_dir = os.path.join(tmp_out, "bin")
+    os.makedirs(bin_dir, exist_ok=True)
+    if shutil.which("gawk"):
+        os.symlink(shutil.which("gawk"), os.path.join(bin_dir, "awk"))
+    else:
+        shim = os.path.join(bin_dir, "awk")
+        open(shim, "w").write(_GAWK_SHIM)
+        os.chmod(shim, 0o755)
+    subprocess.run(["bash", REF_CONFLICT_SE, prj], check=True,
+                   capture_output=True, text=True,
+                   env={**os.environ, "baseDir": basedir,
+                        "PATH": f"{bin_dir}:{os.environ['PATH']}"})
+    golden_path = os.path.join(basedir, f"{prj}_sex_conflict_report.txt")
+    lines = open(golden_path).read().rstrip("\n").split("\n")
+    golden = {}
+    for line in lines[2:]:
+        parts = line.split("\t")
+        golden[parts[0]] = (parts[1], parts[2], parts[3], parts[4],
+                            parts[5:])
+    assert set(golden) == {"GSM1", "GSM2", "GSMX"}
+
+    sex_df = spark.createDataFrame(
+        [(s, i, c, None if r == "Inf" else float(r), a)
+         for s, i, c, r, a in sex_rows],
+        "SampleID string, InputSex string, ComputedSex string, "
+        "Ratio double, Agreement string")
+    expr = spark.createDataFrame(
+        [(s, g, float(f"{gi + si + 1}.25"), 0.0)
+         for si, s in enumerate(samples) for gi, g in enumerate(genes)],
+        ["sample", "feature_id", "TPM", "expected_count"])
+    ours = {r["SampleID"]: r
+            for r in conflict_report(sex_df, expr, how="left").collect()}
+
+    assert set(ours) == set(golden)
+    for s, (isex, csex, _ratio, agr, tpms) in golden.items():
+        r = ours[s]
+        assert (r["InputSex"], r["ComputedSex"], r["Agreement"]) == \
+            (isex, csex, agr), s
+        for g, tv in zip(SEX_GENES, tpms):
+            if tv == "NA":
+                assert r[g] is None, (s, g)      # NA at the sink
+            else:
+                assert r[g] == float(tv), (s, g)

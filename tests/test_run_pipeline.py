@@ -76,6 +76,31 @@ def test_cli_layout_routing_excludes_se_runs(spark, tmp_out):
     assert len(passed) == 2 and "GSM1" in passed[1]     # GSM2 fails QC
 
 
+def test_cli_se_instance_processes_only_se_runs(spark, tmp_out):
+    """The SE pipeline instance (--layout SE) is the same engine with the
+    routing inverted (SURVEY §7.3: downstream operators are identical;
+    SRA2QC_SE_v1.sh:166-179 rejects paired runs symmetrically)."""
+    _fixtures(tmp_out)
+    for run, files in [("SRR0", ["SRR0.fastq.gz"]),          # GSM1: SE
+                       ("SRR1", ["SRR1_1.fastq.gz", "SRR1_2.fastq.gz"]),
+                       ("SRR2", ["SRR2.fastq.gz"])]:         # GSM3: SE
+        os.makedirs(f"{tmp_out}/fastq/{run}", exist_ok=True)
+        for fn in files:
+            open(f"{tmp_out}/fastq/{run}/{fn}", "w").close()
+    out = f"{tmp_out}/out_se"
+    argv = _argv(tmp_out, out) + [
+        "--layout", "SE", "--fastq-inventory", f"{tmp_out}/fastq/*/*.fastq.gz"]
+    assert run_pipeline.main(argv) == 0
+    qc = _read_single(f"{out}/STAR_Align_sum/part*.csv")
+    # GSM2's run is paired → routed away from the SE instance
+    assert not any("GSM2" in line for line in qc)
+    passed = _read_single(f"{out}/Unique_AccList_PASS/part*.csv")
+    # both SE samples pass QC (GSM1 100, GSM3 200 unmapped of 10k)
+    assert len(passed) == 3
+    tpm = _read_single(f"{out}/GeneMat_TPM/part*.csv")
+    assert tpm[0] == "Symbol\tGSM1\tGSM3"
+
+
 def test_cli_full_run_and_resume(spark, tmp_out):
     _fixtures(tmp_out)
     out = f"{tmp_out}/out"
