@@ -189,6 +189,46 @@ def run(args: argparse.Namespace) -> int:
         write_tsv(rep, f"{out}/ConflictedSampleReport", single_file=True,
                   sentinel_map={"XYRatio": "Inf"}, bc_format={"XYRatio": 6})
 
+    def stage_tracks():
+        # steps 10-11 of the reference DAG: per-sample track JSON (SNK3,
+        # BWjson_v7.sh) + the project session document (SNK4,
+        # make_jbrowse_session_for_bioproject.py). Both non-critical like
+        # the reference (BWJSON_REQUIRED / session afterok, :716-784).
+        import json as _json
+        import os as _os
+        from rgd_rnaseq_workflows_spark.plans.session_json import build_session
+        from rgd_rnaseq_workflows_spark.sources.track_json import track_document
+        passed = get_passed()
+        if "sex" in state:
+            sex = state["sex"]
+        else:
+            from rgd_rnaseq_workflows_spark.schemas import SEX_RESULT
+            try:
+                sex = read_tsv(spark, f"{out}/sex_result", SEX_RESULT)
+            except Exception:
+                sex = None
+        rows = passed.withColumn(
+            "unique_name", F.concat_ws("_", "Tissue", "Strain", "Sex",
+                                       "geo_accession"))
+        if sex is not None:
+            rows = rows.join(
+                sex.select(F.col("SampleID").alias("geo_accession"),
+                           "ComputedSex"), "geo_accession", "left")
+        else:
+            rows = rows.withColumn("ComputedSex",
+                                   F.lit(None).cast("string"))
+        docs = rows.select(
+            "geo_accession", "unique_name",
+            F.to_json(track_document(args.project)).alias("doc")).collect()
+        for r in docs:                      # per-project: a handful of rows
+            d = f"{out}/tracks/{r['geo_accession']}"
+            _os.makedirs(d, exist_ok=True)
+            with open(f"{d}/RNAseq_{r['unique_name']}.json", "w") as f:
+                f.write(r["doc"])
+        session = build_session(spark, args.project, f"{out}/tracks")
+        with open(f"{out}/session.json", "w") as f:
+            _json.dump(session, f, indent=2)
+
     orch = Orchestrator(f"{out}/.markers")
     run_ = ProjectRun(args.project, unique.count(), [
         Stage("starqc", stage_starqc),
@@ -196,6 +236,8 @@ def run(args: argparse.Namespace) -> int:
         Stage("matrix", stage_matrix),
         # sex check is non-critical, run_RNApipeline:485-488
         Stage("sex", stage_sex, critical=False),
+        # visualization artifacts, non-critical (run_RNApipeline:716-784)
+        Stage("tracks", stage_tracks, critical=False),
     ])
     ok = orch.run_project(run_)
     for entry in orch.log:

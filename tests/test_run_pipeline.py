@@ -120,9 +120,23 @@ def test_cli_full_run_and_resume(spark, tmp_out):
     tpm = _read_single(f"{out}/GeneMat_TPM/part*.csv")
     assert tpm[0] == "Symbol\tGSM1\tGSM3"
 
+    # steps 10-11: per-sample track JSONs + session document
+    import json
+    tracks = sorted(glob.glob(f"{out}/tracks/*/RNAseq_*.json"))
+    assert len(tracks) == 2                          # GSM1 + GSM3 (PASS)
+    doc = json.load(open(tracks[0]))
+    assert doc["type"] == "FeatureTrack" and doc["trackId"].startswith("RNAseq_")
+    assert doc["metadata"]["Computed Sex"] in ("M", "F", "Unknown")
+    session = json.load(open(f"{out}/session.json"))
+    assert len(session["session"]["sessionTracks"]) == 2
+    assert {t["configuration"] for t in
+            session["session"]["views"][0]["tracks"][1:]} == \
+        {d["trackId"] for d in map(json.load, map(open, tracks))}
+
     markers = sorted(os.listdir(f"{out}/.markers"))
     assert markers == ["PRJT.matrix_complete", "PRJT.pass_complete",
-                       "PRJT.sex_complete", "PRJT.starqc_complete"]
+                       "PRJT.sex_complete", "PRJT.starqc_complete",
+                       "PRJT.tracks_complete"]
 
     # resume: drop matrix marker + artifact; stage recomputes from disk
     os.remove(f"{out}/.markers/PRJT.matrix_complete")
