@@ -51,20 +51,24 @@ def _with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", md5_long(F.col(text_col)))
 
 
-def _first_seen_fn(ttl_ms: int):
+def _first_seen_fn(ttl_ms: int, carry_cols: tuple[str, ...] = ()):
     """Build the per-key state function as a closure (pickled BY VALUE to
-    executors, so ``ttl_ms`` travels with it)."""
+    executors, so the parameters travel with it)."""
     def first_seen(key, rows: Iterable[pd.DataFrame],
                    state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
             return
         batches = list(rows)
-        min_doc = min(int(pdf["doc_id"].min()) for pdf in batches)
+        cat = (pd.concat(batches) if len(batches) > 1 else batches[0])
+        keeper = cat.loc[cat["doc_id"].idxmin()]
+        min_doc = int(keeper["doc_id"])
         if not state.exists:
             state.update((min_doc,))
-            yield pd.DataFrame({"doc_id": [min_doc],
-                                "fingerprint": [key[0]]})
+            out = {"doc_id": [min_doc], "fingerprint": [key[0]]}
+            for c in carry_cols:
+                out[c] = [keeper[c]]
+            yield pd.DataFrame(out)
         if ttl_ms:
             # expire at last-sighting event time + ttl (sliding), clamped
             # above the current watermark as the API requires
@@ -77,7 +81,8 @@ def _first_seen_fn(ttl_ms: int):
 
 def stream_dedup(doc_stream: DataFrame, text_col: str = "text",
                  ts_col: str | None = None,
-                 ttl: str = "30 minutes") -> DataFrame:
+                 ttl: str = "30 minutes",
+                 carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Streaming exact dedup: emits each fingerprint's first occurrence
     only, across micro-batches.
 
@@ -85,6 +90,10 @@ def stream_dedup(doc_stream: DataFrame, text_col: str = "text",
     the stream is watermarked by ``ttl`` and a fingerprint unseen for
     ``ttl`` of event time is evicted. Without it the state is unbounded —
     only for provably small keyspaces.
+
+    ``carry_cols`` are passed through from the keeper row (the min-doc_id
+    occurrence in its first micro-batch) — the streaming-curation path
+    carries the document payload this way; state stays one long per key.
     """
     ms = 0
     if ts_col is not None:
@@ -93,19 +102,23 @@ def stream_dedup(doc_stream: DataFrame, text_col: str = "text",
                                "second": 1000, "seconds": 1000,
                                "minute": 60_000, "minutes": 60_000,
                                "hour": 3_600_000, "hours": 3_600_000}[unit])
+    out_schema = T.StructType(
+        DEDUP_OUT_SCHEMA.fields
+        + [doc_stream.schema[c] for c in carry_cols])
     src = _with_fingerprint(doc_stream, text_col)
+    keep = ["doc_id", "fingerprint", *carry_cols]
     if ts_col is not None:
         src = (src.withColumn("ts", F.col(ts_col))
                .withWatermark("ts", ttl)
-               .select("doc_id", "fingerprint", "ts"))
+               .select(*keep, "ts"))
         timeout = GroupStateTimeout.EventTimeTimeout
     else:
-        src = src.select("doc_id", "fingerprint")
+        src = src.select(*keep)
         timeout = GroupStateTimeout.NoTimeout
     return (src.groupBy("fingerprint")
             .applyInPandasWithState(
-                _first_seen_fn(ms), DEDUP_OUT_SCHEMA, STATE_SCHEMA,
-                "append", timeout))
+                _first_seen_fn(ms, tuple(carry_cols)), out_schema,
+                STATE_SCHEMA, "append", timeout))
 
 
 def batch_dedup_kernel(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -63,3 +63,43 @@ def test_corpus_cli(spark, tmp_out):
     [stats] = glob.glob(f"{out}/stats/part*.csv")
     lines = open(stats).read().strip().split("\n")
     assert lines[0] == "lang\tn_docs\ttotal_tokens"
+
+
+def test_stream_curate_equals_batch_stages(spark, tmp_out):
+    """Streaming curation (quality + lang + exact dedup) must equal the
+    batch pipeline's first three stages across micro-batches, payload
+    included."""
+    import os
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.functions import text as TX
+    from rgd_rnaseq_workflows_spark.operators.dedup import exact_dedup
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        quality_lang_gate, stream_curate)
+
+    b1 = _docs(spark)                                 # ids 1..7
+    b2 = spark.createDataFrame(
+        [(10, "en", "web", BASE + " alpha"),          # replay of doc 1 text
+         (11, "en", "web", BASE + " epsilon zeta")],  # new
+        ["doc_id", "lang", "source", "text"])
+    src = os.path.join(tmp_out, "cur_src")
+    os.makedirs(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (stream_curate(stream, min_tokens=20)
+         .writeStream.format("memory").queryName("cur_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        streamed = {(r["doc_id"], r["lang"], r["text"], r["n_tokens"])
+                    for r in spark.sql("SELECT * FROM cur_out").collect()}
+    finally:
+        q.stop()
+
+    batch = exact_dedup(quality_lang_gate(b1.unionByName(b2), 20),
+                        "text", "doc_id")
+    expected = {(r["doc_id"], r["lang"], r["text"], r["n_tokens"])
+                for r in batch.collect()}
+    assert streamed == expected and len(expected) >= 4
