@@ -65,6 +65,14 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # label-sum fixpoint never reached: labels are NOT component ids
+        # yet (a chain longer than max_iter hops would silently split);
+        # refuse to return wrong clusters
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} "
+            f"iterations — graph diameter exceeds max_iter; raise "
+            f"max_iter (rounds are one join + one agg each)")
     return labels
 
 

@@ -52,13 +52,24 @@ def lookup_with_default(left: DataFrame, right: DataFrame, on,
 class LossMetrics:
     """Lazy row-loss metrics backed by ``df.observe``: populated by the
     FIRST action on the merged DataFrame (zero extra jobs — the eager
-    version cost two anti-join passes on top of the merge itself)."""
+    version cost two anti-join passes on top of the merge itself).
+
+    ``get`` reflects only that first action and FAILS FAST if read before
+    any action has run (``Observation.get`` would otherwise block the
+    caller forever). API note: ``merge_with_loss_metrics`` returns this
+    object, not a plain dict, since the lazy rewrite."""
 
     def __init__(self, observation):
         self._obs = observation
 
     @property
     def get(self) -> dict:
+        jo = getattr(self._obs, "_jo", None)
+        if jo is not None and jo.getRowOrEmpty().isEmpty():
+            raise RuntimeError(
+                "LossMetrics read before any action ran on the merged "
+                "DataFrame — run an action (write/count/collect) on the "
+                "merge result first; metrics reflect that first action")
         m = self._obs.get
         return {"lost_left": m["lost_left"], "lost_right": m["lost_right"]}
 

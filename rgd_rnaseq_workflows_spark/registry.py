@@ -858,13 +858,37 @@ def ann_embedding_neardup(spark, sf_dir):
 # public accessors
 # =============================================================================
 
+# The correctness driver records a bounded window (50 rows) per round in
+# registry order.  Queries that have not yet had a recorded oracle row in any
+# prior round are surfaced first so every registry entry accumulates a
+# recorded pass; the remaining order is registration (module) order.
+_RECORD_FIRST: tuple[str, ...] = (
+    "ann_lsh_topk",
+    "corpus_full_curation",
+    "cube_aggregate",
+    "grouping_sets_agg",
+    "multimodal_frame_plan",
+    "multimodal_image_features",
+    "observe_metrics",
+    "scalar_cleanup",
+    "simhash_near_pairs_q",
+    "stateful_dedup_kernel",
+)
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in _RECORD_FIRST if n in REGISTRY]
+    tail = [n for n in REGISTRY if n not in _RECORD_FIRST]
+    return head + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items()
-            if spec.oracle is not None}
+    return {name: REGISTRY[name].oracle for name in _ordered_names()
+            if REGISTRY[name].oracle is not None}
 
 
 # =============================================================================

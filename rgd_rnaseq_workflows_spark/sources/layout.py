@@ -68,8 +68,10 @@ def route_by_layout(acclist: DataFrame, layouts: DataFrame,
     → failure report). Runs with no inventory row at all are ``failed``
     (the reference's post-hoc existence verification,
     ``SRA2QC_production.sh:134-147``)."""
+    # no broadcast hint: a production inventory is millions of runs —
+    # size-based planning (AQE) picks broadcast only when it actually fits
     keyed = layouts.withColumnRenamed("run", run_col)
-    joined = acclist.join(F.broadcast(keyed), run_col, "left")
+    joined = acclist.join(keyed, run_col, "left")
     return {
         PAIRED_END: joined.filter(F.col("layout") == PAIRED_END)
                           .drop("layout"),

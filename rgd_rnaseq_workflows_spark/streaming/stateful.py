@@ -60,7 +60,11 @@ def _first_seen_fn(ttl_ms: int, carry_cols: tuple[str, ...] = ()):
             state.remove()
             return
         batches = list(rows)
-        cat = (pd.concat(batches) if len(batches) > 1 else batches[0])
+        # ignore_index: Arrow chunks arrive 0-indexed each, so a straight
+        # concat has duplicate labels and .loc[idxmin] would return a
+        # multi-row frame instead of a Series for large replay groups
+        cat = (pd.concat(batches, ignore_index=True)
+               if len(batches) > 1 else batches[0])
         keeper = cat.loc[cat["doc_id"].idxmin()]
         min_doc = int(keeper["doc_id"])
         if not state.exists:

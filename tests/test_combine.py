@@ -31,6 +31,20 @@ def test_merge_matrices_inner_with_loss_metrics(spark):
     assert loss.get == {"lost_left": 1, "lost_right": 1}
 
 
+def test_loss_metrics_fail_fast_before_action(spark):
+    """Reading loss metrics before ANY action must raise immediately, not
+    block forever on Observation.get (r2 ADVICE)."""
+    import pytest
+
+    m1 = spark.createDataFrame([("Xist", 1.0)], ["Symbol", "s1"])
+    m2 = spark.createDataFrame([("Xist", 9.0)], ["Symbol", "s2"])
+    merged, loss = merge_matrices(m1, m2)
+    with pytest.raises(RuntimeError, match="before any action"):
+        loss.get
+    merged.count()
+    assert loss.get == {"lost_left": 0, "lost_right": 0}
+
+
 def test_duplicate_keys_intersection(spark):
     a = spark.createDataFrame([("GSM1",), ("GSM2",)], ["SampleID"])
     b = spark.createDataFrame([("GSM2",), ("GSM3",)], ["SampleID"])

@@ -31,3 +31,17 @@ def test_long_path_converges(spark):
     comps = connected_components(edges)
     assert comps.select("comp").distinct().count() == 1
     assert comps.count() == 13
+
+
+def test_non_convergence_raises_not_silent(spark):
+    # a chain whose diameter exceeds max_iter must raise, never return
+    # silently-wrong partial labels (r2 ADVICE: components.py fixpoint)
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_iter=2)
+    # and one extra iteration headroom is enough for this diameter
+    ok = connected_components(edges, max_iter=8)
+    assert ok.select("comp").distinct().count() == 1

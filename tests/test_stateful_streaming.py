@@ -59,6 +59,34 @@ def test_stream_dedup_across_microbatches(spark, tmp_out):
         q.stop()
 
 
+def test_stream_dedup_multi_chunk_group(spark, tmp_out):
+    """A fingerprint group spanning multiple Arrow chunks in one trigger:
+    the kernel's concat must reindex (ignore_index) or idxmin/.loc returns
+    a multi-row frame and the query crashes (r2 ADVICE)."""
+    src = os.path.join(tmp_out, "chunk_src")
+    os.makedirs(src)
+    docs = [(i, "same-text") for i in range(9, 2, -1)] + [(100, "other")]
+    spark.createDataFrame(docs, schema=SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = (stream_dedup(stream).writeStream.format("memory")
+             .queryName("dedup_chunks").outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            assert q.exception() is None
+            got = {r["doc_id"] for r in
+                   spark.sql("SELECT * FROM dedup_chunks").collect()}
+            assert got == {3, 100}      # min doc_id across ALL chunks
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_stream_dedup_event_time_ttl_evicts_state(spark, tmp_out):
     """TTL = 30 min of EVENT time: eviction is driven by the watermark, so
     the test advances timestamps, not the wall clock."""
