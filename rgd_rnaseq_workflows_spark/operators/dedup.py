@@ -225,17 +225,41 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
     a, b = pref.alias("a"), pref.alias("b")
     alpha = F.ceil((F.col("a.sz") + F.col("b.sz"))
                    * threshold / (1.0 + threshold))
-    ubound = 1 + F.least(F.col("a.sz") - F.col("a.pos"),
-                         F.col("b.sz") - F.col("b.pos"))
-    cand = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
-                   & (F.col("a._blk") == F.col("b._blk"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                   & (F.col("a.sz") >= F.col("b.sz") * threshold)
-                   & (F.col("b.sz") >= F.col("a.sz") * threshold)
-                   & (ubound >= alpha))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-            .distinct())
+    # per-row positional bound, valid for EVERY matched token of a truly
+    # similar pair: shared tokens ranked ≤ this one all sit in both
+    # prefixes (≤ min(i,j) of them — global canonical order), shared
+    # tokens ranked above it sit after (i, j) in both docs
+    ubound = (F.least(F.col("a.pos"), F.col("b.pos"))
+              + F.least(F.col("a.sz") - F.col("a.pos"),
+                        F.col("b.sz") - F.col("b.pos")))
+    matches = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                      & (F.col("a._blk") == F.col("b._blk"))
+                      & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                      & (F.col("a.sz") >= F.col("b.sz") * threshold)
+                      & (F.col("b.sz") >= F.col("a.sz") * threshold)
+                      & (ubound >= alpha))
+               .select(F.col(f"a.{id_col}").alias("id_a"),
+                       F.col(f"b.{id_col}").alias("id_b"),
+                       F.col("a.sz").alias("sz_a"),
+                       F.col("b.sz").alias("sz_b"),
+                       F.col("a.pos").alias("pos_a"),
+                       F.col("b.pos").alias("pos_b")))
+    # accumulated PPJoin filter (replaces the plain distinct, same one
+    # shuffle): c = shared prefix tokens; by the canonical order every
+    # shared token ranked below the LAST match is one of those c, and the
+    # rest lie after (max_pos_a, max_pos_b) in both docs, so
+    # overlap ≤ c + min(sz_a − max_pos_a, sz_b − max_pos_b) — a strictly
+    # tighter candidate gate than any single-match bound
+    agg_alpha = F.ceil((F.col("sz_a") + F.col("sz_b"))
+                       * threshold / (1.0 + threshold))
+    cand = (matches.groupBy("id_a", "id_b", "sz_a", "sz_b")
+            .agg(F.count("*").alias("c"),
+                 F.max("pos_a").alias("mpa"),
+                 F.max("pos_b").alias("mpb"))
+            .filter(F.col("c")
+                    + F.least(F.col("sz_a") - F.col("mpa"),
+                              F.col("sz_b") - F.col("mpb")) >= agg_alpha)
+            .select("id_a", "id_b"))
     sets = hashed.select(F.col(id_col), "hs", "sz")
     maybe_bc = F.broadcast if broadcast_verify else (lambda x: x)
     out = (cand

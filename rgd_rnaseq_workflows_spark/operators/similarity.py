@@ -9,6 +9,8 @@ JVM arrays: no UDF, no collect of the corpus.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -25,6 +27,25 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_kernel():
+    """Vectorized Arrow cosine over two array columns: numpy row-wise
+    dot/norms per batch instead of three interpreted 64-step folds per
+    row. Downstream consumers round to 6 decimals, which absorbs the
+    (≤1 ulp) summation-order difference vs the sequential fold — same
+    tolerance the DuckDB oracle already relies on."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(b.to_numpy()).astype(np.float64, copy=False)
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        return pd.Series(num / den)
+
+    return cos
 
 
 def _as_double(col: str) -> Column:
@@ -89,37 +110,117 @@ def hyperplane_signature(vec: Column, dims: int, n_planes: int = 16,
     return bits.cast("long")
 
 
+def hyperplane_signature_kernel(dims: int, n_planes: int = 16,
+                                seed: int = 7):
+    """Vectorized Arrow twin of ``hyperplane_signature``: same md5-derived
+    plane signs, same left-fold accumulation order over dimensions —
+    each projection is built ``((0 + s₀v₀) + s₁v₁) + …`` with IEEE double
+    adds, so every rounding step (hence every sign, hence the signature)
+    is bit-identical to the sequential ``aggregate`` fold and to the
+    oracle's left-associated ± chain. The fold runs once per (plane, dim)
+    as a numpy op over the whole Arrow batch instead of once per row in
+    the interpreter — this is the corpus-side hot path at scale
+    (signatures for millions of rows); the HOF form remains for one-row
+    query signatures and as the plan-readable specification."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = plane_components(dims, n_planes, seed)
+
+    @pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        out = np.zeros(len(V), dtype=np.int64)
+        for p in range(n_planes):
+            acc = np.zeros(len(V), dtype=np.float64)
+            for d in range(dims):
+                # sign*col is an exact product (±1.0); the add is the
+                # same IEEE step the sequential fold performs
+                acc = acc + planes[p][d] * V[:, d]
+            out |= (acc > 0).astype(np.int64) << p
+        return pd.Series(out)
+
+    return sig
+
+
+def with_signature(emb: DataFrame, dims: int, n_planes: int = 16,
+                   seed: int = 7, vec_col: str = "embedding",
+                   sig_col: str = "_sig") -> DataFrame:
+    """Materialize the hyperplane signature as a column — the
+    precompute-at-ingest path: run once when the corpus lands, store
+    alongside the vectors (or as a bucketed sort key), and every
+    query-time prune is a cheap long comparison instead of 16 folds."""
+    # raw float arrays go straight to Arrow (half the transfer bytes);
+    # the kernel widens float→double, exact — same as _as_double
+    k = hyperplane_signature_kernel(dims, n_planes, seed)
+    return emb.withColumn(sig_col, k(F.col(vec_col)))
+
+
 def lsh_topk(emb: DataFrame, query: DataFrame, dims: int, k: int = 10,
              n_planes: int = 16, max_hamming: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: prune the corpus to vectors whose hyperplane
     signature is within ``max_hamming`` bits of the query's, then exact
-    cosine on the survivors. At scale the signature is precomputed and
-    bucketed; here it is inlined for a self-contained plan."""
-    sig = hyperplane_signature(_as_double(vec_col), dims, n_planes)
-    corpus = emb.withColumn("_sig", sig)
-    q = query.withColumn("_qsig",
-                         hyperplane_signature(F.col("qvec"), dims, n_planes))
+    cosine on the survivors. The corpus signature runs through the
+    vectorized Arrow kernel (bit-identical to the fold — see
+    ``hyperplane_signature_kernel``); at scale it is precomputed once
+    via ``with_signature`` and reused across queries."""
+    corpus = with_signature(emb, dims, n_planes, vec_col=vec_col)
+    # kernel on the 1-row query too: the HOF form expands to a 16×dims
+    # literal tree whose analysis/codegen alone costs ~1s per plan
+    q = with_signature(query, dims, n_planes, vec_col="qvec",
+                       sig_col="_qsig")
+    cos = cosine_kernel()
     scored = (corpus.crossJoin(F.broadcast(q))
               .filter(F.bit_count(F.col("_sig").bitwiseXOR(F.col("_qsig")))
                       <= max_hamming)
               .select(F.col(id_col),
-                      F.round(cosine(_as_double(vec_col),
-                                     F.col("qvec")), 6).alias("cosine_sim")))
+                      F.round(cos(F.col(vec_col),
+                                  F.col("qvec")), 6).alias("cosine_sim")))
     return scored.orderBy(F.desc("cosine_sim"), id_col).limit(k)
+
+
+def _blocked_candidates(v: DataFrame, id_col: str) -> DataFrame:
+    """Ordered candidate pairs from the (id, _blk, _sub, v) frame: equi
+    self-join on the composite block key — never a cross join."""
+    a, b = v.alias("a"), v.alias("b")
+    return (a.join(b, (F.col("a._blk") == F.col("b._blk"))
+                   & (F.col("a._sub") == F.col("b._sub")))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
 
 
 def embedding_near_dup(emb: DataFrame, block_col: str = "label",
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       threshold: float = 0.9) -> DataFrame:
+                       threshold: float = 0.9,
+                       max_block: int | None = None,
+                       dims: int | None = None,
+                       n_planes: int = 8, seed: int = 11) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked on ``block_col``
-    (cluster/label/LSH bucket) so the pair join is equi, never cross."""
+    (cluster/label/LSH bucket) so the pair join is equi, never cross.
+
+    Skew guard: a hot block degrades the within-block self-join to
+    near-quadratic. With ``max_block`` set (requires ``dims``), any block
+    larger than it is sub-blocked by a secondary hyperplane-LSH bucket
+    (``n_planes`` bits, independent ``seed``), capping the per-partition
+    pair fan-out at roughly ``(n/2^n_planes)²`` per hot block. Exact
+    duplicates always share a signature, so true duplicate pairs survive
+    sub-blocking; near-pairs split across buckets are the standard LSH
+    recall trade-off (raise ``n_planes`` bands upstream if needed)."""
     v = emb.select(F.col(id_col), F.col(block_col).alias("_blk"),
                    _as_double(vec_col).alias("v"))
-    a, b = v.alias("a"), v.alias("b")
+    if max_block is not None:
+        if dims is None:
+            raise ValueError("max_block guard needs dims for the "
+                             "secondary LSH signature")
+        sizes = v.groupBy("_blk").agg(F.count("*").alias("_bn"))
+        k = hyperplane_signature_kernel(dims, n_planes, seed)
+        v = (v.join(sizes, "_blk")
+             .withColumn("_sub", F.when(F.col("_bn") > max_block,
+                                        k(F.col("v"))).otherwise(F.lit(0)))
+             .drop("_bn"))
+    else:
+        v = v.withColumn("_sub", F.lit(0))
     sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
-    return (a.join(b, F.col("a._blk") == F.col("b._blk"))
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    return (_blocked_candidates(v, id_col)
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
                     sim.alias("cosine_sim"))

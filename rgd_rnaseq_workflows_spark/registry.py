@@ -33,16 +33,22 @@ class QuerySpec:
     oracle: str | None
     survey_ids: tuple[str, ...] = field(default=tuple)
     note: str = ""
+    # False = correctness-oracle gate only (e.g. an exact all-values form
+    # that proves an approx/pruned production twin): still cross-checked
+    # by the driver, but excluded from the bench headline so the measured
+    # engine is the one you'd run at 100 TB
+    production: bool = True
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
 def q(name: str, survey_ids: tuple[str, ...], oracle: str | None = None,
-      note: str = ""):
+      note: str = "", production: bool = True):
     def deco(fn):
         REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle,
-                                   survey_ids=survey_ids, note=note)
+                                   survey_ids=survey_ids, note=note,
+                                   production=production)
         return fn
     return deco
 
@@ -974,10 +980,12 @@ SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.9)  AS p90,
        max(l_extendedprice) AS max_price
 FROM lineitem GROUP BY l_returnflag
-""", note="exact linear-interpolation percentiles (identical math both "
-          "engines). Buffers all values per group — correct for the oracle "
-          "gate, NOT the 100 TB path: use agg_percentiles_approx in "
-          "production")
+""", note="ORACLE GATE ONLY (production=False, excluded from the bench "
+          "headline): exact linear-interpolation percentiles, identical "
+          "math both engines, buffering all values per group. The "
+          "production percentile path is agg_percentiles_approx "
+          "(mergeable GK sketch, bounded memory).",
+   production=False)
 def agg_percentiles(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")

@@ -49,6 +49,25 @@ def test_lsh_topk_is_subset_with_query_hit(spark):
     assert set(approx) <= set(exact)
 
 
+def test_signature_kernel_bit_identical_to_fold(spark):
+    """The vectorized Arrow signature must equal the sequential HOF fold
+    bit-for-bit on real float embeddings — same plane signs, same IEEE
+    accumulation order (the oracle reproduces the fold)."""
+    from pyspark.sql import functions as F
+
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        _as_double, hyperplane_signature, with_signature)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    hof = emb.select(
+        "vec_id",
+        hyperplane_signature(_as_double("embedding"), 64, 16).alias("s"))
+    kern = with_signature(emb, dims=64, n_planes=16).select(
+        "vec_id", F.col("_sig").alias("s"))
+    assert hof.exceptAll(kern).count() == 0
+    assert kern.exceptAll(hof).count() == 0
+
+
 def test_embedding_near_dup_blocked(spark):
     emb, rows = _emb(spark)
     # plant a duplicate of vec 0 in the same label block (3 ≡ 0 mod 3)
@@ -57,3 +76,43 @@ def test_embedding_near_dup_blocked(spark):
     pairs = embedding_near_dup(emb.unionByName(dup), threshold=0.999)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 999) in got
+
+
+def test_embedding_near_dup_hot_block_guard(spark):
+    """One hot label (all 120 rows) → the guard sub-blocks it by a
+    secondary LSH signature: candidate pairs drop from O(n²) while a
+    planted exact-duplicate pair is still reported."""
+    from pyspark.sql import functions as F
+
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        _as_double, _blocked_candidates)
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)], 0) for i in range(120)]
+    rows.append((999, rows[7][1], 0))            # exact dup of vec 7
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    def candidates(max_block):
+        v = emb.select("vec_id", F.col("label").alias("_blk"),
+                       _as_double("embedding").alias("v"))
+        if max_block is None:
+            v = v.withColumn("_sub", F.lit(0))
+        else:
+            from rgd_rnaseq_workflows_spark.operators.similarity import (
+                hyperplane_signature_kernel)
+            sizes = v.groupBy("_blk").agg(F.count("*").alias("_bn"))
+            k = hyperplane_signature_kernel(8, 8, 11)
+            v = (v.join(sizes, "_blk")
+                 .withColumn("_sub", F.when(F.col("_bn") > max_block,
+                                            k(F.col("v")))
+                             .otherwise(F.lit(0))).drop("_bn"))
+        return _blocked_candidates(v, "vec_id").count()
+
+    naive = candidates(None)
+    guarded = candidates(20)
+    assert naive == 121 * 120 // 2
+    assert guarded < naive // 4                  # sub-blocking really cuts
+
+    pairs = embedding_near_dup(emb, threshold=0.999, max_block=20, dims=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (7, 999) in got                       # exact dup survives guard
