@@ -62,20 +62,76 @@ def _perceptual_hash(content: bytes) -> int:
     return int(hashlib.md5(content or b"").hexdigest()[:15], 16)
 
 
-def image_features(media: DataFrame,
-                   batch_size: int | None = None) -> DataFrame:
+def stub_codec(content: bytes) -> tuple[int, int, int]:
+    """Default codec: hash-derived dims + content hash (no pixel access).
+    The oracle twin reproduces both md5 derivations."""
+    w, h = _fake_decode(content)
+    return w, h, _perceptual_hash(content)
+
+
+def ppm_codec(content: bytes) -> tuple[int, int, int]:
+    """REAL image codec for netpbm P6 (binary PPM), pure numpy: parses
+    the header (whitespace/#-comment tolerant), reads the raw RGB plane,
+    and computes a true 64-bit average-hash — 8×8 block-mean luma
+    thresholded by its mean. Proves the swap-in path: same signature as
+    ``stub_codec``, dropped into the same mapInPandas kernel; a PIL/
+    libvips codec replaces the body, nothing else."""
+    import numpy as np
+
+    tokens, i = [], 0
+    while len(tokens) < 4 and i < len(content):
+        c = content[i:i + 1]
+        if c == b"#":
+            i = content.index(b"\n", i)
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(content) and not content[j:j + 1].isspace():
+                j += 1
+            tokens.append(content[i:j])
+            i = j
+    if not tokens or tokens[0] != b"P6":
+        raise ValueError("not a P6 PPM")
+    w, h, maxval = (int(t) for t in tokens[1:4])
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    px = np.frombuffer(content, dtype=np.uint8,
+                       count=w * h * 3, offset=i + 1)
+    luma = px.reshape(h, w, 3).astype(np.float64) @ (0.299, 0.587, 0.114)
+    # 8×8 block means via integral image (any w/h, no resample lib);
+    # bounds clamped to ≥1 pixel so dims < 8 degrade to nearest-pixel
+    # sampling instead of empty blocks
+    y0 = (np.arange(8) * h) // 8
+    y1 = np.maximum(y0 + 1, (np.arange(1, 9) * h) // 8)
+    x0 = (np.arange(8) * w) // 8
+    x1 = np.maximum(x0 + 1, (np.arange(1, 9) * w) // 8)
+    ii = np.zeros((h + 1, w + 1))
+    ii[1:, 1:] = luma.cumsum(0).cumsum(1)
+    blk = (ii[y1[:, None], x1[None, :]] - ii[y0[:, None], x1[None, :]]
+           - ii[y1[:, None], x0[None, :]] + ii[y0[:, None], x0[None, :]])
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    means = blk / area
+    bits = (means > means.mean()).ravel()
+    hv = int(bits @ (1 << np.arange(64, dtype=object)))
+    return w, h, hv - (1 << 64) if hv >= (1 << 63) else hv
+
+
+def image_features(media: DataFrame, batch_size: int | None = None,
+                   codec=stub_codec) -> DataFrame:
     """Decode + feature-extract images via mapInPandas (Arrow batches).
 
     The UDF signature, output schema, and batch iteration are the
-    production shape; only the pixel decode is a deterministic fake.
-    """
+    production shape for any codec. ``codec(bytes) -> (w, h, phash)`` is
+    the plug point: ``stub_codec`` (hash-derived, default — the oracle
+    twin) or a real decoder like ``ppm_codec`` / PIL."""
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content) if content is not None else b""
-                w, h = _fake_decode(raw)
-                rows.append((mid, w, h, len(raw), _perceptual_hash(raw)))
+                w, h, phash = codec(raw)
+                rows.append((mid, w, h, len(raw), phash))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "width", "height", "n_bytes", "phash"])
 

@@ -31,6 +31,44 @@ def test_image_features_shape_and_determinism(spark):
     assert rows[1]["phash"] != rows[2]["phash"]
 
 
+def _ppm(w, h, pixel_fn):
+    """Binary P6 PPM with a comment line (header-parser exercise)."""
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            body += bytes(pixel_fn(x, y))
+    return (f"P6\n# test image\n{w} {h}\n255\n".encode() + bytes(body))
+
+
+def test_real_codec_swap_same_contract(spark):
+    """The real-codec swap path (r2 VERDICT stretch): a genuine netpbm P6
+    decoder + true 8×8 average-hash drops into the SAME mapInPandas
+    kernel as the stub — only the codec argument changes."""
+    from rgd_rnaseq_workflows_spark.multimodal.binary import ppm_codec
+
+    half = _ppm(16, 16, lambda x, y: (0, 0, 0) if x < 8 else (255, 255, 255))
+    grad = _ppm(10, 6, lambda x, y: (25 * x, 25 * x, 25 * x))
+    rows = [(1, "image", "image/x-portable-pixmap", bytearray(half), {}),
+            (2, "image", "image/x-portable-pixmap", bytearray(grad), {})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r
+             for r in image_features(media, codec=ppm_codec).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (16, 16)
+    assert (feats[2]["width"], feats[2]["height"]) == (10, 6)
+    assert feats[1]["n_bytes"] == len(half)
+    # half-black/half-white: aHash = right 4 columns set in every row
+    row_bits = 0b11110000
+    expect = sum(row_bits << (8 * r) for r in range(8))
+    expect = expect - (1 << 64) if expect >= (1 << 63) else expect
+    assert feats[1]["phash"] == expect
+    # non-PPM bytes must fail loudly, not fake-decode
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ppm_codec(b"\x89PNG not a ppm")
+
+
 def test_frame_sample_plan(spark):
     plan = frame_sample_plan(_media(spark), every_n=30).collect()
     got = sorted(r["frame_idx"] for r in plan)

@@ -51,3 +51,13 @@ def test_parity_surface_is_jvm_only(spark, name):
 def test_topk_uses_take_ordered(spark):
     plan = _plan(spark, "srt_topk_global")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_topk_uses_arrow_kernel_not_rowwise_python(spark):
+    """ann_lsh_topk's signatures/cosine run as vectorized Arrow kernels
+    (the sanctioned extension point) — never row-at-a-time Python — and
+    top-k stays TakeOrdered, no global sort."""
+    plan = _plan(spark, "ann_lsh_topk")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
