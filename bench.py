@@ -30,6 +30,12 @@ def main() -> None:
     # plans, not first-call JIT + session setup
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write \
         .format("noop").mode("overwrite").save()
+    # ... and the Python-worker/Arrow path (daemon spawn + serializer
+    # init lands on the first pandas_udf/mapInPandas query otherwise)
+    from pyspark.sql.functions import pandas_udf as _pudf
+    _warm = _pudf(lambda s: s, "long")
+    spark.range(32).select(_warm("id").alias("x")).write \
+        .format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     gates = [n for n, s in REGISTRY.items() if not s.production]
