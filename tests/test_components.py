@@ -33,6 +33,18 @@ def test_long_path_converges(spark):
     assert comps.count() == 13
 
 
+def test_pointer_jumping_rounds_are_logarithmic(spark):
+    # 64-hop path: one-hop propagation alone would need ~63 rounds;
+    # pointer jumping (path halving) must converge in O(log d) — well
+    # within 9 rounds including the fixpoint-confirmation round
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["id_a", "id_b"])
+    comps = connected_components(edges, max_iter=9)
+    assert comps.select("comp").distinct().count() == 1
+    assert comps.count() == 65
+    assert {r["comp"] for r in comps.collect()} == {0}
+
+
 def test_non_convergence_raises_not_silent(spark):
     # a chain whose diameter exceeds max_iter must raise, never return
     # silently-wrong partial labels (r2 ADVICE: components.py fixpoint)
