@@ -11,9 +11,12 @@ joins:
                    label(label(v)))      # pointer jump (path halving)
 
 Scale design (100 TB):
-- each iteration is one shuffle join (adjacency ⋈ labels) + one groupBy
-  min for the neighbor hop, plus one labels self-join for the pointer
-  jump — all partial-aggregated; no driver-side graph;
+- each iteration is ONE shuffle join + one groupBy min, both
+  partial-aggregated, no driver-side graph: the pointer-jump term rides
+  the same join by unioning the current label edges (v → comp(v)) into
+  the adjacency before the neighbor lookup — label(comp(v)) is just the
+  label of one more "neighbor", so the fused plan pays zero extra
+  shuffles over plain hash-min;
 - the pointer-jump term makes the label graph contract like
   Shiloach–Vishkin pointer doubling: rounds grow with log(diameter),
   not diameter — a replay chain thousands of hops long converges in a
@@ -60,22 +63,19 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                       F.least("src", "_mn").alias("comp")))
     prev_sum = None
     for i in range(max_iter):
-        neigh = (adj.join(labels.withColumnRenamed("id", "dst")
+        # pointer jump fused into the neighbor hop: comp(v) is a node id
+        # with its own label row, so unioning the label edge v → comp(v)
+        # into the adjacency makes label(comp(v)) one more candidate in
+        # the SAME join + min — no second shuffle
+        hop = adj.union(labels.select(F.col("id").alias("src"),
+                                      F.col("comp").alias("dst")))
+        neigh = (hop.join(labels.withColumnRenamed("id", "dst")
                           .withColumnRenamed("comp", "n_comp"), "dst")
                  .groupBy(F.col("src").alias("id"))
                  .agg(F.min("n_comp").alias("n_comp")))
-        # pointer jump: comp(comp(v)) — every comp value is itself a node
-        # id with a label row, so this is a labels self-join
-        jump = (labels
-                .join(labels.select(F.col("id").alias("comp"),
-                                    F.col("comp").alias("j_comp")), "comp")
-                .select("id", "j_comp"))
         labels = (labels.join(neigh, "id", "left")
-                  .join(jump, "id", "left")
                   .select("id", F.least(
-                      "comp",
-                      F.coalesce("n_comp", "comp"),
-                      F.coalesce("j_comp", "comp")).alias("comp")))
+                      "comp", F.coalesce("n_comp", "comp")).alias("comp")))
         if (i + 1) % 5 == 0:
             labels = labels.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
