@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="which layout this pipeline instance processes "
                         "(the reference ships separate PE and SE pipelines; "
                         "SURVEY §7.3)")
+    p.add_argument("--qc-scan-root", default=None,
+                   help="optional scratch-dir root for the aggregate QC "
+                        "report (SNK8): scanned for STAR/samtools/idxstats/"
+                        "RSEM logs like the reference's final MultiQC pass "
+                        "(RSEMmatrix_v5.sh:126-128)")
     p.add_argument("--fastq-inventory", default=None,
                    help="optional glob of FASTQ paths; enables SRC9 layout "
                         "routing — AccList runs whose detected layout "
@@ -229,8 +234,16 @@ def run(args: argparse.Namespace) -> int:
         with open(f"{out}/session.json", "w") as f:
             _json.dump(session, f, indent=2)
 
-    orch = Orchestrator(f"{out}/.markers")
-    run_ = ProjectRun(args.project, unique.count(), [
+    def stage_multiqc():
+        # the reference's final MultiQC aggregate over the scratch tree
+        # (RSEMmatrix_v5.sh:126-128); || exit in the reference but the
+        # pipeline artifacts already exist by then — non-critical here
+        from rgd_rnaseq_workflows_spark.plans.multiqc import write_multiqc_report
+        path = write_multiqc_report(spark, args.qc_scan_root, out,
+                                    args.project)
+        print(f"[multiqc] report: {path}", file=sys.stderr)
+
+    stages = [
         Stage("starqc", stage_starqc),
         Stage("pass", stage_pass),
         Stage("matrix", stage_matrix),
@@ -238,7 +251,11 @@ def run(args: argparse.Namespace) -> int:
         Stage("sex", stage_sex, critical=False),
         # visualization artifacts, non-critical (run_RNApipeline:716-784)
         Stage("tracks", stage_tracks, critical=False),
-    ])
+    ]
+    if args.qc_scan_root:
+        stages.append(Stage("multiqc", stage_multiqc, critical=False))
+    orch = Orchestrator(f"{out}/.markers")
+    run_ = ProjectRun(args.project, unique.count(), stages)
     ok = orch.run_project(run_)
     for entry in orch.log:
         print(f"[orchestrator] {entry}", file=sys.stderr)

@@ -145,3 +145,20 @@ def test_cli_full_run_and_resume(spark, tmp_out):
     assert run_pipeline.main(_argv(tmp_out, out)) == 0
     tpm2 = _read_single(f"{out}/GeneMat_TPM/part*.csv")
     assert sorted(tpm2) == sorted(tpm)
+
+
+def test_cli_multiqc_stage(spark, tmp_out):
+    """SNK8 wired as the final non-critical stage: --qc-scan-root points at
+    the scratch tree like the reference's final MultiQC pass
+    (RSEMmatrix_v5.sh:126-128)."""
+    _fixtures(tmp_out)
+    out = f"{tmp_out}/out_mq"
+    argv = _argv(tmp_out, out) + ["--qc-scan-root", tmp_out]
+    assert run_pipeline.main(argv) == 0
+    html = open(f"{out}/PRJT_multiQC_report.html").read()
+    assert "GSM1" in html and "GSM3" in html
+    gen = _read_single(
+        f"{out}/PRJT_multiQC_report_data/multiqc_general_stats.txt/part*")
+    assert gen[0].startswith("sample\t")
+    assert len(gen) == 4                            # header + GSM1..GSM3
+    assert os.path.exists(f"{out}/.markers/PRJT.multiqc_complete")
