@@ -179,3 +179,61 @@ def fingerprint(col: Column | str, n: int = 3) -> Column:
 def fingerprint_sql(expr: str, n: int = 3) -> str:
     return (f"list_min(list_transform({shingles_sql(expr, n)},"
             f" s -> {md5_long_sql('s', seed=0)}))")
+
+
+# --- PII redaction -------------------------------------------------------------
+
+# Scrub patterns shared by the Spark and SQL twins. Written against the
+# common subset of Java regex and RE2 (explicit character classes, no
+# backslash shorthands, no backtracking constructs) so both engines match
+# the identical spans. Order matters: emails before bare ID runs, so an
+# address's digits are consumed by <EMAIL>, not split by <ID>.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"https?://[^ ]+", "<URL>"),
+    (r"[0-9][0-9]{4,}", "<ID>"),   # 5+ digit runs: phones, SSN-ish, ids
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every email / URL / long digit run with a typed placeholder
+    — chained ``regexp_replace`` (global), whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def redact_pii_sql(expr: str) -> str:
+    for pat, tag in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{tag}', 'g')"
+    return expr
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """Match counts per PII class (audit columns for a scrub report).
+
+    Each class is counted on the text with the EARLIER classes already
+    redacted, so the counts are the spans :func:`redact_pii` actually
+    replaces — an email's digits are one ``n_email``, never also an
+    ``n_id``."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = []
+    for pat, tag in PII_PATTERNS:
+        name = tag.strip("<>").lower()
+        out.append(F.regexp_count(c, F.lit(pat)).cast("long")
+                   .alias(f"n_{name}"))
+        c = F.regexp_replace(c, pat, tag)
+    return out
+
+
+def pii_counts_sql(expr: str) -> dict[str, str]:
+    out = {}
+    for pat, tag in PII_PATTERNS:
+        name = tag.strip("<>").lower()
+        sql_pat = pat.replace("'", "''")
+        out[f"n_{name}"] = (f"CAST(len(regexp_extract_all({expr},"
+                            f" '{sql_pat}')) AS BIGINT)")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{tag}', 'g')"
+    return out

@@ -1,0 +1,68 @@
+"""Benchmark contamination detection for training corpora.
+
+Before training, a corpus must be screened against held-out evaluation
+sets: a document sharing long n-grams with a benchmark leaks the test set
+into training. The standard check (n-gram overlap, as in GPT-3/PaLM data
+decontamination) is relational:
+
+    benchmark  → distinct n-gram shingles         (small: eval sets)
+    corpus doc → its shingles ∩ benchmark shingles → overlap count/ratio
+
+Scale design (100 TB):
+- the benchmark shingle set is TINY relative to the corpus (eval sets are
+  thousands of docs) → broadcast hash join: the corpus side streams
+  through map-side, NO shuffle of corpus data;
+- corpus shingles explode inside the scan stage; only MATCHED (doc,
+  shingle) rows reach the per-doc aggregation — for a clean corpus
+  that's near-zero traffic;
+- the aggregation is a partial-agg count by doc_id over matches only;
+- output is the contaminated docs (tiny), not an annotated corpus — an
+  anti-join against it cleans the corpus without touching clean rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rgd_rnaseq_workflows_spark.functions.text import shingles
+
+
+def contamination_report(corpus: DataFrame, benchmark: DataFrame,
+                         shingle_n: int = 3, min_shared: int = 1,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Corpus docs sharing ≥ ``min_shared`` distinct word ``shingle_n``-grams
+    with any benchmark doc: (doc_id, n_shingles, n_shared, overlap_ratio).
+
+    ``shingles`` emits each doc's DISTINCT grams, so ``n_shared`` is the
+    intersection cardinality |grams(doc) ∩ grams(benchmark)|.
+    """
+    bench_sh = (benchmark
+                .select(F.explode(shingles(text_col, shingle_n)).alias("sh"))
+                .distinct())
+    doc_sh = corpus.select(
+        F.col(id_col),
+        F.size(shingles(text_col, shingle_n)).alias("n_shingles"),
+        F.explode(shingles(text_col, shingle_n)).alias("sh"))
+    hits = (doc_sh.join(F.broadcast(bench_sh), "sh")
+            .groupBy(id_col, "n_shingles")
+            .agg(F.count("*").alias("n_shared")))
+    return (hits
+            .filter(F.col("n_shared") >= min_shared)
+            .select(id_col,
+                    F.col("n_shingles").cast("long").alias("n_shingles"),
+                    F.col("n_shared").cast("long").alias("n_shared"),
+                    F.round(F.col("n_shared") / F.col("n_shingles"), 4)
+                    .alias("overlap_ratio")))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  shingle_n: int = 3, min_shared: int = 1,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """The corpus minus contaminated docs: anti-join against the (tiny)
+    report, so clean rows are never shuffled."""
+    bad = contamination_report(corpus, benchmark, shingle_n, min_shared,
+                               id_col, text_col).select(id_col)
+    return corpus.join(F.broadcast(bad), id_col, "left_anti")

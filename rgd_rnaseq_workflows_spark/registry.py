@@ -23,6 +23,7 @@ from rgd_rnaseq_workflows_spark.functions import text as TX
 from rgd_rnaseq_workflows_spark.functions.hashing import md5_long_sql
 from rgd_rnaseq_workflows_spark.operators import dedup as DD
 from rgd_rnaseq_workflows_spark.operators import relational as R
+from rgd_rnaseq_workflows_spark.operators import sampling as SMP
 from rgd_rnaseq_workflows_spark.operators import similarity as SIM
 from rgd_rnaseq_workflows_spark.streaming import events_stream as ST
 
@@ -861,6 +862,88 @@ def ann_embedding_neardup(spark, sf_dir):
 
 
 # =============================================================================
+# Training-mix construction (LLM-data-pipeline extensions, round 3)
+# =============================================================================
+
+_MIX_FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 0.1}
+
+
+@q("stratified_hash_sample", ("SAMPLE-STRATA",),
+   oracle=SMP.stratified_hash_sample_sql(
+       "documents", "lang", _MIX_FRACTIONS, "doc_id", seed=7, default=0.05),
+   note="training-mix sampling: per-language keep rates via md5 bucket of "
+        "doc_id — a pure filter (no shuffle), deterministic across engines "
+        "and cluster sizes; the oracle reproduces the exact kept set")
+def stratified_hash_sample_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return SMP.stratified_hash_sample(d, "lang", _MIX_FRACTIONS, "doc_id",
+                                      seed=7, default=0.05)
+
+
+def _contamination_oracle(shingle_n: int = 4, min_shared: int = 1) -> str:
+    sh = TX.shingles_sql("text", shingle_n)
+    return f"""
+WITH d AS (SELECT doc_id, source, {sh} AS sh FROM documents),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE source = 'src0'),
+docsh AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+          FROM d WHERE source <> 'src0'),
+hits AS (SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM docsh JOIN bench USING (s) GROUP BY doc_id, n_sh)
+SELECT doc_id, n_shingles, n_shared,
+       round(CAST(n_shared AS DOUBLE) / n_shingles, 4) AS overlap_ratio
+FROM hits WHERE n_shared >= {min_shared}
+"""
+
+
+@q("contamination_ngram", ("CONTAM-NGRAM",), oracle=_contamination_oracle(),
+   note="benchmark decontamination: corpus docs sharing 4-gram shingles "
+        "with the src0 'eval set' — benchmark shingles broadcast, corpus "
+        "never shuffled, only matched rows reach the per-doc agg")
+def contamination_ngram(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.contamination import (
+        contamination_report)
+    d = _t(spark, sf_dir, "documents")
+    return contamination_report(d.filter(F.col("source") != "src0"),
+                                d.filter(F.col("source") == "src0"),
+                                shingle_n=4, min_shared=1)
+
+
+def _pii_spike_sql() -> str:
+    """Deterministic PII spike so the redaction patterns FIRE on the
+    synthetic corpus (which contains none): same concat on both engines."""
+    return ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
+            " || '@example.com id ' || CAST(doc_id * 7919 + 10007 AS VARCHAR)"
+            " || ' http://ex.com/d/' || CAST(doc_id AS VARCHAR)")
+
+
+def _pii_redact_oracle() -> str:
+    counts = TX.pii_counts_sql("sp")
+    cols = ",\n       ".join(f"{sql} AS {name}" for name, sql in counts.items())
+    return f"""
+WITH s AS (SELECT doc_id, {_pii_spike_sql()} AS sp FROM documents)
+SELECT doc_id, {TX.redact_pii_sql('sp')} AS clean,
+       {cols}
+FROM s
+"""
+
+
+@q("text_redact_pii", ("TEXT-PII",), oracle=_pii_redact_oracle(),
+   note="PII scrub: email/URL/digit-run spans replaced by typed "
+        "placeholders + per-class audit counts, all chained regexp codegen "
+        "(patterns written to the Java-regex ∩ RE2 common subset)")
+def text_redact_pii(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    spiked = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com id "),
+        (F.col("doc_id") * 7919 + 10007).cast("string"),
+        F.lit(" http://ex.com/d/"), F.col("doc_id").cast("string"))
+    return d.select("doc_id", TX.redact_pii(spiked).alias("clean"),
+                    *TX.pii_counts(spiked))
+
+
+# =============================================================================
 # public accessors
 # =============================================================================
 
@@ -879,6 +962,10 @@ _RECORD_FIRST: tuple[str, ...] = (
     "scalar_cleanup",
     "simhash_near_pairs_q",
     "stateful_dedup_kernel",
+    # round-3 additions: recorded before the long-recorded tail
+    "stratified_hash_sample",
+    "contamination_ngram",
+    "text_redact_pii",
 )
 
 
