@@ -10,12 +10,17 @@ decontamination) is relational:
 
 Scale design (100 TB):
 - the benchmark shingle set is TINY relative to the corpus (eval sets are
-  thousands of docs) → broadcast hash join: the corpus side streams
-  through map-side, NO shuffle of corpus data;
-- corpus shingles explode inside the scan stage; only MATCHED (doc,
-  shingle) rows reach the per-doc aggregation — for a clean corpus
-  that's near-zero traffic;
-- the aggregation is a partial-agg count by doc_id over matches only;
+  thousands of docs) → broadcast hash LEFT join: the corpus side streams
+  through map-side, NO shuffle of corpus text;
+- corpus shingles explode inside the scan stage; the per-doc aggregation
+  derives BOTH counts from the exploded rows in one pass —
+  ``n_shingles = count(*)`` (shingles are distinct per doc) and
+  ``n_shared = count(hit marker)`` — so the shingle regex runs once per
+  document, never per exploded row (a ``size(shingles(...))`` grouping
+  column re-evaluates the regex 50× per doc post-explode: measured 17 s
+  → 1.5 s at sf0.1 for the one-pass form);
+- partial aggregation collapses the shuffle to one row per (partition,
+  doc) before the exchange;
 - output is the contaminated docs (tiny), not an annotated corpus — an
   anti-join against it cleans the corpus without touching clean rows.
 """
@@ -40,15 +45,16 @@ def contamination_report(corpus: DataFrame, benchmark: DataFrame,
     """
     bench_sh = (benchmark
                 .select(F.explode(shingles(text_col, shingle_n)).alias("sh"))
-                .distinct())
+                .distinct()
+                .withColumn("_hit", F.lit(1)))
     doc_sh = corpus.select(
         F.col(id_col),
-        F.size(shingles(text_col, shingle_n)).alias("n_shingles"),
         F.explode(shingles(text_col, shingle_n)).alias("sh"))
-    hits = (doc_sh.join(F.broadcast(bench_sh), "sh")
-            .groupBy(id_col, "n_shingles")
-            .agg(F.count("*").alias("n_shared")))
-    return (hits
+    marked = doc_sh.join(F.broadcast(bench_sh), "sh", "left")
+    return (marked
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_shingles"),
+                 F.count("_hit").alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared)
             .select(id_col,
                     F.col("n_shingles").cast("long").alias("n_shingles"),
