@@ -61,7 +61,11 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     labels = (adj.groupBy("src").agg(F.min("dst").alias("_mn"))
               .select(F.col("src").alias("id"),
                       F.least("src", "_mn").alias("comp")))
-    prev_sum = None
+    # fingerprint the INIT labels too (one cheap agg): a graph whose
+    # clusters are stars/diameter-2 — the common near-dup shape — is
+    # already converged after the fused first hop, and the loop then
+    # exits after ONE confirming round instead of two
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for i in range(max_iter):
         # pointer jump fused into the neighbor hop: comp(v) is a node id
         # with its own label row, so unioning the label edge v → comp(v)

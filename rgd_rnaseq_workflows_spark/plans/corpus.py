@@ -62,3 +62,30 @@ def curation_stats(curated: DataFrame) -> DataFrame:
     return (curated.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens")))
+
+
+def build_training_mix(docs: DataFrame, benchmark: DataFrame,
+                       fractions: dict[str, float],
+                       min_tokens: int = 20, shingle_n: int = 2,
+                       threshold: float = 0.8, contam_n: int = 4,
+                       min_shared: int = 1, seed: int = 7,
+                       default: float = 0.0) -> DataFrame:
+    """The full training-data pipeline: curation → benchmark
+    decontamination → stratified mix sampling, one lineage.
+
+    Extends :func:`curate_corpus` with the two steps a real pretraining
+    corpus needs between "clean" and "train on it": drop docs sharing
+    ``contam_n``-gram shingles with the eval ``benchmark``
+    (``operators.contamination``), then sample each language at its mix
+    rate, deterministically in doc_id (``operators.sampling``). Both
+    steps are broadcast/filter-shaped — the corpus is never reshuffled
+    after the dedup stage.
+    """
+    from rgd_rnaseq_workflows_spark.operators.contamination import decontaminate
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        stratified_hash_sample)
+    curated = curate_corpus(docs, min_tokens, shingle_n, threshold)
+    clean = decontaminate(curated, benchmark, shingle_n=contam_n,
+                          min_shared=min_shared)
+    return stratified_hash_sample(clean, "lang", fractions, "doc_id",
+                                  seed=seed, default=default)

@@ -966,6 +966,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "stratified_hash_sample",
     "contamination_ngram",
     "text_redact_pii",
+    "corpus_training_mix",
 )
 
 
@@ -1266,21 +1267,21 @@ def corpus_curation(spark, sf_dir):
                  F.sum("n_tokens").alias("total_tokens")))
 
 
-def _full_curation_oracle(min_tokens: int = 20) -> str:
-    """The whole curation chain as one recursive-CTE query: quality gate →
-    language consistency → exact dedup (min id per md5) → near-dup
-    cluster removal (reachability fixpoint) → per-lang stats."""
+def _curation_cte(min_tokens: int = 20, where: str = "TRUE") -> str:
+    """The curation chain (quality gate → language consistency → exact
+    dedup (min id per md5) → near-dup cluster removal via reachability
+    fixpoint) as reusable CTE text ending in ``final`` — composed by the
+    full-curation and training-mix oracles."""
     n_tokens = TX.quality_features_sql("text")["n_tokens"]
-    return f"""
-WITH RECURSIVE feats AS (
-  SELECT doc_id, lang, text, {n_tokens} AS n_tokens,
+    return f"""feats AS (
+  SELECT doc_id, lang, source, text, {n_tokens} AS n_tokens,
          {TX.lang_id_sql('text')} AS lang_pred
-  FROM documents),
+  FROM documents WHERE {where}),
 kept AS (
-  SELECT doc_id, lang, text, n_tokens FROM feats
+  SELECT doc_id, lang, source, text, n_tokens FROM feats
   WHERE n_tokens >= {min_tokens} AND lang_pred = lang),
 uniq AS (
-  SELECT doc_id, lang, text, n_tokens FROM (
+  SELECT doc_id, lang, source, text, n_tokens FROM (
     SELECT *, row_number() OVER (PARTITION BY md5(text)
                                  ORDER BY doc_id) AS rn FROM kept)
   WHERE rn = 1),
@@ -1295,7 +1296,12 @@ non_keepers AS (
   SELECT id FROM (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
   WHERE comp <> id),
 final AS (SELECT * FROM uniq
-          WHERE doc_id NOT IN (SELECT id FROM non_keepers))
+          WHERE doc_id NOT IN (SELECT id FROM non_keepers))"""
+
+
+def _full_curation_oracle(min_tokens: int = 20) -> str:
+    return f"""
+WITH RECURSIVE {_curation_cte(min_tokens)}
 SELECT lang, count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM final GROUP BY lang
@@ -1311,6 +1317,41 @@ def corpus_full_curation(spark, sf_dir):
         curate_corpus, curation_stats)
     d = _t(spark, sf_dir, "documents")
     return curation_stats(curate_corpus(d))
+
+
+def _training_mix_oracle(contam_n: int = 4, min_shared: int = 1) -> str:
+    """Curation chain (on the non-benchmark corpus) → contamination
+    anti-filter → stratified mix predicate, one recursive-CTE query."""
+    sh = TX.shingles_sql("text", contam_n)
+    sample_pred = SMP.stratified_hash_sample_sql(
+        "clean", "lang", _MIX_FRACTIONS, "doc_id", seed=7,
+        default=0.05).strip()
+    return f"""
+WITH RECURSIVE {_curation_cte(where="source <> 'src0'")},
+bench AS (SELECT DISTINCT unnest({sh}) AS s
+          FROM documents WHERE source = 'src0'),
+docsh AS (SELECT doc_id, unnest({sh}) AS s FROM final),
+contam AS (SELECT doc_id FROM docsh JOIN bench USING (s)
+           GROUP BY doc_id HAVING count(*) >= {min_shared}),
+clean AS (SELECT * FROM final
+          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+mix AS ({sample_pred})
+SELECT doc_id, lang, source, n_tokens FROM mix
+"""
+
+
+@q("corpus_training_mix", ("MIX-FULL",), oracle=_training_mix_oracle(),
+   note="end-to-end training-data pipeline: curation (quality → lang → "
+        "exact dedup → near-dup clusters) → benchmark decontamination → "
+        "stratified mix sampling; seven operator families, one lineage, "
+        "row-level value check")
+def corpus_training_mix(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.plans.corpus import build_training_mix
+    d = _t(spark, sf_dir, "documents")
+    mix = build_training_mix(d.filter(F.col("source") != "src0"),
+                             d.filter(F.col("source") == "src0"),
+                             _MIX_FRACTIONS, default=0.05)
+    return mix.select("doc_id", "lang", "source", "n_tokens")
 
 
 # =============================================================================
