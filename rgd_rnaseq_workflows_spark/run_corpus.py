@@ -3,12 +3,20 @@
 Usage:
   python -m rgd_rnaseq_workflows_spark.run_corpus \
       --docs /data/documents.parquet --out out/corpus \
-      [--min-tokens 20] [--shingle-n 2] [--threshold 0.8]
+      [--min-tokens 20] [--shingle-n 2] [--threshold 0.8] \
+      [--benchmark /data/eval.parquet [--contam-n 4] [--min-shared 1]] \
+      [--mix en=0.5,de=0.25 [--mix-default 0.0] [--mix-seed 7]]
 
 Reads a parquet documents table (doc_id, lang, source, text, …), runs
 quality gate → language-consistency filter → exact dedup → near-dup
 cluster removal (``plans/corpus.py``), writes the curated subset as
 parquet partitioned by lang plus a per-language stats TSV.
+
+With ``--benchmark`` the curated set is decontaminated against the eval
+docs (n-gram overlap, ``operators/contamination.py``); with ``--mix``
+each language is sampled at its rate (deterministic md5 buckets,
+``operators/sampling.py``) — together the full training-mix pipeline
+(registry ``corpus_training_mix``).
 """
 
 from __future__ import annotations
@@ -31,7 +39,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-tokens", type=int, default=20)
     p.add_argument("--shingle-n", type=int, default=2)
     p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--benchmark", default=None,
+                   help="eval-set parquet (doc-shaped); curated docs "
+                        "sharing n-grams with it are dropped")
+    p.add_argument("--contam-n", type=int, default=4,
+                   help="contamination shingle size")
+    p.add_argument("--min-shared", type=int, default=1,
+                   help="shared-shingle count that flags a doc")
+    p.add_argument("--mix", default=None,
+                   help="per-language keep rates, e.g. en=0.5,de=0.25")
+    p.add_argument("--mix-default", type=float, default=0.0,
+                   help="keep rate for languages not in --mix")
+    p.add_argument("--mix-seed", type=int, default=7)
     return p
+
+
+def parse_mix(spec: str) -> dict[str, float]:
+    out = {}
+    for part in spec.split(","):
+        lang, _, rate = part.partition("=")
+        if not rate:
+            raise ValueError(f"--mix entry {part!r} is not lang=rate")
+        out[lang.strip()] = float(rate)
+    return out
 
 
 def run(args: argparse.Namespace) -> int:
@@ -41,6 +71,18 @@ def run(args: argparse.Namespace) -> int:
     curated = curate_corpus(docs, min_tokens=args.min_tokens,
                             shingle_n=args.shingle_n,
                             threshold=args.threshold)
+    if args.benchmark:
+        from rgd_rnaseq_workflows_spark.operators.contamination import (
+            decontaminate)
+        bench = spark.read.parquet(args.benchmark)
+        curated = decontaminate(curated, bench, shingle_n=args.contam_n,
+                                min_shared=args.min_shared)
+    if args.mix:
+        from rgd_rnaseq_workflows_spark.operators.sampling import (
+            stratified_hash_sample)
+        curated = stratified_hash_sample(
+            curated, "lang", parse_mix(args.mix), "doc_id",
+            seed=args.mix_seed, default=args.mix_default)
     # partition by lang: downstream training jobs prune per-language;
     # the curated set is a fraction of the input, so files stay chunky
     (curated.write.mode("overwrite").partitionBy("lang")

@@ -103,3 +103,43 @@ def test_stream_curate_equals_batch_stages(spark, tmp_out):
     expected = {(r["doc_id"], r["lang"], r["text"], r["n_tokens"])
                 for r in batch.collect()}
     assert streamed == expected and len(expected) >= 4
+
+
+def test_corpus_cli_mix_pipeline(spark, tmp_out):
+    """--benchmark + --mix: the full training-mix path through the CLI."""
+    import os
+    from rgd_rnaseq_workflows_spark import run_corpus
+    # corpus: doc 1 survives curation plus two distinct long en docs
+    extra = ("a quick brown fox jumps over the lazy dog while the sun "
+             "sets behind green hills and the river bends away slowly")
+    extra2 = ("it is a truth universally acknowledged that a reader in "
+              "want of the long sentence must be in search of tokens too")
+    rows = [(1, "en", "web", BASE + " alpha"),
+            (10, "en", "web", extra),
+            (11, "en", "web", extra2)]
+    src = os.path.join(tmp_out, "docs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"]) \
+        .write.parquet(src)
+    # benchmark shares a 4-gram run with doc 10 only
+    bench = os.path.join(tmp_out, "bench.parquet")
+    spark.createDataFrame(
+        [(100, "en", "eval", "quick brown fox jumps over nothing else")],
+        ["doc_id", "lang", "source", "text"]).write.parquet(bench)
+    out = os.path.join(tmp_out, "mix_out")
+    rc = run_corpus.main(["--docs", src, "--out", out,
+                          "--min-tokens", "15", "--threshold", "0.9",
+                          "--benchmark", bench, "--contam-n", "4",
+                          "--mix", "en=1.0", "--mix-default", "0.0"])
+    assert rc == 0
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(f"{out}/curated").collect()}
+    assert 10 not in kept          # contaminated by the benchmark
+    assert kept == {1, 11}         # en kept at rate 1.0
+
+
+def test_parse_mix_rejects_malformed():
+    import pytest
+    from rgd_rnaseq_workflows_spark.run_corpus import parse_mix
+    assert parse_mix("en=0.5,de=0.25") == {"en": 0.5, "de": 0.25}
+    with pytest.raises(ValueError):
+        parse_mix("en:0.5")
