@@ -1,9 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the codec step itself is stubbed behind a
-deterministic fake because image/audio libraries are not in this container
-— swap `_decode_image_batch`'s body for PIL/libvips/ffmpeg in production.
+signatures) is real and tested, and two REAL pure-numpy codecs prove the
+plug-in path end-to-end: ``ppm_codec`` (netpbm P6 decode + true 8×8
+average-hash) and ``wav_codec`` (RIFF/WAVE PCM/float decode + waveform
+features). The default image codec stays the md5 stub because it is
+SQL-expressible (the DuckDB oracle reproduces it); compressed formats
+(JPEG, mp3/ogg, video) plug PIL/libvips/ffmpeg into the same kernels.
 
 Design for 100 TB:
 - binaries live in a `binary` column read via `spark.read.format("binaryFile")`
@@ -184,10 +187,93 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
                                    F.lit(every_n))).alias("frame_idx")))
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zero_crossings", T.LongType()),
+])
+
+
+def wav_codec(content: bytes) -> tuple[int, int, int, float, int]:
+    """REAL audio codec for RIFF/WAVE, pure numpy — no audio library.
+
+    Walks the chunk list (ids + little-endian sizes, even-padded), parses
+    ``fmt `` (PCM uint8/int16/int32 and IEEE float32), decodes ``data``
+    into normalized [-1, 1] samples, and measures the waveform:
+    (sample_rate, n_channels, n_samples_per_channel, rms,
+    zero_crossings of channel 0). Signature-compatible with the
+    mapInPandas kernel the way ``ppm_codec`` is for images — an
+    ffmpeg/soundfile codec for compressed formats replaces the body,
+    nothing else.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid, size = content[pos:pos + 4], int.from_bytes(
+            content[pos + 4:pos + 8], "little")
+        body = content[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)           # chunks are even-padded
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format == 0xFFFE:                 # WAVE_FORMAT_EXTENSIBLE
+        audio_format = 1
+    dtypes = {(1, 8): (np.uint8, 128.0, 128.0),
+              (1, 16): (np.int16, 0.0, 32768.0),
+              (1, 32): (np.int32, 0.0, 2147483648.0),
+              (3, 32): (np.float32, 0.0, 1.0)}
+    if (audio_format, bits) not in dtypes:
+        raise ValueError(f"unsupported WAV format {audio_format}/{bits}-bit")
+    dtype, center, scale = dtypes[(audio_format, bits)]
+    frame = n_channels * (bits // 8)
+    n_frames = len(data) // frame
+    raw = np.frombuffer(data, dtype=np.dtype(dtype).newbyteorder("<"),
+                        count=n_frames * n_channels)
+    x = (raw.astype(np.float64) - center) / scale
+    x = x.reshape(n_frames, n_channels)
+    rms = float(np.sqrt(np.mean(x * x))) if n_frames else 0.0
+    ch0 = x[:, 0]
+    zc = int(np.count_nonzero(np.signbit(ch0[1:]) != np.signbit(ch0[:-1])))
+    return sample_rate, n_channels, n_frames, round(rms, 6), zc
+
+
+def audio_features(media: DataFrame, codec=wav_codec) -> DataFrame:
+    """Decode + feature-extract audio via mapInPandas — the same Arrow
+    batch contract as :func:`image_features`, with :func:`wav_codec` (a
+    real decoder) as the default plug-in."""
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                rate, nch, n, rms, zc = codec(raw)
+                ms = (n * 1000) // rate if rate else 0
+                rows.append((mid, rate, nch, n, ms, rms, zc))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "n_channels", "n_samples",
+                "duration_ms", "rms", "zero_crossings"])
+
+    return (media.select("media_id", "content")
+            .mapInPandas(extract, AUDIO_FEATURES_SCHEMA))
+
+
 def decode_audio(media: DataFrame) -> DataFrame:
-    """Audio decode stub: the real implementation feeds ffmpeg/soundfile in
-    mapInPandas. Raises to make the stub boundary explicit."""
-    raise NotImplementedError(
-        "audio codec not available in this environment; production build "
-        "plugs soundfile/ffmpeg into the mapInPandas kernel (same shape as "
-        "image_features)")
+    """Back-compat alias: earlier rounds declared this a stub; the WAV
+    path is now real — see :func:`audio_features` / :func:`wav_codec`.
+    Compressed formats (mp3/ogg) still need ffmpeg/soundfile plugged into
+    the same kernel."""
+    return audio_features(media)

@@ -76,9 +76,80 @@ def test_frame_sample_plan(spark):
     assert all(r["media_id"] == 3 for r in plan)
 
 
-def test_audio_stub_is_explicit(spark):
-    with pytest.raises(NotImplementedError):
-        decode_audio(_media(spark))
+def _wav(rate=8000, channels=1, bits=16, fmt=1, frames=None, extra_chunk=True):
+    """Minimal RIFF/WAVE builder: sine-free deterministic ramps so rms and
+    zero crossings are hand-computable."""
+    import struct
+
+    import numpy as np
+    if frames is None:
+        # alternating +/- full-scale square wave, 8 frames
+        base = np.tile([0.5, -0.5], 4)
+        frames = np.repeat(base[:, None], channels, axis=1)
+    n = frames.shape[0]
+    if fmt == 3:
+        data = frames.astype("<f4").tobytes()
+    elif bits == 8:
+        data = (frames * 128 + 128).clip(0, 255).astype("u1").tobytes()
+    elif bits == 32:
+        data = (frames * 2147483648).clip(-2**31, 2**31 - 1) \
+            .astype("<i4").tobytes()
+    else:
+        data = (frames * 32768).clip(-32768, 32767).astype("<i2").tobytes()
+    fmt_body = struct.pack("<HHIIHH", fmt, channels, rate,
+                           rate * channels * bits // 8,
+                           channels * bits // 8, bits)
+    chunks = b""
+    if extra_chunk:                      # LIST chunk with odd size: the
+        chunks += b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    chunks += b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_wav_codec_formats():
+    import numpy as np
+
+    from rgd_rnaseq_workflows_spark.multimodal.binary import wav_codec
+    for kwargs in [dict(), dict(bits=8), dict(bits=32),
+                   dict(fmt=3, bits=32), dict(channels=2)]:
+        rate, nch, n, rms, zc = wav_codec(_wav(**kwargs))
+        assert (rate, n) == (8000, 8), kwargs
+        assert nch == kwargs.get("channels", 1)
+        # |x| = 0.5 everywhere -> rms 0.5 (8-bit quantizes near it)
+        assert abs(rms - 0.5) < 0.01, kwargs
+        assert zc == 7, kwargs           # sign alternates every frame
+
+    # stereo: channel layout must deinterleave (ch0 constant positive ->
+    # zero crossings 0 even though ch1 alternates)
+    ch0 = np.full(8, 0.25)
+    ch1 = np.tile([0.5, -0.5], 4)
+    rate, nch, n, rms, zc = wav_codec(
+        _wav(channels=2, frames=np.stack([ch0, ch1], axis=1)))
+    assert (nch, n, zc) == (2, 8, 0)
+
+
+def test_wav_codec_rejects_garbage():
+    from rgd_rnaseq_workflows_spark.multimodal.binary import wav_codec
+    with pytest.raises(ValueError):
+        wav_codec(b"aud")
+    with pytest.raises(ValueError):
+        wav_codec(b"RIFF\x04\x00\x00\x00WAVE")      # no fmt/data
+
+
+def test_audio_features_end_to_end(spark):
+    from rgd_rnaseq_workflows_spark.multimodal.binary import audio_features
+    rows = [
+        (1, "audio", "audio/wav", bytearray(_wav()), {}),
+        (2, "audio", "audio/wav", bytearray(_wav(rate=16000, channels=2)), {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in decode_audio(media).collect()}
+    assert out[1]["sample_rate"] == 8000 and out[1]["n_channels"] == 1
+    assert out[1]["duration_ms"] == 1        # 8 frames / 8000 Hz
+    assert out[2]["sample_rate"] == 16000 and out[2]["n_channels"] == 2
+    assert abs(out[1]["rms"] - 0.5) < 0.01
+    assert out[1]["zero_crossings"] == 7
 
 
 def test_resize_images_plumbing(spark):
