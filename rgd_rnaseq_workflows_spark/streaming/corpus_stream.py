@@ -11,10 +11,17 @@ streaming: set-similarity joins and iterative label propagation need the
 full candidate neighborhood, so production runs them as a periodic batch
 compaction over the streamed-in curated set (the classic hot/cold split);
 ``plans.corpus.curate_corpus`` is that compaction.
+
+Decontamination and mix sampling ARE streaming-safe: the benchmark
+shingle set joins as a broadcast static frame (stream-static joins are
+stateless) and the stratified hash gate is a pure filter — so the full
+training-mix pipeline short of near-dup compaction runs incrementally
+(``stream_training_mix``).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,3 +48,69 @@ def stream_curate(doc_stream: DataFrame, min_tokens: int = 20,
     kept = quality_lang_gate(doc_stream, min_tokens)
     return stream_dedup(kept, ts_col=ts_col, ttl=ttl,
                         carry_cols=("lang", "source", "text", "n_tokens"))
+
+
+def contamination_gate(bench_shingles: frozenset[str], contam_n: int = 4,
+                       min_shared: int = 1, text_col: str = "text"):
+    """A STATELESS per-row contamination predicate for streams.
+
+    The batch operator (``operators.contamination``) counts overlap via
+    explode → broadcast join → per-doc aggregation; a streaming
+    aggregation after the stateful dedup kernel is unsupported
+    (Structured Streaming forbids chaining aggregates behind
+    applyInPandasWithState), so the streaming form trades the join for a
+    per-row set probe: shingles still come from the IDENTICAL JVM-side
+    regex expression (no semantic fork), and a vectorized pandas UDF
+    intersects each doc's shingle array with the benchmark set captured
+    in its closure. Eval benchmarks are bounded (MBs of shingles — the
+    same boundedness the batch broadcast relies on), so shipping the set
+    to Python workers once per executor is the LSH-plane-literal pattern,
+    not a scale risk. Returns a Column predicate: True = keep (clean).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from rgd_rnaseq_workflows_spark.functions.text import shingles
+
+    @pandas_udf("long")
+    def _n_shared(sh: pd.Series) -> pd.Series:
+        return sh.map(lambda arr: sum(1 for s in arr if s in bench_shingles))
+
+    return _n_shared(shingles(text_col, contam_n)) < min_shared
+
+
+def stream_training_mix(doc_stream: DataFrame, bench_shingles: frozenset[str],
+                        fractions: dict[str, float],
+                        min_tokens: int = 20, contam_n: int = 4,
+                        min_shared: int = 1, seed: int = 7,
+                        default: float = 0.0,
+                        ts_col: str | None = None,
+                        ttl: str = "30 minutes") -> DataFrame:
+    """Incremental training-mix pipeline: :func:`stream_curate` (stateless
+    gates + stateful first-seen dedup) → contamination gate → stratified
+    mix gate — the same stage ORDER as the batch pipeline
+    (``plans.corpus.build_training_mix``), so the mix draws on the
+    keeper's doc_id, and both post-dedup gates are stateless per-row ops
+    (the only shapes Structured Streaming allows after a stateful
+    kernel). ``bench_shingles`` is the benchmark's distinct ``contam_n``-
+    gram set (compute once, batch-side: explode + distinct + collect).
+    Near-dup compaction stays batch-side per the module docstring.
+    """
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        stratified_hash_sample)
+
+    curated = stream_curate(doc_stream, min_tokens, ts_col=ts_col, ttl=ttl)
+    clean = curated.filter(
+        contamination_gate(bench_shingles, contam_n, min_shared))
+    return stratified_hash_sample(clean, "lang", fractions, "doc_id",
+                                  seed=seed, default=default)
+
+
+def collect_bench_shingles(benchmark: DataFrame,
+                           contam_n: int = 4) -> frozenset[str]:
+    """Benchmark → its distinct shingle set (the one driver-side collect
+    in the streaming pipeline; eval sets are small by construction)."""
+    from rgd_rnaseq_workflows_spark.functions.text import shingles
+    rows = (benchmark
+            .select(F.explode(shingles("text", contam_n)).alias("sh"))
+            .distinct().collect())
+    return frozenset(r["sh"] for r in rows)

@@ -143,3 +143,57 @@ def test_parse_mix_rejects_malformed():
     assert parse_mix("en=0.5,de=0.25") == {"en": 0.5, "de": 0.25}
     with pytest.raises(ValueError):
         parse_mix("en:0.5")
+
+
+def test_stream_training_mix_equals_batch(spark, tmp_out):
+    """The incremental mix pipeline (stateful dedup + stateless
+    contamination/mix gates) must equal dedup -> decontaminate -> sample
+    run in batch over the same documents."""
+    import os
+    from rgd_rnaseq_workflows_spark.operators.contamination import decontaminate
+    from rgd_rnaseq_workflows_spark.operators.dedup import exact_dedup
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        stratified_hash_sample)
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        collect_bench_shingles, quality_lang_gate, stream_training_mix)
+
+    extra = ("a quick brown fox jumps over the lazy dog while the sun "
+             "sets behind green hills and the river bends away slowly")
+    b1 = _docs(spark)                                 # ids 1..7
+    b2 = spark.createDataFrame(
+        [(10, "en", "web", extra),                    # contaminated below
+         (11, "en", "web", BASE + " epsilon zeta")],
+        ["doc_id", "lang", "source", "text"])
+    bench = spark.createDataFrame(
+        [(100, "en", "eval", "quick brown fox jumps over nothing")],
+        ["doc_id", "lang", "source", "text"])
+    bench_sh = collect_bench_shingles(bench, contam_n=4)
+    fractions = {"en": 1.0}
+
+    src = os.path.join(tmp_out, "mix_src")
+    os.makedirs(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (stream_training_mix(stream, bench_sh, fractions, min_tokens=20,
+                             contam_n=4)
+         .writeStream.format("memory").queryName("mix_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        streamed = {(r["doc_id"], r["lang"], r["n_tokens"])
+                    for r in spark.sql("SELECT * FROM mix_out").collect()}
+    finally:
+        q.stop()
+
+    deduped = exact_dedup(quality_lang_gate(b1.unionByName(b2), 20),
+                          "text", "doc_id")
+    batch = stratified_hash_sample(
+        decontaminate(deduped, bench, shingle_n=4),
+        "lang", fractions, "doc_id", seed=7, default=0.0)
+    expected = {(r["doc_id"], r["lang"], r["n_tokens"])
+                for r in batch.collect()}
+    assert streamed == expected
+    assert 10 not in {d for d, _, _ in streamed}       # leak dropped
+    assert len(expected) >= 2
