@@ -80,8 +80,34 @@ def run(n: int) -> None:
     t0 = time.time()
     keepers = comps.filter(F.col("comp") != F.col("id")) \
                    .select(F.col("id").alias("doc_id"))
-    final = uniq.join(keepers, "doc_id", "left_anti").count()
+    curated = uniq.join(keepers, "doc_id", "left_anti").localCheckpoint()
+    final = curated.count()
     print(f"curated: {final} docs  [{time.time()-t0:.1f}s]")
+
+    # round-3 stages: decontamination (benchmark = every 97th doc's text
+    # re-labeled as an eval set) + stratified mix sampling
+    from rgd_rnaseq_workflows_spark.operators.contamination import (
+        decontaminate)
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        stratified_hash_sample)
+    bench = docs.filter(F.col("doc_id") % 97 == 3).select(
+        "doc_id", "lang", F.lit("eval").alias("source"), "text")
+    t0 = time.time()
+    # min_shared=8: every synthetic doc begins with its language's 8
+    # stopwords, so ANY same-lang pair shares those 5 in-prefix 4-grams;
+    # docs sharing a bench doc's 12 filler tokens (planted dups) clear 8
+    # easily, unrelated docs never do — the threshold is doing exactly
+    # its production job (common boilerplate ≠ contamination)
+    clean = decontaminate(curated, bench, shingle_n=4,
+                          min_shared=8).localCheckpoint()
+    n_clean = clean.count()
+    print(f"decontaminated: {n_clean} docs (-{final - n_clean})  "
+          f"[{time.time()-t0:.1f}s]")
+    t0 = time.time()
+    mix = stratified_hash_sample(
+        clean, "lang", {"en": 0.5, "de": 0.25}, "doc_id", default=0.1)
+    n_mix = mix.count()
+    print(f"training mix: {n_mix} docs  [{time.time()-t0:.1f}s]")
 
 
 if __name__ == "__main__":
