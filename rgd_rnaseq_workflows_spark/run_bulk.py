@@ -94,7 +94,13 @@ def _pipeline_args(spec: ProjectSpec, args: Namespace) -> Namespace:
     def t(template: str | None) -> str | None:
         return template.format(project=spec.project) if template else None
 
-    return Namespace(
+    # Start from run_pipeline's own parser defaults so a flag added there
+    # (e.g. --qc-scan-root) can never leave this Namespace missing an
+    # attribute the pipeline reads.
+    base = {a.dest: a.default
+            for a in run_pipeline.build_parser()._actions
+            if a.dest != "help"}
+    base.update(
         acclist=spec.acclist,
         star_logs=t(args.star_logs_template),
         rsem=t(args.rsem_template),
@@ -105,6 +111,7 @@ def _pipeline_args(spec: ProjectSpec, args: Namespace) -> Namespace:
         layout=args.layout,
         fastq_inventory=t(args.fastq_inventory_template),
     )
+    return Namespace(**base)
 
 
 def bulk_runs(spark, specs: list[ProjectSpec], args: Namespace,
