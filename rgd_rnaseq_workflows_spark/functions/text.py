@@ -75,6 +75,26 @@ def shingles(col: Column | str, n: int = 3) -> Column:
         F.when(F.size(rx) == 0, F.array(norm)).otherwise(rx)))
 
 
+def shingles_all(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles in document order, duplicates KEPT — the
+    multiset/positional form needed by repetition metrics and duplicated
+    n-gram coverage (``shingles`` is the distinct+sorted set form). Same
+    single-regex overlapping-capture scan; documents shorter than ``n``
+    tokens yield their full token string."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(c, " +", " "))
+    gram = "[^ ]+" + (" [^ ]+" * (n - 1))
+    rx = F.regexp_extract_all(norm, F.lit(f"(?=({gram}))[^ ]+( |$)"), 1)
+    return F.when(F.size(rx) == 0, F.array(norm)).otherwise(rx)
+
+
+def shingles_all_sql(expr: str, n: int = 3) -> str:
+    toks = tokens_sql(expr)
+    return (f"list_transform("
+            f"range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+            f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))")
+
+
 def shingles_sql(expr: str, n: int = 3) -> str:
     toks = tokens_sql(expr)
     return (

@@ -1,0 +1,270 @@
+"""Distributed k-means over embedding columns + SemDeDup-style semantic
+deduplication (cluster, then drop near-identical members per cluster).
+
+Extends the engine's LLM-data-pipeline surface (the reference has no
+vector ops; its numeric kernels are external binaries — SURVEY §7). The
+design follows the classic Spark/MLlib k-means shape: centroids are
+driver-side metadata (k×dims values, scalar scale — the same "collect
+only metadata" rule the component loop follows), every per-row pass is
+executor-side.
+
+Cross-engine exactness: all distance comparisons are computed from
+fixed-point integers (``round(x * SCALE)`` as int64 — exact for float32
+inputs since the double product carries ≤38 mantissa bits). A centroid
+is kept as (sum-vector, count) of exact ints, and the argmin compares
+``Σ(xi·n_c − s_c)² / n_c²``: the numerator is exact int64 arithmetic,
+identical in Spark, numpy and the DuckDB oracle; the single int→double
+cast + division is IEEE-deterministic. Bounds: |x|≤1, SCALE=1e4,
+n≤2e4 rows/cluster keeps the summed numerator < 2^62 (documented at
+the call site; a 100 TB deployment re-derives SCALE from its norm
+bound or moves to DecimalType).
+
+Rounding parity: Spark ``round`` and DuckDB ``round`` are
+half-away-from-zero; numpy's ``rint`` is half-even, so the kernel
+emulates half-away with ``floor(|a| + 0.5)·sign(a)`` — exact here
+because a has ≤38 mantissa bits and |a| < 2^14, so a+0.5 and the floor
+are both representable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10_000
+
+
+@dataclass(frozen=True)
+class Centroid:
+    """Exact-integer centroid: element-wise sum vector + member count.
+    The mean is ``s/(n·SCALE)`` but is never materialized as a float —
+    distances compare scaled integer numerators instead."""
+    cid: int
+    s: tuple[int, ...]
+    n: int
+
+
+def _int_vec(vec_col: Column | str) -> Column:
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(c, lambda x: F.round(x.cast("double") * SCALE)
+                       .cast("long"))
+
+
+def _unit_int_vec(vec_col: Column | str) -> Column:
+    """Spherical form: normalize to the unit sphere, then fix-point.
+    Exactness chain (identical in SQL and numpy): raw ints
+    ``xi = round(x·SCALE)`` are exact; ``ss = Σxi²`` is exact int64;
+    the unit component is ``round(xi·SCALE / √ss)`` — every input an
+    exactly-represented double, so sqrt/divide/round are one IEEE
+    rounding each, bit-identical on every engine. L2 over unit vectors
+    is monotone in cosine (‖a−b‖² = 2−2cosθ), so this makes the k-means
+    spherical — the geometry SemDeDup and embedding dedup actually use.
+    Bound: |unit int| ≤ SCALE ⇒ distance numerators stay inside int64
+    while cluster size n < √(2^63/(dims·SCALE²)) ≈ 3.8e4 at dims=64 —
+    beyond that, lower SCALE or sub-shard clusters."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    xi = F.transform(c, lambda x: F.round(x.cast("double") * SCALE)
+                     .cast("long"))
+    ss = F.aggregate(xi, F.lit(0).cast("long"),
+                     lambda acc, v: acc + v * v)
+    safe = F.greatest(ss, F.lit(1).cast("long"))
+    return F.transform(
+        xi, lambda v: F.round(v.cast("double") * SCALE
+                              / F.sqrt(safe.cast("double"))).cast("long"))
+
+
+def _round_half_away(a: np.ndarray) -> np.ndarray:
+    return (np.floor(np.abs(a) + 0.5) * np.sign(a)).astype(np.int64)
+
+
+def assign_kernel(centroids: list[Centroid]):
+    """Vectorized Arrow assignment: nearest centroid by exact-int squared
+    distance numerator (ties → smallest cluster id, via strict ``<``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = sorted(centroids, key=lambda c: c.cid)
+    S = [np.asarray(c.s, dtype=np.int64) for c in cents]
+    N = [c.n for c in cents]
+    IDS = [c.cid for c in cents]
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        XI = _round_half_away(V * SCALE)
+        SS = np.maximum((XI * XI).sum(axis=1), 1)
+        XI = _round_half_away(
+            XI.astype(np.float64) * SCALE
+            / np.sqrt(SS.astype(np.float64))[:, None])
+        best = np.full(len(XI), -1, dtype=np.int64)
+        bestd = np.full(len(XI), np.inf)
+        for c in range(len(N)):
+            num = ((XI * N[c] - S[c]) ** 2).sum(axis=1)  # exact int64
+            d = num.astype(np.float64) / (N[c] * N[c])
+            take = d < bestd
+            best[take] = IDS[c]
+            bestd[take] = d[take]
+        return pd.Series(best)
+
+    return assign
+
+
+def init_centroids(emb: DataFrame, k: int, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> list[Centroid]:
+    """Deterministic seed: the k vectors with the smallest ids, each a
+    singleton centroid (sum=vector, n=1). Model-free — any engine
+    reproduces the same seed from the data alone."""
+    rows = (emb.orderBy(id_col).limit(k)
+            .select(_unit_int_vec(vec_col).alias("iv")).collect())
+    return [Centroid(cid=i, s=tuple(r.iv), n=1) for i, r in enumerate(rows)]
+
+
+def update_centroids(assigned: DataFrame, vec_col: str = "embedding",
+                     cluster_col: str = "cluster") -> list[Centroid]:
+    """One Lloyd update: exact int sums per (cluster, dim) via posexplode
+    + map-side-combined groupBy (shuffle reduces to k×dims rows), then a
+    k×dims collect — driver-side metadata, same scale class as the
+    component loop's convergence scalar. Empty clusters vanish (matching
+    the SQL twin, where an absent cluster simply has no centroid row)."""
+    e = assigned.select(F.col(cluster_col).alias("c"),
+                        F.posexplode(_unit_int_vec(vec_col))
+                        .alias("d", "xi"))
+    rows = (e.groupBy("c", "d")
+            .agg(F.sum("xi").alias("s"), F.count("*").alias("n"))
+            .collect())
+    by_c: dict[int, dict[int, int]] = {}
+    n_c: dict[int, int] = {}
+    for r in rows:
+        by_c.setdefault(r.c, {})[r.d] = r.s
+        n_c[r.c] = r.n
+    out = []
+    for cid in sorted(by_c):
+        dims = by_c[cid]
+        out.append(Centroid(cid=cid,
+                            s=tuple(dims[d] for d in range(len(dims))),
+                            n=n_c[cid]))
+    return out
+
+
+def kmeans_assign(emb: DataFrame, k: int = 10, iters: int = 2,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """``iters`` assignment passes with ``iters−1`` centroid updates
+    between them (iters=2 ⇒ assign → update → assign). Returns the input
+    with a ``cluster`` column."""
+    cents = init_centroids(emb, k, id_col, vec_col)
+    assigned = emb.withColumn("cluster", assign_kernel(cents)(F.col(vec_col)))
+    for _ in range(iters - 1):
+        cents = update_centroids(assigned, vec_col)
+        assigned = emb.withColumn("cluster",
+                                  assign_kernel(cents)(F.col(vec_col)))
+    return assigned
+
+
+def kmeans_summary(assigned: DataFrame, label_col: str = "label",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster summary: size, exact-int centroid norm, majority
+    label. ``centroid_norm = √(Σ_d s_d²)/(n·SCALE)`` — Σs² is exact
+    int64 on every engine; one sqrt + one division are IEEE-identical."""
+    e = assigned.select("cluster",
+                        F.posexplode(_unit_int_vec(vec_col))
+                        .alias("d", "xi"))
+    per_cd = e.groupBy("cluster", "d").agg(F.sum("xi").alias("s"),
+                                           F.count("*").alias("n"))
+    norms = (per_cd.groupBy("cluster")
+             .agg(F.sum(F.col("s") * F.col("s")).alias("ss"),
+                  F.first("n").alias("n_members"))
+             .select("cluster", "n_members",
+                     F.round(F.sqrt(F.col("ss").cast("double"))
+                             / (F.col("n_members") * SCALE), 6)
+                     .alias("centroid_norm")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("cluster").orderBy(F.desc("n_lab"), label_col)
+    top = (assigned.groupBy("cluster", label_col)
+           .agg(F.count("*").alias("n_lab"))
+           .withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") == 1)
+           .select("cluster", F.col(label_col).alias("top_label"),
+                   F.col("n_lab").alias("top_label_n")))
+    return norms.join(top, "cluster")
+
+
+def semdedup(emb: DataFrame, k: int = 10, iters: int = 2,
+             threshold: float = 0.4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 shape): k-means cluster, then within
+    each cluster drop every member that has a smaller-id near-neighbor
+    (cosine ≥ threshold). The pair join is cluster-blocked equi — never
+    cross; the keeper rule is a deterministic anti-join, no component
+    loop. Returns per-cluster (n_members, n_dropped, n_kept)."""
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        embedding_near_dup)
+    assigned = kmeans_assign(emb, k, iters, id_col, vec_col)
+    pairs = embedding_near_dup(assigned, block_col="cluster", id_col=id_col,
+                               vec_col=vec_col, threshold=threshold)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (assigned.join(dropped.withColumn("_drop", F.lit(1)),
+                          id_col, "left")
+            .groupBy("cluster")
+            .agg(F.count("*").alias("n_members"),
+                 F.sum(F.when(F.col("_drop").isNotNull(), 1).otherwise(0))
+                 .cast("long").alias("n_dropped"))
+            .withColumn("n_kept",
+                        (F.col("n_members") - F.col("n_dropped"))
+                        .cast("long")))
+
+
+# --- oracle SQL builders ------------------------------------------------------
+
+def kmeans_assign_cte(k: int = 10, iters: int = 2,
+                      table: str = "embeddings",
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> str:
+    """CTE chain ending in ``af`` (vec_id, c) = the final assignment —
+    the Lloyd unrolling of :func:`kmeans_assign` in exact-int SQL."""
+    pts = f"""raw AS (
+  SELECT {id_col} AS vec_id, d, CAST(round(x * {SCALE}) AS BIGINT) AS xi
+  FROM (SELECT {id_col}, unnest(CAST({vec_col} AS DOUBLE[])) AS x,
+               generate_subscripts({vec_col}, 1) AS d FROM {table})),
+nrm AS (SELECT vec_id, CAST(sum(xi * xi) AS BIGINT) AS ss
+        FROM raw GROUP BY vec_id),
+pts AS (
+  SELECT r.vec_id, r.d,
+         CAST(round(CAST(r.xi AS DOUBLE) * {SCALE}
+              / sqrt(CAST(greatest(n.ss, 1) AS DOUBLE))) AS BIGINT) AS xi
+  FROM raw r JOIN nrm n USING (vec_id)),
+seed_ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+  FROM (SELECT {id_col} AS vec_id FROM {table} ORDER BY {id_col} LIMIT {k})),
+c0 AS (
+  SELECT s.c, p.d, p.xi AS s, CAST(1 AS BIGINT) AS n
+  FROM pts p JOIN seed_ids s USING (vec_id))"""
+    chain = [pts]
+    prev_c = "c0"
+    for it in range(1, iters + 1):
+        a = f"a{it}"
+        chain.append(f"""d{it} AS (
+  SELECT p.vec_id, c.c,
+         CAST(sum((p.xi * c.n - c.s) * (p.xi * c.n - c.s)) AS BIGINT) AS num,
+         c.n
+  FROM pts p JOIN {prev_c} c USING (d)
+  GROUP BY p.vec_id, c.c, c.n),
+{a} AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, row_number() OVER (
+      PARTITION BY vec_id
+      ORDER BY CAST(num AS DOUBLE) / (n * n), c) AS rk
+    FROM d{it})
+  WHERE rk = 1)""")
+        if it < iters:
+            chain.append(f"""c{it} AS (
+  SELECT a.c, p.d, CAST(sum(p.xi) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pts p JOIN a{it} a USING (vec_id)
+  GROUP BY a.c, p.d)""")
+            prev_c = f"c{it}"
+    chain.append(f"af AS (SELECT vec_id, c FROM a{iters})")
+    return ",\n".join(chain)

@@ -1,0 +1,149 @@
+"""Repetition- and duplication-based document quality diagnostics.
+
+Two operators a large-scale training-data pipeline runs before model
+training (extensions beyond the reference, whose quality gates are
+per-sample threshold filters — SURVEY FIL4):
+
+- :func:`repetition_report` — within-document repetition (Gopher-rule
+  shape: duplicate-token fraction + most-common-bigram coverage);
+  gibberish/boilerplate generators score high and get gated.
+- :func:`ngram_coverage_report` — cross-document duplicated n-gram
+  coverage per document: the fraction of a doc's n-gram positions whose
+  n-gram also occurs in at least one other document. This is the
+  linear-scan approximation of suffix-array substring dedup (Lee et al.
+  2022): no suffix array is needed to *score* documents, only to split
+  them, and the scoring is what drives keep/drop.
+
+Scale notes: both operators shuffle once on (doc, gram) with map-side
+partial aggregation (the gram explode streams through codegen — no
+materialized blow-up), then once on doc. ``ngram_coverage_report``'s
+gram-frequency table shuffles on the gram hash — the same key class the
+MinHash band join uses; skewed "stopword-run" grams partial-aggregate
+before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rgd_rnaseq_workflows_spark.functions import text as TX
+
+
+def repetition_report(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_dup_token_frac: float = 0.7,
+                      max_top_bigram_frac: float = 0.18) -> DataFrame:
+    """Per-document repetition metrics + a PASS/FAIL-style gate flag
+    (the reference's FIL4 idiom applied to text quality).
+
+    - ``dup_token_frac`` = 1 − distinct/total tokens (array ops, no
+      explode, no shuffle);
+    - ``top_bigram_frac`` = occurrences of the most frequent word bigram
+      × 2 / total tokens (explode → two map-side-combined aggs).
+    """
+    toks = TX.tokens(text_col)
+    base = docs.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"))
+    bi = (docs.select(id_col, F.explode(TX.shingles_all(text_col, 2))
+                      .alias("g"))
+          .groupBy(id_col, "g").agg(F.count("*").alias("cnt"))
+          .groupBy(id_col).agg(F.max("cnt").alias("top_bigram_n")))
+    rep = (base.join(bi, id_col)
+           .select(id_col, "n_tokens",
+                   F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 4)
+                   .alias("dup_token_frac"),
+                   F.col("top_bigram_n"),
+                   F.round(F.col("top_bigram_n") * 2 / F.col("n_tokens"), 4)
+                   .alias("top_bigram_frac")))
+    gate = ((F.col("dup_token_frac") <= max_dup_token_frac)
+            & (F.col("top_bigram_frac") <= max_top_bigram_frac))
+    return rep.withColumn("status", F.when(gate, "PASS").otherwise("FAIL"))
+
+
+def repetition_report_sql(table: str = "documents", id_col: str = "doc_id",
+                          text_col: str = "text",
+                          max_dup_token_frac: float = 0.7,
+                          max_top_bigram_frac: float = 0.18) -> str:
+    toks = TX.tokens_sql(text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col}, CAST(len({toks}) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct({toks})) AS BIGINT) AS n_distinct
+  FROM {table}),
+bi AS (
+  SELECT {id_col}, CAST(max(cnt) AS BIGINT) AS top_bigram_n FROM (
+    SELECT {id_col}, g, count(*) AS cnt FROM (
+      SELECT {id_col}, unnest({TX.shingles_all_sql(text_col, 2)}) AS g
+      FROM {table})
+    GROUP BY {id_col}, g)
+  GROUP BY {id_col}),
+rep AS (
+  SELECT base.{id_col}, n_tokens,
+         round(1 - CAST(n_distinct AS DOUBLE) / n_tokens, 4)
+           AS dup_token_frac,
+         top_bigram_n,
+         round(CAST(top_bigram_n * 2 AS DOUBLE) / n_tokens, 4)
+           AS top_bigram_frac
+  FROM base JOIN bi USING ({id_col}))
+SELECT {id_col}, n_tokens, dup_token_frac, top_bigram_n, top_bigram_frac,
+       CASE WHEN dup_token_frac <= {max_dup_token_frac}
+             AND top_bigram_frac <= {max_top_bigram_frac}
+            THEN 'PASS' ELSE 'FAIL' END AS status
+FROM rep
+"""
+
+
+def ngram_coverage_report(docs: DataFrame, n: int = 4,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Per-document cross-corpus duplicated n-gram coverage.
+
+    ``dup_frac`` = positions whose n-gram occurs in ≥2 distinct docs /
+    total n-gram positions. The gram-frequency side aggregates to
+    distinct-doc counts BEFORE the join back (per-gram partial
+    aggregation — the joined side carries one row per duplicated gram
+    type, not per occurrence).
+    """
+    grams = docs.select(id_col, F.explode(TX.shingles_all(text_col, n))
+                        .alias("g"))
+    dup_grams = (grams.groupBy("g")
+                 .agg(F.countDistinct(id_col).alias("nd"))
+                 .filter(F.col("nd") >= 2)
+                 .select("g"))
+    per_doc_total = grams.groupBy(id_col).agg(
+        F.count("*").alias("n_positions"))
+    per_doc_dup = (grams.join(dup_grams, "g")
+                   .groupBy(id_col).agg(F.count("*").alias("n_dup_positions")))
+    return (per_doc_total.join(per_doc_dup, id_col, "left")
+            .select(id_col, "n_positions",
+                    F.coalesce("n_dup_positions", F.lit(0)).cast("long")
+                    .alias("n_dup_positions"))
+            .withColumn("dup_frac",
+                        F.round(F.col("n_dup_positions")
+                                / F.col("n_positions"), 4)))
+
+
+def ngram_coverage_report_sql(table: str = "documents", n: int = 4,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    return f"""
+WITH grams AS (
+  SELECT {id_col}, unnest({TX.shingles_all_sql(text_col, n)}) AS g
+  FROM {table}),
+dup_grams AS (
+  SELECT g FROM (SELECT g, count(DISTINCT {id_col}) AS nd
+                 FROM grams GROUP BY g)
+  WHERE nd >= 2),
+tot AS (SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_positions
+        FROM grams GROUP BY {id_col}),
+dup AS (SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_dup_positions
+        FROM grams JOIN dup_grams USING (g) GROUP BY {id_col})
+SELECT tot.{id_col}, n_positions,
+       CAST(coalesce(n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+       round(CAST(coalesce(n_dup_positions, 0) AS DOUBLE) / n_positions, 4)
+         AS dup_frac
+FROM tot LEFT JOIN dup USING ({id_col})
+"""

@@ -944,6 +944,133 @@ def text_redact_pii(spark, sf_dir):
 
 
 # =============================================================================
+# Round 4 — clustering / semantic dedup / repetition quality / packing
+# =============================================================================
+
+def _kmeans_summary_oracle(k: int = 10, iters: int = 2) -> str:
+    from rgd_rnaseq_workflows_spark.operators.clustering import (
+        SCALE, kmeans_assign_cte)
+    return f"""
+WITH {kmeans_assign_cte(k=k, iters=iters)},
+cd AS (
+  SELECT a.c, p.d, CAST(sum(p.xi) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pts p JOIN af a USING (vec_id) GROUP BY a.c, p.d),
+norms AS (
+  SELECT c, CAST(max(n) AS BIGINT) AS n_members,
+         round(sqrt(CAST(sum(s * s) AS DOUBLE)) / (max(n) * {SCALE}), 6)
+           AS centroid_norm
+  FROM cd GROUP BY c),
+top AS (
+  SELECT c, label AS top_label, CAST(n_lab AS BIGINT) AS top_label_n FROM (
+    SELECT a.c, e.label, count(*) AS n_lab,
+           row_number() OVER (PARTITION BY a.c
+                              ORDER BY count(*) DESC, e.label) AS rk
+    FROM af a JOIN embeddings e ON e.vec_id = a.vec_id
+    GROUP BY a.c, e.label)
+  WHERE rk = 1)
+SELECT CAST(norms.c AS INTEGER) AS cluster, n_members, centroid_norm,
+       top_label, top_label_n
+FROM norms JOIN top ON norms.c = top.c
+"""
+
+
+@q("kmeans_embeddings", ("KMEANS",), oracle=_kmeans_summary_oracle(),
+   note="distributed Lloyd k-means (k=10, 2 assignment passes): exact "
+        "fixed-point distance numerators (int64 on every engine), "
+        "centroids as driver-side metadata like MLlib; per-cluster size, "
+        "exact-int centroid norm, majority label")
+def kmeans_embeddings(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators import clustering as CL
+    emb = _t(spark, sf_dir, "embeddings")
+    return CL.kmeans_summary(CL.kmeans_assign(emb, k=10, iters=2))
+
+
+def _semdedup_oracle(k: int = 10, iters: int = 2,
+                     threshold: float = 0.4) -> str:
+    from rgd_rnaseq_workflows_spark.operators.clustering import (
+        kmeans_assign_cte)
+    return f"""
+WITH {kmeans_assign_cte(k=k, iters=iters)},
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(av.ve, bv.ve), 6) AS cs
+  FROM af a JOIN af b ON a.c = b.c AND a.vec_id < b.vec_id
+  JOIN v av ON av.vec_id = a.vec_id
+  JOIN v bv ON bv.vec_id = b.vec_id),
+dropped AS (SELECT DISTINCT id_b FROM pr WHERE cs >= {threshold})
+SELECT CAST(a.c AS INTEGER) AS cluster,
+       count(*) AS n_members,
+       CAST(sum(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(count(*) - sum(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM af a LEFT JOIN dropped d ON a.vec_id = d.id_b
+GROUP BY a.c
+"""
+
+
+@q("semdedup_embeddings", ("SEMDEDUP",), oracle=_semdedup_oracle(),
+   note="SemDeDup: k-means cluster then drop members with a smaller-id "
+        "near-neighbor (cosine >= 0.4) inside their cluster — "
+        "cluster-blocked equi pair join, anti-join keeper rule, no "
+        "component loop")
+def semdedup_embeddings(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators import clustering as CL
+    emb = _t(spark, sf_dir, "embeddings")
+    return CL.semdedup(emb, k=10, iters=2, threshold=0.4)
+
+
+def _quality_repetition_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        repetition_report_sql)
+    return repetition_report_sql("documents")
+
+
+@q("quality_repetition", ("QUAL-REP", "FIL4"),
+   oracle=_quality_repetition_oracle(),
+   note="Gopher-rule repetition gate: duplicate-token fraction (array "
+        "ops, zero shuffle) + most-common-bigram coverage (one "
+        "map-side-combined agg) -> PASS/FAIL status")
+def quality_repetition(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        repetition_report)
+    return repetition_report(_t(spark, sf_dir, "documents"))
+
+
+def _ngram_coverage_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        ngram_coverage_report_sql)
+    return ngram_coverage_report_sql("documents", n=4)
+
+
+@q("dedup_ngram_coverage", ("DEDUP-COVER",), oracle=_ngram_coverage_oracle(),
+   note="cross-document duplicated 4-gram coverage per doc (the "
+        "linear-scan scoring half of suffix-array substring dedup): "
+        "gram-frequency side reduced to duplicated gram TYPES before "
+        "the join back")
+def dedup_ngram_coverage(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        ngram_coverage_report)
+    return ngram_coverage_report(_t(spark, sf_dir, "documents"), n=4)
+
+
+def _pack_sequences_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.packing import pack_chunks_sql
+    return pack_chunks_sql("documents", ctx=512)
+
+
+@q("pack_sequences", ("PACK",), oracle=_pack_sequences_oracle(),
+   note="concat-and-chunk sequence packing into 512-token windows: "
+        "two-phase distributed prefix sum (bucket-partitioned windows + "
+        "metadata-scale bucket offsets), never one global window")
+def pack_sequences(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.packing import pack_chunks
+    return pack_chunks(_t(spark, sf_dir, "documents"), ctx=512)
+
+
+# =============================================================================
 # public accessors
 # =============================================================================
 
@@ -952,6 +1079,13 @@ def text_redact_pii(spark, sf_dir):
 # prior round are surfaced first so every registry entry accumulates a
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
+    # round-4 additions (no recorded row yet)
+    "kmeans_embeddings",
+    "semdedup_embeddings",
+    "quality_repetition",
+    "dedup_ngram_coverage",
+    "pack_sequences",
+    # round-2/3 additions whose first recorded window was r03
     "ann_lsh_topk",
     "corpus_full_curation",
     "cube_aggregate",

@@ -1,0 +1,55 @@
+"""Repetition metrics and cross-doc n-gram coverage on handcrafted docs."""
+
+from __future__ import annotations
+
+import pytest
+
+from rgd_rnaseq_workflows_spark.operators.quality import (
+    ngram_coverage_report, repetition_report)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "a a a a"),
+        (1, "w x y z"),
+        (2, "p q r s t u v w"),
+        (3, "p q r s different tail here"),
+        (4, "solo unique words only here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_metrics(spark, docs_df):
+    out = {r.doc_id: r for r in repetition_report(docs_df).collect()}
+    r0 = out[0]
+    assert r0.n_tokens == 4
+    assert r0.dup_token_frac == 0.75            # 1 - 1/4
+    assert r0.top_bigram_n == 3                 # "a a" overlapping x3
+    assert r0.top_bigram_frac == 1.5            # 3*2/4
+    assert r0.status == "FAIL"
+    r1 = out[1]
+    assert r1.dup_token_frac == 0.0
+    assert r1.top_bigram_n == 1
+    assert r1.status == "FAIL" or r1.top_bigram_frac == 0.5
+    # 4 distinct tokens can't pass the 0.18 bigram bound by construction;
+    # a longer diverse doc does:
+    long_doc = spark.createDataFrame(
+        [(9, " ".join(f"w{i}" for i in range(40)))],
+        "doc_id long, text string")
+    assert repetition_report(long_doc).first().status == "PASS"
+
+
+def test_ngram_coverage(spark, docs_df):
+    out = {r.doc_id: r for r in
+           ngram_coverage_report(docs_df, n=4).collect()}
+    # docs 2 and 3 share exactly the 4-gram "p q r s" (1 position each)
+    assert out[2].n_dup_positions == 1
+    assert out[3].n_dup_positions == 1
+    assert out[2].n_positions == 5              # 8 tokens -> 5 positions
+    assert out[2].dup_frac == 0.2
+    # doc 0 repeats "a a a a" only within itself -> not cross-doc
+    assert out[0].n_dup_positions == 0
+    assert out[4].n_dup_positions == 0
+    # every doc present, even with zero duplicated positions
+    assert set(out) == {0, 1, 2, 3, 4}
