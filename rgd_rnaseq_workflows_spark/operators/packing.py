@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from rgd_rnaseq_workflows_spark.functions import hashing as HX
 from rgd_rnaseq_workflows_spark.functions import text as TX
 
 
@@ -58,6 +59,54 @@ def pack_chunks(docs: DataFrame, ctx: int = 512, bucket_width: int = 1_000,
                  F.sum("n_tok").alias("n_tokens"),
                  F.min("id").alias("first_doc"),
                  F.max("id").alias("last_doc")))
+
+
+def shard_corpus(docs: DataFrame, n_shards: int = 16, seed: int = 11,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 lang_col: str = "lang") -> DataFrame:
+    """Deterministic pseudorandom sharding of a corpus for training-data
+    layout: shard = md5-bucket of the document id, within-shard order =
+    the md5 value itself. This is the scale-safe global shuffle — no
+    global sort or prefix sum, just a hash partitioning whose output is a
+    uniform random permutation of the corpus (what the trainer's data
+    loader needs), reproducible from (seed, id) alone on any engine.
+
+    Returns the per-shard manifest (what a 100 TB run writes alongside
+    ``partitionBy("shard")`` parquet): document/token counts, language
+    breadth, and the first/last document in shard order (``min_by`` on
+    the shard key — one map-side-combined agg, one shuffle on ``shard``,
+    k rows out).
+    """
+    h = HX.md5_long(F.col(id_col).cast("string"), seed=seed)
+    t = docs.select(
+        F.col(id_col).alias("id"), F.col(lang_col).alias("lang"),
+        TX.token_count(text_col).alias("n_tok"),
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        h.alias("ord"))
+    return (t.groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("n_tokens"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.min_by("id", "ord").alias("first_doc"),
+                 F.max_by("id", "ord").alias("last_doc"))
+            .orderBy("shard"))
+
+
+def shard_corpus_sql(table: str = "documents", n_shards: int = 16,
+                     seed: int = 11, id_col: str = "doc_id",
+                     text_col: str = "text", lang_col: str = "lang") -> str:
+    h = HX.md5_long_sql(f"CAST({id_col} AS VARCHAR)", seed=seed)
+    n_tok = TX.token_count_sql(text_col)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, {lang_col} AS lang, {n_tok} AS n_tok,
+         CAST({h} % {n_shards} AS INTEGER) AS shard, {h} AS ord
+  FROM {table})
+SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       arg_min(id, ord) AS first_doc, arg_max(id, ord) AS last_doc
+FROM t GROUP BY shard ORDER BY shard
+"""
 
 
 def pack_chunks_sql(table: str = "documents", ctx: int = 512,

@@ -126,6 +126,75 @@ def ngram_coverage_report(docs: DataFrame, n: int = 4,
                                 / F.col("n_positions"), 4)))
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    lang_col: str = "lang") -> DataFrame:
+    """Top-k terms per language by TF-IDF — the corpus-characterization
+    query a data pipeline runs to spot boilerplate and topic drift.
+
+    ``tfidf(lang, term) = tf · ln(N / df)`` with ``tf`` the term's
+    occurrence count within the language and ``df`` the number of
+    distinct documents (corpus-wide) containing the term. Both inputs
+    are exact integers; one ``ln`` + one multiply are single IEEE ops,
+    so the score is bit-identical across engines and the (score desc,
+    term) ordering is deterministic.
+
+    Scale shape: the tf side shuffles on (lang, term) with map-side
+    combine; the df side on term over ``array_distinct`` (per-doc dedup
+    BEFORE the explode — the shuffle carries term *types*, not
+    occurrences); the tf⋈df join shuffles the vocabulary, not the
+    corpus. The final top-k is a per-lang window — vocabulary-scale
+    partitions (the doc corpus is already reduced away), with languages
+    as the partition key.
+    """
+    toks = TX.tokens(text_col)
+    n_docs = docs.select(F.countDistinct(id_col).alias("nn"))
+    tf = (docs.select(F.col(lang_col).alias("lang"),
+                      F.explode(toks).alias("term"))
+          .groupBy("lang", "term").agg(F.count("*").alias("tf")))
+    df_ = (docs.select(id_col, F.explode(F.array_distinct(toks))
+                       .alias("term"))
+           .groupBy("term").agg(F.count("*").alias("df")))
+    scored = (tf.join(df_, "term").crossJoin(F.broadcast(n_docs))
+              .select("lang", "term", "tf", "df",
+                      F.round(F.col("tf")
+                              * F.log(F.col("nn") / F.col("df")), 6)
+                      .alias("tfidf")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), "term")
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("lang", F.col("rk").cast("long").alias("rk"),
+                    "term", "tf", "df", "tfidf"))
+
+
+def tfidf_top_terms_sql(table: str = "documents", k: int = 5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        lang_col: str = "lang") -> str:
+    toks = TX.tokens_sql(text_col)
+    return f"""
+WITH nd AS (SELECT count(DISTINCT {id_col}) AS nn FROM {table}),
+tf AS (
+  SELECT {lang_col} AS lang, term, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT {lang_col}, unnest({toks}) AS term FROM {table})
+  GROUP BY {lang_col}, term),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+    SELECT {id_col}, unnest(list_distinct({toks})) AS term FROM {table})
+  GROUP BY term),
+scored AS (
+  SELECT lang, term, tf, df,
+         round(tf * ln(CAST(nn AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (term), nd)
+SELECT lang, CAST(rk AS BIGINT) AS rk, term, tf, df, tfidf FROM (
+  SELECT lang, term, tf, df, tfidf,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY tfidf DESC, term) AS rk
+  FROM scored)
+WHERE rk <= {k}
+"""
+
+
 def ngram_coverage_report_sql(table: str = "documents", n: int = 4,
                               id_col: str = "doc_id",
                               text_col: str = "text") -> str:

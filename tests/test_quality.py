@@ -5,7 +5,7 @@ from __future__ import annotations
 import pytest
 
 from rgd_rnaseq_workflows_spark.operators.quality import (
-    ngram_coverage_report, repetition_report)
+    ngram_coverage_report, repetition_report, tfidf_top_terms)
 
 
 @pytest.fixture(scope="module")
@@ -53,3 +53,33 @@ def test_ngram_coverage(spark, docs_df):
     assert out[4].n_dup_positions == 0
     # every doc present, even with zero duplicated positions
     assert set(out) == {0, 1, 2, 3, 4}
+
+
+def test_tfidf_top_terms(spark):
+    import math
+    rows = [
+        (0, "cat dog", "en"),
+        (1, "cat cat bird", "en"),
+        (2, "chat chien", "fr"),
+        (3, "cat chat", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = [(r.lang, r.rk, r.term, r.tf, r.df, r.tfidf)
+           for r in tfidf_top_terms(df, k=2).collect()]
+    by_lang = {}
+    for lang, rk, term, tf, df_, tfidf in out:
+        by_lang.setdefault(lang, []).append((rk, term, tf, df_, tfidf))
+    # en: cat tf=3 df=3 -> 3*ln(4/3)=0.86; bird/dog tf=1 df=1 -> ln(4)=1.39
+    # bird and dog tie at ln(4) and both outrank cat; tie breaks on term
+    en = sorted(by_lang["en"])
+    assert en[0][1:4] == ("bird", 1, 1)
+    assert en[0][4] == pytest.approx(math.log(4.0), abs=1e-6)
+    assert en[1][1] == "dog"
+    assert en[1][4] == pytest.approx(math.log(4.0), abs=1e-6)
+    # fr: chien tf=1 df=1 ln(4); chat tf=2 df=2 -> 2*ln(2)
+    fr = sorted(by_lang["fr"])
+    assert fr[0][1] == "chat" and fr[0][4] == pytest.approx(
+        2 * math.log(2.0), abs=1e-6)
+    assert fr[1][1] == "chien"
+    # ranks are 1..k per lang
+    assert [r[0] for r in en] == [1, 2] and [r[0] for r in fr] == [1, 2]
