@@ -1,0 +1,265 @@
+"""Product-quantization (PQ) ANN: the FAISS-style memory-scale path.
+
+A 100 TB embedding corpus cannot hold float32 vectors in executor RAM;
+PQ stores each vector as ``m`` one-byte codes (64-dim float32 → 4 bytes
+at m=4, a 64× cut) and answers top-k with asymmetric distance
+computation (ADC): the query precomputes a tiny m×k distance table to
+every codebook centroid, and scoring a vector is ``m`` table lookups +
+an integer sum — no per-pair float math at all.
+
+Training follows :mod:`clustering`'s exact-arithmetic discipline so the
+whole pipeline is bit-identical across Spark, numpy and the DuckDB
+oracle (Jégou et al. 2011 for the algorithm; the exactness scheme is
+ours):
+
+- sub-vectors are fixed-point ints ``xi = round(x·SCALE)`` (NO unit
+  normalization — PQ quantizes raw residual geometry);
+- per-subspace codebooks are Lloyd k-means with exact integer distance
+  numerators ``Σ(xi·n − s)²`` (centroid = exact (sum, count) pair);
+- the ADC table entry is ``round(num/(n²)·1e6)`` — one divide, one
+  multiply, one half-away round, all IEEE-deterministic — stored as
+  int64, so the final per-vector score ``Σ_j tab[j][code_j]`` is an
+  EXACT integer sum (order-independent, no float accumulation).
+
+Scale shape: training = ``iters`` corpus passes, each one
+map-side-combined groupBy shuffling m·k·sub_dims rows (metadata);
+codebooks/ADC tables live on the driver like MLlib models and broadcast
+into the encode/score kernels. Encoding is a pure Arrow projection;
+top-k is TakeOrdered. The corpus is never shuffled, never joined.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rgd_rnaseq_workflows_spark.operators.clustering import (
+    SCALE, Centroid, _round_half_away)
+
+ADC_SCALE = 1_000_000
+
+
+def _sub_ints(V: np.ndarray) -> np.ndarray:
+    """Fixed-point ints of a float vector batch (no normalization)."""
+    return _round_half_away(V.astype(np.float64) * SCALE)
+
+
+def encode_kernel(books: list[list[Centroid]], sub_dims: int):
+    """Arrow kernel: vector → array of m codebook codes (argmin of the
+    exact-int distance numerator over n², ties → smallest code id)."""
+    from pyspark.sql.functions import pandas_udf
+
+    prepared = []
+    for cents in books:
+        cs = sorted(cents, key=lambda c: c.cid)
+        prepared.append((np.stack([np.asarray(c.s, dtype=np.int64)
+                                   for c in cs]),
+                         np.asarray([c.n for c in cs], dtype=np.int64),
+                         np.asarray([c.cid for c in cs], dtype=np.int64)))
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        XI = _sub_ints(np.stack(vecs.to_numpy()))
+        out = np.empty((len(XI), len(prepared)), dtype=np.int32)
+        for j, (S, N, IDS) in enumerate(prepared):
+            Xj = XI[:, j * sub_dims:(j + 1) * sub_dims]
+            best = np.full(len(Xj), -1, dtype=np.int64)
+            bestd = np.full(len(Xj), np.inf)
+            for c in range(len(N)):
+                num = ((Xj * N[c] - S[c]) ** 2).sum(axis=1)  # exact int64
+                d = num.astype(np.float64) / (N[c] * N[c])
+                take = d < bestd
+                best[take] = IDS[c]
+                bestd[take] = d[take]
+            out[:, j] = best
+        return pd.Series(list(out))
+
+    return encode
+
+
+def init_books(emb: DataFrame, m: int, k: int, sub_dims: int,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> list[list[Centroid]]:
+    """Deterministic seed: per subspace, the k smallest-id sub-vectors as
+    singleton centroids (mirrors :func:`clustering.init_centroids`)."""
+    rows = (emb.orderBy(id_col).limit(k)
+            .select(F.transform(vec_col,
+                                lambda x: F.round(x.cast("double") * SCALE)
+                                .cast("long")).alias("iv"))
+            .collect())
+    books = []
+    for j in range(m):
+        books.append([
+            Centroid(cid=i, s=tuple(r.iv[j * sub_dims:(j + 1) * sub_dims]),
+                     n=1)
+            for i, r in enumerate(rows)])
+    return books
+
+
+def update_books(encoded: DataFrame, m: int, sub_dims: int,
+                 vec_col: str = "embedding",
+                 codes_col: str = "codes") -> list[list[Centroid]]:
+    """One Lloyd update for ALL subspaces in one shuffle: posexplode the
+    int vector, derive (subspace j, within-dim dd, assigned code) per
+    element, groupBy (j, code, dd) with map-side combine → m·k·sub_dims
+    rows collected as driver metadata."""
+    iv = F.transform(F.col(vec_col),
+                     lambda x: F.round(x.cast("double") * SCALE)
+                     .cast("long"))
+    e = (encoded.select(F.col(codes_col).alias("cs"),
+                        F.posexplode(iv).alias("d", "xi"))
+         .select((F.col("d") / sub_dims).cast("int").alias("j"),
+                 F.pmod(F.col("d"), F.lit(sub_dims)).alias("dd"),
+                 F.element_at("cs", (F.col("d") / sub_dims).cast("int") + 1)
+                 .alias("c"),
+                 "xi"))
+    rows = (e.groupBy("j", "c", "dd")
+            .agg(F.sum("xi").alias("s"), F.count("*").alias("n"))
+            .collect())
+    acc: dict[tuple[int, int], dict[int, int]] = {}
+    n_of: dict[tuple[int, int], int] = {}
+    for r in rows:
+        acc.setdefault((r.j, r.c), {})[r.dd] = r.s
+        n_of[(r.j, r.c)] = r.n
+    books: list[list[Centroid]] = [[] for _ in range(m)]
+    for (j, c) in sorted(acc):
+        dims = acc[(j, c)]
+        books[j].append(Centroid(
+            cid=c, s=tuple(dims[d] for d in range(len(dims))),
+            n=n_of[(j, c)]))
+    return books
+
+
+def pq_encode(emb: DataFrame, m: int = 4, k: int = 8, iters: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dims: int | None = None) -> tuple[DataFrame, list[list[Centroid]]]:
+    """Train per-subspace codebooks (``iters`` assignment passes,
+    ``iters−1`` updates) and return (corpus with ``codes``, books)."""
+    if dims is None:
+        dims = len(emb.select(vec_col).first()[0])
+    sub_dims = dims // m
+    books = init_books(emb, m, k, sub_dims, id_col, vec_col)
+    enc = emb.withColumn("codes",
+                         encode_kernel(books, sub_dims)(F.col(vec_col)))
+    for _ in range(iters - 1):
+        books = update_books(enc, m, sub_dims, vec_col)
+        enc = emb.withColumn("codes",
+                             encode_kernel(books, sub_dims)(F.col(vec_col)))
+    return enc, books
+
+
+def adc_table(books: list[list[Centroid]], qvec: list[float],
+              sub_dims: int) -> list[list[int]]:
+    """Query-side ADC table: ``tab[j][cid] = round(Σ(qi·n−s)²/n²·1e6)``
+    as int64 (missing codes → int64-max/4 sentinel, never assigned)."""
+    QI = _sub_ints(np.asarray(qvec, dtype=np.float64))
+    k_max = max(c.cid for cents in books for c in cents) + 1
+    tab: list[list[int]] = []
+    for j, cents in enumerate(books):
+        Qj = QI[j * sub_dims:(j + 1) * sub_dims]
+        row = [2 ** 61] * k_max
+        for c in cents:
+            S = np.asarray(c.s, dtype=np.int64)
+            num = int(((Qj * c.n - S) ** 2).sum())
+            row[c.cid] = int(_round_half_away(
+                np.float64(num) / (c.n * c.n) * ADC_SCALE))
+        tab.append(row)
+    return tab
+
+
+def pq_topk(emb: DataFrame, query_id: int, k: int = 10, m: int = 4,
+            k_codes: int = 8, iters: int = 2, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Top-k by PQ/ADC distance: encode the corpus, build the query's
+    ADC table (driver metadata), score = exact int Σ_j tab[j][code_j]
+    via array-literal lookups (pure codegen projection), TakeOrdered."""
+    dims = len(emb.select(vec_col).first()[0])
+    sub_dims = dims // m
+    enc, books = pq_encode(emb, m, k_codes, iters, id_col, vec_col, dims)
+    qvec = emb.filter(F.col(id_col) == query_id).select(vec_col).first()[0]
+    tab = adc_table(books, qvec, sub_dims)
+    terms = [
+        F.element_at(F.array(*[F.lit(v).cast("long") for v in tab[j]]),
+                     F.element_at("codes", j + 1) + 1)
+        for j in range(m)]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return (enc.filter(F.col(id_col) != query_id)
+            .select(F.col(id_col).alias("id"), total.alias("adc_dist6"))
+            .orderBy("adc_dist6", "id").limit(k))
+
+
+# --- oracle SQL builder -------------------------------------------------------
+
+def pq_topk_sql(table: str = "embeddings", query_id: int = 0, k: int = 10,
+                m: int = 4, k_codes: int = 8, iters: int = 2, dims: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """The full PQ pipeline unrolled in exact-int SQL: fixed-point
+    sub-vectors → seeded Lloyd per subspace (all subspaces in one CTE
+    chain, ``j`` as a grouping column) → ADC table → integer-sum top-k.
+    Mirrors :func:`pq_topk` operation-for-operation."""
+    sub_dims = dims // m
+    head = f"""raw AS (
+  SELECT {id_col} AS vec_id,
+         CAST((d - 1) // {sub_dims} AS INTEGER) AS j,
+         CAST((d - 1) % {sub_dims} AS INTEGER) AS dd,
+         CAST(round(x * {SCALE}) AS BIGINT) AS xi
+  FROM (SELECT {id_col}, unnest(CAST({vec_col} AS DOUBLE[])) AS x,
+               generate_subscripts({vec_col}, 1) AS d FROM {table})),
+seed_ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+  FROM (SELECT {id_col} AS vec_id FROM {table}
+        ORDER BY {id_col} LIMIT {k_codes})),
+c0 AS (
+  SELECT r.j, s.c, r.dd, r.xi AS s, CAST(1 AS BIGINT) AS n
+  FROM raw r JOIN seed_ids s USING (vec_id))"""
+    chain = [head]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        chain.append(f"""d{it} AS (
+  SELECT r.vec_id, r.j, c.c,
+         CAST(sum((r.xi * c.n - c.s) * (r.xi * c.n - c.s)) AS BIGINT)
+           AS num,
+         c.n
+  FROM raw r JOIN {prev} c ON c.j = r.j AND c.dd = r.dd
+  GROUP BY r.vec_id, r.j, c.c, c.n),
+a{it} AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c, row_number() OVER (
+      PARTITION BY vec_id, j
+      ORDER BY CAST(num AS DOUBLE) / (n * n), c) AS rk
+    FROM d{it})
+  WHERE rk = 1)""")
+        if it < iters:
+            chain.append(f"""c{it} AS (
+  SELECT r.j, a.code AS c, r.dd, CAST(sum(r.xi) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM raw r JOIN a{it} a ON a.vec_id = r.vec_id AND a.j = r.j
+  GROUP BY r.j, a.code, r.dd)""")
+            prev = f"c{it}"
+    chain.append(f"""qsub AS (
+  SELECT j, dd, xi FROM raw WHERE vec_id = {query_id}),
+tab AS (
+  SELECT c.j, c.c,
+         CAST(round(CAST(num AS DOUBLE) / (n * n) * {ADC_SCALE}) AS BIGINT)
+           AS di
+  FROM (SELECT b.j, b.c, b.n,
+               CAST(sum((q.xi * b.n - b.s) * (q.xi * b.n - b.s)) AS BIGINT)
+                 AS num
+        FROM {prev if iters == 1 else f'c{iters - 1}'} b
+        JOIN qsub q ON q.j = b.j AND q.dd = b.dd
+        GROUP BY b.j, b.c, b.n) AS c)""")
+    chain.append(f"""scores AS (
+  SELECT a.vec_id AS id, CAST(sum(t.di) AS BIGINT) AS adc_dist6
+  FROM a{iters} a JOIN tab t ON t.j = a.j AND t.c = a.code
+  GROUP BY a.vec_id)""")
+    body = ",\n".join(chain)
+    return f"""
+WITH {body}
+SELECT id, adc_dist6 FROM scores
+WHERE id != {query_id}
+ORDER BY adc_dist6, id LIMIT {k}
+"""

@@ -1133,6 +1133,24 @@ def ann_int8_topk(spark, sf_dir):
     return int8_topk(_t(spark, sf_dir, "embeddings"), query_id=7, k=10)
 
 
+def _pq_topk_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.pq import pq_topk_sql
+    return pq_topk_sql("embeddings", query_id=7, k=10, m=4, k_codes=8,
+                       iters=2, dims=64)
+
+
+@q("ann_pq_topk", ("ANN-PQ",), oracle=_pq_topk_oracle(),
+   note="product-quantization ANN (Jegou 2011 shape): per-subspace "
+        "exact-int Lloyd codebooks, m one-byte codes per vector (64x "
+        "memory cut), query answers via a driver-side ADC table — "
+        "scoring is m array lookups + an exact integer sum, zero "
+        "per-pair float math; corpus never shuffled or joined")
+def ann_pq_topk(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.pq import pq_topk
+    return pq_topk(_t(spark, sf_dir, "embeddings"), query_id=7, k=10,
+                   m=4, k_codes=8, iters=2)
+
+
 # =============================================================================
 # public accessors
 # =============================================================================
@@ -1147,6 +1165,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "text_tfidf_top_terms",
     "ann_quantize_report",
     "ann_int8_topk",
+    "ann_pq_topk",
     "kmeans_embeddings",
     "semdedup_embeddings",
     "quality_repetition",
