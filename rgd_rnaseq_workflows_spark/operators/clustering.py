@@ -149,19 +149,26 @@ def update_centroids(assigned: DataFrame, vec_col: str = "embedding",
     return out
 
 
-def kmeans_assign(emb: DataFrame, k: int = 10, iters: int = 2,
-                  id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+def kmeans_fit(emb: DataFrame, k: int = 10, iters: int = 2,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> tuple[DataFrame, list[Centroid]]:
     """``iters`` assignment passes with ``iters−1`` centroid updates
-    between them (iters=2 ⇒ assign → update → assign). Returns the input
-    with a ``cluster`` column."""
+    between them (iters=2 ⇒ assign → update → assign). Returns (input
+    with a ``cluster`` column, the centroids the final assignment used)
+    — the centroid list is what an IVF probe scores a query against."""
     cents = init_centroids(emb, k, id_col, vec_col)
     assigned = emb.withColumn("cluster", assign_kernel(cents)(F.col(vec_col)))
     for _ in range(iters - 1):
         cents = update_centroids(assigned, vec_col)
         assigned = emb.withColumn("cluster",
                                   assign_kernel(cents)(F.col(vec_col)))
-    return assigned
+    return assigned, cents
+
+
+def kmeans_assign(emb: DataFrame, k: int = 10, iters: int = 2,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    return kmeans_fit(emb, k, iters, id_col, vec_col)[0]
 
 
 def kmeans_summary(assigned: DataFrame, label_col: str = "label",

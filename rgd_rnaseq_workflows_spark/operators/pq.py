@@ -171,13 +171,21 @@ def adc_table(books: list[list[Centroid]], qvec: list[float],
 
 def pq_topk(emb: DataFrame, query_id: int, k: int = 10, m: int = 4,
             k_codes: int = 8, iters: int = 2, id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
+            vec_col: str = "embedding",
+            candidates: DataFrame | None = None) -> DataFrame:
     """Top-k by PQ/ADC distance: encode the corpus, build the query's
     ADC table (driver metadata), score = exact int Σ_j tab[j][code_j]
-    via array-literal lookups (pure codegen projection), TakeOrdered."""
+    via array-literal lookups (pure codegen projection), TakeOrdered.
+
+    ``candidates`` (optional, an ``id_col`` frame) restricts SCORING to
+    a candidate set via a semi-join — codebooks still train on the full
+    corpus (an IVF probe narrows who is scored, never what the
+    quantizer learned)."""
     dims = len(emb.select(vec_col).first()[0])
     sub_dims = dims // m
     enc, books = pq_encode(emb, m, k_codes, iters, id_col, vec_col, dims)
+    if candidates is not None:
+        enc = enc.join(candidates.select(id_col), id_col, "semi")
     qvec = emb.filter(F.col(id_col) == query_id).select(vec_col).first()[0]
     tab = adc_table(books, qvec, sub_dims)
     terms = [
@@ -192,15 +200,60 @@ def pq_topk(emb: DataFrame, query_id: int, k: int = 10, m: int = 4,
             .orderBy("adc_dist6", "id").limit(k))
 
 
+def ivfpq_topk(emb: DataFrame, query_id: int, k: int = 10, kc: int = 10,
+               nprobe: int = 3, c_iters: int = 2, m: int = 4,
+               k_codes: int = 8, iters: int = 2, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF + PQ (the FAISS ``IVFADC`` index, Jégou et al. 2011 §V): a
+    coarse spherical k-means partitions the corpus into ``kc`` inverted
+    lists; a query probes only its ``nprobe`` nearest lists and
+    ADC-scores just those members. At 100 TB this is the difference
+    between scanning every code and scanning ``nprobe/kc`` of them —
+    the probe set is driver metadata (kc centroid distances), the
+    candidate restriction is a semi-join that prunes before any
+    scoring work.
+
+    Exactness: the probe ranks centroids by the same exact-int distance
+    numerator the assignment kernel uses (``Σ(qi·n−s)²`` int64, one
+    IEEE divide), ties → smaller cluster id; the SQL twin reproduces
+    the ranking bit-for-bit.
+    """
+    import numpy as np
+
+    from rgd_rnaseq_workflows_spark.operators.clustering import (
+        SCALE as CSCALE, _round_half_away, kmeans_fit)
+
+    assigned, cents = kmeans_fit(emb, kc, c_iters, id_col, vec_col)
+    qvec = emb.filter(F.col(id_col) == query_id).select(vec_col).first()[0]
+    XI = _round_half_away(np.asarray(qvec, dtype=np.float64) * CSCALE)
+    ss = max(int((XI * XI).sum()), 1)
+    XI = _round_half_away(XI.astype(np.float64) * CSCALE
+                          / np.sqrt(np.float64(ss)))
+    ranked = sorted(
+        (float(int(((XI * c.n - np.asarray(c.s, dtype=np.int64)) ** 2)
+                   .sum())) / (c.n * c.n), c.cid)
+        for c in cents)
+    probe = [cid for _, cid in ranked[:nprobe]]
+    cand = assigned.filter(F.col("cluster").isin(probe)).select(id_col)
+    return pq_topk(emb, query_id, k, m, k_codes, iters, id_col, vec_col,
+                   candidates=cand)
+
+
 # --- oracle SQL builder -------------------------------------------------------
 
 def pq_topk_sql(table: str = "embeddings", query_id: int = 0, k: int = 10,
                 m: int = 4, k_codes: int = 8, iters: int = 2, dims: int = 64,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                extra_ctes: str = "", cand_cte: str | None = None) -> str:
     """The full PQ pipeline unrolled in exact-int SQL: fixed-point
     sub-vectors → seeded Lloyd per subspace (all subspaces in one CTE
     chain, ``j`` as a grouping column) → ADC table → integer-sum top-k.
-    Mirrors :func:`pq_topk` operation-for-operation."""
+    Mirrors :func:`pq_topk` operation-for-operation.
+
+    ``extra_ctes``/``cand_cte`` are the IVF injection points: extra CTEs
+    are prepended to the WITH chain, and when ``cand_cte`` names one of
+    them (a ``vec_id`` set), scoring is restricted to its members —
+    the SQL form of :func:`pq_topk`'s ``candidates`` semi-join."""
     sub_dims = dims // m
     head = f"""raw AS (
   SELECT {id_col} AS vec_id,
@@ -252,14 +305,60 @@ tab AS (
         FROM {prev if iters == 1 else f'c{iters - 1}'} b
         JOIN qsub q ON q.j = b.j AND q.dd = b.dd
         GROUP BY b.j, b.c, b.n) AS c)""")
+    cand = (f"\n  WHERE a.vec_id IN (SELECT vec_id FROM {cand_cte})"
+            if cand_cte else "")
     chain.append(f"""scores AS (
   SELECT a.vec_id AS id, CAST(sum(t.di) AS BIGINT) AS adc_dist6
-  FROM a{iters} a JOIN tab t ON t.j = a.j AND t.c = a.code
+  FROM a{iters} a JOIN tab t ON t.j = a.j AND t.c = a.code{cand}
   GROUP BY a.vec_id)""")
     body = ",\n".join(chain)
+    head_ctes = f"{extra_ctes},\n" if extra_ctes else ""
     return f"""
-WITH {body}
+WITH {head_ctes}{body}
 SELECT id, adc_dist6 FROM scores
 WHERE id != {query_id}
 ORDER BY adc_dist6, id LIMIT {k}
 """
+
+
+def ivfpq_topk_sql(table: str = "embeddings", query_id: int = 0, k: int = 10,
+                   kc: int = 10, nprobe: int = 3, c_iters: int = 2,
+                   m: int = 4, k_codes: int = 8, iters: int = 2,
+                   dims: int = 64, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`ivfpq_topk`: the coarse k-means chain
+    (``iv``-prefixed to avoid CTE-name collisions with the PQ chain),
+    the exact-int probe ranking, then the PQ chain scored only on
+    probed-cluster members."""
+    import re
+
+    from rgd_rnaseq_workflows_spark.operators.clustering import (
+        kmeans_assign_cte)
+
+    km = kmeans_assign_cte(k=kc, iters=c_iters, table=table,
+                           id_col=id_col, vec_col=vec_col)
+    names = ["raw", "nrm", "pts", "seed_ids", "c0", "af"]
+    for it in range(1, c_iters + 1):
+        names += [f"d{it}", f"a{it}", f"c{it}"]
+    km = re.sub(r"\b(" + "|".join(names) + r")\b",
+                lambda mt: "iv" + mt.group(1), km)
+    final_cents = f"ivc{c_iters - 1}" if c_iters > 1 else "ivc0"
+    probe = f"""{km},
+ivq AS (SELECT d, xi FROM ivpts WHERE vec_id = {query_id}),
+ivpd AS (
+  SELECT c.c,
+         CAST(sum((q.xi * c.n - c.s) * (q.xi * c.n - c.s)) AS BIGINT)
+           AS num,
+         c.n
+  FROM {final_cents} c JOIN ivq q USING (d) GROUP BY c.c, c.n),
+ivprobe AS (
+  SELECT c FROM (
+    SELECT c, row_number() OVER (
+      ORDER BY CAST(num AS DOUBLE) / (n * n), c) AS rk
+    FROM ivpd)
+  WHERE rk <= {nprobe}),
+ivcand AS (
+  SELECT vec_id FROM ivaf WHERE c IN (SELECT c FROM ivprobe))"""
+    return pq_topk_sql(table, query_id, k, m, k_codes, iters, dims,
+                       id_col, vec_col, extra_ctes=probe,
+                       cand_cte="ivcand")

@@ -216,3 +216,77 @@ SELECT tot.{id_col}, n_positions,
          AS dup_frac
 FROM tot LEFT JOIN dup USING ({id_col})
 """
+
+
+# --- corpus bigram-LM familiarity ---------------------------------------------
+
+def bigram_lm_report(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Self-trained bigram language-model familiarity per document — the
+    CCNet idea (score documents under an LM trained on the corpus
+    itself) restricted to integer-exact statistics so every engine
+    agrees bit-for-bit:
+
+    - train: corpus bigram table ``c(w1 w2)`` = count of each word
+      bigram across all documents (one map-side-combined groupBy);
+    - score: per document, ``n_bigrams``, ``familiarity_sum`` = Σ c(bg)
+      over the document's bigram positions (how much corpus mass backs
+      each transition), and ``n_hapax`` = positions whose bigram occurs
+      exactly once in the corpus (novel/noise transitions — high hapax
+      ratio flags gibberish, near-zero flags boilerplate/duplication).
+
+    All three are exact BIGINT sums; the two derived ratios are single
+    divisions of exact integers (correctly rounded on every engine) then
+    ``round(·, 6)``. No log/pow — a true log-prob LM score is a sum of
+    per-position doubles whose accumulation order no distributed engine
+    pins down, so it cannot be value-oracled; the integer form keeps the
+    same signal (monotone in the per-position evidence) and stays exact.
+
+    Scale shape: explode bigrams (codegen regex scan, no materialized
+    blow-up) → shuffle 1: groupBy bigram with map-side combine (the LM);
+    shuffle 2: join doc-bigrams to the LM on the bigram key (both sides
+    large → shuffle hash join, the standard train/score co-location);
+    shuffle 3: per-doc agg. Heavy-hitter bigrams (stopword pairs) are
+    combined map-side before ever shuffling.
+    """
+    b = docs.select(F.col(id_col).alias("id"),
+                    F.explode(TX.shingles_all(text_col, 2)).alias("bg"))
+    lm = b.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    return (b.join(lm, "bg")
+            .groupBy("id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum("c_bg").alias("familiarity_sum"),
+                 F.sum(F.when(F.col("c_bg") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_hapax"))
+            .select(F.col("id").alias(id_col), "n_bigrams",
+                    "familiarity_sum", "n_hapax",
+                    F.round(F.col("familiarity_sum").cast("double")
+                            / F.col("n_bigrams").cast("double"), 6)
+                    .alias("mean_bigram_count"),
+                    F.round(F.col("n_hapax").cast("double")
+                            / F.col("n_bigrams").cast("double"), 6)
+                    .alias("hapax_ratio")))
+
+
+def bigram_lm_report_sql(table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """DuckDB twin of :func:`bigram_lm_report` (exact integer sums, so
+    the unordered aggregation is engine-independent)."""
+    sh = TX.shingles_all_sql(text_col, 2)
+    return f"""
+WITH b AS (
+  SELECT {id_col} AS id, unnest({sh}) AS bg FROM {table}),
+lm AS (SELECT bg, count(*) AS c_bg FROM b GROUP BY bg),
+per AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(c_bg) AS BIGINT) AS familiarity_sum,
+         CAST(sum(CASE WHEN c_bg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax
+  FROM b JOIN lm USING (bg) GROUP BY id)
+SELECT id AS {id_col}, n_bigrams, familiarity_sum, n_hapax,
+       round(CAST(familiarity_sum AS DOUBLE)
+             / CAST(n_bigrams AS DOUBLE), 6) AS mean_bigram_count,
+       round(CAST(n_hapax AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+         AS hapax_ratio
+FROM per
+"""

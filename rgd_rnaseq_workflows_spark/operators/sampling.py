@@ -78,3 +78,134 @@ WHERE {bucket} < (CASE {strata_col}
 {whens}
     ELSE {_bps(default)} END)
 """
+
+
+# --- temperature-resampled mix ------------------------------------------------
+
+WEIGHT_SCALE = 1 << 20  # fixed-point weight numerators (exact bigints)
+
+
+def temperature_mix(df: DataFrame, strata_col: str, key_col: str,
+                    total_fraction: float = 0.3, seed: int = 1) -> DataFrame:
+    """Temperature-resampled stratum mix (the mT5/CC-mix α=0.5 scheme):
+    stratum weight ∝ √count, so rare strata are up-weighted relative to
+    their corpus share; each stratum keeps
+    ``rate = min(1, target·w_s / count_s)`` of its rows, deterministically
+    in ``key_col``'s md5 bucket (same bucket family as
+    :func:`stratified_hash_sample`).
+
+    Cross-engine exactness (drives the DuckDB oracle): the weight
+    numerator is ``floor(√count · 2^20)`` — √ is correctly rounded per
+    IEEE-754 on every engine, the scale-by-2^20 and floor are exact — so
+    the denominator is an exact BIGINT sum, and the final basis-point
+    threshold is one explicitly-parenthesized double expression whose
+    every operation both engines round identically. α is fixed at 0.5:
+    general ``pow(x, α)`` carries no cross-engine correct-rounding
+    guarantee, √ does.
+
+    Scale shape (100 TB): one metadata-scale count agg (k strata rows),
+    a 1-row total cross-joined in, rates broadcast back onto the corpus,
+    then a pure md5-bucket filter — the corpus itself is never shuffled.
+    Returns the kept rows + the per-stratum threshold (``mix_bps``) for
+    mix auditing.
+    """
+    c = F.col
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    counts = counts.withColumn(
+        "_num", F.floor(F.sqrt(c("_n").cast("double")) * WEIGHT_SCALE)
+        .cast("long"))
+    tot = counts.agg(F.sum("_num").alias("_denom"),
+                     F.sum("_n").alias("_total"))
+    target = F.floor(F.lit(total_fraction) * c("_total").cast("double")) \
+        .cast("double")
+    bps = F.least(
+        F.lit(BUCKETS).cast("long"),
+        F.floor(((target * c("_num").cast("double")) * float(BUCKETS))
+                / (c("_denom").cast("double") * c("_n").cast("double"))))
+    rates = (counts.crossJoin(F.broadcast(tot))
+             .select(strata_col, bps.alias("mix_bps")))
+    return (df.join(F.broadcast(rates), strata_col)
+            .filter(sample_bucket(key_col, seed) < c("mix_bps")))
+
+
+def temperature_mix_sql(src: str, strata_col: str, key_col: str,
+                        total_fraction: float = 0.3, seed: int = 1,
+                        cols: str = "*") -> str:
+    """ANSI-SQL twin of :func:`temperature_mix` — identical arithmetic,
+    operation for operation (parenthesization matters: both engines must
+    round the same double intermediates)."""
+    bucket = (f"{md5_long_sql(f'CAST({key_col} AS VARCHAR)', seed=seed)}"
+              f" % {BUCKETS}")
+    return f"""
+WITH _cnt AS (
+  SELECT {strata_col}, count(*) AS _n,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * {WEIGHT_SCALE})
+              AS BIGINT) AS _num
+  FROM {src} GROUP BY {strata_col}),
+_tot AS (
+  SELECT CAST(sum(_num) AS BIGINT) AS _denom,
+         CAST(sum(_n) AS BIGINT) AS _total FROM _cnt),
+_rates AS (
+  SELECT {strata_col},
+         LEAST(CAST({BUCKETS} AS BIGINT),
+               CAST(floor(((CAST(floor({total_fraction} *
+                                       CAST(_total AS DOUBLE)) AS DOUBLE)
+                            * CAST(_num AS DOUBLE)) * {float(BUCKETS)})
+                          / (CAST(_denom AS DOUBLE) * CAST(_n AS DOUBLE)))
+                    AS BIGINT)) AS mix_bps
+  FROM _cnt CROSS JOIN _tot)
+SELECT {cols}, r.mix_bps
+FROM {src} d JOIN _rates r USING ({strata_col})
+WHERE {bucket} < r.mix_bps
+"""
+
+
+# --- per-key frequency capping ------------------------------------------------
+
+def cap_per_key(df: DataFrame, key_col: str, cap: int, id_col: str,
+                seed: int = 1, n_salts: int = 8) -> DataFrame:
+    """Keep at most ``cap`` rows per key (domain/source frequency capping
+    for crawl corpora), choosing survivors uniformly-at-random but
+    reproducibly: rank rows within each key by ``md5(seed:id)`` (tie →
+    id) and keep ranks ≤ cap.
+
+    Skew-safe two-phase top-K — a hot key (one domain with 10⁹ pages at
+    100 TB) must not funnel through a single window task:
+
+    1. rank within (key, salt) where salt = id-hash mod ``n_salts``;
+       survivors ≤ cap per salt — this window's partitions are the hot
+       key split ``n_salts`` ways;
+    2. re-rank the ≤ cap·n_salts survivors per key; keep ranks ≤ cap.
+
+    Phase 1 is lossless for the final top-cap (every global top-cap row
+    is in its own salt's top-cap), so the result is EXACTLY the
+    single-window answer — the oracle twin is that plain global form.
+    Emits ``keep_rank`` (1-based, deterministic) for auditability.
+    """
+    from pyspark.sql import Window
+    ord_col = md5_long(F.col(id_col).cast("string"), seed=seed)
+    t = df.withColumn("_ord", ord_col) \
+          .withColumn("_salt", F.pmod(F.col(id_col), F.lit(n_salts)))
+    w1 = Window.partitionBy(key_col, "_salt").orderBy("_ord", id_col)
+    survivors = (t.withColumn("_r1", F.row_number().over(w1))
+                 .filter(F.col("_r1") <= cap))
+    w2 = Window.partitionBy(key_col).orderBy("_ord", id_col)
+    return (survivors.withColumn("keep_rank",
+                                 F.row_number().over(w2).cast("long"))
+            .filter(F.col("keep_rank") <= cap)
+            .drop("_ord", "_salt", "_r1"))
+
+
+def cap_per_key_sql(src: str, key_col: str, cap: int, id_col: str,
+                    seed: int = 1, cols: str = "*") -> str:
+    """Single-window twin of :func:`cap_per_key` (the two-phase plan is
+    exact, so the plain form is the oracle)."""
+    ord_sql = md5_long_sql(f"CAST({id_col} AS VARCHAR)", seed=seed)
+    return f"""
+SELECT {cols}, keep_rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY {key_col} ORDER BY {ord_sql}, {id_col}) AS BIGINT)
+    AS keep_rank
+  FROM {src})
+WHERE keep_rank <= {cap}
+"""

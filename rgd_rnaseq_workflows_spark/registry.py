@@ -80,9 +80,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp (floor — matches DuckDB's ns→s flooring in the oracles)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    elif ts_type == "timestamp_ntz":
+        # micro-precision testdata reads as NTZ; session TZ is pinned UTC,
+        # so the ntz→ltz cast preserves the same epoch DuckDB computes
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -1151,6 +1156,79 @@ def ann_pq_topk(spark, sf_dir):
                    m=4, k_codes=8, iters=2)
 
 
+def _ivfpq_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.pq import ivfpq_topk_sql
+    return ivfpq_topk_sql("embeddings", query_id=7, k=10, kc=10, nprobe=3,
+                          c_iters=2, m=4, k_codes=8, iters=2, dims=64)
+
+
+@q("ann_ivfpq_topk", ("ANN-IVFPQ",), oracle=_ivfpq_oracle(),
+   note="IVF+PQ (FAISS IVFADC shape): coarse spherical k-means inverted "
+        "lists, query probes its 3 nearest of 10 lists (exact-int "
+        "centroid ranking, driver metadata), PQ/ADC scores only probed "
+        "members via a semi-join — scan cost drops to nprobe/kc of the "
+        "corpus, zero per-pair float math")
+def ann_ivfpq_topk(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.pq import ivfpq_topk
+    return ivfpq_topk(_t(spark, sf_dir, "embeddings"), query_id=7, k=10,
+                      kc=10, nprobe=3, c_iters=2, m=4, k_codes=8, iters=2)
+
+
+def _temperature_mix_oracle() -> str:
+    return SMP.temperature_mix_sql(
+        "documents", "lang", "doc_id", total_fraction=0.3, seed=7,
+        cols="d.doc_id, d.lang")
+
+
+@q("sample_temperature_mix", ("SAMPLE-TEMP",),
+   oracle=_temperature_mix_oracle(),
+   note="temperature-resampled language mix (mT5 alpha=0.5): stratum "
+        "weight proportional to sqrt(count) via exact-bigint fixed-point "
+        "numerators, per-stratum keep rate broadcast back, kept set a "
+        "pure md5-bucket filter — one metadata agg, corpus never "
+        "shuffled; every double op explicitly ordered so both engines "
+        "round identically")
+def sample_temperature_mix(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return SMP.temperature_mix(d, "lang", "doc_id", total_fraction=0.3,
+                               seed=7).select("doc_id", "lang", "mix_bps")
+
+
+def _cap_per_source_oracle() -> str:
+    return SMP.cap_per_key_sql("documents", "source", 30, "doc_id", seed=3,
+                               cols="doc_id, source")
+
+
+@q("cap_per_source", ("FREQ-CAP",), oracle=_cap_per_source_oracle(),
+   note="per-source frequency capping (crawl domain caps): keep <= 30 "
+        "docs per source chosen by md5(seed:id) rank — two-phase salted "
+        "top-K so a hot domain splits across 8 salt partitions instead "
+        "of one window task; phase 1 is lossless for the final top-K, "
+        "oracle is the plain single-window form")
+def cap_per_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return SMP.cap_per_key(d, "source", 30, "doc_id", seed=3) \
+        .select("doc_id", "source", "keep_rank")
+
+
+def _bigram_lm_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        bigram_lm_report_sql)
+    return bigram_lm_report_sql("documents")
+
+
+@q("quality_bigram_lm", ("BIGRAM-LM",), oracle=_bigram_lm_oracle(),
+   note="self-trained bigram-LM familiarity (CCNet shape, integer-exact): "
+        "corpus bigram table via one map-side-combined groupBy, per-doc "
+        "familiarity/hapax sums via a train-score shuffle join on the "
+        "bigram key; exact BIGINT sums so the unordered agg is "
+        "engine-identical (a float log-prob sum could not be "
+        "value-oracled)")
+def quality_bigram_lm(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import bigram_lm_report
+    return bigram_lm_report(_t(spark, sf_dir, "documents"))
+
+
 # =============================================================================
 # public accessors
 # =============================================================================
@@ -1161,6 +1239,10 @@ def ann_pq_topk(spark, sf_dir):
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
     # round-4 additions (no recorded row yet)
+    "ann_ivfpq_topk",
+    "sample_temperature_mix",
+    "cap_per_source",
+    "quality_bigram_lm",
     "corpus_shard_manifest",
     "text_tfidf_top_terms",
     "ann_quantize_report",

@@ -80,3 +80,35 @@ def test_topk_plan_is_projection_plus_takeordered(spark, emb_df):
                    iters=2)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# --- IVF + PQ composition -----------------------------------------------------
+
+def test_ivfpq_full_probe_equals_pq(spark, emb_df):
+    # probing every inverted list must reproduce plain PQ exactly — the
+    # probe only prunes, never rescores
+    from rgd_rnaseq_workflows_spark.operators.pq import ivfpq_topk
+    full = [(r.id, r.adc_dist6)
+            for r in pq_topk(emb_df, query_id=0, k=5, m=2, k_codes=4,
+                             iters=2).collect()]
+    probed = [(r.id, r.adc_dist6)
+              for r in ivfpq_topk(emb_df, query_id=0, k=5, kc=4, nprobe=4,
+                                  c_iters=2, m=2, k_codes=4,
+                                  iters=2).collect()]
+    assert probed == full
+
+
+def test_ivfpq_narrow_probe_subset_and_scores_consistent(spark, emb_df):
+    # a 1-of-4 probe returns a subset of the corpus whose ADC scores
+    # agree with the full scoring (same codebooks — trained corpus-wide)
+    from rgd_rnaseq_workflows_spark.operators.pq import ivfpq_topk
+    full = {r.id: r.adc_dist6
+            for r in pq_topk(emb_df, query_id=0, k=20, m=2, k_codes=4,
+                             iters=2).collect()}
+    narrow = ivfpq_topk(emb_df, query_id=0, k=5, kc=4, nprobe=1,
+                        c_iters=2, m=2, k_codes=4, iters=2).collect()
+    assert 0 < len(narrow) <= 5
+    for r in narrow:
+        assert full[r.id] == r.adc_dist6
+    # the query's own blob (+e1 cluster, ids 1-9) is what a 1-probe finds
+    assert all(r.id < 10 for r in narrow)

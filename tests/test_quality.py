@@ -83,3 +83,35 @@ def test_tfidf_top_terms(spark):
     assert fr[1][1] == "chien"
     # ranks are 1..k per lang
     assert [r[0] for r in en] == [1, 2] and [r[0] for r in fr] == [1, 2]
+
+
+# --- bigram-LM familiarity ----------------------------------------------------
+
+def test_bigram_lm_counts_exact(spark):
+    from rgd_rnaseq_workflows_spark.operators.quality import bigram_lm_report
+    rows = [
+        (0, "a b c"),       # bigrams: "a b", "b c"
+        (1, "a b d"),       # bigrams: "a b", "b d"
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_lm_report(d).collect()}
+    # "a b" occurs twice corpus-wide; "b c"/"b d" once each
+    assert out[0].n_bigrams == 2
+    assert out[0].familiarity_sum == 2 + 1
+    assert out[0].n_hapax == 1
+    assert out[0].mean_bigram_count == 1.5
+    assert out[0].hapax_ratio == 0.5
+    assert out[1].familiarity_sum == 3
+
+
+def test_bigram_lm_duplicates_raise_familiarity(spark):
+    from rgd_rnaseq_workflows_spark.operators.quality import bigram_lm_report
+    base = [(i, f"unique{i} words{i} here{i}") for i in range(5)]
+    dup = [(10 + i, "same exact boilerplate line") for i in range(4)]
+    d = spark.createDataFrame(base + dup, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_lm_report(d).collect()}
+    # each boilerplate copy sees its bigrams 4x corpus-wide, zero hapax
+    assert out[10].mean_bigram_count == 4.0
+    assert out[10].hapax_ratio == 0.0
+    # fully-unique docs are all-hapax
+    assert out[0].hapax_ratio == 1.0

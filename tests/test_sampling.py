@@ -62,3 +62,84 @@ def test_plan_is_pure_filter(docs):
     plan = (stratified_hash_sample(docs, "lang", {"en": 0.5}, "doc_id")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+# --- temperature mix ----------------------------------------------------------
+
+def test_temperature_mix_upweights_rare_strata(spark):
+    from rgd_rnaseq_workflows_spark.operators.sampling import temperature_mix
+    # en 1800 / de 200: alpha=0.5 weights sqrt(1800):sqrt(200) = 3:1, so
+    # de's keep RATE must exceed en's (rare-language upweighting)
+    rows = [(i, "en" if i < 1800 else "de") for i in range(2000)]
+    d = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_mix(d, "lang", "doc_id", total_fraction=0.3)
+    bps = {r["lang"]: r["mix_bps"]
+           for r in out.select("lang", "mix_bps").distinct().collect()}
+    assert bps["de"] > bps["en"]
+    # target is ~600 docs total; md5 buckets are uniform so ±20% is slack
+    n = out.count()
+    assert 450 < n < 750
+
+
+def test_temperature_mix_uniform_strata_equal_rates(spark):
+    from rgd_rnaseq_workflows_spark.operators.sampling import temperature_mix
+    rows = [(i, ["en", "de", "zh", "fr"][i % 4]) for i in range(2000)]
+    d = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_mix(d, "lang", "doc_id", total_fraction=0.4)
+    bps = {r["mix_bps"] for r in out.select("mix_bps").distinct().collect()}
+    assert len(bps) == 1                 # equal counts -> equal rates
+
+
+def test_temperature_mix_never_exceeds_full_keep(spark):
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        BUCKETS, temperature_mix)
+    # a tiny stratum whose weighted target exceeds its size clamps at 10000
+    rows = [(i, "en" if i < 1995 else "xx") for i in range(2000)]
+    d = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_mix(d, "lang", "doc_id", total_fraction=0.9)
+    xx = out.filter("lang = 'xx'")
+    assert xx.count() == 5               # clamped rate keeps every row
+    assert xx.select("mix_bps").first()[0] == BUCKETS
+
+
+def test_temperature_mix_corpus_never_shuffled(spark):
+    # the corpus side must reach the filter without an Exchange: the only
+    # exchanges in the plan belong to the metadata-scale rate computation
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.operators.sampling import temperature_mix
+    d = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"))
+    plan = (temperature_mix(d, "lang", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# --- per-key frequency capping ------------------------------------------------
+
+def test_cap_per_key_matches_single_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long
+    from rgd_rnaseq_workflows_spark.operators.sampling import cap_per_key
+    # skewed: source s0 has 900 rows, s1 has 80, s2 has 20
+    rows = [(i, "s0" if i < 900 else ("s1" if i < 980 else "s2"))
+            for i in range(1000)]
+    d = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = cap_per_key(d, "source", 50, "doc_id", seed=3, n_salts=8)
+    w = Window.partitionBy("source").orderBy("_o", "doc_id")
+    want = (d.withColumn("_o", md5_long(F.col("doc_id").cast("string"),
+                                        seed=3))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 50))
+    assert ({(r.doc_id, r.source, r.keep_rank) for r in got.collect()}
+            == {(r.doc_id, r.source, r.rk) for r in want.collect()})
+
+
+def test_cap_per_key_respects_cap_and_small_keys(spark):
+    from rgd_rnaseq_workflows_spark.operators.sampling import cap_per_key
+    rows = [(i, "hot" if i < 500 else "cold") for i in range(520)]
+    d = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = cap_per_key(d, "source", 30, "doc_id").groupBy("source").count()
+    by = {r["source"]: r["count"] for r in out.collect()}
+    assert by == {"hot": 30, "cold": 20}   # under-cap keys keep everything
