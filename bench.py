@@ -47,8 +47,11 @@ def main() -> None:
             # the headline
             continue
         # free the previous query's DataFrame refs so the ContextCleaner
-        # can drop its localCheckpoint RDDs / broadcasts before timing
+        # can drop its localCheckpoint RDDs / broadcasts before timing,
+        # and drop persisted frames (kmeans keeps its assignment cached)
+        # so a heavy query's residue doesn't inflate its neighbors
         gc.collect()
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -219,7 +219,12 @@ def embedding_near_dup(emb: DataFrame, block_col: str = "label",
              .drop("_bn"))
     else:
         v = v.withColumn("_sub", F.lit(0))
-    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    # Arrow cosine: the pair join is the corpus-scale hot path (every
+    # candidate pair pays a 3×dims fold); the interpreted HOF form costs
+    # ~4s at sf0.1's ~200k semdedup pairs vs ~0.5s vectorized. round(·,6)
+    # absorbs the ≤1 ulp batch-vs-sequential summation difference — the
+    # same tolerance lsh_topk's oracle already relies on.
+    sim = F.round(cosine_kernel()(F.col("a.v"), F.col("b.v")), 6)
     return (_blocked_candidates(v, id_col)
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),

@@ -55,6 +55,48 @@ def stream_windowed_counts(spark: SparkSession, source_dir: str,
     return windowed_counts(stream, window)
 
 
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "15 minutes") -> DataFrame:
+    """Sliding event-time window counts per event_type (each event lands
+    in window/slide overlapping windows — Spark's window() generates
+    them; the oracle enumerates the same 4 starts with a range join).
+    Batch and streaming share this expression tree."""
+    agg = (events
+           .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+           .agg(F.count("*").alias("n")))
+    return agg.select(F.unix_timestamp(F.col("w.start"))
+                      .alias("window_start"), "event_type", "n")
+
+
+def sliding_topk(events: DataFrame, k: int = 3, window: str = "1 hour",
+                 slide: str = "15 minutes") -> DataFrame:
+    """Trending event types: top-k by count per sliding window (rank by
+    count desc, type asc for determinism). The rank runs AFTER the
+    windowed aggregation — at scale the window partitions are
+    metadata-bounded (windows × types), so the rank's window never sees
+    corpus-scale rows; streaming runs the agg incrementally and ranks in
+    the sink's downstream batch (append-mode cannot rank mid-stream)."""
+    from pyspark.sql import Window as W
+    c = sliding_counts(events, window, slide)
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.desc("n"), "event_type"))
+    return (c.withColumn("rk", rk.cast("long"))
+            .filter(F.col("rk") <= k))
+
+
+def stream_sliding_counts(spark: SparkSession, source_dir: str,
+                          window: str = "1 hour",
+                          slide: str = "15 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming variant of :func:`sliding_counts`: watermark bounds the
+    per-window state exactly as in the tumbling case — overlap multiplies
+    live state by window/slide, not by stream length."""
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .parquet(source_dir)
+              .withWatermark("ts", watermark))
+    return sliding_counts(stream, window, slide)
+
+
 def interval_join(clicks: DataFrame, views: DataFrame,
                   max_lag: str = "1 hour") -> DataFrame:
     """Event-time interval join: each click pairs with the same user's

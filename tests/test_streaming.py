@@ -80,3 +80,35 @@ def test_stream_interval_join_equals_batch(spark, tmp_out):
     finally:
         q.stop()
     assert streamed == batch and len(batch) > 0
+
+
+def test_sliding_stream_equals_batch(spark, tmp_out):
+    from rgd_rnaseq_workflows_spark.streaming.events_stream import (
+        sliding_counts, sliding_topk, stream_sliding_counts)
+    df = _events_df(spark)
+    src = os.path.join(tmp_out, "src_slide")
+    df.write.parquet(src)
+    batch = {tuple(r) for r in sliding_counts(df).collect()}
+
+    q = (stream_sliding_counts(spark, src, watermark="10 minutes")
+         .writeStream.format("memory").queryName("slide_out")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        streamed = {tuple(r) for r in
+                    spark.sql("SELECT * FROM slide_out").collect()}
+    finally:
+        q.stop()
+    assert streamed == batch and len(batch) > 0
+    # every event lands in exactly window/slide = 4 windows
+    assert sum(r[2] for r in batch) == 40 * 4
+    # top-k is a per-window prefix of the counts, deterministically ranked
+    top = sliding_topk(df, k=3).collect()
+    per_window = {}
+    for r in top:
+        per_window.setdefault(r["window_start"], []).append(r)
+    for rows in per_window.values():
+        assert [r["rk"] for r in
+                sorted(rows, key=lambda x: x["rk"])] == list(
+                    range(1, len(rows) + 1))
+        assert len(rows) <= 3

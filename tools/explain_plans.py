@@ -56,6 +56,22 @@ SHOWCASE = {
         "(prefix-bucketed big×big, by design) and the checkpoint-truncated "
         "component loop — the post-curation steps add only broadcast joins "
         "(decontamination) and a filter (mix gate).",
+    "sample_temperature_mix": "temperature-resampled mix: the per-stratum "
+        "rates come from a metadata-scale agg (k rows) broadcast back — the "
+        "corpus side is scan → broadcast join → md5-bucket filter, never "
+        "shuffled.",
+    "cap_per_source": "two-phase salted top-K: window over (key, salt) then "
+        "window over key on ≤ cap·n_salts survivors — a hot domain splits "
+        "across salt partitions instead of funneling one task; phase 1 is "
+        "lossless so the result equals the single-window form.",
+    "quality_bigram_lm": "train/score in one lineage: bigram explode "
+        "partial-aggregates map-side (heavy stopword pairs combine before "
+        "the shuffle), the LM joins back on the bigram key (shuffle hash "
+        "join, both sides large — correct), per-doc agg is integer-exact.",
+    "ann_ivfpq_topk": "IVFADC: the Arrow boundaries are the coarse assign + "
+        "PQ encode kernels; the probe set is driver metadata, the candidate "
+        "restriction a semi-join BEFORE any ADC scoring; top-k is "
+        "TakeOrdered — the corpus is never globally sorted.",
 }
 
 
