@@ -61,3 +61,44 @@ def test_lsh_topk_uses_arrow_kernel_not_rowwise_python(spark):
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_temperature_mix_corpus_side_broadcast_only(spark):
+    """The corpus reaches the mix filter via a broadcast join of the
+    k-row rate table — never a shuffle of the documents themselves, and
+    no Python anywhere."""
+    plan = _plan(spark, "sample_temperature_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cap_per_source_two_phase_windows(spark):
+    """Two window phases (salted then final) and no join/Python — the
+    skew-safe top-K shape."""
+    plan = _plan(spark, "cap_per_source")
+    assert plan.count("Window") >= 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_lm_jvm_only(spark):
+    plan = _plan(spark, "quality_bigram_lm")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivfpq_semi_join_and_take_ordered(spark):
+    """Candidate restriction must appear as a semi-join before scoring
+    and the final top-k as TakeOrdered (no global sort)."""
+    plan = _plan(spark, "ann_ivfpq_topk")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sliding_topk_rank_after_aggregation(spark):
+    """The rank window runs on the aggregated (window × type) rows —
+    the plan has the windowed HashAggregate below the Window node and
+    stays JVM-only."""
+    plan = _plan(spark, "stream_sliding_topk")
+    assert "HashAggregate" in plan and "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
