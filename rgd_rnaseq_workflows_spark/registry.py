@@ -1872,7 +1872,12 @@ SELECT count(*) AS n_rows,
          AS total_qty
 FROM lineitem
 """, note="df.observe() pipeline metrics — the reference's row-count sanity "
-          "checks (AGG10) as zero-extra-pass observations")
+          "checks (AGG10) as zero-extra-pass observations. CONTRACT WART "
+          "(deliberate): observe() only fires on an action, so this entry "
+          "runs its noop action EAGERLY inside the builder and returns the "
+          "collected metrics as a 1-row frame — unlike every other entry "
+          "it is not a lazy plan; a build-then-execute-twice driver pays "
+          "the action twice")
 def observe_metrics(spark, sf_dir):
     from pyspark.sql import Observation
     li = _t(spark, sf_dir, "lineitem")

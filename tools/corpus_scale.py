@@ -109,6 +109,25 @@ def run(n: int) -> None:
     n_mix = mix.count()
     print(f"training mix: {n_mix} docs  [{time.time()-t0:.1f}s]")
 
+    # round-3 second-sitting stages: temperature mix / frequency cap /
+    # bigram-LM familiarity over the curated corpus
+    from rgd_rnaseq_workflows_spark.operators.quality import bigram_lm_report
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        cap_per_key, temperature_mix)
+    t0 = time.time()
+    n_tm = temperature_mix(clean, "lang", "doc_id", 0.3).count()
+    print(f"temperature mix: {n_tm} docs  [{time.time()-t0:.1f}s]")
+    t0 = time.time()
+    n_cap = cap_per_key(clean, "lang", n // 8, "doc_id").count()
+    print(f"freq cap (hot-key windows): {n_cap} docs  "
+          f"[{time.time()-t0:.1f}s]")
+    t0 = time.time()
+    blm = bigram_lm_report(clean)
+    n_blm, hapax = blm.agg(F.count("*"),
+                           F.sum("n_hapax")).first()
+    print(f"bigram LM: {n_blm} docs scored, {hapax} hapax positions "
+          f"[{time.time()-t0:.1f}s]")
+
 
 if __name__ == "__main__":
     sizes = [int(a) for a in sys.argv[1:]] or [20000, 80000]
