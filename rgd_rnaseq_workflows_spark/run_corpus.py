@@ -46,6 +46,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="contamination shingle size")
     p.add_argument("--min-shared", type=int, default=1,
                    help="shared-shingle count that flags a doc")
+    p.add_argument("--temperature-mix", type=float, default=None,
+                   metavar="FRACTION",
+                   help="temperature-resampled mix (alpha=0.5): keep "
+                        "~FRACTION of the corpus with per-language rates "
+                        "proportional to sqrt(count) — rare languages "
+                        "up-weighted; mutually exclusive with --mix")
+    p.add_argument("--shards", type=int, default=None, metavar="N",
+                   help="also write a training-ready shard-partitioned "
+                        "copy (md5 pseudorandom shard of doc_id) plus a "
+                        "per-shard manifest TSV")
     p.add_argument("--mix", default=None,
                    help="per-language keep rates, e.g. en=0.5,de=0.25")
     p.add_argument("--mix-default", type=float, default=0.0,
@@ -77,12 +87,21 @@ def run(args: argparse.Namespace) -> int:
         bench = spark.read.parquet(args.benchmark)
         curated = decontaminate(curated, bench, shingle_n=args.contam_n,
                                 min_shared=args.min_shared)
+    if args.mix and args.temperature_mix is not None:
+        raise SystemExit("--mix and --temperature-mix are mutually "
+                         "exclusive")
     if args.mix:
         from rgd_rnaseq_workflows_spark.operators.sampling import (
             stratified_hash_sample)
         curated = stratified_hash_sample(
             curated, "lang", parse_mix(args.mix), "doc_id",
             seed=args.mix_seed, default=args.mix_default)
+    elif args.temperature_mix is not None:
+        from rgd_rnaseq_workflows_spark.operators.sampling import (
+            temperature_mix)
+        curated = temperature_mix(curated, "lang", "doc_id",
+                                  total_fraction=args.temperature_mix,
+                                  seed=args.mix_seed).drop("mix_bps")
     # partition by lang: downstream training jobs prune per-language;
     # the curated set is a fraction of the input, so files stay chunky
     (curated.write.mode("overwrite").partitionBy("lang")
@@ -92,6 +111,23 @@ def run(args: argparse.Namespace) -> int:
     for r in stats.orderBy("lang").collect():
         print(f"[corpus] {r['lang']}: {r['n_docs']} docs, "
               f"{r['total_tokens']} tokens", file=sys.stderr)
+    if args.shards:
+        from rgd_rnaseq_workflows_spark.functions.hashing import md5_long
+        from rgd_rnaseq_workflows_spark.operators.packing import shard_corpus
+        import pyspark.sql.functions as F
+        final = spark.read.parquet(f"{out}/curated")
+        h = md5_long(F.col("doc_id").cast("string"), seed=11)
+        # shard + within-shard order: the data loader reads each shard
+        # as an independent pre-shuffled stream
+        (final.withColumn("shard",
+                          F.pmod(h, F.lit(args.shards)).cast("int"))
+         .withColumn("ord", h)
+         .repartition(args.shards, F.col("shard"))
+         .sortWithinPartitions("shard", "ord")
+         .write.mode("overwrite").partitionBy("shard")
+         .parquet(f"{out}/shards"))
+        manifest = shard_corpus(final, n_shards=args.shards, seed=11)
+        write_tsv(manifest, f"{out}/shard_manifest", single_file=True)
     return 0
 
 

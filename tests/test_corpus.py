@@ -197,3 +197,52 @@ def test_stream_training_mix_equals_batch(spark, tmp_out):
     assert streamed == expected
     assert 10 not in {d for d, _, _ in streamed}       # leak dropped
     assert len(expected) >= 2
+
+
+def test_corpus_cli_temperature_mix_and_shards(spark, tmp_out):
+    """--temperature-mix at fraction 1.0 keeps everything (clamped rate);
+    --shards writes a shard-partitioned copy + manifest whose totals
+    reconcile with the curated output."""
+    import glob
+    import os
+    from rgd_rnaseq_workflows_spark import run_corpus
+    extra = ("a quick brown fox jumps over the lazy dog while the sun "
+             "sets behind green hills and the river bends away slowly")
+    extra2 = ("it is a truth universally acknowledged that a reader in "
+              "want of the long sentence must be in search of tokens too")
+    rows = [(1, "en", "web", BASE + " alpha"),
+            (10, "en", "web", extra),
+            (11, "en", "web", extra2)]
+    src = os.path.join(tmp_out, "docs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"]) \
+        .write.parquet(src)
+    out = os.path.join(tmp_out, "shard_out")
+    rc = run_corpus.main(["--docs", src, "--out", out,
+                          "--min-tokens", "15", "--threshold", "0.9",
+                          "--temperature-mix", "1.0", "--shards", "2"])
+    assert rc == 0
+    curated = spark.read.parquet(f"{out}/curated")
+    assert curated.count() == 3                  # fraction 1.0 keeps all
+    assert "mix_bps" not in curated.columns      # internal column dropped
+    shards = spark.read.parquet(f"{out}/shards")
+    assert shards.count() == 3
+    assert os.path.isdir(f"{out}/shards/shard=0") or \
+        os.path.isdir(f"{out}/shards/shard=1")
+    [mf] = glob.glob(f"{out}/shard_manifest/part*.csv")
+    lines = open(mf).read().strip().split("\n")
+    assert lines[0].startswith("shard\tn_docs")
+    n_docs = sum(int(line.split("\t")[1]) for line in lines[1:])
+    assert n_docs == 3
+
+
+def test_corpus_cli_mix_flags_mutually_exclusive(spark, tmp_out):
+    import os
+    import pytest
+    from rgd_rnaseq_workflows_spark import run_corpus
+    src = os.path.join(tmp_out, "d.parquet")
+    spark.createDataFrame([(1, "en", "web", BASE)],
+                          ["doc_id", "lang", "source", "text"]) \
+        .write.parquet(src)
+    with pytest.raises(SystemExit):
+        run_corpus.main(["--docs", src, "--out", os.path.join(tmp_out, "o"),
+                         "--mix", "en=1.0", "--temperature-mix", "0.5"])
