@@ -1235,6 +1235,23 @@ def cap_per_source(spark, sf_dir):
         .select("doc_id", "source", "keep_rank")
 
 
+def _bpe_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.bpe import train_bpe_sql
+    return train_bpe_sql("documents", rounds=4)
+
+
+@q("tokenizer_bpe_merges", ("BPE-TRAIN",), oracle=_bpe_oracle(),
+   note="distributed BPE vocabulary training (4 merges): corpus touched "
+        "ONCE (word counts, map-side combined); every merge round runs on "
+        "the vocabulary table and collects one driver-metadata row; merge "
+        "application is a pinned left fold (oracle reproduces it as a "
+        "positional recursive CTE) — integer counts, deterministic "
+        "tie-breaks, no floats anywhere")
+def tokenizer_bpe_merges(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.bpe import train_bpe
+    return train_bpe(_t(spark, sf_dir, "documents"), rounds=4)
+
+
 def _bigram_lm_oracle() -> str:
     from rgd_rnaseq_workflows_spark.operators.quality import (
         bigram_lm_report_sql)
@@ -1263,6 +1280,7 @@ def quality_bigram_lm(spark, sf_dir):
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
     # round-4 additions (no recorded row yet)
+    "tokenizer_bpe_merges",
     "stream_sliding_topk",
     "ann_ivfpq_topk",
     "sample_temperature_mix",

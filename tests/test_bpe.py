@@ -1,0 +1,61 @@
+"""BPE vocabulary training: merge selection, fold semantics, determinism."""
+
+from __future__ import annotations
+
+from rgd_rnaseq_workflows_spark.operators.bpe import (
+    END_MARK, _apply_merge, train_bpe, word_counts)
+
+
+def test_merges_match_hand_computation(spark):
+    # words: low x3, lower, lowest, new, newer, newest
+    d = spark.createDataFrame(
+        [(0, "low low lower lowest"), (1, "new newer newest low")],
+        "doc_id long, text string")
+    out = [tuple(r) for r in train_bpe(d, rounds=3).collect()]
+    # (l,o) appears in low(3) + lower + lowest = 5; then (lo,w) = 5;
+    # then (e,w) in new/newer/newest = 3
+    assert out == [(1, "l", "o", "lo", 5),
+                   (2, "lo", "w", "low", 5),
+                   (3, "e", "w", "ew", 3)]
+
+
+def test_fold_handles_overlapping_runs(spark):
+    # merge (a,a) over "aaaa": greedy left-to-right gives [aa][aa],
+    # never [a][aa][a]
+    d = spark.createDataFrame([(1, ["a", "a", "a", "a", END_MARK])],
+                              "wc long, syms array<string>")
+    merged = _apply_merge(d, "a", "a").first()["syms"]
+    assert merged == ["aa", "aa", END_MARK]
+
+
+def test_merged_symbol_is_atomic(spark):
+    # after merging (l,o)->"lo", a later (lo,w) merge must match the
+    # MERGED symbol, not raw characters
+    d = spark.createDataFrame([(1, ["l", "o", "w", END_MARK])],
+                              "wc long, syms array<string>")
+    step1 = _apply_merge(d, "l", "o")
+    assert step1.first()["syms"] == ["lo", "w", END_MARK]
+    step2 = _apply_merge(step1, "lo", "w")
+    assert step2.first()["syms"] == ["low", END_MARK]
+    # merging (o,w) after (l,o) must NOT fire — "o" is inside "lo" now
+    step2b = _apply_merge(step1, "o", "w")
+    assert step2b.first()["syms"] == ["lo", "w", END_MARK]
+
+
+def test_word_counts_is_corpus_pass(spark):
+    d = spark.createDataFrame([(0, "x y x"), (1, "y")],
+                              "doc_id long, text string")
+    got = {r["word"]: r["wc"] for r in word_counts(d).collect()}
+    assert got == {"x": 2, "y": 2}
+
+
+def test_deterministic_tiebreak(spark):
+    # two pairs with equal counts: the (left, right) lexicographic
+    # tie-break must pick the same winner every run
+    d = spark.createDataFrame([(0, "ab cd ab cd")],
+                              "doc_id long, text string")
+    first = [tuple(r) for r in train_bpe(d, rounds=1).collect()]
+    second = [tuple(r) for r in train_bpe(d, rounds=1).collect()]
+    assert first == second
+    # pairs (a,b), (c,d), (b,</w>), (d,</w>) all have count 2 -> "a","b"
+    assert first[0][1:4] == ("a", "b", "ab")
