@@ -209,3 +209,27 @@ SELECT {cols}, keep_rank FROM (
   FROM {src})
 WHERE keep_rank <= {cap}
 """
+
+
+# --- deterministic train/val/test splits --------------------------------------
+
+def split_assign(key_col: Column | str, seed: int = 1, train: float = 0.8,
+                 val: float = 0.1) -> Column:
+    """Deterministic split label from the row key's md5 bucket:
+    train/val/test at (train, val, rest). The split is a property of the
+    KEY — stable under repartitioning, re-ingestion, engine change —
+    which is what makes downstream leakage auditing meaningful."""
+    b = sample_bucket(key_col, seed)
+    t, v = _bps(train), _bps(train) + _bps(val)
+    return (F.when(b < t, F.lit("train"))
+            .when(b < v, F.lit("val"))
+            .otherwise(F.lit("test")))
+
+
+def split_assign_sql(key_col: str, seed: int = 1, train: float = 0.8,
+                     val: float = 0.1) -> str:
+    b = (f"{md5_long_sql(f'CAST({key_col} AS VARCHAR)', seed=seed)}"
+         f" % {BUCKETS}")
+    t, v = _bps(train), _bps(train) + _bps(val)
+    return (f"CASE WHEN {b} < {t} THEN 'train' "
+            f"WHEN {b} < {v} THEN 'val' ELSE 'test' END")

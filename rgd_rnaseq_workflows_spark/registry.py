@@ -1235,6 +1235,51 @@ def cap_per_source(spark, sf_dir):
         .select("doc_id", "source", "keep_rank")
 
 
+def _split_leakage_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.sampling import split_assign_sql
+    pairs_sql = REGISTRY["dedup_ngram_jaccard"].oracle.strip()
+    split = split_assign_sql("doc_id", seed=13)
+    return f"""
+WITH pairs AS ({pairs_sql}),
+s AS (SELECT doc_id, {split} AS split FROM documents),
+j AS (
+  SELECT least(sa.split, sb.split) AS split_lo,
+         greatest(sa.split, sb.split) AS split_hi
+  FROM pairs JOIN s sa ON sa.doc_id = pairs.id_a
+             JOIN s sb ON sb.doc_id = pairs.id_b)
+SELECT split_lo, split_hi, count(*) AS n_pairs
+FROM j GROUP BY split_lo, split_hi
+"""
+
+
+@q("split_leakage_report", ("SPLIT-LEAK",), oracle=None,  # set below
+   note="train/val/test split hygiene: deterministic md5-bucket split "
+        "(80/10/10, a property of the KEY — stable under repartitioning) "
+        "joined onto the near-dup pair set; off-diagonal rows are "
+        "LEAKAGE (a test doc with a train near-duplicate) — the "
+        "contamination mode n-gram decontamination can't see. The pair "
+        "base is the same PPJoin plan the dedup family uses; the split "
+        "join is two broadcast-size lookups")
+def split_leakage_report(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sampling import split_assign
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, block_col="lang", shingle_n=2,
+                                   threshold=0.8)
+    s = d.select("doc_id", split_assign("doc_id", seed=13).alias("split"))
+    sa = s.select(F.col("doc_id").alias("id_a"),
+                  F.col("split").alias("_sa"))
+    sb = s.select(F.col("doc_id").alias("id_b"),
+                  F.col("split").alias("_sb"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select(F.least("_sa", "_sb").alias("split_lo"),
+                    F.greatest("_sa", "_sb").alias("split_hi"))
+            .groupBy("split_lo", "split_hi")
+            .agg(F.count("*").alias("n_pairs")))
+
+
+REGISTRY["split_leakage_report"].oracle = _split_leakage_oracle()
+
+
 def _bpe_oracle() -> str:
     from rgd_rnaseq_workflows_spark.operators.bpe import train_bpe_sql
     return train_bpe_sql("documents", rounds=4)
@@ -1280,6 +1325,7 @@ def quality_bigram_lm(spark, sf_dir):
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
     # round-4 additions (no recorded row yet)
+    "split_leakage_report",
     "tokenizer_bpe_merges",
     "stream_sliding_topk",
     "ann_ivfpq_topk",

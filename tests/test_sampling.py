@@ -143,3 +143,48 @@ def test_cap_per_key_respects_cap_and_small_keys(spark):
     out = cap_per_key(d, "source", 30, "doc_id").groupBy("source").count()
     by = {r["source"]: r["count"] for r in out.collect()}
     assert by == {"hot": 30, "cold": 20}   # under-cap keys keep everything
+
+
+# --- deterministic splits + leakage -------------------------------------------
+
+def test_split_assign_partition_and_determinism(spark):
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.operators.sampling import split_assign
+    d = spark.range(5000).select(F.col("id").alias("doc_id"))
+    s = d.select("doc_id", split_assign("doc_id", seed=13).alias("split"))
+    counts = {r["split"]: r["count"]
+              for r in s.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 5000          # disjoint + exhaustive
+    assert 3800 < counts["train"] < 4200         # ~80%
+    s2 = d.select("doc_id", split_assign("doc_id", seed=13).alias("split"))
+    assert s.collect() == s2.collect()           # key-deterministic
+
+
+def test_split_leakage_detects_cross_split_near_dup(spark):
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.operators.dedup import ngram_jaccard_pairs
+    from rgd_rnaseq_workflows_spark.operators.sampling import split_assign
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # find two ids in different splits, make them near-duplicates
+    d0 = spark.range(200).select(F.col("id").alias("doc_id"),
+                                 split_assign("doc_id", seed=13)
+                                 .alias("split"))
+    by_split = {r["split"]: r["doc_id"]
+                for r in d0.orderBy("doc_id").collect()}
+    a, b = by_split["train"], by_split["test"]
+    rows = [(a, "en", base), (b, "en", base + " tail"),
+            (999, "en", "totally different words entirely here now")]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    pairs = ngram_jaccard_pairs(docs, block_col="lang", shingle_n=2,
+                                threshold=0.5)
+    s = docs.select("doc_id", split_assign("doc_id", seed=13).alias("sp"))
+    rep = (pairs
+           .join(s.select(F.col("doc_id").alias("id_a"),
+                          F.col("sp").alias("_sa")), "id_a")
+           .join(s.select(F.col("doc_id").alias("id_b"),
+                          F.col("sp").alias("_sb")), "id_b")
+           .select(F.least("_sa", "_sb").alias("lo"),
+                   F.greatest("_sa", "_sb").alias("hi")))
+    got = {(r["lo"], r["hi"]) for r in rep.collect()}
+    assert ("test", "train") in got              # the planted leak
