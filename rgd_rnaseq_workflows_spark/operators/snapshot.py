@@ -1,0 +1,61 @@
+"""Corpus snapshot diffing — the dataset-versioning audit between two
+releases of a training corpus (what changed between crawl v1 and v2,
+which shards need re-tokenizing, did a "small metadata fix" silently
+rewrite half the text).
+
+Design: compare content FINGERPRINTS (md5 of the text), never the text
+itself — the join moves 16 bytes per doc, not documents. The diff is a
+single full-outer shuffle join on the document key; on a 100 TB lake
+both snapshots would be bucketed by the key and the join runs
+zero-exchange (tests/test_bucketing.py demonstrates the co-located
+form). Fingerprints are md5, so any engine (and the DuckDB oracle)
+reproduces them byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document change labels between two corpus snapshots:
+    ``added`` (only in new), ``removed`` (only in old), ``modified``
+    (same id, different content hash), ``unchanged``. Returns
+    (id, change) — aggregate downstream as needed."""
+    fa = old.select(F.col(id_col).alias("id"),
+                    F.md5(F.col(text_col)).alias("_fa"))
+    fb = new.select(F.col(id_col).alias("id"),
+                    F.md5(F.col(text_col)).alias("_fb"))
+    j = fa.join(fb, "id", "full_outer")
+    change = (F.when(F.col("_fa").isNull(), F.lit("added"))
+              .when(F.col("_fb").isNull(), F.lit("removed"))
+              .when(F.col("_fa") != F.col("_fb"), F.lit("modified"))
+              .otherwise(F.lit("unchanged")))
+    return j.select("id", change.alias("change"))
+
+
+def snapshot_diff_report(old: DataFrame, new: DataFrame,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Aggregate diff: (change, n_docs)."""
+    return (snapshot_diff(old, new, id_col, text_col)
+            .groupBy("change").agg(F.count("*").alias("n_docs")))
+
+
+def snapshot_diff_report_sql(old_src: str, new_src: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> str:
+    """DuckDB twin (md5 is the portable fingerprint family)."""
+    return f"""
+WITH fa AS (SELECT {id_col} AS id, md5({text_col}) AS fa FROM {old_src}),
+fb AS (SELECT {id_col} AS id, md5({text_col}) AS fb FROM {new_src}),
+j AS (
+  SELECT CASE WHEN fa.fa IS NULL THEN 'added'
+              WHEN fb.fb IS NULL THEN 'removed'
+              WHEN fa.fa <> fb.fb THEN 'modified'
+              ELSE 'unchanged' END AS change
+  FROM fa FULL OUTER JOIN fb ON fa.id = fb.id)
+SELECT change, count(*) AS n_docs FROM j GROUP BY change
+"""

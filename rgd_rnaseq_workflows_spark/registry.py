@@ -1235,6 +1235,33 @@ def cap_per_source(spark, sf_dir):
         .select("doc_id", "source", "keep_rank")
 
 
+def _snapshot_diff_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.snapshot import (
+        snapshot_diff_report_sql)
+    new_src = ("(SELECT doc_id, CASE WHEN doc_id % 17 = 0 "
+               "THEN text || ' v2' ELSE text END AS text "
+               "FROM documents WHERE doc_id % 13 <> 0)")
+    return snapshot_diff_report_sql("documents", new_src)
+
+
+@q("corpus_snapshot_diff", ("SNAP-DIFF",), oracle=_snapshot_diff_oracle(),
+   note="dataset-versioning diff between corpus releases: md5 content "
+        "fingerprints full-outer joined on the doc key (16 bytes/doc "
+        "move, never the text; bucketed snapshots make it zero-exchange) "
+        "— added/removed/modified/unchanged counts. Snapshot B here is "
+        "derived deterministically (drop id%13, edit id%17) so the diff "
+        "exercises every label")
+def corpus_snapshot_diff(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.snapshot import (
+        snapshot_diff_report)
+    d = _t(spark, sf_dir, "documents")
+    new = (d.filter(F.col("doc_id") % 13 != 0)
+           .withColumn("text", F.when(F.col("doc_id") % 17 == 0,
+                                      F.concat(F.col("text"), F.lit(" v2")))
+                       .otherwise(F.col("text"))))
+    return snapshot_diff_report(d, new)
+
+
 def _split_leakage_oracle() -> str:
     from rgd_rnaseq_workflows_spark.operators.sampling import split_assign_sql
     pairs_sql = REGISTRY["dedup_ngram_jaccard"].oracle.strip()
@@ -1325,6 +1352,7 @@ def quality_bigram_lm(spark, sf_dir):
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
     # round-4 additions (no recorded row yet)
+    "corpus_snapshot_diff",
     "split_leakage_report",
     "tokenizer_bpe_merges",
     "stream_sliding_topk",

@@ -1,0 +1,33 @@
+"""Corpus snapshot diff: label correctness on a handcrafted pair."""
+
+from __future__ import annotations
+
+from rgd_rnaseq_workflows_spark.operators.snapshot import (
+    snapshot_diff, snapshot_diff_report)
+
+
+def test_diff_labels(spark):
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed"), (4, "brand new")],
+        "doc_id long, text string")
+    got = {r["id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "modified", 3: "removed", 4: "added"}
+    rep = {r["change"]: r["n_docs"]
+           for r in snapshot_diff_report(old, new).collect()}
+    assert rep == {"unchanged": 1, "modified": 1, "removed": 1, "added": 1}
+
+
+def test_diff_join_moves_fingerprints_not_text(spark):
+    # the plan projects md5(text) BEFORE the join — text never crosses
+    # the exchange
+    old = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (snapshot_diff(old, new)
+            ._jdf.queryExecution().executedPlan().toString())
+    # fingerprint columns exist below the join; "text" appears only in
+    # the two scans + the two md5 projections, never in join output
+    assert "md5" in plan and "_fa" in plan and "_fb" in plan
+    assert plan.count("text") <= 4
