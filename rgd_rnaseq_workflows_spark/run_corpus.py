@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "~FRACTION of the corpus with per-language rates "
                         "proportional to sqrt(count) — rare languages "
                         "up-weighted; mutually exclusive with --mix")
+    p.add_argument("--splits", action="store_true",
+                   help="add a deterministic train/val/test column "
+                        "(md5 bucket of doc_id, 80/10/10) to the curated "
+                        "output — stable under repartitioning")
     p.add_argument("--shards", type=int, default=None, metavar="N",
                    help="also write a training-ready shard-partitioned "
                         "copy (md5 pseudorandom shard of doc_id) plus a "
@@ -102,6 +106,11 @@ def run(args: argparse.Namespace) -> int:
         curated = temperature_mix(curated, "lang", "doc_id",
                                   total_fraction=args.temperature_mix,
                                   seed=args.mix_seed).drop("mix_bps")
+    if args.splits:
+        from rgd_rnaseq_workflows_spark.operators.sampling import (
+            split_assign)
+        curated = curated.withColumn(
+            "split", split_assign("doc_id", seed=13))
     # partition by lang: downstream training jobs prune per-language;
     # the curated set is a fraction of the input, so files stay chunky
     (curated.write.mode("overwrite").partitionBy("lang")

@@ -246,3 +246,24 @@ def test_corpus_cli_mix_flags_mutually_exclusive(spark, tmp_out):
     with pytest.raises(SystemExit):
         run_corpus.main(["--docs", src, "--out", os.path.join(tmp_out, "o"),
                          "--mix", "en=1.0", "--temperature-mix", "0.5"])
+
+
+def test_corpus_cli_splits_column(spark, tmp_out):
+    import os
+    from rgd_rnaseq_workflows_spark import run_corpus
+    extra = ("a quick brown fox jumps over the lazy dog while the sun "
+             "sets behind green hills and the river bends away slowly")
+    rows = [(i, "en", "web", extra + f" tail{i} uniq{i} word{i}")
+            for i in range(12)]
+    src = os.path.join(tmp_out, "docs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"]) \
+        .write.parquet(src)
+    out = os.path.join(tmp_out, "split_out")
+    rc = run_corpus.main(["--docs", src, "--out", out,
+                          "--min-tokens", "15", "--threshold", "0.99",
+                          "--splits"])
+    assert rc == 0
+    curated = spark.read.parquet(f"{out}/curated")
+    assert "split" in curated.columns
+    vals = {r["split"] for r in curated.select("split").distinct().collect()}
+    assert vals <= {"train", "val", "test"} and "train" in vals
