@@ -72,6 +72,13 @@ SHOWCASE = {
         "PQ encode kernels; the probe set is driver metadata, the candidate "
         "restriction a semi-join BEFORE any ADC scoring; top-k is "
         "TakeOrdered — the corpus is never globally sorted.",
+    "split_leakage_report": "split hygiene: the near-dup pair base is the "
+        "same PPJoin plan the dedup family runs; the split columns join on "
+        "the pair ids (broadcast-size lookups) and the off-diagonal counts "
+        "are train/test leakage n-gram decontamination can't see.",
+    "corpus_snapshot_diff": "dataset versioning: md5 fingerprints projected "
+        "BEFORE the full-outer join, so 16 bytes/doc cross the exchange, "
+        "never the text; bucketed snapshots would run it zero-exchange.",
 }
 
 
