@@ -333,6 +333,16 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     (pigeonhole over the blocks), and the join is equi on (block, key) —
     never cross. (Two halves would only cover ``max_hamming`` ≤ 1.)"""
     fps = simhash(df, text_col, id_col, bits, shingle_n=shingle_n)
+    return hamming_near_pairs(fps, "simhash", id_col, bits, max_hamming)
+
+
+def hamming_near_pairs(fps: DataFrame, sig_col: str, id_col: str,
+                       bits: int, max_hamming: int = 3) -> DataFrame:
+    """Near pairs by Hamming distance over ANY integer signature column
+    (SimHash fingerprints, image perceptual hashes, audio fingerprints):
+    the (max_hamming+1)-disjoint-block pigeonhole blocking — a pair
+    within ``max_hamming`` bits must agree exactly on ≥1 block, so the
+    join is equi on (block, key), never cross."""
     n_blocks = max_hamming + 1
     base, extra = divmod(bits, n_blocks)
     parts, off = [], 0
@@ -340,18 +350,19 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         width = base + (1 if p < extra else 0)
         parts.append(F.struct(
             F.lit(p).alias("part"),
-            (F.shiftright("simhash", off)
+            (F.shiftright(sig_col, off)
              .bitwiseAND(F.lit(2 ** width - 1))).alias("key")))
         off += width
     blocked = fps.select(
-        id_col, "simhash", F.explode(F.array(*parts)).alias("blk")
-    ).select(id_col, "simhash", "blk.part", "blk.key")
+        id_col, sig_col, F.explode(F.array(*parts)).alias("blk")
+    ).select(id_col, sig_col, "blk.part", "blk.key")
     a, b = blocked.alias("a"), blocked.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hamming = F.bit_count(F.col(f"a.{sig_col}")
+                          .bitwiseXOR(F.col(f"b.{sig_col}")))
     return (a.join(b, ["part", "key"])
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
-                    hamming.alias("hamming"))
+                    hamming.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .distinct())

@@ -1352,6 +1352,7 @@ def quality_bigram_lm(spark, sf_dir):
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
     # round-4 additions (no recorded row yet)
+    "multimodal_phash_dedup",
     "corpus_snapshot_diff",
     "split_leakage_report",
     "tokenizer_bpe_merges",
@@ -1866,6 +1867,36 @@ WHERE hamming <= 3
 def simhash_near_pairs_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return DD.simhash_near_pairs(d, bits=48, max_hamming=3, shingle_n=2)
+
+
+@q("multimodal_phash_dedup", ("MULTIMODAL-DEDUP",), oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         {md5_long_sql("'media:' || CAST(doc_id % 50 AS VARCHAR)")} AS phash
+  FROM documents WHERE doc_id < 200)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM m a JOIN m b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6
+""", note="image near-dup by perceptual-hash Hamming distance: the Arrow "
+          "decode kernel feeds the SAME (max_hamming+1)-block pigeonhole "
+          "blocking the SimHash family uses (hamming_near_pairs) — "
+          "media content is 'media:'||(doc_id%50) so 4 copies of each of "
+          "50 images plant real duplicate groups; oracle is the naive "
+          "all-pairs form, proving the blocking loses no pair")
+def multimodal_phash_dedup(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.multimodal.binary import image_features
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"), F.lit("image/png").alias("mime"),
+        F.encode(F.concat(F.lit("media:"),
+                          (F.col("doc_id") % 50).cast("string")),
+                 "utf-8").alias("content"),
+        F.create_map().cast("map<string,string>").alias("meta"))
+    feats = image_features(media).select("media_id", "phash")
+    return DD.hamming_near_pairs(feats, "phash", "media_id", bits=60,
+                                 max_hamming=6)
 
 
 @q("multimodal_image_features", ("MULTIMODAL",), oracle=f"""

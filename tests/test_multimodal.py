@@ -167,3 +167,21 @@ def test_resize_images_plumbing(spark):
     expect = hashlib.md5(src[1] + b":224x224").digest()
     assert bytes(out[1]["content"]) == expect
     assert bytes(out[1]["content"]) != bytes(out[2]["content"])
+
+
+def test_phash_dedup_finds_planted_copies(spark):
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.multimodal.binary import image_features
+    from rgd_rnaseq_workflows_spark.operators.dedup import hamming_near_pairs
+    # 3 copies of image A, 2 of image B, 1 unique — expect C(3,2)+C(2,2)=4
+    contents = [b"imgA", b"imgA", b"imgA", b"imgB", b"imgB", b"unique"]
+    media = spark.createDataFrame(
+        [(i, "image", "image/png", c, {}) for i, c in enumerate(contents)],
+        "media_id long, kind string, mime string, content binary, "
+        "meta map<string,string>")
+    feats = image_features(media).select("media_id", "phash")
+    pairs = hamming_near_pairs(feats, "phash", "media_id", bits=60,
+                               max_hamming=6).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(0, 1), (0, 2), (1, 2), (3, 4)}
+    assert all(r.hamming == 0 for r in pairs)
