@@ -1352,6 +1352,7 @@ def quality_bigram_lm(spark, sf_dir):
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
     # round-4 additions (no recorded row yet)
+    "multimodal_audio_features",
     "multimodal_phash_dedup",
     "corpus_snapshot_diff",
     "split_leakage_report",
@@ -1897,6 +1898,44 @@ def multimodal_phash_dedup(spark, sf_dir):
     feats = image_features(media).select("media_id", "phash")
     return DD.hamming_near_pairs(feats, "phash", "media_id", bits=60,
                                  max_hamming=6)
+
+
+@q("multimodal_audio_features", ("MULTIMODAL-AUDIO",), oracle="""
+SELECT doc_id AS media_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(64 + doc_id % 32 AS BIGINT) AS n_samples,
+       CAST((64 + doc_id % 32) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(0.5 AS DOUBLE) AS rms,
+       CAST((64 + doc_id % 32 - 1) // (1 + doc_id % 4) AS BIGINT)
+         AS zero_crossings
+FROM documents WHERE doc_id < 32
+""", note="REAL RIFF/PCM decode under a value oracle: 16-bit square-wave "
+          "WAVs synthesized per doc (amplitude 16384 = exactly 0.5 "
+          "normalized, half-period 1+id%4), decoded by the pure-numpy "
+          "wav_codec in the Arrow kernel; every feature — rate, frames, "
+          "duration, RMS (exactly 0.5: dyadic arithmetic throughout), "
+          "zero crossings floor((n-1)/h) — is closed-form in doc_id, so "
+          "the oracle checks the decoder, not a stub")
+def multimodal_audio_features(spark, sf_dir):
+    import struct
+
+    from rgd_rnaseq_workflows_spark.multimodal.binary import audio_features
+    ids = [r[0] for r in _t(spark, sf_dir, "documents")
+           .select("doc_id").filter(F.col("doc_id") < 32)
+           .orderBy("doc_id").collect()]
+    rows = []
+    for k in ids:
+        n, h = 64 + k % 32, 1 + k % 4
+        pcm = b"".join(
+            struct.pack("<h", 16384 if (i // h) % 2 == 0 else -16384)
+            for i in range(n))
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(pcm)) + pcm)
+        rows.append((k, b"RIFF" + struct.pack("<I", len(body)) + body))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    return audio_features(media)
 
 
 @q("multimodal_image_features", ("MULTIMODAL",), oracle=f"""
