@@ -55,6 +55,10 @@ def q(name: str, survey_ids: tuple[str, ...], oracle: str | None = None,
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # epoch/date arithmetic in the oracles assumes UTC; the driver brings
+    # its OWN session, so pin the TZ at runtime (same pattern as
+    # _events's nanosAsLong) rather than inherit the host default
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -79,6 +83,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejects by default; read nanos as long and convert to a microsecond
     timestamp (floor — matches DuckDB's ns→s flooring in the oracles)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
