@@ -57,8 +57,11 @@ def q(name: str, survey_ids: tuple[str, ...], oracle: str | None = None,
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # epoch/date arithmetic in the oracles assumes UTC; the driver brings
     # its OWN session, so pin the TZ at runtime (same pattern as
-    # _events's nanosAsLong) rather than inherit the host default
+    # _events's nanosAsLong) rather than inherit the host default.
+    # ANSI off likewise: the engine's documented semantics are permissive
+    # (awk math never throws — session.py), and Spark 4 defaults ANSI on.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -84,6 +87,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp (floor — matches DuckDB's ns→s flooring in the oracles)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
