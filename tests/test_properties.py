@@ -140,3 +140,50 @@ def test_regex_stopword_hits_equal_hof_filter(spark, texts):
         for r in got:
             expected = sum(1 for w in texts[r["i"]].split(" ") if w in ws)
             assert r["n"] == expected, (lang, texts[r["i"]])
+
+
+def _greedy_pair_scan(syms: list[str], a: str, b: str) -> list[str]:
+    """Reference BPE merge apply: textbook left-to-right pair scan with
+    skip-after-merge — the semantics the fold claims to implement."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@SETTINGS
+@given(st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=1,
+                max_size=10),
+       st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"), ("a", "ab")]))
+def test_bpe_fold_equals_greedy_pair_scan(spark, syms, pair):
+    from rgd_rnaseq_workflows_spark.operators.bpe import _apply_merge
+    df = spark.createDataFrame([(1, syms)], "wc long, syms array<string>")
+    folded = _apply_merge(df, *pair).first()["syms"]
+    assert folded == _greedy_pair_scan(syms, *pair)
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 500),
+                          st.sampled_from(["x", "y"])),
+                min_size=1, max_size=40, unique_by=lambda t: t[0]),
+       st.integers(1, 6))
+def test_cap_per_key_two_phase_lossless(spark, rows, cap):
+    from pyspark.sql import Window
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long
+    from rgd_rnaseq_workflows_spark.operators.sampling import cap_per_key
+    d = spark.createDataFrame(rows, ["doc_id", "key"])
+    got = {(r.doc_id, r.keep_rank)
+           for r in cap_per_key(d, "key", cap, "doc_id", seed=9,
+                                n_salts=4).collect()}
+    w = Window.partitionBy("key").orderBy("_o", "doc_id")
+    want = {(r.doc_id, r.rk) for r in
+            (d.withColumn("_o", md5_long(F.col("doc_id").cast("string"),
+                                         seed=9))
+             .withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= cap)).collect()}
+    assert got == want
