@@ -187,3 +187,29 @@ def test_cap_per_key_two_phase_lossless(spark, rows, cap):
              .withColumn("rk", F.row_number().over(w))
              .filter(F.col("rk") <= cap)).collect()}
     assert got == want
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 2000),
+                          st.sampled_from(["en", "de", "zh", "xx"])),
+                min_size=2, max_size=60, unique_by=lambda t: t[0]),
+       st.sampled_from([0.1, 0.3, 0.5, 0.9]))
+def test_temperature_mix_matches_duckdb_exactly(spark, rows, frac):
+    """The mix's every-engine-rounds-identically claim, on random stratum
+    distributions: Spark's kept (doc_id, mix_bps) set must equal DuckDB's
+    bit-for-bit — any drift in the floor/sqrt/division chain flips a
+    bucket at a knife edge eventually."""
+    import duckdb
+    import pandas as pd
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        temperature_mix, temperature_mix_sql)
+    d = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = {(r.doc_id, r.mix_bps)
+           for r in temperature_mix(d, "lang", "doc_id", frac, seed=3)
+           .select("doc_id", "mix_bps").collect()}
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "lang"]))
+    sql = temperature_mix_sql("docs", "lang", "doc_id", frac, seed=3,
+                              cols="d.doc_id")
+    want = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
+    assert got == want
