@@ -213,3 +213,48 @@ def test_temperature_mix_matches_duckdb_exactly(spark, rows, frac):
                               cols="d.doc_id")
     want = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
     assert got == want
+
+
+@SETTINGS
+@given(st.lists(st.integers(0, (1 << 24) - 1), min_size=2, max_size=12,
+                unique=True),
+       st.integers(1, 5))
+def test_hamming_blocking_complete_vs_naive(spark, sigs, max_h):
+    """Pigeonhole blocking must find EXACTLY the naive all-pairs result
+    for any signature set and threshold — no pair lost, none invented."""
+    from rgd_rnaseq_workflows_spark.operators.dedup import hamming_near_pairs
+    fps = spark.createDataFrame(list(enumerate(sigs)), ["id", "sig"])
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in hamming_near_pairs(fps, "sig", "id", bits=24,
+                                       max_hamming=max_h).collect()}
+    want = {(i, j, bin(a ^ b).count("1"))
+            for i, a in enumerate(sigs) for j, b in enumerate(sigs)
+            if i < j and bin(a ^ b).count("1") <= max_h}
+    assert got == want
+
+
+@SETTINGS
+@given(st.lists(st.integers(0, 3600 * 6), min_size=1, max_size=30))
+def test_sliding_window_enumeration_matches_spark(spark, offsets):
+    """Spark's window(ts, 1h, 15m) assignment must equal the oracle's
+    arithmetic enumeration (4 starts per event) for arbitrary event
+    times — pinning the alignment convention the SQL twin relies on."""
+    import datetime as dt
+    from rgd_rnaseq_workflows_spark.streaming.events_stream import (
+        sliding_counts)
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(seconds=s), 0, "e", 0.0, "{}")
+            for i, s in enumerate(offsets)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r.window_start, r.n)
+           for r in sliding_counts(df).collect()}
+    base_epoch = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    from collections import Counter
+    want = Counter()
+    for s in offsets:
+        t = base_epoch + s
+        for k in range(4):
+            want[(t // 900 - k) * 900] += 1
+    assert got == {(w, n) for w, n in want.items()}
