@@ -258,3 +258,58 @@ def test_sliding_window_enumeration_matches_spark(spark, offsets):
         for k in range(4):
             want[(t // 900 - k) * 900] += 1
     assert got == {(w, n) for w, n in want.items()}
+
+
+@SETTINGS
+@given(st.lists(st.integers(1, 40), min_size=1, max_size=25),
+       st.sampled_from([1, 3, 7, 1000]), st.sampled_from([8, 32]))
+def test_pack_chunks_invariant_to_bucket_width(spark, tok_counts, width,
+                                               ctx):
+    """The two-phase distributed prefix sum must produce the identical
+    chunk map for ANY bucket width — including width=1 (every doc its
+    own bucket) — and match a sequential reference."""
+    from rgd_rnaseq_workflows_spark.operators.packing import pack_chunks
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(tok_counts)],
+        "doc_id long, text string")
+    got = {(r.chunk_id, r.n_docs, r.n_tokens, r.first_doc, r.last_doc)
+           for r in pack_chunks(docs, ctx=ctx, bucket_width=width)
+           .collect()}
+    ref = {(r.chunk_id, r.n_docs, r.n_tokens, r.first_doc, r.last_doc)
+           for r in pack_chunks(docs, ctx=ctx, bucket_width=10**6)
+           .collect()}
+    assert got == ref
+    from collections import defaultdict
+    chunks = defaultdict(list)
+    start = 0
+    for i, n in enumerate(tok_counts):
+        chunks[start // ctx].append((i, n))
+        start += n
+    want = {(cid, len(v), sum(n for _, n in v), v[0][0], v[-1][0])
+            for cid, v in chunks.items()}
+    assert got == want
+
+
+@SETTINGS
+@given(st.sets(st.integers(0, 30), min_size=1, max_size=15),
+       st.sets(st.integers(0, 30), min_size=1, max_size=15),
+       st.sets(st.integers(0, 30), max_size=10))
+def test_snapshot_diff_labels_consistent(spark, old_ids, new_ids, edited):
+    """Diff labels must agree with plain set arithmetic for any pair of
+    snapshots with arbitrary edits."""
+    from rgd_rnaseq_workflows_spark.operators.snapshot import snapshot_diff
+    old = spark.createDataFrame([(i, f"doc {i}") for i in sorted(old_ids)],
+                                "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(i, f"doc {i} v2" if i in edited else f"doc {i}")
+         for i in sorted(new_ids)], "doc_id long, text string")
+    got = {r.id: r.change for r in snapshot_diff(old, new).collect()}
+    for i in old_ids | new_ids:
+        if i not in new_ids:
+            assert got[i] == "removed"
+        elif i not in old_ids:
+            assert got[i] == "added"
+        elif i in edited:
+            assert got[i] == "modified"
+        else:
+            assert got[i] == "unchanged"
