@@ -184,8 +184,10 @@ def cap_per_key(df: DataFrame, key_col: str, cap: int, id_col: str,
     """
     from pyspark.sql import Window
     ord_col = md5_long(F.col(id_col).cast("string"), seed=seed)
+    # salt from the rank hash itself (not id % n_salts): works for any
+    # id type, and phase 1 is lossless under ANY salt assignment
     t = df.withColumn("_ord", ord_col) \
-          .withColumn("_salt", F.pmod(F.col(id_col), F.lit(n_salts)))
+          .withColumn("_salt", F.pmod(F.col("_ord"), F.lit(n_salts)))
     w1 = Window.partitionBy(key_col, "_salt").orderBy("_ord", id_col)
     survivors = (t.withColumn("_r1", F.row_number().over(w1))
                  .filter(F.col("_r1") <= cap))
