@@ -172,7 +172,8 @@ def adc_table(books: list[list[Centroid]], qvec: list[float],
 def pq_topk(emb: DataFrame, query_id: int, k: int = 10, m: int = 4,
             k_codes: int = 8, iters: int = 2, id_col: str = "vec_id",
             vec_col: str = "embedding",
-            candidates: DataFrame | None = None) -> DataFrame:
+            candidates: DataFrame | None = None,
+            rerank: int | None = None) -> DataFrame:
     """Top-k by PQ/ADC distance: encode the corpus, build the query's
     ADC table (driver metadata), score = exact int Σ_j tab[j][code_j]
     via array-literal lookups (pure codegen projection), TakeOrdered.
@@ -180,7 +181,16 @@ def pq_topk(emb: DataFrame, query_id: int, k: int = 10, m: int = 4,
     ``candidates`` (optional, an ``id_col`` frame) restricts SCORING to
     a candidate set via a semi-join — codebooks still train on the full
     corpus (an IVF probe narrows who is scored, never what the
-    quantizer learned)."""
+    quantizer learned).
+
+    ``rerank`` (optional, R > k): the FAISS ``IndexRefineFlat`` pattern —
+    ADC is a COARSE ranker, and with small codebooks whole neighborhoods
+    tie in one code cell (measured: 67-way tie at the minimum on a 20k
+    clustered corpus), so the id tiebreak buries true neighbors. With
+    rerank, the top-R by ADC (R rows — driver-scale) are re-scored by
+    EXACT fixed-point integer L2 against the full vectors and the top-k
+    of that ordering returns. Output schema is unchanged; only the
+    ordering becomes exact."""
     dims = len(emb.select(vec_col).first()[0])
     sub_dims = dims // m
     enc, books = pq_encode(emb, m, k_codes, iters, id_col, vec_col, dims)
@@ -195,15 +205,35 @@ def pq_topk(emb: DataFrame, query_id: int, k: int = 10, m: int = 4,
     total = terms[0]
     for t in terms[1:]:
         total = total + t
-    return (enc.filter(F.col(id_col) != query_id)
-            .select(F.col(id_col).alias("id"), total.alias("adc_dist6"))
-            .orderBy("adc_dist6", "id").limit(k))
+    scores = (enc.filter(F.col(id_col) != query_id)
+              .select(F.col(id_col).alias("id"), total.alias("adc_dist6")))
+    if rerank is None:
+        return scores.orderBy("adc_dist6", "id").limit(k)
+    qi = _sub_ints(np.asarray(qvec, dtype=np.float64))
+    qarr = F.array(*[F.lit(int(x)).cast("long") for x in qi])
+    # tie-COMPLETE pool: every row at or below the R-th ADC distance —
+    # an id-tiebroken top-R silently drops true neighbors whenever one
+    # code cell's tie group exceeds R (measured: recall collapsed 0.4→0.1
+    # as the corpus grew and the minimum cell outgrew the pool)
+    cutoff = (scores.orderBy("adc_dist6").limit(max(rerank, k))
+              .agg(F.max("adc_dist6")).first()[0])
+    cand = scores.filter(F.col("adc_dist6") <= cutoff)
+    xi = F.transform(F.col(vec_col),
+                     lambda x: F.round(x.cast("double") * SCALE)
+                     .cast("long"))
+    l2 = F.aggregate(F.zip_with(xi, qarr, lambda a, b: (a - b) * (a - b)),
+                     F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return (cand.join(emb.select(F.col(id_col).alias("id"),
+                                 l2.alias("_l2")), "id")
+            .orderBy("_l2", "id").limit(k)
+            .select("id", "adc_dist6"))
 
 
 def ivfpq_topk(emb: DataFrame, query_id: int, k: int = 10, kc: int = 10,
                nprobe: int = 3, c_iters: int = 2, m: int = 4,
                k_codes: int = 8, iters: int = 2, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               rerank: int | None = None) -> DataFrame:
     """IVF + PQ (the FAISS ``IVFADC`` index, Jégou et al. 2011 §V): a
     coarse spherical k-means partitions the corpus into ``kc`` inverted
     lists; a query probes only its ``nprobe`` nearest lists and
@@ -236,7 +266,7 @@ def ivfpq_topk(emb: DataFrame, query_id: int, k: int = 10, kc: int = 10,
     probe = [cid for _, cid in ranked[:nprobe]]
     cand = assigned.filter(F.col("cluster").isin(probe)).select(id_col)
     return pq_topk(emb, query_id, k, m, k_codes, iters, id_col, vec_col,
-                   candidates=cand)
+                   candidates=cand, rerank=rerank)
 
 
 # --- oracle SQL builder -------------------------------------------------------

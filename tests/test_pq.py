@@ -112,3 +112,25 @@ def test_ivfpq_narrow_probe_subset_and_scores_consistent(spark, emb_df):
         assert full[r.id] == r.adc_dist6
     # the query's own blob (+e1 cluster, ids 1-9) is what a 1-probe finds
     assert all(r.id < 10 for r in narrow)
+
+
+def test_rerank_pool_is_tie_complete(spark):
+    # 30 vectors collapsing into few code cells: rerank=2's pool must
+    # still include the whole minimum tie group, so the exact-L2 winner
+    # is found even though an id-tiebroken top-2 would miss it
+    rows = []
+    for i in range(30):
+        base = 0.5 if i < 15 else -0.5
+        rows.append((i, [base + 0.001 * i, 0.1, 0.0, 0.0,
+                         base, 0.0, 0.0, 0.1], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    plain = [r.id for r in pq_topk(emb, query_id=14, k=5, m=2, k_codes=4,
+                                   iters=2).collect()]
+    rr = [r.id for r in pq_topk(emb, query_id=14, k=5, m=2, k_codes=4,
+                                iters=2, rerank=2).collect()]
+    # exact re-scoring must place the geometrically closest ids first:
+    # query 14 sits at the top of the +0.5 blob, so 13, 12, ... lead
+    assert rr[0] == 13
+    assert set(rr) <= set(range(15))          # never the far blob
+    assert len(rr) == 5 and len(plain) == 5
