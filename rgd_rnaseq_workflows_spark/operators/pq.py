@@ -223,8 +223,9 @@ def pq_topk(emb: DataFrame, query_id: int, k: int = 10, m: int = 4,
                      .cast("long"))
     l2 = F.aggregate(F.zip_with(xi, qarr, lambda a, b: (a - b) * (a - b)),
                      F.lit(0).cast("long"), lambda acc, v: acc + v)
-    return (cand.join(emb.select(F.col(id_col).alias("id"),
-                                 l2.alias("_l2")), "id")
+    # join FIRST, score after: only pool rows pay the exact-L2 fold
+    return (cand.join(emb.select(F.col(id_col).alias("id"), vec_col), "id")
+            .select("id", "adc_dist6", l2.alias("_l2"))
             .orderBy("_l2", "id").limit(k)
             .select("id", "adc_dist6"))
 
@@ -274,7 +275,8 @@ def ivfpq_topk(emb: DataFrame, query_id: int, k: int = 10, kc: int = 10,
 def pq_topk_sql(table: str = "embeddings", query_id: int = 0, k: int = 10,
                 m: int = 4, k_codes: int = 8, iters: int = 2, dims: int = 64,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                extra_ctes: str = "", cand_cte: str | None = None) -> str:
+                extra_ctes: str = "", cand_cte: str | None = None,
+                rerank: int | None = None) -> str:
     """The full PQ pipeline unrolled in exact-int SQL: fixed-point
     sub-vectors → seeded Lloyd per subspace (all subspaces in one CTE
     chain, ``j`` as a grouping column) → ADC table → integer-sum top-k.
@@ -341,6 +343,34 @@ tab AS (
   SELECT a.vec_id AS id, CAST(sum(t.di) AS BIGINT) AS adc_dist6
   FROM a{iters} a JOIN tab t ON t.j = a.j AND t.c = a.code{cand}
   GROUP BY a.vec_id)""")
+    if rerank is not None:
+        # tie-complete exact-L2 rerank twin: cutoff = R-th ADC distance,
+        # pool = every id at or below it, exact Σ(xa−xq)² over the SAME
+        # fixed-point ints the raw CTE already holds
+        chain.append(f"""spos AS MATERIALIZED (
+  SELECT id, adc_dist6 FROM scores WHERE id != {query_id}),
+cutv AS MATERIALIZED (
+  SELECT max(adc_dist6) AS c FROM (
+    SELECT adc_dist6 FROM spos ORDER BY adc_dist6
+    LIMIT {max(rerank, k)})),
+pool AS MATERIALIZED (
+  SELECT id FROM spos, cutv WHERE adc_dist6 <= c),
+ql2 AS MATERIALIZED (
+  SELECT j, dd, xi FROM raw WHERE vec_id = {query_id}),
+rl2 AS MATERIALIZED (
+  SELECT r.vec_id AS id,
+         CAST(sum((r.xi - q.xi) * (r.xi - q.xi)) AS BIGINT) AS l2
+  FROM raw r JOIN ql2 q ON q.j = r.j AND q.dd = r.dd
+  JOIN pool p ON p.id = r.vec_id
+  GROUP BY r.vec_id)""")
+        body = ",\n".join(chain)
+        head_ctes = f"{extra_ctes},\n" if extra_ctes else ""
+        return f"""
+WITH {head_ctes}{body}
+SELECT s.id, s.adc_dist6
+FROM spos s JOIN rl2 USING (id)
+ORDER BY rl2.l2, s.id LIMIT {k}
+"""
     body = ",\n".join(chain)
     head_ctes = f"{extra_ctes},\n" if extra_ctes else ""
     return f"""

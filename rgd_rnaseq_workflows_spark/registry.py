@@ -1189,6 +1189,25 @@ def ann_pq_topk(spark, sf_dir):
                    m=4, k_codes=8, iters=2)
 
 
+def _pq_rerank_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.pq import pq_topk_sql
+    return pq_topk_sql("embeddings", query_id=7, k=10, m=4, k_codes=8,
+                       iters=2, dims=64, rerank=40)
+
+
+@q("ann_pq_rerank_topk", ("ANN-PQ-RERANK",), oracle=_pq_rerank_oracle(),
+   note="PQ with exact rerank (FAISS IndexRefineFlat shape) — the "
+        "PRODUCTION retrieval path: ADC coarse-ranks, the tie-COMPLETE "
+        "top-40 pool (every row at or below the 40th ADC distance — an "
+        "id-tiebroken LIMIT drops whole code-cell tie groups) re-scores "
+        "by exact fixed-point integer L2; recall@10 measured 0.0 -> "
+        "0.9-1.0 in tools/ann_scale.py")
+def ann_pq_rerank_topk(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.pq import pq_topk
+    return pq_topk(_t(spark, sf_dir, "embeddings"), query_id=7, k=10,
+                   m=4, k_codes=8, iters=2, rerank=40)
+
+
 def _ivfpq_oracle() -> str:
     from rgd_rnaseq_workflows_spark.operators.pq import ivfpq_topk_sql
     return ivfpq_topk_sql("embeddings", query_id=7, k=10, kc=10, nprobe=3,
@@ -1361,6 +1380,7 @@ def quality_bigram_lm(spark, sf_dir):
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
     # round-4 additions (no recorded row yet)
+    "ann_pq_rerank_topk",
     "multimodal_audio_features",
     "multimodal_phash_dedup",
     "corpus_snapshot_diff",
