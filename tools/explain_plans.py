@@ -79,6 +79,10 @@ SHOWCASE = {
     "corpus_snapshot_diff": "dataset versioning: md5 fingerprints projected "
         "BEFORE the full-outer join, so 16 bytes/doc cross the exchange, "
         "never the text; bucketed snapshots would run it zero-exchange.",
+    "ann_pq_rerank_topk": "the production PQ retrieval path: ADC "
+        "coarse-rank, tie-complete pool (cutoff scalar, not an "
+        "id-tiebroken LIMIT), exact int-L2 fold computed only for pool "
+        "rows (join-then-project) — TakeOrdered, corpus never sorted.",
 }
 
 
