@@ -59,3 +59,52 @@ def test_deterministic_tiebreak(spark):
     assert first == second
     # pairs (a,b), (c,d), (b,</w>), (d,</w>) all have count 2 -> "a","b"
     assert first[0][1:4] == ("a", "b", "ab")
+
+
+def _reference_trainer(texts: list[str], rounds: int):
+    """Independent pure-python BPE trainer: word counts, weighted pair
+    counts, (count desc, left, right) argmax, greedy pair-scan apply."""
+    from collections import Counter
+    words = Counter(w for t in texts for w in t.split() if w)
+    vocab = {w: [*w, END_MARK] for w in words}
+    merges = []
+    for _ in range(rounds):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += words[w]
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, a + b, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_full_trainer_matches_reference_on_random_corpora(spark):
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=5)
+    corpus = st.lists(
+        st.lists(word, min_size=1, max_size=8).map(" ".join),
+        min_size=1, max_size=5)
+
+    @settings(max_examples=6, deadline=None)
+    @given(corpus)
+    def check(texts):
+        d = spark.createDataFrame(list(enumerate(texts)),
+                                  "doc_id long, text string")
+        got = [(r.left, r.right, r.merged, r.pair_count)
+               for r in train_bpe(d, rounds=3).collect()]
+        assert got == _reference_trainer(texts, 3)
+
+    check()
