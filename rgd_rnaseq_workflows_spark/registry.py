@@ -1379,44 +1379,47 @@ def quality_bigram_lm(spark, sf_dir):
 # prior round are surfaced first so every registry entry accumulates a
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
-    # round-4 additions (no recorded row yet)
-    "ann_pq_rerank_topk",
-    "multimodal_audio_features",
-    "multimodal_phash_dedup",
-    "corpus_snapshot_diff",
-    "split_leakage_report",
-    "tokenizer_bpe_merges",
-    "stream_sliding_topk",
-    "ann_ivfpq_topk",
-    "sample_temperature_mix",
-    "cap_per_source",
-    "quality_bigram_lm",
-    "corpus_shard_manifest",
-    "text_tfidf_top_terms",
-    "ann_quantize_report",
-    "ann_int8_topk",
-    "ann_pq_topk",
-    "kmeans_embeddings",
-    "semdedup_embeddings",
-    "quality_repetition",
-    "dedup_ngram_coverage",
-    "pack_sequences",
-    # round-2/3 additions whose first recorded window was r03
-    "ann_lsh_topk",
-    "corpus_full_curation",
-    "cube_aggregate",
-    "grouping_sets_agg",
-    "multimodal_frame_plan",
-    "multimodal_image_features",
-    "observe_metrics",
-    "scalar_cleanup",
-    "simhash_near_pairs_q",
-    "stateful_dedup_kernel",
-    # round-3 additions: recorded before the long-recorded tail
-    "stratified_hash_sample",
-    "contamination_ngram",
-    "text_redact_pii",
-    "corpus_training_mix",
+    # never driver-checked as of r3 (VERDICT.md item 1) — must record in r4
+    "ann_ivf_topk",
+    "corpus_curation",
+    "skew_salted_agg",
+    # r2-only rows (rotated out of r3's 50-entry window) — refresh in r4 so
+    # the union of r3+r4 driver CORRECTNESS covers all registered queries
+    "agg4_dedup_keep_first",
+    "agg7_binned_rate",
+    "agg8_ratio_classify",
+    "agg9_histogram",
+    "agg_percentiles",
+    "agg_percentiles_approx",
+    "aggp1_pivot_matrix",
+    "ann_cosine_topk",
+    "ann_embedding_neardup",
+    "asof_join_events",
+    "dedup_cluster_keepers",
+    "dedup_exact_stats",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "f16_date_arithmetic",
+    "f17_url_template",
+    "range_join_dim",
+    "rollup_aggregate",
+    "set1_union",
+    "set2_intersect",
+    "src7_json_extract",
+    "srt_topk_global",
+    "stream_interval_join",
+    "stream_sessionize",
+    "stream_window_agg",
+    "text_bpe_tokens",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_features",
+    "text_token_stats",
+    "win1_dense_rank_palette",
+    "win2_topk_per_group",
+    "win3_running_total",
+    "win4_lead_lag",
 )
 
 
