@@ -76,17 +76,88 @@ def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
     return vocab.withColumn("syms", folded)
 
 
-def train_bpe(docs: DataFrame, rounds: int = 3,
-              text_col: str = "text") -> DataFrame:
-    """Train ``rounds`` BPE merges; returns one row per merge:
-    (round, left, right, merged, pair_count) — the merge table a
-    tokenizer ships. Each round: vocabulary pair count (shuffle on the
-    pair key), deterministic argmax collected as driver metadata, fold
-    applied lazily for the next round."""
-    spark = docs.sparkSession
-    vocab = (word_counts(docs, text_col)
-             .select("wc", _initial_symbols(F.col("word")).alias("syms"))
-             .localCheckpoint())  # reused every round; corpus never re-read
+def _fold_py(syms: list, left: str, right: str, merged: str) -> list:
+    """Driver-side twin of :func:`_apply_merge`'s left fold (identical
+    semantics: greedy left-to-right, a fresh merge never re-matches its
+    predecessor because ``merged`` is strictly longer than ``right``)."""
+    out: list = []
+    for s in syms:
+        if out and out[-1] == left and s == right:
+            out[-1] = merged
+        else:
+            out.append(s)
+    return out
+
+
+def _train_bpe_driver(rows, rounds: int) -> list:
+    """Exact incremental BPE on the collected word-count table.
+
+    Classic trainer shape (Sennrich et al. 2016; what SentencePiece/HF
+    tokenizers run in-memory): maintain weighted adjacent-pair counts,
+    an inverted pair→word-ids index, and a lazy-deletion max-heap keyed
+    (count DESC, left ASC, right ASC). Each merge touches only the words
+    that contain the chosen pair, so total work is bounded by the number
+    of pair-count *changes*, not rounds × vocabulary. Counts are integer
+    word-count sums — bit-identical to the distributed per-round path.
+    """
+    import heapq
+    from collections import defaultdict
+
+    words = []                       # [mutable syms list, wc]
+    pair_counts: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+    for word, wc in rows:
+        syms = list(word) + [END_MARK]
+        idx = len(words)
+        words.append([syms, wc])
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += wc
+            pair_words[p].add(idx)
+    heap = [(-c, l, r) for (l, r), c in pair_counts.items()]
+    heapq.heapify(heap)
+    out = []
+    for rnd in range(1, rounds + 1):
+        # lazy deletion: skip entries whose stored count went stale
+        while heap and pair_counts.get(
+                (heap[0][1], heap[0][2]), 0) != -heap[0][0]:
+            heapq.heappop(heap)
+        if not heap:
+            break
+        negc, left, right = heapq.heappop(heap)
+        merged = left + right
+        out.append((rnd, left, right, merged, -negc))
+        touched: set = set()
+        for i in pair_words.get((left, right), ()):
+            syms, wc = words[i]
+            if not any(a == left and b == right
+                       for a, b in zip(syms, syms[1:])):
+                continue  # stale inverted-index entry
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= wc
+                touched.add(p)
+            new_syms = _fold_py(syms, left, right, merged)
+            words[i][0] = new_syms
+            for p in zip(new_syms, new_syms[1:]):
+                pair_counts[p] += wc
+                pair_words[p].add(i)
+                touched.add(p)
+        pair_counts.pop((left, right), None)
+        pair_words.pop((left, right), None)
+        touched.discard((left, right))
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+            else:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+    return out
+
+
+def _train_bpe_distributed(vocab: DataFrame, rounds: int) -> list:
+    """Fallback for vocabularies too large to collect: one Spark round
+    per merge (pair count shuffle → deterministic argmax → lazy fold).
+    Exact but serial — the driver path above is the fast path."""
     out = []
     for rnd in range(1, rounds + 1):
         best = (_pair_counts(vocab)
@@ -100,6 +171,36 @@ def train_bpe(docs: DataFrame, rounds: int = 3,
         if rnd < rounds:
             vocab = _apply_merge(vocab, b["left"], b["right"]) \
                 .localCheckpoint()
+    return out
+
+
+def train_bpe(docs: DataFrame, rounds: int = 3, text_col: str = "text",
+              max_driver_vocab: int = 5_000_000) -> DataFrame:
+    """Train ``rounds`` BPE merges; returns one row per merge:
+    (round, left, right, merged, pair_count) — the merge table a
+    tokenizer ships.
+
+    The corpus is touched exactly ONCE (token explode → word groupBy,
+    map-side combined). The distinct-word count table is vocabulary-
+    scale — millions of rows at web scale, independent of corpus size —
+    so when it fits under ``max_driver_vocab`` rows it is collected and
+    all merge rounds run as exact incremental updates on the driver
+    (ONE Spark job total, vs one job *per merge* before; a 32k-merge
+    production vocabulary is 32k serial Spark rounds on the old path).
+    Oversized vocabularies fall back to the distributed per-round loop.
+    Both paths produce bit-identical merge tables (integer counts,
+    (count DESC, left ASC, right ASC) argmax, identical fold).
+    """
+    spark = docs.sparkSession
+    wc = word_counts(docs, text_col)
+    rows = [(r["word"], r["wc"])
+            for r in wc.limit(max_driver_vocab + 1).collect()]
+    if len(rows) <= max_driver_vocab:
+        out = _train_bpe_driver(rows, rounds)
+    else:
+        vocab = (wc.select("wc", _initial_symbols(F.col("word")).alias("syms"))
+                 .localCheckpoint())  # reused every round; corpus never re-read
+        out = _train_bpe_distributed(vocab, rounds)
     return spark.createDataFrame(
         out, "round int, left string, right string, merged string, "
              "pair_count long")

@@ -91,6 +91,8 @@ def _reference_trainer(texts: list[str], rounds: int):
 
 
 def test_full_trainer_matches_reference_on_random_corpora(spark):
+    # rounds=20 exercises the incremental driver path deep enough that a
+    # stale heap entry / stale inverted-index bug would surface
     from hypothesis import given, settings, strategies as st
 
     word = st.text(alphabet="abc", min_size=1, max_size=5)
@@ -104,7 +106,39 @@ def test_full_trainer_matches_reference_on_random_corpora(spark):
         d = spark.createDataFrame(list(enumerate(texts)),
                                   "doc_id long, text string")
         got = [(r.left, r.right, r.merged, r.pair_count)
-               for r in train_bpe(d, rounds=3).collect()]
-        assert got == _reference_trainer(texts, 3)
+               for r in train_bpe(d, rounds=20).collect()]
+        assert got == _reference_trainer(texts, 20)
 
     check()
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    d = spark.createDataFrame(
+        [(0, "low low lower lowest"), (1, "new newer newest low ab ab")],
+        "doc_id long, text string")
+    fast = [tuple(r) for r in train_bpe(d, rounds=6).collect()]
+    # max_driver_vocab=0 forces the distributed per-round fallback
+    slow = [tuple(r) for r in
+            train_bpe(d, rounds=6, max_driver_vocab=0).collect()]
+    assert fast == slow and len(fast) == 6
+
+
+def test_job_count_independent_of_rounds(spark):
+    # The batched trainer's Spark-job count must not grow with rounds:
+    # one corpus pass + one vocab collect, then driver-side merges only.
+    d = spark.createDataFrame(
+        [(0, "low low lower lowest"), (1, "new newer newest low")],
+        "doc_id long, text string")
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_for(rounds, group):
+        spark.sparkContext.setJobGroup(group, "bpe job count")
+        try:
+            train_bpe(d, rounds=rounds)  # collect happens inside
+        finally:
+            spark.sparkContext.setJobGroup("", "")
+        return len(tracker.getJobIdsForGroup(group))
+
+    j2 = jobs_for(2, "bpe-r2")
+    j20 = jobs_for(20, "bpe-r20")
+    assert j20 == j2 and j20 <= 4
