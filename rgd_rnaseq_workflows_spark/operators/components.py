@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from rgd_rnaseq_workflows_spark.session import checkpoint_df
 
 
 def connected_components(edges: DataFrame, id_a: str = "id_a",
@@ -54,7 +55,7 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
            .union(edges.select(F.col(id_b).alias("src"),
                                F.col(id_a).alias("dst")))
            .distinct()
-           .localCheckpoint())
+           .transform(checkpoint_df))
     # label init WITH the first propagation fused: every node appears as
     # src (adjacency holds both directions), so min(id, min neighbor) is
     # one aggregation over adj — cheaper than the loop's join form
@@ -81,7 +82,7 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                   .select("id", F.least(
                       "comp", F.coalesce("n_comp", "comp")).alias("comp")))
         if (i + 1) % 5 == 0:
-            labels = labels.localCheckpoint(eager=False)
+            labels = checkpoint_df(labels, eager=False)
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
             break

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rgd_rnaseq_workflows_spark.functions.hashing import md5_long
+from rgd_rnaseq_workflows_spark.session import checkpoint_df
 from rgd_rnaseq_workflows_spark.functions.text import shingles, tokens
 
 
@@ -139,7 +140,9 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     """End-to-end MinHash-LSH near-dup: signatures → banded candidates →
     exact-Jaccard verification.
 
-    The hashed shingle-set table is built ONCE (``localCheckpoint``) and
+    The hashed shingle-set table is built ONCE (``checkpoint_df`` —
+    reliable ``checkpoint()`` when a checkpoint dir is configured,
+    ``localCheckpoint`` otherwise) and
     feeds both stages: signatures derive from the exploded 60-bit hashes
     (the signature's base is the same md5 family), and verification
     intersects the sorted arrays — without the shared materialization the
@@ -148,7 +151,7 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.array_sort(F.transform(shingles(text_col, shingle_n),
                                  lambda s: md5_long(s))).alias("hs"))
-        .localCheckpoint(eager=False))
+        .transform(checkpoint_df, eager=False))
     base = F.pmod(F.col("h"), F.lit(1 << 30))
     sh = (hashed.select(F.col(id_col), F.explode("hs").alias("h"))
           .select(F.col(id_col), base.alias("x")))
@@ -183,7 +186,7 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
     Scale design — this is a PPJoin set-similarity join, never an
     all-pairs loop:
     - shingles are hashed to 60-bit ints once (array ops on longs, not
-      strings); the hashed table is materialized once (``localCheckpoint``)
+      strings); the hashed table is materialized once (``checkpoint_df``)
       because four plan subtrees consume it;
     - **canonical frequency ordering**: tokens are ranked per block by
       ascending document frequency (one agg + one per-doc window), so each
@@ -212,7 +215,7 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
                       F.array_sort(F.transform(
                           "sh", lambda s: md5_long(s))).alias("hs"))
               .withColumn("sz", F.size("hs"))
-              .localCheckpoint(eager=False))
+              .transform(checkpoint_df, eager=False))
     exploded = hashed.select(F.col(id_col), "_blk", "sz",
                              F.explode("hs").alias("tok"))
     freq = exploded.groupBy("_blk", "tok").agg(F.count("*").alias("df"))

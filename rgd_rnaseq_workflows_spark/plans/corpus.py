@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rgd_rnaseq_workflows_spark.functions import text as TX
+from rgd_rnaseq_workflows_spark.session import checkpoint_df
 from rgd_rnaseq_workflows_spark.operators.components import connected_components
 from rgd_rnaseq_workflows_spark.operators.dedup import (
     exact_dedup, ngram_jaccard_pairs)
@@ -48,7 +49,7 @@ def curate_corpus(docs: DataFrame, min_tokens: int = 20,
     # pair generator AND the final keeper anti-join, and its lineage
     # (lang-ID stopword scoring + a dedup window) is the expensive part
     uniq = exact_dedup(kept, text_col="text",
-                       id_col="doc_id").localCheckpoint(eager=False)
+                       id_col="doc_id").transform(checkpoint_df, eager=False)
     pairs = ngram_jaccard_pairs(uniq, block_col="lang",
                                 shingle_n=shingle_n, threshold=threshold)
     comps = connected_components(pairs)

@@ -33,6 +33,26 @@ _SQL_CONF = {
 }
 
 
+def checkpoint_df(df, eager: bool = True):
+    """Truncate a DataFrame's lineage for iterative / multiply-consumed
+    plans (connected components, LSH shingle tables, BPE vocab rounds).
+
+    ``localCheckpoint`` keeps blocks on executor storage only — fast, but
+    on a real cluster a lost executor makes the truncated lineage
+    unrecoverable and fails the whole job. When a checkpoint directory is
+    configured (``SparkContext.setCheckpointDir`` — e.g. an HDFS/S3 path
+    via ``SPARK_GRAFT_CHECKPOINT_DIR``), this upgrades to the reliable
+    ``checkpoint()``, which survives executor loss; at 100 TB that's the
+    correct default for any multi-hour lineage. With no directory set it
+    falls back to ``localCheckpoint`` (the right local-mode choice).
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        # reliable checkpoint writes to the configured fault-tolerant dir
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def get_spark(app_name: str = "rgd_rnaseq_workflows_spark",
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) the session.
@@ -56,4 +76,7 @@ def get_spark(app_name: str = "rgd_rnaseq_workflows_spark",
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(ckpt)
     return spark
