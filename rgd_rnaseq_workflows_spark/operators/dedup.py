@@ -178,7 +178,7 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
                         text_col: str = "text", id_col: str = "doc_id",
                         shingle_n: int = 1,
                         threshold: float = 0.5,
-                        broadcast_verify: bool = True) -> DataFrame:
+                        broadcast_verify: bool | None = None) -> DataFrame:
     """Blocked n-gram Jaccard: compare only docs sharing ``block_col``
     (at scale the block is a cheap partition key — source, language, LSH
     bucket), then exact set Jaccard.
@@ -200,10 +200,15 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
       |A| ≥ t·|B|, and from match positions the overlap upper bound
       1 + min(|A|−i, |B|−j) must reach α = ⌈t·(|A|+|B|)/(1+t)⌉;
     - exact Jaccard verifies each distinct candidate once via sorted-long
-      array intersection: |A∩B| / (|A|+|B|−|A∩B|). With
-      ``broadcast_verify`` the per-doc set table broadcasts into both
-      verify joins (right whenever the blocked corpus fits in executor
-      memory — at full-corpus scale set False for the shuffle plan).
+      array intersection: |A∩B| / (|A|+|B|−|A∩B|). ``broadcast_verify``
+      is SIZE-GATED by default (``None``): the verify joins carry no
+      hint, and AQE decides broadcast-vs-shuffle at runtime from the
+      actual shuffle-stage size — small corpora get the broadcast plan
+      for free, a full-scale corpus degrades cleanly to the shuffle
+      join instead of OOMing the executors on a forced broadcast.
+      ``True`` forces the broadcast hint (caller knows the per-doc set
+      table fits); ``False`` forces sort-merge (the ``merge`` hint, so
+      not even AQE broadcasts).
 
     Output is provably identical to the naive blocked all-pairs version —
     the DuckDB oracle runs that naive form, so the pruning logic itself is
@@ -264,7 +269,12 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
                               F.col("sz_b") - F.col("mpb")) >= agg_alpha)
             .select("id_a", "id_b"))
     sets = hashed.select(F.col(id_col), "hs", "sz")
-    maybe_bc = F.broadcast if broadcast_verify else (lambda x: x)
+    if broadcast_verify is True:
+        maybe_bc = F.broadcast
+    elif broadcast_verify is False:
+        maybe_bc = lambda x: x.hint("merge")  # noqa: E731
+    else:  # size-gated: AQE picks broadcast iff runtime stats allow
+        maybe_bc = lambda x: x  # noqa: E731
     out = (cand
            .join(maybe_bc(sets.select(F.col(id_col).alias("id_a"),
                                       F.col("hs").alias("hs_a"),

@@ -77,3 +77,49 @@ def test_ngram_jaccard_matches_naive(spark):
     naive_map = {(r["id_a"], r["id_b"]): r["jaccard"] for r in naive.collect()}
     assert fast == naive_map
     assert (1, 2) in fast and fast[(1, 2)] == 1.0
+
+
+def test_ngram_verify_join_is_size_gated(spark):
+    """broadcast_verify=None must leave the verify joins to AQE's
+    runtime size gate: small corpus → broadcast plan; a corpus 'too big
+    to broadcast' (simulated by threshold=-1) → shuffle plan. Rows are
+    identical in every mode."""
+    docs = _docs(spark)
+
+    def run(**kw):
+        out = ngram_jaccard_pairs(docs, "lang", shingle_n=1,
+                                  threshold=0.3, **kw)
+        rows = sorted(map(tuple, out.collect()))
+        return rows, out._jdf.queryExecution().executedPlan().toString()
+
+    rows_default, plan_small = run()
+    rows_forced_bc, plan_bc = run(broadcast_verify=True)
+    rows_forced_sm, plan_sm = run(broadcast_verify=False)
+    assert rows_default == rows_forced_bc == rows_forced_sm
+    assert rows_default, "expected at least one near-dup pair"
+    # small corpus, no hint: AQE's size gate chooses broadcast
+    assert "BroadcastHashJoin" in plan_small
+    # forced merge hint: not even AQE may broadcast the verify joins
+    assert "SortMergeJoin" in plan_sm
+    assert plan_sm.count("BroadcastHashJoin") < plan_bc.count(
+        "BroadcastHashJoin")
+    # 'large corpus': with the broadcast budget exhausted the size gate
+    # must degrade the UNHINTED plan to the shuffle join, not OOM
+    conf = spark.conf
+    saved = (conf.get("spark.sql.autoBroadcastJoinThreshold"),
+             conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                      None))
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        rows_large, plan_large = run()
+        assert rows_large == rows_default
+        assert "SortMergeJoin" in plan_large
+        assert "BroadcastHashJoin" not in plan_large
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved[0])
+        if saved[1] is None:
+            conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                     saved[1])
