@@ -172,30 +172,36 @@ def update_centroids(assigned: DataFrame, vec_col: str = "embedding",
 
 
 def kmeans_fit(emb: DataFrame, k: int = 10, iters: int = 2,
-               id_col: str = "vec_id",
-               vec_col: str = "embedding") -> tuple[DataFrame, list[Centroid]]:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               persist: bool = True) -> tuple[DataFrame, list[Centroid]]:
     """``iters`` assignment passes with ``iters−1`` centroid updates
     between them (iters=2 ⇒ assign → update → assign). Returns (input
     with a ``cluster`` column, the centroids the final assignment used)
-    — the centroid list is what an IVF probe scores a query against."""
+    — the centroid list is what an IVF probe scores a query against.
+
+    The returned assignment frame is ``persist()``-ed (MEMORY_AND_DISK:
+    a 100 TB assignment spills rather than OOMs) because downstream
+    consumers (summary's two aggs, semdedup's a×b pair join, an IVF
+    probe) branch it 2-4× and the Arrow assign kernel should run ONCE
+    per row. **The caller owns the cache**: call ``.unpersist()`` on the
+    returned frame once its branches are consumed, or pass
+    ``persist=False`` to keep the lineage lazy. (Dropping every
+    reference also works eventually — the ContextCleaner unpersists
+    GC'd frames — but long-lived sessions issuing many fits should
+    unpersist explicitly.)"""
     cents = init_centroids(emb, k, id_col, vec_col)
     assigned = emb.withColumn("cluster", assign_kernel(cents)(F.col(vec_col)))
     for _ in range(iters - 1):
         cents = update_centroids(assigned, vec_col)
         assigned = emb.withColumn("cluster",
                                   assign_kernel(cents)(F.col(vec_col)))
-    # downstream consumers (summary's two aggs, semdedup's a×b pair join,
-    # an IVF probe) branch this frame 2-4×; persist so the Arrow kernel
-    # runs ONCE per row — the same cache MLlib's KMeans keeps on its
-    # training set (MEMORY_AND_DISK, so a 100 TB assignment spills rather
-    # than OOMs; the ContextCleaner drops it when the frame is GC'd)
-    return assigned.persist(), cents
+    return (assigned.persist() if persist else assigned), cents
 
 
 def kmeans_assign(emb: DataFrame, k: int = 10, iters: int = 2,
-                  id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    return kmeans_fit(emb, k, iters, id_col, vec_col)[0]
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  persist: bool = True) -> DataFrame:
+    return kmeans_fit(emb, k, iters, id_col, vec_col, persist=persist)[0]
 
 
 def kmeans_summary(assigned: DataFrame, label_col: str = "label",
@@ -256,49 +262,55 @@ def semdedup(emb: DataFrame, k: int = 10, iters: int = 2,
 def kmeans_assign_cte(k: int = 10, iters: int = 2,
                       table: str = "embeddings",
                       id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> str:
-    """CTE chain ending in ``af`` (vec_id, c) = the final assignment —
-    the Lloyd unrolling of :func:`kmeans_assign` in exact-int SQL."""
-    pts = f"""raw AS (
+                      vec_col: str = "embedding",
+                      prefix: str = "") -> str:
+    """CTE chain ending in ``{prefix}af`` (vec_id, c) = the final
+    assignment — the Lloyd unrolling of :func:`kmeans_assign` in
+    exact-int SQL. ``prefix`` namespaces every CTE name at generation
+    time so two chains (e.g. IVF's coarse k-means next to the PQ
+    codebook chain) can coexist in one WITH clause without collisions —
+    callers must never rename by post-hoc regex, which would also
+    rewrite matching tokens inside literals or aliases."""
+    p = prefix
+    pts = f"""{p}raw AS (
   SELECT {id_col} AS vec_id, d, CAST(round(x * {SCALE}) AS BIGINT) AS xi
   FROM (SELECT {id_col}, unnest(CAST({vec_col} AS DOUBLE[])) AS x,
                generate_subscripts({vec_col}, 1) AS d FROM {table})),
-nrm AS (SELECT vec_id, CAST(sum(xi * xi) AS BIGINT) AS ss
-        FROM raw GROUP BY vec_id),
-pts AS (
+{p}nrm AS (SELECT vec_id, CAST(sum(xi * xi) AS BIGINT) AS ss
+        FROM {p}raw GROUP BY vec_id),
+{p}pts AS (
   SELECT r.vec_id, r.d,
          CAST(round(CAST(r.xi AS DOUBLE) * {SCALE}
               / sqrt(CAST(greatest(n.ss, 1) AS DOUBLE))) AS BIGINT) AS xi
-  FROM raw r JOIN nrm n USING (vec_id)),
-seed_ids AS (
+  FROM {p}raw r JOIN {p}nrm n USING (vec_id)),
+{p}seed_ids AS (
   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
   FROM (SELECT {id_col} AS vec_id FROM {table} ORDER BY {id_col} LIMIT {k})),
-c0 AS (
+{p}c0 AS (
   SELECT s.c, p.d, p.xi AS s, CAST(1 AS BIGINT) AS n
-  FROM pts p JOIN seed_ids s USING (vec_id))"""
+  FROM {p}pts p JOIN {p}seed_ids s USING (vec_id))"""
     chain = [pts]
-    prev_c = "c0"
+    prev_c = f"{p}c0"
     for it in range(1, iters + 1):
-        a = f"a{it}"
-        chain.append(f"""d{it} AS (
+        chain.append(f"""{p}d{it} AS (
   SELECT p.vec_id, c.c,
          CAST(sum((p.xi * c.n - c.s) * (p.xi * c.n - c.s)) AS BIGINT) AS num,
          c.n
-  FROM pts p JOIN {prev_c} c USING (d)
+  FROM {p}pts p JOIN {prev_c} c USING (d)
   GROUP BY p.vec_id, c.c, c.n),
-{a} AS (
+{p}a{it} AS (
   SELECT vec_id, c FROM (
     SELECT vec_id, c, row_number() OVER (
       PARTITION BY vec_id
       ORDER BY CAST(num AS DOUBLE) / (n * n), c) AS rk
-    FROM d{it})
+    FROM {p}d{it})
   WHERE rk = 1)""")
         if it < iters:
-            chain.append(f"""c{it} AS (
+            chain.append(f"""{p}c{it} AS (
   SELECT a.c, p.d, CAST(sum(p.xi) AS BIGINT) AS s,
          CAST(count(*) AS BIGINT) AS n
-  FROM pts p JOIN a{it} a USING (vec_id)
+  FROM {p}pts p JOIN {p}a{it} a USING (vec_id)
   GROUP BY a.c, p.d)""")
-            prev_c = f"c{it}"
-    chain.append(f"af AS (SELECT vec_id, c FROM a{iters})")
+            prev_c = f"{p}c{it}"
+    chain.append(f"{p}af AS (SELECT vec_id, c FROM {p}a{iters})")
     return ",\n".join(chain)

@@ -209,6 +209,11 @@ def pq_topk(emb: DataFrame, query_id: int, k: int = 10, m: int = 4,
               .select(F.col(id_col).alias("id"), total.alias("adc_dist6")))
     if rerank is None:
         return scores.orderBy("adc_dist6", "id").limit(k)
+    # materialize once: the cutoff action below AND the candidate filter
+    # both consume `scores`, whose lineage is the full-corpus pandas_udf
+    # encode pass — without this the corpus is encoded twice per query
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    scores = checkpoint_df(scores, eager=False)
     qi = _sub_ints(np.asarray(qvec, dtype=np.float64))
     qarr = F.array(*[F.lit(int(x)).cast("long") for x in qi])
     # tie-COMPLETE pool: every row at or below the R-th ADC distance —
@@ -387,21 +392,14 @@ def ivfpq_topk_sql(table: str = "embeddings", query_id: int = 0, k: int = 10,
                    dims: int = 64, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> str:
     """DuckDB twin of :func:`ivfpq_topk`: the coarse k-means chain
-    (``iv``-prefixed to avoid CTE-name collisions with the PQ chain),
-    the exact-int probe ranking, then the PQ chain scored only on
-    probed-cluster members."""
-    import re
-
+    (``iv``-prefixed at generation time to avoid CTE-name collisions
+    with the PQ chain), the exact-int probe ranking, then the PQ chain
+    scored only on probed-cluster members."""
     from rgd_rnaseq_workflows_spark.operators.clustering import (
         kmeans_assign_cte)
 
     km = kmeans_assign_cte(k=kc, iters=c_iters, table=table,
-                           id_col=id_col, vec_col=vec_col)
-    names = ["raw", "nrm", "pts", "seed_ids", "c0", "af"]
-    for it in range(1, c_iters + 1):
-        names += [f"d{it}", f"a{it}", f"c{it}"]
-    km = re.sub(r"\b(" + "|".join(names) + r")\b",
-                lambda mt: "iv" + mt.group(1), km)
+                           id_col=id_col, vec_col=vec_col, prefix="iv")
     final_cents = f"ivc{c_iters - 1}" if c_iters > 1 else "ivc0"
     probe = f"""{km},
 ivq AS (SELECT d, xi FROM ivpts WHERE vec_id = {query_id}),

@@ -55,11 +55,19 @@ def q(name: str, survey_ids: tuple[str, ...], oracle: str | None = None,
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # epoch/date arithmetic in the oracles assumes UTC; the driver brings
-    # its OWN session, so pin the TZ at runtime (same pattern as
-    # _events's nanosAsLong) rather than inherit the host default.
-    # ANSI off likewise: the engine's documented semantics are permissive
-    # (awk math never throws — session.py), and Spark 4 defaults ANSI on.
+    """Read a testdata table, pinning the engine's documented session
+    semantics: UTC timezone (oracle epoch/date arithmetic assumes it)
+    and ANSI off (permissive awk-style math — session.py), because the
+    driver brings its OWN session where Spark 4 defaults ANSI on.
+
+    The pins are DELIBERATELY session-global and NOT restored: the
+    returned DataFrame is lazy, and timeZone/ansi are read at
+    *execution* time — a set-then-restore scope around this builder
+    would evaluate the query under the restored (wrong) confs when the
+    driver collects it later. `get_spark` sessions already carry these
+    values, so there the set is a no-op; callers embedding registry
+    queries in a session that needs ANSI on / a non-UTC zone must
+    re-set those confs after the registry frames are consumed."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -133,6 +133,8 @@ def run(args: argparse.Namespace) -> int:
          .withColumn("ord", h)
          .repartition(args.shards, F.col("shard"))
          .sortWithinPartitions("shard", "ord")
+         .drop("ord")  # ordering key is an implementation detail — the
+                       # published shard rows carry only corpus columns
          .write.mode("overwrite").partitionBy("shard")
          .parquet(f"{out}/shards"))
         manifest = shard_corpus(final, n_shards=args.shards, seed=11)

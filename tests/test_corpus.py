@@ -226,6 +226,7 @@ def test_corpus_cli_temperature_mix_and_shards(spark, tmp_out):
     assert "mix_bps" not in curated.columns      # internal column dropped
     shards = spark.read.parquet(f"{out}/shards")
     assert shards.count() == 3
+    assert "ord" not in shards.columns           # internal ordering key dropped
     assert os.path.isdir(f"{out}/shards/shard=0") or \
         os.path.isdir(f"{out}/shards/shard=1")
     [mf] = glob.glob(f"{out}/shard_manifest/part*.csv")
