@@ -34,7 +34,8 @@ def validate_feature_alignment(long_df: DataFrame,
 def pivot_matrix(long_df: DataFrame, measure: str,
                  sample_col: str = "sample",
                  feature_col: str = "feature_id",
-                 samples: list[str] | None = None) -> DataFrame:
+                 samples: list[str] | None = None,
+                 max_width: int = 10_000) -> DataFrame:
     """Long (sample, feature, measure) → wide feature × sample matrix.
 
     ``samples`` pins the pivot column list (and its order, matching the
@@ -42,10 +43,27 @@ def pivot_matrix(long_df: DataFrame, measure: str,
     discover values, and column order would be nondeterministic.
     One shuffle on feature_id; ``first`` matches the reference's
     one-value-per-(sample, feature) grain.
+
+    WIDTH CEILING: a pivot materializes one output column per sample, so
+    driver plan size and row width grow linearly with sample count — wide
+    pivots stop scaling around O(10^4) columns (Spark's own
+    ``spark.sql.pivotMaxValues`` guard defaults to 10000, for the same
+    reason). Sample discovery is therefore capped: more than ``max_width``
+    distinct samples raises ``ValueError`` instead of building an
+    unusable plan. The reference's matrices are per-project (dozens to
+    hundreds of samples); beyond the ceiling keep the LONG form — the
+    canonical representation in this engine — and pivot an explicit
+    ``samples`` slice per consumer.
     """
     if samples is None:
-        samples = [r[0] for r in
-                   long_df.select(sample_col).distinct().orderBy(sample_col).collect()]
+        rows = (long_df.select(sample_col).distinct().orderBy(sample_col)
+                .limit(max_width + 1).collect())
+        samples = [r[0] for r in rows]
+    if len(samples) > max_width:
+        raise ValueError(
+            f"pivot_matrix: {len(samples)}+ distinct '{sample_col}' values "
+            f"exceed max_width={max_width}; keep the long form (or pivot "
+            f"an explicit samples slice) at this scale")
     return (long_df.groupBy(F.col(feature_col).alias("Symbol"))
             .pivot(sample_col, samples)
             .agg(F.first(measure)))

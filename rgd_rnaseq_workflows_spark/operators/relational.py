@@ -166,19 +166,36 @@ def collect_group_list(df: DataFrame, key: str, item: str,
 
 def dense_rank_palette(df: DataFrame, group_cols: Sequence[str],
                        palette_size: int = 10,
-                       alias: str = "palette_idx") -> DataFrame:
+                       alias: str = "palette_idx",
+                       rank_distinct: bool = True) -> DataFrame:
     """WIN1 — deterministic categorical color assignment
     (``make_jbrowse_session_for_bioproject.py:33-39,81-145``): rank the
     distinct group keys in sorted order, cycle a fixed palette with modulo.
 
-    SCALE GUARD: the partition-less ``Window.orderBy`` funnels the input
-    through ONE task — correct here because the input is per-project track
-    metadata (at most a few thousand rows). Do NOT point this at a fact
-    table; for large inputs rank the ``distinct`` group keys first (tiny)
-    and broadcast-join the assignment back."""
+    SCALE GUARD: a partition-less ``Window.orderBy`` funnels its input
+    through ONE task, so with ``rank_distinct`` (the default) the window
+    runs over the DISTINCT group keys only — bounded by key cardinality
+    (a palette's worth of track types, languages, sources…), never by
+    input rows — and the (key → palette_idx) assignment broadcast-joins
+    back (null-safe, so a null key keeps its rank exactly as the plain
+    window gives it). ``rank_distinct=False`` keeps the single-task
+    whole-input window: acceptable ONLY for driver-bounded inputs like
+    per-project track metadata (at most a few thousand rows)."""
     w = Window.orderBy(*group_cols)
-    return df.withColumn(
-        alias, F.pmod(F.dense_rank().over(w) - 1, F.lit(palette_size)))
+    idx = F.pmod(F.dense_rank().over(w) - 1, F.lit(palette_size))
+    if not rank_distinct:
+        return df.withColumn(alias, idx)
+    keys = (df.select(*group_cols).distinct()
+            .select(*[F.col(c).alias(f"_k_{c}") for c in group_cols]))
+    wk = Window.orderBy(*[F.col(f"_k_{c}") for c in group_cols])
+    ranked = keys.withColumn(
+        alias, F.pmod(F.dense_rank().over(wk) - 1, F.lit(palette_size)))
+    cond = None
+    for c in group_cols:
+        e = df[c].eqNullSafe(F.col(f"_k_{c}"))
+        cond = e if cond is None else cond & e
+    return (df.join(F.broadcast(ranked), cond)
+            .drop(*[f"_k_{c}" for c in group_cols]))
 
 
 def topk_per_group(df: DataFrame, part_cols: Sequence[str],

@@ -75,3 +75,26 @@ def test_combine_projects_full(spark):
     assert out["sex"].count() == 3
     # GSM1 processed in both runs → flagged duplicate (comm -12 analog)
     assert metrics["duplicate_samples"] == ["GSM1"]
+
+
+def test_dense_rank_palette_distinct_variant_matches_window(spark):
+    """rank_distinct=True (distinct keys + broadcast join back) must give
+    byte-identical assignments to the single-task whole-input window,
+    including on null keys."""
+    from rgd_rnaseq_workflows_spark.operators.relational import (
+        dense_rank_palette)
+    df = spark.createDataFrame(
+        [(1, "bw"), (2, "bed"), (3, "bw"), (4, None), (5, "vcf"),
+         (6, "bed")], ["track_id", "kind"])
+    fast = {(r["track_id"]): r["palette_idx"]
+            for r in dense_rank_palette(df, ["kind"], palette_size=2)
+            .collect()}
+    slow = {(r["track_id"]): r["palette_idx"]
+            for r in dense_rank_palette(df, ["kind"], palette_size=2,
+                                        rank_distinct=False).collect()}
+    assert fast == slow and len(fast) == 6
+    # the scale-safe plan's global window runs over the distinct keys
+    # only: the full input reaches it through a broadcast join
+    plan = (dense_rank_palette(df, ["kind"])
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "Window" in plan and "Join" in plan

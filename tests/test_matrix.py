@@ -55,3 +55,21 @@ def test_validation_catches_missing_feature(spark):
 
 def test_validation_passes_aligned(spark):
     assert validate_feature_alignment(_long(spark)).count() == 0
+
+
+def test_pivot_width_ceiling(spark):
+    from rgd_rnaseq_workflows_spark.operators.matrix import pivot_matrix
+    import pytest
+    long_df = spark.createDataFrame(
+        [(f"s{i}", "g1", float(i)) for i in range(3)],
+        ["sample", "feature_id", "tpm"])
+    # under the ceiling: normal pivot
+    wide = pivot_matrix(long_df, "tpm", max_width=3)
+    assert wide.columns == ["Symbol", "s0", "s1", "s2"]
+    # over the ceiling: refuse to build the unusable wide plan
+    with pytest.raises(ValueError, match="max_width"):
+        pivot_matrix(long_df, "tpm", max_width=2)
+    # an explicit over-wide samples list is refused too
+    with pytest.raises(ValueError, match="max_width"):
+        pivot_matrix(long_df, "tpm", samples=["s0", "s1", "s2"],
+                     max_width=2)
