@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="which layout this pipeline instance processes "
                         "(the reference ships separate PE and SE pipelines; "
                         "SURVEY §7.3)")
+    p.add_argument("--gene-bed", default=None,
+                   help="optional gene-annotation BED4 path; enables the "
+                        "per-sample BED9 TPM track sink (SNK5, "
+                        "GeneTPMbed_v2.sh) — bgzip+tabix indexing runs "
+                        "automatically when both tools are on PATH")
     p.add_argument("--qc-scan-root", default=None,
                    help="optional scratch-dir root for the aggregate QC "
                         "report (SNK8): scanned for STAR/samtools/idxstats/"
@@ -234,6 +239,37 @@ def run(args: argparse.Namespace) -> int:
         with open(f"{out}/session.json", "w") as f:
             _json.dump(session, f, indent=2)
 
+    def stage_bed():
+        # GeneTPMbed_v2.sh end-to-end: per-PASS-sample sorted BED9 TPM
+        # track (SNK5), then the reference's bgzip/tabix post-step
+        # (:139-161) executed via subprocess when htslib is on PATH —
+        # the binary codecs stay outside the engine, but the CLI now
+        # completes the served-track contract in one command
+        import shutil as _shutil
+        import subprocess as _subprocess
+        from rgd_rnaseq_workflows_spark.plans.tracks import tpm_bed9
+        from rgd_rnaseq_workflows_spark.sources.bed import (
+            read_bed, write_indexed_bed)
+        bed = read_bed(spark, args.gene_bed)
+        expr = get_expr()
+        samples = [r["sample"] for r in
+                   expr.select("sample").distinct().orderBy("sample")
+                   .collect()]
+        have_tools = bool(_shutil.which("bgzip")
+                          and _shutil.which("tabix"))
+        if not have_tools:
+            print("[bed] bgzip/tabix not on PATH; leaving sorted BEDs "
+                  "unindexed", file=sys.stderr)
+        for s in samples:           # per-project: bounded by sample count
+            track = tpm_bed9(bed, expr.filter(F.col("sample") == s))
+            cmds = write_indexed_bed(track, f"{out}/beds/{s}",
+                                     bed_name=f"RNAseq_{s}_TPM.bed")
+            if have_tools:
+                for cmd in cmds:
+                    _subprocess.run(cmd, check=True)
+        print(f"[bed] {len(samples)} track(s) -> {out}/beds "
+              f"(indexed={have_tools})", file=sys.stderr)
+
     def stage_multiqc():
         # the reference's final MultiQC aggregate over the scratch tree
         # (RSEMmatrix_v5.sh:126-128); || exit in the reference but the
@@ -252,6 +288,10 @@ def run(args: argparse.Namespace) -> int:
         # visualization artifacts, non-critical (run_RNApipeline:716-784)
         Stage("tracks", stage_tracks, critical=False),
     ]
+    if args.gene_bed:
+        # BED track generation is non-critical like the other
+        # visualization artifacts (BWJSON_REQUIRED pattern, :716-784)
+        stages.append(Stage("bed", stage_bed, critical=False))
     if args.qc_scan_root:
         stages.append(Stage("multiqc", stage_multiqc, critical=False))
     orch = Orchestrator(f"{out}/.markers")

@@ -162,3 +162,55 @@ def test_cli_multiqc_stage(spark, tmp_out):
     assert gen[0].startswith("sample\t")
     assert len(gen) == 4                            # header + GSM1..GSM3
     assert os.path.exists(f"{out}/.markers/PRJT.multiqc_complete")
+
+
+def test_cli_bed_stage_runs_index_post_step(spark, tmp_out, monkeypatch):
+    """SNK5 end-to-end through the CLI: --gene-bed produces a per-PASS-
+    sample sorted BED9 track and executes the bgzip/tabix post-step
+    (GeneTPMbed_v2.sh:139-161) when the tools are on PATH. htslib is
+    absent in CI, so stub executables with the reference tools' observable
+    contract (bgzip -f: file -> file.gz; tabix -p bed: file.gz ->
+    file.gz.tbi) gate-check the wiring; against real htslib the same
+    stage emits genuine indexes."""
+    import gzip
+    import stat
+    import sys as _sys
+    _fixtures(tmp_out)
+    gbed = f"{tmp_out}/genes.bed"
+    with open(gbed, "w") as f:
+        f.write("chr1\t100\t200\tXist\nchr2\t50\t150\tUty\n"
+                "NW_1\t1\t2\tSry\nchr3\t7\t8\tActb\n")
+    bin_dir = f"{tmp_out}/bin"
+    os.makedirs(bin_dir, exist_ok=True)
+    with open(f"{bin_dir}/bgzip", "w") as f:
+        f.write(f"""#!{_sys.executable}
+import gzip, os, sys
+path = sys.argv[-1]
+with open(path, 'rb') as src, gzip.open(path + '.gz', 'wb') as dst:
+    dst.write(src.read())
+os.remove(path)
+""")
+    with open(f"{bin_dir}/tabix", "w") as f:
+        f.write(f"""#!{_sys.executable}
+import sys
+open(sys.argv[-1] + '.tbi', 'wb').write(b'TBI\\x01')
+""")
+    for t in ("bgzip", "tabix"):
+        os.chmod(f"{bin_dir}/{t}", os.stat(f"{bin_dir}/{t}").st_mode
+                 | stat.S_IXUSR)
+    monkeypatch.setenv("PATH", f"{bin_dir}:{os.environ['PATH']}")
+    out = f"{tmp_out}/out_bed"
+    argv = _argv(tmp_out, out) + ["--gene-bed", gbed]
+    assert run_pipeline.main(argv) == 0
+    for gsm in ("GSM1", "GSM3"):                     # the PASS samples
+        bgz = f"{out}/beds/{gsm}/RNAseq_{gsm}_TPM.bed.gz"
+        assert os.path.exists(bgz), "bgzip artifact missing"
+        assert os.path.exists(f"{bgz}.tbi"), "tabix artifact missing"
+        assert not os.path.exists(bgz[:-3]), "plain BED should be replaced"
+        body = gzip.open(bgz, "rt").read().strip().split("\n")
+        # scaffold row filtered; remaining rows sorted BED9 with RGB col
+        assert all(len(line.split("\t")) == 9 for line in body)
+        assert [line.split("\t")[0] for line in body] == \
+            sorted(line.split("\t")[0] for line in body)
+        assert not any(line.startswith("NW_") for line in body)
+    assert os.path.exists(f"{out}/.markers/PRJT.bed_complete")
