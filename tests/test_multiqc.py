@@ -10,6 +10,9 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
+
+import pytest
 
 from rgd_rnaseq_workflows_spark.plans.multiqc import (
     aggregate_qc_tree, discover_modules, general_stats,
@@ -128,3 +131,72 @@ def test_report_sink_files(spark, tmp_out):
     for mod in ["star", "samtools_stats", "idxstats", "rsem"]:
         assert glob.glob(os.path.join(data_dir, f"multiqc_{mod}.txt",
                                       "part-*")), mod
+
+
+FIXTURE_TREE = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "multiqc_tree")
+GOLDEN_TSV = os.path.join(os.path.dirname(__file__), "fixtures",
+                          "multiqc_general_stats.golden.tsv")
+
+
+def test_mixed_tool_tree_matches_golden(spark, tmp_out):
+    """Parity-depth golden: a realistic mixed-tool scratch tree (full
+    STAR Log.final.out, full samtools-stats SN section, RSEM gene
+    tables, idxstats; GSM_B lacks samtools, GSM_C lacks idxstats+RSEM)
+    must reproduce the checked-in general-stats TSV byte-for-byte.
+    Every golden value is independently recomputed here from the raw
+    fixture numbers with MultiQC's published general-stats formulas
+    (reads_mapped_pct = mapped*100/total, error rate = mismatches /
+    bases mapped (cigar)), so the golden is anchored to the raw logs,
+    not to our own code."""
+    out = os.path.join(tmp_out, "mq")
+    write_multiqc_report(spark, FIXTURE_TREE, out, "PRJG")
+    [part] = glob.glob(os.path.join(
+        out, "PRJG_multiQC_report_data/multiqc_general_stats.txt",
+        "part-*"))
+    assert open(part).read() == open(GOLDEN_TSV).read()
+
+    # independent re-derivation from the raw fixture logs
+    rows = {ln.split("\t")[0]: ln.split("\t")
+            for ln in open(GOLDEN_TSV).read().rstrip("\n").split("\n")[1:]}
+    # GSM_A samtools: mapped 40739400 of 41423455 raw sequences
+    assert rows["GSM_A"][6] == str(round(40739400 * 100 / 41423455, 2))
+    # GSM_A error rate as samtools computes it (printed %e, parsed back)
+    assert rows["GSM_A"][7] == str(float(f"{10748957 / 4073940000:e}"))
+    # GSM_A idxstats totals incl. the `*` unmapped bucket
+    assert rows["GSM_A"][8] == str(9000321 + 8123456 + 2000111 + 15000)
+    assert rows["GSM_A"][9] == str(4021 + 3777 + 901 + 44 + 77)
+    # GSM_B: no samtools log -> empty cells, other modules intact
+    assert rows["GSM_B"][4:8] == ["", "", "", ""]
+    assert rows["GSM_B"][10:12] == ["3", "1"]
+    # GSM_C: STAR + samtools only; idxstats/RSEM cells empty
+    assert rows["GSM_C"][6] == str(round(4900000 * 100 / 5000000, 2))
+    assert rows["GSM_C"][8:12] == ["", "", "", ""]
+
+
+@pytest.mark.skipif(shutil.which("multiqc") is None,
+                    reason="multiqc not installed")
+def test_general_stats_matches_real_multiqc(tmp_out, spark):
+    """When real MultiQC is available, its own general_stats TSV for the
+    same tree must agree with ours on the shared metrics."""
+    import csv
+    import subprocess
+    mq_out = os.path.join(tmp_out, "real_mq")
+    subprocess.run(["multiqc", FIXTURE_TREE, "-o", mq_out, "-n", "report"],
+                   check=True, capture_output=True)
+    [tsv] = glob.glob(os.path.join(mq_out, "report_data",
+                                   "multiqc_general_stats.txt"))
+    theirs = {r["Sample"]: r for r in
+              csv.DictReader(open(tsv), delimiter="\t")}
+    ours = {ln.split("\t")[0]: ln.split("\t")
+            for ln in open(GOLDEN_TSV).read().rstrip("\n").split("\n")[1:]}
+    for sample, row in ours.items():
+        their = theirs[sample]
+        uniq_pct = next((v for k, v in their.items()
+                         if k.endswith("uniquely_mapped_percent")), None)
+        if uniq_pct:
+            assert abs(float(uniq_pct) - float(row[3])) < 0.01
+        err = next((v for k, v in their.items()
+                    if k.endswith("error_rate")), None)
+        if err and row[7]:
+            assert abs(float(err) - float(row[7]) * 100) < 1e-6
