@@ -290,3 +290,64 @@ SELECT id AS {id_col}, n_bigrams, familiarity_sum, n_hapax,
          AS hapax_ratio
 FROM per
 """
+
+
+def lm_bucket_report(docs: DataFrame, n_buckets: int = 3,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     lang_col: str = "lang") -> DataFrame:
+    """CCNet-style familiarity bucketing (Wenzek et al. 2020: score every
+    document under a corpus LM, split per language into head/middle/tail,
+    train on the head): rank documents per language by the bigram-LM
+    familiarity of :func:`bigram_lm_report` and ``ntile`` them into
+    ``n_buckets``. Returns per (lang, bucket): doc count, exact
+    familiarity-mass totals, and the mean-familiarity range — the table
+    a pipeline uses to pick its per-language sampling weights.
+
+    Determinism: the ntile ordering key is (mean_bigram_count DESC, id)
+    where the mean is ONE division of two exact BIGINTs — the same
+    double on every engine — so bucket boundaries are engine-stable.
+
+    Scale shape: the LM train/score plan is :func:`bigram_lm_report`
+    (three shuffles, map-side combined); the ntile window partitions by
+    LANGUAGE over the already-reduced per-doc table — rows = corpus doc
+    count, but each row is ~4 numbers, and the partition key is the
+    language (bounded fan-out). The final agg collapses to
+    langs × buckets rows.
+    """
+    from pyspark.sql import Window
+    per_doc = bigram_lm_report(docs, id_col, text_col).join(
+        docs.select(id_col, F.col(lang_col).alias("lang")), id_col)
+    w = (Window.partitionBy("lang")
+         .orderBy(F.desc("mean_bigram_count"), id_col))
+    bucketed = per_doc.withColumn(
+        "bucket", F.ntile(n_buckets).over(w).cast("long"))
+    return (bucketed.groupBy("lang", "bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("familiarity_sum").alias("familiarity_mass"),
+                 F.sum("n_bigrams").alias("bigram_positions"),
+                 F.max("mean_bigram_count").alias("best_mean"),
+                 F.min("mean_bigram_count").alias("worst_mean"))
+            .orderBy("lang", "bucket"))
+
+
+def lm_bucket_report_sql(table: str = "documents", n_buckets: int = 3,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         lang_col: str = "lang") -> str:
+    lm = bigram_lm_report_sql(table, id_col, text_col).strip()
+    return f"""
+WITH lmrep AS ({lm}),
+bucketed AS (
+  SELECT d.{lang_col} AS lang, r.*,
+         CAST(ntile({n_buckets}) OVER (
+           PARTITION BY d.{lang_col}
+           ORDER BY r.mean_bigram_count DESC, r.{id_col}) AS BIGINT)
+           AS bucket
+  FROM lmrep r JOIN {table} d USING ({id_col}))
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(familiarity_sum) AS BIGINT) AS familiarity_mass,
+       CAST(sum(n_bigrams) AS BIGINT) AS bigram_positions,
+       max(mean_bigram_count) AS best_mean,
+       min(mean_bigram_count) AS worst_mean
+FROM bucketed GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""

@@ -1428,6 +1428,9 @@ _RECORD_FIRST: tuple[str, ...] = (
     "win2_topk_per_group",
     "win3_running_total",
     "win4_lead_lag",
+    # round-4 additions (no recorded row yet)
+    "text_bm25_topk",
+    "quality_lm_buckets",
 )
 
 
@@ -2124,3 +2127,43 @@ def scalar_cleanup(spark, sf_dir):
         F.regexp_replace(F.lit("a  b   c"), " +", " ").alias("collapsed"),
         F.split(F.lit("BN/NHsdMcwi,extra info"), ",").getItem(0)
         .alias("strain_primary"))
+
+
+# =============================================================================
+# Round 4 — BM25 retrieval + CCNet familiarity buckets
+# =============================================================================
+
+_BM25_QUERY = "hash join merge spark"
+
+
+def _bm25_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.retrieval import bm25_topk_sql
+    return bm25_topk_sql("documents", query=_BM25_QUERY, k=10)
+
+
+@q("text_bm25_topk", ("BM25",), oracle=_bm25_oracle(),
+   note="Okapi/Lucene BM25 top-k: token explode filtered to the query's "
+        "posting lists before any shuffle (corpus vocabulary never "
+        "moves), df/N/avgdl broadcast as driver-scale metadata, per-term "
+        "scores fixed-point micro-units so the per-doc sum is an exact "
+        "integer — order-independent across engines; TakeOrdered top-k")
+def text_bm25_topk(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.retrieval import bm25_topk
+    return bm25_topk(_t(spark, sf_dir, "documents"), query=_BM25_QUERY,
+                     k=10)
+
+
+def _lm_bucket_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        lm_bucket_report_sql)
+    return lm_bucket_report_sql("documents", n_buckets=3)
+
+
+@q("quality_lm_buckets", ("LM-BUCKET",), oracle=_lm_bucket_oracle(),
+   note="CCNet head/middle/tail familiarity bucketing: bigram-LM scores "
+        "(exact-int sums) ntiled per language on a deterministic "
+        "(mean DESC, id) key; window runs over the reduced per-doc "
+        "table, output is langs x buckets rows")
+def quality_lm_buckets(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import lm_bucket_report
+    return lm_bucket_report(_t(spark, sf_dir, "documents"), n_buckets=3)
