@@ -379,3 +379,78 @@ def hamming_near_pairs(fps: DataFrame, sig_col: str, id_col: str,
                     hamming.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .distinct())
+
+
+# --- passage-level exact dedup (Dolma / Penedo et al. line-dedup shape) ------
+
+def passage_dedup_stats(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", window: int = 8,
+                        max_dup_frac: float = 0.3) -> DataFrame:
+    """Passage-level exact dedup statistics: the sub-document analog of
+    Dolma's paragraph dedup, for corpora whose documents carry no line
+    structure — passages are consecutive non-overlapping ``window``-token
+    chunks (the trailing partial chunk included).
+
+    Per document: ``n_passages``, ``n_dup_passages`` (passages whose
+    exact text occurs more than once in the whole corpus, including
+    within one document), ``dup_frac``, and a ``keep`` gate at
+    ``dup_frac < max_dup_frac``.
+
+    Scale: the passage table is corpus-token-scale but each row is a
+    60-bit hash, not text; frequencies shuffle once on the hash with
+    map-side combine; the doc-level rollup shuffles (id, small ints).
+    No broadcast of anything corpus-sized, no all-pairs step.
+    """
+    toks = tokens(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+    chunk = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * window + 1, window), " "))
+    passages = (df.filter(F.size(toks) > 0)
+                .select(F.col(id_col).alias("_id"),
+                        F.explode(chunk).alias("passage"))
+                .select("_id", md5_long("passage").alias("h")))
+    freq = passages.groupBy("h").agg(F.count("*").alias("n_occ"))
+    per_doc = (passages.join(freq, "h")
+               .groupBy("_id")
+               .agg(F.count("*").cast("long").alias("n_passages"),
+                    F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+                    .cast("long").alias("n_dup_passages")))
+    dup_frac = F.round(F.col("n_dup_passages") / F.col("n_passages"), 4)
+    return per_doc.select(
+        F.col("_id").alias(id_col), "n_passages", "n_dup_passages",
+        dup_frac.alias("dup_frac"),
+        (dup_frac < max_dup_frac).alias("keep"))
+
+
+def passage_dedup_stats_sql(table: str, text_col: str = "text",
+                            id_col: str = "doc_id", window: int = 8,
+                            max_dup_frac: float = 0.3) -> str:
+    """DuckDB twin of :func:`passage_dedup_stats` — identical chunking
+    (1-based inclusive list slice), identical hashes and gate."""
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long_sql
+    from rgd_rnaseq_workflows_spark.functions.text import tokens_sql
+    toks = tokens_sql(text_col)
+    h = md5_long_sql("passage")
+    return f"""
+WITH tk AS (
+  SELECT {id_col} AS _id, {toks} AS toks FROM {table}
+  WHERE len({toks}) > 0),
+chunks AS (
+  SELECT _id,
+         array_to_string(toks[(i * {window} + 1):(i * {window} + {window})],
+                         ' ') AS passage
+  FROM tk, unnest(range(CAST(ceil(len(toks) / {window}.0) AS BIGINT)))
+       AS r(i)),
+hashes AS (SELECT _id, {h} AS h FROM chunks),
+freq AS (SELECT h, count(*) AS n_occ FROM hashes GROUP BY h),
+per_doc AS (
+  SELECT _id, CAST(count(*) AS BIGINT) AS n_passages,
+         CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_passages
+  FROM hashes JOIN freq USING (h) GROUP BY _id)
+SELECT _id AS {id_col}, n_passages, n_dup_passages,
+       round(CAST(n_dup_passages AS DOUBLE) / n_passages, 4) AS dup_frac,
+       round(CAST(n_dup_passages AS DOUBLE) / n_passages, 4)
+         < {max_dup_frac} AS keep
+FROM per_doc"""

@@ -1,0 +1,173 @@
+"""Portable distributed sketches: HyperLogLog distinct counting built from
+DataFrame primitives.
+
+Why not ``approx_count_distinct``: Spark's built-in HLL++ uses an engine-
+private hash (xxhash64 variant) and bias tables, so no other engine can
+reproduce its estimate — it cannot be oracle-checked, and its sketches
+cannot be merged with sketches produced outside Spark. This module builds
+the classic Flajolet et al. 2007 HLL from ``md5`` (the repo's portable
+hash family, functions/hashing.py), so the *identical* sketch — bucket
+registers and final estimate — is computable in any ANSI-SQL engine.
+
+Scale design (the point of a sketch):
+- The register table is ``m`` rows (m = 2^p buckets, p≈8-14) regardless
+  of input size: 100 TB of events reduce to a 4 KB sketch. The only
+  shuffle is the ``groupBy(bucket)`` partial-max — map-side combine
+  collapses each input partition to ≤m rows before the exchange.
+- Registers merge by ``max`` — sketches from different days/partitions
+  union losslessly (the HLL merge property), which is how a 1000-executor
+  rollup or an incremental daily pipeline composes them.
+- Everything is codegen'd built-ins (md5/conv/bin/pmod); the estimate's
+  2^-register sum is computed as an *integer* sum of ``2^(52-M_b)``
+  (max 2^12 buckets × 2^52 < 2^63), so Spark and the oracle agree
+  bit-for-bit before the single final float division.
+
+Register math on the 60-bit md5_long hash (functions/hashing.py):
+``bucket = hash % m``, ``w = hash // m`` (the remaining high bits,
+< 2^(60-p)), ``rank = (60-p) - bitlength(w) + 1`` — the 1-based position
+of the first set bit from the left, 61-p when w == 0. ``bitlength`` is
+``length(bin(w))`` (both Spark and DuckDB print minimal binary), avoiding
+float ``log2`` whose round-to-nearest can misplace the boundary at
+2^k - 1 for large k.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rgd_rnaseq_workflows_spark.functions.hashing import md5_long, md5_long_sql
+
+HASH_BITS = 60  # md5_long width
+
+
+def _alpha(m: int) -> float:
+    """Standard HLL bias-correction constant for m registers."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _estimate_numerator(p: int) -> float:
+    """α·m²·2^maxrank as ONE Python float — both engines receive the same
+    literal (DuckDB would otherwise parse a long decimal literal as
+    DECIMAL(18) and overflow the division)."""
+    m = 1 << p
+    return _alpha(m) * m * m * float(1 << (HASH_BITS - p + 1))
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 8,
+                  seed: int = 1) -> DataFrame:
+    """The m=2^p HLL register table for ``df[col]``: (bucket, register).
+
+    Buckets with no hits are absent (register semantically 0) — the
+    estimator reads absent rows as empty registers, which also keeps the
+    sketch dense-free for storage. One shuffle of ≤m rows per input
+    partition (map-side max).
+    """
+    if not 4 <= p <= 12:
+        raise ValueError(f"p={p} outside the supported 4..12 register range")
+    m = 1 << p
+    h = md5_long(F.col(col).cast("string"), seed=seed)
+    # h < 2^60 and m is a power of two: bucket/word split must be integer-
+    # exact, so use bit ops (h/m as double would round above 2^53)
+    w = F.shiftright(h, p)  # high 60-p bits; h ≥ 0 so arithmetic == logical
+    rank = F.when(w == 0, F.lit(HASH_BITS - p + 1)) \
+            .otherwise(HASH_BITS - p - F.length(F.bin(w)) + 1)
+    return (df.select(h.bitwiseAND(m - 1).cast("long").alias("bucket"),
+                      rank.cast("long").alias("rank"))
+            .groupBy("bucket").agg(F.max("rank").alias("register")))
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Fold a register table into the HLL cardinality estimate.
+
+    Returns one row: (m, n_zero_registers, estimate). The indicator sum
+    Σ 2^-register is carried in units of 2^-maxrank (maxrank = 61-p, the
+    largest possible register) as the exact integer Σ 2^(maxrank-register)
+    — exponents span [0, maxrank], the total is ≤ m·2^maxrank = 2^61, so
+    the reduction is order-independent and engine-portable; only the last
+    division is float.
+    """
+    m = 1 << p
+    maxrank = HASH_BITS - p + 1
+    # F.shiftleft's numBits wrapper is int-only; the SQL form takes a column
+    pow_int = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {maxrank} - CAST(register AS INT))")
+    agg = registers.agg(
+        F.count("*").cast("long").alias("n_hit"),
+        F.sum(pow_int).cast("long").alias("s_hit"))
+    alpha = _alpha(m)
+    # absent buckets have register 0 → contribute 2^maxrank each
+    s_total = (F.col("s_hit")
+               + (F.lit(m).cast("long") - F.col("n_hit"))
+               * F.lit(1 << maxrank).cast("long"))
+    n_zero = (F.lit(m).cast("long") - F.col("n_hit"))
+    raw = F.lit(_estimate_numerator(p)) / s_total
+    # small-range correction: linear counting when raw ≤ 2.5m and there
+    # are empty registers (Flajolet et al. 2007 §4)
+    est = F.when((raw <= 2.5 * m) & (n_zero > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero)) \
+           .otherwise(raw)
+    return agg.select(F.lit(m).cast("long").alias("m"),
+                      n_zero.alias("n_zero_registers"),
+                      F.round(est, 4).alias("estimate"))
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 8,
+                 seed: int = 1) -> DataFrame:
+    """End-to-end portable HLL distinct estimate of ``df[col]``."""
+    return hll_estimate(hll_registers(df, col, p=p, seed=seed), p=p)
+
+
+def hll_registers_sql(table: str, expr: str, p: int = 8,
+                      seed: int = 1) -> str:
+    """DuckDB twin of :func:`hll_registers` (same buckets, same registers)."""
+    m = 1 << p
+    h = md5_long_sql(f"CAST({expr} AS VARCHAR)", seed=seed)
+    return f"""
+SELECT bucket, max(rank) AS register FROM (
+  SELECT h % {m} AS bucket,
+         CASE WHEN h // {m} = 0 THEN {HASH_BITS - p + 1}
+              ELSE {HASH_BITS - p} - length(bin(h // {m})) + 1 END AS rank
+  FROM (SELECT {h} AS h FROM {table}))
+GROUP BY bucket"""
+
+
+def hll_distinct_sql(table: str, expr: str, p: int = 8,
+                     seed: int = 1) -> str:
+    """DuckDB twin of :func:`hll_distinct` — bit-identical registers, the
+    same integer indicator sum (bigint ``<<``, not the float-returning
+    ``**``), the same correction branch."""
+    m = 1 << p
+    maxrank = HASH_BITS - p + 1
+    regs = hll_registers_sql(table, expr, p=p, seed=seed)
+    # one pre-multiplied float literal (scientific notation → DOUBLE);
+    # inline decimal products would parse as DECIMAL(18) and overflow
+    num = f"CAST({_estimate_numerator(p)!r} AS DOUBLE)"
+    s_tot = f"(s_hit + ({m} - n_hit) * (CAST(1 AS BIGINT) << {maxrank}))"
+    return f"""
+WITH regs AS ({regs}),
+folded AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hit,
+         CAST(sum(CAST(1 AS BIGINT) << ({maxrank} - register)) AS BIGINT)
+           AS s_hit
+  FROM regs)
+SELECT CAST({m} AS BIGINT) AS m,
+       CAST({m} - n_hit AS BIGINT) AS n_zero_registers,
+       round(CASE WHEN {num} / {s_tot} <= {2.5 * m} AND {m} - n_hit > 0
+                  THEN {float(m)} * ln({float(m)} / ({m} - n_hit))
+                  ELSE {num} / {s_tot} END,
+             4) AS estimate
+FROM folded"""
+
+
+def relative_error_bound(p: int) -> float:
+    """The theoretical 1σ relative error 1.04/√m for m = 2^p registers."""
+    return 1.04 / math.sqrt(1 << p)

@@ -1431,6 +1431,10 @@ _RECORD_FIRST: tuple[str, ...] = (
     # round-4 additions (no recorded row yet)
     "text_bm25_topk",
     "quality_lm_buckets",
+    "sketch_hll_distinct",
+    "dsir_importance",
+    "dedup_passages",
+    "embedding_random_projection",
 )
 
 
@@ -2167,3 +2171,88 @@ def _lm_bucket_oracle() -> str:
 def quality_lm_buckets(spark, sf_dir):
     from rgd_rnaseq_workflows_spark.operators.quality import lm_bucket_report
     return lm_bucket_report(_t(spark, sf_dir, "documents"), n_buckets=3)
+
+
+# =============================================================================
+# Round 4 — portable sketches, DSIR selection, passage dedup, JL projection
+# =============================================================================
+
+def _hll_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.sketches import hll_distinct_sql
+    est = hll_distinct_sql("events", "user_id", p=8, seed=1)
+    return f"""
+WITH est AS ({est}),
+ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       FROM events)
+SELECT m, n_zero_registers, estimate, exact_distinct,
+       round((estimate - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM est, ex"""
+
+
+@q("sketch_hll_distinct", ("SKETCH-HLL",), oracle=_hll_oracle(),
+   note="portable HyperLogLog (md5 registers, exact-integer indicator "
+        "sum) vs exact distinct — the sketch an incremental 100 TB "
+        "pipeline merges across days by register max; same registers in "
+        "any ANSI engine, unlike approx_count_distinct")
+def sketch_hll_distinct(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sketches import hll_distinct
+    e = _events(spark, sf_dir)
+    est = hll_distinct(e, "user_id", p=8, seed=1)
+    exact = e.agg(F.countDistinct("user_id").cast("long")
+                  .alias("exact_distinct"))
+    return (est.crossJoin(F.broadcast(exact))
+            .select("m", "n_zero_registers", "estimate", "exact_distinct",
+                    F.round((F.col("estimate") - F.col("exact_distinct"))
+                            / F.col("exact_distinct"), 4).alias("rel_err")))
+
+
+def _dsir_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.dsir import importance_weights_sql
+    return importance_weights_sql("documents", "source = 'src0'",
+                                  n_buckets=64, alpha=1.0, seed=11)
+
+
+@q("dsir_importance", ("DSIR",), oracle=_dsir_oracle(),
+   note="DSIR (Xie et al. 2023) hashed-unigram importance weights vs the "
+        "source='src0' target slice: B-row broadcast models, exact "
+        "integerized log-ratio sums per doc — corpus shuffles only the "
+        "(doc, bucket) partial agg")
+def dsir_importance(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.dsir import importance_weights
+    d = _t(spark, sf_dir, "documents")
+    return importance_weights(d, F.col("source") == "src0",
+                              n_buckets=64, alpha=1.0, seed=11)
+
+
+def _passage_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.dedup import (
+        passage_dedup_stats_sql)
+    return passage_dedup_stats_sql("documents", window=8, max_dup_frac=0.3)
+
+
+@q("dedup_passages", ("DEDUP-PASSAGE",), oracle=_passage_oracle(),
+   note="passage-level exact dedup (Dolma paragraph-dedup shape over "
+        "8-token windows): hash-only passage table, one freq shuffle + "
+        "one doc rollup; per-doc dup fraction with keep gate")
+def dedup_passages(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.passage_dedup_stats(d, window=8, max_dup_frac=0.3)
+
+
+def _projection_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.projection import (
+        random_projection_sql)
+    return random_projection_sql("embeddings", in_dims=64, out_dims=8,
+                                 seed=5)
+
+
+@q("embedding_random_projection", ("JL-PROJECT",), oracle=_projection_oracle(),
+   note="Achlioptas +/-1 Johnson-Lindenstrauss projection 64d -> 8d: "
+        "sign matrix is md5-derived driver metadata (engine-portable, "
+        "stateless), corpus path is posexplode -> broadcast join -> "
+        "map-side-combined groupBy with exact fixed-point sums")
+def embedding_random_projection(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.projection import (
+        random_projection)
+    emb = _t(spark, sf_dir, "embeddings")
+    return random_projection(emb, in_dims=64, out_dims=8, seed=5)

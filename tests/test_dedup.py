@@ -123,3 +123,27 @@ def test_ngram_verify_join_is_size_gated(spark):
         else:
             conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
                      saved[1])
+
+
+# --- passage-level dedup -----------------------------------------------------
+
+def test_passage_dedup_stats(spark):
+    from rgd_rnaseq_workflows_spark.operators.dedup import passage_dedup_stats
+    shared = "one two three four"          # one 4-token passage
+    rows = [
+        (0, f"{shared} aa bb cc dd"),      # 2 passages, 1 duplicated
+        (1, f"{shared} ee ff gg hh"),      # 2 passages, 1 duplicated
+        (2, "ii jj kk ll mm nn oo pp"),    # 2 passages, none duplicated
+        (3, f"{shared} {shared}"),         # self-duplicate: both passages dup
+        (4, "tail only"),                  # single partial passage
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           passage_dedup_stats(df, window=4, max_dup_frac=0.6).collect()}
+    assert out[0].n_passages == 2 and out[0].n_dup_passages == 1
+    assert out[0].dup_frac == 0.5 and out[0].keep
+    assert out[1].dup_frac == 0.5
+    assert out[2].n_dup_passages == 0 and out[2].keep
+    assert out[3].n_passages == 2 and out[3].n_dup_passages == 2
+    assert out[3].dup_frac == 1.0 and not out[3].keep
+    assert out[4].n_passages == 1 and out[4].n_dup_passages == 0

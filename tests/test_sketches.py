@@ -1,0 +1,72 @@
+"""Portable HLL sketch: register semantics, merge property, accuracy."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from rgd_rnaseq_workflows_spark.operators.sketches import (
+    hll_distinct, hll_estimate, hll_registers, hll_registers_sql,
+    relative_error_bound)
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    # 5000 rows over 1200 distinct keys
+    return spark.range(5000).select(
+        (F.col("id") % 1200).cast("string").alias("k"))
+
+
+def test_estimate_within_error_bound(spark, ids_df):
+    for p in (8, 10):
+        row = hll_distinct(ids_df, "k", p=p).collect()[0]
+        err = abs(row.estimate - 1200) / 1200
+        # 3σ of the theoretical 1.04/√m relative error
+        assert err < 3 * relative_error_bound(p), (p, row.estimate)
+
+
+def test_registers_match_duckdb(spark, ids_df, tmp_path):
+    path = str(tmp_path / "ids.parquet")
+    ids_df.write.parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM '{path}/*.parquet'")
+    oracle = {(b, r) for b, r in con.execute(
+        hll_registers_sql("t", "k", p=8)).fetchall()}
+    got = {(r.bucket, r.register)
+           for r in hll_registers(ids_df, "k", p=8).collect()}
+    assert got == oracle
+
+
+def test_merge_by_register_max(spark, ids_df):
+    """Sketch of a union == element-wise max of the parts' sketches —
+    the property that lets daily sketches roll up without reprocessing."""
+    a = ids_df.filter(F.col("k").cast("long") % 2 == 0)
+    b = ids_df.filter(F.col("k").cast("long") % 2 == 1)
+    merged_regs = (hll_registers(a, "k", p=8)
+                   .unionByName(hll_registers(b, "k", p=8))
+                   .groupBy("bucket")
+                   .agg(F.max("register").alias("register")))
+    whole = hll_estimate(hll_registers(ids_df, "k", p=8), p=8).collect()[0]
+    via_merge = hll_estimate(merged_regs, p=8).collect()[0]
+    assert whole == via_merge
+
+
+def test_duplicates_do_not_move_estimate(spark):
+    once = spark.range(300).select(F.col("id").cast("string").alias("k"))
+    many = spark.range(3000).select(
+        (F.col("id") % 300).cast("string").alias("k"))
+    e1 = hll_distinct(once, "k", p=8).collect()[0].estimate
+    e2 = hll_distinct(many, "k", p=8).collect()[0].estimate
+    assert e1 == e2
+
+
+def test_p_out_of_range_raises(spark, ids_df):
+    with pytest.raises(ValueError):
+        hll_registers(ids_df, "k", p=13)
+
+
+def test_error_bound_formula():
+    assert math.isclose(relative_error_bound(8), 1.04 / 16)
