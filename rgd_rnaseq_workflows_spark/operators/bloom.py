@@ -1,0 +1,209 @@
+"""Portable Bloom-filter semi-join prefilter.
+
+The 100 TB join pattern: when a huge fact table must be semi-joined
+against a key set that is too large to broadcast as an equality filter
+but whose *Bloom filter* fits in a few KB–MB, build the filter
+distributed, collect the m/64-word bitmap as driver metadata (the
+repo's k-means-centroid / PQ-codebook pattern), and apply it to the
+probe side as a PURE FILTER — no shuffle, no join, evaluated inside
+whole-stage codegen at the scan. The exact join that follows then
+shuffles only the ~fp_rate tail instead of the full fact table.
+Spark's own runtime row-level filtering does this JVM-internally; this
+implementation uses the portable md5 hash family so the identical
+filter — every bit — is reproducible in the DuckDB oracle (and in any
+engine that will consume the published bitmap).
+
+Math: k hash functions, m bits (m a power of two). Standard fp rate
+(1 - e^{-kn/m})^k; ``suggest_params`` picks m,k for a target rate.
+
+Scale notes:
+- Build: keys → k×explode → bit positions → ``groupBy(word)`` +
+  ``bit_or`` — ≤ m/64 rows after map-side combine, one tiny shuffle.
+- The bitmap is ``m/64`` longs of driver metadata (2^20 bits = 16 K
+  longs = 128 KB), embedded as an array literal like the k-means
+  centroids; at larger m you'd publish it as a broadcast variable —
+  same plan shape.
+- Probe: k md5 evaluations + k element_at bit tests per row, all
+  codegen'd; no Python, no shuffle, no join.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rgd_rnaseq_workflows_spark.functions.hashing import md5_long, md5_long_sql
+
+WORD_BITS = 64
+
+
+def suggest_params(n_keys: int, target_fp: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) for a target false-positive rate: the textbook
+    m = -n·ln p / ln²2 rounded up to a power of two, k = m/n·ln 2."""
+    m = max(64, 2 ** math.ceil(math.log2(-n_keys * math.log(target_fp)
+                                         / (math.log(2) ** 2))))
+    k = max(1, round(m / n_keys * math.log(2)))
+    return m, k
+
+
+def build_bloom(keys: DataFrame, key_col: str, m_bits: int,
+                k: int, seed: int = 17) -> list[int]:
+    """Distributed build → driver-side bitmap: a list of m/64 longs.
+
+    The groupBy(word) bit_or is the only shuffle (≤ m/64 rows after
+    map-side combine); the collect moves metadata, not data.
+    """
+    if m_bits % WORD_BITS or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits={m_bits} must be a power of two ≥ 64")
+    seeds = F.array(*[F.lit(seed + i) for i in range(k)])
+    pos = F.explode(F.transform(
+        seeds, lambda s: F.pmod(
+            md5_long(F.concat(s.cast("string"), F.lit(":"),
+                              F.col(key_col).cast("string"))),
+            F.lit(m_bits)))).alias("pos")
+    words = (keys.select(pos)
+             .select((F.col("pos") / WORD_BITS).cast("long").alias("word"),
+                     F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                            f"CAST(pos % {WORD_BITS} AS INT))").alias("mask"))
+             .groupBy("word").agg(F.bit_or("mask").alias("bits"))
+             .collect())
+    bitmap = [0] * (m_bits // WORD_BITS)
+    for r in words:
+        bitmap[r.word] = r.bits
+    return bitmap
+
+
+def bloom_might_contain(key: Column, bitmap: list[int], m_bits: int,
+                        k: int, seed: int = 17) -> Column:
+    """Boolean probe column: all k bits set. Pure codegen'd expressions
+    over an array literal — no shuffle, no join, no Python. Bit tests
+    use ``getbit`` (the shiftleft/shiftright Python wrappers take only
+    int shift amounts)."""
+    # ONE array literal node (F.lit of the list), not m/64 child
+    # expressions — keeps plan size and analysis time flat in m
+    arr = F.lit(bitmap)
+    out = None
+    for i in range(k):
+        pos = F.pmod(md5_long(F.concat(F.lit(f"{seed + i}:"),
+                                       key.cast("string"))), F.lit(m_bits))
+        # pos < m_bits ≤ 2^30: the /64 stays integer-exact in double
+        word = F.element_at(arr, (pos / WORD_BITS).cast("int") + 1)
+        t = F.getbit(word, pos % WORD_BITS) == 1
+        out = t if out is None else (out & t)
+    return out
+
+
+def bloom_filter_probe(probe: DataFrame, key_col: str, bitmap: list[int],
+                       m_bits: int, k: int, seed: int = 17) -> DataFrame:
+    """probe rows whose key might be in the build set (all k bits set)."""
+    return probe.filter(
+        bloom_might_contain(F.col(key_col), bitmap, m_bits, k, seed))
+
+
+def bloom_semi_join_stats(probe: DataFrame, probe_key: str,
+                          build: DataFrame, build_key: str,
+                          m_bits: int, k: int, seed: int = 17) -> DataFrame:
+    """The prefilter effectiveness report, one row:
+    (n_probe_rows, n_pass_rows, n_exact_rows, n_false_pos_rows,
+    n_probe_keys, n_false_pos_keys, key_fp_rate).
+
+    ``n_pass_rows`` is what the bloom-prefiltered exact join would still
+    have to shuffle; ``n_exact_rows`` is the true semi-join size;
+    ``key_fp_rate`` = false-positive keys / not-in-build keys (the rate
+    the m,k sizing promises). The exact-set comparison joins only
+    DISTINCT probe keys — driver-metadata scale for TPC-H-shaped keys.
+    """
+    keys = build.select(F.col(build_key).cast("string").alias("_bk")) \
+        .distinct()
+    bitmap = build_bloom(keys, "_bk", m_bits, k, seed)
+    might = bloom_might_contain(F.col("_pk"), bitmap, m_bits, k, seed)
+    inb = keys.withColumn("_inb", F.lit(1))
+    rows = (probe.select(F.col(probe_key).cast("string").alias("_pk"))
+            .withColumn("_pass", might.cast("int"))
+            .join(F.broadcast(inb), F.col("_pk") == F.col("_bk"), "left"))
+    row_stats = rows.agg(
+        F.count("*").cast("long").alias("n_probe_rows"),
+        F.sum("_pass").cast("long").alias("n_pass_rows"),
+        F.sum(F.when(F.col("_inb").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_exact_rows"),
+        F.sum(F.when(F.col("_inb").isNull() & (F.col("_pass") == 1), 1)
+              .otherwise(0)).cast("long").alias("n_false_pos_rows"))
+    key_stats = (rows.select("_pk", "_pass", "_inb").distinct().agg(
+        F.count("*").cast("long").alias("n_probe_keys"),
+        F.sum(F.when(F.col("_inb").isNull() & (F.col("_pass") == 1), 1)
+              .otherwise(0)).cast("long").alias("n_false_pos_keys"),
+        F.sum(F.when(F.col("_inb").isNull(), 1).otherwise(0))
+        .cast("long").alias("_n_out_keys")))
+    return (row_stats.crossJoin(F.broadcast(key_stats))
+            .select("n_probe_rows", "n_pass_rows", "n_exact_rows",
+                    "n_false_pos_rows", "n_probe_keys", "n_false_pos_keys",
+                    F.round(F.col("n_false_pos_keys")
+                            / F.greatest(F.col("_n_out_keys"), F.lit(1)), 6)
+                    .alias("key_fp_rate")))
+
+
+def bloom_semi_join_stats_sql(probe_table: str, probe_key: str,
+                              build_sql: str, m_bits: int, k: int,
+                              seed: int = 17) -> str:
+    """DuckDB twin of :func:`bloom_semi_join_stats`: rebuild the
+    identical bitmap in CTEs (same hashes, same words, same bit_or) and
+    probe DISTINCT keys via an exploded bit-position → word join counting
+    k hits. Different *shape* from the Spark literal-array filter,
+    identical *bits* — the oracle checks values, the Spark plan carries
+    the scale story. ``build_sql`` must yield one VARCHAR column ``bk``.
+    """
+    def h(i: int, expr: str) -> str:
+        return (md5_long_sql(f"'{seed + i}:' || {expr}") + f" % {m_bits}")
+
+    build_pos = " UNION ALL ".join(
+        f"SELECT {h(i, 'bk')} AS p FROM build" for i in range(k))
+    probe_pos = " UNION ALL ".join(
+        f"SELECT _pk, {h(i, '_pk')} AS p FROM pkeys" for i in range(k))
+    return f"""
+WITH build AS ({build_sql}),
+bitmap AS (
+  -- DuckDB rejects 1<<63 (overflow-checked); the sign bit is the
+  -- explicit min-long two's-complement value, matching Spark's wrap
+  SELECT p // {WORD_BITS} AS word,
+         CAST(bit_or(CASE WHEN p % {WORD_BITS} = 63
+                          THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                          ELSE CAST(1 AS BIGINT)
+                               << CAST(p % {WORD_BITS} AS INT) END)
+              AS BIGINT) AS bits
+  FROM ({build_pos}) GROUP BY word),
+pkeys AS (SELECT DISTINCT CAST({probe_key} AS VARCHAR) AS _pk
+          FROM {probe_table}),
+khit AS (
+  SELECT _pk FROM ({probe_pos}) pp
+  JOIN bitmap ON pp.p // {WORD_BITS} = bitmap.word
+  WHERE (bitmap.bits >> CAST(pp.p % {WORD_BITS} AS INT)) & 1 = 1
+  GROUP BY _pk HAVING count(*) = {k}),
+verdict AS (
+  SELECT _pk,
+         CASE WHEN _pk IN (SELECT _pk FROM khit) THEN 1 ELSE 0 END AS _pass,
+         CASE WHEN _pk IN (SELECT bk FROM build) THEN 1 ELSE 0 END AS _inb
+  FROM pkeys),
+rowv AS (
+  SELECT CAST(p.{probe_key} AS VARCHAR) AS _pk, v._pass, v._inb
+  FROM {probe_table} p JOIN verdict v ON CAST(p.{probe_key} AS VARCHAR) = v._pk),
+row_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_probe_rows,
+         CAST(sum(_pass) AS BIGINT) AS n_pass_rows,
+         CAST(sum(_inb) AS BIGINT) AS n_exact_rows,
+         CAST(sum(CASE WHEN _inb = 0 AND _pass = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_pos_rows
+  FROM rowv),
+key_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_probe_keys,
+         CAST(sum(CASE WHEN _inb = 0 AND _pass = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_pos_keys,
+         CAST(sum(CASE WHEN _inb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS _n_out_keys
+  FROM verdict)
+SELECT n_probe_rows, n_pass_rows, n_exact_rows, n_false_pos_rows,
+       n_probe_keys, n_false_pos_keys,
+       round(CAST(n_false_pos_keys AS DOUBLE)
+             / greatest(_n_out_keys, 1), 6) AS key_fp_rate
+FROM row_stats, key_stats"""

@@ -62,14 +62,17 @@ def _estimate_numerator(p: int) -> float:
     return _alpha(m) * m * m * float(1 << (HASH_BITS - p + 1))
 
 
-def hll_registers(df: DataFrame, col: str, p: int = 8,
-                  seed: int = 1) -> DataFrame:
-    """The m=2^p HLL register table for ``df[col]``: (bucket, register).
+def hll_registers(df: DataFrame, col: str, p: int = 8, seed: int = 1,
+                  by: tuple[str, ...] = ()) -> DataFrame:
+    """The m=2^p HLL register table for ``df[col]``: (*by, bucket,
+    register) — one sketch per ``by`` group (a grouped sketch costs the
+    same single shuffle; at rollup time sketches for different groups
+    union by register max — see :func:`hll_estimate`).
 
     Buckets with no hits are absent (register semantically 0) — the
     estimator reads absent rows as empty registers, which also keeps the
     sketch dense-free for storage. One shuffle of ≤m rows per input
-    partition (map-side max).
+    partition and group (map-side max).
     """
     if not 4 <= p <= 12:
         raise ValueError(f"p={p} outside the supported 4..12 register range")
@@ -80,15 +83,18 @@ def hll_registers(df: DataFrame, col: str, p: int = 8,
     w = F.shiftright(h, p)  # high 60-p bits; h ≥ 0 so arithmetic == logical
     rank = F.when(w == 0, F.lit(HASH_BITS - p + 1)) \
             .otherwise(HASH_BITS - p - F.length(F.bin(w)) + 1)
-    return (df.select(h.bitwiseAND(m - 1).cast("long").alias("bucket"),
+    return (df.select(*by,
+                      h.bitwiseAND(m - 1).cast("long").alias("bucket"),
                       rank.cast("long").alias("rank"))
-            .groupBy("bucket").agg(F.max("rank").alias("register")))
+            .groupBy(*by, "bucket").agg(F.max("rank").alias("register")))
 
 
-def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+def hll_estimate(registers: DataFrame, p: int = 8,
+                 by: tuple[str, ...] = ()) -> DataFrame:
     """Fold a register table into the HLL cardinality estimate.
 
-    Returns one row: (m, n_zero_registers, estimate). The indicator sum
+    Returns one row per ``by`` group (one row total when ``by`` is
+    empty): (*by, m, n_zero_registers, estimate). The indicator sum
     Σ 2^-register is carried in units of 2^-maxrank (maxrank = 61-p, the
     largest possible register) as the exact integer Σ 2^(maxrank-register)
     — exponents span [0, maxrank], the total is ≤ m·2^maxrank = 2^61, so
@@ -100,7 +106,7 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     # F.shiftleft's numBits wrapper is int-only; the SQL form takes a column
     pow_int = F.expr(
         f"shiftleft(CAST(1 AS BIGINT), {maxrank} - CAST(register AS INT))")
-    agg = registers.agg(
+    agg = registers.groupBy(*by).agg(
         F.count("*").cast("long").alias("n_hit"),
         F.sum(pow_int).cast("long").alias("s_hit"))
     alpha = _alpha(m)
@@ -115,39 +121,45 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     est = F.when((raw <= 2.5 * m) & (n_zero > 0),
                  F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero)) \
            .otherwise(raw)
-    return agg.select(F.lit(m).cast("long").alias("m"),
+    return agg.select(*by,
+                      F.lit(m).cast("long").alias("m"),
                       n_zero.alias("n_zero_registers"),
                       F.round(est, 4).alias("estimate"))
 
 
-def hll_distinct(df: DataFrame, col: str, p: int = 8,
-                 seed: int = 1) -> DataFrame:
-    """End-to-end portable HLL distinct estimate of ``df[col]``."""
-    return hll_estimate(hll_registers(df, col, p=p, seed=seed), p=p)
+def hll_distinct(df: DataFrame, col: str, p: int = 8, seed: int = 1,
+                 by: tuple[str, ...] = ()) -> DataFrame:
+    """End-to-end portable HLL distinct estimate of ``df[col]``,
+    optionally per ``by`` group."""
+    return hll_estimate(hll_registers(df, col, p=p, seed=seed, by=by),
+                        p=p, by=by)
 
 
-def hll_registers_sql(table: str, expr: str, p: int = 8,
-                      seed: int = 1) -> str:
+def hll_registers_sql(table: str, expr: str, p: int = 8, seed: int = 1,
+                      by: tuple[str, ...] = ()) -> str:
     """DuckDB twin of :func:`hll_registers` (same buckets, same registers)."""
     m = 1 << p
     h = md5_long_sql(f"CAST({expr} AS VARCHAR)", seed=seed)
+    byl = "".join(f"{c}, " for c in by)
     return f"""
-SELECT bucket, max(rank) AS register FROM (
-  SELECT h % {m} AS bucket,
+SELECT {byl}bucket, max(rank) AS register FROM (
+  SELECT {byl}h % {m} AS bucket,
          CASE WHEN h // {m} = 0 THEN {HASH_BITS - p + 1}
               ELSE {HASH_BITS - p} - length(bin(h // {m})) + 1 END AS rank
-  FROM (SELECT {h} AS h FROM {table}))
-GROUP BY bucket"""
+  FROM (SELECT {byl}{h} AS h FROM {table}))
+GROUP BY {byl}bucket"""
 
 
-def hll_distinct_sql(table: str, expr: str, p: int = 8,
-                     seed: int = 1) -> str:
+def hll_distinct_sql(table: str, expr: str, p: int = 8, seed: int = 1,
+                     by: tuple[str, ...] = ()) -> str:
     """DuckDB twin of :func:`hll_distinct` — bit-identical registers, the
     same integer indicator sum (bigint ``<<``, not the float-returning
     ``**``), the same correction branch."""
     m = 1 << p
     maxrank = HASH_BITS - p + 1
-    regs = hll_registers_sql(table, expr, p=p, seed=seed)
+    regs = hll_registers_sql(table, expr, p=p, seed=seed, by=by)
+    byl = "".join(f"{c}, " for c in by)
+    group = f"GROUP BY {', '.join(by)}" if by else ""
     # one pre-multiplied float literal (scientific notation → DOUBLE);
     # inline decimal products would parse as DECIMAL(18) and overflow
     num = f"CAST({_estimate_numerator(p)!r} AS DOUBLE)"
@@ -155,11 +167,11 @@ def hll_distinct_sql(table: str, expr: str, p: int = 8,
     return f"""
 WITH regs AS ({regs}),
 folded AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_hit,
+  SELECT {byl}CAST(count(*) AS BIGINT) AS n_hit,
          CAST(sum(CAST(1 AS BIGINT) << ({maxrank} - register)) AS BIGINT)
            AS s_hit
-  FROM regs)
-SELECT CAST({m} AS BIGINT) AS m,
+  FROM regs {group})
+SELECT {byl}CAST({m} AS BIGINT) AS m,
        CAST({m} - n_hit AS BIGINT) AS n_zero_registers,
        round(CASE WHEN {num} / {s_tot} <= {2.5 * m} AND {m} - n_hit > 0
                   THEN {float(m)} * ln({float(m)} / ({m} - n_hit))

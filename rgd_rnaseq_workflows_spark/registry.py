@@ -1435,6 +1435,8 @@ _RECORD_FIRST: tuple[str, ...] = (
     "dsir_importance",
     "dedup_passages",
     "embedding_random_projection",
+    "bloom_semi_join",
+    "sketch_hll_by_group",
 )
 
 
@@ -2256,3 +2258,57 @@ def embedding_random_projection(spark, sf_dir):
         random_projection)
     emb = _t(spark, sf_dir, "embeddings")
     return random_projection(emb, in_dims=64, out_dims=8, seed=5)
+
+
+def _bloom_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.bloom import (
+        bloom_semi_join_stats_sql)
+    return bloom_semi_join_stats_sql(
+        "lineitem", "l_orderkey",
+        "SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS bk FROM orders "
+        "WHERE o_orderstatus = 'F'",
+        m_bits=131072, k=7, seed=17)
+
+
+@q("bloom_semi_join", ("BLOOM-PREFILTER",), oracle=_bloom_oracle(),
+   note="portable Bloom-filter semi-join prefilter (md5 family, "
+        "bit-identical in any engine): build is one <=m/64-row bit_or "
+        "shuffle, bitmap is driver metadata applied as a pure codegen "
+        "filter on the probe scan — the fact table is never shuffled to "
+        "be prefiltered; reports pass/exact/false-positive rates")
+def bloom_semi_join(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.bloom import (
+        bloom_semi_join_stats)
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    build = orders.filter(F.col("o_orderstatus") == "F")
+    return bloom_semi_join_stats(li, "l_orderkey", build, "o_orderkey",
+                                 m_bits=131072, k=7, seed=17)
+
+
+def _hll_grouped_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.sketches import hll_distinct_sql
+    est = hll_distinct_sql("events", "user_id", p=8, seed=1,
+                           by=("event_type",))
+    return f"""
+WITH est AS ({est}),
+ex AS (SELECT event_type,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       FROM events GROUP BY event_type)
+SELECT event_type, estimate, exact_distinct
+FROM est JOIN ex USING (event_type)"""
+
+
+@q("sketch_hll_by_group", ("SKETCH-HLL-GROUP",), oracle=_hll_grouped_oracle(),
+   note="grouped HLL: one sketch per event_type from the SAME single "
+        "shuffle (group keys ride the register groupBy); per-group "
+        "estimates vs exact — the granularity a daily rollup stores and "
+        "later merges by register max")
+def sketch_hll_by_group(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sketches import hll_distinct
+    e = _events(spark, sf_dir)
+    est = hll_distinct(e, "user_id", p=8, seed=1, by=("event_type",))
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    return est.join(exact, "event_type").select(
+        "event_type", "estimate", "exact_distinct")

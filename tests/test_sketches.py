@@ -70,3 +70,20 @@ def test_p_out_of_range_raises(spark, ids_df):
 
 def test_error_bound_formula():
     assert math.isclose(relative_error_bound(8), 1.04 / 16)
+
+
+def test_grouped_registers_one_shuffle(spark, ids_df):
+    """Grouped sketches: per-group estimates match per-group ungrouped
+    runs, and the plan has a single Exchange (group keys ride the
+    register aggregation)."""
+    from pyspark.sql import functions as F2
+    g = ids_df.withColumn("grp", (F2.col("k").cast("long") % 3))
+    grouped = hll_distinct(g, "k", p=8, by=("grp",))
+    per_group = {r.grp: r.estimate for r in grouped.collect()}
+    for grp in (0, 1, 2):
+        solo = hll_distinct(g.filter(F2.col("grp") == grp), "k", p=8) \
+            .collect()[0].estimate
+        assert per_group[grp] == solo
+    plan = hll_registers(g, "k", p=8, by=("grp",)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
