@@ -454,3 +454,79 @@ SELECT _id AS {id_col}, n_passages, n_dup_passages,
        round(CAST(n_dup_passages AS DOUBLE) / n_passages, 4)
          < {max_dup_frac} AS keep
 FROM per_doc"""
+
+
+def remove_duplicate_passages(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              window: int = 8) -> DataFrame:
+    """Passage-level dedup REWRITE (the step Dolma actually performs):
+    every duplicated passage keeps exactly its first occurrence —
+    ordered by (doc id, position) — and is dropped everywhere else;
+    documents are re-assembled from their surviving passages in order.
+
+    Returns (id_col, clean_text, n_passages, n_removed). Documents with
+    no tokens are absent (nothing to rewrite).
+
+    Scale: one shuffle of (hash → occurrence) rows for the keeper
+    window (same key class as the freq join in
+    :func:`passage_dedup_stats`), one doc-rollup shuffle to re-assemble.
+    Text rides only the explode → re-assemble path; the keeper decision
+    moves hashes and positions, not text.
+    """
+    toks = tokens(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+    chunk = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * window + 1, window), " "))
+    occ = (df.filter(F.size(toks) > 0)
+           .select(F.col(id_col).alias("_id"),
+                   F.posexplode(chunk).alias("idx", "passage"))
+           .withColumn("h", md5_long("passage")))
+    w = Window.partitionBy("h").orderBy("_id", "idx")
+    kept = (occ.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_keep", F.col("_rn") == 1))
+    rebuilt = (kept.groupBy("_id")
+               .agg(F.count("*").cast("long").alias("n_passages"),
+                    F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+                    .cast("long").alias("n_removed"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.when(F.col("_keep"),
+                                       F.struct("idx", "passage")))),
+                            lambda s: s.passage),
+                        " ").alias("clean_text")))
+    return rebuilt.select(F.col("_id").alias(id_col), "clean_text",
+                          "n_passages", "n_removed")
+
+
+def remove_duplicate_passages_sql(table: str, text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  window: int = 8) -> str:
+    """DuckDB twin of :func:`remove_duplicate_passages` — identical
+    chunking, keeper window, and ordered re-assembly."""
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long_sql
+    from rgd_rnaseq_workflows_spark.functions.text import tokens_sql
+    toks = tokens_sql(text_col)
+    h = md5_long_sql("passage")
+    return f"""
+WITH tk AS (
+  SELECT {id_col} AS _id, {toks} AS toks FROM {table}
+  WHERE len({toks}) > 0),
+occ AS (
+  SELECT _id, CAST(i AS INTEGER) AS idx,
+         array_to_string(toks[(i * {window} + 1):(i * {window} + {window})],
+                         ' ') AS passage
+  FROM tk, unnest(range(CAST(ceil(len(toks) / {window}.0) AS BIGINT)))
+       AS r(i)),
+kept AS (
+  SELECT _id, idx, passage,
+         row_number() OVER (PARTITION BY {h} ORDER BY _id, idx) = 1
+           AS _keep
+  FROM occ)
+SELECT _id AS {id_col},
+       coalesce(string_agg(CASE WHEN _keep THEN passage END, ' '
+                           ORDER BY idx), '') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN _keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM kept GROUP BY _id"""

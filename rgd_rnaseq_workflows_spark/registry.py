@@ -1437,6 +1437,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "embedding_random_projection",
     "bloom_semi_join",
     "sketch_hll_by_group",
+    "dedup_passage_rewrite",
 )
 
 
@@ -2312,3 +2313,19 @@ def sketch_hll_by_group(spark, sf_dir):
         F.countDistinct("user_id").cast("long").alias("exact_distinct"))
     return est.join(exact, "event_type").select(
         "event_type", "estimate", "exact_distinct")
+
+
+def _passage_rewrite_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.dedup import (
+        remove_duplicate_passages_sql)
+    return remove_duplicate_passages_sql("documents", window=8)
+
+
+@q("dedup_passage_rewrite", ("DEDUP-PASSAGE-RW",),
+   oracle=_passage_rewrite_oracle(),
+   note="passage-level dedup REWRITE (keep first occurrence by doc id + "
+        "position, drop elsewhere, re-assemble in order): text rides "
+        "only explode->reassemble, the keeper window moves hashes")
+def dedup_passage_rewrite(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.remove_duplicate_passages(d, window=8)

@@ -147,3 +147,24 @@ def test_passage_dedup_stats(spark):
     assert out[3].n_passages == 2 and out[3].n_dup_passages == 2
     assert out[3].dup_frac == 1.0 and not out[3].keep
     assert out[4].n_passages == 1 and out[4].n_dup_passages == 0
+
+
+def test_remove_duplicate_passages(spark):
+    from rgd_rnaseq_workflows_spark.operators.dedup import (
+        remove_duplicate_passages)
+    shared = "one two three four"
+    rows = [
+        (0, f"{shared} aa bb cc dd"),
+        (1, f"{shared} ee ff gg hh"),      # loses the shared passage
+        (2, f"{shared} {shared}"),         # loses both copies (doc 0 owns it)
+        (3, "solo words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_duplicate_passages(df, window=4).collect()}
+    assert out[0].clean_text == f"{shared} aa bb cc dd"
+    assert out[0].n_removed == 0
+    assert out[1].clean_text == "ee ff gg hh"
+    assert out[1].n_removed == 1
+    assert out[2].clean_text == "" and out[2].n_removed == 2
+    assert out[3].clean_text == "solo words here"
