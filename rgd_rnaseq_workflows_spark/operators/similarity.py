@@ -188,12 +188,57 @@ def _blocked_candidates(v: DataFrame, id_col: str) -> DataFrame:
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
 
 
+def _gemm_pair_schema() -> str:
+    return "id_a long, id_b long, cosine_sim double"
+
+
+def _gemm_block_pairs(id_col: str, threshold: float, tile: int = 1024):
+    """applyInPandas kernel: all pairs of one block via tiled GEMM.
+
+    One block's vectors land in memory ONCE (n×d), against the join
+    path's 2×d floats per candidate pair row — at 2 000-row blocks
+    that's ~1 000× less data movement for the same pair set. The tile
+    bound keeps the similarity buffer at ``tile × n`` doubles however
+    hot the block is. NaNs (zero-norm vectors) never pass the pandas
+    ``>=`` mask, mirroring an explicit not-NaN filter on the join path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
+                                 "cosine_sim": np.zeros(0)})
+        norms = np.sqrt((V * V).sum(axis=1))
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, n, tile):
+            hi = min(lo + tile, n)
+            S = (V[lo:hi] @ V.T) / np.outer(norms[lo:hi], norms)
+            r, c = np.nonzero(
+                np.round(S, 6) >= threshold)
+            keep = c > (r + lo)  # upper triangle: id_a < id_b by sort
+            r, c = r[keep], c[keep]
+            out_a.append(ids[r + lo])
+            out_b.append(ids[c])
+            out_s.append(np.round(S[r, c], 6))
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "cosine_sim": np.concatenate(out_s)})
+
+    return pairs
+
+
 def embedding_near_dup(emb: DataFrame, block_col: str = "label",
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        threshold: float = 0.9,
                        max_block: int | None = None,
                        dims: int | None = None,
-                       n_planes: int = 8, seed: int = 11) -> DataFrame:
+                       n_planes: int = 8, seed: int = 11,
+                       impl: str = "gemm") -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked on ``block_col``
     (cluster/label/LSH bucket) so the pair join is equi, never cross.
 
@@ -219,11 +264,19 @@ def embedding_near_dup(emb: DataFrame, block_col: str = "label",
              .drop("_bn"))
     else:
         v = v.withColumn("_sub", F.lit(0))
-    # Arrow cosine: the pair join is the corpus-scale hot path (every
-    # candidate pair pays a 3×dims fold); the interpreted HOF form costs
-    # ~4s at sf0.1's ~200k semdedup pairs vs ~0.5s vectorized. round(·,6)
-    # absorbs the ≤1 ulp batch-vs-sequential summation difference — the
-    # same tolerance lsh_topk's oracle already relies on.
+    if impl == "gemm":
+        # default: per-block tiled GEMM (applyInPandas). The block's
+        # vectors cross the Arrow boundary once; the 10× sweep measured
+        # the pair-join form at 91–116 s for ~20M-pair workloads vs ~2 s
+        # here — the join path serializes 2×dims doubles per PAIR.
+        # round(·,6) absorbs GEMM-vs-sequential summation ulps (the
+        # lsh_topk tolerance precedent).
+        return (v.groupBy("_blk", "_sub")
+                .applyInPandas(_gemm_block_pairs(id_col, threshold),
+                               _gemm_pair_schema()))
+    # impl="join": pure-DataFrame equi self-join + Arrow pair cosine —
+    # the shape the DuckDB oracle mirrors 1:1; every candidate pair pays
+    # a 3×dims fold and carries both vectors through the shuffle.
     sim = F.round(cosine_kernel()(F.col("a.v"), F.col("b.v")), 6)
     return (_blocked_candidates(v, id_col)
             .select(F.col(f"a.{id_col}").alias("id_a"),
