@@ -169,3 +169,22 @@ def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFra
             .select("user_id",
                     F.unix_timestamp("w.start").alias("session_start_epoch"),
                     "n_events"))
+
+
+def stream_hll_registers(spark: SparkSession, source_dir: str,
+                         col: str = "user_id", p: int = 8,
+                         seed: int = 1) -> DataFrame:
+    """Incremental distinct-count sketch: the portable HLL register table
+    (operators/sketches.py) maintained by Structured Streaming.
+
+    The register update is a plain ``groupBy(bucket).max(rank)`` — an
+    always-monotone aggregation, so streaming state is exactly the m≤2^p
+    registers regardless of input volume (the sketch IS the state), and
+    every micro-batch folds in with the same register-max merge a batch
+    rollup uses. Read the current estimate at any time by running
+    ``hll_estimate`` over the memory-sink register table — it equals the
+    batch sketch of everything ingested so far (test-pinned).
+    """
+    from rgd_rnaseq_workflows_spark.operators.sketches import hll_registers
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    return hll_registers(stream, col, p=p, seed=seed)

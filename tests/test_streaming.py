@@ -112,3 +112,33 @@ def test_sliding_stream_equals_batch(spark, tmp_out):
                 sorted(rows, key=lambda x: x["rk"])] == list(
                     range(1, len(rows) + 1))
         assert len(rows) <= 3
+
+
+def test_stream_hll_equals_batch(spark, tmp_out):
+    """The streaming register table after ingesting everything equals the
+    batch sketch — so does the estimate folded from it."""
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        hll_estimate, hll_registers)
+    from rgd_rnaseq_workflows_spark.streaming.events_stream import (
+        stream_hll_registers)
+    df = _events_df(spark)
+    src = os.path.join(tmp_out, "hll_src")
+    df.write.parquet(src)
+    batch_regs = {(r.bucket, r.register)
+                  for r in hll_registers(df, "user_id", p=6).collect()}
+
+    q = (stream_hll_registers(spark, src, "user_id", p=6)
+         .writeStream.format("memory").queryName("hll_out")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        stream_regs_df = spark.sql("SELECT * FROM hll_out")
+        stream_regs = {(r.bucket, r.register)
+                       for r in stream_regs_df.collect()}
+        est_stream = hll_estimate(stream_regs_df, p=6).collect()[0]
+    finally:
+        q.stop()
+    assert stream_regs == batch_regs
+    est_batch = hll_estimate(hll_registers(df, "user_id", p=6),
+                             p=6).collect()[0]
+    assert est_stream == est_batch
