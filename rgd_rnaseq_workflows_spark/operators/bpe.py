@@ -226,11 +226,13 @@ def _fold_cte(src: str, out: str, left_expr: str, right_expr: str) -> str:
   SELECT wc, acc AS syms FROM {out}_steps WHERE pos = len(syms) + 1)"""
 
 
-def train_bpe_sql(table: str = "documents", rounds: int = 3,
-                  text_col: str = "text") -> str:
-    """The full trainer unrolled in SQL: word counts → char symbols →
-    per-round (pair count, argmax, recursive-CTE fold). Mirrors
-    :func:`train_bpe` operation-for-operation."""
+def _train_chain_sql(table: str, rounds: int, text_col: str,
+                     fold_last: bool = False) -> tuple[list[str], str]:
+    """The shared trainer CTE chain: word counts → char symbols →
+    per-round (pair count, argmax, recursive-CTE fold). Returns
+    (chain, last_vocab_cte). ``fold_last`` also applies the final
+    round's merge (needed by the encoder; the trainer itself never
+    consumes the post-last-merge vocabulary)."""
     from rgd_rnaseq_workflows_spark.functions import text as TX
     toks = TX.tokens_sql(text_col)
     # AS MATERIALIZED everywhere: DuckDB inlines CTEs by default, so the
@@ -256,11 +258,19 @@ v0 AS MATERIALIZED (
 b{rnd} AS MATERIALIZED (
   SELECT l, r, n FROM p{rnd}
   ORDER BY n DESC, l, r LIMIT 1)""")
-        if rnd < rounds:
+        if rnd < rounds or fold_last:
             chain.append(_fold_cte(
                 prev, f"v{rnd}",
                 f"(SELECT l FROM b{rnd})", f"(SELECT r FROM b{rnd})"))
             prev = f"v{rnd}"
+    return chain, prev
+
+
+def train_bpe_sql(table: str = "documents", rounds: int = 3,
+                  text_col: str = "text") -> str:
+    """The full trainer unrolled in SQL — mirrors :func:`train_bpe`
+    operation-for-operation."""
+    chain, _ = _train_chain_sql(table, rounds, text_col)
     selects = "\nUNION ALL\n".join(
         f'SELECT {r} AS round, l AS "left", r AS "right",'
         f" l || r AS merged, n AS pair_count FROM b{r}"
@@ -271,3 +281,65 @@ WITH RECURSIVE {body}
 {selects}
 ORDER BY round
 """
+
+
+# --- corpus encoding (token budgeting) ---------------------------------------
+
+def bpe_encode_stats(docs: DataFrame, rounds: int = 4,
+                     text_col: str = "text") -> DataFrame:
+    """Train ``rounds`` merges, then ENCODE the corpus with them and
+    report the token budget — the number a pretraining-data pipeline
+    needs before it can mix, pack, or price a corpus:
+    one row (n_words, corpus_syms_initial, corpus_syms_encoded,
+    compression).
+
+    Encoding happens on the VOCABULARY (distinct words × wc), never the
+    corpus: applying a merge list to 100 TB of text costs the same one
+    word-count shuffle the trainer pays, plus vocabulary-scale folds.
+    ``corpus_syms_initial`` counts the char symbols + end marker per
+    word occurrence; ``compression`` = initial/encoded, rounded 6.
+    """
+    merges_df = train_bpe(docs, rounds, text_col)
+    merges = [(r["left"], r["right"])
+              for r in merges_df.orderBy("round").collect()]
+    wc = word_counts(docs, text_col)
+    vocab = wc.select(
+        "wc",
+        (F.length("word") + 1).cast("long").alias("n0"),
+        _initial_symbols(F.col("word")).alias("syms"))
+    for left, right in merges:
+        vocab = _apply_merge(vocab, left, right)
+    return (vocab.agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.col("wc") * F.col("n0")).cast("long")
+        .alias("corpus_syms_initial"),
+        F.sum(F.col("wc") * F.size("syms")).cast("long")
+        .alias("corpus_syms_encoded"))
+        .select("n_words", "corpus_syms_initial", "corpus_syms_encoded",
+                F.round(F.col("corpus_syms_initial")
+                        / F.col("corpus_syms_encoded"), 6)
+                .alias("compression")))
+
+
+def bpe_encode_stats_sql(table: str = "documents", rounds: int = 4,
+                         text_col: str = "text") -> str:
+    """DuckDB twin of :func:`bpe_encode_stats`: the shared trainer chain
+    with the final fold applied, then exact-integer budget sums.
+    ``corpus_syms_initial`` comes from wcnt (len(word)+1 — the fold
+    chain doesn't carry word identity and doesn't need to)."""
+    chain, last = _train_chain_sql(table, rounds, text_col, fold_last=True)
+    body = ",\n".join(chain)
+    return f"""
+WITH RECURSIVE {body},
+enc AS (
+  SELECT CAST(sum(wc * len(syms)) AS BIGINT) AS corpus_syms_encoded
+  FROM {last}),
+ini AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(wc * (length(word) + 1)) AS BIGINT)
+           AS corpus_syms_initial
+  FROM wcnt)
+SELECT n_words, corpus_syms_initial, corpus_syms_encoded,
+       round(CAST(corpus_syms_initial AS DOUBLE) / corpus_syms_encoded, 6)
+         AS compression
+FROM ini, enc"""

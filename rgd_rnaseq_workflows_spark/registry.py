@@ -1438,6 +1438,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "bloom_semi_join",
     "sketch_hll_by_group",
     "dedup_passage_rewrite",
+    "tokenizer_bpe_encode",
 )
 
 
@@ -2329,3 +2330,20 @@ def _passage_rewrite_oracle() -> str:
 def dedup_passage_rewrite(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return DD.remove_duplicate_passages(d, window=8)
+
+
+def _bpe_encode_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.bpe import bpe_encode_stats_sql
+    return bpe_encode_stats_sql("documents", rounds=4)
+
+
+@q("tokenizer_bpe_encode", ("BPE-ENCODE",), oracle=_bpe_encode_oracle(),
+   note="token budgeting: train 4 merges then ENCODE the corpus with "
+        "them — encoding runs on the vocabulary (distinct words x wc), "
+        "never the corpus, so applying a 32k-merge tokenizer to 100 TB "
+        "costs one word-count shuffle + vocabulary-scale folds; exact "
+        "integer symbol sums, oracle = shared trainer CTE chain with "
+        "the final fold applied")
+def tokenizer_bpe_encode(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.bpe import bpe_encode_stats
+    return bpe_encode_stats(_t(spark, sf_dir, "documents"), rounds=4)

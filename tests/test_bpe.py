@@ -142,3 +142,29 @@ def test_job_count_independent_of_rounds(spark):
     j2 = jobs_for(2, "bpe-r2")
     j20 = jobs_for(20, "bpe-r20")
     assert j20 == j2 and j20 <= 4
+
+
+def test_encode_stats_match_manual(spark):
+    """Tiny corpus where the 2-merge encode is hand-checkable."""
+    from rgd_rnaseq_workflows_spark.operators.bpe import bpe_encode_stats
+    # "ab" x3, "abc" x1 → merges: (a,b) then (ab,</w>)
+    df = spark.createDataFrame(
+        [(0, "ab ab ab abc")], "doc_id long, text string")
+    r = bpe_encode_stats(df, rounds=2).collect()[0]
+    assert r.n_words == 2
+    # initial: ab→3 syms ×3 occ + abc→4 syms ×1 = 13
+    assert r.corpus_syms_initial == 13
+    # after (a,b): ab→[ab,</w>] (2), abc→[ab,c,</w>] (3)
+    # after (ab,</w>): ab→[ab</w>] (1), abc unchanged (ab,c — no pair)
+    assert r.corpus_syms_encoded == 1 * 3 + 3 * 1
+    assert r.compression == round(13 / 6, 6)
+
+
+def test_encode_compression_monotone(spark, docs_corpus=None):
+    from rgd_rnaseq_workflows_spark.operators.bpe import bpe_encode_stats
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    c2 = bpe_encode_stats(df, rounds=2).collect()[0]
+    c5 = bpe_encode_stats(df, rounds=5).collect()[0]
+    assert c5.corpus_syms_encoded <= c2.corpus_syms_encoded
+    assert c5.compression >= c2.compression
+    assert c2.corpus_syms_initial == c5.corpus_syms_initial
