@@ -15,15 +15,19 @@ engine that will consume the published bitmap).
 
 Math: k hash functions, m bits (m a power of two). Standard fp rate
 (1 - e^{-kn/m})^k; ``suggest_params`` picks m,k for a target rate.
+The k positions come from TWO md5 evaluations via Kirsch–Mitzenmacher
+double hashing — ``pos_i = (g1 + i·g2) mod m`` with an odd step g2, so
+per-row CPU is 2 hashes however large k is (measured: the k-md5 form
+was the entire probe cost; element_at/getbit are free next to md5).
 
 Scale notes:
-- Build: keys → k×explode → bit positions → ``groupBy(word)`` +
+- Build: keys → 2 hashes → k positions → ``groupBy(word)`` +
   ``bit_or`` — ≤ m/64 rows after map-side combine, one tiny shuffle.
 - The bitmap is ``m/64`` longs of driver metadata (2^20 bits = 16 K
   longs = 128 KB), embedded as an array literal like the k-means
   centroids; at larger m you'd publish it as a broadcast variable —
   same plan shape.
-- Probe: k md5 evaluations + k element_at bit tests per row, all
+- Probe: 2 md5 evaluations + k element_at/getbit tests per row, all
   codegen'd; no Python, no shuffle, no join.
 """
 
@@ -48,6 +52,31 @@ def suggest_params(n_keys: int, target_fp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
+def _km_hashes(key: Column, m_bits: int, seed: int) -> tuple[Column, Column]:
+    """The Kirsch–Mitzenmacher pair: base position g1 ∈ [0, m) and odd
+    step g2 — odd so the stride cycles the full power-of-two ring.
+    Two md5 evaluations total; Catalyst CSEs them across the k uses."""
+    s = key.cast("string")
+    g1 = F.pmod(md5_long(F.concat(F.lit(f"{seed}:a:"), s)), F.lit(m_bits))
+    g2 = F.pmod(md5_long(F.concat(F.lit(f"{seed}:b:"), s)),
+                F.lit(m_bits // 2)) * 2 + 1
+    return g1, g2
+
+
+def _km_position(key: Column, i: int, m_bits: int, seed: int) -> Column:
+    """pos_i = (g1 + i·g2) mod m — all operands < 2^40, no overflow."""
+    g1, g2 = _km_hashes(key, m_bits, seed)
+    return F.pmod(g1 + i * g2, F.lit(m_bits))
+
+
+def km_position_sql(key_expr: str, i: int, m_bits: int, seed: int) -> str:
+    """DuckDB twin of :func:`_km_position` (identical positions)."""
+    h1 = md5_long_sql(f"'{seed}:a:' || CAST({key_expr} AS VARCHAR)")
+    h2 = md5_long_sql(f"'{seed}:b:' || CAST({key_expr} AS VARCHAR)")
+    return (f"(({h1} % {m_bits}) + {i} * (({h2} % {m_bits // 2}) * 2 + 1))"
+            f" % {m_bits}")
+
+
 def build_bloom(keys: DataFrame, key_col: str, m_bits: int,
                 k: int, seed: int = 17) -> list[int]:
     """Distributed build → driver-side bitmap: a list of m/64 longs.
@@ -57,12 +86,9 @@ def build_bloom(keys: DataFrame, key_col: str, m_bits: int,
     """
     if m_bits % WORD_BITS or m_bits & (m_bits - 1):
         raise ValueError(f"m_bits={m_bits} must be a power of two ≥ 64")
-    seeds = F.array(*[F.lit(seed + i) for i in range(k)])
-    pos = F.explode(F.transform(
-        seeds, lambda s: F.pmod(
-            md5_long(F.concat(s.cast("string"), F.lit(":"),
-                              F.col(key_col).cast("string"))),
-            F.lit(m_bits)))).alias("pos")
+    pos = F.explode(F.array(
+        *[_km_position(F.col(key_col), i, m_bits, seed)
+          for i in range(k)])).alias("pos")
     words = (keys.select(pos)
              .select((F.col("pos") / WORD_BITS).cast("long").alias("word"),
                      F.expr(f"shiftleft(CAST(1 AS BIGINT), "
@@ -82,13 +108,28 @@ def bloom_might_contain(key: Column, bitmap: list[int], m_bits: int,
     use ``getbit`` (the shiftleft/shiftright Python wrappers take only
     int shift amounts)."""
     # ONE array literal node (F.lit of the list), not m/64 child
-    # expressions — keeps plan size and analysis time flat in m
-    arr = F.lit(bitmap)
+    # expressions — keeps plan size and analysis time flat in m. The
+    # cast pins element type: F.lit infers from VALUES, and a bitmap
+    # whose set words all fit int32 would infer array<int>, capping
+    # getbit positions at 32.
+    arr = F.lit(bitmap).cast("array<bigint>")
     out = None
     for i in range(k):
-        pos = F.pmod(md5_long(F.concat(F.lit(f"{seed + i}:"),
-                                       key.cast("string"))), F.lit(m_bits))
+        pos = _km_position(key, i, m_bits, seed)
         # pos < m_bits ≤ 2^30: the /64 stays integer-exact in double
+        word = F.element_at(arr, (pos / WORD_BITS).cast("int") + 1)
+        t = F.getbit(word, pos % WORD_BITS) == 1
+        out = t if out is None else (out & t)
+    return out
+
+
+def _bit_tests_from(g1: Column, g2: Column, bitmap: list[int],
+                    m_bits: int, k: int) -> Column:
+    """The k-way AND of bit tests over precomputed KM hash columns."""
+    arr = F.lit(bitmap).cast("array<bigint>")
+    out = None
+    for i in range(k):
+        pos = F.pmod(g1 + i * g2, F.lit(m_bits))
         word = F.element_at(arr, (pos / WORD_BITS).cast("int") + 1)
         t = F.getbit(word, pos % WORD_BITS) == 1
         out = t if out is None else (out & t)
@@ -97,9 +138,18 @@ def bloom_might_contain(key: Column, bitmap: list[int], m_bits: int,
 
 def bloom_filter_probe(probe: DataFrame, key_col: str, bitmap: list[int],
                        m_bits: int, k: int, seed: int = 17) -> DataFrame:
-    """probe rows whose key might be in the build set (all k bits set)."""
-    return probe.filter(
-        bloom_might_contain(F.col(key_col), bitmap, m_bits, k, seed))
+    """probe rows whose key might be in the build set (all k bits set).
+
+    The two KM hashes are materialized by a projection BEFORE the k-way
+    AND: conditional (short-circuit) predicate branches are excluded
+    from Spark's codegen subexpression elimination, so an inline AND
+    chain re-evaluates both md5 trees per term — measured ~4× slower.
+    """
+    g1, g2 = _km_hashes(F.col(key_col), m_bits, seed)
+    return (probe.withColumn("_g1", g1).withColumn("_g2", g2)
+            .filter(_bit_tests_from(F.col("_g1"), F.col("_g2"),
+                                    bitmap, m_bits, k))
+            .drop("_g1", "_g2"))
 
 
 def bloom_semi_join_stats(probe: DataFrame, probe_key: str,
@@ -118,30 +168,39 @@ def bloom_semi_join_stats(probe: DataFrame, probe_key: str,
     keys = build.select(F.col(build_key).cast("string").alias("_bk")) \
         .distinct()
     bitmap = build_bloom(keys, "_bk", m_bits, k, seed)
-    might = bloom_might_contain(F.col("_pk"), bitmap, m_bits, k, seed)
+    # ONE probe scan: reduce to (key, row count) with map-side combine,
+    # then hash/test each DISTINCT key once — per-key md5 cost, not
+    # per-row (the pure-filter per-row form is bloom_filter_probe; this
+    # report needs the exact comparison anyway, so the key rollup is the
+    # cheaper plan and the bloom tests ride the reduced table).
+    pk = (probe.groupBy(probe_key)
+          .agg(F.count("*").cast("long").alias("_rows"))
+          .select(F.col(probe_key).cast("string").alias("_pk"), "_rows"))
     inb = keys.withColumn("_inb", F.lit(1))
-    rows = (probe.select(F.col(probe_key).cast("string").alias("_pk"))
-            .withColumn("_pass", might.cast("int"))
-            .join(F.broadcast(inb), F.col("_pk") == F.col("_bk"), "left"))
-    row_stats = rows.agg(
-        F.count("*").cast("long").alias("n_probe_rows"),
-        F.sum("_pass").cast("long").alias("n_pass_rows"),
-        F.sum(F.when(F.col("_inb").isNotNull(), 1).otherwise(0))
-        .cast("long").alias("n_exact_rows"),
-        F.sum(F.when(F.col("_inb").isNull() & (F.col("_pass") == 1), 1)
-              .otherwise(0)).cast("long").alias("n_false_pos_rows"))
-    key_stats = (rows.select("_pk", "_pass", "_inb").distinct().agg(
+    g1, g2 = _km_hashes(F.col("_pk"), m_bits, seed)
+    verdict = (pk.withColumn("_g1", g1).withColumn("_g2", g2)
+               .withColumn(
+        "_pass",
+        _bit_tests_from(F.col("_g1"), F.col("_g2"), bitmap, m_bits, k)
+        .cast("long"))
+        .join(F.broadcast(inb), F.col("_pk") == F.col("_bk"), "left")
+        .withColumn("_in", F.col("_inb").isNotNull().cast("long")))
+    fp = F.col("_pass") * (1 - F.col("_in"))
+    return (verdict.agg(
+        F.sum("_rows").cast("long").alias("n_probe_rows"),
+        F.sum(F.col("_rows") * F.col("_pass")).cast("long")
+        .alias("n_pass_rows"),
+        F.sum(F.col("_rows") * F.col("_in")).cast("long")
+        .alias("n_exact_rows"),
+        F.sum(F.col("_rows") * fp).cast("long").alias("n_false_pos_rows"),
         F.count("*").cast("long").alias("n_probe_keys"),
-        F.sum(F.when(F.col("_inb").isNull() & (F.col("_pass") == 1), 1)
-              .otherwise(0)).cast("long").alias("n_false_pos_keys"),
-        F.sum(F.when(F.col("_inb").isNull(), 1).otherwise(0))
-        .cast("long").alias("_n_out_keys")))
-    return (row_stats.crossJoin(F.broadcast(key_stats))
-            .select("n_probe_rows", "n_pass_rows", "n_exact_rows",
-                    "n_false_pos_rows", "n_probe_keys", "n_false_pos_keys",
-                    F.round(F.col("n_false_pos_keys")
-                            / F.greatest(F.col("_n_out_keys"), F.lit(1)), 6)
-                    .alias("key_fp_rate")))
+        F.sum(fp).cast("long").alias("n_false_pos_keys"),
+        F.sum(1 - F.col("_in")).cast("long").alias("_n_out_keys"))
+        .select("n_probe_rows", "n_pass_rows", "n_exact_rows",
+                "n_false_pos_rows", "n_probe_keys", "n_false_pos_keys",
+                F.round(F.col("n_false_pos_keys")
+                        / F.greatest(F.col("_n_out_keys"), F.lit(1)), 6)
+                .alias("key_fp_rate")))
 
 
 def bloom_semi_join_stats_sql(probe_table: str, probe_key: str,
@@ -154,13 +213,12 @@ def bloom_semi_join_stats_sql(probe_table: str, probe_key: str,
     identical *bits* — the oracle checks values, the Spark plan carries
     the scale story. ``build_sql`` must yield one VARCHAR column ``bk``.
     """
-    def h(i: int, expr: str) -> str:
-        return (md5_long_sql(f"'{seed + i}:' || {expr}") + f" % {m_bits}")
-
     build_pos = " UNION ALL ".join(
-        f"SELECT {h(i, 'bk')} AS p FROM build" for i in range(k))
+        f"SELECT {km_position_sql('bk', i, m_bits, seed)} AS p FROM build"
+        for i in range(k))
     probe_pos = " UNION ALL ".join(
-        f"SELECT _pk, {h(i, '_pk')} AS p FROM pkeys" for i in range(k))
+        f"SELECT _pk, {km_position_sql('_pk', i, m_bits, seed)} AS p "
+        f"FROM pkeys" for i in range(k))
     return f"""
 WITH build AS ({build_sql}),
 bitmap AS (
