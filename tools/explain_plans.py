@@ -83,6 +83,33 @@ SHOWCASE = {
         "coarse-rank, tie-complete pool (cutoff scalar, not an "
         "id-tiebroken LIMIT), exact int-L2 fold computed only for pool "
         "rows (join-then-project) — TakeOrdered, corpus never sorted.",
+    "bloom_semi_join": "Bloom prefilter: the bitmap is driver metadata "
+        "(one array literal); probe keys roll up map-side, TWO md5s "
+        "(Kirsch-Mitzenmacher) materialized by projection feed the k-way "
+        "bit-test AND — no shuffle or join of the fact side for the "
+        "filter decision itself.",
+    "ann_embedding_neardup": "per-block tiled GEMM (applyInPandas): each "
+        "block's vectors cross the Arrow boundary once; the pair-join "
+        "form shipped 2×dims doubles per candidate pair — measured 28× "
+        "at the 10× replica. One shuffle: the block groupBy.",
+    "sketch_hll_distinct": "HLL registers: md5 bucket/rank, "
+        "groupBy(bucket).max — ≤m rows cross the exchange per input "
+        "partition; the estimate folds an exact-integer indicator sum; "
+        "merges across days are register max.",
+    "dsir_importance": "DSIR: ONE corpus tokenization → (doc,bucket) "
+        "partial agg; the B-row model broadcasts back; per-doc weights "
+        "are exact integer sums — the corpus never carries floats.",
+    "embedding_random_projection": "JL projection: posexplode → "
+        "broadcast sign join → map-side-combined (id,dim) agg; the sign "
+        "matrix is a stateless function of (seed,i,j) — no model state "
+        "to ship or version.",
+    "dedup_passage_rewrite": "passage dedup rewrite: keeper window "
+        "shuffles (hash → occurrence) rows, text rides only "
+        "explode→re-assemble; ordered rebuild via array_sort of kept "
+        "(idx, passage) structs.",
+    "tokenizer_bpe_encode": "token budgeting: word-count shuffle once; "
+        "merges train driver-side on the vocabulary; encode folds run "
+        "on distinct words × wc — corpus text is read, never re-shuffled.",
 }
 
 
@@ -109,8 +136,13 @@ def digest(plan: str) -> list[str]:
             out.append(f"{label} ×{n}")
     n_ex = plan.count("Exchange")
     out.append(f"exchanges: {n_ex}")
-    if "BatchEvalPython" in plan or "ArrowEval" in plan:
-        out.append("⚠ Python boundary present")
+    arrow = sum(plan.count(m) for m in
+                ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEval"))
+    if "BatchEvalPython" in plan:
+        out.append("⚠ row-at-a-time Python boundary present")
+    elif arrow:
+        out.append(f"Arrow-batched Python kernel ×{arrow} "
+                   "(the sanctioned boundary)")
     else:
         out.append("JVM-only (no Python in plan)")
     return out
