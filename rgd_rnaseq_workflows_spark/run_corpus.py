@@ -37,6 +37,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--docs", required=True, help="documents parquet path")
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--min-tokens", type=int, default=20)
+    p.add_argument("--passage-dedup", type=int, default=None,
+                   metavar="WINDOW",
+                   help="pre-curation passage-level dedup rewrite: drop "
+                        "every duplicated WINDOW-token passage except its "
+                        "first occurrence and re-assemble documents")
+    p.add_argument("--dsir-target", default=None, metavar="SQL_PRED",
+                   help="DSIR selection: SQL predicate defining the "
+                        "target slice (e.g. \"source = 'src0'\")")
+    p.add_argument("--dsir-keep", type=float, default=0.25,
+                   help="fraction of curated docs kept by DSIR weight "
+                        "(with --dsir-target)")
     p.add_argument("--shingle-n", type=int, default=2)
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--benchmark", default=None,
@@ -82,9 +93,25 @@ def run(args: argparse.Namespace) -> int:
     spark = get_spark("corpus-curation")
     out = args.out.rstrip("/")
     docs = spark.read.parquet(args.docs)
+    if args.passage_dedup:
+        from rgd_rnaseq_workflows_spark.operators.dedup import (
+            remove_duplicate_passages)
+        import pyspark.sql.functions as F
+        clean = remove_duplicate_passages(docs, window=args.passage_dedup)
+        docs = (docs.drop("text")
+                .join(clean.select("doc_id",
+                                   F.col("clean_text").alias("text")),
+                      "doc_id"))
     curated = curate_corpus(docs, min_tokens=args.min_tokens,
                             shingle_n=args.shingle_n,
                             threshold=args.threshold)
+    if args.dsir_target:
+        import pyspark.sql.functions as F
+        from rgd_rnaseq_workflows_spark.operators.dsir import (
+            importance_weights, select_top_fraction)
+        w = importance_weights(curated, F.expr(args.dsir_target))
+        keep = select_top_fraction(w, args.dsir_keep).select("doc_id")
+        curated = curated.join(keep, "doc_id", "left_semi")
     if args.benchmark:
         from rgd_rnaseq_workflows_spark.operators.contamination import (
             decontaminate)

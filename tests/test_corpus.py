@@ -268,3 +268,35 @@ def test_corpus_cli_splits_column(spark, tmp_out):
     assert "split" in curated.columns
     vals = {r["split"] for r in curated.select("split").distinct().collect()}
     assert vals <= {"train", "val", "test"} and "train" in vals
+
+
+def test_corpus_cli_passage_dedup_and_dsir(spark, tmp_out):
+    import os
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark import run_corpus
+    # long stopword-rich docs that pass quality/lang gates; doc 1 repeats
+    # doc 0's first 4-token passage, docs tagged by source for DSIR
+    base = "the and is in of to it was for on with as"
+    rows = [
+        (0, f"alpha beta gamma delta {base}", "en", "tgt"),
+        (1, f"alpha beta gamma delta {base} extra words here", "en", "raw"),
+        (2, f"unrelated tokens entirely {base} filler words", "en", "raw"),
+        (3, f"different content again {base} other filler stuff", "en", "tgt"),
+    ]
+    src = os.path.join(tmp_out, "pd_docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string") \
+        .write.parquet(src)
+    out = os.path.join(tmp_out, "pd_out")
+    rc = run_corpus.main([
+        "--docs", src, "--out", out, "--min-tokens", "5",
+        "--threshold", "0.99", "--passage-dedup", "4",
+        "--dsir-target", "source = 'tgt'", "--dsir-keep", "0.5"])
+    assert rc == 0
+    curated = spark.read.parquet(f"{out}/curated")
+    texts = {r.doc_id: r.text for r in curated.collect()}
+    # doc 1 survived curation but lost its duplicated leading passage
+    if 1 in texts:
+        assert not texts[1].startswith("alpha beta gamma delta")
+    # DSIR keeps half the docs, biased toward the tgt slice
+    assert 0 < len(texts) <= 2
