@@ -183,3 +183,68 @@ FROM folded"""
 def relative_error_bound(p: int) -> float:
     """The theoretical 1σ relative error 1.04/√m for m = 2^p registers."""
     return 1.04 / math.sqrt(1 << p)
+
+
+# --- Count-Min Sketch --------------------------------------------------------
+
+def cms_sketch(df: DataFrame, col: str, depth: int = 4, width: int = 1024,
+               seed: int = 9) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) of ``df[col]``:
+    the (row, pos, counter) table, ≤ depth·width rows regardless of
+    input size — the frequency analog of the HLL register table.
+
+    Same portability contract as HLL: md5 positions, integer counters,
+    so the identical sketch is reproducible in any ANSI engine, and two
+    sketches MERGE by adding counters (groupBy (row,pos) sum) — daily
+    token-frequency sketches roll up without reprocessing.
+
+    One shuffle: depth×|input| (row,pos) pairs collapse map-side to
+    ≤ depth·width rows per input partition before the exchange.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth ≥ 1, width ≥ 2; got {depth}x{width}")
+    c = F.col(col).cast("string")
+    cells = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 F.pmod(md5_long(F.concat(F.lit(f"{seed + i}:"), c)),
+                        F.lit(width)).alias("pos"))
+        for i in range(depth)])).alias("cell")
+    return (df.select(cells)
+            .select("cell.row", "cell.pos")
+            .groupBy("row", "pos")
+            .agg(F.count("*").cast("long").alias("counter")))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 1024,
+                 seed: int = 9) -> DataFrame:
+    """Point-frequency estimates for ``keys[key_col]``: min over the
+    depth counters (the CMS guarantee: estimate ≥ truth, over-estimate
+    bounded by ε·N w.h.p.). The sketch broadcasts (≤ depth·width rows);
+    keys are never shuffled."""
+    c = F.col(key_col).cast("string")
+    probes = keys.select(
+        key_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"),
+                     F.pmod(md5_long(F.concat(F.lit(f"{seed + i}:"), c)),
+                            F.lit(width)).alias("pos"))
+            for i in range(depth)])).alias("cell")) \
+        .select(key_col, "cell.row", "cell.pos")
+    return (probes.join(F.broadcast(sketch), ["row", "pos"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("counter"), F.lit(0)))
+                 .cast("long").alias("cms_estimate")))
+
+
+def cms_sketch_sql(table: str, expr: str, depth: int = 4, width: int = 1024,
+                   seed: int = 9) -> str:
+    """DuckDB twin of :func:`cms_sketch` (identical cells/counters)."""
+    parts = []
+    for i in range(depth):
+        h = md5_long_sql(f"'{seed + i}:' || CAST({expr} AS VARCHAR)")
+        parts.append(f"SELECT {i} AS row, {h} % {width} AS pos FROM {table}")
+    rows = " UNION ALL ".join(parts)
+    return f"""
+SELECT row, pos, CAST(count(*) AS BIGINT) AS counter
+FROM ({rows}) GROUP BY row, pos"""

@@ -59,3 +59,54 @@ j AS (
   FROM fa FULL OUTER JOIN fb ON fa.id = fb.id)
 SELECT change, count(*) AS n_docs FROM j GROUP BY change
 """
+
+
+def snapshot_apply(base: DataFrame, changes: DataFrame,
+                   id_col: str = "doc_id",
+                   op_col: str = "op") -> DataFrame:
+    """MERGE INTO semantics without a table format: apply a changeset
+    (``op`` ∈ upsert|delete, plus the full row payload for upserts) to a
+    base snapshot and return the next snapshot.
+
+    Pure DataFrame shape: one full-outer join on the key —
+    change-side wins on conflict (upsert), delete drops, absent keys
+    pass through. On a bucketed lake both sides co-locate and the merge
+    runs zero-exchange; the row payload moves only for changed keys if
+    the caller projects base down to (key, payload) columns it needs.
+
+    ``changes`` must carry ``id_col``, ``op_col``, and the same payload
+    columns as ``base`` (values ignored for deletes).
+    """
+    payload = [c for c in base.columns if c != id_col]
+    missing = [c for c in payload + [id_col, op_col]
+               if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changeset missing columns: {missing}")
+    bad = changes.filter(~F.col(op_col).isin("upsert", "delete")).limit(1)
+    if bad.count():
+        raise ValueError(f"unknown {op_col} value in changeset")
+    b = base.select(F.col(id_col).alias("_id"),
+                    *[F.col(c).alias(f"_b_{c}") for c in payload])
+    c = changes.select(F.col(id_col).alias("_id"),
+                       F.col(op_col).alias("_op"),
+                       *[F.col(x).alias(f"_c_{x}") for x in payload])
+    j = b.join(c, "_id", "full_outer")
+    keep = F.col("_op").isNull() | (F.col("_op") == "upsert")
+    picked = [F.when(F.col("_op") == "upsert", F.col(f"_c_{x}"))
+              .otherwise(F.col(f"_b_{x}")).alias(x) for x in payload]
+    return (j.filter(keep)
+            .select(F.col("_id").alias(id_col), *picked))
+
+
+def snapshot_apply_sql(base_src: str, changes_src: str,
+                       payload: tuple[str, ...],
+                       id_col: str = "doc_id", op_col: str = "op") -> str:
+    """DuckDB twin of :func:`snapshot_apply`."""
+    pick = ", ".join(
+        f"CASE WHEN c.{op_col} = 'upsert' THEN c.{x} ELSE b.{x} END AS {x}"
+        for x in payload)
+    return f"""
+SELECT coalesce(b.{id_col}, c.{id_col}) AS {id_col}, {pick}
+FROM {base_src} b FULL OUTER JOIN {changes_src} c
+  ON b.{id_col} = c.{id_col}
+WHERE c.{op_col} IS NULL OR c.{op_col} = 'upsert'"""

@@ -1439,6 +1439,8 @@ _RECORD_FIRST: tuple[str, ...] = (
     "sketch_hll_by_group",
     "dedup_passage_rewrite",
     "tokenizer_bpe_encode",
+    "sketch_cms_heavy_hitters",
+    "snapshot_apply_merge",
 )
 
 
@@ -2347,3 +2349,97 @@ def _bpe_encode_oracle() -> str:
 def tokenizer_bpe_encode(spark, sf_dir):
     from rgd_rnaseq_workflows_spark.operators.bpe import bpe_encode_stats
     return bpe_encode_stats(_t(spark, sf_dir, "documents"), rounds=4)
+
+
+def _cms_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.sketches import cms_sketch_sql
+    toks_sql = TX.tokens_sql("text")
+    sketch = cms_sketch_sql("toks", "tok", depth=4, width=1024, seed=9)
+    probes = " UNION ALL ".join(
+        f"SELECT tok, {i} AS row, "
+        + md5_long_sql(f"'{9 + i}:' || CAST(tok AS VARCHAR)")
+        + " % 1024 AS pos FROM exact_top"
+        for i in range(4))
+    return f"""
+WITH toks AS (SELECT unnest({toks_sql}) AS tok FROM documents),
+exact_top AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
+  FROM toks GROUP BY tok ORDER BY exact_count DESC, tok LIMIT 10),
+sketch AS ({sketch}),
+probes AS ({probes}),
+est AS (
+  SELECT tok, CAST(min(coalesce(counter, 0)) AS BIGINT) AS cms_estimate
+  FROM probes LEFT JOIN sketch USING (row, pos) GROUP BY tok)
+SELECT tok, exact_count, cms_estimate,
+       cms_estimate - exact_count AS overestimate
+FROM exact_top JOIN est USING (tok)"""
+
+
+@q("sketch_cms_heavy_hitters", ("SKETCH-CMS",), oracle=_cms_oracle(),
+   note="Count-Min Sketch heavy hitters: depth x width counter table "
+        "(<=4096 rows from any corpus size, merges by counter add), "
+        "exact top-10 tokens cross-checked against their CMS estimates "
+        "- overestimate bound is the epsilon*N guarantee")
+def sketch_cms_heavy_hitters(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        cms_estimate, cms_sketch)
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.tokens("text")).alias("tok"))
+    exact_top = (toks.groupBy("tok")
+                 .agg(F.count("*").cast("long").alias("exact_count"))
+                 .orderBy(F.desc("exact_count"), "tok").limit(10))
+    sk = cms_sketch(toks, "tok", depth=4, width=1024, seed=9)
+    est = cms_estimate(sk, exact_top.select("tok"), "tok",
+                       depth=4, width=1024, seed=9)
+    return (exact_top.join(est, "tok")
+            .select("tok", "exact_count", "cms_estimate",
+                    (F.col("cms_estimate") - F.col("exact_count"))
+                    .alias("overestimate")))
+
+
+def _snapshot_apply_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.snapshot import (
+        snapshot_apply_sql)
+    apply_sql = snapshot_apply_sql(
+        "documents", "changes", payload=("text", "lang", "source", "n_chars"))
+    return f"""
+WITH changes AS (
+  SELECT doc_id, 'delete' AS op, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, 'upsert' AS op, 'rev2: ' || text AS text, lang, source,
+         n_chars
+  FROM documents WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'upsert' AS op,
+         'new doc ' || CAST(doc_id AS VARCHAR) AS text, lang, source,
+         n_chars
+  FROM documents WHERE doc_id % 10 = 2)
+{apply_sql}"""
+
+
+@q("snapshot_apply_merge", ("SNAPSHOT-APPLY",),
+   oracle=_snapshot_apply_oracle(),
+   note="MERGE INTO semantics as one full-outer join: upserts win, "
+        "deletes drop, untouched keys pass through; on a bucketed lake "
+        "the merge co-locates and runs zero-exchange. Changeset here is "
+        "a deterministic derivation (delete %10=0, revise %10=1, insert "
+        "%10=2 shifted) so the oracle rebuilds it exactly")
+def snapshot_apply_merge(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.snapshot import snapshot_apply
+    d = _t(spark, sf_dir, "documents")
+    dels = (d.filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", F.lit("delete").alias("op"),
+                    "text", "lang", "source", "n_chars"))
+    revs = (d.filter(F.col("doc_id") % 10 == 1)
+            .select("doc_id", F.lit("upsert").alias("op"),
+                    F.concat(F.lit("rev2: "), F.col("text")).alias("text"),
+                    "lang", "source", "n_chars"))
+    ins = (d.filter(F.col("doc_id") % 10 == 2)
+           .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                   F.lit("upsert").alias("op"),
+                   F.concat(F.lit("new doc "),
+                            F.col("doc_id").cast("string")).alias("text"),
+                   "lang", "source", "n_chars"))
+    changes = dels.unionByName(revs).unionByName(ins)
+    return snapshot_apply(d, changes)

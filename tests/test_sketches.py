@@ -87,3 +87,51 @@ def test_grouped_registers_one_shuffle(spark, ids_df):
     plan = hll_registers(g, "k", p=8, by=("grp",)) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+# --- Count-Min Sketch --------------------------------------------------------
+
+def test_cms_never_underestimates(spark):
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        cms_estimate, cms_sketch)
+    # zipf-ish: value v appears (2000 // (v+1)) times
+    from pyspark.sql import functions as F2
+    vals = spark.range(60).selectExpr(
+        "explode(sequence(1, cast(2000 / (id + 1) as int))) as rep",
+        "cast(id as string) as k").select("k")
+    sk = cms_sketch(vals, "k", depth=4, width=256)
+    keys = vals.distinct()
+    exact = {r.k: r.n for r in
+             vals.groupBy("k").agg(F2.count("*").alias("n")).collect()}
+    est = {r.k: r.cms_estimate for r in
+           cms_estimate(sk, keys, "k", depth=4, width=256).collect()}
+    n_total = sum(exact.values())
+    for k, n in exact.items():
+        assert est[k] >= n                      # never under
+        assert est[k] - n <= 0.1 * n_total      # loose eps*N bound
+
+
+def test_cms_merge_by_counter_add(spark):
+    from pyspark.sql import functions as F2
+    from rgd_rnaseq_workflows_spark.operators.sketches import cms_sketch
+    vals = spark.range(3000).select(
+        (F2.col("id") % 37).cast("string").alias("k"))
+    a = vals.filter(F2.col("id") % 2 == 0)
+    b = vals.filter(F2.col("id") % 2 == 1)
+    whole = {(r.row, r.pos): r.counter
+             for r in cms_sketch(vals, "k", 4, 128).collect()}
+    merged = {(r.row, r.pos): r.counter for r in
+              (cms_sketch(a, "k", 4, 128)
+               .unionByName(cms_sketch(b, "k", 4, 128))
+               .groupBy("row", "pos")
+               .agg(F2.sum("counter").cast("long").alias("counter"))
+               .collect())}
+    assert whole == merged
+
+
+def test_cms_bad_params_raise(spark):
+    import pytest as pt
+    from rgd_rnaseq_workflows_spark.operators.sketches import cms_sketch
+    df = spark.range(5).selectExpr("cast(id as string) as k")
+    with pt.raises(ValueError):
+        cms_sketch(df, "k", depth=0)

@@ -31,3 +31,27 @@ def test_diff_join_moves_fingerprints_not_text(spark):
     # the two scans + the two md5 projections, never in join output
     assert "md5" in plan and "_fa" in plan and "_fb" in plan
     assert plan.count("text") <= 4
+
+
+def test_snapshot_apply_merge_semantics(spark):
+    from rgd_rnaseq_workflows_spark.operators.snapshot import snapshot_apply
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id long, text string")
+    changes = spark.createDataFrame(
+        [(2, "delete", "ignored"), (3, "upsert", "three-v2"),
+         (9, "upsert", "nine")], "doc_id long, op string, text string")
+    out = {r.doc_id: r.text
+           for r in snapshot_apply(base, changes).collect()}
+    assert out == {1: "one", 3: "three-v2", 9: "nine"}
+
+
+def test_snapshot_apply_validates(spark):
+    import pytest as pt
+    from rgd_rnaseq_workflows_spark.operators.snapshot import snapshot_apply
+    base = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pt.raises(ValueError, match="missing columns"):
+        snapshot_apply(base, spark.createDataFrame(
+            [(1, "delete")], "doc_id long, op string"))
+    with pt.raises(ValueError, match="unknown op"):
+        snapshot_apply(base, spark.createDataFrame(
+            [(1, "replace", "y")], "doc_id long, op string, text string"))
