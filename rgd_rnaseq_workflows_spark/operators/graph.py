@@ -1,0 +1,99 @@
+"""Iterative graph analytics over document-similarity graphs.
+
+Beyond connected components (operators/components.py), the other classic
+iterative shape a corpus pipeline runs is PageRank-style importance over
+a near-duplicate / citation / link graph — e.g. picking the canonical
+representative of a duplicate cluster by centrality instead of min-id,
+or weighting a crawl frontier.
+
+Engine-portable exactness: ranks are fixed-point integers (RANK_SCALE),
+the degree division is integer ``div`` (floor — positive operands, so
+Spark's ``div`` and DuckDB's ``//`` agree), and the damping factor is a
+rational ``damping_pct/100`` applied as integer multiply-then-div. Every
+iteration is therefore bit-identical across engines and partition
+orders — the oracle unrolls the same T iterations in SQL.
+
+Scale design: one shuffle per iteration (groupBy dst of the contribution
+join); the rank table is |V| rows, edges |E| rows, both partitioned by
+node key; lineage is checkpoint-truncated every iteration via
+``checkpoint_df`` (reliable checkpoint when a dir is configured) —
+the same pattern the components fixpoint uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rgd_rnaseq_workflows_spark.session import checkpoint_df
+
+RANK_SCALE = 1_000_000_000  # 1e9 fixed-point rank units
+
+
+def _sym_edges(pairs: DataFrame, src: str = "id_a",
+               dst: str = "id_b") -> DataFrame:
+    """Undirected pair list → symmetric directed edge list."""
+    a = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    b = pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    return a.unionByName(b)
+
+
+def pagerank(pairs: DataFrame, iters: int = 3, damping_pct: int = 85,
+             src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Fixed-point PageRank over the undirected graph of ``pairs``.
+
+    Nodes are the ids appearing in any pair (symmetric edges ⇒ no
+    dangling nodes). Returns (id, rank) with
+    ``rank = r_int / RANK_SCALE`` rounded to 6 — r_int exact-integer all
+    the way: r₀ = RANK_SCALE;
+    r_{t+1} = (100-d)·S/100 + d/100 · Σ_{u→v} (r_t(u) div deg(u)).
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct={damping_pct} outside (0,100)")
+    edges = _sym_edges(pairs, src, dst)
+    deg = edges.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    edges = checkpoint_df(edges.join(deg, "u"))
+    teleport = (100 - damping_pct) * RANK_SCALE // 100
+    ranks = deg.select("u", F.lit(RANK_SCALE).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (edges.join(ranks, "u")
+                   .select(F.col("v").alias("u"),
+                           F.expr("r div deg").alias("c")))
+        ranks = checkpoint_df(
+            contrib.groupBy("u")
+            .agg(F.sum("c").cast("long").alias("_in"))
+            .select("u",
+                    (F.lit(teleport).cast("long")
+                     + F.expr(f"(_in * {damping_pct}) div 100"))
+                    .alias("r")))
+    return ranks.select(F.col("u").alias("id"),
+                        F.round(F.col("r") / RANK_SCALE, 6).alias("rank"))
+
+
+def pagerank_sql(pairs_sql: str, iters: int = 3,
+                 damping_pct: int = 85) -> str:
+    """DuckDB twin of :func:`pagerank`: the identical integer iteration
+    unrolled. ``pairs_sql`` must yield columns (id_a, id_b)."""
+    teleport = (100 - damping_pct) * RANK_SCALE // 100
+    chain = [f"""pairs AS MATERIALIZED ({pairs_sql}),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs),
+deg AS MATERIALIZED (
+  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+r0 AS (SELECT u, CAST({RANK_SCALE} AS BIGINT) AS r FROM deg)"""]
+    prev = "r0"
+    for t in range(1, iters + 1):
+        chain.append(f"""r{t} AS MATERIALIZED (
+  SELECT e.v AS u,
+         CAST({teleport} + (sum(r.r // d.deg) * {damping_pct}) // 100
+              AS BIGINT) AS r
+  FROM edges e JOIN {prev} r ON e.u = r.u JOIN deg d ON e.u = d.u
+  GROUP BY e.v)""")
+        prev = f"r{t}"
+    body = ",\n".join(chain)
+    return f"""
+WITH {body}
+SELECT u AS id, round(CAST(r AS DOUBLE) / {RANK_SCALE}, 6) AS rank
+FROM {prev}"""

@@ -1441,6 +1441,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "tokenizer_bpe_encode",
     "sketch_cms_heavy_hitters",
     "snapshot_apply_merge",
+    "graph_pagerank_neardup",
 )
 
 
@@ -2443,3 +2444,28 @@ def snapshot_apply_merge(spark, sf_dir):
                    "lang", "source", "n_chars"))
     changes = dels.unionByName(revs).unionByName(ins)
     return snapshot_apply(d, changes)
+
+
+def _pagerank_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.graph import pagerank_sql
+    pairs = _simhash_fps_ctes(bits=48, seed=101, shingle_n=2) + """
+SELECT id_a, id_b FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM fps a JOIN fps b ON a.doc_id < b.doc_id)
+WHERE hamming <= 3"""
+    return pagerank_sql(pairs, iters=3, damping_pct=85)
+
+
+@q("graph_pagerank_neardup", ("GRAPH-PAGERANK",), oracle=_pagerank_oracle(),
+   note="fixed-point PageRank (3 iterations, d=0.85) over the SimHash "
+        "near-dup graph: exact integer ranks (div/deg + rational "
+        "damping) make every iteration bit-identical across engines and "
+        "partition orders; one groupBy(dst) shuffle per iteration, "
+        "checkpoint-truncated lineage - centrality-based canonical "
+        "selection for duplicate clusters")
+def graph_pagerank_neardup(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.graph import pagerank
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.simhash_near_pairs(d, bits=48, max_hamming=3, shingle_n=2)
+    return pagerank(pairs, iters=3, damping_pct=85)

@@ -1,0 +1,51 @@
+"""Fixed-point PageRank: matches an independent driver-side reference."""
+
+from __future__ import annotations
+
+import pytest
+
+from rgd_rnaseq_workflows_spark.operators.graph import (
+    RANK_SCALE, pagerank)
+
+
+def _ref_pagerank(pairs, iters=3, damping_pct=85):
+    """Plain-python twin of the integer iteration."""
+    edges = {}
+    for a, b in pairs:
+        edges.setdefault(a, []).append(b)
+        edges.setdefault(b, []).append(a)
+    deg = {u: len(vs) for u, vs in edges.items()}
+    r = {u: RANK_SCALE for u in deg}
+    teleport = (100 - damping_pct) * RANK_SCALE // 100
+    for _ in range(iters):
+        incoming = {u: 0 for u in deg}
+        for u, vs in edges.items():
+            c = r[u] // deg[u]
+            for v in vs:
+                incoming[v] += c
+        r = {u: teleport + (incoming[u] * damping_pct) // 100 for u in deg}
+    return {u: round(x / RANK_SCALE, 6) for u, x in r.items()}
+
+
+@pytest.mark.parametrize("pairs", [
+    [(1, 2), (2, 3), (3, 4)],                      # path
+    [(1, 2), (1, 3), (1, 4), (1, 5)],              # star: hub dominates
+    [(1, 2), (2, 3), (3, 1), (4, 5)],              # triangle + isolated edge
+])
+def test_matches_reference(spark, pairs):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.id: r.rank for r in pagerank(df, iters=3).collect()}
+    assert got == _ref_pagerank(pairs, iters=3)
+
+
+def test_hub_outranks_leaves(spark):
+    pairs = [(1, i) for i in range(2, 8)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.id: r.rank for r in pagerank(df, iters=3).collect()}
+    assert got[1] > max(got[i] for i in range(2, 8))
+
+
+def test_bad_damping_raises(spark):
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError):
+        pagerank(df, damping_pct=100)
