@@ -1387,12 +1387,26 @@ def quality_bigram_lm(spark, sf_dir):
 # prior round are surfaced first so every registry entry accumulates a
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
-    # never driver-checked as of r3 (VERDICT.md item 1) — must record in r4
+    # never driver-checked first (r4 additions + the never-
+    # checked set the r3 judge flagged), then r2-only rows
+    # needing refresh; the driver records the first 50 —
+    # entries beyond 50 roll to the next round's window
     "ann_ivf_topk",
     "corpus_curation",
     "skew_salted_agg",
-    # r2-only rows (rotated out of r3's 50-entry window) — refresh in r4 so
-    # the union of r3+r4 driver CORRECTNESS covers all registered queries
+    "text_bm25_topk",
+    "quality_lm_buckets",
+    "sketch_hll_distinct",
+    "dsir_importance",
+    "dedup_passages",
+    "embedding_random_projection",
+    "bloom_semi_join",
+    "sketch_hll_by_group",
+    "dedup_passage_rewrite",
+    "tokenizer_bpe_encode",
+    "sketch_cms_heavy_hitters",
+    "snapshot_apply_merge",
+    "graph_pagerank_neardup",
     "agg4_dedup_keep_first",
     "agg7_binned_rate",
     "agg8_ratio_classify",
@@ -1428,20 +1442,6 @@ _RECORD_FIRST: tuple[str, ...] = (
     "win2_topk_per_group",
     "win3_running_total",
     "win4_lead_lag",
-    # round-4 additions (no recorded row yet)
-    "text_bm25_topk",
-    "quality_lm_buckets",
-    "sketch_hll_distinct",
-    "dsir_importance",
-    "dedup_passages",
-    "embedding_random_projection",
-    "bloom_semi_join",
-    "sketch_hll_by_group",
-    "dedup_passage_rewrite",
-    "tokenizer_bpe_encode",
-    "sketch_cms_heavy_hitters",
-    "snapshot_apply_merge",
-    "graph_pagerank_neardup",
 )
 
 
