@@ -56,3 +56,25 @@ def test_bucketed_join_has_no_exchange(warehouse):
     naive = orders.join(lineitem,
                         orders.o_orderkey == lineitem.l_orderkey).count()
     assert n == naive
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path):
+    """run_corpus publishes curated corpora partitionBy(lang); reading one
+    language back must prune at the FILE level (PartitionFilters in the
+    scan, non-matching directories never listed into the plan) — at
+    100 TB this is the difference between scanning one language's shard
+    and the whole lake."""
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "part_corpus")
+    df = spark.createDataFrame(
+        [(i, f"text {i}", ["en", "de", "zh"][i % 3]) for i in range(60)],
+        "doc_id long, text string, lang string")
+    df.write.mode("overwrite").partitionBy("lang").parquet(path)
+    q = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters", 1)[1][:120]
+    assert q.count() == 20
+    # the scan's selected partition count is 1 of 3 (pruned listing)
+    assert "partition count: 1" in plan.lower() or \
+        "lang=en" in plan
