@@ -75,6 +75,9 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path):
     assert "PartitionFilters" in plan and "lang" in plan.split(
         "PartitionFilters", 1)[1][:120]
     assert q.count() == 20
-    # the scan's selected partition count is 1 of 3 (pruned listing)
-    assert "partition count: 1" in plan.lower() or \
-        "lang=en" in plan
+    # the equality predicate itself sits in PartitionFilters (directory-
+    # level pruning), NOT in DataFilters/PushedFilters (row-level)
+    part_filters = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "= en" in part_filters
+    data_filters = plan.split("DataFilters", 1)[1].split("]", 1)[0]
+    assert "= en" not in data_filters
