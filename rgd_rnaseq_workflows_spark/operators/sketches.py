@@ -248,3 +248,80 @@ def cms_sketch_sql(table: str, expr: str, depth: int = 4, width: int = 1024,
     return f"""
 SELECT row, pos, CAST(count(*) AS BIGINT) AS counter
 FROM ({rows}) GROUP BY row, pos"""
+
+
+# --- log2 quantile sketch (power-of-2 DDSketch) ------------------------------
+
+def log2_quantile_sketch(df: DataFrame, col: str,
+                         scale: int = 100) -> DataFrame:
+    """Mergeable quantile sketch with γ=2 relative-error buckets (the
+    power-of-2 special case of DDSketch, Masson et al. 2019): bucket a
+    non-negative fixed-point value by the BIT LENGTH of
+    ``round(x·scale)`` — ≤64 buckets from any input size, merged by
+    adding counts, no floats anywhere (``length(bin(v))`` is the same
+    portable integer log2 the HLL registers use; float ``log`` would
+    round differently at 2^k boundaries across engines).
+
+    Quantile estimates reconstructed from the bucket histogram are
+    within a factor 2 of truth (bucket b holds [2^(b-1), 2^b)); a
+    production deployment wanting γ=1.02 subdivides buckets the same
+    way — the plan shape (one ≤64-row shuffle) is unchanged.
+    """
+    v = F.round(F.col(col).cast("double") * scale).cast("long")
+    return (df.select(F.length(F.bin(v)).cast("int").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def log2_quantile_estimate(sketch: DataFrame, percents: list[int],
+                           scale: int = 100) -> DataFrame:
+    """(percentile, est) for integer ``percents``: rank
+    ``floor((N-1)·p/100)+1`` (exact integer), answered by the first
+    bucket whose cumulative count reaches it; the estimate is the bucket
+    midpoint ``(2^(b-1) + 2^b - 1) div 2`` rescaled."""
+    from pyspark.sql import Window
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select("bucket", "n",
+                        F.sum("n").over(w).cast("long").alias("cum"))
+    total = sketch.agg(F.sum("n").cast("long").alias("N"))
+    pez = F.explode(F.array(*[F.lit(p) for p in percents])).alias("pct")
+    ranks = total.select(pez, "N").select(
+        "pct", (F.expr("(N - 1) * pct div 100") + 1).alias("rank"))
+    j = (ranks.join(cum, cum.cum >= ranks.rank)
+         .groupBy("pct", "rank")
+         .agg(F.min("bucket").cast("int").alias("bucket")))
+    mid = F.expr("CAST((shiftleft(CAST(1 AS BIGINT), bucket - 1) "
+                 "+ shiftleft(CAST(1 AS BIGINT), bucket) - 1) div 2 "
+                 "AS BIGINT)")
+    return (j.select(F.col("pct").alias("percentile"), "bucket",
+                     F.round(mid / scale, 6).alias("est"))
+            .orderBy("percentile"))
+
+
+def log2_quantiles_sql(table: str, expr: str, percents: list[int],
+                       scale: int = 100) -> str:
+    """DuckDB twin of sketch + estimate (identical buckets, ranks,
+    midpoints)."""
+    plist = ", ".join(str(p) for p in percents)
+    return f"""
+WITH sk AS (
+  SELECT CAST(length(bin(CAST(round(CAST({expr} AS DOUBLE) * {scale})
+                              AS BIGINT))) AS INTEGER) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1),
+cum AS (
+  SELECT bucket, CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum
+  FROM sk),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM sk),
+ranks AS (
+  SELECT pct, ((N - 1) * pct) // 100 + 1 AS rank
+  FROM tot, unnest([{plist}]) AS u(pct)),
+hit AS (
+  SELECT pct, rank, CAST(min(bucket) AS INTEGER) AS bucket
+  FROM ranks JOIN cum ON cum.cum >= ranks.rank
+  GROUP BY pct, rank)
+SELECT CAST(pct AS INTEGER) AS percentile, bucket,
+       round(CAST(((CAST(1 AS BIGINT) << (bucket - 1))
+                   + (CAST(1 AS BIGINT) << bucket) - 1) // 2 AS DOUBLE)
+             / {scale}, 6) AS est
+FROM hit ORDER BY percentile"""

@@ -1407,6 +1407,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "sketch_cms_heavy_hitters",
     "snapshot_apply_merge",
     "graph_pagerank_neardup",
+    "sketch_log2_quantiles",
     "agg4_dedup_keep_first",
     "agg7_binned_rate",
     "agg8_ratio_classify",
@@ -2469,3 +2470,24 @@ def graph_pagerank_neardup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = DD.simhash_near_pairs(d, bits=48, max_hamming=3, shingle_n=2)
     return pagerank(pairs, iters=3, damping_pct=85)
+
+
+def _log2q_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        log2_quantiles_sql)
+    return log2_quantiles_sql("lineitem", "l_extendedprice",
+                              [25, 50, 90, 99], scale=100)
+
+
+@q("sketch_log2_quantiles", ("SKETCH-QUANTILE",), oracle=_log2q_oracle(),
+   note="power-of-2 DDSketch quantiles: <=64 integer buckets from any "
+        "input size (bit-length bucketing, no float log), merged by "
+        "count add; rank lookup over the cumulative histogram - the "
+        "mergeable 100TB quantile path with a gamma=2 guarantee, "
+        "refinable by subdividing buckets")
+def sketch_log2_quantiles(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        log2_quantile_estimate, log2_quantile_sketch)
+    li = _t(spark, sf_dir, "lineitem")
+    sk = log2_quantile_sketch(li, "l_extendedprice", scale=100)
+    return log2_quantile_estimate(sk, [25, 50, 90, 99], scale=100)

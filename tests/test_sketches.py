@@ -135,3 +135,38 @@ def test_cms_bad_params_raise(spark):
     df = spark.range(5).selectExpr("cast(id as string) as k")
     with pt.raises(ValueError):
         cms_sketch(df, "k", depth=0)
+
+
+# --- log2 quantile sketch ----------------------------------------------------
+
+def test_log2_quantiles_within_factor_two(spark):
+    from pyspark.sql import functions as F2
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        log2_quantile_estimate, log2_quantile_sketch)
+    df = spark.range(1, 10001).select((F2.col("id") / 10.0).alias("x"))
+    sk = log2_quantile_sketch(df, "x", scale=100)
+    est = {r.percentile: r.est
+           for r in log2_quantile_estimate(sk, [50, 90, 99],
+                                           scale=100).collect()}
+    exact = {50: 500.05, 90: 900.0, 99: 990.0}
+    for p, t in exact.items():
+        assert t / 2 <= est[p] <= 2 * t, (p, est[p], t)
+
+
+def test_log2_sketch_merges_by_count_add(spark):
+    from pyspark.sql import functions as F2
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        log2_quantile_estimate, log2_quantile_sketch)
+    df = spark.range(1, 5001).select((F2.col("id") % 997 + 1.0).alias("x"))
+    a = df.limit(2500)
+    whole = log2_quantile_sketch(df, "x")
+    # split/merge: sketch halves then add counts
+    b = df.subtract(a.limit(0)).exceptAll(a)
+    merged = (log2_quantile_sketch(a, "x")
+              .unionByName(log2_quantile_sketch(b, "x"))
+              .groupBy("bucket").agg(F2.sum("n").cast("long").alias("n")))
+    e1 = {r.percentile: r.est for r in
+          log2_quantile_estimate(whole, [50, 95]).collect()}
+    e2 = {r.percentile: r.est for r in
+          log2_quantile_estimate(merged, [50, 95]).collect()}
+    assert e1 == e2
