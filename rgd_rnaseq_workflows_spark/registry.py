@@ -1408,6 +1408,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "snapshot_apply_merge",
     "graph_pagerank_neardup",
     "sketch_log2_quantiles",
+    "rag_chunk_documents",
     "agg4_dedup_keep_first",
     "agg7_binned_rate",
     "agg8_ratio_classify",
@@ -2491,3 +2492,21 @@ def sketch_log2_quantiles(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     sk = log2_quantile_sketch(li, "l_extendedprice", scale=100)
     return log2_quantile_estimate(sk, [25, 50, 90, 99], scale=100)
+
+
+def _chunking_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        chunk_documents_sql)
+    return chunk_documents_sql("documents", window=16, stride=12)
+
+
+@q("rag_chunk_documents", ("RAG-CHUNK",), oracle=_chunking_oracle(),
+   note="overlapping RAG chunking (stride < window so no span splits "
+        "across a boundary): pure codegen explode, zero shuffle, "
+        "deterministic (doc, start) chunk identity stable under corpus "
+        "growth")
+def rag_chunk_documents(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        chunk_documents)
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           window=16, stride=12)
