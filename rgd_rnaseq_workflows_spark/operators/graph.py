@@ -39,7 +39,8 @@ def _sym_edges(pairs: DataFrame, src: str = "id_a",
 
 
 def pagerank(pairs: DataFrame, iters: int = 3, damping_pct: int = 85,
-             src: str = "id_a", dst: str = "id_b") -> DataFrame:
+             src: str = "id_a", dst: str = "id_b",
+             checkpoint_every: int = 5) -> DataFrame:
     """Fixed-point PageRank over the undirected graph of ``pairs``.
 
     Nodes are the ids appearing in any pair (symmetric edges ⇒ no
@@ -55,17 +56,21 @@ def pagerank(pairs: DataFrame, iters: int = 3, damping_pct: int = 85,
     edges = checkpoint_df(edges.join(deg, "u"))
     teleport = (100 - damping_pct) * RANK_SCALE // 100
     ranks = deg.select("u", F.lit(RANK_SCALE).cast("long").alias("r"))
-    for _ in range(iters):
+    for t in range(1, iters + 1):
         contrib = (edges.join(ranks, "u")
                    .select(F.col("v").alias("u"),
                            F.expr("r div deg").alias("c")))
-        ranks = checkpoint_df(
-            contrib.groupBy("u")
-            .agg(F.sum("c").cast("long").alias("_in"))
-            .select("u",
-                    (F.lit(teleport).cast("long")
-                     + F.expr(f"(_in * {damping_pct}) div 100"))
-                    .alias("r")))
+        ranks = (contrib.groupBy("u")
+                 .agg(F.sum("c").cast("long").alias("_in"))
+                 .select("u",
+                         (F.lit(teleport).cast("long")
+                          + F.expr(f"(_in * {damping_pct}) div 100"))
+                         .alias("r")))
+        # truncate lineage periodically, not per-round: an eager
+        # checkpoint is a full job, and a 3-iteration plan is shallow
+        # enough to leave fused — the cadence only matters for long runs
+        if t % checkpoint_every == 0 and t < iters:
+            ranks = checkpoint_df(ranks)
     return ranks.select(F.col("u").alias("id"),
                         F.round(F.col("r") / RANK_SCALE, 6).alias("rank"))
 
