@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="add a deterministic train/val/test column "
                         "(md5 bucket of doc_id, 80/10/10) to the curated "
                         "output — stable under repartitioning")
+    p.add_argument("--chunks", type=int, default=None, metavar="WINDOW",
+                   help="also write an overlapping chunk table (RAG/"
+                        "embedding indexing) with this token window")
+    p.add_argument("--chunk-stride", type=int, default=None,
+                   help="chunk stride (default 3/4 of the window)")
     p.add_argument("--shards", type=int, default=None, metavar="N",
                    help="also write a training-ready shard-partitioned "
                         "copy (md5 pseudorandom shard of doc_id) plus a "
@@ -147,6 +152,13 @@ def run(args: argparse.Namespace) -> int:
     for r in stats.orderBy("lang").collect():
         print(f"[corpus] {r['lang']}: {r['n_docs']} docs, "
               f"{r['total_tokens']} tokens", file=sys.stderr)
+    if args.chunks:
+        from rgd_rnaseq_workflows_spark.operators.chunking import (
+            chunk_documents)
+        stride = args.chunk_stride or max(1, args.chunks * 3 // 4)
+        final = spark.read.parquet(f"{out}/curated")
+        (chunk_documents(final, window=args.chunks, stride=stride)
+         .write.mode("overwrite").parquet(f"{out}/chunks"))
     if args.shards:
         from rgd_rnaseq_workflows_spark.functions.hashing import md5_long
         from rgd_rnaseq_workflows_spark.operators.packing import shard_corpus

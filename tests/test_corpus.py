@@ -300,3 +300,27 @@ def test_corpus_cli_passage_dedup_and_dsir(spark, tmp_out):
         assert not texts[1].startswith("alpha beta gamma delta")
     # DSIR keeps half the docs, biased toward the tgt slice
     assert 0 < len(texts) <= 2
+
+
+def test_corpus_cli_chunks_stage(spark, tmp_out):
+    import os
+    from rgd_rnaseq_workflows_spark import run_corpus
+    base = "the and is in of to it was for on with as"
+    rows = [(i, f"doc {i} body words here {base}", "en", "src0")
+            for i in range(6)]
+    src = os.path.join(tmp_out, "ch_docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string") \
+        .write.parquet(src)
+    out = os.path.join(tmp_out, "ch_out")
+    rc = run_corpus.main(["--docs", src, "--out", out, "--min-tokens", "5",
+                          "--threshold", "0.999", "--chunks", "8"])
+    assert rc == 0
+    chunks = spark.read.parquet(f"{out}/chunks")
+    assert set(chunks.columns) == {"doc_id", "chunk_idx", "chunk_start",
+                                   "chunk_text", "n_tokens"}
+    rows_ = chunks.collect()
+    assert rows_ and all(r.n_tokens <= 8 for r in rows_)
+    # default stride = 6 → 17-token docs chunk at 0, 6, 12
+    starts = sorted(r.chunk_start for r in rows_ if r.doc_id == 0)
+    assert starts == [0, 6, 12]
