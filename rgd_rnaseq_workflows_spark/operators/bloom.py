@@ -220,8 +220,8 @@ def bloom_semi_join_stats_sql(probe_table: str, probe_key: str,
         f"SELECT _pk, {km_position_sql('_pk', i, m_bits, seed)} AS p "
         f"FROM pkeys" for i in range(k))
     return f"""
-WITH build AS ({build_sql}),
-bitmap AS (
+WITH build AS MATERIALIZED ({build_sql}),
+bitmap AS MATERIALIZED (
   -- DuckDB rejects 1<<63 (overflow-checked); the sign bit is the
   -- explicit min-long two's-complement value, matching Spark's wrap
   SELECT p // {WORD_BITS} AS word,
@@ -231,14 +231,14 @@ bitmap AS (
                                << CAST(p % {WORD_BITS} AS INT) END)
               AS BIGINT) AS bits
   FROM ({build_pos}) GROUP BY word),
-pkeys AS (SELECT DISTINCT CAST({probe_key} AS VARCHAR) AS _pk
+pkeys AS MATERIALIZED (SELECT DISTINCT CAST({probe_key} AS VARCHAR) AS _pk
           FROM {probe_table}),
 khit AS (
   SELECT _pk FROM ({probe_pos}) pp
   JOIN bitmap ON pp.p // {WORD_BITS} = bitmap.word
   WHERE (bitmap.bits >> CAST(pp.p % {WORD_BITS} AS INT)) & 1 = 1
   GROUP BY _pk HAVING count(*) = {k}),
-verdict AS (
+verdict AS MATERIALIZED (
   SELECT _pk,
          CASE WHEN _pk IN (SELECT _pk FROM khit) THEN 1 ELSE 0 END AS _pass,
          CASE WHEN _pk IN (SELECT bk FROM build) THEN 1 ELSE 0 END AS _inb

@@ -442,7 +442,7 @@ chunks AS (
                          ' ') AS passage
   FROM tk, unnest(range(CAST(ceil(len(toks) / {window}.0) AS BIGINT)))
        AS r(i)),
-hashes AS (SELECT _id, {h} AS h FROM chunks),
+hashes AS MATERIALIZED (SELECT _id, {h} AS h FROM chunks),
 freq AS (SELECT h, count(*) AS n_occ FROM hashes GROUP BY h),
 per_doc AS (
   SELECT _id, CAST(count(*) AS BIGINT) AS n_passages,
@@ -519,7 +519,7 @@ occ AS (
                          ' ') AS passage
   FROM tk, unnest(range(CAST(ceil(len(toks) / {window}.0) AS BIGINT)))
        AS r(i)),
-kept AS (
+kept AS MATERIALIZED (
   SELECT _id, idx, passage,
          row_number() OVER (PARTITION BY {h} ORDER BY _id, idx) = 1
            AS _keep

@@ -133,11 +133,11 @@ def importance_weights_sql(table: str, target_pred: str,
     toks = TX.tokens_sql(text_col)
     h = md5_long_sql("tok", seed=seed)
     return f"""
-WITH tokd AS (
+WITH tokd AS MATERIALIZED (
   SELECT {id_col} AS _id, ({target_pred}) AS _tgt,
          {h} % {n_buckets} AS bucket
   FROM {table}, unnest({toks}) AS u(tok)),
-model AS (
+model AS MATERIALIZED (
   SELECT bucket,
          CAST(round((ln((sum(CASE WHEN _tgt THEN 1 ELSE 0 END) + {alpha})
                      / (sum(sum(CASE WHEN _tgt THEN 1 ELSE 0 END)) OVER ()

@@ -304,7 +304,7 @@ def log2_quantiles_sql(table: str, expr: str, percents: list[int],
     midpoints)."""
     plist = ", ".join(str(p) for p in percents)
     return f"""
-WITH sk AS (
+WITH sk AS MATERIALIZED (
   SELECT CAST(length(bin(CAST(round(CAST({expr} AS DOUBLE) * {scale})
                               AS BIGINT))) AS INTEGER) AS bucket,
          CAST(count(*) AS BIGINT) AS n

@@ -2364,8 +2364,8 @@ def _cms_oracle() -> str:
         + " % 1024 AS pos FROM exact_top"
         for i in range(4))
     return f"""
-WITH toks AS (SELECT unnest({toks_sql}) AS tok FROM documents),
-exact_top AS (
+WITH toks AS MATERIALIZED (SELECT unnest({toks_sql}) AS tok FROM documents),
+exact_top AS MATERIALIZED (
   SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
   FROM toks GROUP BY tok ORDER BY exact_count DESC, tok LIMIT 10),
 sketch AS ({sketch}),
