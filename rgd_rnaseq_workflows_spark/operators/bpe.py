@@ -89,7 +89,7 @@ def _fold_py(syms: list, left: str, right: str, merged: str) -> list:
     return out
 
 
-def _train_bpe_driver(rows, rounds: int) -> list:
+def _train_bpe_driver(rows, rounds: int) -> tuple[list, list]:
     """Exact incremental BPE on the collected word-count table.
 
     Classic trainer shape (Sennrich et al. 2016; what SentencePiece/HF
@@ -115,7 +115,7 @@ def _train_bpe_driver(rows, rounds: int) -> list:
             pair_words[p].add(idx)
     heap = [(-c, l, r) for (l, r), c in pair_counts.items()]
     heapq.heapify(heap)
-    out = []
+    out: list = []
     for rnd in range(1, rounds + 1):
         # lazy deletion: skip entries whose stored count went stale
         while heap and pair_counts.get(
@@ -151,7 +151,9 @@ def _train_bpe_driver(rows, rounds: int) -> list:
             else:
                 pair_counts.pop(p, None)
                 pair_words.pop(p, None)
-    return out
+    # words carries the FINAL symbol state per word (maintained
+    # incrementally by the merge loop) — the encoder's free by-product
+    return out, words
 
 
 def _train_bpe_distributed(vocab: DataFrame, rounds: int) -> list:
@@ -196,7 +198,7 @@ def train_bpe(docs: DataFrame, rounds: int = 3, text_col: str = "text",
     rows = [(r["word"], r["wc"])
             for r in wc.limit(max_driver_vocab + 1).collect()]
     if len(rows) <= max_driver_vocab:
-        out = _train_bpe_driver(rows, rounds)
+        out, _ = _train_bpe_driver(rows, rounds)
     else:
         vocab = (wc.select("wc", _initial_symbols(F.col("word")).alias("syms"))
                  .localCheckpoint())  # reused every round; corpus never re-read
@@ -286,7 +288,8 @@ ORDER BY round
 # --- corpus encoding (token budgeting) ---------------------------------------
 
 def bpe_encode_stats(docs: DataFrame, rounds: int = 4,
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     max_driver_vocab: int = 5_000_000) -> DataFrame:
     """Train ``rounds`` merges, then ENCODE the corpus with them and
     report the token budget — the number a pretraining-data pipeline
     needs before it can mix, pack, or price a corpus:
@@ -294,21 +297,45 @@ def bpe_encode_stats(docs: DataFrame, rounds: int = 4,
     compression).
 
     Encoding happens on the VOCABULARY (distinct words × wc), never the
-    corpus: applying a merge list to 100 TB of text costs the same one
-    word-count shuffle the trainer pays, plus vocabulary-scale folds.
+    corpus: one word-count shuffle, then the driver trainer's final
+    symbol states — maintained incrementally by the merge loop — are the
+    encoding for free (summing them is O(vocab)). The previous form
+    re-applied the merge list as ``rounds`` chained aggregate-HOF plans:
+    18 s for 200 merges at the 10× replica from PLAN DEPTH alone, and a
+    32k-merge production vocabulary would be unplannable. Oversized
+    vocabularies fall back to the distributed fold chain with periodic
+    lineage truncation.
     ``corpus_syms_initial`` counts the char symbols + end marker per
     word occurrence; ``compression`` = initial/encoded, rounded 6.
     """
+    import math
+
+    spark = docs.sparkSession
+    wc = word_counts(docs, text_col)
+    rows = [(r["word"], r["wc"])
+            for r in wc.limit(max_driver_vocab + 1).collect()]
+    if len(rows) <= max_driver_vocab:
+        _, words = _train_bpe_driver(rows, rounds)
+        ini = sum(w * (len(word) + 1) for word, w in rows)
+        enc = sum(w * len(syms) for syms, w in words)
+        # half-away-from-zero on the same IEEE quotient both engines round
+        comp = math.floor(ini / enc * 10**6 + 0.5) / 10**6
+        return spark.createDataFrame(
+            [(len(rows), ini, enc, comp)],
+            "n_words long, corpus_syms_initial long, "
+            "corpus_syms_encoded long, compression double")
     merges_df = train_bpe(docs, rounds, text_col)
     merges = [(r["left"], r["right"])
               for r in merges_df.orderBy("round").collect()]
-    wc = word_counts(docs, text_col)
     vocab = wc.select(
         "wc",
         (F.length("word") + 1).cast("long").alias("n0"),
         _initial_symbols(F.col("word")).alias("syms"))
-    for left, right in merges:
+    for i, (left, right) in enumerate(merges, 1):
         vocab = _apply_merge(vocab, left, right)
+        if i % 20 == 0:  # bound plan depth on the fallback path
+            from rgd_rnaseq_workflows_spark.session import checkpoint_df
+            vocab = checkpoint_df(vocab)
     return (vocab.agg(
         F.count("*").cast("long").alias("n_words"),
         F.sum(F.col("wc") * F.col("n0")).cast("long")
