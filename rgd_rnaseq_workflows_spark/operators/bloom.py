@@ -27,8 +27,13 @@ Scale notes:
   longs = 128 KB), embedded as an array literal like the k-means
   centroids; at larger m you'd publish it as a broadcast variable —
   same plan shape.
-- Probe: 2 md5 evaluations + k element_at/getbit tests per row, all
-  codegen'd; no Python, no shuffle, no join.
+- Probe: 2 hash evaluations + k element_at/getbit tests per row, all
+  codegen'd; no Python, no shuffle, no join. Measured ~0.3–1.2 µs/row
+  (hash_fn and k dependent): the prefilter pays where the avoided cost
+  is network shuffle / spill of wide fact rows or a gated explosion —
+  NOT against a local in-memory shuffle of narrow columns. In-job
+  prefilters should use ``hash_fn="xxhash64"`` (no cross-engine
+  portability needed) and a small k / higher fp target.
 """
 
 from __future__ import annotations
@@ -52,20 +57,37 @@ def suggest_params(n_keys: int, target_fp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
-def _km_hashes(key: Column, m_bits: int, seed: int) -> tuple[Column, Column]:
+def _km_hashes(key: Column, m_bits: int, seed: int,
+               hash_fn: str = "md5") -> tuple[Column, Column]:
     """The Kirsch–Mitzenmacher pair: base position g1 ∈ [0, m) and odd
     step g2 — odd so the stride cycles the full power-of-two ring.
-    Two md5 evaluations total; Catalyst CSEs them across the k uses."""
+    Two hash evaluations total, CSE'd across the k uses.
+
+    ``hash_fn="md5"`` (default) is the portable family — the bitmap is
+    reproducible in any engine (the oracle contract, or publishing the
+    bitmap for external consumers). ``"xxhash64"`` is the in-job fast
+    path: ~6× cheaper per row (measured), bit-compatible only between a
+    build and probe inside Spark — the right choice when the prefilter
+    exists to cut a shuffle in the same job.
+    """
     s = key.cast("string")
+    if hash_fn == "xxhash64":
+        g1 = F.pmod(F.xxhash64(s, F.lit(seed * 2)), F.lit(m_bits))
+        g2 = F.pmod(F.xxhash64(s, F.lit(seed * 2 + 1)),
+                    F.lit(m_bits // 2)) * 2 + 1
+        return g1, g2
+    if hash_fn != "md5":
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     g1 = F.pmod(md5_long(F.concat(F.lit(f"{seed}:a:"), s)), F.lit(m_bits))
     g2 = F.pmod(md5_long(F.concat(F.lit(f"{seed}:b:"), s)),
                 F.lit(m_bits // 2)) * 2 + 1
     return g1, g2
 
 
-def _km_position(key: Column, i: int, m_bits: int, seed: int) -> Column:
+def _km_position(key: Column, i: int, m_bits: int, seed: int,
+                 hash_fn: str = "md5") -> Column:
     """pos_i = (g1 + i·g2) mod m — all operands < 2^40, no overflow."""
-    g1, g2 = _km_hashes(key, m_bits, seed)
+    g1, g2 = _km_hashes(key, m_bits, seed, hash_fn)
     return F.pmod(g1 + i * g2, F.lit(m_bits))
 
 
@@ -78,7 +100,8 @@ def km_position_sql(key_expr: str, i: int, m_bits: int, seed: int) -> str:
 
 
 def build_bloom(keys: DataFrame, key_col: str, m_bits: int,
-                k: int, seed: int = 17) -> list[int]:
+                k: int, seed: int = 17,
+                hash_fn: str = "md5") -> list[int]:
     """Distributed build → driver-side bitmap: a list of m/64 longs.
 
     The groupBy(word) bit_or is the only shuffle (≤ m/64 rows after
@@ -87,7 +110,7 @@ def build_bloom(keys: DataFrame, key_col: str, m_bits: int,
     if m_bits % WORD_BITS or m_bits & (m_bits - 1):
         raise ValueError(f"m_bits={m_bits} must be a power of two ≥ 64")
     pos = F.explode(F.array(
-        *[_km_position(F.col(key_col), i, m_bits, seed)
+        *[_km_position(F.col(key_col), i, m_bits, seed, hash_fn)
           for i in range(k)])).alias("pos")
     words = (keys.select(pos)
              .select((F.col("pos") / WORD_BITS).cast("long").alias("word"),
@@ -137,7 +160,8 @@ def _bit_tests_from(g1: Column, g2: Column, bitmap: list[int],
 
 
 def bloom_filter_probe(probe: DataFrame, key_col: str, bitmap: list[int],
-                       m_bits: int, k: int, seed: int = 17) -> DataFrame:
+                       m_bits: int, k: int, seed: int = 17,
+                       hash_fn: str = "md5") -> DataFrame:
     """probe rows whose key might be in the build set (all k bits set).
 
     The two KM hashes are materialized by a projection BEFORE the k-way
@@ -145,7 +169,7 @@ def bloom_filter_probe(probe: DataFrame, key_col: str, bitmap: list[int],
     from Spark's codegen subexpression elimination, so an inline AND
     chain re-evaluates both md5 trees per term — measured ~4× slower.
     """
-    g1, g2 = _km_hashes(F.col(key_col), m_bits, seed)
+    g1, g2 = _km_hashes(F.col(key_col), m_bits, seed, hash_fn)
     return (probe.withColumn("_g1", g1).withColumn("_g2", g2)
             .filter(_bit_tests_from(F.col("_g1"), F.col("_g2"),
                                     bitmap, m_bits, k))
