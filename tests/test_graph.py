@@ -24,7 +24,7 @@ def _ref_pagerank(pairs, iters=3, damping_pct=85):
             for v in vs:
                 incoming[v] += c
         r = {u: teleport + (incoming[u] * damping_pct) // 100 for u in deg}
-    return {u: round(x / RANK_SCALE, 6) for u, x in r.items()}
+    return {u: _round6_half_up(x / RANK_SCALE) for u, x in r.items()}
 
 
 @pytest.mark.parametrize("pairs", [
@@ -49,3 +49,12 @@ def test_bad_damping_raises(spark):
     df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError):
         pagerank(df, damping_pct=100)
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark/DuckDB round() semantics (HALF_UP on the shortest decimal
+    repr) — python's builtin round() is banker's and disagrees at exact
+    .xxxxxx5 rank values (hypothesis found one)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))

@@ -313,3 +313,94 @@ def test_snapshot_diff_labels_consistent(spark, old_ids, new_ids, edited):
             assert got[i] == "modified"
         else:
             assert got[i] == "unchanged"
+
+
+# --- round-4 operators -------------------------------------------------------
+
+@SETTINGS
+@given(st.lists(st.tuples(st.integers(1, 8), st.integers(1, 8))
+                .filter(lambda p: p[0] != p[1]),
+                min_size=1, max_size=10, unique=True))
+def test_pagerank_matches_pure_python(spark, pairs):
+    """Fixed-point PageRank on random small graphs equals the
+    independent driver-side reference fold (exact integers ⇒ ==)."""
+    from rgd_rnaseq_workflows_spark.operators.graph import (
+        RANK_SCALE, pagerank)
+    canon_pairs = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    df = spark.createDataFrame(canon_pairs, "id_a long, id_b long")
+    got = {r.id: r.rank for r in pagerank(df, iters=3).collect()}
+
+    edges: dict = {}
+    for a, b in canon_pairs:
+        edges.setdefault(a, []).append(b)
+        edges.setdefault(b, []).append(a)
+    deg = {u: len(v) for u, v in edges.items()}
+    r = {u: RANK_SCALE for u in deg}
+    tel = 15 * RANK_SCALE // 100
+    for _ in range(3):
+        inc = {u: 0 for u in deg}
+        for u, vs in edges.items():
+            c = r[u] // deg[u]
+            for v in vs:
+                inc[v] += c
+        r = {u: tel + (inc[u] * 85) // 100 for u in deg}
+    expect = {u: _round6_half_up(x / RANK_SCALE) for u, x in r.items()}
+    assert got == expect
+
+
+@SETTINGS
+@given(st.lists(st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                         min_size=1, max_size=9),
+                min_size=1, max_size=6))
+def test_passage_rewrite_keeps_each_passage_exactly_once(spark, docs):
+    """Global dedup invariant: after the rewrite, every distinct passage
+    survives in EXACTLY one place corpus-wide, and n_removed counts
+    every other occurrence."""
+    from rgd_rnaseq_workflows_spark.operators.dedup import (
+        remove_duplicate_passages)
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_duplicate_passages(df, window=2).collect()
+    kept = []
+    for r in out:
+        kept += [p for p in [" ".join(c) for c in _chunks2(r.clean_text)]
+                 if p]
+    # recompute expected multiset of all passages
+    all_passages = []
+    for _, text in rows:
+        toks = text.split()
+        all_passages += [" ".join(toks[i:i + 2])
+                         for i in range(0, len(toks), 2)]
+    assert sorted(kept) == sorted(set(all_passages))
+    assert sum(r.n_removed for r in out) == \
+        len(all_passages) - len(set(all_passages))
+
+
+def _chunks2(text):
+    toks = text.split()
+    return [toks[i:i + 2] for i in range(0, len(toks), 2)]
+
+
+@SETTINGS
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=60))
+def test_cms_never_underestimates_property(spark, vals):
+    from collections import Counter
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        cms_estimate, cms_sketch)
+    df = spark.createDataFrame([(str(v),) for v in vals], "k string")
+    sk = cms_sketch(df, "k", depth=3, width=32)
+    est = {r.k: r.cms_estimate for r in
+           cms_estimate(sk, df.distinct(), "k", depth=3,
+                        width=32).collect()}
+    for k, n in Counter(str(v) for v in vals).items():
+        assert est[k] >= n
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark/DuckDB round() semantics (HALF_UP on the shortest decimal
+    repr) — python's builtin round() is banker's and disagrees at exact
+    .xxxxxx5 rank values (hypothesis found one)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
