@@ -188,7 +188,7 @@ def relative_error_bound(p: int) -> float:
 # --- Count-Min Sketch --------------------------------------------------------
 
 def cms_sketch(df: DataFrame, col: str, depth: int = 4, width: int = 1024,
-               seed: int = 9) -> DataFrame:
+               seed: int = 9, by: tuple[str, ...] = ()) -> DataFrame:
     """Count-Min Sketch (Cormode & Muthukrishnan 2005) of ``df[col]``:
     the (row, pos, counter) table, ≤ depth·width rows regardless of
     input size — the frequency analog of the HLL register table.
@@ -209,30 +209,30 @@ def cms_sketch(df: DataFrame, col: str, depth: int = 4, width: int = 1024,
                  F.pmod(md5_long(F.concat(F.lit(f"{seed + i}:"), c)),
                         F.lit(width)).alias("pos"))
         for i in range(depth)])).alias("cell")
-    return (df.select(cells)
-            .select("cell.row", "cell.pos")
-            .groupBy("row", "pos")
+    return (df.select(*by, cells)
+            .select(*by, "cell.row", "cell.pos")
+            .groupBy(*by, "row", "pos")
             .agg(F.count("*").cast("long").alias("counter")))
 
 
 def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
                  depth: int = 4, width: int = 1024,
-                 seed: int = 9) -> DataFrame:
+                 seed: int = 9, by: tuple[str, ...] = ()) -> DataFrame:
     """Point-frequency estimates for ``keys[key_col]``: min over the
     depth counters (the CMS guarantee: estimate ≥ truth, over-estimate
     bounded by ε·N w.h.p.). The sketch broadcasts (≤ depth·width rows);
     keys are never shuffled."""
     c = F.col(key_col).cast("string")
     probes = keys.select(
-        key_col,
+        *by, key_col,
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("row"),
                      F.pmod(md5_long(F.concat(F.lit(f"{seed + i}:"), c)),
                             F.lit(width)).alias("pos"))
             for i in range(depth)])).alias("cell")) \
-        .select(key_col, "cell.row", "cell.pos")
-    return (probes.join(F.broadcast(sketch), ["row", "pos"], "left")
-            .groupBy(key_col)
+        .select(*by, key_col, "cell.row", "cell.pos")
+    return (probes.join(F.broadcast(sketch), [*by, "row", "pos"], "left")
+            .groupBy(*by, key_col)
             .agg(F.min(F.coalesce(F.col("counter"), F.lit(0)))
                  .cast("long").alias("cms_estimate")))
 
@@ -252,8 +252,8 @@ FROM ({rows}) GROUP BY row, pos"""
 
 # --- log2 quantile sketch (power-of-2 DDSketch) ------------------------------
 
-def log2_quantile_sketch(df: DataFrame, col: str,
-                         scale: int = 100) -> DataFrame:
+def log2_quantile_sketch(df: DataFrame, col: str, scale: int = 100,
+                         by: tuple[str, ...] = ()) -> DataFrame:
     """Mergeable quantile sketch with γ=2 relative-error buckets (the
     power-of-2 special case of DDSketch, Masson et al. 2019): bucket a
     non-negative fixed-point value by the BIT LENGTH of
@@ -268,8 +268,8 @@ def log2_quantile_sketch(df: DataFrame, col: str,
     way — the plan shape (one ≤64-row shuffle) is unchanged.
     """
     v = F.round(F.col(col).cast("double") * scale).cast("long")
-    return (df.select(F.length(F.bin(v)).cast("int").alias("bucket"))
-            .groupBy("bucket")
+    return (df.select(*by, F.length(F.bin(v)).cast("int").alias("bucket"))
+            .groupBy(*by, "bucket")
             .agg(F.count("*").cast("long").alias("n")))
 
 

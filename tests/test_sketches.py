@@ -170,3 +170,38 @@ def test_log2_sketch_merges_by_count_add(spark):
     e2 = {r.percentile: r.est for r in
           log2_quantile_estimate(merged, [50, 95]).collect()}
     assert e1 == e2
+
+
+def test_grouped_cms_equals_per_group(spark):
+    from pyspark.sql import functions as F2
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        cms_estimate, cms_sketch)
+    df = spark.range(2000).select(
+        (F2.col("id") % 2).alias("g"),
+        (F2.col("id") % 23).cast("string").alias("k"))
+    sk = cms_sketch(df, "k", depth=3, width=64, by=("g",))
+    est = {(r.g, r.k): r.cms_estimate for r in
+           cms_estimate(sk, df.distinct(), "k", depth=3, width=64,
+                        by=("g",)).collect()}
+    for g in (0, 1):
+        solo = cms_sketch(df.filter(F2.col("g") == g), "k",
+                          depth=3, width=64)
+        es = {r.k: r.cms_estimate for r in
+              cms_estimate(solo, df.filter(F2.col("g") == g)
+                           .select("k").distinct(), "k",
+                           depth=3, width=64).collect()}
+        for k, v in es.items():
+            assert est[(g, k)] == v
+
+
+def test_grouped_log2_sketch_counts(spark):
+    from pyspark.sql import functions as F2
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        log2_quantile_sketch)
+    df = spark.range(1, 1001).select(
+        (F2.col("id") % 3).alias("g"), (F2.col("id") * 1.0).alias("x"))
+    sk = log2_quantile_sketch(df, "x", by=("g",))
+    total = sk.groupBy("g").agg(F2.sum("n").alias("n")).collect()
+    counts = {r.g: r.n for r in total}
+    assert sum(counts.values()) == 1000
+    assert set(counts) == {0, 1, 2}
