@@ -1409,6 +1409,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "graph_pagerank_neardup",
     "sketch_log2_quantiles",
     "rag_chunk_documents",
+    "winnow_partial_overlap",
     "agg4_dedup_keep_first",
     "agg7_binned_rate",
     "agg8_ratio_classify",
@@ -2510,3 +2511,24 @@ def rag_chunk_documents(spark, sf_dir):
         chunk_documents)
     return chunk_documents(_t(spark, sf_dir, "documents"),
                            window=16, stride=12)
+
+
+def _winnow_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.winnowing import (
+        winnow_pairs_sql)
+    return winnow_pairs_sql("documents", k=3, w=4, min_shared=3)
+
+
+@q("winnow_partial_overlap", ("WINNOW",), oracle=_winnow_oracle(),
+   note="winnowing fingerprints (Schleimer et al. 2003, the MOSS "
+        "algorithm): rightmost-min of each w-window of k-gram hashes "
+        "via ONE window frame over a packed (hash,-pos) key - any "
+        "shared run >= w+k-1 tokens is guaranteed a shared fingerprint; "
+        "partial-overlap pairs MinHash's global signatures miss, at "
+        "~2/(w+1) storage")
+def winnow_partial_overlap(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.winnowing import (
+        shared_fingerprint_pairs, winnow_fingerprints)
+    d = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, k=3, w=4)
+    return shared_fingerprint_pairs(fps, min_shared=3)
