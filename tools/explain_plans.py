@@ -110,6 +110,10 @@ SHOWCASE = {
     "tokenizer_bpe_encode": "token budgeting: word-count shuffle once; "
         "merges train driver-side on the vocabulary; encode folds run "
         "on distinct words × wc — corpus text is read, never re-shuffled.",
+    "winnow_partial_overlap": "winnowing (MOSS): rightmost-min per "
+        "w-window via ONE window frame over a packed (hash,-pos) int64 "
+        "key — ~2/(w+1) of k-grams stored; matching is an equi-join on "
+        "the fingerprint, never all-pairs.",
 }
 
 
