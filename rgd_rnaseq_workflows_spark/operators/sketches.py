@@ -274,28 +274,32 @@ def log2_quantile_sketch(df: DataFrame, col: str, scale: int = 100,
 
 
 def log2_quantile_estimate(sketch: DataFrame, percents: list[int],
-                           scale: int = 100) -> DataFrame:
-    """(percentile, est) for integer ``percents``: rank
+                           scale: int = 100,
+                           by: tuple[str, ...] = ()) -> DataFrame:
+    """(*by, percentile, est) for integer ``percents``: rank
     ``floor((N-1)·p/100)+1`` (exact integer), answered by the first
     bucket whose cumulative count reaches it; the estimate is the bucket
-    midpoint ``(2^(b-1) + 2^b - 1) div 2`` rescaled."""
+    midpoint ``(2^(b-1) + 2^b - 1) div 2`` rescaled. With ``by`` set the
+    cumulative window and ranks partition per group (grouped sketches
+    from :func:`log2_quantile_sketch`'s ``by=``)."""
     from pyspark.sql import Window
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    cum = sketch.select("bucket", "n",
+    w = Window.partitionBy(*by).orderBy("bucket")         .rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(*by, "bucket", "n",
                         F.sum("n").over(w).cast("long").alias("cum"))
-    total = sketch.agg(F.sum("n").cast("long").alias("N"))
+    total = sketch.groupBy(*by).agg(F.sum("n").cast("long").alias("N"))
     pez = F.explode(F.array(*[F.lit(p) for p in percents])).alias("pct")
-    ranks = total.select(pez, "N").select(
-        "pct", (F.expr("(N - 1) * pct div 100") + 1).alias("rank"))
-    j = (ranks.join(cum, cum.cum >= ranks.rank)
-         .groupBy("pct", "rank")
+    ranks = total.select(*by, pez, "N").select(
+        *by, "pct", (F.expr("(N - 1) * pct div 100") + 1).alias("rank"))
+    cond = [cum["cum"] >= ranks["rank"]] +         [cum[c] == ranks[c] for c in by]
+    j = (ranks.join(cum, cond)
+         .groupBy(*[ranks[c] for c in by], ranks["pct"], ranks["rank"])
          .agg(F.min("bucket").cast("int").alias("bucket")))
     mid = F.expr("CAST((shiftleft(CAST(1 AS BIGINT), bucket - 1) "
                  "+ shiftleft(CAST(1 AS BIGINT), bucket) - 1) div 2 "
                  "AS BIGINT)")
-    return (j.select(F.col("pct").alias("percentile"), "bucket",
+    return (j.select(*by, F.col("pct").alias("percentile"), "bucket",
                      F.round(mid / scale, 6).alias("est"))
-            .orderBy("percentile"))
+            .orderBy(*by, "percentile"))
 
 
 def log2_quantiles_sql(table: str, expr: str, percents: list[int],

@@ -205,3 +205,21 @@ def test_grouped_log2_sketch_counts(spark):
     counts = {r.g: r.n for r in total}
     assert sum(counts.values()) == 1000
     assert set(counts) == {0, 1, 2}
+
+
+def test_grouped_log2_estimate_equals_per_group(spark):
+    from pyspark.sql import functions as F2
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        log2_quantile_estimate, log2_quantile_sketch)
+    df = spark.range(1, 4001).select(
+        (F2.col("id") % 2).alias("g"),
+        (F2.col("id") * (F2.col("id") % 2 * 9 + 1) * 1.0).alias("x"))
+    grouped = log2_quantile_estimate(
+        log2_quantile_sketch(df, "x", by=("g",)), [50, 95], by=("g",))
+    got = {(r.g, r.percentile): r.est for r in grouped.collect()}
+    for g in (0, 1):
+        solo = log2_quantile_estimate(
+            log2_quantile_sketch(df.filter(F2.col("g") == g), "x"),
+            [50, 95])
+        for r in solo.collect():
+            assert got[(g, r.percentile)] == r.est
