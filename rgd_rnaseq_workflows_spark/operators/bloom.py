@@ -125,11 +125,17 @@ def build_bloom(keys: DataFrame, key_col: str, m_bits: int,
 
 
 def bloom_might_contain(key: Column, bitmap: list[int], m_bits: int,
-                        k: int, seed: int = 17) -> Column:
+                        k: int, seed: int = 17,
+                        hash_fn: str = "md5") -> Column:
     """Boolean probe column: all k bits set. Pure codegen'd expressions
     over an array literal — no shuffle, no join, no Python. Bit tests
     use ``getbit`` (the shiftleft/shiftright Python wrappers take only
-    int shift amounts)."""
+    int shift amounts).
+
+    ``hash_fn`` MUST match the one the bitmap was built with
+    (build_bloom's default is md5; the in-job fast path is xxhash64) —
+    probing with a mismatched family silently loses the
+    no-false-negative guarantee."""
     # ONE array literal node (F.lit of the list), not m/64 child
     # expressions — keeps plan size and analysis time flat in m. The
     # cast pins element type: F.lit infers from VALUES, and a bitmap
@@ -138,7 +144,7 @@ def bloom_might_contain(key: Column, bitmap: list[int], m_bits: int,
     arr = F.lit(bitmap).cast("array<bigint>")
     out = None
     for i in range(k):
-        pos = _km_position(key, i, m_bits, seed)
+        pos = _km_position(key, i, m_bits, seed, hash_fn)
         # pos < m_bits ≤ 2^30: the /64 stays integer-exact in double
         word = F.element_at(arr, (pos / WORD_BITS).cast("int") + 1)
         t = F.getbit(word, pos % WORD_BITS) == 1

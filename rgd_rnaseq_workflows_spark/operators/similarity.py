@@ -282,4 +282,8 @@ def embedding_near_dup(emb: DataFrame, block_col: str = "label",
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
                     sim.alias("cosine_sim"))
-            .filter(F.col("cosine_sim") >= threshold))
+            # Spark orders NaN above every number, so a bare >= would
+            # PASS zero-norm (NaN-cosine) pairs that the GEMM path's
+            # pandas mask drops — guard so both impls agree.
+            .filter(~F.isnan("cosine_sim")
+                    & (F.col("cosine_sim") >= threshold)))

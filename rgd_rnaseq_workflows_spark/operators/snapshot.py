@@ -82,7 +82,11 @@ def snapshot_apply(base: DataFrame, changes: DataFrame,
                if c not in changes.columns]
     if missing:
         raise ValueError(f"changeset missing columns: {missing}")
-    bad = changes.filter(~F.col(op_col).isin("upsert", "delete")).limit(1)
+    # NULL ops must fail too: `~isin` is NULL (not true) for NULL, and
+    # a NULL-op row would otherwise slip past and emit an all-NULL
+    # payload via the keep predicate below.
+    bad = changes.filter(F.col(op_col).isNull()
+                         | ~F.col(op_col).isin("upsert", "delete")).limit(1)
     if bad.count():
         raise ValueError(f"unknown {op_col} value in changeset")
     b = base.select(F.col(id_col).alias("_id"),

@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 from rgd_rnaseq_workflows_spark.functions.hashing import md5_long, md5_long_sql
 from rgd_rnaseq_workflows_spark.functions.text import shingles_all, shingles_all_sql
 
+# Packed-key position budget: key = h·2^_POS_BITS + (cap-1-pos) must fit
+# int64 with the 40-bit truncated hash (40 + _POS_BITS < 63). Documents
+# longer than 2^_POS_BITS k-grams raise at execution (see below).
+_POS_BITS = 20
+
 
 def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
                         id_col: str = "doc_id",
@@ -56,17 +61,27 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
     win = Window.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
     # rightmost min of the forward window starting at pos: order the
     # frame's rows by (h, -pos) via the packed key
-    # key = h·2^20 + (2^20-1-pos); pos < 2^20 for any real document
-    pos_cap = 1 << 20
+    # key = h·2^20 + (2^20-1-pos). A document longer than 2^20 k-grams
+    # would overflow the packed key — fail loudly instead of silently
+    # truncating its tail (pre-chunk such documents upstream).
+    pos_cap = 1 << _POS_BITS
+    grams = grams.withColumn(
+        "pos",
+        F.when(F.col("pos") < pos_cap, F.col("pos")).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"winnow_fingerprints: document exceeds {pos_cap} "
+                      "k-gram positions (packed-key cap) — pre-chunk it: "
+                      "id="), F.col("_id").cast("string")))
+            .cast("long")))
     key = F.col("h") * pos_cap + (pos_cap - 1 - F.col("pos"))
-    sel = (grams.filter(F.col("pos") < pos_cap)
+    sel = (grams
            .withColumn("_mk", F.min(key).over(win))
            # windows shorter than w exist at the tail; winnowing defines
            # selection only for FULL windows — keep starts with w grams
            .withColumn("_n", F.count("*").over(win))
            .filter(F.col("_n") == w)
            .select("_id",
-                   F.shiftright(F.col("_mk"), 20).alias("fp"),
+                   F.shiftright(F.col("_mk"), _POS_BITS).alias("fp"),
                    (pos_cap - 1
                     - F.col("_mk").bitwiseAND(pos_cap - 1).cast("int"))
                    .cast("int").alias("pos"))

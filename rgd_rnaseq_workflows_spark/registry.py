@@ -900,8 +900,9 @@ SELECT id_a, id_b, cosine_sim FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine_sim
   FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
-WHERE cosine_sim >= 0.4
-""", note="embedding-cosine near-dup pairs, label-blocked equi-join (never cross)")
+WHERE NOT isnan(cosine_sim) AND cosine_sim >= 0.4
+""", note="embedding-cosine near-dup pairs, label-blocked equi-join (never cross); "
+          "NaN (zero-norm) pairs excluded on every path")
 def ann_embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dup(emb, block_col="label", threshold=0.4)

@@ -55,3 +55,16 @@ def test_suggest_params_sane():
 def test_bad_m_raises(spark, build_keys):
     with pytest.raises(ValueError):
         build_bloom(build_keys, "k", m_bits=100, k=3)
+
+
+def test_might_contain_respects_hash_fn(spark, build_keys):
+    """A bitmap built with the xxhash64 fast path must be probed with
+    the same family — bloom_might_contain now threads hash_fn (ADVICE
+    r4: it used to probe md5 unconditionally, losing the
+    no-false-negative guarantee)."""
+    bm = build_bloom(build_keys, "k", m_bits=32768, k=7, seed=17,
+                     hash_fn="xxhash64")
+    missed = build_keys.filter(
+        ~bloom_might_contain(F.col("k"), bm, 32768, 7, seed=17,
+                             hash_fn="xxhash64")).count()
+    assert missed == 0

@@ -116,3 +116,18 @@ def test_embedding_near_dup_hot_block_guard(spark):
     pairs = embedding_near_dup(emb, threshold=0.999, max_block=20, dims=8)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (7, 999) in got                       # exact dup survives guard
+
+
+def test_near_dup_zero_norm_vector_dropped_on_both_impls(spark):
+    """Zero-norm embeddings produce NaN cosine; Spark orders NaN above
+    every number, so the join path needs an explicit NaN guard to agree
+    with the GEMM path's pandas mask (ADVICE r4)."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [1.0, 0.0, 0.0, 0.0], 0),
+            (2, [0.0, 0.0, 0.0, 0.0], 0)]       # zero-norm → NaN cosine
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    for impl in ("gemm", "join"):
+        got = {(r["id_a"], r["id_b"])
+               for r in embedding_near_dup(emb, threshold=0.5,
+                                           impl=impl).collect()}
+        assert got == {(0, 1)}, impl

@@ -55,3 +55,16 @@ def test_snapshot_apply_validates(spark):
     with pt.raises(ValueError, match="unknown op"):
         snapshot_apply(base, spark.createDataFrame(
             [(1, "replace", "y")], "doc_id long, op string, text string"))
+
+
+def test_snapshot_apply_rejects_null_op(spark):
+    """NULL op must raise like any unknown op (ADVICE r4: `~isin` is
+    NULL for NULL, which previously let the row slip through and emit
+    an all-NULL payload)."""
+    import pytest as pt
+    from rgd_rnaseq_workflows_spark.operators.snapshot import snapshot_apply
+    base = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    changes = spark.createDataFrame(
+        [(2, None, "y")], "doc_id long, op string, text string")
+    with pt.raises(ValueError, match="unknown op"):
+        snapshot_apply(base, changes)

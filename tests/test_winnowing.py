@@ -64,3 +64,20 @@ def test_matches_pure_python(spark, docs):
 def test_bad_window_raises(spark, docs):
     with pytest.raises(ValueError):
         winnow_fingerprints(docs, w=0)
+
+
+def test_overlong_document_raises(spark, docs, monkeypatch):
+    """A document with more k-gram positions than the packed-key cap
+    must fail loudly, not silently truncate its tail (ADVICE r4). The
+    cap is shrunk via the module constant so the test stays small."""
+    from rgd_rnaseq_workflows_spark.operators import winnowing as W
+    monkeypatch.setattr(W, "_POS_BITS", 3)        # cap = 8 positions
+    long_doc = spark.createDataFrame(
+        [(0, " ".join(f"tok{i}" for i in range(40)))],
+        "doc_id long, text string")
+    with pytest.raises(Exception, match="pre-chunk"):
+        winnow_fingerprints(long_doc, k=3, w=4).collect()
+    # and under the cap it still works with the shrunken key space
+    short_doc = spark.createDataFrame(
+        [(0, "a b c d e f")], "doc_id long, text string")
+    assert winnow_fingerprints(short_doc, k=3, w=1).count() >= 1
