@@ -1388,64 +1388,61 @@ def quality_bigram_lm(spark, sf_dir):
 # prior round are surfaced first so every registry entry accumulates a
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
-    # never driver-checked first (r4 additions + the never-
-    # checked set the r3 judge flagged), then r2-only rows
-    # needing refresh; the driver records the first 50 —
-    # entries beyond 50 roll to the next round's window
-    "ann_ivf_topk",
-    "corpus_curation",
-    "skew_salted_agg",
-    "text_bm25_topk",
-    "quality_lm_buckets",
-    "sketch_hll_distinct",
-    "dsir_importance",
-    "dedup_passages",
-    "embedding_random_projection",
-    "bloom_semi_join",
-    "sketch_hll_by_group",
-    "dedup_passage_rewrite",
-    "tokenizer_bpe_encode",
-    "sketch_cms_heavy_hitters",
-    "snapshot_apply_merge",
-    "graph_pagerank_neardup",
-    "sketch_log2_quantiles",
-    "rag_chunk_documents",
-    "winnow_partial_overlap",
-    "agg4_dedup_keep_first",
-    "agg7_binned_rate",
-    "agg8_ratio_classify",
-    "agg9_histogram",
-    "agg_percentiles",
-    "agg_percentiles_approx",
-    "aggp1_pivot_matrix",
-    "ann_cosine_topk",
-    "ann_embedding_neardup",
-    "asof_join_events",
-    "dedup_cluster_keepers",
-    "dedup_exact_stats",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "f16_date_arithmetic",
-    "f17_url_template",
-    "range_join_dim",
-    "rollup_aggregate",
-    "set1_union",
-    "set2_intersect",
-    "src7_json_extract",
-    "srt_topk_global",
-    "stream_interval_join",
-    "stream_sessionize",
-    "stream_window_agg",
-    "text_bpe_tokens",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_features",
-    "text_token_stats",
-    "win1_dense_rank_palette",
+    # round-5 window: the 54 queries without an r4 driver row, minus
+    # 4 deferred with independent r4 evidence (q1 = entry() smoke
+    # each round; jn3/audio/bpe_merges judge-re-run in r4) — exactly
+    # the driver's 50-row cap, so the r4+r5 union covers all 104
+    # with rows <=2 rounds old
     "win2_topk_per_group",
     "win3_running_total",
     "win4_lead_lag",
+    "win1_dense_rank_palette",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivfpq_topk",
+    "ann_int8_topk",
+    "ann_quantize_report",
+    "ann_lsh_topk",
+    "multimodal_image_features",
+    "multimodal_phash_dedup",
+    "multimodal_frame_plan",
+    "corpus_full_curation",
+    "corpus_training_mix",
+    "corpus_snapshot_diff",
+    "corpus_shard_manifest",
+    "stateful_dedup_kernel",
+    "stream_sliding_topk",
+    "kmeans_embeddings",
+    "semdedup_embeddings",
+    "split_leakage_report",
+    "simhash_near_pairs_q",
+    "prj3_computed_projection",
+    "fil4_threshold_status",
+    "fil6_regex_predicates",
+    "fil8_in_list_slice",
+    "f13_case_buckets",
+    "jn1_semi_join",
+    "set3_anti_join",
+    "jn2_broadcast_annotate",
+    "jn5_lookup_default",
+    "jn6_outer_validation",
+    "agg1_count_distinct",
+    "agg2_collect_sorted_list",
+    "agg3_first_per_group",
+    "stratified_hash_sample",
+    "contamination_ngram",
+    "text_redact_pii",
+    "quality_repetition",
+    "dedup_ngram_coverage",
+    "pack_sequences",
+    "text_tfidf_top_terms",
+    "sample_temperature_mix",
+    "cap_per_source",
+    "quality_bigram_lm",
+    "grouping_sets_agg",
+    "cube_aggregate",
+    "observe_metrics",
+    "scalar_cleanup",
 )
 
 
