@@ -1,10 +1,16 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: median_sec}, "runs": {name: [sec, ...]}, "sf": ...}.
 
 Each query is fully materialized through the noop sink (measures the whole
 plan including result production, without driver-collect overhead).
+
+Ambient run-to-run variance on this box is ±15% (three identical r4 runs:
+119.2/157.2/142.7 s), which swamps most real regressions — so the suite
+runs $SPARK_GRAFT_BENCH_PASSES full passes (default 3) and reports the
+per-query MEDIAN as the headline, with the raw per-pass walls alongside.
+Cross-round comparisons should use the medians.
 """
 
 from __future__ import annotations
@@ -37,35 +43,49 @@ def main() -> None:
     spark.range(32).select(_warm("id").alias("x")).write \
         .format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    runs: dict[str, list[float]] = {}
     gates = [n for n, s in REGISTRY.items() if not s.production]
-    for name, spec in REGISTRY.items():
-        if not spec.production:
-            # correctness-oracle gates (exact twins of approx/pruned
-            # production paths) are driver-checked for values but are not
-            # the engine a 100 TB deployment would run — keep them out of
-            # the headline
-            continue
-        # free the previous query's DataFrame refs so the ContextCleaner
-        # can drop its localCheckpoint RDDs / broadcasts before timing,
-        # and drop persisted frames (kmeans keeps its assignment cached)
-        # so a heavy query's residue doesn't inflate its neighbors
-        gc.collect()
-        spark.catalog.clearCache()
-        t0 = time.time()
-        try:
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # a failed query must not sink the whole bench
-            timings[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
+    for _ in range(passes):
+        for name, spec in REGISTRY.items():
+            if not spec.production:
+                # correctness-oracle gates (exact twins of approx/pruned
+                # production paths) are driver-checked for values but are
+                # not the engine a 100 TB deployment would run — keep them
+                # out of the headline
+                continue
+            # free the previous query's DataFrame refs so the
+            # ContextCleaner can drop its localCheckpoint RDDs /
+            # broadcasts before timing, and drop persisted frames (kmeans
+            # keeps its assignment cached) so a heavy query's residue
+            # doesn't inflate its neighbors
+            gc.collect()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            try:
+                spec.fn(spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                runs.setdefault(name, []).append(round(time.time() - t0, 3))
+            except Exception as e:  # a failure must not sink the bench
+                runs.setdefault(name, []).append(-1.0)
+                print(f"bench error in {name}: {e}", file=sys.stderr)
 
+    def median(xs: list[float]) -> float:
+        ok = sorted(x for x in xs if x >= 0)
+        if not ok:
+            return -1.0
+        mid = len(ok) // 2
+        return ok[mid] if len(ok) % 2 else round((ok[mid - 1] + ok[mid]) / 2, 3)
+
+    timings = {name: median(xs) for name, xs in runs.items()}
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
+        "passes": passes,
         "sf": sf,
         "excluded_oracle_gates": gates,
     }))
