@@ -34,11 +34,17 @@ from rgd_rnaseq_workflows_spark.operators.dedup import (
     exact_dedup, ngram_jaccard_pairs)
 
 
-def curate_corpus(docs: DataFrame, min_tokens: int = 20,
-                  shingle_n: int = 2,
-                  threshold: float = 0.8) -> DataFrame:
-    """documents(doc_id, lang, source, text, …) → the curated subset
-    (same columns + ``n_tokens``), deterministic keeper choice."""
+def curate_corpus_graph(docs: DataFrame, min_tokens: int = 20,
+                        shingle_n: int = 2,
+                        threshold: float = 0.8
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Curation WITH the near-dup pair graph exposed: returns
+    ``(curated, pairs)`` where ``pairs`` is the checkpointed PPJoin edge
+    list — computed ONCE and shared between the cluster removal here and
+    any caller-side analysis (``plans.neardup.neardup_analysis``:
+    keepers, PageRank, split leakage). The pair generator is the
+    pipeline's most expensive stage; exposing the cached frame means a
+    pipeline wanting curation + graph reports never runs it twice."""
     feats = docs.select("doc_id", "lang", "source", "text",
                         TX.token_count("text").alias("n_tokens"),
                         TX.lang_id("text").alias("lang_pred"))
@@ -50,12 +56,23 @@ def curate_corpus(docs: DataFrame, min_tokens: int = 20,
     # (lang-ID stopword scoring + a dedup window) is the expensive part
     uniq = exact_dedup(kept, text_col="text",
                        id_col="doc_id").transform(checkpoint_df, eager=False)
-    pairs = ngram_jaccard_pairs(uniq, block_col="lang",
-                                shingle_n=shingle_n, threshold=threshold)
+    pairs = checkpoint_df(ngram_jaccard_pairs(
+        uniq, block_col="lang", shingle_n=shingle_n, threshold=threshold))
     comps = connected_components(pairs)
     non_keepers = (comps.filter(F.col("comp") != F.col("id"))
                    .select(F.col("id").alias("doc_id")))
-    return uniq.join(non_keepers, "doc_id", "left_anti")
+    return uniq.join(non_keepers, "doc_id", "left_anti"), pairs
+
+
+def curate_corpus(docs: DataFrame, min_tokens: int = 20,
+                  shingle_n: int = 2,
+                  threshold: float = 0.8) -> DataFrame:
+    """documents(doc_id, lang, source, text, …) → the curated subset
+    (same columns + ``n_tokens``), deterministic keeper choice."""
+    curated, _pairs = curate_corpus_graph(docs, min_tokens=min_tokens,
+                                          shingle_n=shingle_n,
+                                          threshold=threshold)
+    return curated
 
 
 def curation_stats(curated: DataFrame) -> DataFrame:

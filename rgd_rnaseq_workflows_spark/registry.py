@@ -1325,20 +1325,11 @@ FROM j GROUP BY split_lo, split_hi
         "base is the same PPJoin plan the dedup family uses; the split "
         "join is two broadcast-size lookups")
 def split_leakage_report(spark, sf_dir):
-    from rgd_rnaseq_workflows_spark.operators.sampling import split_assign
+    from rgd_rnaseq_workflows_spark.plans.neardup import leakage_report
     d = _t(spark, sf_dir, "documents")
     pairs = DD.ngram_jaccard_pairs(d, block_col="lang", shingle_n=2,
                                    threshold=0.8)
-    s = d.select("doc_id", split_assign("doc_id", seed=13).alias("split"))
-    sa = s.select(F.col("doc_id").alias("id_a"),
-                  F.col("split").alias("_sa"))
-    sb = s.select(F.col("doc_id").alias("id_b"),
-                  F.col("split").alias("_sb"))
-    return (pairs.join(sa, "id_a").join(sb, "id_b")
-            .select(F.least("_sa", "_sb").alias("split_lo"),
-                    F.greatest("_sa", "_sb").alias("split_hi"))
-            .groupBy("split_lo", "split_hi")
-            .agg(F.count("*").alias("n_pairs")))
+    return leakage_report(pairs, d, seed=13)
 
 
 REGISTRY["split_leakage_report"].oracle = _split_leakage_oracle()

@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "embedding indexing) with this token window")
     p.add_argument("--chunk-stride", type=int, default=None,
                    help="chunk stride (default 3/4 of the window)")
+    p.add_argument("--neardup-report", action="store_true",
+                   help="also write near-dup graph reports (cluster "
+                        "keepers, PageRank centrality, train/val/test "
+                        "leakage) — the pair graph is computed ONCE and "
+                        "shared with the curation's cluster removal")
     p.add_argument("--shards", type=int, default=None, metavar="N",
                    help="also write a training-ready shard-partitioned "
                         "copy (md5 pseudorandom shard of doc_id) plus a "
@@ -107,9 +112,23 @@ def run(args: argparse.Namespace) -> int:
                 .join(clean.select("doc_id",
                                    F.col("clean_text").alias("text")),
                       "doc_id"))
-    curated = curate_corpus(docs, min_tokens=args.min_tokens,
-                            shingle_n=args.shingle_n,
-                            threshold=args.threshold)
+    if args.neardup_report:
+        # pair graph computed ONCE: cluster removal inside the curation
+        # and all three graph reports read the same checkpointed edges
+        from rgd_rnaseq_workflows_spark.plans.corpus import (
+            curate_corpus_graph)
+        from rgd_rnaseq_workflows_spark.plans.neardup import neardup_analysis
+        curated, pairs = curate_corpus_graph(docs,
+                                             min_tokens=args.min_tokens,
+                                             shingle_n=args.shingle_n,
+                                             threshold=args.threshold)
+        for name, rep in neardup_analysis(pairs, docs).items():
+            write_tsv(rep.orderBy(rep.columns[0]),
+                      f"{out}/neardup_{name}", single_file=True)
+    else:
+        curated = curate_corpus(docs, min_tokens=args.min_tokens,
+                                shingle_n=args.shingle_n,
+                                threshold=args.threshold)
     if args.dsir_target:
         import pyspark.sql.functions as F
         from rgd_rnaseq_workflows_spark.operators.dsir import (
