@@ -25,6 +25,7 @@ from rgd_rnaseq_workflows_spark.operators import dedup as DD
 from rgd_rnaseq_workflows_spark.operators import relational as R
 from rgd_rnaseq_workflows_spark.operators import sampling as SMP
 from rgd_rnaseq_workflows_spark.operators import similarity as SIM
+from rgd_rnaseq_workflows_spark.session import engine_session
 from rgd_rnaseq_workflows_spark.streaming import events_stream as ST
 
 
@@ -55,22 +56,16 @@ def q(name: str, survey_ids: tuple[str, ...], oracle: str | None = None,
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a testdata table, pinning the engine's documented session
+    """Read a testdata table under the engine's documented session
     semantics: UTC timezone (oracle epoch/date arithmetic assumes it)
     and ANSI off (permissive awk-style math — session.py), because the
     driver brings its OWN session where Spark 4 defaults ANSI on.
 
-    The pins are DELIBERATELY session-global and NOT restored: the
-    returned DataFrame is lazy, and timeZone/ansi are read at
-    *execution* time — a set-then-restore scope around this builder
-    would evaluate the query under the restored (wrong) confs when the
-    driver collects it later. `get_spark` sessions already carry these
-    values, so there the set is a no-op; callers embedding registry
-    queries in a session that needs ANSI on / a non-UTC zone must
-    re-set those confs after the registry frames are consumed."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    The frame is bound to ``session.engine_session`` — a conf-isolated
+    sibling session — so the pins hold at *execution* time (whenever
+    the caller collects the lazy frame) without ever mutating the
+    caller's own ANSI/timezone confs."""
+    return engine_session(spark).read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _isum(col, scale: int):
@@ -92,11 +87,9 @@ def _isum(col, scale: int):
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
     rejects by default; read nanos as long and convert to a microsecond
-    timestamp (floor — matches DuckDB's ns→s flooring in the oracles)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timestamp (floor — matches DuckDB's ns→s flooring in the oracles).
+    The engine sibling session carries nanosAsLong + UTC + ANSI-off."""
+    df = engine_session(spark).read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn(
@@ -1504,7 +1497,9 @@ GROUP BY b.bucket
 """, note="range join against small dim — broadcast + non-equi predicate (BNLJ on tiny side)")
 def range_join_dim(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    bins = spark.createDataFrame(
+    # same-session dim: frames joined together must share the engine
+    # sibling session (_t binds li there)
+    bins = li.sparkSession.createDataFrame(
         [("xs", 0.0, 10.0), ("s", 10.0, 20.0), ("m", 20.0, 35.0),
          ("l", 35.0, 1e9)], ["bucket", "lo", "hi"])
     j = li.join(F.broadcast(bins),
@@ -1980,7 +1975,8 @@ def multimodal_audio_features(spark, sf_dir):
         body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
                 + b"data" + struct.pack("<I", len(pcm)) + pcm)
         rows.append((k, b"RIFF" + struct.pack("<I", len(body)) + body))
-    media = spark.createDataFrame(rows, "media_id long, content binary")
+    media = engine_session(spark).createDataFrame(
+        rows, "media_id long, content binary")
     return audio_features(media)
 
 
@@ -2019,8 +2015,10 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """, note="explicit grouping sets (SURVEY §2.4 'not present' — beyond-parity)")
 def grouping_sets_agg(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    # the temp view registers in li's (engine sibling) session — run the
+    # SQL there too, so the view resolves and ANSI/UTC pins hold
     li.createOrReplaceTempView("_gs_lineitem")
-    return spark.sql("""
+    return li.sparkSession.sql("""
         SELECT l_returnflag, l_linestatus, count(*) AS n,
                -- 100.0D: in Spark SQL a bare 100.0 literal is DECIMAL and
                -- would make the division decimal-typed (oracle is double)
@@ -2100,7 +2098,7 @@ def observe_metrics(spark, sf_dir):
         .alias("total_qty"))
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
-    return spark.createDataFrame(
+    return engine_session(spark).createDataFrame(
         [(m["n_rows"], m["n_high_discount"], m["total_qty"])],
         "n_rows long, n_high_discount long, total_qty double")
 

@@ -65,6 +65,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-sample BED9 TPM track sink (SNK5, "
                         "GeneTPMbed_v2.sh) — bgzip+tabix indexing runs "
                         "automatically when both tools are on PATH")
+    p.add_argument("--alignments", default=None,
+                   help="alignment parquet (sample, chrom, pos, read_len, "
+                        "mapq) — adds the coverage stage: binned BPM "
+                        "tracks (STAR_bigwig2.sh bamCoverage semantics) "
+                        "written as bedGraph + chrom.sizes, encoded to "
+                        ".bw when bedGraphToBigWig is on PATH")
+    p.add_argument("--bin-size", type=int, default=10,
+                   help="coverage bin size (with --alignments)")
     p.add_argument("--qc-scan-root", default=None,
                    help="optional scratch-dir root for the aggregate QC "
                         "report (SNK8): scanned for STAR/samtools/idxstats/"
@@ -279,6 +287,38 @@ def run(args: argparse.Namespace) -> int:
                                     args.project)
         print(f"[multiqc] report: {path}", file=sys.stderr)
 
+    def stage_coverage():
+        # STAR_bigwig2.sh end-to-end: binned BPM coverage per sample
+        # (AGG7 — oracle-checked operator), bedGraph + chrom.sizes sink,
+        # then the reference's binary BigWig encoding executed via
+        # subprocess when bedGraphToBigWig (UCSC tools) is on PATH —
+        # same tool-gated contract as the bgzip/tabix BED stage
+        import shutil as _shutil
+        import subprocess as _subprocess
+        from rgd_rnaseq_workflows_spark.operators.coverage import (
+            binned_coverage)
+        from rgd_rnaseq_workflows_spark.sources.bigwig import (
+            write_bigwig_track)
+        aln = spark.read.parquet(args.alignments)
+        cov = binned_coverage(aln, bin_size=args.bin_size)
+        samples = [r["sample"] for r in
+                   aln.select("sample").distinct().orderBy("sample")
+                   .collect()]
+        have_tool = bool(_shutil.which("bedGraphToBigWig"))
+        if not have_tool:
+            print("[coverage] bedGraphToBigWig not on PATH; leaving "
+                  "bedGraph tracks unencoded", file=sys.stderr)
+        for s in samples:           # per-project: bounded by sample count
+            cmds = write_bigwig_track(
+                cov.filter(F.col("sample") == s).drop("sample"),
+                f"{out}/coverage/{s}", name=f"RNAseq_{s}",
+                bin_size=args.bin_size)
+            if have_tool:
+                for cmd in cmds:
+                    _subprocess.run(cmd, check=True)
+        print(f"[coverage] {len(samples)} track(s) -> {out}/coverage "
+              f"(bigwig={have_tool})", file=sys.stderr)
+
     stages = [
         Stage("starqc", stage_starqc),
         Stage("pass", stage_pass),
@@ -292,6 +332,9 @@ def run(args: argparse.Namespace) -> int:
         # BED track generation is non-critical like the other
         # visualization artifacts (BWJSON_REQUIRED pattern, :716-784)
         stages.append(Stage("bed", stage_bed, critical=False))
+    if args.alignments:
+        # coverage tracks are visualization artifacts, non-critical
+        stages.append(Stage("coverage", stage_coverage, critical=False))
     if args.qc_scan_root:
         stages.append(Stage("multiqc", stage_multiqc, critical=False))
     orch = Orchestrator(f"{out}/.markers")

@@ -33,6 +33,39 @@ _SQL_CONF = {
 }
 
 
+def engine_session(spark: SparkSession) -> SparkSession:
+    """A conf-isolated sibling of ``spark`` carrying the engine's
+    documented SQL semantics (UTC, ANSI off, AQE, Arrow, nanos-as-long
+    parquet reads) — WITHOUT mutating the caller's session.
+
+    Registry frames are lazy: timeZone/ansi are read at *execution*
+    time, so a set-then-restore scope around the builder would evaluate
+    the query under the restored (wrong) confs when the caller collects
+    it later. Binding the frames to a separate session solves this
+    properly — ``newSession()`` shares the SparkContext (executors,
+    cached blocks, addPyFile state, checkpoint dir) but owns its
+    SQLConf, so the engine's pins live exactly as long as the frames
+    that need them and the caller's ANSI/timezone choices survive
+    untouched. Cached per SparkContext; calling it on the engine clone
+    itself is the identity.
+    """
+    if getattr(spark, "_rgd_is_engine", False):
+        return spark
+    sc = spark.sparkContext
+    eng = getattr(sc, "_rgd_engine_session", None)
+    if eng is None:
+        eng = spark.newSession()
+        # newSession() seeds from the CONTEXT conf, not the sibling's
+        # runtime conf — every engine-required value must be set here
+        for k, v in _SQL_CONF.items():
+            eng.conf.set(k, v)
+        # events.parquet stores TIMESTAMP(NANOS) (registry._events)
+        eng.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        eng._rgd_is_engine = True
+        sc._rgd_engine_session = eng
+    return eng
+
+
 def checkpoint_df(df, eager: bool = True):
     """Truncate a DataFrame's lineage for iterative / multiply-consumed
     plans (connected components, LSH shingle tables, BPE vocab rounds).

@@ -214,3 +214,22 @@ open(sys.argv[-1] + '.tbi', 'wb').write(b'TBI\\x01')
             sorted(line.split("\t")[0] for line in body)
         assert not any(line.startswith("NW_") for line in body)
     assert os.path.exists(f"{out}/.markers/PRJT.bed_complete")
+
+
+def test_cli_coverage_stage_writes_tracks(spark, tmp_out):
+    """--alignments adds the coverage stage: per-sample bedGraph +
+    chrom.sizes land under out/coverage (bigwig encoding tool-gated)."""
+    _fixtures(tmp_out)
+    aln = spark.createDataFrame(
+        [("GSM1", "chr1", 5, 10, 255), ("GSM1", "chr1", 12, 5, 255),
+         ("GSM3", "chr2", 0, 10, 255)],
+        ["sample", "chrom", "pos", "read_len", "mapq"])
+    aln.write.mode("overwrite").parquet(f"{tmp_out}/aln.parquet")
+    out = f"{tmp_out}/out"
+    rc = run_pipeline.main(_argv(tmp_out, out)
+                           + ["--alignments", f"{tmp_out}/aln.parquet"])
+    assert rc == 0
+    for s in ("GSM1", "GSM3"):
+        bg = open(f"{out}/coverage/{s}/RNAseq_{s}.bedGraph").read()
+        assert bg.count("\n") >= 1
+        assert os.path.exists(f"{out}/coverage/{s}/chrom.sizes")
