@@ -91,14 +91,16 @@ def _reference_trainer(texts: list[str], rounds: int):
 
 
 def test_full_trainer_matches_reference_on_random_corpora(spark):
-    # rounds=20 exercises the incremental driver path deep enough that a
-    # stale heap entry / stale inverted-index bug would surface
+    # rounds=100 over a wider alphabet exercises the incremental driver
+    # path deep enough that a stale heap entry / stale inverted-index
+    # bug would surface (most corpora exhaust earlier — the early-break
+    # path is covered too)
     from hypothesis import given, settings, strategies as st
 
-    word = st.text(alphabet="abc", min_size=1, max_size=5)
+    word = st.text(alphabet="abcdef", min_size=1, max_size=8)
     corpus = st.lists(
-        st.lists(word, min_size=1, max_size=8).map(" ".join),
-        min_size=1, max_size=5)
+        st.lists(word, min_size=1, max_size=16).map(" ".join),
+        min_size=1, max_size=8)
 
     @settings(max_examples=6, deadline=None)
     @given(corpus)
@@ -106,8 +108,8 @@ def test_full_trainer_matches_reference_on_random_corpora(spark):
         d = spark.createDataFrame(list(enumerate(texts)),
                                   "doc_id long, text string")
         got = [(r.left, r.right, r.merged, r.pair_count)
-               for r in train_bpe(d, rounds=20).collect()]
-        assert got == _reference_trainer(texts, 20)
+               for r in train_bpe(d, rounds=100).collect()]
+        assert got == _reference_trainer(texts, 100)
 
     check()
 
