@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rgd_rnaseq_workflows_spark.functions import text as TX
+from rgd_rnaseq_workflows_spark.functions.hashing import md5_long, md5_long_sql
 
 
 def repetition_report(docs: DataFrame, id_col: str = "doc_id",
@@ -350,4 +351,92 @@ SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
        min(mean_bigram_count) AS worst_mean
 FROM bucketed GROUP BY lang, bucket
 ORDER BY lang, bucket
+"""
+
+
+# --- hashed linear classifier scoring ----------------------------------------
+
+W_SCALE = 1_000_000  # fixed-point classifier weights (exact bigints)
+
+
+def hashed_linear_score(docs: DataFrame, weights: DataFrame,
+                        n_buckets: int, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        seed: int = 5) -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE at corpus
+    scale (the CCNet / LLaMA corpus-filter shape): hash each token into
+    one of ``n_buckets`` feature buckets, average the bucket weights,
+    classify on the sign.
+
+    ``weights`` is (bucket int, w long) with ``w`` fixed-point at
+    ``W_SCALE`` — the model is driver/broadcast-scale metadata (2^18
+    buckets ≈ 2 MB), the corpus is never reshuffled: token explode →
+    md5 bucket → broadcast weight join → per-doc exact integer sum.
+    ``logit = Σw / (n_tokens·W_SCALE)`` is one double division rounded
+    to 6 (cross-engine safe — the agg8 ratio pattern); ``label`` is
+    decided on the EXACT integer sum sign, never the rounded double.
+    Out-of-vocabulary buckets (no weight row) contribute 0, like a
+    sparse linear model.
+
+    Training is out of scope here (a labeled set fits the driver;
+    scikit-style or the DSIR/bigram-LM operators produce weights) —
+    inference over 100 TB is the part that needs the engine.
+    """
+    toks = (docs.select(F.col(id_col), F.explode(TX.tokens(text_col))
+                        .alias("_tok"))
+            .select(id_col,
+                    F.pmod(md5_long(F.col("_tok"), seed=seed),
+                           F.lit(n_buckets)).alias("bucket")))
+    w = weights.select(F.col("bucket"), F.col("w").cast("long"))
+    scored = (toks.join(F.broadcast(w), "bucket", "left")
+              .groupBy(id_col)
+              .agg(F.sum(F.coalesce("w", F.lit(0))).alias("_sw"),
+                   F.count("*").alias("n_tokens")))
+    return scored.select(
+        id_col, "n_tokens",
+        F.round(F.col("_sw") / (F.col("n_tokens") * W_SCALE), 6)
+        .alias("logit"),
+        F.when(F.col("_sw") >= 0, F.lit("keep")).otherwise(F.lit("drop"))
+        .alias("label"))
+
+
+def pseudo_weights(spark, n_buckets: int, seed: int = 23) -> DataFrame:
+    """Deterministic stand-in weight table (md5-derived, centered on 0,
+    range ±W_SCALE) — exercises the full inference plumbing where no
+    trained model is at hand; both engines generate the identical
+    table."""
+    return spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        (F.pmod(md5_long(F.col("id").cast("string"), seed=seed),
+                F.lit(2 * W_SCALE + 1)) - W_SCALE).cast("long").alias("w"))
+
+
+def hashed_linear_score_sql(table: str = "documents",
+                            n_buckets: int = 1 << 12,
+                            id_col: str = "doc_id",
+                            text_col: str = "text", seed: int = 5,
+                            weight_seed: int = 23) -> str:
+    """DuckDB twin of :func:`hashed_linear_score` over
+    :func:`pseudo_weights` — identical hashing, integer sums, one
+    rounded division, sign-decided label."""
+    toks = TX.tokens_sql(text_col)
+    h = md5_long_sql("_tok", seed=seed)
+    hw = md5_long_sql("CAST(i AS VARCHAR)", seed=weight_seed)
+    return f"""
+WITH _w AS MATERIALIZED (
+  SELECT CAST(i AS INTEGER) AS bucket,
+         CAST({hw} % {2 * W_SCALE + 1} - {W_SCALE} AS BIGINT) AS w
+  FROM range({n_buckets}) r(i)),
+_tk AS MATERIALIZED (
+  SELECT {id_col}, CAST({h} % {n_buckets} AS INTEGER) AS bucket
+  FROM (SELECT {id_col}, unnest({toks}) AS _tok FROM {table})),
+_sc AS (
+  SELECT t.{id_col}, CAST(sum(coalesce(w.w, 0)) AS BIGINT) AS _sw,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM _tk t LEFT JOIN _w w USING (bucket)
+  GROUP BY t.{id_col})
+SELECT {id_col}, n_tokens,
+       round(CAST(_sw AS DOUBLE) / (n_tokens * {W_SCALE}), 6) AS logit,
+       CASE WHEN _sw >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM _sc
 """

@@ -160,6 +160,79 @@ WHERE {bucket} < r.mix_bps
 """
 
 
+# --- token-budget mix ---------------------------------------------------------
+
+
+def token_budget_mix(df: DataFrame, strata_col: str, tokens_col: str,
+                     budgets: dict[str, int], key_col: str,
+                     seed: int = 1) -> DataFrame:
+    """Sample each stratum down to a TOKEN budget — the unit a
+    pretraining run actually allocates (a mix spec says "30B tokens of
+    code, 5B of German", not document fractions).
+
+    Per stratum: rate_bps = min(10000, ⌊budget·10000 / Σ tokens⌋), then
+    the same deterministic md5-bucket filter the other samplers use —
+    the kept token count lands within one bucket-quantum of the budget
+    in expectation. Strata without a budget are DROPPED (a mix spec is
+    exhaustive). All-integer arithmetic end to end (exact bigint token
+    sums, integer floor-division) — the DuckDB oracle reproduces the
+    exact kept set. Emits ``budget_bps`` for mix auditing.
+
+    Scale shape (100 TB): one metadata-scale agg (k strata rows), rates
+    broadcast back, then a pure filter — the corpus never shuffles.
+    """
+    for k, v in budgets.items():
+        if v < 0:
+            raise ValueError(f"negative budget for {k!r}")
+    c = F.col
+    totals = df.groupBy(strata_col).agg(
+        F.sum(c(tokens_col).cast("long")).alias("_tok"))
+    bmap = F.create_map(*chain.from_iterable(
+        (F.lit(k), F.lit(int(v))) for k, v in sorted(budgets.items())))
+    # integer `div`, not double `/` + floor: budget·10⁴ and the token
+    # sum are exact bigints, and both engines must floor the same exact
+    # quotient (a double division could mis-round at exact boundaries)
+    rates = (totals
+             .withColumn("_budget",
+                         F.element_at(bmap, c(strata_col)).cast("long"))
+             .filter(c("_budget").isNotNull())
+             .withColumn("budget_bps",
+                         F.least(F.lit(BUCKETS).cast("long"),
+                                 F.expr(f"(_budget * {BUCKETS}) div _tok")))
+             .select(strata_col, "budget_bps"))
+    return (df.join(F.broadcast(rates), strata_col)
+            .filter(sample_bucket(key_col, seed) < c("budget_bps")))
+
+
+def token_budget_mix_sql(src: str, strata_col: str, tokens_col: str,
+                         budgets: dict[str, int], key_col: str,
+                         seed: int = 1, cols: str = "*") -> str:
+    """ANSI-SQL twin of :func:`token_budget_mix` (identical integer
+    arithmetic; DuckDB's // is floor division on BIGINTs)."""
+    whens = "\n".join(f"    WHEN '{k}' THEN {int(v)}"
+                      for k, v in sorted(budgets.items()))
+    bucket = (f"{md5_long_sql(f'CAST({key_col} AS VARCHAR)', seed=seed)}"
+              f" % {BUCKETS}")
+    return f"""
+WITH _tot AS (
+  SELECT {strata_col}, CAST(sum({tokens_col}) AS BIGINT) AS _tok
+  FROM {src} GROUP BY {strata_col}),
+_rates AS (
+  SELECT {strata_col},
+         LEAST(CAST({BUCKETS} AS BIGINT),
+               (CASE {strata_col}
+{whens}
+    ELSE NULL END) * {BUCKETS} // _tok) AS budget_bps
+  FROM _tot
+  WHERE (CASE {strata_col}
+{whens}
+    ELSE NULL END) IS NOT NULL)
+SELECT {cols}, r.budget_bps
+FROM {src} d JOIN _rates r USING ({strata_col})
+WHERE {bucket} < r.budget_bps
+"""
+
+
 # --- per-key frequency capping ------------------------------------------------
 
 def cap_per_key(df: DataFrame, key_col: str, cap: int, id_col: str,

@@ -2519,3 +2519,58 @@ def winnow_partial_overlap(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     fps = winnow_fingerprints(d, k=3, w=4)
     return shared_fingerprint_pairs(fps, min_shared=3)
+
+
+# =============================================================================
+# Round-5 additions: token-budget mixing + classifier-based quality filtering
+# =============================================================================
+
+_TOKEN_BUDGETS = {"en": 20_000, "de": 1_000}
+
+
+def _token_budget_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.functions.text import token_count_sql
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        token_budget_mix_sql)
+    src = (f"(SELECT doc_id, lang, {token_count_sql('text')} AS n_tokens "
+           f"FROM documents)")
+    return token_budget_mix_sql(src, "lang", "n_tokens", _TOKEN_BUDGETS,
+                                "doc_id", seed=7,
+                                cols="d.doc_id, d.lang, d.n_tokens")
+
+
+@q("sample_token_budget", ("SAMPLE-TOKBUDGET",),
+   oracle=_token_budget_oracle(),
+   note="token-budget mix: sample each language down to a TOKEN budget "
+        "(the unit a pretraining mix actually allocates) - exact bigint "
+        "token sums, integer div rate, md5-bucket filter; one "
+        "metadata-scale agg + broadcast rates, the corpus never "
+        "shuffles; unbudgeted strata drop")
+def sample_token_budget(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        token_budget_mix)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TX.token_count("text").alias("n_tokens"))
+    return token_budget_mix(d, "lang", "n_tokens", _TOKEN_BUDGETS,
+                            "doc_id", seed=7)
+
+
+def _linear_score_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        hashed_linear_score_sql)
+    return hashed_linear_score_sql("documents", n_buckets=1 << 12)
+
+
+@q("quality_classifier_score", ("QUALITY-LINEAR",),
+   oracle=_linear_score_oracle(),
+   note="fastText-style hashed linear classifier inference (the "
+        "CCNet/LLaMA corpus-filter shape): md5 feature buckets, "
+        "broadcast weight table (model = metadata), exact integer "
+        "per-doc sums; label decided on the exact sum sign, logit one "
+        "rounded division - corpus never reshuffled")
+def quality_classifier_score(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        hashed_linear_score, pseudo_weights)
+    d = _t(spark, sf_dir, "documents")
+    w = pseudo_weights(d.sparkSession, 1 << 12)
+    return hashed_linear_score(d, w, n_buckets=1 << 12)

@@ -115,3 +115,41 @@ def test_bigram_lm_duplicates_raise_familiarity(spark):
     assert out[10].hapax_ratio == 0.0
     # fully-unique docs are all-hapax
     assert out[0].hapax_ratio == 1.0
+
+
+def test_hashed_linear_score_matches_python(spark):
+    """Inference agrees with a direct per-token weight-lookup model."""
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        W_SCALE, hashed_linear_score, pseudo_weights)
+    texts = ["good clean prose here", "spam spam spam", "mixed bag of words"]
+    d = spark.createDataFrame(list(enumerate(texts)),
+                              "doc_id long, text string")
+    nb = 256
+    w = pseudo_weights(spark, nb)
+    wmap = {r.bucket: r.w for r in w.collect()}
+
+    import hashlib
+    def bucket(tok):
+        h = int(hashlib.md5(f"5:{tok}".encode()).hexdigest()[:15], 16)
+        return h % nb
+
+    got = {r.doc_id: r for r in
+           hashed_linear_score(d, w, n_buckets=nb).collect()}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        sw = sum(wmap.get(bucket(tk), 0) for tk in toks)
+        assert got[i].n_tokens == len(toks)
+        assert got[i].logit == round(sw / (len(toks) * W_SCALE), 6)
+        assert got[i].label == ("keep" if sw >= 0 else "drop")
+
+
+def test_hashed_linear_score_plan_is_broadcast(spark):
+    """The weight table joins broadcast — the corpus side never shuffles
+    for the model."""
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        hashed_linear_score, pseudo_weights)
+    d = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = (hashed_linear_score(d, pseudo_weights(spark, 64), 64)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -188,3 +188,40 @@ def test_split_leakage_detects_cross_split_near_dup(spark):
                    F.greatest("_sa", "_sb").alias("hi")))
     got = {(r["lo"], r["hi"]) for r in rep.collect()}
     assert ("test", "train") in got              # the planted leak
+
+
+def test_token_budget_mix_rates_and_determinism(spark):
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        BUCKETS, token_budget_mix)
+    rows = [(i, "en" if i % 4 else "de", 10 + i % 7) for i in range(400)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    budgets = {"en": 1200, "fr": 50}          # de unbudgeted -> dropped
+    out = token_budget_mix(d, "lang", "n_tokens", budgets, "doc_id", seed=3)
+    got = out.collect()
+    assert {r.lang for r in got} == {"en"}    # de dropped, fr absent
+    # rate check: en rate_bps = floor(1200*10000 / sum_en_tokens)
+    sum_en = sum(t for _, l, t in rows if l == "en")
+    bps = min(BUCKETS, 1200 * BUCKETS // sum_en)
+    assert all(r.budget_bps == bps for r in got)
+    # kept token mass lands near the budget (one-bucket quantum noise)
+    kept = sum(r.n_tokens for r in got)
+    assert 0 < kept < 2 * 1200
+    # deterministic: same call -> same kept set
+    again = {r.doc_id for r in
+             token_budget_mix(d, "lang", "n_tokens", budgets,
+                              "doc_id", seed=3).collect()}
+    assert again == {r.doc_id for r in got}
+
+
+def test_token_budget_mix_caps_at_full_keep(spark):
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        BUCKETS, token_budget_mix)
+    d = spark.createDataFrame([(1, "en", 5), (2, "en", 5)],
+                              "doc_id long, lang string, n_tokens long")
+    out = token_budget_mix(d, "lang", "n_tokens", {"en": 10_000},
+                          "doc_id").collect()
+    assert len(out) == 2 and all(r.budget_bps == BUCKETS for r in out)
+
+    import pytest
+    with pytest.raises(ValueError, match="negative budget"):
+        token_budget_mix(d, "lang", "n_tokens", {"en": -1}, "doc_id")
