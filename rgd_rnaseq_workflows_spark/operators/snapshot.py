@@ -114,3 +114,148 @@ SELECT coalesce(b.{id_col}, c.{id_col}) AS {id_col}, {pick}
 FROM {base_src} b FULL OUTER JOIN {changes_src} c
   ON b.{id_col} = c.{id_col}
 WHERE c.{op_col} IS NULL OR c.{op_col} = 'upsert'"""
+
+
+# --- token-distribution drift -------------------------------------------------
+
+def _vocab_join(old: DataFrame, new: DataFrame, text_col: str) -> DataFrame:
+    """Full-outer join of the two snapshots' token-count vocabularies:
+    (t, cp, cq) with absent-side counts as 0."""
+    from rgd_rnaseq_workflows_spark.functions import text as TX
+    co = (old.select(F.explode(TX.tokens(text_col)).alias("t"))
+          .groupBy("t").agg(F.count("*").alias("cp")))
+    cn = (new.select(F.explode(TX.tokens(text_col)).alias("t"))
+          .groupBy("t").agg(F.count("*").alias("cq")))
+    return (co.join(cn, "t", "full_outer")
+            .select("t", F.coalesce("cp", F.lit(0)).alias("cp"),
+                    F.coalesce("cq", F.lit(0)).alias("cq")))
+
+
+def token_drift_report(old: DataFrame, new: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """Distribution drift between two corpus snapshots: ONE row
+    (n_terms_old, n_terms_new, n_shared, n_tokens_old, n_tokens_new,
+    tv_distance) where ``tv_distance`` is the total-variation distance
+    between the token unigram distributions,
+
+        TV = ½ Σ_t |p_t − q_t| = Σ_t |cp_t·N2 − cq_t·N1| / (2·N1·N2).
+
+    The monitoring gate for continuous ingestion: "did crawl v2's
+    language mix / boilerplate profile shift under us". The numerator
+    is an EXACT bigint sum (order-independent, engine-portable — a
+    KL/JS log sum's accumulation order no distributed engine pins down;
+    the bigram-LM precedent), then ONE final division + round(·, 6).
+    int64 headroom: per-term count × total-token products cap near
+    2^62 for ~1e9-token snapshots; larger snapshots move the same
+    expression to DecimalType.
+
+    Scale shape: token explode → one map-side-combined groupBy per
+    snapshot (vocabulary-scale outputs), a full-outer equi-join of two
+    vocabulary tables, the 1-row totals broadcast back, one exact agg —
+    the corpora themselves never join or reshuffle.
+    """
+    j = _vocab_join(old, new, text_col)
+    totals = j.agg(F.sum("cp").cast("long").alias("n1"),
+                   F.sum("cq").cast("long").alias("n2"))
+    jt = j.crossJoin(F.broadcast(totals))
+    return (jt.agg(
+        F.sum(F.when(F.col("cp") > 0, 1).otherwise(0)).cast("long")
+        .alias("n_terms_old"),
+        F.sum(F.when(F.col("cq") > 0, 1).otherwise(0)).cast("long")
+        .alias("n_terms_new"),
+        F.sum(F.when((F.col("cp") > 0) & (F.col("cq") > 0), 1)
+              .otherwise(0)).cast("long").alias("n_shared"),
+        F.first("n1").alias("n_tokens_old"),
+        F.first("n2").alias("n_tokens_new"),
+        F.sum(F.abs(F.col("cp") * F.col("n2") - F.col("cq") * F.col("n1")))
+        .cast("long").alias("_num"))
+        .select("n_terms_old", "n_terms_new", "n_shared",
+                "n_tokens_old", "n_tokens_new",
+                F.round(F.col("_num").cast("double")
+                        / (2.0 * F.col("n_tokens_old")
+                           * F.col("n_tokens_new")), 6)
+                .alias("tv_distance")))
+
+
+def top_drift_terms(old: DataFrame, new: DataFrame, k: int = 10,
+                    text_col: str = "text") -> DataFrame:
+    """The k terms moving the most probability mass between snapshots:
+    (t, c_old, c_new, direction, shift6) ordered by exact integer drift
+    |cp·N2 − cq·N1| desc (ties → term asc) — the ranking never touches
+    a double; ``shift6`` = the term's |p−q| rounded for reporting."""
+    j = _vocab_join(old, new, text_col)
+    totals = j.agg(F.sum("cp").cast("long").alias("n1"),
+                   F.sum("cq").cast("long").alias("n2"))
+    jt = (j.crossJoin(F.broadcast(totals))
+          .withColumn("_d", F.abs(F.col("cp") * F.col("n2")
+                                  - F.col("cq") * F.col("n1"))
+                      .cast("long")))
+    return (jt.orderBy(F.desc("_d"), "t").limit(k)
+            .select(F.col("t").alias("term"),
+                    F.col("cp").cast("long").alias("c_old"),
+                    F.col("cq").cast("long").alias("c_new"),
+                    F.when(F.col("cp") * F.col("n2")
+                           >= F.col("cq") * F.col("n1"), F.lit("down"))
+                    .otherwise(F.lit("up")).alias("direction"),
+                    F.round(F.col("_d").cast("double")
+                            / (F.col("n1") * F.col("n2")), 6)
+                    .alias("shift6")))
+
+
+def token_drift_sql(old_src: str, new_src: str,
+                    text_col: str = "text") -> str:
+    """DuckDB twin of :func:`token_drift_report` — identical exact
+    integer arithmetic, one rounded division."""
+    from rgd_rnaseq_workflows_spark.functions.text import tokens_sql
+    toks = tokens_sql(text_col)
+    return f"""
+WITH co AS MATERIALIZED (
+  SELECT t, CAST(count(*) AS BIGINT) AS cp
+  FROM (SELECT unnest({toks}) AS t FROM {old_src}) GROUP BY t),
+cn AS MATERIALIZED (
+  SELECT t, CAST(count(*) AS BIGINT) AS cq
+  FROM (SELECT unnest({toks}) AS t FROM {new_src}) GROUP BY t),
+j AS MATERIALIZED (
+  SELECT coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+  FROM co FULL OUTER JOIN cn USING (t)),
+tot AS (SELECT CAST(sum(cp) AS BIGINT) AS n1,
+               CAST(sum(cq) AS BIGINT) AS n2 FROM j)
+SELECT CAST(sum(CASE WHEN cp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_terms_old,
+       CAST(sum(CASE WHEN cq > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_terms_new,
+       CAST(sum(CASE WHEN cp > 0 AND cq > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(any_value(n1) AS BIGINT) AS n_tokens_old,
+       CAST(any_value(n2) AS BIGINT) AS n_tokens_new,
+       round(CAST(sum(abs(cp * n2 - cq * n1)) AS DOUBLE)
+             / (2.0 * any_value(n1) * any_value(n2)), 6) AS tv_distance
+FROM j CROSS JOIN tot
+"""
+
+
+def top_drift_terms_sql(old_src: str, new_src: str, k: int = 10,
+                        text_col: str = "text") -> str:
+    """DuckDB twin of :func:`top_drift_terms` (exact integer ranking)."""
+    from rgd_rnaseq_workflows_spark.functions.text import tokens_sql
+    toks = tokens_sql(text_col)
+    return f"""
+WITH co AS MATERIALIZED (
+  SELECT t, CAST(count(*) AS BIGINT) AS cp
+  FROM (SELECT unnest({toks}) AS t FROM {old_src}) GROUP BY t),
+cn AS MATERIALIZED (
+  SELECT t, CAST(count(*) AS BIGINT) AS cq
+  FROM (SELECT unnest({toks}) AS t FROM {new_src}) GROUP BY t),
+j AS MATERIALIZED (
+  SELECT t, coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+  FROM co FULL OUTER JOIN cn USING (t)),
+tot AS (SELECT CAST(sum(cp) AS BIGINT) AS n1,
+               CAST(sum(cq) AS BIGINT) AS n2 FROM j)
+SELECT t AS term, cp AS c_old, cq AS c_new,
+       CASE WHEN cp * n2 >= cq * n1 THEN 'down' ELSE 'up' END AS direction,
+       round(CAST(abs(cp * n2 - cq * n1) AS DOUBLE) / (n1 * n2), 6)
+         AS shift6
+FROM j CROSS JOIN tot
+ORDER BY abs(cp * n2 - cq * n1) DESC, t
+LIMIT {k}
+"""

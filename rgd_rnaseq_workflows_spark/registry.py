@@ -2574,3 +2574,44 @@ def quality_classifier_score(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     w = pseudo_weights(d.sparkSession, 1 << 12)
     return hashed_linear_score(d, w, n_buckets=1 << 12)
+
+
+_DRIFT_OLD = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+_DRIFT_NEW = "(SELECT * FROM documents WHERE doc_id % 2 = 1)"
+
+
+def _drift_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.snapshot import token_drift_sql
+    return token_drift_sql(_DRIFT_OLD, _DRIFT_NEW)
+
+
+@q("corpus_token_drift", ("DRIFT-TV",), oracle=_drift_oracle(),
+   note="snapshot drift monitoring: total-variation distance between "
+        "two snapshots' token distributions - exact bigint numerator "
+        "sum (|cp*N2 - cq*N1|, order-independent across engines), one "
+        "rounded division; vocabulary tables join, corpora never do")
+def corpus_token_drift(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.snapshot import (
+        token_drift_report)
+    d = _t(spark, sf_dir, "documents")
+    return token_drift_report(d.filter(F.col("doc_id") % 2 == 0),
+                              d.filter(F.col("doc_id") % 2 == 1))
+
+
+def _drift_terms_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.snapshot import (
+        top_drift_terms_sql)
+    return top_drift_terms_sql(_DRIFT_OLD, _DRIFT_NEW, k=15)
+
+
+@q("corpus_drift_terms", ("DRIFT-TERMS",), oracle=_drift_terms_oracle(),
+   note="top drifting terms between snapshots, ranked by the EXACT "
+        "integer mass movement |cp*N2 - cq*N1| (ties -> term) - the "
+        "ranking never touches a double; per-term |p-q| rounded only "
+        "for reporting")
+def corpus_drift_terms(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.snapshot import (
+        top_drift_terms)
+    d = _t(spark, sf_dir, "documents")
+    return top_drift_terms(d.filter(F.col("doc_id") % 2 == 0),
+                           d.filter(F.col("doc_id") % 2 == 1), k=15)

@@ -68,3 +68,45 @@ def test_snapshot_apply_rejects_null_op(spark):
         [(2, None, "y")], "doc_id long, op string, text string")
     with pt.raises(ValueError, match="unknown op"):
         snapshot_apply(base, changes)
+
+
+def test_token_drift_tv_matches_python(spark):
+    """TV distance and top movers agree with a direct computation."""
+    from collections import Counter
+
+    from rgd_rnaseq_workflows_spark.operators.snapshot import (
+        token_drift_report, top_drift_terms)
+    old_texts = ["a a b c", "a b d"]
+    new_texts = ["a b b e", "b e e"]
+    old = spark.createDataFrame(list(enumerate(old_texts)),
+                                "doc_id long, text string")
+    new = spark.createDataFrame(list(enumerate(new_texts)),
+                                "doc_id long, text string")
+    cp = Counter(t for x in old_texts for t in x.split())
+    cq = Counter(t for x in new_texts for t in x.split())
+    n1, n2 = sum(cp.values()), sum(cq.values())
+    vocab = set(cp) | set(cq)
+    num = sum(abs(cp[t] * n2 - cq[t] * n1) for t in vocab)
+
+    r = token_drift_report(old, new).collect()[0]
+    assert (r.n_terms_old, r.n_terms_new) == (len(cp), len(cq))
+    assert r.n_shared == len(set(cp) & set(cq))
+    assert (r.n_tokens_old, r.n_tokens_new) == (n1, n2)
+    assert r.tv_distance == round(num / (2.0 * n1 * n2), 6)
+    assert 0.0 <= r.tv_distance <= 1.0
+
+    top = top_drift_terms(old, new, k=3).collect()
+    want = sorted(vocab, key=lambda t: (-abs(cp[t] * n2 - cq[t] * n1), t))[:3]
+    assert [t.term for t in top] == want
+    for t in top:
+        exp_dir = "down" if cp[t.term] * n2 >= cq[t.term] * n1 else "up"
+        assert t.direction == exp_dir
+
+
+def test_token_drift_identical_snapshots_is_zero(spark):
+    from rgd_rnaseq_workflows_spark.operators.snapshot import (
+        token_drift_report)
+    d = spark.createDataFrame([(0, "x y z"), (1, "x q")],
+                              "doc_id long, text string")
+    r = token_drift_report(d, d).collect()[0]
+    assert r.tv_distance == 0.0 and r.n_shared == r.n_terms_old
