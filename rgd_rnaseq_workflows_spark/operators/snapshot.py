@@ -120,15 +120,21 @@ WHERE c.{op_col} IS NULL OR c.{op_col} = 'upsert'"""
 
 def _vocab_join(old: DataFrame, new: DataFrame, text_col: str) -> DataFrame:
     """Full-outer join of the two snapshots' token-count vocabularies:
-    (t, cp, cq) with absent-side counts as 0."""
+    (t, cp, cq) with absent-side counts as 0. Lazily checkpointed —
+    every consumer branches it twice (the 1-row totals agg + the main
+    agg), and without the truncation both branches would re-run the
+    corpus explodes; with it the corpora are tokenized ONCE."""
     from rgd_rnaseq_workflows_spark.functions import text as TX
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
     co = (old.select(F.explode(TX.tokens(text_col)).alias("t"))
           .groupBy("t").agg(F.count("*").alias("cp")))
     cn = (new.select(F.explode(TX.tokens(text_col)).alias("t"))
           .groupBy("t").agg(F.count("*").alias("cq")))
-    return (co.join(cn, "t", "full_outer")
-            .select("t", F.coalesce("cp", F.lit(0)).alias("cp"),
-                    F.coalesce("cq", F.lit(0)).alias("cq")))
+    return checkpoint_df(
+        co.join(cn, "t", "full_outer")
+        .select("t", F.coalesce("cp", F.lit(0)).alias("cp"),
+                F.coalesce("cq", F.lit(0)).alias("cq")),
+        eager=False)
 
 
 def token_drift_report(old: DataFrame, new: DataFrame,

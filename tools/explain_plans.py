@@ -114,6 +114,18 @@ SHOWCASE = {
         "w-window via ONE window frame over a packed (hash,-pos) int64 "
         "key — ~2/(w+1) of k-grams stored; matching is an equi-join on "
         "the fingerprint, never all-pairs.",
+    "sample_token_budget": "token-budget mix: one metadata-scale token "
+        "agg per stratum, integer div rates broadcast back, md5-bucket "
+        "filter — the corpus never shuffles; budgets allocated in "
+        "tokens, the unit a pretraining mix is specified in.",
+    "quality_classifier_score": "fastText-shape linear classifier "
+        "inference: md5 feature buckets, BROADCAST weight table (the "
+        "model is metadata), exact per-doc integer sums; label decided "
+        "on the exact sum sign.",
+    "corpus_token_drift": "snapshot drift: two vocabulary-scale "
+        "groupBys, a full-outer vocab join (sort-merge — full-outer "
+        "can't broadcast), 1-row totals broadcast back; TV numerator "
+        "is an exact bigint sum, corpora never join.",
 }
 
 
