@@ -70,12 +70,11 @@ def main() -> None:
                 runs.setdefault(name, []).append(-1.0)
                 print(f"bench error in {name}: {e}", file=sys.stderr)
 
+    import statistics
+
     def median(xs: list[float]) -> float:
-        ok = sorted(x for x in xs if x >= 0)
-        if not ok:
-            return -1.0
-        mid = len(ok) // 2
-        return ok[mid] if len(ok) % 2 else round((ok[mid - 1] + ok[mid]) / 2, 3)
+        ok = [x for x in xs if x >= 0]
+        return round(statistics.median(ok), 3) if ok else -1.0
 
     timings = {name: median(xs) for name, xs in runs.items()}
     total = round(sum(t for t in timings.values() if t >= 0), 3)

@@ -148,12 +148,13 @@ def token_drift_report(old: DataFrame, new: DataFrame,
 
     The monitoring gate for continuous ingestion: "did crawl v2's
     language mix / boilerplate profile shift under us". The numerator
-    is an EXACT bigint sum (order-independent, engine-portable — a
+    is an EXACT integer sum (order-independent, engine-portable — a
     KL/JS log sum's accumulation order no distributed engine pins down;
     the bigram-LM precedent), then ONE final division + round(·, 6).
-    int64 headroom: per-term count × total-token products cap near
-    2^62 for ~1e9-token snapshots; larger snapshots move the same
-    expression to DecimalType.
+    The count × total products run in DecimalType(38,0) / HUGEINT —
+    int64 would silently wrap for ~3e9-token snapshots (counts ×
+    totals > 2^63) under ANSI-off; decimal keeps ~1e19-token headroom
+    with exactness on both engines.
 
     Scale shape: token explode → one map-side-combined groupBy per
     snapshot (vocabulary-scale outputs), a full-outer equi-join of two
@@ -173,8 +174,9 @@ def token_drift_report(old: DataFrame, new: DataFrame,
               .otherwise(0)).cast("long").alias("n_shared"),
         F.first("n1").alias("n_tokens_old"),
         F.first("n2").alias("n_tokens_new"),
-        F.sum(F.abs(F.col("cp") * F.col("n2") - F.col("cq") * F.col("n1")))
-        .cast("long").alias("_num"))
+        F.sum(F.abs(F.col("cp").cast("decimal(38,0)") * F.col("n2")
+                    - F.col("cq").cast("decimal(38,0)") * F.col("n1")))
+        .alias("_num"))
         .select("n_terms_old", "n_terms_new", "n_shared",
                 "n_tokens_old", "n_tokens_new",
                 F.round(F.col("_num").cast("double")
@@ -188,23 +190,26 @@ def top_drift_terms(old: DataFrame, new: DataFrame, k: int = 10,
     """The k terms moving the most probability mass between snapshots:
     (t, c_old, c_new, direction, shift6) ordered by exact integer drift
     |cp·N2 − cq·N1| desc (ties → term asc) — the ranking never touches
-    a double; ``shift6`` = the term's |p−q| rounded for reporting."""
+    a double (DecimalType products: int64 would wrap at ~3e9-token
+    snapshots); ``shift6`` = the term's |p−q| rounded for reporting."""
     j = _vocab_join(old, new, text_col)
     totals = j.agg(F.sum("cp").cast("long").alias("n1"),
                    F.sum("cq").cast("long").alias("n2"))
+    dec = "decimal(38,0)"
     jt = (j.crossJoin(F.broadcast(totals))
-          .withColumn("_d", F.abs(F.col("cp") * F.col("n2")
-                                  - F.col("cq") * F.col("n1"))
-                      .cast("long")))
+          .withColumn("_d", F.abs(F.col("cp").cast(dec) * F.col("n2")
+                                  - F.col("cq").cast(dec) * F.col("n1"))))
     return (jt.orderBy(F.desc("_d"), "t").limit(k)
             .select(F.col("t").alias("term"),
                     F.col("cp").cast("long").alias("c_old"),
                     F.col("cq").cast("long").alias("c_new"),
-                    F.when(F.col("cp") * F.col("n2")
-                           >= F.col("cq") * F.col("n1"), F.lit("down"))
+                    F.when(F.col("cp").cast(dec) * F.col("n2")
+                           >= F.col("cq").cast(dec) * F.col("n1"),
+                           F.lit("down"))
                     .otherwise(F.lit("up")).alias("direction"),
                     F.round(F.col("_d").cast("double")
-                            / (F.col("n1") * F.col("n2")), 6)
+                            / (F.col("n1").cast("double")
+                               * F.col("n2").cast("double")), 6)
                     .alias("shift6")))
 
 
@@ -234,7 +239,8 @@ SELECT CAST(sum(CASE WHEN cp > 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_shared,
        CAST(any_value(n1) AS BIGINT) AS n_tokens_old,
        CAST(any_value(n2) AS BIGINT) AS n_tokens_new,
-       round(CAST(sum(abs(cp * n2 - cq * n1)) AS DOUBLE)
+       round(CAST(sum(abs(CAST(cp AS HUGEINT) * n2
+                          - CAST(cq AS HUGEINT) * n1)) AS DOUBLE)
              / (2.0 * any_value(n1) * any_value(n2)), 6) AS tv_distance
 FROM j CROSS JOIN tot
 """
@@ -258,10 +264,12 @@ j AS MATERIALIZED (
 tot AS (SELECT CAST(sum(cp) AS BIGINT) AS n1,
                CAST(sum(cq) AS BIGINT) AS n2 FROM j)
 SELECT t AS term, cp AS c_old, cq AS c_new,
-       CASE WHEN cp * n2 >= cq * n1 THEN 'down' ELSE 'up' END AS direction,
-       round(CAST(abs(cp * n2 - cq * n1) AS DOUBLE) / (n1 * n2), 6)
-         AS shift6
+       CASE WHEN CAST(cp AS HUGEINT) * n2 >= CAST(cq AS HUGEINT) * n1
+            THEN 'down' ELSE 'up' END AS direction,
+       round(CAST(abs(CAST(cp AS HUGEINT) * n2
+                      - CAST(cq AS HUGEINT) * n1) AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS shift6
 FROM j CROSS JOIN tot
-ORDER BY abs(cp * n2 - cq * n1) DESC, t
+ORDER BY abs(CAST(cp AS HUGEINT) * n2 - CAST(cq AS HUGEINT) * n1) DESC, t
 LIMIT {k}
 """

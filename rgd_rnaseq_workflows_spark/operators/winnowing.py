@@ -107,15 +107,22 @@ def winnow_pairs_sql(table: str, k: int = 3, w: int = 4,
                      id_col: str = "doc_id", text_col: str = "text",
                      min_shared: int = 2) -> str:
     """DuckDB twin of fingerprints → shared pairs (identical hashes,
-    window frame, rightmost-min packing, full-window rule)."""
+    window frame, rightmost-min packing, full-window rule — and the
+    same overflow contract: a document longer than the packed-key cap
+    ERRORS instead of silently truncating, mirroring the Spark
+    ``raise_error`` guard)."""
     grams = shingles_all_sql(text_col, k)
     h = md5_long_sql("gram")
-    pos_cap = 1 << 20
+    pos_cap = 1 << _POS_BITS
     return f"""
 WITH tk AS MATERIALIZED (
   SELECT {id_col} AS _id, {grams} AS g FROM {table}),
 grams AS MATERIALIZED (
-  SELECT _id, CAST(i - 1 AS BIGINT) AS pos,
+  SELECT _id,
+         CASE WHEN i - 1 < {pos_cap} THEN CAST(i - 1 AS BIGINT)
+              ELSE CAST(error('winnow: document exceeds ' ||
+                              '{pos_cap} k-gram positions — pre-chunk')
+                        AS BIGINT) END AS pos,
          {h.replace('gram', 'g[i]')} % {1 << 40} AS h
   FROM tk, unnest(range(1, len(g) + 1)) AS r(i)),
 sel AS MATERIALIZED (
@@ -130,7 +137,7 @@ sel AS MATERIALIZED (
            count(*) OVER (PARTITION BY _id ORDER BY pos
                           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
              AS nw
-    FROM grams WHERE pos < {pos_cap})
+    FROM grams)
   WHERE nw = {w}),
 da AS (SELECT DISTINCT _id, fp FROM sel),
 pairs AS (

@@ -300,22 +300,29 @@ def run(args: argparse.Namespace) -> int:
         from rgd_rnaseq_workflows_spark.sources.bigwig import (
             write_bigwig_track)
         aln = spark.read.parquet(args.alignments)
-        cov = binned_coverage(aln, bin_size=args.bin_size)
-        samples = [r["sample"] for r in
-                   aln.select("sample").distinct().orderBy("sample")
-                   .collect()]
-        have_tool = bool(_shutil.which("bedGraphToBigWig"))
-        if not have_tool:
-            print("[coverage] bedGraphToBigWig not on PATH; leaving "
-                  "bedGraph tracks unencoded", file=sys.stderr)
-        for s in samples:           # per-project: bounded by sample count
-            cmds = write_bigwig_track(
-                cov.filter(F.col("sample") == s).drop("sample"),
-                f"{out}/coverage/{s}", name=f"RNAseq_{s}",
-                bin_size=args.bin_size)
-            if have_tool:
-                for cmd in cmds:
-                    _subprocess.run(cmd, check=True)
+        # persist the aggregated coverage: each sample's sink runs two
+        # actions (bedGraph write + chrom.sizes collect) — without the
+        # cache every action would re-read and re-aggregate the whole
+        # alignments table, scaling the stage as samples × full scans
+        cov = binned_coverage(aln, bin_size=args.bin_size).persist()
+        try:
+            samples = [r["sample"] for r in
+                       cov.select("sample").distinct().orderBy("sample")
+                       .collect()]
+            have_tool = bool(_shutil.which("bedGraphToBigWig"))
+            if not have_tool:
+                print("[coverage] bedGraphToBigWig not on PATH; leaving "
+                      "bedGraph tracks unencoded", file=sys.stderr)
+            for s in samples:       # per-project: bounded by sample count
+                cmds = write_bigwig_track(
+                    cov.filter(F.col("sample") == s).drop("sample"),
+                    f"{out}/coverage/{s}", name=f"RNAseq_{s}",
+                    bin_size=args.bin_size)
+                if have_tool:
+                    for cmd in cmds:
+                        _subprocess.run(cmd, check=True)
+        finally:
+            cov.unpersist()
         print(f"[coverage] {len(samples)} track(s) -> {out}/coverage "
               f"(bigwig={have_tool})", file=sys.stderr)
 

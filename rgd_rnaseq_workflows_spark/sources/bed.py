@@ -52,11 +52,9 @@ def write_indexed_bed(df: DataFrame, dir_path: str,
     part file, renames it to ``bed_name``, and returns the index commands
     (executed by the caller if htslib is present — matching the reference's
     sink contract end-to-end)."""
-    import glob
     import os
-    import shutil
+
+    from rgd_rnaseq_workflows_spark.sources.tsv import promote_single_part
     write_sorted_bed(df, dir_path)
-    part = glob.glob(os.path.join(dir_path, "part-*"))[0]
-    target = os.path.join(dir_path, bed_name)
-    shutil.move(part, target)
+    target = promote_single_part(dir_path, os.path.join(dir_path, bed_name))
     return index_commands(target)

@@ -14,9 +14,7 @@ outside the relational engine (SURVEY §1 D11).
 
 from __future__ import annotations
 
-import glob
 import os
-import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -61,13 +59,13 @@ def write_bigwig_track(cov: DataFrame, dir_path: str,
     ``binned_coverage`` frame and return the bedGraphToBigWig argv that
     produces ``<dir>/<name>.bw`` — mirroring ``write_indexed_bed``'s
     sink-plus-commands contract."""
+    from rgd_rnaseq_workflows_spark.sources.tsv import promote_single_part
     os.makedirs(dir_path, exist_ok=True)
     bg_dir = os.path.join(dir_path, "_bedgraph_parts")
     (coverage_to_bedgraph(cov, bin_size, value_col).coalesce(1)
      .write.mode("overwrite").option("sep", "\t").csv(bg_dir))
-    bg_path = os.path.join(dir_path, f"{name}.bedGraph")
-    shutil.move(glob.glob(os.path.join(bg_dir, "part-*"))[0], bg_path)
-    shutil.rmtree(bg_dir)
+    bg_path = promote_single_part(
+        bg_dir, os.path.join(dir_path, f"{name}.bedGraph"), cleanup=True)
     sizes_path = os.path.join(dir_path, "chrom.sizes")
     with open(sizes_path, "w") as fh:
         for r in chrom_sizes(cov, bin_size).collect():  # one row/contig

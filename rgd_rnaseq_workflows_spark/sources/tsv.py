@@ -83,3 +83,25 @@ def write_tsv(df: DataFrame, path: str,
         out = out.coalesce(1)
     (out.write.mode("overwrite").option("sep", "\t").option("header", True)
      .option("emptyValue", "").csv(path))
+
+
+def promote_single_part(part_dir: str, target_path: str,
+                        cleanup: bool = False) -> str:
+    """Rename the single Spark part file written under ``part_dir`` to
+    ``target_path`` — the shared single-file-sink step the reference's
+    report contracts need (one named TSV/BED/bedGraph, not a part
+    directory). ``cleanup=True`` removes ``part_dir`` afterwards (for
+    staging subdirectories). Exactly one part file must exist — a
+    multi-part write means the caller forgot ``coalesce(1)``."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    parts = _glob.glob(os.path.join(part_dir, "part-*"))
+    if len(parts) != 1:
+        raise ValueError(
+            f"expected exactly one part file in {part_dir}, "
+            f"found {len(parts)} — single-file sinks must coalesce(1)")
+    _shutil.move(parts[0], target_path)
+    if cleanup:
+        _shutil.rmtree(part_dir)
+    return target_path
