@@ -273,3 +273,71 @@ FROM j CROSS JOIN tot
 ORDER BY abs(CAST(cp AS HUGEINT) * n2 - CAST(cq AS HUGEINT) * n1) DESC, t
 LIMIT {k}
 """
+
+
+def oov_rate_report(docs: DataFrame, ref: DataFrame,
+                    by: str | None = None,
+                    text_col: str = "text") -> DataFrame:
+    """Out-of-vocabulary drift gate: the fraction of ``docs``' token
+    positions whose token never occurs in the ``ref`` snapshot —
+    grouped by ``by`` (e.g. lang/source) or global. The cheap early
+    warning in the drift family: a single stream-safe aggregation
+    (unlike :func:`token_drift_report`'s two-phase TV), so the SAME
+    expression tree runs incrementally under Structured Streaming
+    (``streaming.corpus_stream.stream_oov_rate``).
+
+    Shape: token explode → LEFT join the reference vocabulary
+    (vocabulary-scale — broadcast when small, stream-static and
+    stateless in streaming) → one exact-integer agg;
+    ``oov_rate6 = n_oov/n_tokens`` is a single rounded division."""
+    return oov_gate_agg(oov_tokens(docs, ref, by, text_col), by)
+
+
+def oov_tokens(docs: DataFrame, ref: DataFrame, by: str | None = None,
+               text_col: str = "text") -> DataFrame:
+    """Per-token-position OOV indicator rows — the shared kernel both
+    modes aggregate (one definition, both modes)."""
+    from rgd_rnaseq_workflows_spark.functions import text as TX
+    vocab = (ref.select(F.explode(TX.tokens(text_col)).alias("t"))
+             .distinct().withColumn("_known", F.lit(1)))
+    cols = ([F.col(by)] if by else []) + [
+        F.explode(TX.tokens(text_col)).alias("t")]
+    return (docs.select(*cols)
+            .join(vocab, "t", "left")
+            .select(*([by] if by else []),
+                    F.when(F.col("_known").isNull(), 1).otherwise(0)
+                    .alias("_oov")))
+
+
+def oov_gate_agg(toks: DataFrame, by: str | None = None) -> DataFrame:
+    """The single aggregation over :func:`oov_tokens` output."""
+    g = toks.groupBy(by) if by else toks.groupBy()
+    return (g.agg(F.count("*").alias("n_tokens"),
+                  F.sum("_oov").cast("long").alias("n_oov"))
+            .select(*([by] if by else []),
+                    "n_tokens", "n_oov",
+                    F.round(F.col("n_oov").cast("double")
+                            / F.col("n_tokens"), 6).alias("oov_rate6")))
+
+
+def oov_rate_sql(probe_src: str, ref_src: str, by: str | None = None,
+                 text_col: str = "text") -> str:
+    """DuckDB twin of :func:`oov_rate_report`."""
+    from rgd_rnaseq_workflows_spark.functions.text import tokens_sql
+    toks = tokens_sql(text_col)
+    bycols = f"{by}, " if by else ""
+    bygrp = f"GROUP BY {by}" if by else ""
+    return f"""
+WITH vocab AS MATERIALIZED (
+  SELECT DISTINCT t FROM
+    (SELECT unnest({toks}) AS t FROM {ref_src})),
+probe AS MATERIALIZED (
+  SELECT {bycols}unnest({toks}) AS t FROM {probe_src})
+SELECT {bycols}CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS oov_rate6
+FROM probe p LEFT JOIN vocab v USING (t)
+{bygrp}
+"""

@@ -2615,3 +2615,22 @@ def corpus_drift_terms(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return top_drift_terms(d.filter(F.col("doc_id") % 2 == 0),
                            d.filter(F.col("doc_id") % 2 == 1), k=15)
+
+
+def _oov_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.snapshot import oov_rate_sql
+    return oov_rate_sql(_DRIFT_NEW, _DRIFT_OLD, by="lang")
+
+
+@q("quality_oov_rate", ("DRIFT-OOV",), oracle=_oov_oracle(),
+   note="OOV drift gate: fraction of the new snapshot's token positions "
+        "unseen in the old snapshot's vocabulary, per language - a "
+        "SINGLE stream-safe aggregation (the same expression tree runs "
+        "incrementally under Structured Streaming, stream==batch "
+        "test-pinned); vocabulary joins, corpora never do")
+def quality_oov_rate(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.snapshot import (
+        oov_rate_report)
+    d = _t(spark, sf_dir, "documents")
+    return oov_rate_report(d.filter(F.col("doc_id") % 2 == 1),
+                           d.filter(F.col("doc_id") % 2 == 0), by="lang")

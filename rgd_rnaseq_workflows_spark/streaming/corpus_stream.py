@@ -114,3 +114,17 @@ def collect_bench_shingles(benchmark: DataFrame,
             .select(F.explode(shingles("text", contam_n)).alias("sh"))
             .distinct().collect())
     return frozenset(r["sh"] for r in rows)
+
+
+def stream_oov_rate(doc_stream: DataFrame, ref: DataFrame,
+                    by: str | None = "lang") -> DataFrame:
+    """Incremental OOV drift monitoring: the batch
+    ``snapshot.oov_rate_report`` expression tree running under
+    Structured Streaming — the reference vocabulary joins as a STATIC
+    frame (stream-static joins are stateless), and the single
+    aggregation's state is one (group, n_tokens, n_oov) row per group.
+    Read the current rates from a complete-mode sink at any time; after
+    ingesting everything they equal the batch report (test-pinned)."""
+    from rgd_rnaseq_workflows_spark.operators.snapshot import (
+        oov_gate_agg, oov_tokens)
+    return oov_gate_agg(oov_tokens(doc_stream, ref, by), by)

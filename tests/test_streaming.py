@@ -142,3 +142,38 @@ def test_stream_hll_equals_batch(spark, tmp_out):
     est_batch = hll_estimate(hll_registers(df, "user_id", p=6),
                              p=6).collect()[0]
     assert est_stream == est_batch
+
+
+def test_stream_oov_rate_equals_batch(spark, tmp_out):
+    """Streaming OOV drift after ingesting everything == batch report."""
+    import os
+
+    from rgd_rnaseq_workflows_spark.operators.snapshot import (
+        oov_rate_report)
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        stream_oov_rate)
+    ref = spark.createDataFrame(
+        [(0, "en", "alpha beta gamma"), (1, "de", "eins zwei")],
+        "doc_id long, lang string, text string")
+    probe = spark.createDataFrame(
+        [(2, "en", "alpha novel beta"), (3, "en", "gamma beta"),
+         (4, "de", "eins drei vier")],
+        "doc_id long, lang string, text string")
+    src = os.path.join(tmp_out, "oov_src")
+    probe.write.parquet(src)
+    batch = {r.lang: (r.n_tokens, r.n_oov, r.oov_rate6)
+             for r in oov_rate_report(probe, ref, by="lang").collect()}
+    assert batch["en"] == (5, 1, 0.2)
+    assert batch["de"] == (3, 2, round(2 / 3, 6))
+
+    stream = spark.readStream.schema(probe.schema).parquet(src)
+    q = (stream_oov_rate(stream, ref, by="lang")
+         .writeStream.format("memory").queryName("oov_out")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        got = {r.lang: (r.n_tokens, r.n_oov, r.oov_rate6)
+               for r in spark.sql("SELECT * FROM oov_out").collect()}
+    finally:
+        q.stop()
+    assert got == batch
