@@ -102,3 +102,39 @@ def test_sliding_topk_rank_after_aggregation(spark):
     plan = _plan(spark, "stream_sliding_topk")
     assert "HashAggregate" in plan and "Window" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", [
+    "sample_token_budget", "quality_classifier_score",
+    "corpus_token_drift", "corpus_drift_terms", "quality_oov_rate",
+])
+def test_round5_surface_is_jvm_only(spark, name):
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_token_budget_mix_rates_broadcast_corpus_filters(spark):
+    """The budget rates join back as a BROADCAST (metadata-scale) and
+    the kept set is a bucket filter — no corpus-side sort or window."""
+    plan = _plan(spark, "sample_token_budget")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_classifier_weight_table_broadcast(spark):
+    """The model joins broadcast; the corpus never shuffles for it."""
+    plan = _plan(spark, "quality_classifier_score")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_drift_ranking_is_decimal_exact(spark):
+    """top_drift_terms ranks on DecimalType products (int64 wraps at
+    ~3e9-token snapshots) and takes top-k without a global sort."""
+    df = REGISTRY["corpus_drift_terms"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # the ranking expression runs in decimal, not bigint multiply
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "decimal(38,0)" in opt
