@@ -102,3 +102,64 @@ r0 AS (SELECT u, CAST({RANK_SCALE} AS BIGINT) AS r FROM deg)"""]
 WITH {body}
 SELECT u AS id, round(CAST(r AS DOUBLE) / {RANK_SCALE}, 6) AS rank
 FROM {prev}"""
+
+
+def centrality_keepers(pairs: DataFrame, iters: int = 3,
+                       damping_pct: int = 85) -> DataFrame:
+    """Canonical-document selection by CENTRALITY instead of min-id:
+    per duplicate cluster, keep the member with the highest PageRank
+    over the near-dup graph (ties → min id) — the hub that most other
+    duplicates point at, usually the original.
+
+    (comp, n_members, keeper_id, keeper_rank). Composes the two
+    consumers of one pair graph — connected components and pagerank —
+    so callers should pass a CHECKPOINTED pair frame
+    (``plans.neardup.near_dup_pairs_cached``): both replay the cached
+    edge scan, the pair join runs once. Ranks are the exact fixed-point
+    integers rounded once, so the argmax ordering is engine-identical.
+    """
+    from pyspark.sql import Window
+
+    from rgd_rnaseq_workflows_spark.operators.components import (
+        connected_components)
+    comps = connected_components(pairs)
+    ranks = pagerank(pairs, iters=iters, damping_pct=damping_pct)
+    w = Window.partitionBy("comp").orderBy(F.desc("rank"), "id")
+    return (comps.join(ranks, "id")
+            .withColumn("_rk", F.row_number().over(w))
+            .withColumn("n_members",
+                        F.count("*").over(Window.partitionBy("comp"))
+                        .cast("long"))
+            .filter(F.col("_rk") == 1)
+            .select("comp", "n_members",
+                    F.col("id").alias("keeper_id"),
+                    F.col("rank").alias("keeper_rank")))
+
+
+def centrality_keepers_sql(pairs_sql: str, iters: int = 3,
+                           damping_pct: int = 85) -> str:
+    """DuckDB twin: recursive-CTE components + the unrolled integer
+    pagerank, argmax per component by (rank DESC, id). The pair CTE is
+    MATERIALIZED once and the nested pagerank chain references it
+    (``SELECT * FROM cpairs``) instead of re-deriving the pairs —
+    halves the oracle's cost."""
+    pr = pagerank_sql("SELECT * FROM cpairs", iters, damping_pct).strip()
+    return f"""
+WITH RECURSIVE cpairs AS MATERIALIZED ({pairs_sql}),
+cedges AS (SELECT id_a AS a, id_b AS b FROM cpairs
+           UNION SELECT id_b, id_a FROM cpairs),
+reach(id, lbl) AS (
+  SELECT a, a FROM cedges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN cedges e ON e.a = r.id),
+comps AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+pr AS (SELECT * FROM ({pr}) q),
+ranked AS (
+  SELECT c.comp, c.id, p.rank,
+         row_number() OVER (PARTITION BY c.comp
+                            ORDER BY p.rank DESC, c.id) AS rk,
+         count(*) OVER (PARTITION BY c.comp) AS nm
+  FROM comps c JOIN pr p ON c.id = p.id)
+SELECT comp, CAST(nm AS BIGINT) AS n_members, id AS keeper_id,
+       rank AS keeper_rank
+FROM ranked WHERE rk = 1"""

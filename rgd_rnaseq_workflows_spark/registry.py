@@ -2634,3 +2634,32 @@ def quality_oov_rate(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return oov_rate_report(d.filter(F.col("doc_id") % 2 == 1),
                            d.filter(F.col("doc_id") % 2 == 0), by="lang")
+
+
+def _centrality_keepers_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.graph import (
+        centrality_keepers_sql)
+    pairs = _simhash_fps_ctes(bits=48, seed=101, shingle_n=2) + """
+SELECT id_a, id_b FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM fps a JOIN fps b ON a.doc_id < b.doc_id)
+WHERE hamming <= 3"""
+    return centrality_keepers_sql(pairs, iters=3, damping_pct=85)
+
+
+@q("graph_centrality_keepers", ("GRAPH-KEEPERS",),
+   oracle=_centrality_keepers_oracle(),
+   note="centrality-based canonical selection: per duplicate cluster "
+        "keep the max-PageRank member (ties -> min id) - components + "
+        "pagerank both replay ONE checkpointed pair frame "
+        "(plans.neardup reuse inside a single query); exact integer "
+        "ranks make the argmax engine-identical")
+def graph_centrality_keepers(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.graph import (
+        centrality_keepers)
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    d = _t(spark, sf_dir, "documents")
+    pairs = checkpoint_df(
+        DD.simhash_near_pairs(d, bits=48, max_hamming=3, shingle_n=2))
+    return centrality_keepers(pairs, iters=3, damping_pct=85)

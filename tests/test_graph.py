@@ -58,3 +58,24 @@ def _round6_half_up(x: float) -> float:
     from decimal import ROUND_HALF_UP, Decimal
     return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
                                            rounding=ROUND_HALF_UP))
+
+
+def test_centrality_keepers_picks_hub(spark):
+    """A star cluster keeps its hub (max pagerank), not min id; the
+    keeper is a cluster member and every cluster reports once."""
+    from rgd_rnaseq_workflows_spark.operators.graph import (
+        centrality_keepers)
+    # star: node 9 is the hub but has the LARGEST id; min-id would pick 1
+    star = [(9, i) for i in (1, 2, 3, 4)]
+    # separate 2-cycle cluster
+    edges = star + [(20, 21)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long")
+    out = {r.comp: r for r in centrality_keepers(pairs).collect()}
+    assert len(out) == 2
+    star_comp = out[1]          # comp label = min reachable id
+    assert star_comp.keeper_id == 9 and star_comp.n_members == 5
+    pair_comp = out[20]
+    assert pair_comp.n_members == 2
+    # symmetric 2-cycle: equal ranks -> min-id tiebreak
+    assert pair_comp.keeper_id == 20
