@@ -124,8 +124,17 @@ SHOWCASE = {
         "on the exact sum sign.",
     "corpus_token_drift": "snapshot drift: two vocabulary-scale "
         "groupBys, a full-outer vocab join (sort-merge — full-outer "
-        "can't broadcast), 1-row totals broadcast back; TV numerator "
-        "is an exact bigint sum, corpora never join.",
+        "can't broadcast) checkpointed once for both consumers, 1-row "
+        "totals broadcast back; TV numerator is an exact DECIMAL sum "
+        "(int64 wraps at ~3e9 tokens), corpora never join.",
+    "quality_oov_rate": "OOV drift gate: ONE stream-safe aggregation — "
+        "the identical expression tree runs incrementally under "
+        "Structured Streaming (stream==batch pinned); reference vocab "
+        "joins, corpora never do.",
+    "graph_centrality_keepers": "canonical selection by centrality: "
+        "components + pagerank both replay ONE checkpointed simhash "
+        "pair frame; exact integer ranks make the per-cluster argmax "
+        "engine-identical.",
 }
 
 
