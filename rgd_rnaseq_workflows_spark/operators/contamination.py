@@ -72,3 +72,50 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     bad = contamination_report(corpus, benchmark, shingle_n, min_shared,
                                id_col, text_col).select(id_col)
     return corpus.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def cross_source_matrix(corpus: DataFrame, shingle_n: int = 3,
+                        min_shared: int = 1, source_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct ``shingle_n``-grams they share — "which source leaked
+    into which" (mirror-site crawls, aggregator re-posts, benchmark
+    splits landing in two feeds). Returns
+    (source_a, source_b, n_shared) with source_a < source_b.
+
+    Scale shape: the per-source distinct shingle table is the only
+    thing that shuffles (map-side-combined distinct on (source, gram) —
+    corpus text never moves); the pair join is an equi self-join on the
+    gram, and with S sources a gram shared by k sources expands to
+    k(k−1)/2 ≤ S²/2 rows — sources are few, so the join output is
+    pair-count scale. The matrix is S²/2 rows of metadata.
+    """
+    sh = (corpus.select(F.col(source_col).alias("_src"),
+                        F.explode(shingles(text_col, shingle_n))
+                        .alias("sh"))
+          .distinct())
+    a = sh.select(F.col("_src").alias("source_a"), "sh")
+    b = sh.select(F.col("_src").alias("source_b"), "sh")
+    return (a.join(b, "sh")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.countDistinct("sh").cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
+def cross_source_matrix_sql(table: str = "documents", shingle_n: int = 3,
+                            min_shared: int = 1,
+                            source_col: str = "source",
+                            text_col: str = "text") -> str:
+    """DuckDB twin of :func:`cross_source_matrix`."""
+    from rgd_rnaseq_workflows_spark.functions.text import shingles_sql
+    sh = shingles_sql(text_col, shingle_n)
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT DISTINCT {source_col} AS src, unnest({sh}) AS g FROM {table})
+SELECT a.src AS source_a, b.src AS source_b,
+       CAST(count(DISTINCT a.g) AS BIGINT) AS n_shared
+FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src
+GROUP BY a.src, b.src
+HAVING count(DISTINCT a.g) >= {min_shared}
+"""

@@ -2663,3 +2663,22 @@ def graph_centrality_keepers(spark, sf_dir):
     pairs = checkpoint_df(
         DD.simhash_near_pairs(d, bits=48, max_hamming=3, shingle_n=2))
     return centrality_keepers(pairs, iters=3, damping_pct=85)
+
+
+def _cross_source_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.contamination import (
+        cross_source_matrix_sql)
+    return cross_source_matrix_sql("documents", shingle_n=3, min_shared=1)
+
+
+@q("contamination_source_matrix", ("CONTAM-MATRIX",),
+   oracle=_cross_source_oracle(),
+   note="cross-source contamination matrix: distinct shared n-grams "
+        "per source pair (which feed leaked into which) - per-source "
+        "distinct shingle table is the only shuffle, equi self-join on "
+        "the gram, S^2/2-row metadata output")
+def contamination_source_matrix(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.contamination import (
+        cross_source_matrix)
+    d = _t(spark, sf_dir, "documents")
+    return cross_source_matrix(d, shingle_n=3, min_shared=1)

@@ -59,3 +59,21 @@ def test_corpus_side_never_shuffled_before_match(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cross_source_matrix_planted_leak(spark):
+    """A 4-gram block planted in two sources shows up as their shared
+    count; unrelated sources never pair."""
+    from rgd_rnaseq_workflows_spark.operators.contamination import (
+        cross_source_matrix)
+    leak = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, "feedA", f"intro words {leak} trailing stuff here"),
+        (1, "feedB", f"{leak} completely different content after"),
+        (2, "feedC", "nothing in common with anyone at all kept"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r.source_a, r.source_b): r.n_shared
+           for r in cross_source_matrix(d, shingle_n=3).collect()}
+    # 5-token leak -> 3 distinct 3-grams shared
+    assert got == {("feedA", "feedB"): 3}
