@@ -135,6 +135,10 @@ SHOWCASE = {
         "components + pagerank both replay ONE checkpointed simhash "
         "pair frame; exact integer ranks make the per-cluster argmax "
         "engine-identical.",
+    "contamination_source_matrix": "cross-source leak matrix: the "
+        "per-source distinct shingle table is the only shuffle; equi "
+        "self-join on the gram, S²/2-row metadata output — corpus text "
+        "never moves.",
 }
 
 
