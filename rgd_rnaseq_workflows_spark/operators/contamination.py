@@ -90,14 +90,19 @@ def cross_source_matrix(corpus: DataFrame, shingle_n: int = 3,
     k(k−1)/2 ≤ S²/2 rows — sources are few, so the join output is
     pair-count scale. The matrix is S²/2 rows of metadata.
     """
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long
     # NOT checkpointed: the self-join's two branches shuffle the same
     # subtree on the same key, so ReuseExchange already computes the
     # distinct table once — an explicit localCheckpoint was measured
     # SLOWER (161 s → 273 s at 100×: it forces a full materialization
-    # the reused exchange never pays)
+    # the reused exchange never pays).
+    # Grams are md5-hashed to longs BEFORE the distinct (the dedup-
+    # family key discipline): the shuffle and join carry 8-byte keys
+    # instead of strings; 2^-60 collisions only merge a pair's count.
     sh = (corpus.select(F.col(source_col).alias("_src"),
                         F.explode(shingles(text_col, shingle_n))
-                        .alias("sh"))
+                        .alias("_g"))
+          .select("_src", md5_long(F.col("_g")).alias("sh"))
           .distinct())
     a = sh.select(F.col("_src").alias("source_a"), "sh")
     b = sh.select(F.col("_src").alias("source_b"), "sh")
@@ -116,12 +121,16 @@ def cross_source_matrix_sql(table: str = "documents", shingle_n: int = 3,
                             min_shared: int = 1,
                             source_col: str = "source",
                             text_col: str = "text") -> str:
-    """DuckDB twin of :func:`cross_source_matrix`."""
+    """DuckDB twin of :func:`cross_source_matrix` (same md5-long gram
+    keys)."""
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long_sql
     from rgd_rnaseq_workflows_spark.functions.text import shingles_sql
     sh = shingles_sql(text_col, shingle_n)
+    h = md5_long_sql("g")
     return f"""
 WITH sh AS MATERIALIZED (
-  SELECT DISTINCT {source_col} AS src, unnest({sh}) AS g FROM {table})
+  SELECT DISTINCT src, {h} AS g FROM (
+    SELECT {source_col} AS src, unnest({sh}) AS g FROM {table}))
 SELECT a.src AS source_a, b.src AS source_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src
