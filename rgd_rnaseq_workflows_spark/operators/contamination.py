@@ -98,10 +98,18 @@ def cross_source_matrix(corpus: DataFrame, shingle_n: int = 3,
     # the reused exchange never pays).
     # Grams are md5-hashed to longs BEFORE the distinct (the dedup-
     # family key discipline): the shuffle and join carry 8-byte keys
-    # instead of strings; 2^-60 collisions only merge a pair's count.
+    # instead of strings. Honest collision note: a 60-bit collision
+    # between grams UNIQUE to two different sources fabricates a
+    # shared key — at web scale (~1e11 distinct grams) expect
+    # n²/2^61 ≈ thousands of collisions, so treat min_shared=1 rows
+    # as candidates and use min_shared ≥ 2 for alerting.
+    # Empty grams are dropped: shingles() emits a doc's full token
+    # string when shorter than n, and a blank document would otherwise
+    # pair every source containing one.
     sh = (corpus.select(F.col(source_col).alias("_src"),
                         F.explode(shingles(text_col, shingle_n))
                         .alias("_g"))
+          .filter(F.col("_g") != "")
           .select("_src", md5_long(F.col("_g")).alias("sh"))
           .distinct())
     a = sh.select(F.col("_src").alias("source_a"), "sh")
@@ -130,7 +138,8 @@ def cross_source_matrix_sql(table: str = "documents", shingle_n: int = 3,
     return f"""
 WITH sh AS MATERIALIZED (
   SELECT DISTINCT src, {h} AS g FROM (
-    SELECT {source_col} AS src, unnest({sh}) AS g FROM {table}))
+    SELECT {source_col} AS src, unnest({sh}) AS g FROM {table})
+  WHERE g <> '')
 SELECT a.src AS source_a, b.src AS source_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src

@@ -302,18 +302,28 @@ def oov_tokens(docs: DataFrame, ref: DataFrame, by: str | None = None,
              .distinct().withColumn("_known", F.lit(1)))
     cols = ([F.col(by)] if by else []) + [
         F.explode(TX.tokens(text_col)).alias("t")]
+    # broadcast the DISTINCT vocabulary (tens of MB for real corpora —
+    # the contamination_report discipline): without the hint a cluster
+    # plans SortMergeJoin and shuffle-writes every probe token position,
+    # contradicting "vocabulary joins, corpora never do"
     return (docs.select(*cols)
-            .join(vocab, "t", "left")
+            .join(F.broadcast(vocab), "t", "left")
             .select(*([by] if by else []),
                     F.when(F.col("_known").isNull(), 1).otherwise(0)
                     .alias("_oov")))
 
 
 def oov_gate_agg(toks: DataFrame, by: str | None = None) -> DataFrame:
-    """The single aggregation over :func:`oov_tokens` output."""
+    """The single aggregation over :func:`oov_tokens` output.
+
+    Global mode on an EMPTY probe still emits one row —
+    (n_tokens=0, n_oov=0, oov_rate6=NULL): callers gating on the rate
+    must also alert on ``n_tokens = 0`` (an empty snapshot means
+    ingestion broke, which no rate threshold can express)."""
     g = toks.groupBy(by) if by else toks.groupBy()
     return (g.agg(F.count("*").alias("n_tokens"),
-                  F.sum("_oov").cast("long").alias("n_oov"))
+                  F.coalesce(F.sum("_oov"), F.lit(0)).cast("long")
+                  .alias("n_oov"))
             .select(*([by] if by else []),
                     "n_tokens", "n_oov",
                     F.round(F.col("n_oov").cast("double")

@@ -45,15 +45,33 @@ def read_jsonl(spark: SparkSession, path: str,
             .json(path))
 
 
-def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean, quarantine): clean rows with the capture column dropped,
-    quarantine rows as (raw line). Spark requires caching the scanned
-    frame before filtering on the corrupt column alone — done here."""
-    cached = df.cache()
-    clean = (cached.filter(F.col("_corrupt_record").isNull())
-             .drop("_corrupt_record"))
-    bad = (cached.filter(F.col("_corrupt_record").isNotNull())
-           .select(F.col("_corrupt_record").alias("raw_line")))
+def read_jsonl_split(spark: SparkSession, path: str,
+                     schema: T.StructType = DOC_SCHEMA
+                     ) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine): clean rows in the target schema, quarantine
+    rows as (raw_line).
+
+    No cache: Spark forbids JSON-scan queries whose referenced columns
+    are ONLY the internal corrupt column, and the documented workaround
+    is caching the scan — but pinning a 100 TB corpus in storage to
+    extract a handful of bad lines is the wrong trade. The clean side
+    is the normal pruned JSON scan; the quarantine side re-reads the
+    file as TEXT and parses with ``from_json`` (same schema + corrupt
+    field — no raw-scan restriction applies), so both branches stream
+    with zero storage footprint."""
+    clean = (read_jsonl(spark, path, schema)
+             .filter(F.col("_corrupt_record").isNull())
+             .select(*[f.name for f in schema.fields]))
+    full = T.StructType(list(schema.fields)
+                        + [T.StructField("_corrupt_record", T.StringType())])
+    parsed = F.from_json(
+        F.col("value"), full,
+        {"mode": "PERMISSIVE",
+         "columnNameOfCorruptRecord": "_corrupt_record"})
+    bad = (spark.read.text(path)
+           .select(F.col("value"), parsed.alias("_p"))
+           .filter(F.col("_p._corrupt_record").isNotNull())
+           .select(F.col("value").alias("raw_line")))
     return clean, bad
 
 

@@ -117,7 +117,7 @@ def collect_bench_shingles(benchmark: DataFrame,
 
 
 def stream_oov_rate(doc_stream: DataFrame, ref: DataFrame,
-                    by: str | None = "lang") -> DataFrame:
+                    by: str | None = None) -> DataFrame:
     """Incremental OOV drift monitoring: the batch
     ``snapshot.oov_rate_report`` expression tree running under
     Structured Streaming — the reference vocabulary joins as a STATIC

@@ -77,3 +77,19 @@ def test_cross_source_matrix_planted_leak(spark):
            for r in cross_source_matrix(d, shingle_n=3).collect()}
     # 5-token leak -> 3 distinct 3-grams shared
     assert got == {("feedA", "feedB"): 3}
+
+
+def test_cross_source_matrix_ignores_blank_docs(spark):
+    """Blank documents in two sources must NOT pair them (review r5:
+    shingles() emits the full token string for short docs, and empty
+    text hashes equal everywhere)."""
+    from rgd_rnaseq_workflows_spark.operators.contamination import (
+        cross_source_matrix)
+    rows = [(0, "feedA", ""), (1, "feedB", ""),
+            (2, "feedC", "real shared leak content here today"),
+            (3, "feedD", "real shared leak content here tonight")]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r.source_a, r.source_b): r.n_shared
+           for r in cross_source_matrix(d, shingle_n=3).collect()}
+    assert ("feedA", "feedB") not in got
+    assert got[("feedC", "feedD")] >= 1

@@ -8,7 +8,7 @@ import json
 import os
 
 from rgd_rnaseq_workflows_spark.sources.jsonl import (
-    read_jsonl, split_corrupt, write_jsonl)
+    read_jsonl, read_jsonl_split, write_jsonl)
 
 
 def test_roundtrip_and_shards(spark, tmp_path):
@@ -23,8 +23,7 @@ def test_roundtrip_and_shards(spark, tmp_path):
     line = json.loads(gzip.open(parts[0], "rt").readline())
     assert set(line) == {"doc_id", "lang", "source", "text"}
 
-    back = read_jsonl(spark, out)
-    clean, bad = split_corrupt(back)
+    clean, bad = read_jsonl_split(spark, out)
     assert bad.count() == 0
     got = {(r.doc_id, r.lang, r.source, r.text) for r in clean.collect()}
     assert got == set(rows)
@@ -38,7 +37,7 @@ def test_corrupt_lines_quarantined_not_fatal(spark, tmp_path):
              json.dumps({"doc_id": 3, "lang": "de", "source": "s",
                          "text": "auch gut"})]
     p.write_text("\n".join(lines) + "\n")
-    clean, bad = split_corrupt(read_jsonl(spark, str(p)))
+    clean, bad = read_jsonl_split(spark, str(p))
     assert {r.doc_id for r in clean.collect()} == {1, 3}
     quarantined = [r.raw_line for r in bad.collect()]
     assert quarantined == ['{"doc_id": 2, "lang": "en", TRUNCATED']

@@ -138,3 +138,11 @@ def test_drift_ranking_is_decimal_exact(spark):
     # the ranking expression runs in decimal, not bigint multiply
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "decimal(38,0)" in opt
+
+
+def test_oov_vocab_joins_broadcast(spark):
+    """The reference vocabulary ships broadcast — the probe corpus's
+    exploded tokens never shuffle for the join."""
+    plan = _plan(spark, "quality_oov_rate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -110,3 +110,14 @@ def test_token_drift_identical_snapshots_is_zero(spark):
                               "doc_id long, text string")
     r = token_drift_report(d, d).collect()[0]
     assert r.tv_distance == 0.0 and r.n_shared == r.n_terms_old
+
+
+def test_oov_empty_probe_emits_zero_row(spark):
+    """Empty probe → (0, 0, NULL) row, not NULLs that silently pass a
+    rate gate (review r5)."""
+    from rgd_rnaseq_workflows_spark.operators.snapshot import (
+        oov_rate_report)
+    ref = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r = oov_rate_report(empty, ref).collect()[0]
+    assert (r.n_tokens, r.n_oov, r.oov_rate6) == (0, 0, None)
