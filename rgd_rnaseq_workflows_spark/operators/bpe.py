@@ -370,3 +370,130 @@ SELECT n_words, corpus_syms_initial, corpus_syms_encoded,
        round(CAST(corpus_syms_initial AS DOUBLE) / corpus_syms_encoded, 6)
          AS compression
 FROM ini, enc"""
+
+
+def bpe_fertility_by_lang(docs: DataFrame, rounds: int = 4,
+                          lang_col: str = "lang", text_col: str = "text",
+                          max_driver_vocab: int = 5_000_000) -> DataFrame:
+    """Per-language tokenizer FERTILITY of a globally-trained BPE:
+    (lang, n_words, n_tokens, n_bpe_tokens, fertility6) where
+    ``fertility6 = BPE symbols per whitespace token`` — the number that
+    tells a mix designer how a shared tokenizer taxes each language
+    (English-heavy merges make other scripts pay more symbols/word;
+    per-lang budgets should be set in BPE tokens, not words).
+
+    One corpus pass: the (lang, word, wc) table is the only shuffle; the
+    GLOBAL word counts derive from it by a driver-side rollup, merges
+    train once (incremental driver trainer), and each word's final
+    symbol state — maintained by the trainer — prices every language's
+    occurrences. ``fertility6`` is one division of exact integers.
+
+    The per-language vocabulary table must fit the driver gate (same
+    ``max_driver_vocab`` contract as :func:`train_bpe`); beyond it,
+    raise rather than silently sample — the distributed path would be
+    :func:`bpe_encode_stats`'s fold chain with a lang column.
+    """
+    from collections import defaultdict
+
+    spark = docs.sparkSession
+    wcl = (docs.select(F.col(lang_col).alias("lang"),
+                       F.explode(_tokens(text_col)).alias("word"))
+           .groupBy("lang", "word").agg(F.count("*").alias("wc")))
+    rows_l = [(r["lang"], r["word"], r["wc"])
+              for r in wcl.limit(max_driver_vocab + 1).collect()]
+    if len(rows_l) > max_driver_vocab:
+        raise ValueError(
+            f"per-language vocabulary exceeds max_driver_vocab="
+            f"{max_driver_vocab}; raise the gate or use "
+            f"bpe_encode_stats's distributed fold chain per language")
+    gw: dict = defaultdict(int)
+    for _lang, word, wc in rows_l:
+        gw[word] += wc
+    global_rows = sorted(gw.items())
+    _, words = _train_bpe_driver(global_rows, rounds)
+    enc_len = {word: len(syms)
+               for (word, _), (syms, _) in zip(global_rows, words)}
+    per: dict = defaultdict(lambda: [0, 0, 0])   # words, toks, bpe
+    for lang, word, wc in rows_l:
+        p = per[lang]
+        p[0] += 1
+        p[1] += wc
+        p[2] += wc * enc_len[word]
+    import math
+    # half-away-from-zero on the same IEEE quotient both engines round
+    # (Python's round() is banker's — the bpe_encode_stats precedent)
+    out = [(lang, p[0], p[1], p[2],
+            math.floor(p[2] / p[1] * 10**6 + 0.5) / 10**6)
+           for lang, p in sorted(per.items())]
+    return spark.createDataFrame(
+        out, "lang string, n_words long, n_tokens long, "
+             "n_bpe_tokens long, fertility6 double")
+
+
+def _tokens(text_col: str):
+    from rgd_rnaseq_workflows_spark.functions import text as TX
+    return TX.tokens(text_col)
+
+
+def _fold_cte_keyed(src: str, out: str, left_expr: str,
+                    right_expr: str) -> str:
+    """:func:`_fold_cte` carrying the word key ``w`` through the
+    recursive fold (per-word encoded lengths need identity)."""
+    return f"""{out}_steps(w, wc, syms, pos, acc) AS (
+  SELECT w, wc, syms, 1, CAST([] AS VARCHAR[]) FROM {src}
+  UNION ALL
+  SELECT w, wc, syms, pos + 1,
+         CASE WHEN len(acc) > 0 AND acc[-1] = {left_expr}
+                   AND syms[pos] = {right_expr}
+              THEN list_slice(acc, 1, len(acc) - 1)
+                   || [{left_expr} || {right_expr}]
+              ELSE acc || [syms[pos]] END
+  FROM {out}_steps WHERE pos <= len(syms)),
+{out} AS MATERIALIZED (
+  SELECT w, wc, acc AS syms FROM {out}_steps WHERE pos = len(syms) + 1)"""
+
+
+def bpe_fertility_by_lang_sql(table: str = "documents", rounds: int = 4,
+                              lang_col: str = "lang",
+                              text_col: str = "text") -> str:
+    """DuckDB twin of :func:`bpe_fertility_by_lang`: the shared trainer
+    chain with the word key carried through every fold, joined back to
+    the per-language counts."""
+    from rgd_rnaseq_workflows_spark.functions import text as TX
+    toks = TX.tokens_sql(text_col)
+    head = f"""wcl AS MATERIALIZED (
+  SELECT {lang_col} AS lang, word, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT {lang_col}, unnest({toks}) AS word FROM {table})
+  GROUP BY 1, 2),
+wcnt AS MATERIALIZED (
+  SELECT word, CAST(sum(wc) AS BIGINT) AS wc FROM wcl GROUP BY word),
+v0 AS MATERIALIZED (
+  SELECT word AS w, wc,
+         list_transform(range(1, len(word) + 1),
+                        i -> word[i]) || ['{END_MARK}'] AS syms
+  FROM wcnt)"""
+    chain = [head]
+    prev = "v0"
+    for rnd in range(1, rounds + 1):
+        chain.append(f"""p{rnd} AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(wc) AS BIGINT) AS n
+  FROM (SELECT wc, syms, unnest(range(1, len(syms))) AS i FROM {prev})
+  GROUP BY 1, 2),
+b{rnd} AS MATERIALIZED (
+  SELECT l, r, n FROM p{rnd}
+  ORDER BY n DESC, l, r LIMIT 1)""")
+        chain.append(_fold_cte_keyed(
+            prev, f"v{rnd}",
+            f"(SELECT l FROM b{rnd})", f"(SELECT r FROM b{rnd})"))
+        prev = f"v{rnd}"
+    body = ",\n".join(chain)
+    return f"""
+WITH RECURSIVE {body}
+SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(c.wc) AS BIGINT) AS n_tokens,
+       CAST(sum(c.wc * len(v.syms)) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(c.wc * len(v.syms)) AS DOUBLE)
+             / sum(c.wc), 6) AS fertility6
+FROM wcl c JOIN {prev} v ON c.word = v.w
+GROUP BY lang
+"""

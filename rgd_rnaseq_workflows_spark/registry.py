@@ -2682,3 +2682,23 @@ def contamination_source_matrix(spark, sf_dir):
         cross_source_matrix)
     d = _t(spark, sf_dir, "documents")
     return cross_source_matrix(d, shingle_n=3, min_shared=1)
+
+
+def _fertility_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.bpe import (
+        bpe_fertility_by_lang_sql)
+    return bpe_fertility_by_lang_sql("documents", rounds=4)
+
+
+@q("tokenizer_fertility_by_lang", ("BPE-FERTILITY",),
+   oracle=_fertility_oracle(),
+   note="per-language fertility of a globally-trained BPE (symbols per "
+        "whitespace token - how a shared tokenizer taxes each script): "
+        "one (lang, word, wc) shuffle, merges train once driver-side, "
+        "the trainer's final word states price every language; oracle "
+        "carries the word key through every recursive fold")
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.bpe import (
+        bpe_fertility_by_lang)
+    d = _t(spark, sf_dir, "documents")
+    return bpe_fertility_by_lang(d, rounds=4)

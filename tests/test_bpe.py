@@ -170,3 +170,46 @@ def test_encode_compression_monotone(spark, docs_corpus=None):
     assert c5.corpus_syms_encoded <= c2.corpus_syms_encoded
     assert c5.compression >= c2.compression
     assert c2.corpus_syms_initial == c5.corpus_syms_initial
+
+
+def test_fertility_by_lang_matches_reference(spark):
+    """Per-lang fertility agrees with the pure-python reference trainer
+    applied to the same global merges."""
+    from rgd_rnaseq_workflows_spark.operators.bpe import (
+        bpe_fertility_by_lang)
+    rows = [(0, "en", "the cat sat"), (1, "en", "the cat ran fast"),
+            (2, "de", "die katze sass"), (3, "de", "die katze")]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    texts = [t for _, _, t in rows]
+    merges = _reference_trainer(texts, 4)
+
+    def encode(word):
+        syms = [*word, END_MARK]
+        for a, b, m, _ in merges:
+            syms = _apply(syms, a, b, m)
+        return syms
+
+    def _apply(syms, a, b, m):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(m); i += 2
+            else:
+                out.append(syms[i]); i += 1
+        return out
+
+    from collections import Counter
+    got = {r.lang: r for r in bpe_fertility_by_lang(d, rounds=4).collect()}
+    for lang in ("en", "de"):
+        words = Counter(w for i, lg, t in rows if lg == lang
+                        for w in t.split())
+        n_tok = sum(words.values())
+        n_bpe = sum(wc * len(encode(w)) for w, wc in words.items())
+        assert got[lang].n_words == len(words)
+        assert got[lang].n_tokens == n_tok
+        assert got[lang].n_bpe_tokens == n_bpe
+        import math
+        assert got[lang].fertility6 == math.floor(
+            n_bpe / n_tok * 10**6 + 0.5) / 10**6
+    # BPE can never need MORE symbols than chars+1 nor fewer than 1/word
+    assert all(1.0 <= got[lg].fertility6 for lg in got)
