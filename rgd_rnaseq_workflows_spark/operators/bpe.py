@@ -210,14 +210,19 @@ def train_bpe(docs: DataFrame, rounds: int = 3, text_col: str = "text",
 
 # --- oracle SQL builder -------------------------------------------------------
 
-def _fold_cte(src: str, out: str, left_expr: str, right_expr: str) -> str:
+def _fold_cte(src: str, out: str, left_expr: str, right_expr: str,
+              key_cols: tuple[str, ...] = ()) -> str:
     """Positional recursive CTE applying the module's left fold to every
-    word in ``src`` (vec of columns: wc, syms). The merge pair comes from
-    the 1-row CTEs named by ``left_expr``/``right_expr``."""
-    return f"""{out}_steps(wc, syms, pos, acc) AS (
-  SELECT wc, syms, 1, CAST([] AS VARCHAR[]) FROM {src}
+    word in ``src`` (vec of columns: key_cols…, wc, syms). The merge
+    pair comes from the 1-row CTEs named by ``left_expr``/``right_expr``;
+    ``key_cols`` (e.g. the word itself) are carried through unchanged —
+    the fertility oracle needs per-word identity, the budget oracle
+    doesn't."""
+    k = "".join(f"{c}, " for c in key_cols)
+    return f"""{out}_steps({k}wc, syms, pos, acc) AS (
+  SELECT {k}wc, syms, 1, CAST([] AS VARCHAR[]) FROM {src}
   UNION ALL
-  SELECT wc, syms, pos + 1,
+  SELECT {k}wc, syms, pos + 1,
          CASE WHEN len(acc) > 0 AND acc[-1] = {left_expr}
                    AND syms[pos] = {right_expr}
               THEN list_slice(acc, 1, len(acc) - 1)
@@ -225,18 +230,23 @@ def _fold_cte(src: str, out: str, left_expr: str, right_expr: str) -> str:
               ELSE acc || [syms[pos]] END
   FROM {out}_steps WHERE pos <= len(syms)),
 {out} AS MATERIALIZED (
-  SELECT wc, acc AS syms FROM {out}_steps WHERE pos = len(syms) + 1)"""
+  SELECT {k}wc, acc AS syms FROM {out}_steps WHERE pos = len(syms) + 1)"""
 
 
 def _train_chain_sql(table: str, rounds: int, text_col: str,
-                     fold_last: bool = False) -> tuple[list[str], str]:
+                     fold_last: bool = False,
+                     carry_word: bool = False) -> tuple[list[str], str]:
     """The shared trainer CTE chain: word counts → char symbols →
     per-round (pair count, argmax, recursive-CTE fold). Returns
     (chain, last_vocab_cte). ``fold_last`` also applies the final
     round's merge (needed by the encoder; the trainer itself never
-    consumes the post-last-merge vocabulary)."""
+    consumes the post-last-merge vocabulary). ``carry_word`` threads the
+    word itself (as ``w``) through every fold — per-word encoded lengths
+    (the fertility oracle) need identity, the global budget doesn't."""
     from rgd_rnaseq_workflows_spark.functions import text as TX
     toks = TX.tokens_sql(text_col)
+    key = "word AS w, " if carry_word else ""
+    key_cols = ("w",) if carry_word else ()
     # AS MATERIALIZED everywhere: DuckDB inlines CTEs by default, so the
     # scalar subqueries inside the recursive fold would re-run the whole
     # upstream chain (corpus word count included) once per step row —
@@ -246,7 +256,7 @@ def _train_chain_sql(table: str, rounds: int, text_col: str,
   FROM (SELECT unnest({toks}) AS word FROM {table})
   GROUP BY word),
 v0 AS MATERIALIZED (
-  SELECT wc,
+  SELECT {key}wc,
          list_transform(range(1, len(word) + 1),
                         i -> word[i]) || ['{END_MARK}'] AS syms
   FROM wcnt)"""
@@ -263,7 +273,8 @@ b{rnd} AS MATERIALIZED (
         if rnd < rounds or fold_last:
             chain.append(_fold_cte(
                 prev, f"v{rnd}",
-                f"(SELECT l FROM b{rnd})", f"(SELECT r FROM b{rnd})"))
+                f"(SELECT l FROM b{rnd})", f"(SELECT r FROM b{rnd})",
+                key_cols=key_cols))
             prev = f"v{rnd}"
     return chain, prev
 
@@ -395,9 +406,11 @@ def bpe_fertility_by_lang(docs: DataFrame, rounds: int = 4,
     """
     from collections import defaultdict
 
+    from rgd_rnaseq_workflows_spark.functions import text as TX
+
     spark = docs.sparkSession
     wcl = (docs.select(F.col(lang_col).alias("lang"),
-                       F.explode(_tokens(text_col)).alias("word"))
+                       F.explode(TX.tokens(text_col)).alias("word"))
            .groupBy("lang", "word").agg(F.count("*").alias("wc")))
     rows_l = [(r["lang"], r["word"], r["wc"])
               for r in wcl.limit(max_driver_vocab + 1).collect()]
@@ -421,72 +434,36 @@ def bpe_fertility_by_lang(docs: DataFrame, rounds: int = 4,
         p[2] += wc * enc_len[word]
     import math
     # half-away-from-zero on the same IEEE quotient both engines round
-    # (Python's round() is banker's — the bpe_encode_stats precedent)
+    # (Python's round() is banker's — the bpe_encode_stats precedent);
+    # None-safe sort: a NULL lang group must report, not TypeError
+    # (the oracle returns its NULL-lang row)
     out = [(lang, p[0], p[1], p[2],
             math.floor(p[2] / p[1] * 10**6 + 0.5) / 10**6)
-           for lang, p in sorted(per.items())]
+           for lang, p in sorted(per.items(),
+                                 key=lambda kv: (kv[0] is None, kv[0]))]
     return spark.createDataFrame(
         out, "lang string, n_words long, n_tokens long, "
              "n_bpe_tokens long, fertility6 double")
 
 
-def _tokens(text_col: str):
-    from rgd_rnaseq_workflows_spark.functions import text as TX
-    return TX.tokens(text_col)
-
-
-def _fold_cte_keyed(src: str, out: str, left_expr: str,
-                    right_expr: str) -> str:
-    """:func:`_fold_cte` carrying the word key ``w`` through the
-    recursive fold (per-word encoded lengths need identity)."""
-    return f"""{out}_steps(w, wc, syms, pos, acc) AS (
-  SELECT w, wc, syms, 1, CAST([] AS VARCHAR[]) FROM {src}
-  UNION ALL
-  SELECT w, wc, syms, pos + 1,
-         CASE WHEN len(acc) > 0 AND acc[-1] = {left_expr}
-                   AND syms[pos] = {right_expr}
-              THEN list_slice(acc, 1, len(acc) - 1)
-                   || [{left_expr} || {right_expr}]
-              ELSE acc || [syms[pos]] END
-  FROM {out}_steps WHERE pos <= len(syms)),
-{out} AS MATERIALIZED (
-  SELECT w, wc, acc AS syms FROM {out}_steps WHERE pos = len(syms) + 1)"""
 
 
 def bpe_fertility_by_lang_sql(table: str = "documents", rounds: int = 4,
                               lang_col: str = "lang",
                               text_col: str = "text") -> str:
-    """DuckDB twin of :func:`bpe_fertility_by_lang`: the shared trainer
-    chain with the word key carried through every fold, joined back to
-    the per-language counts."""
+    """DuckDB twin of :func:`bpe_fertility_by_lang`: the SHARED trainer
+    chain (``carry_word=True`` threads the word key through every fold),
+    plus a per-language count CTE joined onto the final per-word symbol
+    states."""
     from rgd_rnaseq_workflows_spark.functions import text as TX
     toks = TX.tokens_sql(text_col)
-    head = f"""wcl AS MATERIALIZED (
+    chain, last = _train_chain_sql(table, rounds, text_col,
+                                   fold_last=True, carry_word=True)
+    wcl = f"""wcl AS MATERIALIZED (
   SELECT {lang_col} AS lang, word, CAST(count(*) AS BIGINT) AS wc
   FROM (SELECT {lang_col}, unnest({toks}) AS word FROM {table})
-  GROUP BY 1, 2),
-wcnt AS MATERIALIZED (
-  SELECT word, CAST(sum(wc) AS BIGINT) AS wc FROM wcl GROUP BY word),
-v0 AS MATERIALIZED (
-  SELECT word AS w, wc,
-         list_transform(range(1, len(word) + 1),
-                        i -> word[i]) || ['{END_MARK}'] AS syms
-  FROM wcnt)"""
-    chain = [head]
-    prev = "v0"
-    for rnd in range(1, rounds + 1):
-        chain.append(f"""p{rnd} AS MATERIALIZED (
-  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(wc) AS BIGINT) AS n
-  FROM (SELECT wc, syms, unnest(range(1, len(syms))) AS i FROM {prev})
-  GROUP BY 1, 2),
-b{rnd} AS MATERIALIZED (
-  SELECT l, r, n FROM p{rnd}
-  ORDER BY n DESC, l, r LIMIT 1)""")
-        chain.append(_fold_cte_keyed(
-            prev, f"v{rnd}",
-            f"(SELECT l FROM b{rnd})", f"(SELECT r FROM b{rnd})"))
-        prev = f"v{rnd}"
-    body = ",\n".join(chain)
+  GROUP BY 1, 2)"""
+    body = ",\n".join([wcl] + chain)
     return f"""
 WITH RECURSIVE {body}
 SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
@@ -494,6 +471,6 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(c.wc * len(v.syms)) AS BIGINT) AS n_bpe_tokens,
        round(CAST(sum(c.wc * len(v.syms)) AS DOUBLE)
              / sum(c.wc), 6) AS fertility6
-FROM wcl c JOIN {prev} v ON c.word = v.w
+FROM wcl c JOIN {last} v ON c.word = v.w
 GROUP BY lang
 """

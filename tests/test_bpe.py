@@ -212,4 +212,20 @@ def test_fertility_by_lang_matches_reference(spark):
         assert got[lang].fertility6 == math.floor(
             n_bpe / n_tok * 10**6 + 0.5) / 10**6
     # BPE can never need MORE symbols than chars+1 nor fewer than 1/word
-    assert all(1.0 <= got[lg].fertility6 for lg in got)
+    for lg in got:
+        max_len = max(len(w) + 1 for i, l, t in rows if l == lg
+                      for w in t.split())
+        assert 1.0 <= got[lg].fertility6 <= max_len
+
+
+def test_fertility_null_lang_reports_not_crashes(spark):
+    """A NULL lang group must report like the oracle does, not
+    TypeError on the driver sort (review r5)."""
+    from rgd_rnaseq_workflows_spark.operators.bpe import (
+        bpe_fertility_by_lang)
+    d = spark.createDataFrame(
+        [(0, "en", "the cat"), (1, None, "stray doc here")],
+        "doc_id long, lang string, text string")
+    got = {r.lang: r for r in bpe_fertility_by_lang(d, rounds=2).collect()}
+    assert set(got) == {"en", None}
+    assert got[None].n_tokens == 3
