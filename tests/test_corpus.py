@@ -324,3 +324,32 @@ def test_corpus_cli_chunks_stage(spark, tmp_out):
     # default stride = 6 → 17-token docs chunk at 0, 6, 12
     starts = sorted(r.chunk_start for r in rows_ if r.doc_id == 0)
     assert starts == [0, 6, 12]
+
+
+def test_corpus_cli_neardup_report_stage(spark, tmp_out):
+    """--neardup-report writes keeper/pagerank/leakage TSVs from the
+    SAME pair graph the curation's cluster removal used (one pair-gen,
+    VERDICT r4 item 3); curated output unchanged vs the plain run."""
+    import glob
+    import os
+    from rgd_rnaseq_workflows_spark import run_corpus
+    src = os.path.join(tmp_out, "docs_nr.parquet")
+    _docs(spark).write.parquet(src)
+    out = os.path.join(tmp_out, "corpus_nr")
+    rc = run_corpus.main(["--docs", src, "--out", out,
+                          "--min-tokens", "20", "--threshold", "0.9",
+                          "--neardup-report"])
+    assert rc == 0
+    curated = spark.read.parquet(f"{out}/curated")
+    assert [r["doc_id"] for r in curated.collect()] == [1]
+    for rep, header in (
+            ("neardup_keepers", "comp\tn_members\tkeeper_id"),
+            ("neardup_pagerank", "id\trank"),
+            ("neardup_leakage", "split_lo\tsplit_hi\tn_pairs")):
+        [f] = glob.glob(f"{out}/{rep}/part*.csv")
+        lines = open(f).read().strip().split("\n")
+        assert lines[0] == header, rep
+    # the 1-2-3-4 chain is one cluster: keepers reports it with min-id 1
+    [kf] = glob.glob(f"{out}/neardup_keepers/part*.csv")
+    rows = [ln.split("\t") for ln in open(kf).read().strip().split("\n")[1:]]
+    assert any(r[0] == "1" and int(r[1]) >= 3 for r in rows)
