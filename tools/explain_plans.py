@@ -136,9 +136,14 @@ SHOWCASE = {
         "pair frame; exact integer ranks make the per-cluster argmax "
         "engine-identical.",
     "contamination_source_matrix": "cross-source leak matrix: the "
-        "per-source distinct shingle table is the only shuffle; equi "
-        "self-join on the gram, S²/2-row metadata output — corpus text "
+        "per-source distinct shingle table is the only shuffle (md5-long "
+        "gram keys — 8 bytes, not strings; ReuseExchange computes it "
+        "once); equi self-join, S²/2-row metadata output — corpus text "
         "never moves.",
+    "tokenizer_fertility_by_lang": "per-language BPE fertility: one "
+        "(lang, word, wc) shuffle; global merges train driver-side once, "
+        "the trainer's final word states price every language — corpus "
+        "text read once, never re-shuffled.",
 }
 
 
