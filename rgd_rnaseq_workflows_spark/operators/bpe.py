@@ -25,7 +25,7 @@ deterministic, no floats anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 END_MARK = "</w>"
