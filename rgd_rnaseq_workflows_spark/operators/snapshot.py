@@ -344,8 +344,8 @@ WITH vocab AS MATERIALIZED (
 probe AS MATERIALIZED (
   SELECT {bycols}unnest({toks}) AS t FROM {probe_src})
 SELECT {bycols}CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_oov,
+       CAST(coalesce(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_oov,
        round(CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 6) AS oov_rate6
 FROM probe p LEFT JOIN vocab v USING (t)

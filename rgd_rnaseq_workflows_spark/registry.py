@@ -1372,61 +1372,65 @@ def quality_bigram_lm(spark, sf_dir):
 # prior round are surfaced first so every registry entry accumulates a
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
-    # round-5 window: the 54 queries without an r4 driver row, minus
-    # 4 deferred with independent r4 evidence (q1 = entry() smoke
-    # each round; jn3/audio/bpe_merges judge-re-run in r4) — exactly
-    # the driver's 50-row cap, so the r4+r5 union covers all 104
-    # with rows <=2 rounds old
-    "win2_topk_per_group",
-    "win3_running_total",
-    "win4_lead_lag",
-    "win1_dense_rank_palette",
-    "ann_pq_topk",
-    "ann_pq_rerank_topk",
-    "ann_ivfpq_topk",
-    "ann_int8_topk",
-    "ann_quantize_report",
-    "ann_lsh_topk",
-    "multimodal_image_features",
-    "multimodal_phash_dedup",
-    "multimodal_frame_plan",
-    "corpus_full_curation",
-    "corpus_training_mix",
-    "corpus_snapshot_diff",
-    "corpus_shard_manifest",
-    "stateful_dedup_kernel",
-    "stream_sliding_topk",
-    "kmeans_embeddings",
-    "semdedup_embeddings",
-    "split_leakage_report",
-    "simhash_near_pairs_q",
-    "prj3_computed_projection",
-    "fil4_threshold_status",
-    "fil6_regex_predicates",
-    "fil8_in_list_slice",
-    "f13_case_buckets",
-    "jn1_semi_join",
-    "set3_anti_join",
-    "jn2_broadcast_annotate",
-    "jn5_lookup_default",
-    "jn6_outer_validation",
-    "agg1_count_distinct",
-    "agg2_collect_sorted_list",
-    "agg3_first_per_group",
-    "stratified_hash_sample",
-    "contamination_ngram",
-    "text_redact_pii",
-    "quality_repetition",
-    "dedup_ngram_coverage",
-    "pack_sequences",
-    "text_tfidf_top_terms",
-    "sample_temperature_mix",
-    "cap_per_source",
-    "quality_bigram_lm",
-    "grouping_sets_agg",
-    "cube_aggregate",
-    "observe_metrics",
-    "scalar_cleanup",
+    # round-6 window (standing rotation): first the 12 queries with no
+    # r4/r5 driver row — the 4 deferred from r5 (q1/jn3/audio/bpe_merges,
+    # all judge-re-run in r5) and the 8 round-5 operators (judge-oracle-
+    # verified but landed after the r5 window was cut) — then 38 of the
+    # 50 r4-stamped rows, oldest evidence refreshed first.  The 12 r4
+    # queries left out (golden-byte or trivial-builtin backed: agg7/agg8/
+    # aggp1/src7/agg9/agg4/set1/set2/f16/f17/rollup/range_join) are the
+    # natural head of the r7 window.
+    "q1_pricing_summary",
+    "jn3_merge_join",
+    "multimodal_audio_features",
+    "tokenizer_bpe_merges",
+    "sample_token_budget",
+    "quality_classifier_score",
+    "corpus_token_drift",
+    "corpus_drift_terms",
+    "quality_oov_rate",
+    "graph_centrality_keepers",
+    "contamination_source_matrix",
+    "tokenizer_fertility_by_lang",
+    # r4-stamped refreshes (38)
+    "ann_cosine_topk",
+    "ann_embedding_neardup",
+    "ann_ivf_topk",
+    "asof_join_events",
+    "bloom_semi_join",
+    "corpus_curation",
+    "dedup_cluster_keepers",
+    "dedup_exact_stats",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_passage_rewrite",
+    "dedup_passages",
+    "dedup_simhash",
+    "dsir_importance",
+    "embedding_random_projection",
+    "graph_pagerank_neardup",
+    "quality_lm_buckets",
+    "rag_chunk_documents",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_by_group",
+    "sketch_hll_distinct",
+    "sketch_log2_quantiles",
+    "skew_salted_agg",
+    "snapshot_apply_merge",
+    "srt_topk_global",
+    "stream_interval_join",
+    "stream_sessionize",
+    "stream_window_agg",
+    "text_bm25_topk",
+    "text_bpe_tokens",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_features",
+    "text_token_stats",
+    "tokenizer_bpe_encode",
+    "winnow_partial_overlap",
+    "agg_percentiles_approx",
+    "agg_percentiles",
 )
 
 

@@ -123,7 +123,11 @@ def run(args: argparse.Namespace) -> int:
                                              shingle_n=args.shingle_n,
                                              threshold=args.threshold)
         for name, rep in neardup_analysis(pairs, docs).items():
-            write_tsv(rep.orderBy(rep.columns[0]),
+            # order by EVERY column: the leakage report ties on its first
+            # column (one split_lo, many split_hi) and a one-column sort
+            # leaves tie order run-dependent — reports must be
+            # byte-deterministic
+            write_tsv(rep.orderBy(*rep.columns),
                       f"{out}/neardup_{name}", single_file=True)
     else:
         curated = curate_corpus(docs, min_tokens=args.min_tokens,

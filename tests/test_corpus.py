@@ -353,3 +353,15 @@ def test_corpus_cli_neardup_report_stage(spark, tmp_out):
     [kf] = glob.glob(f"{out}/neardup_keepers/part*.csv")
     rows = [ln.split("\t") for ln in open(kf).read().strip().split("\n")[1:]]
     assert any(r[0] == "1" and int(r[1]) >= 3 for r in rows)
+    # byte-determinism (ADVICE r5): every report is sorted by ALL its
+    # columns, so ties on the first column cannot reorder across runs
+    def _v(s):
+        try:
+            return (0, float(s))
+        except ValueError:
+            return (1, s)
+    for rep in ("neardup_keepers", "neardup_pagerank", "neardup_leakage"):
+        [f] = glob.glob(f"{out}/{rep}/part*.csv")
+        body = [tuple(_v(x) for x in ln.split("\t"))
+                for ln in open(f).read().strip().split("\n")[1:]]
+        assert body == sorted(body), rep

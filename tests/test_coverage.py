@@ -56,6 +56,39 @@ def test_bedgraph_and_chrom_sizes_sink(spark, tmp_path):
     assert sizes == {"chr1": "20", "chr2": "10"}
 
 
+def test_genome_chrom_sizes_override(spark, tmp_path):
+    """chrom.sizes fidelity (ADVICE r5): a shared genome sizes table
+    overrides the per-sample coverage-derived bound, contigs missing
+    from it fall back, and a genome bound BELOW the coverage is raised
+    to keep bedGraphToBigWig valid."""
+    from rgd_rnaseq_workflows_spark.sources.bigwig import (
+        chrom_sizes, read_chrom_sizes, write_bigwig_track)
+    rows = [("s1", "chr1", 5, 10, 255),          # cov bound chr1 = 20
+            ("s1", "chr2", 0, 10, 255),          # cov bound chr2 = 10
+            ("s1", "chrUn", 95, 10, 255)]        # cov bound chrUn = 110
+    cov = binned_coverage(
+        spark.createDataFrame(
+            rows, ["sample", "chrom", "pos", "read_len", "mapq"]),
+        bin_size=10).drop("sample")
+    sizes_file = str(tmp_path / "genome.chrom.sizes")
+    with open(sizes_file, "w") as fh:
+        # chr1 real length 248956422; chr2 UNDERSTATED (5 < 10);
+        # chrUn absent entirely
+        fh.write("chr1\t248956422\nchr2\t5\n")
+    genome = read_chrom_sizes(spark, sizes_file)
+    got = {r["chrom"]: r["size"]
+           for r in chrom_sizes(cov, 10, genome_sizes=genome).collect()}
+    assert got == {"chr1": 248956422,  # genome bound wins
+                   "chr2": 10,         # understated genome raised to cov
+                   "chrUn": 110}       # fallback: coverage-derived
+    # identical per-sample output through the sink
+    d = str(tmp_path / "trk")
+    write_bigwig_track(cov, d, name="t", bin_size=10, genome_sizes=genome)
+    sizes = dict(ln.split("\t") for ln in
+                 open(f"{d}/chrom.sizes").read().splitlines())
+    assert sizes == {"chr1": "248956422", "chr2": "10", "chrUn": "110"}
+
+
 def test_bigwig_encoding_tool_gated(spark, tmp_path):
     """When UCSC bedGraphToBigWig is installed, the emitted commands
     produce a real .bw (header magic checked); skipped otherwise."""

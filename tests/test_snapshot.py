@@ -121,3 +121,18 @@ def test_oov_empty_probe_emits_zero_row(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     r = oov_rate_report(empty, ref).collect()[0]
     assert (r.n_tokens, r.n_oov, r.oov_rate6) == (0, 0, None)
+
+
+def test_oov_sql_twin_matches_on_empty_probe():
+    """ADVICE r5: the DuckDB twin must coalesce n_oov to 0 on an empty
+    probe — SUM over zero rows is NULL in SQL, but the Spark contract
+    (and the gate consumers) say 0."""
+    import duckdb
+    from rgd_rnaseq_workflows_spark.operators.snapshot import oov_rate_sql
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ref_t(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO ref_t VALUES (0, 'a b')")
+    con.execute("CREATE TABLE probe_t(doc_id BIGINT, text VARCHAR)")
+    n_tokens, n_oov, rate = con.execute(
+        oov_rate_sql("probe_t", "ref_t")).fetchone()
+    assert (n_tokens, n_oov, rate) == (0, 0, None)
