@@ -118,22 +118,35 @@ WHERE c.{op_col} IS NULL OR c.{op_col} = 'upsert'"""
 
 # --- token-distribution drift -------------------------------------------------
 
-def _vocab_join(old: DataFrame, new: DataFrame, text_col: str) -> DataFrame:
-    """Full-outer join of the two snapshots' token-count vocabularies:
-    (t, cp, cq) with absent-side counts as 0. Lazily checkpointed —
-    every consumer branches it twice (the 1-row totals agg + the main
-    agg), and without the truncation both branches would re-run the
-    corpus explodes; with it the corpora are tokenized ONCE."""
+def token_counts(df: DataFrame, text_col: str = "text",
+                 count_col: str = "c") -> DataFrame:
+    """Vocabulary-scale unigram counts (t, <count_col>) — the shared
+    sufficient statistic of the drift family.  One token explode + one
+    map-side-combined groupBy; under Structured Streaming the SAME
+    expression tree maintains the count table incrementally
+    (``streaming.corpus_stream.stream_token_counts``)."""
     from rgd_rnaseq_workflows_spark.functions import text as TX
+    return (df.select(F.explode(TX.tokens(text_col)).alias("t"))
+            .groupBy("t").agg(F.count("*").alias(count_col)))
+
+
+def _join_counts(co: DataFrame, cn: DataFrame) -> DataFrame:
+    """Full-outer join of two (t, count) vocabularies: (t, cp, cq) with
+    absent-side counts as 0."""
+    return (co.join(cn, "t", "full_outer")
+            .select("t", F.coalesce("cp", F.lit(0)).alias("cp"),
+                    F.coalesce("cq", F.lit(0)).alias("cq")))
+
+
+def _vocab_join(old: DataFrame, new: DataFrame, text_col: str) -> DataFrame:
+    """Joined token-count vocabularies of two SNAPSHOT frames. Lazily
+    checkpointed — every consumer branches it twice (the 1-row totals
+    agg + the main agg), and without the truncation both branches would
+    re-run the corpus explodes; with it the corpora are tokenized ONCE."""
     from rgd_rnaseq_workflows_spark.session import checkpoint_df
-    co = (old.select(F.explode(TX.tokens(text_col)).alias("t"))
-          .groupBy("t").agg(F.count("*").alias("cp")))
-    cn = (new.select(F.explode(TX.tokens(text_col)).alias("t"))
-          .groupBy("t").agg(F.count("*").alias("cq")))
     return checkpoint_df(
-        co.join(cn, "t", "full_outer")
-        .select("t", F.coalesce("cp", F.lit(0)).alias("cp"),
-                F.coalesce("cq", F.lit(0)).alias("cq")),
+        _join_counts(token_counts(old, text_col, "cp"),
+                     token_counts(new, text_col, "cq")),
         eager=False)
 
 
@@ -161,7 +174,26 @@ def token_drift_report(old: DataFrame, new: DataFrame,
     vocabulary tables, the 1-row totals broadcast back, one exact agg —
     the corpora themselves never join or reshuffle.
     """
-    j = _vocab_join(old, new, text_col)
+    return _drift_agg(_vocab_join(old, new, text_col))
+
+
+def drift_report_from_counts(co: DataFrame, cn: DataFrame) -> DataFrame:
+    """:func:`token_drift_report` folded from two PRE-AGGREGATED
+    vocabulary count tables — ``co`` = (t, cp), ``cn`` = (t, cq), e.g. a
+    stored snapshot vocabulary and the live table a
+    ``stream_token_counts`` query maintains.  Identical expression tree
+    and results as the snapshot form (stream==batch test-pinned); the
+    fold touches only vocabulary-scale rows, never the corpora."""
+    return _drift_agg(_join_counts(co.select("t", F.col(co.columns[1])
+                                             .alias("cp")),
+                                   cn.select("t", F.col(cn.columns[1])
+                                             .alias("cq"))))
+
+
+def _drift_agg(j: DataFrame) -> DataFrame:
+    """The drift family's shared final aggregation over a joined
+    (t, cp, cq) vocabulary — see :func:`token_drift_report` for the
+    arithmetic contract."""
     totals = j.agg(F.sum("cp").cast("long").alias("n1"),
                    F.sum("cq").cast("long").alias("n2"))
     jt = j.crossJoin(F.broadcast(totals))

@@ -128,3 +128,23 @@ def stream_oov_rate(doc_stream: DataFrame, ref: DataFrame,
     from rgd_rnaseq_workflows_spark.operators.snapshot import (
         oov_gate_agg, oov_tokens)
     return oov_gate_agg(oov_tokens(doc_stream, ref, by), by)
+
+
+def stream_token_counts(doc_stream: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """Incremental half of the TV-distance drift gate
+    (``snapshot.token_drift_report``): the SAME ``token_counts``
+    expression tree running under Structured Streaming, maintaining the
+    live snapshot's vocabulary count table (one (t, c) state row per
+    term — vocabulary-scale state, corpus-scale input).
+
+    TV distance itself is a two-phase aggregation (per-term counts →
+    one exact integer sum), which a single streaming query cannot chain;
+    the design is the HLL-register pattern (``stream_hll_registers``):
+    the stream maintains the compact sufficient statistic, and
+    ``snapshot.drift_report_from_counts`` folds the 1-row drift report
+    from the maintained table + the stored reference vocabulary on
+    demand — a vocabulary-scale batch fold, never re-reading the corpus.
+    Stream==batch equality is test-pinned (``test_streaming``)."""
+    from rgd_rnaseq_workflows_spark.operators.snapshot import token_counts
+    return token_counts(doc_stream, text_col, "cq")
