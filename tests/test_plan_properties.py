@@ -146,3 +146,30 @@ def test_oov_vocab_joins_broadcast(spark):
     plan = _plan(spark, "quality_oov_rate")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_contamination_matrix_plan_shape(spark):
+    """The r5 plan wins, pinned (VERDICT r5 item 7): the per-source
+    distinct gram table is the ONLY shuffled subtree (≤3 shuffle
+    exchanges at plan time: two self-join branches ReuseExchange-shared
+    at execution + the final pair groupBy), the gram explode stays in
+    the scan stages, and everything is JVM-side. A countDistinct
+    regression (312→161 s at 100×) or a lost md5-long key (161→65.6 s)
+    would add exchanges/expand nodes here."""
+    import re
+    plan = _plan(spark, "contamination_source_matrix")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+    assert "Expand" not in plan  # countDistinct would add one
+
+
+def test_centrality_keepers_replays_checkpointed_pairs(spark):
+    """graph_centrality_keepers composes components + pagerank off ONE
+    checkpointed pair frame: the final plan scans materialized RDDs and
+    contains NO shingle explode (pair generation never replays) and no
+    Python boundary (integer fixed-point ranks)."""
+    plan = _plan(spark, "graph_centrality_keepers")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ExistingRDD" in plan           # checkpointed pair/rank frames
+    assert "Generate" not in plan          # no re-explode of shingles
+    assert "posexplode" not in plan

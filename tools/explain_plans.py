@@ -127,6 +127,10 @@ SHOWCASE = {
         "can't broadcast) checkpointed once for both consumers, 1-row "
         "totals broadcast back; TV numerator is an exact DECIMAL sum "
         "(int64 wraps at ~3e9 tokens), corpora never join.",
+    "corpus_drift_terms": "top drifting terms: the same checkpointed "
+        "vocab join as token_drift, ranked by exact DECIMAL drift mass "
+        "with TakeOrderedAndProject — top-k without a global sort, "
+        "vocabulary-scale everywhere.",
     "quality_oov_rate": "OOV drift gate: ONE stream-safe aggregation — "
         "the identical expression tree runs incrementally under "
         "Structured Streaming (stream==batch pinned); reference vocab "
