@@ -396,9 +396,17 @@ def passage_dedup_stats(df: DataFrame, text_col: str = "text",
     within one document), ``dup_frac``, and a ``keep`` gate at
     ``dup_frac < max_dup_frac``.
 
-    Scale: the passage table is corpus-token-scale but each row is a
-    60-bit hash, not text; frequencies shuffle once on the hash with
-    map-side combine; the doc-level rollup shuffles (id, small ints).
+    Scale: NO corpus-scale join. An occurrence is either globally unique
+    (its hash has n_occ == 1, and then exactly ONE document owns it —
+    carried by ``min(id)`` inside the same frequency aggregation) or a
+    duplicate, so ``n_dup = n_passages − n_unique``. The only
+    corpus-token-scale movement is the map-side-combined (hash → count,
+    min-id) aggregation; the unique-owner rollup shuffles hash-scale
+    rows down to doc-scale, and per-doc passage totals come from a
+    second tokenize scan (no explode) joined doc-scale. The previous
+    form joined the full passage table back to the frequencies — a
+    corpus-scale sort-merge join that dominated at 100× (measured
+    57 s → see NOTES r6; the tokenize re-scan it buys costs ~5 s).
     No broadcast of anything corpus-sized, no all-pairs step.
     """
     toks = tokens(text_col)
@@ -410,12 +418,21 @@ def passage_dedup_stats(df: DataFrame, text_col: str = "text",
                 .select(F.col(id_col).alias("_id"),
                         F.explode(chunk).alias("passage"))
                 .select("_id", md5_long("passage").alias("h")))
-    freq = passages.groupBy("h").agg(F.count("*").alias("n_occ"))
-    per_doc = (passages.join(freq, "h")
-               .groupBy("_id")
-               .agg(F.count("*").cast("long").alias("n_passages"),
-                    F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
-                    .cast("long").alias("n_dup_passages")))
+    # one corpus-scale pass, partially aggregated map-side: global
+    # occurrence count + the sole owner when the count is 1
+    freq = passages.groupBy("h").agg(F.count("*").alias("n_occ"),
+                                     F.min("_id").alias("_owner"))
+    uniq = (freq.filter(F.col("n_occ") == 1)
+            .groupBy(F.col("_owner").alias("_id"))
+            .agg(F.count("*").cast("long").alias("_n_uniq")))
+    totals = (df.filter(F.size(toks) > 0)
+              .select(F.col(id_col).alias("_id"),
+                      n_chunks.cast("long").alias("n_passages")))
+    per_doc = (totals.join(uniq, "_id", "left")
+               .select("_id", "n_passages",
+                       (F.col("n_passages")
+                        - F.coalesce("_n_uniq", F.lit(0)))
+                       .alias("n_dup_passages")))
     dup_frac = F.round(F.col("n_dup_passages") / F.col("n_passages"), 4)
     return per_doc.select(
         F.col("_id").alias(id_col), "n_passages", "n_dup_passages",
@@ -468,8 +485,8 @@ def remove_duplicate_passages(df: DataFrame, text_col: str = "text",
     no tokens are absent (nothing to rewrite).
 
     Scale: one shuffle of (hash → occurrence) rows for the keeper
-    window (same key class as the freq join in
-    :func:`passage_dedup_stats`), one doc-rollup shuffle to re-assemble.
+    window (same 60-bit key class as :func:`passage_dedup_stats`'s
+    frequency aggregation), one doc-rollup shuffle to re-assemble.
     Text rides only the explode → re-assemble path; the keeper decision
     moves hashes and positions, not text.
     """
