@@ -303,29 +303,37 @@ def log2_quantile_estimate(sketch: DataFrame, percents: list[int],
 
 
 def log2_quantiles_sql(table: str, expr: str, percents: list[int],
-                       scale: int = 100) -> str:
+                       scale: int = 100, by: tuple[str, ...] = ()) -> str:
     """DuckDB twin of sketch + estimate (identical buckets, ranks,
-    midpoints)."""
+    midpoints), optionally per ``by`` group — the grouped form mirrors
+    :func:`log2_quantile_sketch`/:func:`log2_quantile_estimate` with
+    ``by=``: per-group cumulative window, per-group ranks."""
     plist = ", ".join(str(p) for p in percents)
+    byl = "".join(f"{c}, " for c in by)
+    part = f"PARTITION BY {', '.join(by)} " if by else ""
+    grp = f"GROUP BY {', '.join(by)}" if by else ""
+    joinby = "".join(f" AND cum.{c} = ranks.{c}" for c in by)
     return f"""
 WITH sk AS MATERIALIZED (
-  SELECT CAST(length(bin(CAST(round(CAST({expr} AS DOUBLE) * {scale})
+  SELECT {byl}CAST(length(bin(CAST(round(CAST({expr} AS DOUBLE) * {scale})
                               AS BIGINT))) AS INTEGER) AS bucket,
          CAST(count(*) AS BIGINT) AS n
-  FROM {table} GROUP BY 1),
+  FROM {table} GROUP BY {byl}bucket),
 cum AS (
-  SELECT bucket, CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum
+  SELECT {byl}bucket,
+         CAST(sum(n) OVER ({part}ORDER BY bucket) AS BIGINT) AS cum
   FROM sk),
-tot AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM sk),
+tot AS (SELECT {byl}CAST(sum(n) AS BIGINT) AS N FROM sk {grp}),
 ranks AS (
-  SELECT pct, ((N - 1) * pct) // 100 + 1 AS rank
+  SELECT {byl}pct, ((N - 1) * pct) // 100 + 1 AS rank
   FROM tot, unnest([{plist}]) AS u(pct)),
 hit AS (
-  SELECT pct, rank, CAST(min(bucket) AS INTEGER) AS bucket
-  FROM ranks JOIN cum ON cum.cum >= ranks.rank
-  GROUP BY pct, rank)
-SELECT CAST(pct AS INTEGER) AS percentile, bucket,
+  SELECT {"".join(f"ranks.{c}, " for c in by)}pct, rank,
+         CAST(min(bucket) AS INTEGER) AS bucket
+  FROM ranks JOIN cum ON cum.cum >= ranks.rank{joinby}
+  GROUP BY {"".join(f"ranks.{c}, " for c in by)}pct, rank)
+SELECT {byl}CAST(pct AS INTEGER) AS percentile, bucket,
        round(CAST(((CAST(1 AS BIGINT) << (bucket - 1))
                    + (CAST(1 AS BIGINT) << bucket) - 1) // 2 AS DOUBLE)
              / {scale}, 6) AS est
-FROM hit ORDER BY percentile"""
+FROM hit ORDER BY {byl}percentile"""

@@ -1392,7 +1392,12 @@ _RECORD_FIRST: tuple[str, ...] = (
     "graph_centrality_keepers",
     "contamination_source_matrix",
     "tokenizer_fertility_by_lang",
-    # r4-stamped refreshes (38)
+    # new this round (no prior driver row possible)
+    "sketch_log2q_by_group",
+    "sketch_cms_by_group",
+    # r4-stamped refreshes (36; agg_percentiles/_approx keep their r4
+    # rows — exactly 2 rounds old at r6 — and lead r7 with the window
+    # overflow)
     "ann_cosine_topk",
     "ann_embedding_neardup",
     "ann_ivf_topk",
@@ -1429,8 +1434,6 @@ _RECORD_FIRST: tuple[str, ...] = (
     "text_token_stats",
     "tokenizer_bpe_encode",
     "winnow_partial_overlap",
-    "agg_percentiles_approx",
-    "agg_percentiles",
 )
 
 
@@ -2484,6 +2487,93 @@ def sketch_log2_quantiles(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     sk = log2_quantile_sketch(li, "l_extendedprice", scale=100)
     return log2_quantile_estimate(sk, [25, 50, 90, 99], scale=100)
+
+
+def _log2q_grouped_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        log2_quantiles_sql)
+    return log2_quantiles_sql("events", "value", [50, 90, 99], scale=100,
+                              by=("event_type",))
+
+
+@q("sketch_log2q_by_group", ("SKETCH-QUANTILE-GROUP",),
+   oracle=_log2q_grouped_oracle(),
+   note="grouped power-of-2 DDSketch quantiles: one <=64-bucket integer "
+        "histogram PER EVENT TYPE from the same single shuffle the "
+        "global sketch pays (by= just widens the grouping key); "
+        "per-group rank lookup - per-tenant latency/value percentiles "
+        "at 100 TB without per-group exact sorts")
+def sketch_log2q_by_group(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        log2_quantile_estimate, log2_quantile_sketch)
+    ev = _events(spark, sf_dir)
+    sk = log2_quantile_sketch(ev, "value", scale=100, by=("event_type",))
+    return log2_quantile_estimate(sk, [50, 90, 99], scale=100,
+                                  by=("event_type",))
+
+
+def _cms_grouped_oracle() -> str:
+    toks_sql = TX.tokens_sql("text")
+    cells = " UNION ALL ".join(
+        f"SELECT lang, {i} AS row, "
+        + md5_long_sql(f"'{9 + i}:' || CAST(tok AS VARCHAR)")
+        + " % 1024 AS pos FROM toks"
+        for i in range(4))
+    probes = " UNION ALL ".join(
+        f"SELECT lang, tok, {i} AS row, "
+        + md5_long_sql(f"'{9 + i}:' || CAST(tok AS VARCHAR)")
+        + " % 1024 AS pos FROM top"
+        for i in range(4))
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT lang, unnest({toks_sql}) AS tok FROM documents),
+counts AS MATERIALIZED (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS exact_count
+  FROM toks GROUP BY lang, tok),
+top AS MATERIALIZED (
+  SELECT lang, tok, exact_count FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY lang ORDER BY exact_count DESC, tok) AS rn
+    FROM counts) WHERE rn <= 3),
+sketch AS MATERIALIZED (
+  SELECT lang, row, pos, CAST(count(*) AS BIGINT) AS counter
+  FROM ({cells}) GROUP BY lang, row, pos),
+probes AS ({probes}),
+est AS (
+  SELECT lang, tok, CAST(min(coalesce(counter, 0)) AS BIGINT)
+    AS cms_estimate
+  FROM probes LEFT JOIN sketch USING (lang, row, pos)
+  GROUP BY lang, tok)
+SELECT lang, tok, exact_count, cms_estimate,
+       cms_estimate - exact_count AS overestimate
+FROM top JOIN est USING (lang, tok)"""
+
+
+@q("sketch_cms_by_group", ("SKETCH-CMS-GROUP",),
+   oracle=_cms_grouped_oracle(),
+   note="grouped Count-Min Sketch: one depth x width counter table per "
+        "language from the single-shuffle grouped aggregation (<=4096 "
+        "rows per group regardless of corpus size, merges by counter "
+        "add); per-language exact top-3 tokens cross-checked against "
+        "their per-group CMS estimates")
+def sketch_cms_by_group(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        cms_estimate, cms_sketch)
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(TX.tokens("text")).alias("tok"))
+    counts = (toks.groupBy("lang", "tok")
+              .agg(F.count("*").cast("long").alias("exact_count")))
+    w = Window.partitionBy("lang").orderBy(F.desc("exact_count"), "tok")
+    top = (counts.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") <= 3).drop("_rn"))
+    sk = cms_sketch(toks, "tok", depth=4, width=1024, seed=9,
+                    by=("lang",))
+    est = cms_estimate(sk, top.select("lang", "tok"), "tok",
+                       depth=4, width=1024, seed=9, by=("lang",))
+    return (top.join(est, ["lang", "tok"])
+            .select("lang", "tok", "exact_count", "cms_estimate",
+                    (F.col("cms_estimate") - F.col("exact_count"))
+                    .alias("overestimate")))
 
 
 def _chunking_oracle() -> str:

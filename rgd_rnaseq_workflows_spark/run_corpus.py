@@ -22,11 +22,25 @@ each language is sampled at its rate (deterministic md5 buckets,
 from __future__ import annotations
 
 import argparse
+import contextlib
 import sys
+import time
 
 from rgd_rnaseq_workflows_spark.plans.corpus import curate_corpus, curation_stats
 from rgd_rnaseq_workflows_spark.session import get_spark
 from rgd_rnaseq_workflows_spark.sources.tsv import write_tsv
+
+
+@contextlib.contextmanager
+def _stage(label: str):
+    """Per-stage wall clock on stderr. Lazy stages (filters, joins that
+    only extend the lineage) report ~0 here and pay inside the stage
+    that materializes them — the curated write, a checkpoint, or a
+    report sink; the eager stages are the honest breakdown."""
+    t0 = time.time()
+    yield
+    print(f"[corpus] stage {label}: {time.time() - t0:.1f}s",
+          file=sys.stderr)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -107,28 +121,31 @@ def run(args: argparse.Namespace) -> int:
         from rgd_rnaseq_workflows_spark.operators.dedup import (
             remove_duplicate_passages)
         import pyspark.sql.functions as F
-        clean = remove_duplicate_passages(docs, window=args.passage_dedup)
-        docs = (docs.drop("text")
-                .join(clean.select("doc_id",
-                                   F.col("clean_text").alias("text")),
-                      "doc_id"))
+        with _stage("passage-dedup (lazy)"):
+            clean = remove_duplicate_passages(docs,
+                                              window=args.passage_dedup)
+            docs = (docs.drop("text")
+                    .join(clean.select("doc_id",
+                                       F.col("clean_text").alias("text")),
+                          "doc_id"))
     if args.neardup_report:
         # pair graph computed ONCE: cluster removal inside the curation
         # and all three graph reports read the same checkpointed edges
         from rgd_rnaseq_workflows_spark.plans.corpus import (
             curate_corpus_graph)
         from rgd_rnaseq_workflows_spark.plans.neardup import neardup_analysis
-        curated, pairs = curate_corpus_graph(docs,
-                                             min_tokens=args.min_tokens,
-                                             shingle_n=args.shingle_n,
-                                             threshold=args.threshold)
-        for name, rep in neardup_analysis(pairs, docs).items():
-            # order by EVERY column: the leakage report ties on its first
-            # column (one split_lo, many split_hi) and a one-column sort
-            # leaves tie order run-dependent — reports must be
-            # byte-deterministic
-            write_tsv(rep.orderBy(*rep.columns),
-                      f"{out}/neardup_{name}", single_file=True)
+        with _stage("curation + pair graph (eager checkpoint)"):
+            curated, pairs = curate_corpus_graph(
+                docs, min_tokens=args.min_tokens,
+                shingle_n=args.shingle_n, threshold=args.threshold)
+        with _stage("neardup reports"):
+            for name, rep in neardup_analysis(pairs, docs).items():
+                # order by EVERY column: the leakage report ties on its
+                # first column (one split_lo, many split_hi) and a
+                # one-column sort leaves tie order run-dependent —
+                # reports must be byte-deterministic
+                write_tsv(rep.orderBy(*rep.columns),
+                          f"{out}/neardup_{name}", single_file=True)
     else:
         curated = curate_corpus(docs, min_tokens=args.min_tokens,
                                 shingle_n=args.shingle_n,
@@ -168,39 +185,43 @@ def run(args: argparse.Namespace) -> int:
             "split", split_assign("doc_id", seed=13))
     # partition by lang: downstream training jobs prune per-language;
     # the curated set is a fraction of the input, so files stay chunky
-    (curated.write.mode("overwrite").partitionBy("lang")
-     .parquet(f"{out}/curated"))
-    stats = curation_stats(spark.read.parquet(f"{out}/curated"))
-    write_tsv(stats.orderBy("lang"), f"{out}/stats", single_file=True)
-    for r in stats.orderBy("lang").collect():
-        print(f"[corpus] {r['lang']}: {r['n_docs']} docs, "
-              f"{r['total_tokens']} tokens", file=sys.stderr)
+    with _stage("curated write (materializes lazy stages)"):
+        (curated.write.mode("overwrite").partitionBy("lang")
+         .parquet(f"{out}/curated"))
+    with _stage("stats"):
+        stats = curation_stats(spark.read.parquet(f"{out}/curated"))
+        write_tsv(stats.orderBy("lang"), f"{out}/stats", single_file=True)
+        for r in stats.orderBy("lang").collect():
+            print(f"[corpus] {r['lang']}: {r['n_docs']} docs, "
+                  f"{r['total_tokens']} tokens", file=sys.stderr)
     if args.chunks:
         from rgd_rnaseq_workflows_spark.operators.chunking import (
             chunk_documents)
         stride = args.chunk_stride or max(1, args.chunks * 3 // 4)
-        final = spark.read.parquet(f"{out}/curated")
-        (chunk_documents(final, window=args.chunks, stride=stride)
-         .write.mode("overwrite").parquet(f"{out}/chunks"))
+        with _stage("chunks"):
+            final = spark.read.parquet(f"{out}/curated")
+            (chunk_documents(final, window=args.chunks, stride=stride)
+             .write.mode("overwrite").parquet(f"{out}/chunks"))
     if args.shards:
         from rgd_rnaseq_workflows_spark.functions.hashing import md5_long
         from rgd_rnaseq_workflows_spark.operators.packing import shard_corpus
         import pyspark.sql.functions as F
-        final = spark.read.parquet(f"{out}/curated")
-        h = md5_long(F.col("doc_id").cast("string"), seed=11)
-        # shard + within-shard order: the data loader reads each shard
-        # as an independent pre-shuffled stream
-        (final.withColumn("shard",
-                          F.pmod(h, F.lit(args.shards)).cast("int"))
-         .withColumn("ord", h)
-         .repartition(args.shards, F.col("shard"))
-         .sortWithinPartitions("shard", "ord")
-         .drop("ord")  # ordering key is an implementation detail — the
-                       # published shard rows carry only corpus columns
-         .write.mode("overwrite").partitionBy("shard")
-         .parquet(f"{out}/shards"))
-        manifest = shard_corpus(final, n_shards=args.shards, seed=11)
-        write_tsv(manifest, f"{out}/shard_manifest", single_file=True)
+        with _stage("shards"):
+            final = spark.read.parquet(f"{out}/curated")
+            h = md5_long(F.col("doc_id").cast("string"), seed=11)
+            # shard + within-shard order: the data loader reads each
+            # shard as an independent pre-shuffled stream
+            (final.withColumn("shard",
+                              F.pmod(h, F.lit(args.shards)).cast("int"))
+             .withColumn("ord", h)
+             .repartition(args.shards, F.col("shard"))
+             .sortWithinPartitions("shard", "ord")
+             .drop("ord")  # ordering key is an implementation detail —
+                           # published shard rows carry corpus columns
+             .write.mode("overwrite").partitionBy("shard")
+             .parquet(f"{out}/shards"))
+            manifest = shard_corpus(final, n_shards=args.shards, seed=11)
+            write_tsv(manifest, f"{out}/shard_manifest", single_file=True)
     return 0
 
 

@@ -365,3 +365,57 @@ def test_corpus_cli_neardup_report_stage(spark, tmp_out):
         body = [tuple(_v(x) for x in ln.split("\t"))
                 for ln in open(f).read().strip().split("\n")[1:]]
         assert body == sorted(body), rep
+
+
+def test_full_chain_pipeline_single_pair_gen(spark, tmp_out, monkeypatch):
+    """The 100 TB dress-rehearsal contract at fixture scale (VERDICT r5
+    item 3): ONE CLI invocation chains passage-dedup → curation +
+    near-dup reports → DSIR → decontamination → temperature mix →
+    splits → chunks → shards, and the PPJoin pair generator — the most
+    expensive stage — runs EXACTLY once across the curation's cluster
+    removal and all three graph reports."""
+    import os
+    from rgd_rnaseq_workflows_spark import run_corpus
+    from rgd_rnaseq_workflows_spark.plans import corpus as corpus_plan
+    from rgd_rnaseq_workflows_spark.plans import neardup as neardup_plan
+
+    calls = []
+    real = corpus_plan.ngram_jaccard_pairs
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    # both plan modules bound the generator by name at import time —
+    # patch each binding so ANY pair-gen in the run is counted
+    monkeypatch.setattr(corpus_plan, "ngram_jaccard_pairs", counting)
+    monkeypatch.setattr(neardup_plan, "ngram_jaccard_pairs", counting)
+
+    src = os.path.join(tmp_out, "chain_docs.parquet")
+    _docs(spark).write.parquet(src)
+    bench = os.path.join(tmp_out, "chain_bench.parquet")
+    spark.createDataFrame(
+        [(100, "en", "eval", "completely unrelated benchmark prose")],
+        ["doc_id", "lang", "source", "text"]).write.parquet(bench)
+    out = os.path.join(tmp_out, "chain_out")
+
+    rc = run_corpus.main([
+        "--docs", src, "--out", out,
+        "--min-tokens", "20", "--threshold", "0.9",
+        "--passage-dedup", "64",       # window > doc length: no rewrite
+        "--neardup-report",
+        "--dsir-target", "source = 'web'", "--dsir-keep", "1.0",
+        "--benchmark", bench,
+        "--temperature-mix", "1.0",
+        "--splits", "--chunks", "8", "--shards", "2"])
+    assert rc == 0
+    assert len(calls) == 1, f"pair graph generated {len(calls)} times"
+
+    # every stage's artifact landed
+    for sub in ("curated", "chunks", "shards", "stats", "shard_manifest",
+                "neardup_keepers", "neardup_pagerank", "neardup_leakage"):
+        assert os.path.exists(os.path.join(out, sub)), sub
+    kept = {r.doc_id for r in
+            spark.read.parquet(f"{out}/curated").collect()}
+    assert kept == {1}
+    assert "split" in spark.read.parquet(f"{out}/curated").columns
