@@ -77,15 +77,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        num_hashes: int = 8, band_size: int = 2) -> DataFrame:
-    """LSH banding: hash each band of the signature, bucket-join docs that
-    collide in ANY band → candidate pairs (a << b).
-
-    The self-join shuffles only (band_idx, band_hash, id) — tiny rows —
-    and buckets are natural partitions; a skewed bucket (e.g. empty-doc
-    signature) is handled by AQE skew-join splitting.
-    """
+def lsh_bands(signatures: DataFrame, id_col: str = "doc_id",
+              num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """Banded signature table (id, band_idx, band_hash) — the LSH bucket
+    keys. 60-bit band hashes, so any bucket join shuffles (long, long)
+    keys, not signature strings."""
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -94,9 +90,22 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
         bands.append(F.struct(
             F.lit(b).alias("band_idx"),
             md5_long(F.concat_ws("_", *cols)).alias("band_hash")))
-    banded = (signatures
-              .select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
-              .select(id_col, "band.band_idx", "band.band_hash"))
+    return (signatures
+            .select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
+            .select(id_col, "band.band_idx", "band.band_hash"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """LSH banding: hash each band of the signature, bucket-join docs that
+    collide in ANY band → candidate pairs (a << b).
+
+    The self-join shuffles only (band_idx, band_hash, id) — tiny rows —
+    and buckets are natural partitions; a skewed bucket (e.g. empty-doc
+    signature) is handled by AQE skew-join splitting (test-pinned,
+    ``tests/test_skew.py``).
+    """
+    banded = lsh_bands(signatures, id_col, num_hashes, band_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, ["band_idx", "band_hash"])
@@ -170,6 +179,59 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     return (out.withColumn("jaccard", F.round(inter / union, 4))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def cross_corpus_minhash_pairs(new: DataFrame, old: DataFrame,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               num_hashes: int = 8, band_size: int = 2,
+                               shingle_n: int = 3,
+                               threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs BETWEEN two corpora — dedup a new crawl/delta
+    against the existing lake: (id_new, id_old, jaccard).
+
+    The incremental-ingestion shape a 100 TB pipeline actually runs
+    daily: the candidate join is new-bands × old-bands ONLY (never
+    old × old — the lake is already deduped, and re-self-joining it per
+    delta would dominate everything). With |new| ≪ |old| the banded new
+    side broadcasts; either way the bucket join shuffles (long, long)
+    band keys and verification intersects md5-hashed sorted-long shingle
+    sets, so corpus text never moves. Same signature family as
+    :func:`minhash_dedup_pairs`, so stored lake signatures/bands can be
+    reused delta-over-delta instead of recomputed.
+    """
+    def _hashed(df):
+        return (df.select(
+            F.col(id_col),
+            F.array_sort(F.transform(shingles(text_col, shingle_n),
+                                     lambda s: md5_long(s))).alias("hs"))
+            .transform(checkpoint_df, eager=False))
+
+    def _sigs(hashed):
+        base = F.pmod(F.col("h"), F.lit(1 << 30))
+        sh = (hashed.select(F.col(id_col), F.explode("hs").alias("h"))
+              .select(F.col(id_col), base.alias("x")))
+        aggs = [F.min((F.col("x") * a + b) % MINHASH_P).alias(f"h{i}")
+                for i, (a, b) in enumerate(minhash_params(num_hashes))]
+        return sh.groupBy(id_col).agg(*aggs)
+
+    hn, ho = _hashed(new), _hashed(old)
+    bn = (lsh_bands(_sigs(hn), id_col, num_hashes, band_size)
+          .withColumnRenamed(id_col, "id_new"))
+    bo = (lsh_bands(_sigs(ho), id_col, num_hashes, band_size)
+          .withColumnRenamed(id_col, "id_old"))
+    cand = (bn.join(bo, ["band_idx", "band_hash"])
+            .select("id_new", "id_old").distinct())
+    out = (cand
+           .join(hn.select(F.col(id_col).alias("id_new"),
+                           F.col("hs").alias("sh_n")), "id_new")
+           .join(ho.select(F.col(id_col).alias("id_old"),
+                           F.col("hs").alias("sh_o")), "id_old"))
+    inter = F.size(F.array_intersect("sh_n", "sh_o"))
+    union = F.size(F.array_union("sh_n", "sh_o"))
+    return (out.withColumn("jaccard", F.round(inter / union, 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_new", "id_old", "jaccard"))
 
 
 # --- n-gram Jaccard with key blocking -------------------------------------------

@@ -718,6 +718,70 @@ def dedup_minhash_lsh(spark, sf_dir):
                                   shingle_n=2, threshold=0.8)
 
 
+def _cross_minhash_oracle(num_hashes: int = 8, band_size: int = 2,
+                          shingle_n: int = 2, threshold: float = 0.8,
+                          split_mod: int = 5) -> str:
+    from rgd_rnaseq_workflows_spark.operators.dedup import (
+        MINHASH_P, minhash_params)
+    sh_expr = TX.shingles_sql("text", shingle_n)
+    base = f"(({md5_long_sql('s')}) % {1 << 30})"
+    mins = ",\n         ".join(
+        f"MIN(({base} * {a} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes)))
+    n_bands = num_hashes // band_size
+
+    def bands(sig: str) -> str:
+        sels = []
+        for b in range(n_bands):
+            cols = " || '_' || ".join(
+                f"CAST(h{b * band_size + r} AS VARCHAR)"
+                for r in range(band_size))
+            sels.append(f"SELECT doc_id, {b} AS band_idx, "
+                        f"{md5_long_sql(f'({cols})')} AS band_hash "
+                        f"FROM {sig}")
+        return " UNION ALL ".join(sels)
+
+    return f"""
+WITH newd AS MATERIALIZED (
+  SELECT * FROM documents WHERE doc_id % {split_mod} = 0),
+oldd AS MATERIALIZED (
+  SELECT * FROM documents WHERE doc_id % {split_mod} <> 0),
+shn AS (SELECT doc_id, unnest({sh_expr}) AS s FROM newd),
+sho AS (SELECT doc_id, unnest({sh_expr}) AS s FROM oldd),
+sign AS (SELECT doc_id, {mins} FROM shn GROUP BY doc_id),
+sigo AS (SELECT doc_id, {mins} FROM sho GROUP BY doc_id),
+bandsn AS ({bands('sign')}),
+bandso AS ({bands('sigo')}),
+cand AS (SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+         FROM bandsn n JOIN bandso o USING (band_idx, band_hash)),
+setsn AS (SELECT doc_id, {sh_expr} AS sh FROM newd),
+setso AS (SELECT doc_id, {sh_expr} AS sh FROM oldd)
+SELECT id_new, id_old, jaccard FROM (
+  SELECT id_new, id_old,
+         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(x.sh || y.sh)), 4) AS jaccard
+  FROM cand JOIN setsn x ON x.doc_id = id_new
+            JOIN setso y ON y.doc_id = id_old)
+WHERE jaccard >= {threshold}
+"""
+
+
+@q("dedup_cross_corpus", ("DEDUP-CROSS-CORPUS",),
+   oracle=_cross_minhash_oracle(),
+   note="incremental-ingestion near-dup: a new crawl slice (doc_id%5=0) "
+        "deduped AGAINST the existing lake (the rest) - the band join is "
+        "new x old only, never a lake self-join; same md5 minhash "
+        "family as dedup_minhash_lsh so stored lake signatures are "
+        "reusable delta-over-delta")
+def dedup_cross_corpus(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    return DD.cross_corpus_minhash_pairs(new, old, num_hashes=8,
+                                         band_size=2, shingle_n=2,
+                                         threshold=0.8)
+
+
 def _simhash_fps_ctes(bits: int = 16, seed: int = 101,
                       shingle_n: int = 1) -> str:
     """CTE chain ending in ``fps(doc_id, simhash)`` — the naive per-bit
@@ -1395,9 +1459,11 @@ _RECORD_FIRST: tuple[str, ...] = (
     # new this round (no prior driver row possible)
     "sketch_log2q_by_group",
     "sketch_cms_by_group",
-    # r4-stamped refreshes (36; agg_percentiles/_approx keep their r4
-    # rows — exactly 2 rounds old at r6 — and lead r7 with the window
-    # overflow)
+    "dedup_cross_corpus",
+    "quality_boilerplate_ngrams",
+    # r4-stamped refreshes (34; agg_percentiles/_approx, bpe_encode and
+    # winnowing keep their r4 rows — exactly 2 rounds old at r6 — and
+    # lead r7 with the window overflow)
     "ann_cosine_topk",
     "ann_embedding_neardup",
     "ann_ivf_topk",
@@ -1432,8 +1498,6 @@ _RECORD_FIRST: tuple[str, ...] = (
     "text_lang_id",
     "text_quality_features",
     "text_token_stats",
-    "tokenizer_bpe_encode",
-    "winnow_partial_overlap",
 )
 
 
@@ -2574,6 +2638,27 @@ def sketch_cms_by_group(spark, sf_dir):
             .select("lang", "tok", "exact_count", "cms_estimate",
                     (F.col("cms_estimate") - F.col("exact_count"))
                     .alias("overestimate")))
+
+
+def _boilerplate_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.boilerplate import (
+        boilerplate_ngrams_sql)
+    return boilerplate_ngrams_sql("documents", shingle_n=3,
+                                  min_doc_bps=500, min_docs=2)
+
+
+@q("quality_boilerplate_ngrams", ("QUALITY-BOILERPLATE",),
+   oracle=_boilerplate_oracle(),
+   note="de-templating: per-source trigrams in >=5% of the source's "
+        "documents (DOCUMENT frequency - template, not repetition); "
+        "counting shuffle carries md5-long keys, gram text recovered "
+        "only for the flagged tail via broadcast semi-join; exact "
+        "basis-point threshold")
+def quality_boilerplate_ngrams(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.boilerplate import (
+        boilerplate_ngrams)
+    return boilerplate_ngrams(_t(spark, sf_dir, "documents"),
+                              shingle_n=3, min_doc_bps=500, min_docs=2)
 
 
 def _chunking_oracle() -> str:

@@ -168,3 +168,27 @@ def test_remove_duplicate_passages(spark):
     assert out[1].n_removed == 1
     assert out[2].clean_text == "" and out[2].n_removed == 2
     assert out[3].clean_text == "solo words here"
+
+
+def test_cross_corpus_minhash_pairs(spark):
+    """New-crawl-vs-lake dedup: finds the cross-corpus near-dup, never
+    emits old x old pairs even when the lake contains exact dups."""
+    from rgd_rnaseq_workflows_spark.operators.dedup import (
+        cross_corpus_minhash_pairs)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    new = spark.createDataFrame(
+        [(100, base + " extra"),               # near-dup of lake doc 1
+         (101, "totally different words about completely other topics "
+               "covering many unrelated subjects here")],
+        "doc_id long, text string")
+    old = spark.createDataFrame(
+        [(1, base),
+         (2, base),                            # lake-internal exact dup
+         (3, "nothing in common with anything at all whatsoever")],
+        "doc_id long, text string")
+    pairs = {(r.id_new, r.id_old): r.jaccard
+             for r in cross_corpus_minhash_pairs(
+                 new, old, shingle_n=2, threshold=0.5).collect()}
+    assert set(pairs) == {(100, 1), (100, 2)}
+    assert all(0.5 <= j <= 1.0 for j in pairs.values())
