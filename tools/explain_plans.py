@@ -148,6 +148,21 @@ SHOWCASE = {
         "(lang, word, wc) shuffle; global merges train driver-side once, "
         "the trainer's final word states price every language — corpus "
         "text read once, never re-shuffled.",
+    "dedup_cross_corpus": "incremental-ingestion near-dup: new-crawl "
+        "bands join LAKE bands only (no lake self-join); (long, long) "
+        "band keys on the wire, verify intersects md5-hashed sorted-long "
+        "shingle sets — corpus text never moves.",
+    "quality_boilerplate_ngrams": "de-templating by DOCUMENT frequency: "
+        "md5-long gram keys through the counting shuffle, exact "
+        "basis-point threshold, gram text recovered only for the "
+        "flagged tail via broadcast semi-join over a second scan.",
+    "sketch_log2q_by_group": "grouped DDSketch quantiles: the same "
+        "single <=64-buckets-per-group shuffle as the global sketch "
+        "(by= widens the key), per-group rank lookup — per-tenant "
+        "percentiles with no per-group sorts.",
+    "sketch_cms_by_group": "grouped Count-Min: one depth x width "
+        "counter table per language from a single map-side-combined "
+        "shuffle; sketches merge by counter add, probes broadcast.",
 }
 
 
