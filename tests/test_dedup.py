@@ -192,3 +192,35 @@ def test_cross_corpus_minhash_pairs(spark):
                  new, old, shingle_n=2, threshold=0.5).collect()}
     assert set(pairs) == {(100, 1), (100, 2)}
     assert all(0.5 <= j <= 1.0 for j in pairs.values())
+
+
+def test_cross_corpus_equals_union_self_join_restriction(spark):
+    """cross_corpus(new, old) must equal minhash_dedup_pairs(new ∪ old)
+    restricted to cross pairs — same signatures, same bands, same
+    verify — so the incremental path can replace the full re-self-join
+    without changing results."""
+    from rgd_rnaseq_workflows_spark.operators.dedup import (
+        cross_corpus_minhash_pairs, minhash_dedup_pairs)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    new = spark.createDataFrame(
+        [(100, base + " extra"), (101, base + " other tail"),
+         (102, "entirely unrelated text with distinct words only")],
+        "doc_id long, text string")
+    old = spark.createDataFrame(
+        [(1, base), (2, base + " second"),
+         (3, "different unrelated content again")],
+        "doc_id long, text string")
+    cross = {(r.id_new, r.id_old, r.jaccard)
+             for r in cross_corpus_minhash_pairs(
+                 new, old, shingle_n=2, threshold=0.5).collect()}
+    new_ids = {100, 101, 102}
+    full = minhash_dedup_pairs(new.unionByName(old), shingle_n=2,
+                               threshold=0.5).collect()
+    want = set()
+    for r in full:
+        a_new, b_new = r.id_a in new_ids, r.id_b in new_ids
+        if a_new != b_new:  # exactly one side from the new corpus
+            nid, oid = (r.id_a, r.id_b) if a_new else (r.id_b, r.id_a)
+            want.add((nid, oid, r.jaccard))
+    assert cross == want and cross
