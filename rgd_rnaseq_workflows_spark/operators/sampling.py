@@ -233,6 +233,129 @@ WHERE {bucket} < r.budget_bps
 """
 
 
+def epoch_budget_waterfall(totals: dict[str, int], weights: dict[str, int],
+                           budget: int, max_epochs: int
+                           ) -> dict[str, dict]:
+    """Data-constrained token allocation (the Muennighoff et al. 2023
+    shape): split ``budget`` tokens across strata ∝ integer ``weights``,
+    capping each stratum at ``max_epochs`` passes over its available
+    tokens and re-flowing the excess to uncapped strata.
+
+    Pure-Python water-filling over METADATA (k strata rows) — exactly
+    ``len(weights)`` rounds, each round giving every active stratum
+    ``(remaining · wᵢ) div Σw_active`` tokens (floor) and retiring
+    strata that hit their cap; the fixed round count (not an early-stop)
+    is part of the contract so the unrolled SQL oracle replays it
+    bit-for-bit. Python ints are exact at any scale; the SQL twin runs
+    the products in HUGEINT. The ≤ Σw floor residue of the final round
+    stays unallocated (documented; negligible at token scale).
+
+    Returns {stratum: {tokens_available, weight, tokens_allocated,
+    epochs_bps, capped}} for every weighted stratum (absent strata have
+    0 available tokens and cap at 0).
+    """
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    if budget < 0:
+        raise ValueError(f"negative budget {budget}")
+    for k, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {k!r}")
+    names = sorted(weights)
+    tok = {s: int(totals.get(s, 0)) for s in names}
+    cap = {s: max_epochs * tok[s] for s in names}
+    alloc = {s: 0 for s in names}
+    active = {s: weights[s] > 0 for s in names}
+    for _ in range(len(names)):
+        w_sum = sum(weights[s] for s in names if active[s])
+        remaining = budget - sum(alloc.values())
+        if w_sum <= 0 or remaining <= 0:
+            break
+        for s in names:
+            if not active[s]:
+                continue
+            give = (remaining * weights[s]) // w_sum
+            if alloc[s] + give >= cap[s]:
+                alloc[s] = cap[s]
+                active[s] = False
+            else:
+                alloc[s] += give
+    return {s: {"tokens_available": tok[s], "weight": weights[s],
+                "tokens_allocated": alloc[s],
+                "epochs_bps": (alloc[s] * BUCKETS) // tok[s] if tok[s]
+                else 0,
+                "capped": alloc[s] >= cap[s]}
+            for s in names}
+
+
+def epoch_budget_manifest(df: DataFrame, strata_col: str, tokens_col: str,
+                          weights: dict[str, int], budget: int,
+                          max_epochs: int = 4) -> DataFrame:
+    """The allocation as a manifest frame: (stratum, tokens_available,
+    weight, tokens_allocated, epochs_bps, capped), ``epochs_bps`` > 10000
+    meaning repetition (multiple passes). One metadata-scale aggregation
+    over the corpus; the waterfall itself runs on the k collected stratum
+    totals (driver metadata, the codebook precedent)."""
+    totals = {r[0]: r[1] for r in
+              df.groupBy(strata_col)
+              .agg(F.sum(F.col(tokens_col).cast("long")).alias("t"))
+              .collect()}
+    plan = epoch_budget_waterfall(totals, weights, budget, max_epochs)
+    spark = df.sparkSession
+    rows = [(s, p["tokens_available"], p["weight"], p["tokens_allocated"],
+             p["epochs_bps"], p["capped"]) for s, p in sorted(plan.items())]
+    return spark.createDataFrame(
+        rows, f"{strata_col} string, tokens_available long, weight long, "
+              "tokens_allocated long, epochs_bps long, capped boolean")
+
+
+def epoch_budget_waterfall_sql(src: str, strata_col: str, tokens_col: str,
+                               weights: dict[str, int], budget: int,
+                               max_epochs: int = 4) -> str:
+    """DuckDB twin of :func:`epoch_budget_manifest`: the same fixed
+    ``len(weights)`` rounds unrolled as chained CTEs (the BPE-oracle
+    pattern), HUGEINT products, floor division."""
+    names = sorted(weights)
+    wvals = ", ".join(f"('{s}', {int(weights[s])})" for s in names)
+    rounds = []
+    prev = "r0"
+    for i in range(1, len(names) + 1):
+        rounds.append(f"""
+{prev}_tot AS (
+  SELECT coalesce(sum(w) FILTER (WHERE active), 0) AS w_sum,
+         {budget} - sum(alloc) AS remaining
+  FROM {prev}),
+r{i} AS (
+  SELECT s, tok, w, cap,
+         CASE WHEN NOT active OR w_sum <= 0 OR remaining <= 0 THEN alloc
+              WHEN alloc + CAST((CAST(remaining AS HUGEINT) * w) // w_sum
+                                AS BIGINT) >= cap THEN cap
+              ELSE alloc + CAST((CAST(remaining AS HUGEINT) * w) // w_sum
+                                AS BIGINT) END AS alloc,
+         active AND w_sum > 0 AND remaining > 0
+           AND alloc + CAST((CAST(remaining AS HUGEINT) * w) // w_sum
+                            AS BIGINT) < cap AS active
+  FROM {prev}, {prev}_tot)""")
+        prev = f"r{i}"
+    return f"""
+WITH wts(s, w) AS (VALUES {wvals}),
+tots AS (
+  SELECT {strata_col} AS s, CAST(sum({tokens_col}) AS BIGINT) AS tok
+  FROM {src} GROUP BY 1),
+r0 AS (
+  SELECT s, coalesce(tok, 0) AS tok, w,
+         CAST({max_epochs} AS BIGINT) * coalesce(tok, 0) AS cap,
+         CAST(0 AS BIGINT) AS alloc, w > 0 AS active
+  FROM wts LEFT JOIN tots USING (s)),{",".join(rounds)}
+SELECT s AS {strata_col}, tok AS tokens_available,
+       CAST(w AS BIGINT) AS weight, alloc AS tokens_allocated,
+       CASE WHEN tok > 0
+            THEN CAST(CAST(alloc AS HUGEINT) * {BUCKETS} // tok AS BIGINT)
+            ELSE 0 END AS epochs_bps,
+       alloc >= cap AS capped
+FROM {prev} ORDER BY s"""
+
+
 # --- per-key frequency capping ------------------------------------------------
 
 def cap_per_key(df: DataFrame, key_col: str, cap: int, id_col: str,

@@ -1461,9 +1461,10 @@ _RECORD_FIRST: tuple[str, ...] = (
     "sketch_cms_by_group",
     "dedup_cross_corpus",
     "quality_boilerplate_ngrams",
-    # r4-stamped refreshes (34; agg_percentiles/_approx, bpe_encode and
-    # winnowing keep their r4 rows — exactly 2 rounds old at r6 — and
-    # lead r7 with the window overflow)
+    "sample_epoch_budget",
+    # r4-stamped refreshes (33; agg_percentiles/_approx, bpe_encode,
+    # winnowing and text_token_stats keep their r4 rows — exactly 2
+    # rounds old at r6 — and lead r7 with the window overflow)
     "ann_cosine_topk",
     "ann_embedding_neardup",
     "ann_ivf_topk",
@@ -1497,7 +1498,6 @@ _RECORD_FIRST: tuple[str, ...] = (
     "text_fingerprint",
     "text_lang_id",
     "text_quality_features",
-    "text_token_stats",
 )
 
 
@@ -2705,6 +2705,35 @@ def winnow_partial_overlap(spark, sf_dir):
 # =============================================================================
 
 _TOKEN_BUDGETS = {"en": 20_000, "de": 1_000}
+_EPOCH_WEIGHTS = {"en": 50, "de": 20, "fr": 15, "zh": 15}
+
+
+def _epoch_budget_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.functions.text import token_count_sql
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        epoch_budget_waterfall_sql)
+    src = (f"(SELECT lang, {token_count_sql('text')} AS n_tokens "
+           "FROM documents)")
+    return epoch_budget_waterfall_sql(src, "lang", "n_tokens",
+                                      _EPOCH_WEIGHTS, budget=40_000,
+                                      max_epochs=2)
+
+
+@q("sample_epoch_budget", ("SAMPLE-EPOCH-BUDGET",),
+   oracle=_epoch_budget_oracle(),
+   note="data-constrained allocation (epoch-capped water-filling): "
+        "split a token budget across languages by weight, cap each at "
+        "max_epochs passes over its available tokens, re-flow the "
+        "excess - fixed len(weights) rounds of exact integer floor "
+        "division over k metadata rows, so the unrolled-CTE oracle "
+        "replays it bit-for-bit; epochs_bps > 10000 = repetition")
+def sample_epoch_budget(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        epoch_budget_manifest)
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", TX.token_count("text").alias("n_tokens"))
+    return epoch_budget_manifest(d, "lang", "n_tokens", _EPOCH_WEIGHTS,
+                                 budget=40_000, max_epochs=2)
 
 
 def _token_budget_oracle() -> str:

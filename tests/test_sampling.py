@@ -225,3 +225,67 @@ def test_token_budget_mix_caps_at_full_keep(spark):
     import pytest
     with pytest.raises(ValueError, match="negative budget"):
         token_budget_mix(d, "lang", "n_tokens", {"en": -1}, "doc_id")
+
+
+def test_epoch_budget_waterfall_caps_and_reflows():
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        epoch_budget_waterfall)
+    totals = {"en": 10_000, "de": 1_000, "zh": 2_000}
+    w = {"en": 50, "de": 30, "zh": 20}
+    # de's proportional share (30%) far exceeds 2 epochs of 1k tokens:
+    # it caps at 2000 and the excess flows to en/zh
+    out = epoch_budget_waterfall(totals, w, budget=10_000, max_epochs=2)
+    assert out["de"]["tokens_allocated"] == 2_000 and out["de"]["capped"]
+    assert out["de"]["epochs_bps"] == 20_000          # 2 full epochs
+    # invariants: within caps, within budget, reflow happened
+    assert sum(s["tokens_allocated"] for s in out.values()) <= 10_000
+    for s, r in out.items():
+        assert r["tokens_allocated"] <= 2 * totals[s]
+    assert out["en"]["tokens_allocated"] > 5_000      # > its naive share
+
+
+def test_epoch_budget_waterfall_edges():
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        epoch_budget_waterfall)
+    # budget beyond every cap: everything saturates
+    out = epoch_budget_waterfall({"a": 100, "b": 50}, {"a": 1, "b": 1},
+                                 budget=10_000, max_epochs=3)
+    assert out["a"]["tokens_allocated"] == 300
+    assert out["b"]["tokens_allocated"] == 150
+    assert all(r["capped"] for r in out.values())
+    # weighted stratum absent from the corpus: 0 tokens, capped at 0
+    out = epoch_budget_waterfall({"a": 100}, {"a": 1, "ghost": 5},
+                                 budget=100, max_epochs=1)
+    assert out["ghost"] == {"tokens_available": 0, "weight": 5,
+                            "tokens_allocated": 0, "epochs_bps": 0,
+                            "capped": True}
+    assert out["a"]["tokens_allocated"] == 100
+
+
+def test_epoch_budget_python_equals_sql_twin():
+    """The fixed-round contract: the pure-Python waterfall and the
+    unrolled-CTE SQL replay identically on randomized inputs."""
+    import random
+
+    import duckdb
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        epoch_budget_waterfall, epoch_budget_waterfall_sql)
+    rng = random.Random(42)
+    con = duckdb.connect()
+    for trial in range(20):
+        strata = [f"s{i}" for i in range(rng.randint(1, 6))]
+        totals = {s: rng.randint(0, 50_000) for s in strata}
+        weights = {s: rng.randint(0, 100) for s in strata}
+        budget = rng.randint(0, 200_000)
+        me = rng.randint(1, 5)
+        vals = ", ".join(f"('{s}', {t})" for s, t in totals.items())
+        sql = epoch_budget_waterfall_sql(
+            f"(SELECT * FROM (VALUES {vals}) t(lang, n_tokens))",
+            "lang", "n_tokens", weights, budget, me)
+        duck = {r[0]: (r[1], r[2], r[3], r[4], r[5])
+                for r in con.execute(sql).fetchall()}
+        py = epoch_budget_waterfall(totals, weights, budget, me)
+        want = {s: (r["tokens_available"], r["weight"],
+                    r["tokens_allocated"], r["epochs_bps"], r["capped"])
+                for s, r in py.items()}
+        assert duck == want, f"trial {trial}: {duck} != {want}"
