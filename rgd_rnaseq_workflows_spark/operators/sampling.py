@@ -356,6 +356,64 @@ SELECT s AS {strata_col}, tok AS tokens_available,
 FROM {prev} ORDER BY s"""
 
 
+def epoch_budget_mix(df: DataFrame, strata_col: str, key_col: str,
+                     epochs_bps: dict[str, int],
+                     seed: int = 1) -> DataFrame:
+    """Materialize an epoch allocation (``epochs_bps`` per stratum, from
+    :func:`epoch_budget_waterfall`'s manifest) as the REPEATED corpus:
+    every row of a stratum appears ``epochs_bps div 10000`` times (full
+    passes) plus one more iff its md5 bucket falls under the fractional
+    remainder — e.g. 23,500 bps = every doc twice, ~35% of docs a third
+    time. Output adds ``epoch`` (1-based pass index) so a data loader
+    can interleave passes; strata without an allocation drop.
+
+    Scale shape: a literal map lookup + ``explode(sequence(...))`` —
+    zero shuffle, zero joins, runs inside the scan's codegen; the
+    replication factor is the allocation itself, so output tokens track
+    the budget by construction (the same one-bucket-quantum error as
+    every sampler here).
+    """
+    for k, v in epochs_bps.items():
+        if v < 0:
+            raise ValueError(f"negative epochs_bps for {k!r}")
+    emap = F.create_map(*chain.from_iterable(
+        (F.lit(k), F.lit(int(v))) for k, v in sorted(epochs_bps.items())))
+    bps = F.element_at(emap, F.col(strata_col))
+    # ints < 2^53: the double division is exact and floor == int div
+    full = F.floor(bps / F.lit(BUCKETS)).cast("long")
+    frac = bps % BUCKETS
+    n = full + F.when(sample_bucket(key_col, seed) < frac, 1).otherwise(0)
+    return (df.withColumn("_n", n)
+            .filter(F.col("_n") > 0)
+            .withColumn("epoch",
+                        F.explode(F.sequence(F.lit(1).cast("long"),
+                                             F.col("_n"))))
+            .drop("_n"))
+
+
+def epoch_budget_mix_sql(src: str, strata_col: str, key_col: str,
+                         epochs_bps: dict[str, int], seed: int = 1,
+                         cols: str = "*") -> str:
+    """DuckDB twin of :func:`epoch_budget_mix` (same buckets, same
+    replication counts)."""
+    whens = "\n".join(f"    WHEN '{k}' THEN {int(v)}"
+                      for k, v in sorted(epochs_bps.items()))
+    bucket = (f"{md5_long_sql(f'CAST({key_col} AS VARCHAR)', seed=seed)}"
+              f" % {BUCKETS}")
+    case = f"CASE {strata_col}\n{whens}\n    ELSE NULL END"
+    return f"""
+WITH marked AS (
+  SELECT *, ({case}) // {BUCKETS}
+            + CASE WHEN {bucket} < ({case}) % {BUCKETS}
+                   THEN 1 ELSE 0 END AS _n
+  FROM {src}
+  WHERE ({case}) IS NOT NULL)
+SELECT {cols}, CAST(e.epoch AS BIGINT) AS epoch
+FROM marked, unnest(range(1, CAST(_n AS BIGINT) + 1)) AS e(epoch)
+WHERE _n > 0
+"""
+
+
 # --- per-key frequency capping ------------------------------------------------
 
 def cap_per_key(df: DataFrame, key_col: str, cap: int, id_col: str,

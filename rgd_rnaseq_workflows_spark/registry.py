@@ -1462,9 +1462,11 @@ _RECORD_FIRST: tuple[str, ...] = (
     "dedup_cross_corpus",
     "quality_boilerplate_ngrams",
     "sample_epoch_budget",
-    # r4-stamped refreshes (33; agg_percentiles/_approx, bpe_encode,
-    # winnowing and text_token_stats keep their r4 rows — exactly 2
-    # rounds old at r6 — and lead r7 with the window overflow)
+    "sample_epoch_mix",
+    # r4-stamped refreshes (32; agg_percentiles/_approx, bpe_encode,
+    # winnowing, text_token_stats and text_quality_features keep their
+    # r4 rows — exactly 2 rounds old at r6 — and lead r7 with the
+    # window overflow)
     "ann_cosine_topk",
     "ann_embedding_neardup",
     "ann_ivf_topk",
@@ -1497,7 +1499,6 @@ _RECORD_FIRST: tuple[str, ...] = (
     "text_bpe_tokens",
     "text_fingerprint",
     "text_lang_id",
-    "text_quality_features",
 )
 
 
@@ -2659,6 +2660,31 @@ def quality_boilerplate_ngrams(spark, sf_dir):
         boilerplate_ngrams)
     return boilerplate_ngrams(_t(spark, sf_dir, "documents"),
                               shingle_n=3, min_doc_bps=500, min_docs=2)
+
+
+_EPOCH_MIX_BPS = {"en": 23_500, "de": 15_000}
+
+
+def _epoch_mix_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        epoch_budget_mix_sql)
+    return epoch_budget_mix_sql(
+        "documents", "lang", "doc_id", _EPOCH_MIX_BPS, seed=1,
+        cols="doc_id, text, lang, source, n_chars")
+
+
+@q("sample_epoch_mix", ("SAMPLE-EPOCH-MIX",), oracle=_epoch_mix_oracle(),
+   note="repetition materialized: each language replays at its "
+        "allocated epoch rate (23500 bps = every doc twice + ~35% a "
+        "third time) with a 1-based epoch index for loader "
+        "interleaving - literal map + explode(sequence), zero shuffle; "
+        "production chains sample_epoch_budget's manifest into these "
+        "rates (Python==SQL waterfall equivalence is test-pinned)")
+def sample_epoch_mix(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        epoch_budget_mix)
+    return epoch_budget_mix(_t(spark, sf_dir, "documents"), "lang",
+                            "doc_id", _EPOCH_MIX_BPS, seed=1)
 
 
 def _chunking_oracle() -> str:

@@ -289,3 +289,44 @@ def test_epoch_budget_python_equals_sql_twin():
                     r["tokens_allocated"], r["epochs_bps"], r["capped"])
                 for s, r in py.items()}
         assert duck == want, f"trial {trial}: {duck} != {want}"
+
+
+def test_epoch_budget_mix_replicates_and_chains(spark):
+    """The mix materializes the manifest: full passes for everyone in
+    the stratum, the fractional pass only for bucket-selected keys, and
+    the manifest→mix chain lands within one bucket-quantum of the
+    allocated tokens."""
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        epoch_budget_mix, epoch_budget_waterfall)
+    rows = [(i, "en" if i < 80 else "de", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                     "n_tokens long")
+    out = epoch_budget_mix(df, "lang", "doc_id",
+                           {"en": 25_000, "de": 5_000}, seed=1).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+    # every en doc appears 2 or 3 times with contiguous epoch indices
+    en_counts = {len(v) for d, v in per_doc.items() if d < 80}
+    assert en_counts <= {2, 3} and 3 in en_counts and 2 in en_counts
+    for d, v in per_doc.items():
+        assert sorted(v) == list(range(1, len(v) + 1))
+    # de at 0.5 epochs: only bucket-selected docs, exactly once
+    de_docs = [d for d in per_doc if d >= 80]
+    assert 0 < len(de_docs) < 20
+    assert all(per_doc[d] == [1] for d in de_docs)
+
+    # chain: allocation → mix reproduces the allocated token volume
+    totals = {"en": 800, "de": 200}
+    plan = epoch_budget_waterfall(totals, {"en": 3, "de": 1},
+                                  budget=1500, max_epochs=2)
+    bps = {s: r["epochs_bps"] for s, r in plan.items()}
+    mixed = epoch_budget_mix(df, "lang", "doc_id", bps, seed=1)
+    got_tokens = mixed.groupBy("lang").sum("n_tokens").collect()
+    got = {r[0]: r[1] for r in got_tokens}
+    for s in ("en", "de"):
+        want = plan[s]["tokens_allocated"]
+        # one bucket-quantum = totals[s] / 10000 per doc-selection step;
+        # with 10-token docs the band is +-10% here
+        assert abs(got[s] - want) <= max(2 * totals[s] // 10, 40), \
+            (s, got[s], want)
