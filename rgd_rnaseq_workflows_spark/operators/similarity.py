@@ -287,3 +287,96 @@ def embedding_near_dup(emb: DataFrame, block_col: str = "label",
             # pandas mask drops — guard so both impls agree.
             .filter(~F.isnan("cosine_sim")
                     & (F.col("cosine_sim") >= threshold)))
+
+
+def margin_alignment(left: DataFrame, right: DataFrame, k: int = 4,
+                     min_margin_ppm: int = 1_000_000,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     block_col: str | None = None) -> DataFrame:
+    """Cross-set alignment mining with the MARGIN criterion (Artetxe &
+    Schwenk 2019 — the bitext-mining scorer): for each left vector, its
+    best right-side match, kept only when the top-1 cosine stands out
+    from the neighborhood,
+
+        margin = cos(top1) / mean(cos of the top-k matches) ≥ τ.
+
+    Absolute-cosine thresholds mine garbage in dense regions and miss
+    pairs in sparse ones; the margin is the standard fix. Returns
+    (id_left, id_right, cosine_sim, margin6).
+
+    Cross-engine exactness: per-pair cosines round to 6 decimals (the
+    house cosine tolerance), are scaled to exact micro-cosine integers,
+    and the margin is ONE bigint floor division
+    ``c1·k·10⁶ div Σ top-k`` — no float accumulation anywhere, so the
+    DuckDB twin reproduces the kept set bit-for-bit. Only matches with
+    positive cosine participate; left ids with fewer than k positive
+    matches drop (mining wants dense neighborhoods — documented).
+
+    Scale: with ``block_col`` (an LSH bucket / cluster id, the
+    ``embedding_near_dup`` discipline) the candidate join is equi on the
+    block and the per-left top-k is a bounded window per block; without
+    it the join is the exact cross product — the test/oracle shape, not
+    the 100 TB one.
+    """
+    from pyspark.sql import Window
+    blk = [block_col] if block_col else []
+    l = left.select(*blk, F.col(id_col).alias("id_left"),
+                    _as_double(vec_col).alias("_vl"))
+    r = right.select(*blk, F.col(id_col).alias("id_right"),
+                     _as_double(vec_col).alias("_vr"))
+    joined = l.join(r, blk) if block_col else l.crossJoin(r)
+    cos6 = F.round(cosine(F.col("_vl"), F.col("_vr")), 6)
+    sc = (joined.select("id_left", "id_right", cos6.alias("_c"))
+          .filter(~F.isnan("_c") & (F.col("_c") > 0))
+          .select("id_left", "id_right",
+                  F.round(F.col("_c") * 1_000_000).cast("long")
+                  .alias("_ci")))
+    w = Window.partitionBy("id_left").orderBy(F.desc("_ci"), "id_right")
+    rk = sc.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k)
+    top = (rk.groupBy("id_left")
+           .agg(F.count("*").alias("_n"),
+                F.sum("_ci").cast("long").alias("_s"))
+           .filter(F.col("_n") == k))
+    best = rk.filter(F.col("_rn") == 1).select("id_left", "id_right", "_ci")
+    margin_ppm = F.expr(f"(_ci * {k} * 1000000) div _s")
+    return (best.join(top, "id_left")
+            .withColumn("_m", margin_ppm)
+            .filter(F.col("_m") >= min_margin_ppm)
+            .select("id_left", "id_right",
+                    F.round(F.col("_ci") / 1_000_000.0, 6)
+                    .alias("cosine_sim"),
+                    F.round(F.col("_m") / 1_000_000.0, 6)
+                    .alias("margin6")))
+
+
+def margin_alignment_sql(left_src: str, right_src: str, k: int = 4,
+                         min_margin_ppm: int = 1_000_000,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`margin_alignment` (cross-product shape —
+    identical micro-cosine integers and floor-divided margins)."""
+    return f"""
+WITH l AS (SELECT {id_col} AS id_left,
+                  CAST({vec_col} AS DOUBLE[]) AS vl FROM {left_src}),
+r AS (SELECT {id_col} AS id_right,
+             CAST({vec_col} AS DOUBLE[]) AS vr FROM {right_src}),
+sc AS MATERIALIZED (
+  SELECT id_left, id_right,
+         CAST(round(c * 1000000) AS BIGINT) AS ci
+  FROM (SELECT id_left, id_right,
+               round(list_cosine_similarity(vl, vr), 6) AS c
+        FROM l, r)
+  WHERE NOT isnan(c) AND c > 0),
+rk AS (SELECT *, row_number() OVER (
+         PARTITION BY id_left ORDER BY ci DESC, id_right) AS rn
+       FROM sc),
+top AS (SELECT id_left, count(*) AS n, CAST(sum(ci) AS BIGINT) AS s
+        FROM rk WHERE rn <= {k} GROUP BY id_left),
+best AS (SELECT id_left, id_right, ci FROM rk WHERE rn = 1)
+SELECT b.id_left, b.id_right,
+       round(b.ci / 1000000.0, 6) AS cosine_sim,
+       round(((b.ci * {k} * 1000000) // t.s) / 1000000.0, 6) AS margin6
+FROM best b JOIN top t USING (id_left)
+WHERE t.n = {k} AND (b.ci * {k} * 1000000) // t.s >= {min_margin_ppm}
+"""

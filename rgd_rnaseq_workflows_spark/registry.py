@@ -951,6 +951,31 @@ def ann_cosine_topk(spark, sf_dir):
     return SIM.brute_force_topk(emb, qv, k=10)
 
 
+def _margin_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        margin_alignment_sql)
+    return margin_alignment_sql(
+        "(SELECT * FROM embeddings WHERE label % 2 = 0)",
+        "(SELECT * FROM embeddings WHERE label % 2 = 1)",
+        k=4, min_margin_ppm=1_200_000)
+
+
+@q("ann_margin_alignment", ("ANN-MARGIN",), oracle=_margin_oracle(),
+   note="bitext-shape alignment mining: best cross-set match per left "
+        "vector kept only when top-1 cosine beats the mean of its "
+        "top-4 by margin >= 1.2 (Artetxe-Schwenk) - micro-cosine "
+        "integers + one bigint floor division, so the kept set is "
+        "engine-exact; production blocks candidates by LSH bucket "
+        "(block_col), the oracle shape is the exact cross product")
+def ann_margin_alignment(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        margin_alignment)
+    emb = _t(spark, sf_dir, "embeddings")
+    return margin_alignment(emb.filter(F.col("label") % 2 == 0),
+                            emb.filter(F.col("label") % 2 == 1),
+                            k=4, min_margin_ppm=1_200_000)
+
+
 @q("ann_embedding_neardup", ("ANN-NEARDUP",), oracle="""
 WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
 SELECT id_a, id_b, cosine_sim FROM (
@@ -1463,10 +1488,11 @@ _RECORD_FIRST: tuple[str, ...] = (
     "quality_boilerplate_ngrams",
     "sample_epoch_budget",
     "sample_epoch_mix",
-    # r4-stamped refreshes (32; agg_percentiles/_approx, bpe_encode,
-    # winnowing, text_token_stats and text_quality_features keep their
-    # r4 rows — exactly 2 rounds old at r6 — and lead r7 with the
-    # window overflow)
+    "ann_margin_alignment",
+    # r4-stamped refreshes (31; agg_percentiles/_approx, bpe_encode,
+    # winnowing, text_token_stats, text_quality_features and
+    # text_lang_id keep their r4 rows — exactly 2 rounds old at r6 —
+    # and lead r7 with the window overflow)
     "ann_cosine_topk",
     "ann_embedding_neardup",
     "ann_ivf_topk",
@@ -1498,7 +1524,6 @@ _RECORD_FIRST: tuple[str, ...] = (
     "text_bm25_topk",
     "text_bpe_tokens",
     "text_fingerprint",
-    "text_lang_id",
 )
 
 

@@ -131,3 +131,66 @@ def test_near_dup_zero_norm_vector_dropped_on_both_impls(spark):
                for r in embedding_near_dup(emb, threshold=0.5,
                                            impl=impl).collect()}
         assert got == {(0, 1)}, impl
+
+
+def test_margin_alignment_keeps_distinct_matches(spark):
+    """The margin criterion: a left vector with ONE standout match
+    passes; one sitting in a uniform neighborhood (margin ~1) drops;
+    one with fewer than k positive matches drops."""
+    import math
+
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        margin_alignment)
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    left = spark.createDataFrame(
+        [(0, vec(0.0)),             # standout match at R10
+         (1, vec(2.0)),             # uniform ring around it -> margin ~1
+         (2, [0.0, 0.0, 1.0, 0.0])],  # only 2 positive matches -> drop
+        "vec_id long, embedding array<double>")
+    right = spark.createDataFrame(
+        [(10, vec(0.01)),                        # ~identical to L0
+         (11, vec(0.9)), (12, vec(-0.9)),        # far from L0, ~72 deg
+         (13, vec(1.2)), (14, vec(-1.2)),
+         # the uniform ring for L1 (four ~equally close neighbors, so
+         # the top-4 mean ~= the top-1 and the margin stays ~1)
+         (15, vec(1.9)), (16, vec(2.1)),
+         (19, vec(1.85)), (21, vec(2.15)),
+         # two positive-only neighbors for L2's plane
+         (17, [0.0, 0.1, 0.99, 0.0]), (18, [0.1, 0.0, 0.99, 0.0])],
+        "vec_id long, embedding array<double>")
+    out = {r.id_left: r for r in
+           margin_alignment(left, right, k=4,
+                            min_margin_ppm=1_150_000).collect()}
+    assert 0 in out and out[0].id_right == 10      # the standout pair
+    assert out[0].cosine_sim > 0.99
+    assert out[0].margin6 >= 1.15
+    assert 1 not in out                            # uniform neighborhood
+    assert 2 not in out                            # < k positive matches
+    # sanity: with no margin gate, L1 DOES have a best match
+    loose = {r.id_left for r in
+             margin_alignment(left, right, k=4,
+                              min_margin_ppm=0).collect()}
+    assert 1 in loose and 2 not in loose
+
+
+def test_margin_alignment_block_col_restricts_candidates(spark):
+    """With block_col the candidate join is equi on the block: a better
+    match in ANOTHER block is invisible (the LSH-bucket scale path)."""
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        margin_alignment)
+    left = spark.createDataFrame(
+        [("b1", 0, [1.0, 0.0, 0.0, 0.0])],
+        "blk string, vec_id long, embedding array<double>")
+    right = spark.createDataFrame(
+        [("b1", 10, [0.9, 0.1, 0.0, 0.0]),
+         ("b1", 11, [0.5, 0.5, 0.0, 0.0]),
+         ("b1", 12, [0.4, 0.6, 0.0, 0.0]),
+         ("b1", 13, [0.3, 0.7, 0.0, 0.0]),
+         ("b2", 20, [1.0, 0.0, 0.0, 0.0])],   # perfect, wrong block
+        "blk string, vec_id long, embedding array<double>")
+    out = margin_alignment(left, right, k=4, min_margin_ppm=0,
+                           block_col="blk").collect()
+    assert [r.id_right for r in out] == [10]
