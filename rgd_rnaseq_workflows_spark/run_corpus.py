@@ -100,6 +100,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mix-default", type=float, default=0.0,
                    help="keep rate for languages not in --mix")
     p.add_argument("--mix-seed", type=int, default=7)
+    p.add_argument("--epoch-budget", type=int, default=None,
+                   metavar="TOKENS",
+                   help="data-constrained mix: allocate TOKENS across "
+                        "languages by --epoch-weights, cap each at "
+                        "--max-epochs passes, re-flow the excess, and "
+                        "write the REPEATED corpus (epoch column); "
+                        "mutually exclusive with --mix/--temperature-mix")
+    p.add_argument("--epoch-weights", default=None,
+                   help="integer weights for --epoch-budget, e.g. "
+                        "en=50,de=20")
+    p.add_argument("--max-epochs", type=int, default=4,
+                   help="repetition cap for --epoch-budget")
     return p
 
 
@@ -163,9 +175,14 @@ def run(args: argparse.Namespace) -> int:
         bench = spark.read.parquet(args.benchmark)
         curated = decontaminate(curated, bench, shingle_n=args.contam_n,
                                 min_shared=args.min_shared)
-    if args.mix and args.temperature_mix is not None:
-        raise SystemExit("--mix and --temperature-mix are mutually "
-                         "exclusive")
+    mix_modes = sum(bool(m) for m in
+                    (args.mix, args.temperature_mix is not None,
+                     args.epoch_budget is not None))
+    if mix_modes > 1:
+        raise SystemExit("--mix, --temperature-mix and --epoch-budget "
+                         "are mutually exclusive")
+    if args.epoch_budget is not None and not args.epoch_weights:
+        raise SystemExit("--epoch-budget requires --epoch-weights")
     if args.mix:
         from rgd_rnaseq_workflows_spark.operators.sampling import (
             stratified_hash_sample)
@@ -178,6 +195,31 @@ def run(args: argparse.Namespace) -> int:
         curated = temperature_mix(curated, "lang", "doc_id",
                                   total_fraction=args.temperature_mix,
                                   seed=args.mix_seed).drop("mix_bps")
+    elif args.epoch_budget is not None:
+        import pyspark.sql.functions as F
+        from rgd_rnaseq_workflows_spark.functions.text import token_count
+        from rgd_rnaseq_workflows_spark.operators.sampling import (
+            epoch_budget_mix, epoch_budget_waterfall)
+        weights = {k: int(v) for k, v in parse_mix(
+            args.epoch_weights).items()}
+        with _stage("epoch-budget allocation"):
+            totals = {r[0]: r[1] for r in
+                      curated.groupBy("lang")
+                      .agg(F.sum(token_count("text")).alias("t"))
+                      .collect()}
+            plan = epoch_budget_waterfall(totals, weights,
+                                          args.epoch_budget,
+                                          args.max_epochs)
+            for s, p_ in sorted(plan.items()):
+                print(f"[corpus] epoch-budget {s}: "
+                      f"{p_['tokens_allocated']}/{p_['tokens_available']}"
+                      f" tokens, {p_['epochs_bps'] / 10000:.2f} epochs"
+                      f"{' (capped)' if p_['capped'] else ''}",
+                      file=sys.stderr)
+            curated = epoch_budget_mix(
+                curated, "lang", "doc_id",
+                {s: p_["epochs_bps"] for s, p_ in plan.items()},
+                seed=args.mix_seed)
     if args.splits:
         from rgd_rnaseq_workflows_spark.operators.sampling import (
             split_assign)

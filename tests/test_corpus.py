@@ -419,3 +419,43 @@ def test_full_chain_pipeline_single_pair_gen(spark, tmp_out, monkeypatch):
             spark.read.parquet(f"{out}/curated").collect()}
     assert kept == {1}
     assert "split" in spark.read.parquet(f"{out}/curated").columns
+
+
+def test_corpus_cli_epoch_budget_stage(spark, tmp_out):
+    """--epoch-budget: the data-constrained mix writes the REPEATED
+    corpus — docs appear once per allocated epoch with a pass index."""
+    import os
+    from rgd_rnaseq_workflows_spark import run_corpus
+    extra = ("a quick brown fox jumps over the lazy dog while the sun "
+             "sets behind green hills and the river bends away slowly")
+    rows = [(1, "en", "web", BASE + " alpha"), (10, "en", "web", extra)]
+    src = os.path.join(tmp_out, "docs_eb.parquet")
+    spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"]) \
+        .write.parquet(src)
+    out = os.path.join(tmp_out, "eb_out")
+    # ~42 tokens of en available; budget 200 with max-epochs 2 caps en
+    # at exactly 2 passes of everything
+    rc = run_corpus.main(["--docs", src, "--out", out,
+                          "--min-tokens", "15", "--threshold", "0.9",
+                          "--epoch-budget", "200",
+                          "--epoch-weights", "en=1",
+                          "--max-epochs", "2"])
+    assert rc == 0
+    cur = spark.read.parquet(f"{out}/curated")
+    assert "epoch" in cur.columns
+    per_doc = {}
+    for r in cur.collect():
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+    assert set(per_doc) == {1, 10}
+    for d, es in per_doc.items():
+        assert sorted(es) == [1, 2], (d, es)   # capped at 2 full passes
+
+    # mutual exclusion with the other mix modes
+    import pytest
+    with pytest.raises(SystemExit):
+        run_corpus.main(["--docs", src, "--out", out,
+                         "--epoch-budget", "100", "--epoch-weights",
+                         "en=1", "--mix", "en=1.0"])
+    with pytest.raises(SystemExit):
+        run_corpus.main(["--docs", src, "--out", out,
+                         "--epoch-budget", "100"])
