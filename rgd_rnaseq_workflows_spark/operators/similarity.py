@@ -325,7 +325,10 @@ def margin_alignment(left: DataFrame, right: DataFrame, k: int = 4,
     r = right.select(*blk, F.col(id_col).alias("id_right"),
                      _as_double(vec_col).alias("_vr"))
     joined = l.join(r, blk) if block_col else l.crossJoin(r)
-    cos6 = F.round(cosine(F.col("_vl"), F.col("_vr")), 6)
+    # Arrow pair cosine, not the interpreted 3×dims HOF fold per pair —
+    # round(·,6) absorbs kernel-vs-sequential ulps (the
+    # embedding_near_dup join-impl precedent, driver-green since r4)
+    cos6 = F.round(cosine_kernel()(F.col("_vl"), F.col("_vr")), 6)
     sc = (joined.select("id_left", "id_right", cos6.alias("_c"))
           .filter(~F.isnan("_c") & (F.col("_c") > 0))
           .select("id_left", "id_right",
@@ -353,20 +356,26 @@ def margin_alignment(left: DataFrame, right: DataFrame, k: int = 4,
 def margin_alignment_sql(left_src: str, right_src: str, k: int = 4,
                          min_margin_ppm: int = 1_000_000,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> str:
-    """DuckDB twin of :func:`margin_alignment` (cross-product shape —
-    identical micro-cosine integers and floor-divided margins)."""
+                         vec_col: str = "embedding",
+                         block_col: str | None = None) -> str:
+    """DuckDB twin of :func:`margin_alignment` — identical micro-cosine
+    integers and floor-divided margins; with ``block_col`` the candidate
+    join is equi on the block, else the exact cross product."""
+    bsel = f", {block_col}" if block_col else ""
+    jn = (f"l JOIN r USING ({block_col})" if block_col else "l, r")
     return f"""
 WITH l AS (SELECT {id_col} AS id_left,
-                  CAST({vec_col} AS DOUBLE[]) AS vl FROM {left_src}),
+                  CAST({vec_col} AS DOUBLE[]) AS vl{bsel}
+           FROM {left_src}),
 r AS (SELECT {id_col} AS id_right,
-             CAST({vec_col} AS DOUBLE[]) AS vr FROM {right_src}),
+             CAST({vec_col} AS DOUBLE[]) AS vr{bsel}
+      FROM {right_src}),
 sc AS MATERIALIZED (
   SELECT id_left, id_right,
          CAST(round(c * 1000000) AS BIGINT) AS ci
   FROM (SELECT id_left, id_right,
                round(list_cosine_similarity(vl, vr), 6) AS c
-        FROM l, r)
+        FROM {jn})
   WHERE NOT isnan(c) AND c > 0),
 rk AS (SELECT *, row_number() OVER (
          PARTITION BY id_left ORDER BY ci DESC, id_right) AS rn

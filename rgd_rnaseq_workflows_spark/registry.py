@@ -955,25 +955,29 @@ def _margin_oracle() -> str:
     from rgd_rnaseq_workflows_spark.operators.similarity import (
         margin_alignment_sql)
     return margin_alignment_sql(
-        "(SELECT * FROM embeddings WHERE label % 2 = 0)",
-        "(SELECT * FROM embeddings WHERE label % 2 = 1)",
-        k=4, min_margin_ppm=1_200_000)
+        "(SELECT *, label // 2 AS blk FROM embeddings "
+        "WHERE label % 2 = 0)",
+        "(SELECT *, label // 2 AS blk FROM embeddings "
+        "WHERE label % 2 = 1)",
+        k=4, min_margin_ppm=1_200_000, block_col="blk")
 
 
 @q("ann_margin_alignment", ("ANN-MARGIN",), oracle=_margin_oracle(),
-   note="bitext-shape alignment mining: best cross-set match per left "
-        "vector kept only when top-1 cosine beats the mean of its "
-        "top-4 by margin >= 1.2 (Artetxe-Schwenk) - micro-cosine "
-        "integers + one bigint floor division, so the kept set is "
-        "engine-exact; production blocks candidates by LSH bucket "
-        "(block_col), the oracle shape is the exact cross product")
+   note="bitext-shape alignment mining, BLOCKED production form: "
+        "candidates join equi on the aligned-shard key (label pair "
+        "here; LSH bucket / cluster id in production), best cross-set "
+        "match kept only when top-1 cosine beats the mean of its top-4 "
+        "by margin >= 1.2 (Artetxe-Schwenk) - micro-cosine integers + "
+        "one bigint floor division, engine-exact kept set")
 def ann_margin_alignment(spark, sf_dir):
     from rgd_rnaseq_workflows_spark.operators.similarity import (
         margin_alignment)
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "blk", F.expr("label div 2"))
     return margin_alignment(emb.filter(F.col("label") % 2 == 0),
                             emb.filter(F.col("label") % 2 == 1),
-                            k=4, min_margin_ppm=1_200_000)
+                            k=4, min_margin_ppm=1_200_000,
+                            block_col="blk")
 
 
 @q("ann_embedding_neardup", ("ANN-NEARDUP",), oracle="""

@@ -163,6 +163,18 @@ SHOWCASE = {
     "sketch_cms_by_group": "grouped Count-Min: one depth x width "
         "counter table per language from a single map-side-combined "
         "shuffle; sketches merge by counter add, probes broadcast.",
+    "sample_epoch_budget": "data-constrained allocation: ONE "
+        "metadata-scale token agg; the water-filling runs on k driver "
+        "rows in exact integers (fixed rounds — the unrolled-CTE "
+        "oracle replays it bit-for-bit).",
+    "sample_epoch_mix": "repetition materialized: literal epoch-rate "
+        "map + explode(sequence) inside the scan's codegen — zero "
+        "shuffle, zero joins; output tokens track the budget by "
+        "construction.",
+    "ann_margin_alignment": "margin-criterion alignment: per-pair "
+        "cosines as micro-integer literals, one window rank + one "
+        "bigint floor division; candidates block by LSH bucket at "
+        "scale (cross product is the oracle shape only).",
 }
 
 
