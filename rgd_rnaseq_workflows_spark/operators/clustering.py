@@ -134,6 +134,33 @@ def assign_kernel(centroids: list[Centroid]):
     return assign
 
 
+def assign_topn_kernel(centroids: list[Centroid], nprobe: int):
+    """Vectorized Arrow top-``nprobe`` assignment: the ``nprobe``
+    nearest centroids per vector, ordered by (exact-int distance
+    numerator / n², then cluster id) — the IVF probe set for a
+    multi-list candidate search. Tie discipline matches
+    :func:`assign_kernel` and the SQL rank (stable argsort over
+    ascending cluster ids)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = sorted(centroids, key=lambda c: c.cid)
+    S = [np.asarray(c.s, dtype=np.int64) for c in cents]
+    N = [c.n for c in cents]
+    IDS = np.asarray([c.cid for c in cents], dtype=np.int64)
+    n_take = min(nprobe, len(cents))
+
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        XI = _unit_int_np(np.stack(vecs.to_numpy()))
+        D = np.stack(
+            [((XI * N[c] - S[c]) ** 2).sum(axis=1).astype(np.float64)
+             / (N[c] * N[c]) for c in range(len(N))], axis=1)
+        order = np.argsort(D, axis=1, kind="stable")[:, :n_take]
+        return pd.Series([IDS[row].tolist() for row in order])
+
+    return assign
+
+
 def init_centroids(emb: DataFrame, k: int, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> list[Centroid]:
     """Deterministic seed: the k vectors with the smallest ids, each a

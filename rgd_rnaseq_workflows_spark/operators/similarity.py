@@ -389,3 +389,103 @@ SELECT b.id_left, b.id_right,
 FROM best b JOIN top t USING (id_left)
 WHERE t.n = {k} AND (b.ci * {k} * 1000000) // t.s >= {min_margin_ppm}
 """
+
+
+def margin_alignment_ivf(left: DataFrame, right: DataFrame,
+                         kc: int = 10, nprobe: int = 2, iters: int = 2,
+                         k: int = 4, min_margin_ppm: int = 1_000_000,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """:func:`margin_alignment` with IVF blocking — the 100 TB form
+    whose block cardinality TRACKS the corpus (kc ∝ N/list-size, the
+    SemDeDup/IVF sizing rule) instead of a fixed enum:
+
+    - coarse k-means fits on the RIGHT side (the lake/index side);
+    - every right vector lives in exactly its nearest list;
+    - every left vector probes its ``nprobe`` nearest lists, so a pair
+      appears at most once and recall follows the standard IVF
+      nprobe/kc trade.
+
+    All candidate generation is the exact-int centroid machinery of
+    ``operators.clustering`` (driver-metadata centroids, Arrow assign
+    kernels), so the unrolled-Lloyd SQL twin replays the same lists."""
+    from rgd_rnaseq_workflows_spark.operators.clustering import (
+        assign_topn_kernel, kmeans_fit)
+    assigned_r, cents = kmeans_fit(right, k=kc, iters=iters,
+                                   id_col=id_col, vec_col=vec_col,
+                                   persist=False)
+    r_blk = assigned_r.withColumnRenamed("cluster", "blk")
+    l_blk = left.withColumn(
+        "blk", F.explode(assign_topn_kernel(cents, nprobe)(F.col(vec_col))))
+    return margin_alignment(l_blk, r_blk, k=k,
+                            min_margin_ppm=min_margin_ppm,
+                            id_col=id_col, vec_col=vec_col,
+                            block_col="blk")
+
+
+def margin_alignment_ivf_sql(left_src: str, right_src: str,
+                             kc: int = 10, nprobe: int = 2,
+                             iters: int = 2, k: int = 4,
+                             min_margin_ppm: int = 1_000_000,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`margin_alignment_ivf`: the unrolled-Lloyd
+    coarse chain over the right side (``kmeans_assign_cte``), the left
+    side ranked against the SAME final centroids (top-``nprobe``), then
+    the margin chain over the list join."""
+    from rgd_rnaseq_workflows_spark.operators.clustering import (
+        SCALE, kmeans_assign_cte)
+    coarse = kmeans_assign_cte(k=kc, iters=iters, table=right_src,
+                               id_col=id_col, vec_col=vec_col,
+                               prefix="rv")
+    cent_cte = f"rvc{iters - 1}" if iters > 1 else "rvc0"
+    return f"""
+WITH {coarse},
+lfraw AS (
+  SELECT {id_col} AS vec_id, d, CAST(round(x * {SCALE}) AS BIGINT) AS xi
+  FROM (SELECT {id_col}, unnest(CAST({vec_col} AS DOUBLE[])) AS x,
+               generate_subscripts({vec_col}, 1) AS d FROM {left_src})),
+lfnrm AS (SELECT vec_id, CAST(sum(xi * xi) AS BIGINT) AS ss
+          FROM lfraw GROUP BY vec_id),
+lfpts AS (
+  SELECT r.vec_id, r.d,
+         CAST(round(CAST(r.xi AS DOUBLE) * {SCALE}
+              / sqrt(CAST(greatest(n.ss, 1) AS DOUBLE))) AS BIGINT) AS xi
+  FROM lfraw r JOIN lfnrm n USING (vec_id)),
+ld AS (
+  SELECT p.vec_id, c.c,
+         CAST(sum((p.xi * c.n - c.s) * (p.xi * c.n - c.s)) AS BIGINT)
+           AS num, c.n
+  FROM lfpts p JOIN {cent_cte} c USING (d)
+  GROUP BY p.vec_id, c.c, c.n),
+lblk AS (
+  SELECT vec_id AS id_left, c AS blk FROM (
+    SELECT vec_id, c, row_number() OVER (
+      PARTITION BY vec_id
+      ORDER BY CAST(num AS DOUBLE) / (n * n), c) AS rk
+    FROM ld)
+  WHERE rk <= {nprobe}),
+rblk AS (SELECT vec_id AS id_right, c AS blk FROM rvaf),
+lv AS (SELECT {id_col} AS id_left,
+              CAST({vec_col} AS DOUBLE[]) AS vl FROM {left_src}),
+rv AS (SELECT {id_col} AS id_right,
+              CAST({vec_col} AS DOUBLE[]) AS vr FROM {right_src}),
+sc AS MATERIALIZED (
+  SELECT id_left, id_right, CAST(round(c * 1000000) AS BIGINT) AS ci
+  FROM (SELECT b.id_left, rb.id_right,
+               round(list_cosine_similarity(vl, vr), 6) AS c
+        FROM lblk b JOIN rblk rb USING (blk)
+        JOIN lv USING (id_left) JOIN rv USING (id_right))
+  WHERE NOT isnan(c) AND c > 0),
+rk AS (SELECT *, row_number() OVER (
+         PARTITION BY id_left ORDER BY ci DESC, id_right) AS rn
+       FROM sc),
+topk AS (SELECT id_left, count(*) AS n, CAST(sum(ci) AS BIGINT) AS s
+         FROM rk WHERE rn <= {k} GROUP BY id_left),
+best AS (SELECT id_left, id_right, ci FROM rk WHERE rn = 1)
+SELECT b.id_left, b.id_right,
+       round(b.ci / 1000000.0, 6) AS cosine_sim,
+       round(((b.ci * {k} * 1000000) // t.s) / 1000000.0, 6) AS margin6
+FROM best b JOIN topk t USING (id_left)
+WHERE t.n = {k} AND (b.ci * {k} * 1000000) // t.s >= {min_margin_ppm}
+"""

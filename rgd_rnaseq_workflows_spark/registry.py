@@ -980,6 +980,32 @@ def ann_margin_alignment(spark, sf_dir):
                             block_col="blk")
 
 
+def _margin_ivf_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        margin_alignment_ivf_sql)
+    return margin_alignment_ivf_sql(
+        "(SELECT * FROM embeddings WHERE label % 2 = 0)",
+        "(SELECT * FROM embeddings WHERE label % 2 = 1)",
+        kc=8, nprobe=2, iters=2, k=4, min_margin_ppm=1_200_000)
+
+
+@q("ann_margin_ivf", ("ANN-MARGIN-IVF",), oracle=_margin_ivf_oracle(),
+   note="margin alignment with IVF blocking - the 100 TB form whose "
+        "block cardinality tracks the corpus (kc ∝ N / list size): "
+        "coarse k-means fits on the lake side, each left vector probes "
+        "its nprobe nearest lists, margin gate on the list join; "
+        "exact-int centroid machinery so the unrolled-Lloyd SQL twin "
+        "replays the same lists")
+def ann_margin_ivf(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        margin_alignment_ivf)
+    emb = _t(spark, sf_dir, "embeddings")
+    return margin_alignment_ivf(emb.filter(F.col("label") % 2 == 0),
+                                emb.filter(F.col("label") % 2 == 1),
+                                kc=8, nprobe=2, iters=2, k=4,
+                                min_margin_ppm=1_200_000)
+
+
 @q("ann_embedding_neardup", ("ANN-NEARDUP",), oracle="""
 WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
 SELECT id_a, id_b, cosine_sim FROM (
@@ -1493,10 +1519,11 @@ _RECORD_FIRST: tuple[str, ...] = (
     "sample_epoch_budget",
     "sample_epoch_mix",
     "ann_margin_alignment",
-    # r4-stamped refreshes (31; agg_percentiles/_approx, bpe_encode,
-    # winnowing, text_token_stats, text_quality_features and
-    # text_lang_id keep their r4 rows — exactly 2 rounds old at r6 —
-    # and lead r7 with the window overflow)
+    "ann_margin_ivf",
+    # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
+    # winnowing, text_token_stats, text_quality_features, text_lang_id
+    # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
+    # r6 — and lead r7 with the window overflow)
     "ann_cosine_topk",
     "ann_embedding_neardup",
     "ann_ivf_topk",
@@ -1527,7 +1554,6 @@ _RECORD_FIRST: tuple[str, ...] = (
     "stream_window_agg",
     "text_bm25_topk",
     "text_bpe_tokens",
-    "text_fingerprint",
 )
 
 

@@ -194,3 +194,42 @@ def test_margin_alignment_block_col_restricts_candidates(spark):
     out = margin_alignment(left, right, k=4, min_margin_ppm=0,
                            block_col="blk").collect()
     assert [r.id_right for r in out] == [10]
+
+
+def test_margin_alignment_ivf_lists_and_recall(spark):
+    """IVF blocking: the top-nprobe kernel's first choice equals the
+    rank-1 assign kernel, pairs are unique, and with nprobe=kc (probe
+    everything) the IVF result equals the unblocked exact form."""
+    import random
+
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.operators.clustering import (
+        assign_kernel, assign_topn_kernel, kmeans_fit)
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        margin_alignment, margin_alignment_ivf)
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding "
+                                      "array<double>")
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+
+    _, cents = kmeans_fit(right, k=4, iters=2, persist=False)
+    both = right.withColumn("c1", assign_kernel(cents)("embedding")) \
+                .withColumn("cn", assign_topn_kernel(cents, 2)("embedding"))
+    for r in both.collect():
+        assert r.cn[0] == r.c1 and len(set(r.cn)) == len(r.cn)
+
+    ivf = margin_alignment_ivf(left, right, kc=4, nprobe=4, iters=2,
+                               k=3, min_margin_ppm=0)
+    exact = margin_alignment(left, right, k=3, min_margin_ppm=0)
+    got = {(r.id_left, r.id_right, r.cosine_sim, r.margin6)
+           for r in ivf.collect()}
+    want = {(r.id_left, r.id_right, r.cosine_sim, r.margin6)
+            for r in exact.collect()}
+    assert got == want and got
+    # pair uniqueness under partial probing
+    part = margin_alignment_ivf(left, right, kc=4, nprobe=2, iters=2,
+                                k=3, min_margin_ppm=0).collect()
+    assert len({(r.id_left, r.id_right) for r in part}) == len(part)

@@ -175,6 +175,10 @@ SHOWCASE = {
         "cosines as micro-integer literals, one window rank + one "
         "bigint floor division; candidates block by LSH bucket at "
         "scale (cross product is the oracle shape only).",
+    "ann_margin_ivf": "IVF-blocked margin alignment: coarse centroids "
+        "= driver metadata, lake side lives in ONE list, left probes "
+        "nprobe lists (Arrow top-n kernel) — block cardinality tracks "
+        "the corpus, pairs unique by construction.",
 }
 
 
