@@ -130,6 +130,56 @@ def stream_oov_rate(doc_stream: DataFrame, ref: DataFrame,
     return oov_gate_agg(oov_tokens(doc_stream, ref, by), by)
 
 
+def collect_boilerplate_grams(flagged: DataFrame) -> dict[str, frozenset]:
+    """A ``boilerplate_ngrams`` report → per-source flagged-gram sets
+    (the one driver-side collect; flagged grams are percent-scale
+    bounded by construction — the report's min_doc_bps floor)."""
+    out: dict[str, set] = {}
+    for r in flagged.select("source", "gram").collect():
+        out.setdefault(r["source"], set()).add(r["gram"])
+    return {s: frozenset(g) for s, g in out.items()}
+
+
+def boilerplate_gate(flagged_by_source: dict[str, frozenset],
+                     shingle_n: int = 3, max_frac: float = 0.5,
+                     source_col: str = "source",
+                     text_col: str = "text"):
+    """A STATELESS per-row boilerplate predicate for streams: keep a
+    document iff ≤ ``max_frac`` of its grams are flagged template for
+    ITS source. Same design as :func:`contamination_gate` — the batch
+    form (``operators.boilerplate.boilerplate_score``) aggregates after
+    a broadcast join, which Structured Streaming can't chain behind the
+    stateful dedup kernel; here the grams come from the IDENTICAL
+    JVM-side shingle expression and a vectorized pandas UDF probes the
+    per-source frozen sets captured in its closure (bounded like the
+    batch broadcast). Returns a Column predicate: True = keep.
+
+    Fraction compare is exact-integer (``n_flagged·10⁶ ≤ max_frac_µ ·
+    n_grams``), so the gate draws the same boundary as a batch filter
+    on ``boilerplate_score`` (stream==batch test-pinned)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from rgd_rnaseq_workflows_spark.functions.text import shingles
+
+    max_frac_u = int(round(max_frac * 1_000_000))
+
+    @pandas_udf("long")
+    def _n_flagged(src: pd.Series, sh: pd.Series) -> pd.Series:
+        def count(s, arr):
+            flags = flagged_by_source.get(s)
+            if not flags:
+                return 0
+            return sum(1 for g in arr if g and g in flags)
+        return pd.Series([count(s, a) for s, a in zip(src, sh)])
+
+    sh = F.filter(shingles(text_col, shingle_n), lambda g: g != "")
+    n_grams = F.size(sh)
+    n_flag = _n_flagged(F.col(source_col), sh)
+    # empty docs have no template content: keep
+    return (n_grams == 0) | (n_flag * 1_000_000 <= max_frac_u * n_grams)
+
+
 def stream_token_counts(doc_stream: DataFrame,
                         text_col: str = "text") -> DataFrame:
     """Incremental half of the TV-distance drift gate

@@ -217,3 +217,55 @@ def test_stream_token_drift_equals_batch(spark, tmp_out):
     assert ({tuple(r) for r in cn.collect()}
             == {tuple(r) for r in
                 token_counts(new, count_col="cq").collect()})
+
+
+def test_stream_boilerplate_gate_equals_batch(spark, tmp_out):
+    """The stateless streaming boilerplate gate keeps exactly the docs a
+    batch filter on boilerplate_score keeps (same shingle expression,
+    same exact-integer fraction boundary)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.operators.boilerplate import (
+        boilerplate_ngrams, boilerplate_score)
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        boilerplate_gate, collect_boilerplate_grams)
+
+    tpl = "accept all cookies to continue"
+    docs = spark.createDataFrame(
+        [(0, "srcA", f"{tpl} plus real article content here today"),
+         (1, "srcA", f"{tpl} other genuine body text follows now"),
+         (2, "srcA", f"{tpl} third page body differs again fully"),
+         (3, "srcA", tpl),                       # pure template -> drop
+         (4, "srcA", "entirely template free writing about rivers"),
+         (5, "srcB", f"{tpl} single occurrence not flagged in b")],
+        "doc_id long, source string, text string")
+    flagged = boilerplate_ngrams(docs, shingle_n=3, min_doc_bps=5000,
+                                 min_docs=2)
+    grams = collect_boilerplate_grams(flagged)
+    assert "srcA" in grams and "srcB" not in grams
+
+    max_frac = 0.5
+    scores = boilerplate_score(docs, flagged, shingle_n=3)
+    batch_keep = {r.doc_id for r in
+                  docs.join(scores, "doc_id", "left").filter(
+                      F.coalesce(F.col("n_flagged"), F.lit(0)) * 1_000_000
+                      <= int(max_frac * 1_000_000)
+                      * F.coalesce(F.col("n_grams"), F.lit(1)))
+                  .collect()}
+    assert 3 not in batch_keep and 4 in batch_keep and 5 in batch_keep
+
+    src = os.path.join(tmp_out, "bp_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (stream.filter(boilerplate_gate(grams, shingle_n=3,
+                                        max_frac=max_frac))
+         .writeStream.format("memory").queryName("bp_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        streamed = {r.doc_id for r in
+                    spark.sql("SELECT doc_id FROM bp_out").collect()}
+    finally:
+        q.stop()
+    assert streamed == batch_keep
