@@ -1,0 +1,158 @@
+"""Ordered multi-step funnel analysis over an event stream.
+
+The classic product-analytics question the reference's pipeline answers
+per-sample with ad-hoc scripts (how many units pass QC, then alignment,
+then quantification — `scripts/pSTARQC_v1.sh` status gating generalized
+to ordered event sequences): for an ordered list of step event types,
+how many users reached step k, where step k's time is the EARLIEST
+event of that type STRICTLY AFTER the user's step-(k-1) time.
+
+Exactness contract (the engine's oracle discipline): step times are
+epoch SECONDS (``CAST(ts AS BIGINT)`` — floor; the same
+``floor(epoch(ts))`` the sessionize/interval-join oracles pin), so
+every comparison and gap is integer arithmetic; the only doubles are
+single divisions of exact integers, rounded once.
+
+Scale shape — ONE shuffle, no joins, no window sort:
+- filter to the step types (pushed to the scan), project
+  (user, type, tsec);
+- groupBy(user) collecting one SORTED per-step second-array via
+  ``array_sort(collect_list(when(type = step, tsec)))`` — map-side
+  combined, per-user state bounded by that user's step events;
+- the step-time chain is a pure JVM expression over those arrays:
+  ``t1 = a1[0]``, ``t_k = filter(a_k, x > t_{k-1})[0]`` — whole-stage
+  codegen, no Python;
+- the final report folds user-scale rows into len(steps) rows with one
+  more map-side-combined aggregation.
+
+A per-user sorted fold (collect full event list) would carry event
+text; this carries only per-step second arrays. Skewed users (bots with
+millions of events) bound the array: cap upstream with ``cap_per_key``
+if a hard bound is needed.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_user_steps(events: DataFrame, steps: Sequence[str],
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type") -> DataFrame:
+    """Per-user step times: (user, t1 .. tN) epoch seconds, ``t_k`` the
+    earliest step-k event strictly after ``t_{k-1}`` (NULL = never
+    reached — and then every later step is NULL too)."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    arrs = [F.array_sort(F.collect_list(
+        F.when(F.col(type_col) == s, F.col("_tsec")))).alias(f"_a{i}")
+        for i, s in enumerate(steps)]
+    per = (events.filter(F.col(type_col).isin(list(steps)))
+           .select(F.col(user_col).alias("user"), F.col(type_col),
+                   F.col(ts_col).cast("long").alias("_tsec"))
+           .groupBy("user").agg(*arrs))
+    # F.get is 0-based and NULL-on-missing under ANSI too (element_at
+    # would error on an empty array with ansi.enabled=true)
+    out = per.select("*", F.get(F.col("_a0"), 0).alias("t1"))
+    for i in range(1, len(steps)):
+        prev = F.col(f"t{i}")
+        nxt = F.get(F.filter(F.col(f"_a{i}"), lambda x: x > prev), 0)
+        out = out.select(
+            "*", F.when(prev.isNotNull(), nxt).alias(f"t{i + 1}"))
+    return out.select(F.col("user").alias(user_col),
+                      *[f"t{i + 1}" for i in range(len(steps))])
+
+
+def funnel_report(events: DataFrame, steps: Sequence[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """len(steps) rows: (step_idx, step, n_users, conversion,
+    sum_gap_seconds, mean_gap_seconds) — ``conversion`` = n_users at
+    step k / n_users at step 1; gaps are from the previous step (NULL
+    for step 1). All counts/sums exact BIGINT; the two ratios are
+    single divisions rounded to 6."""
+    per = funnel_user_steps(events, steps, user_col, ts_col, type_col)
+    aggs = []
+    for i in range(len(steps)):
+        aggs.append(F.count(F.col(f"t{i + 1}")).alias(f"n{i + 1}"))
+        if i > 0:
+            aggs.append(F.sum(F.col(f"t{i + 1}") - F.col(f"t{i}"))
+                        .cast("long").alias(f"g{i + 1}"))
+    one = per.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(i + 1).cast("int").alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.col(f"n{i + 1}").cast("long").alias("n_users"),
+            F.round(F.col(f"n{i + 1}")
+                    / F.when(F.col("n1") > 0, F.col("n1")).cast("double"),
+                    6).alias("conversion"),
+            (F.col(f"g{i + 1}").cast("long") if i > 0
+             else F.lit(None).cast("long")).alias("sum_gap_seconds"),
+            (F.round(F.col(f"g{i + 1}")
+                     / F.when(F.col(f"n{i + 1}") > 0,
+                              F.col(f"n{i + 1}")).cast("double"), 6)
+             if i > 0 else F.lit(None).cast("double"))
+            .alias("mean_gap_seconds"))
+        for i, s in enumerate(steps)])
+    return (one.select(F.explode(rows).alias("r")).select("r.*"))
+
+
+def funnel_report_sql(src: str, steps: Sequence[str],
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type") -> str:
+    """DuckDB twin of :func:`funnel_report` — identical floor-seconds
+    step times via the same sorted-array + list_filter chain."""
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    arrs = ",\n         ".join(
+        f"list_sort(list(tsec) FILTER (WHERE {type_col} = '{s}')) AS a{i}"
+        for i, s in enumerate(steps))
+    tchain = ["a0[1] AS t1"]
+    for i in range(1, len(steps)):
+        tchain.append(
+            f"CASE WHEN t{i} IS NOT NULL THEN "
+            f"(list_filter(a{i}, x -> x > t{i}))[1] END AS t{i + 1}")
+    # DuckDB resolves lateral column references via nested selects
+    tsel = "SELECT user_id_, " + tchain[0] + ", " + \
+        ", ".join(f"a{i}" for i in range(1, len(steps))) + " FROM per"
+    for i in range(1, len(steps)):
+        keep = ", ".join(f"a{j}" for j in range(i + 1, len(steps)))
+        keep = (", " + keep) if keep else ""
+        tsel = (f"SELECT user_id_, "
+                + ", ".join(f"t{j}" for j in range(1, i + 1))
+                + f", {tchain[i]}{keep} FROM ({tsel})")
+    step_rows = []
+    for i, s in enumerate(steps):
+        gap_n = f"CAST(g{i + 1} AS BIGINT)" if i > 0 else "CAST(NULL AS BIGINT)"
+        gap_m = (f"round(CAST(g{i + 1} AS DOUBLE) / "
+                 f"(CASE WHEN n{i + 1} > 0 THEN n{i + 1} END), 6)"
+                 if i > 0 else "CAST(NULL AS DOUBLE)")
+        step_rows.append(
+            f"SELECT {i + 1} AS step_idx, '{s}' AS step, "
+            f"CAST(n{i + 1} AS BIGINT) AS n_users, "
+            f"round(CAST(n{i + 1} AS DOUBLE) / "
+            f"(CASE WHEN n1 > 0 THEN n1 END), 6) AS conversion, "
+            f"{gap_n} AS sum_gap_seconds, {gap_m} AS mean_gap_seconds "
+            "FROM one")
+    aggs = []
+    for i in range(len(steps)):
+        aggs.append(f"count(t{i + 1}) AS n{i + 1}")
+        if i > 0:
+            aggs.append(f"CAST(sum(t{i + 1} - t{i}) AS BIGINT) AS g{i + 1}")
+    return f"""
+WITH f AS (
+  SELECT {user_col} AS user_id_, {type_col},
+         CAST(floor(epoch({ts_col})) AS BIGINT) AS tsec
+  FROM {src} WHERE {type_col} IN ({in_list})),
+per AS (
+  SELECT user_id_,
+         {arrs}
+  FROM f GROUP BY user_id_),
+times AS ({tsel}),
+one AS (SELECT {", ".join(aggs)} FROM times)
+{" UNION ALL ".join(step_rows)}"""

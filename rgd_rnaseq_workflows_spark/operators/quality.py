@@ -447,3 +447,96 @@ SELECT {id_col}, n_tokens,
        CASE WHEN _sw >= 0 THEN 'keep' ELSE 'drop' END AS label
 FROM _sc
 """
+
+
+# --- corpus-shape diagnostics (Zipf head mass / Heaps type counts) -----------
+
+def term_head_report(docs: DataFrame, by: str = "source", top_k: int = 10,
+                     text_col: str = "text",
+                     n_buckets: int = 256) -> DataFrame:
+    """Per-group term-distribution shape — the Zipf/Heaps drift
+    diagnostics a corpus dashboard tracks per source/snapshot without
+    ever floating a regression:
+
+    - ``n_tokens`` / ``n_types`` / ``n_hapax`` — token count, distinct
+      terms, terms occurring once (all exact BIGINT);
+    - ``top1_n`` / ``topk_sum`` — the most frequent term's count and the
+      exact sum of the ``top_k`` highest term counts (ties broken by
+      term text, so the set is deterministic);
+    - ratios, each a single division of exact integers rounded once:
+      ``ttr`` (type/token), ``hapax_frac`` (hapax/types) and
+      ``head_mass`` (topk_sum/tokens — a healthy natural-language
+      source holds a stable head mass; a template/boilerplate source
+      spikes it, a gibberish source collapses it).
+
+    Scale shape: the (group, term) frequency table is built with ONE
+    map-side-combined shuffle; scalars are a groupBy(group) over
+    vocab-scale rows. The top-k is TWO-PHASE so no single reducer sorts
+    a whole source's vocabulary: phase 1 takes the per-(group,
+    md5-bucket) top-k (bounded window partitions), phase 2 ranks the
+    surviving ``n_buckets × top_k`` rows per group — correct because
+    every global top-k row is top-k within its own bucket. The oracle
+    twin ranks in one window (same result, different plan).
+    """
+    from pyspark.sql import Window
+    terms = (docs.select(F.col(by).alias("g"),
+                         F.explode(TX.tokens(text_col)).alias("t"))
+             .groupBy("g", "t").agg(F.count("*").alias("c")))
+    scal = terms.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_hapax"))
+    order = [F.col("c").desc(), F.col("t").asc()]
+    w1 = Window.partitionBy("g", F.pmod(md5_long("t"),
+                                        F.lit(n_buckets))).orderBy(*order)
+    w2 = Window.partitionBy("g").orderBy(*order)
+    top = (terms.withColumn("_r1", F.row_number().over(w1))
+           .filter(F.col("_r1") <= top_k)
+           .withColumn("_r2", F.row_number().over(w2))
+           .filter(F.col("_r2") <= top_k)
+           .groupBy("g")
+           .agg(F.max(F.when(F.col("_r2") == 1, F.col("c"))).cast("long")
+                .alias("top1_n"),
+                F.sum("c").cast("long").alias("topk_sum")))
+    return (scal.join(F.broadcast(top), "g")
+            .select(F.col("g").alias(by), "n_tokens", "n_types",
+                    "n_hapax", "top1_n", "topk_sum",
+                    F.round(F.col("n_types") / F.col("n_tokens")
+                            .cast("double"), 6).alias("ttr"),
+                    F.round(F.col("n_hapax") / F.col("n_types")
+                            .cast("double"), 6).alias("hapax_frac"),
+                    F.round(F.col("topk_sum") / F.col("n_tokens")
+                            .cast("double"), 6).alias("head_mass")))
+
+
+def term_head_report_sql(table: str = "documents", by: str = "source",
+                         top_k: int = 10, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`term_head_report` (single-window rank —
+    same (count desc, term asc) order, same exact integers)."""
+    toks = TX.tokens_sql(text_col)
+    return f"""
+WITH terms AS (
+  SELECT {by} AS g, t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT {by}, unnest({toks}) AS t FROM {table})
+  GROUP BY {by}, t),
+scal AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax
+  FROM terms GROUP BY g),
+ranked AS (
+  SELECT g, c, row_number() OVER (PARTITION BY g
+                                  ORDER BY c DESC, t ASC) AS r
+  FROM terms),
+top AS (
+  SELECT g, CAST(max(CASE WHEN r = 1 THEN c END) AS BIGINT) AS top1_n,
+         CAST(sum(c) AS BIGINT) AS topk_sum
+  FROM ranked WHERE r <= {top_k} GROUP BY g)
+SELECT g AS {by}, n_tokens, n_types, n_hapax, top1_n, topk_sum,
+       round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+       round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac,
+       round(CAST(topk_sum AS DOUBLE) / n_tokens, 6) AS head_mass
+FROM scal JOIN top USING (g)
+"""

@@ -103,6 +103,102 @@ def shared_fingerprint_pairs(fps: DataFrame, id_col: str = "doc_id",
             .filter(F.col("n_shared") >= min_shared))
 
 
+def cross_containment_pairs(new_fps: DataFrame, old_fps: DataFrame,
+                            id_col: str = "doc_id",
+                            min_shared: int = 2,
+                            min_containment: float = 0.0) -> DataFrame:
+    """Cross-corpus partial-overlap CONTAINMENT: for each (new, old)
+    document pair sharing ≥ ``min_shared`` selected fingerprints,
+    ``containment`` = shared fingerprints / the NEW document's distinct
+    fingerprint count — the fraction of the incoming document already
+    present in the lake document (quote / boilerplate-copy / licensing
+    detection at ingest time, where a global Jaccard under-scores a
+    small doc pasted into a big one).
+
+    Inputs are fingerprint frames from :func:`winnow_fingerprints`, so
+    stored lake fingerprints are reusable delta-over-delta — the same
+    incremental contract as ``cross_corpus_minhash_pairs``: the match
+    join is new × old ONLY, never a lake self-join.
+
+    Scale shape: both sides are already ~2/(w+1) of their corpus
+    k-grams, each row (id, long); the fp equi-join is the only
+    corpus-scale shuffle, and per-new-doc sizes ride a doc-scale join.
+    ``containment`` is a single division of exact integers.
+    """
+    na = new_fps.select(F.col(id_col).alias("id_new"), "fp").distinct()
+    ob = old_fps.select(F.col(id_col).alias("id_old"), "fp").distinct()
+    sizes = na.groupBy("id_new").agg(F.count("*").alias("n_fp_new"))
+    pairs = (na.join(ob, "fp")
+             .groupBy("id_new", "id_old")
+             .agg(F.count("*").cast("long").alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
+    return (pairs.join(sizes, "id_new")
+            .withColumn("containment",
+                        F.round(F.col("n_shared")
+                                / F.col("n_fp_new").cast("double"), 4))
+            .filter(F.col("containment") >= min_containment)
+            .select("id_new", "id_old", "n_shared", "containment"))
+
+
+def _winnow_sel_sql(rel: str, prefix: str, k: int, w: int,
+                    id_col: str, text_col: str) -> str:
+    """CTE chain (names prefixed) ending in ``{prefix}sel(_id, fp)`` —
+    the distinct winnowing selection set of relation ``rel``, identical
+    hashes / packing / full-window rule / overflow contract as
+    :func:`winnow_pairs_sql`."""
+    grams = shingles_all_sql(text_col, k)
+    h = md5_long_sql("gram")
+    pos_cap = 1 << _POS_BITS
+    return f"""
+{prefix}tk AS MATERIALIZED (
+  SELECT {id_col} AS _id, {grams} AS g FROM {rel}),
+{prefix}grams AS MATERIALIZED (
+  SELECT _id,
+         CASE WHEN i - 1 < {pos_cap} THEN CAST(i - 1 AS BIGINT)
+              ELSE CAST(error('winnow: document exceeds ' ||
+                              '{pos_cap} k-gram positions — pre-chunk')
+                        AS BIGINT) END AS pos,
+         {h.replace('gram', 'g[i]')} % {1 << 40} AS h
+  FROM {prefix}tk, unnest(range(1, len(g) + 1)) AS r(i)),
+{prefix}sel AS MATERIALIZED (
+  SELECT DISTINCT _id, CAST(mk // {pos_cap} AS BIGINT) AS fp
+  FROM (
+    SELECT _id,
+           min(h * {pos_cap} + ({pos_cap - 1} - pos))
+             OVER (PARTITION BY _id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mk,
+           count(*) OVER (PARTITION BY _id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+             AS nw
+    FROM {prefix}grams)
+  WHERE nw = {w})"""
+
+
+def cross_containment_sql(new_rel: str, old_rel: str, k: int = 3,
+                          w: int = 4, id_col: str = "doc_id",
+                          text_col: str = "text", min_shared: int = 2,
+                          min_containment: float = 0.0) -> str:
+    """DuckDB twin of fingerprints → :func:`cross_containment_pairs`
+    for two sub-relations (e.g. a doc_id-bucket split of one table)."""
+    n = _winnow_sel_sql(new_rel, "n", k, w, id_col, text_col)
+    o = _winnow_sel_sql(old_rel, "o", k, w, id_col, text_col)
+    return f"""
+WITH {n},
+{o},
+sizes AS (SELECT _id AS id_new, count(*) AS n_fp_new
+          FROM nsel GROUP BY _id),
+pairs AS (
+  SELECT a._id AS id_new, b._id AS id_old,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM nsel a JOIN osel b ON a.fp = b.fp
+  GROUP BY a._id, b._id
+  HAVING count(*) >= {min_shared})
+SELECT id_new, id_old, n_shared,
+       round(CAST(n_shared AS DOUBLE) / n_fp_new, 4) AS containment
+FROM pairs JOIN sizes USING (id_new)
+WHERE round(CAST(n_shared AS DOUBLE) / n_fp_new, 4) >= {min_containment}"""
+
+
 def winnow_pairs_sql(table: str, k: int = 3, w: int = 4,
                      id_col: str = "doc_id", text_col: str = "text",
                      min_shared: int = 2) -> str:

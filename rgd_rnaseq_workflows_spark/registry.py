@@ -638,6 +638,24 @@ def stream_sessionize(spark, sf_dir):
     return ST.sessionize(e, gap_minutes=30)
 
 
+def _funnel_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.funnel import funnel_report_sql
+    return funnel_report_sql("events", ("view", "click", "purchase"))
+
+
+@q("events_funnel", ("FUNNEL",), oracle=_funnel_oracle(),
+   note="ordered 3-step funnel (view -> click -> purchase): step k = "
+        "earliest step-k event strictly after step k-1, epoch-second "
+        "integer semantics; ONE shuffle (groupBy user collecting "
+        "per-step sorted second-arrays), step chain is a pure codegen "
+        "array expression - generalizes the reference's per-sample "
+        "QC->align->quantify stage gating to event sequences")
+def events_funnel(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.funnel import funnel_report
+    e = _events(spark, sf_dir)
+    return funnel_report(e, ("view", "click", "purchase"))
+
+
 @q("stream_interval_join", ("STREAM-JOIN",), oracle="""
 SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
        CAST(floor(epoch(c.ts)) AS BIGINT)
@@ -1482,6 +1500,25 @@ def quality_bigram_lm(spark, sf_dir):
     return bigram_lm_report(_t(spark, sf_dir, "documents"))
 
 
+def _term_head_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        term_head_report_sql)
+    return term_head_report_sql("documents", by="source", top_k=10)
+
+
+@q("text_zipf_head_stats", ("ZIPF-HEAD",), oracle=_term_head_oracle(),
+   note="per-source Zipf/Heaps corpus-shape diagnostics: exact "
+        "type/token/hapax counts + top-10 head mass (deterministic "
+        "tie-break), ratios as single divisions of exact integers; "
+        "top-k is two-phase (per-md5-bucket then per-source) so no "
+        "single reducer ever sorts a whole source's vocabulary")
+def text_zipf_head_stats(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        term_head_report)
+    return term_head_report(_t(spark, sf_dir, "documents"), by="source",
+                            top_k=10)
+
+
 # =============================================================================
 # public accessors
 # =============================================================================
@@ -1520,6 +1557,9 @@ _RECORD_FIRST: tuple[str, ...] = (
     "sample_epoch_mix",
     "ann_margin_alignment",
     "ann_margin_ivf",
+    "winnow_cross_containment",
+    "events_funnel",
+    "text_zipf_head_stats",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1551,9 +1591,11 @@ _RECORD_FIRST: tuple[str, ...] = (
     "srt_topk_global",
     "stream_interval_join",
     "stream_sessionize",
-    "stream_window_agg",
-    "text_bm25_topk",
-    "text_bpe_tokens",
+    # stream_window_agg, text_bm25_topk and text_bpe_tokens dropped from
+    # the r6 window
+    # (their r4 rows stay exactly 2 rounds old) to fit
+    # winnow_cross_containment + events_funnel + text_zipf_head_stats;
+    # they lead r7 with the other overflow queries listed above.
 )
 
 
@@ -2779,6 +2821,35 @@ def winnow_partial_overlap(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     fps = winnow_fingerprints(d, k=3, w=4)
     return shared_fingerprint_pairs(fps, min_shared=3)
+
+
+def _winnow_containment_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.winnowing import (
+        cross_containment_sql)
+    return cross_containment_sql(
+        "(SELECT * FROM documents WHERE doc_id % 5 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 5 <> 0)",
+        k=3, w=4, min_shared=2, min_containment=0.2)
+
+
+@q("winnow_cross_containment", ("WINNOW-CROSS",),
+   oracle=_winnow_containment_oracle(),
+   note="incremental-ingestion CONTAINMENT via winnowing: a new crawl "
+        "slice (doc_id%5=0) matched against the lake by shared selected "
+        "fingerprints, scored as shared/new-doc-fingerprints - catches "
+        "a small doc pasted into a big one where global Jaccard "
+        "under-scores; fp equi-join new x lake only, lake fingerprints "
+        "reusable delta-over-delta")
+def winnow_cross_containment(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.winnowing import (
+        cross_containment_pairs, winnow_fingerprints)
+    d = _t(spark, sf_dir, "documents")
+    new_fps = winnow_fingerprints(d.filter(F.col("doc_id") % 5 == 0),
+                                  k=3, w=4)
+    old_fps = winnow_fingerprints(d.filter(F.col("doc_id") % 5 != 0),
+                                  k=3, w=4)
+    return cross_containment_pairs(new_fps, old_fps, min_shared=2,
+                                   min_containment=0.2)
 
 
 # =============================================================================

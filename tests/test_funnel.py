@@ -1,0 +1,107 @@
+"""Funnel analysis: ordered step semantics, strictness, gaps, report."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from rgd_rnaseq_workflows_spark.operators.funnel import (
+    funnel_report, funnel_user_steps)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: clean a -> b -> c
+        (1, _ts("2024-01-01 10:00:00"), 1, "a"),
+        (2, _ts("2024-01-01 10:00:10"), 1, "b"),
+        (3, _ts("2024-01-01 10:00:40"), 1, "c"),
+        # user 2: b BEFORE a (must not count), then a, never b after
+        (4, _ts("2024-01-01 09:00:00"), 2, "b"),
+        (5, _ts("2024-01-01 09:30:00"), 2, "a"),
+        # user 3: a -> b at the SAME second (strict > excludes), then
+        # a later b -> c; also multiple a's (earliest wins)
+        (6, _ts("2024-01-01 08:00:00"), 3, "a"),
+        (7, _ts("2024-01-01 08:00:00"), 3, "b"),
+        (8, _ts("2024-01-01 08:00:05"), 3, "a"),
+        (9, _ts("2024-01-01 08:00:20"), 3, "b"),
+        (10, _ts("2024-01-01 08:01:20"), 3, "c"),
+        # user 4: only unrelated events
+        (11, _ts("2024-01-01 07:00:00"), 4, "x"),
+        # user 5: c first, never completes step 1
+        (12, _ts("2024-01-01 06:00:00"), 5, "c"),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_user_step_times(spark, events):
+    got = {r.user_id: (r.t1, r.t2, r.t3)
+           for r in funnel_user_steps(events, ("a", "b", "c")).collect()}
+    e = lambda s: int(_ts(s).timestamp())
+    # user 1 full chain
+    assert got[1] == (e("2024-01-01 10:00:00"),
+                      e("2024-01-01 10:00:10"),
+                      e("2024-01-01 10:00:40"))
+    # user 2: the 09:00 b precedes a -> step 2 never reached
+    assert got[2] == (e("2024-01-01 09:30:00"), None, None)
+    # user 3: same-second b excluded (strict >); earliest a wins;
+    # next b at +20s, c after it
+    assert got[3] == (e("2024-01-01 08:00:00"),
+                      e("2024-01-01 08:00:20"),
+                      e("2024-01-01 08:01:20"))
+    # user 4 filtered out entirely; user 5 never reaches step 1
+    assert 4 not in got
+    assert got[5] == (None, None, None)
+
+
+def test_report_counts_and_gaps(spark, events):
+    rows = {r.step: r for r in
+            funnel_report(events, ("a", "b", "c")).collect()}
+    assert [rows[s].step_idx for s in ("a", "b", "c")] == [1, 2, 3]
+    assert rows["a"].n_users == 3          # users 1, 2, 3 (5 has t1 NULL)
+    assert rows["b"].n_users == 2          # users 1, 3
+    assert rows["c"].n_users == 2
+    assert rows["a"].conversion == 1.0
+    assert rows["b"].conversion == round(2 / 3, 6)
+    # gaps: b-a = 10 (u1) + 20 (u3) = 30; c-b = 30 (u1) + 60 (u3) = 90
+    assert rows["a"].sum_gap_seconds is None
+    assert rows["b"].sum_gap_seconds == 30
+    assert rows["c"].sum_gap_seconds == 90
+    assert rows["b"].mean_gap_seconds == 15.0
+    assert rows["c"].mean_gap_seconds == 45.0
+
+
+def test_later_steps_null_without_earlier(spark, events):
+    """Every NULL step forces all later steps NULL even if matching
+    events exist afterwards (user 2 has no b after a, so a later c
+    could never count)."""
+    plus_c = events.union(events.sparkSession.createDataFrame(
+        [(99, _ts("2024-01-01 23:00:00"), 2, "c")], SCHEMA))
+    got = {r.user_id: (r.t1, r.t2, r.t3)
+           for r in funnel_user_steps(plus_c, ("a", "b", "c")).collect()}
+    assert got[2][1] is None and got[2][2] is None
+
+
+def test_two_step_funnel_and_validation(spark, events):
+    rows = funnel_report(events, ("a", "c")).collect()
+    assert len(rows) == 2
+    with pytest.raises(ValueError):
+        funnel_user_steps(events, ("a",))
+    with pytest.raises(ValueError):
+        funnel_user_steps(events, ("a", "a"))
+
+
+def test_single_shuffle_plan(spark, events):
+    """The per-user frame carries exactly one Exchange (the groupBy) -
+    no joins, no window sort."""
+    plan = funnel_user_steps(events, ("a", "b", "c"))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2      # partial+final agg exchange
+    assert "Join" not in plan

@@ -153,3 +153,58 @@ def test_hashed_linear_score_plan_is_broadcast(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- term_head_report (Zipf/Heaps corpus shape) --------------------------------
+
+class TestTermHead:
+    @pytest.fixture(scope="class")
+    def shaped(self, spark):
+        rows = [
+            # source A: "the" 5x, "cat" 2x, hapax "sat","mat","on"
+            (0, "the the cat sat on the mat the the cat", "en", "A"),
+            # source B: every token unique (all hapax)
+            (1, "one two three four five", "en", "B"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string")
+
+    def test_exact_counts(self, spark, shaped):
+        from rgd_rnaseq_workflows_spark.operators.quality import (
+            term_head_report)
+        got = {r.source: r for r in
+               term_head_report(shaped, by="source", top_k=2).collect()}
+        a = got["A"]
+        assert (a.n_tokens, a.n_types, a.n_hapax) == (10, 5, 3)
+        assert a.top1_n == 5                    # "the"
+        assert a.topk_sum == 7                  # the(5) + cat(2)
+        assert a.head_mass == 0.7
+        assert a.ttr == 0.5
+        assert a.hapax_frac == 0.6
+        b = got["B"]
+        assert (b.n_tokens, b.n_types, b.n_hapax) == (5, 5, 5)
+        assert b.top1_n == 1
+        # top-2 of all-ties: deterministic by term text ("five","four")
+        assert b.topk_sum == 2
+
+    def test_two_phase_equals_single_window(self, spark, shaped):
+        """The bucketed two-phase top-k equals a naive global rank for
+        every bucket count (bucket boundaries can't drop a winner)."""
+        from rgd_rnaseq_workflows_spark.operators.quality import (
+            term_head_report)
+        base = {(r.source, r.top1_n, r.topk_sum) for r in
+                term_head_report(shaped, top_k=3, n_buckets=1).collect()}
+        for nb in (2, 7, 256):
+            got = {(r.source, r.top1_n, r.topk_sum) for r in
+                   term_head_report(shaped, top_k=3,
+                                    n_buckets=nb).collect()}
+            assert got == base
+
+    def test_fewer_terms_than_k(self, spark, shaped):
+        from rgd_rnaseq_workflows_spark.operators.quality import (
+            term_head_report)
+        got = {r.source: r for r in
+               term_head_report(shaped, by="source", top_k=100).collect()}
+        # topk_sum degrades to n_tokens when k >= vocabulary
+        assert got["A"].topk_sum == got["A"].n_tokens
+        assert got["B"].topk_sum == got["B"].n_tokens

@@ -81,3 +81,87 @@ def test_overlong_document_raises(spark, docs, monkeypatch):
     short_doc = spark.createDataFrame(
         [(0, "a b c d e f")], "doc_id long, text string")
     assert winnow_fingerprints(short_doc, k=3, w=1).count() >= 1
+
+
+# --- cross-corpus containment ------------------------------------------------
+
+@pytest.fixture(scope="module")
+def lake_and_new(spark):
+    """A lake doc (10) whose middle contains an 8-token block; a small
+    new doc (0) that is MOSTLY that block (high containment), a new doc
+    (1) sharing it as a minor part of a long text (low containment),
+    and an unrelated new doc (2)."""
+    block = "alpha beta gamma delta epsilon zeta eta theta"
+    new_rows = [
+        (0, f"{block} tail"),
+        (1, f"{block} " + " ".join(f"w{i}" for i in range(40))),
+        (2, "totally unrelated words with no shared runs at all here"),
+    ]
+    lake_rows = [
+        (10, f"lake preamble words here {block} lake trailing words"),
+        (11, "another lake document with its own unrelated content"),
+    ]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    lake = spark.createDataFrame(lake_rows, "doc_id long, text string")
+    return new, lake
+
+
+def test_containment_detects_pasted_block(spark, lake_and_new):
+    from rgd_rnaseq_workflows_spark.operators.winnowing import (
+        cross_containment_pairs)
+    new, lake = lake_and_new
+    nf = winnow_fingerprints(new, k=3, w=4)
+    of = winnow_fingerprints(lake, k=3, w=4)
+    out = {(r.id_new, r.id_old): r
+           for r in cross_containment_pairs(nf, of, min_shared=1).collect()}
+    # doc 0 is mostly the pasted block -> high containment vs lake 10
+    assert (0, 10) in out and out[(0, 10)].containment > 0.5
+    # doc 1 shares the same block but is much longer -> lower containment
+    assert (1, 10) in out
+    assert out[(1, 10)].containment < out[(0, 10)].containment
+    # shared counts agree: same block, same fingerprints
+    assert out[(1, 10)].n_shared >= 1
+    # unrelated docs never pair
+    assert not any(a == 2 or b == 11 for (a, b) in out)
+
+
+def test_containment_never_pairs_lake_with_lake(spark, lake_and_new):
+    """The incremental contract: output pairs are new x lake only."""
+    from rgd_rnaseq_workflows_spark.operators.winnowing import (
+        cross_containment_pairs)
+    new, lake = lake_and_new
+    nf = winnow_fingerprints(new, k=3, w=4)
+    of = winnow_fingerprints(lake, k=3, w=4)
+    rows = cross_containment_pairs(nf, of, min_shared=1).collect()
+    new_ids = {r.doc_id for r in new.collect()}
+    lake_ids = {r.doc_id for r in lake.collect()}
+    assert all(r.id_new in new_ids and r.id_old in lake_ids for r in rows)
+
+
+def test_containment_is_exact_fraction(spark, lake_and_new):
+    """containment == n_shared / distinct-new-fps, to the cent."""
+    from rgd_rnaseq_workflows_spark.operators.winnowing import (
+        cross_containment_pairs)
+    new, lake = lake_and_new
+    nf = winnow_fingerprints(new, k=3, w=4)
+    of = winnow_fingerprints(lake, k=3, w=4)
+    n_fp = {r.doc_id: r.n for r in
+            nf.select("doc_id", "fp").distinct()
+              .groupBy("doc_id").count().withColumnRenamed("count", "n")
+              .collect()}
+    for r in cross_containment_pairs(nf, of, min_shared=1).collect():
+        assert r.containment == round(r.n_shared / n_fp[r.id_new], 4)
+
+
+def test_containment_thresholds_filter(spark, lake_and_new):
+    from rgd_rnaseq_workflows_spark.operators.winnowing import (
+        cross_containment_pairs)
+    new, lake = lake_and_new
+    nf = winnow_fingerprints(new, k=3, w=4)
+    of = winnow_fingerprints(lake, k=3, w=4)
+    all_rows = cross_containment_pairs(nf, of, min_shared=1).collect()
+    hi = cross_containment_pairs(nf, of, min_shared=1,
+                                 min_containment=0.5).collect()
+    assert {(r.id_new, r.id_old) for r in hi} <= \
+        {(r.id_new, r.id_old) for r in all_rows}
+    assert all(r.containment >= 0.5 for r in hi)
