@@ -41,14 +41,21 @@ from pyspark.sql import functions as F
 
 def funnel_user_steps(events: DataFrame, steps: Sequence[str],
                       user_col: str = "user_id", ts_col: str = "ts",
-                      type_col: str = "event_type") -> DataFrame:
+                      type_col: str = "event_type",
+                      max_gap_seconds: int | None = None) -> DataFrame:
     """Per-user step times: (user, t1 .. tN) epoch seconds, ``t_k`` the
     earliest step-k event strictly after ``t_{k-1}`` (NULL = never
-    reached — and then every later step is NULL too)."""
+    reached — and then every later step is NULL too). With
+    ``max_gap_seconds`` set, step k must also land within that many
+    seconds of step k-1 (the conversion-window form every funnel tool
+    offers); a later matching event OUTSIDE the window does not count —
+    the funnel is first-chance, not best-chance."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
     if len(set(steps)) != len(steps):
         raise ValueError("funnel steps must be distinct event types")
+    if max_gap_seconds is not None and max_gap_seconds <= 0:
+        raise ValueError("max_gap_seconds must be positive")
     arrs = [F.array_sort(F.collect_list(
         F.when(F.col(type_col) == s, F.col("_tsec")))).alias(f"_a{i}")
         for i, s in enumerate(steps)]
@@ -61,7 +68,11 @@ def funnel_user_steps(events: DataFrame, steps: Sequence[str],
     out = per.select("*", F.get(F.col("_a0"), 0).alias("t1"))
     for i in range(1, len(steps)):
         prev = F.col(f"t{i}")
-        nxt = F.get(F.filter(F.col(f"_a{i}"), lambda x: x > prev), 0)
+        if max_gap_seconds is None:
+            cond = lambda x: x > prev
+        else:
+            cond = lambda x: (x > prev) & (x <= prev + max_gap_seconds)
+        nxt = F.get(F.filter(F.col(f"_a{i}"), cond), 0)
         out = out.select(
             "*", F.when(prev.isNotNull(), nxt).alias(f"t{i + 1}"))
     return out.select(F.col("user").alias(user_col),
@@ -70,13 +81,15 @@ def funnel_user_steps(events: DataFrame, steps: Sequence[str],
 
 def funnel_report(events: DataFrame, steps: Sequence[str],
                   user_col: str = "user_id", ts_col: str = "ts",
-                  type_col: str = "event_type") -> DataFrame:
+                  type_col: str = "event_type",
+                  max_gap_seconds: int | None = None) -> DataFrame:
     """len(steps) rows: (step_idx, step, n_users, conversion,
     sum_gap_seconds, mean_gap_seconds) — ``conversion`` = n_users at
     step k / n_users at step 1; gaps are from the previous step (NULL
     for step 1). All counts/sums exact BIGINT; the two ratios are
     single divisions rounded to 6."""
-    per = funnel_user_steps(events, steps, user_col, ts_col, type_col)
+    per = funnel_user_steps(events, steps, user_col, ts_col, type_col,
+                            max_gap_seconds)
     aggs = []
     for i in range(len(steps)):
         aggs.append(F.count(F.col(f"t{i + 1}")).alias(f"n{i + 1}"))
@@ -105,7 +118,8 @@ def funnel_report(events: DataFrame, steps: Sequence[str],
 
 def funnel_report_sql(src: str, steps: Sequence[str],
                       user_col: str = "user_id", ts_col: str = "ts",
-                      type_col: str = "event_type") -> str:
+                      type_col: str = "event_type",
+                      max_gap_seconds: int | None = None) -> str:
     """DuckDB twin of :func:`funnel_report` — identical floor-seconds
     step times via the same sorted-array + list_filter chain."""
     in_list = ", ".join(f"'{s}'" for s in steps)
@@ -114,9 +128,11 @@ def funnel_report_sql(src: str, steps: Sequence[str],
         for i, s in enumerate(steps))
     tchain = ["a0[1] AS t1"]
     for i in range(1, len(steps)):
+        gap = ("" if max_gap_seconds is None
+               else f" AND x <= t{i} + {max_gap_seconds}")
         tchain.append(
             f"CASE WHEN t{i} IS NOT NULL THEN "
-            f"(list_filter(a{i}, x -> x > t{i}))[1] END AS t{i + 1}")
+            f"(list_filter(a{i}, x -> x > t{i}{gap}))[1] END AS t{i + 1}")
     # DuckDB resolves lateral column references via nested selects
     tsel = "SELECT user_id_, " + tchain[0] + ", " + \
         ", ".join(f"a{i}" for i in range(1, len(steps))) + " FROM per"
@@ -156,3 +172,69 @@ per AS (
 times AS ({tsel}),
 one AS (SELECT {", ".join(aggs)} FROM times)
 {" UNION ALL ".join(step_rows)}"""
+
+
+# --- cohort retention ---------------------------------------------------------
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     bucket_seconds: int = 86_400) -> DataFrame:
+    """Cohort retention matrix: users cohorted by their FIRST activity
+    bucket (epoch-day by default); one row per (cohort, offset) with
+    the number of cohort users active ``offset`` buckets later and the
+    retention fraction.
+
+    Output: (cohort_bucket, bucket_offset, n_active, n_cohort,
+    retention) — counts exact BIGINT, ``retention`` a single division
+    rounded to 6. ``bucket_offset`` 0 is the cohort's first bucket, so
+    every cohort has an offset-0 row with retention 1.0 only if all
+    cohort users were active that bucket (they were, by definition).
+
+    Scale shape: epoch-second integer semantics throughout (the funnel
+    module's contract). Three shuffles, all on compact keys:
+    groupBy(user) for first-activity; distinct (user, bucket) — both
+    map-side combined; the activity×cohort join co-locates on the user
+    key; the final rollup shuffles (cohort, offset) pairs. Cohort sizes
+    are bucket-scale and broadcast back.
+    """
+    tsec = F.col(ts_col).cast("long")
+    bucket = F.floor(tsec / F.lit(bucket_seconds)).cast("long")
+    act = (events.select(F.col(user_col).alias("user"),
+                         bucket.alias("b")).distinct())
+    first = act.groupBy("user").agg(F.min("b").alias("cohort_bucket"))
+    sizes = first.groupBy("cohort_bucket").agg(
+        F.count("*").cast("long").alias("n_cohort"))
+    ret = (act.join(first, "user")
+           .groupBy("cohort_bucket",
+                    (F.col("b") - F.col("cohort_bucket"))
+                    .alias("bucket_offset"))
+           .agg(F.count("*").cast("long").alias("n_active")))
+    return (ret.join(F.broadcast(sizes), "cohort_bucket")
+            .select("cohort_bucket", "bucket_offset", "n_active",
+                    "n_cohort",
+                    F.round(F.col("n_active")
+                            / F.col("n_cohort").cast("double"), 6)
+                    .alias("retention")))
+
+
+def cohort_retention_sql(src: str, user_col: str = "user_id",
+                         ts_col: str = "ts",
+                         bucket_seconds: int = 86_400) -> str:
+    """DuckDB twin of :func:`cohort_retention`."""
+    return f"""
+WITH act AS (
+  SELECT DISTINCT {user_col} AS u,
+         CAST(floor(CAST(floor(epoch({ts_col})) AS BIGINT)
+                    / {bucket_seconds}) AS BIGINT) AS b
+  FROM {src}),
+first AS (SELECT u, min(b) AS cohort_bucket FROM act GROUP BY u),
+sizes AS (SELECT cohort_bucket, CAST(count(*) AS BIGINT) AS n_cohort
+          FROM first GROUP BY cohort_bucket),
+ret AS (
+  SELECT cohort_bucket, b - cohort_bucket AS bucket_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM act JOIN first USING (u)
+  GROUP BY cohort_bucket, b - cohort_bucket)
+SELECT cohort_bucket, bucket_offset, n_active, n_cohort,
+       round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+FROM ret JOIN sizes USING (cohort_bucket)"""

@@ -656,6 +656,42 @@ def events_funnel(spark, sf_dir):
     return funnel_report(e, ("view", "click", "purchase"))
 
 
+def _funnel_windowed_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.funnel import funnel_report_sql
+    return funnel_report_sql("events", ("view", "click", "purchase"),
+                             max_gap_seconds=86_400)
+
+
+@q("events_funnel_windowed", ("FUNNEL-WIN",),
+   oracle=_funnel_windowed_oracle(),
+   note="the same funnel under a 1-day conversion window: step k must "
+        "land within max_gap of step k-1 (first-chance - a later event "
+        "outside the window never counts); identical one-shuffle plan, "
+        "the window is one more codegen predicate")
+def events_funnel_windowed(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.funnel import funnel_report
+    e = _events(spark, sf_dir)
+    return funnel_report(e, ("view", "click", "purchase"),
+                         max_gap_seconds=86_400)
+
+
+def _cohort_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        cohort_retention_sql)
+    return cohort_retention_sql("events")
+
+
+@q("events_cohort_retention", ("COHORT",), oracle=_cohort_oracle(),
+   note="cohort retention matrix: users cohorted by first-activity "
+        "epoch-day, (cohort, offset) active-user counts + retention "
+        "fraction; all integer-bucket semantics, three compact-key "
+        "shuffles, cohort sizes broadcast back")
+def events_cohort_retention(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        cohort_retention)
+    return cohort_retention(_events(spark, sf_dir))
+
+
 @q("stream_interval_join", ("STREAM-JOIN",), oracle="""
 SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
        CAST(floor(epoch(c.ts)) AS BIGINT)
@@ -1559,6 +1595,8 @@ _RECORD_FIRST: tuple[str, ...] = (
     "ann_margin_ivf",
     "winnow_cross_containment",
     "events_funnel",
+    "events_funnel_windowed",
+    "events_cohort_retention",
     "text_zipf_head_stats",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
@@ -1589,13 +1627,13 @@ _RECORD_FIRST: tuple[str, ...] = (
     "skew_salted_agg",
     "snapshot_apply_merge",
     "srt_topk_global",
-    "stream_interval_join",
-    "stream_sessionize",
-    # stream_window_agg, text_bm25_topk and text_bpe_tokens dropped from
-    # the r6 window
-    # (their r4 rows stay exactly 2 rounds old) to fit
-    # winnow_cross_containment + events_funnel + text_zipf_head_stats;
-    # they lead r7 with the other overflow queries listed above.
+    # stream_interval_join, stream_sessionize, stream_window_agg,
+    # text_bm25_topk and text_bpe_tokens dropped from the r6 window
+    # (their r4 rows stay exactly 2 rounds old) to fit the five round-6
+    # second-batch queries (winnow_cross_containment, events_funnel,
+    # events_funnel_windowed, events_cohort_retention,
+    # text_zipf_head_stats); they lead r7 with the other overflow
+    # queries listed above.
 )
 
 

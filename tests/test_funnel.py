@@ -105,3 +105,63 @@ def test_single_shuffle_plan(spark, events):
         .queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2      # partial+final agg exchange
     assert "Join" not in plan
+
+
+# --- cohort retention ----------------------------------------------------------
+
+def test_cohort_retention_matrix(spark):
+    from rgd_rnaseq_workflows_spark.operators.funnel import cohort_retention
+    day = 86_400
+    rows = [
+        # cohort day 0: users 1, 2. u1 active days 0,1,2; u2 days 0,2
+        (1, datetime.fromtimestamp(10), 1, "x"),
+        (2, datetime.fromtimestamp(day + 5), 1, "x"),
+        (3, datetime.fromtimestamp(2 * day + 5), 1, "x"),
+        (4, datetime.fromtimestamp(20), 2, "x"),
+        (5, datetime.fromtimestamp(2 * day + 9), 2, "x"),
+        # two events same user same day collapse to one active mark
+        (6, datetime.fromtimestamp(2 * day + 99), 2, "x"),
+        # cohort day 1: user 3 active day 1 only
+        (7, datetime.fromtimestamp(day + 50), 3, "x"),
+    ]
+    ev = spark.createDataFrame(rows, SCHEMA)
+    got = {(r.cohort_bucket, r.bucket_offset): (r.n_active, r.n_cohort,
+                                                r.retention)
+           for r in cohort_retention(ev).collect()}
+    # fromtimestamp is local-time; recover the actual epoch-day buckets
+    d0 = min(c for c, _ in got)
+    assert got[(d0, 0)] == (2, 2, 1.0)
+    assert got[(d0, 1)] == (1, 2, 0.5)
+    assert got[(d0, 2)] == (2, 2, 1.0)
+    assert got[(d0 + 1, 0)] == (1, 1, 1.0)
+    assert set(got) == {(d0, 0), (d0, 1), (d0, 2), (d0 + 1, 0)}
+
+
+def test_cohort_retention_custom_bucket(spark):
+    """Hour-bucket cohorts: same semantics at another granularity."""
+    from rgd_rnaseq_workflows_spark.operators.funnel import cohort_retention
+    rows = [
+        (1, datetime.fromtimestamp(100), 1, "x"),
+        (2, datetime.fromtimestamp(3700), 1, "x"),
+    ]
+    ev = spark.createDataFrame(rows, SCHEMA)
+    got = {r.bucket_offset: r.retention
+           for r in cohort_retention(ev, bucket_seconds=3600).collect()}
+    assert got == {0: 1.0, 1: 1.0}
+
+
+def test_max_gap_conversion_window(spark, events):
+    """With a conversion window, a step landing outside the window does
+    not count even though a matching event exists (first-chance)."""
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        funnel_user_steps)
+    # user 1: a -> b gap 10s, b -> c gap 30s
+    got = {r.user_id: (r.t1, r.t2, r.t3)
+           for r in funnel_user_steps(
+               events, ("a", "b", "c"), max_gap_seconds=15).collect()}
+    assert got[1][1] is not None          # 10s <= 15
+    assert got[1][2] is None              # 30s > 15 -> c out of window
+    # user 3: earliest a at 08:00:00, next valid b at +20s > 15 -> drops
+    assert got[3][1] is None
+    with pytest.raises(ValueError):
+        funnel_user_steps(events, ("a", "b"), max_gap_seconds=0)

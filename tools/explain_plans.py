@@ -179,6 +179,18 @@ SHOWCASE = {
         "= driver metadata, lake side lives in ONE list, left probes "
         "nprobe lists (Arrow top-n kernel) — block cardinality tracks "
         "the corpus, pairs unique by construction.",
+    "winnow_cross_containment": "incremental containment: both "
+        "fingerprint sets are ~2/(w+1) of their corpus k-grams (one "
+        "per-doc window shuffle each), the fp equi-join is new x lake "
+        "only, per-new-doc sizes ride a doc-scale broadcast.",
+    "events_funnel": "ordered funnel in ONE shuffle: groupBy(user) "
+        "collects per-step sorted second-arrays map-side; the step "
+        "chain (earliest strictly-after) is a codegen array "
+        "filter/get expression — no joins, no window sort.",
+    "text_zipf_head_stats": "corpus-shape diagnostics: vocab-scale "
+        "(source, term) counts from one map-side-combined shuffle; "
+        "top-k is two-phase (per-md5-bucket then per-source) so no "
+        "reducer sorts a whole source's vocabulary.",
 }
 
 
