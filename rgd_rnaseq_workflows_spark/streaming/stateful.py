@@ -140,3 +140,110 @@ def batch_dedup_kernel(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .select("shard", "doc_id", "fingerprint")
             .groupBy("shard")
             .applyInPandas(fn, DEDUP_OUT_SCHEMA))
+
+
+# --- streaming funnel ----------------------------------------------------------
+
+def _funnel_fn(steps: tuple[str, ...], max_gap: int | None, ttl_ms: int):
+    """Per-user funnel state function (closure → pickled by value).
+
+    State: one sorted array of DISTINCT epoch-seconds per step — the
+    minimal sufficient statistic that keeps the operator order-robust
+    (late/out-of-order arrivals recompute the chain from the merged
+    arrays, so stream == batch under ANY arrival order; an O(1)
+    "current step times" state could never revise when a late earlier
+    event unlocks a discarded later one). Duplicate seconds collapse,
+    so state is bounded by a user's distinct active seconds per step
+    (and by the event-time TTL when given).
+    """
+    n = len(steps)
+
+    def update(key, rows: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batches = list(rows)
+        cat = (pd.concat(batches, ignore_index=True)
+               if len(batches) > 1 else batches[0])
+        arrs = ([list(a or []) for a in state.get] if state.exists
+                else [[] for _ in range(n)])
+        for i, s in enumerate(steps):
+            new = cat.loc[cat["event_type"] == s, "tsec"]
+            if len(new):
+                arrs[i] = sorted({*arrs[i], *(int(v) for v in new)})
+        state.update(tuple(arrs))
+        times, prev = [], None
+        for i in range(n):
+            if i == 0:
+                cur = arrs[0][0] if arrs[0] else None
+            elif prev is None:
+                cur = None
+            else:
+                hi = None if max_gap is None else prev + max_gap
+                cur = next((x for x in arrs[i]
+                            if x > prev and (hi is None or x <= hi)), None)
+            times.append(cur)
+            prev = cur
+        out = {"user": pd.array([key[0]], dtype="Int64")}
+        for i in range(n):
+            out[f"t{i + 1}"] = pd.array([times[i]], dtype="Int64")
+        yield pd.DataFrame(out)
+        if ttl_ms:
+            max_ts = max(int(pdf["ts"].max().timestamp() * 1000)
+                         for pdf in batches)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(max_ts + ttl_ms, wm + 1))
+    return update
+
+
+def stream_funnel(event_stream: DataFrame, steps,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  max_gap_seconds: int | None = None,
+                  ttl: str | None = None) -> DataFrame:
+    """Streaming twin of ``operators.funnel.funnel_user_steps``: emits,
+    in UPDATE mode, each active user's current step-time chain
+    (user, t1..tN epoch seconds) whenever a micro-batch touches them —
+    a user's LATEST row equals the batch operator over everything seen.
+
+    Same semantics contract as batch (earliest strictly-after, optional
+    conversion window), order-robust by construction (see
+    :func:`_funnel_fn`). With ``ttl`` the stream is watermarked and an
+    idle user's state is evicted at last-event + ttl (event-time
+    timeout — no empty-batch busy loop).
+    """
+    steps = tuple(steps)
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    ms = 0
+    if ttl is not None:
+        num, unit = ttl.split()
+        ms = int(float(num) * {"millisecond": 1, "milliseconds": 1,
+                               "second": 1000, "seconds": 1000,
+                               "minute": 60_000, "minutes": 60_000,
+                               "hour": 3_600_000, "hours": 3_600_000}[unit])
+    out_schema = T.StructType(
+        [T.StructField("user", T.LongType())]
+        + [T.StructField(f"t{i + 1}", T.LongType())
+           for i in range(len(steps))])
+    state_schema = T.StructType(
+        [T.StructField(f"a{i}", T.ArrayType(T.LongType()))
+         for i in range(len(steps))])
+    src = (event_stream.filter(F.col(type_col).isin(list(steps)))
+           .select(F.col(user_col).alias("user"),
+                   F.col(type_col).alias("event_type"),
+                   F.col(ts_col).cast("long").alias("tsec"),
+                   F.col(ts_col).alias("ts")))
+    if ttl is not None:
+        src = src.withWatermark("ts", ttl)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        src = src.drop("ts")
+        timeout = GroupStateTimeout.NoTimeout
+    return (src.groupBy("user")
+            .applyInPandasWithState(
+                _funnel_fn(steps, max_gap_seconds, ms), out_schema,
+                state_schema, "update", timeout))

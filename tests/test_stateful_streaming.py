@@ -125,3 +125,96 @@ def test_stream_dedup_event_time_ttl_evicts_state(spark, tmp_out):
         assert got == {1, 3, 11, 20, 21, 30}
     finally:
         q.stop()
+
+
+# --- streaming funnel -----------------------------------------------------------
+
+EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def _last_rows(spark, table):
+    """Latest emitted row per user from an update-mode memory sink —
+    memory sink appends update rows, so max-batch wins."""
+    import pandas as pd
+    pdf = spark.sql(f"SELECT * FROM {table}").toPandas()
+    pdf["_i"] = range(len(pdf))
+    return {int(r.user): (r.t1, r.t2, r.t3)
+            for r in pdf.sort_values("_i").groupby("user").last()
+            .reset_index().itertuples()}
+
+
+def test_stream_funnel_equals_batch_out_of_order(spark, tmp_out):
+    """Events split across micro-batches in NON-chronological order: the
+    final per-user chain must equal the batch operator (order-robust
+    state). Includes a late-arriving earlier step-1 event that unlocks
+    a step-2 event already seen and discarded."""
+    import pandas as pd
+    from datetime import datetime
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        funnel_user_steps)
+    from rgd_rnaseq_workflows_spark.streaming.stateful import stream_funnel
+
+    t = lambda sec: datetime.fromtimestamp(sec)
+    # user 1: b@100, c@200 arrive FIRST; a@50 arrives in batch 2 -> the
+    # chain only completes after the late a unlocks b then c
+    # user 2: a@10 then b@5 (before a -> never converts)
+    batch1 = [(1, t(100), 1, "b"), (2, t(200), 1, "c"),
+              (3, t(10), 2, "a"), (4, t(5), 2, "b")]
+    batch2 = [(5, t(50), 1, "a")]
+    src = os.path.join(tmp_out, "funnel_src")
+    os.makedirs(src)
+    spark.createDataFrame(batch1, EV_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+    q = (stream_funnel(stream, ("a", "b", "c"))
+         .writeStream.format("memory").queryName("funnel_out")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        mid = _last_rows(spark, "funnel_out")
+        import pandas as pd
+        assert all(pd.isna(x) for x in mid[1])   # no a yet -> nothing
+        spark.createDataFrame(batch2, EV_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = _last_rows(spark, "funnel_out")
+    finally:
+        q.stop()
+
+    all_events = spark.createDataFrame(batch1 + batch2, EV_SCHEMA)
+    want = {r.user_id: (r.t1, r.t2, r.t3) for r in
+            funnel_user_steps(all_events, ("a", "b", "c")).collect()}
+    def norm(v):
+        return tuple(None if x is None or pd.isna(x) else int(x)
+                     for x in v)
+    assert {u: norm(v) for u, v in got.items()} == \
+        {u: norm(v) for u, v in want.items()}
+    # the late a@50 really did unlock b@100 -> c@200
+    assert norm(got[1]) == (50, 100, 200)
+
+
+def test_stream_funnel_conversion_window(spark, tmp_out):
+    """max_gap flows through: b@100 is outside a@50's 30s window."""
+    from datetime import datetime
+    from rgd_rnaseq_workflows_spark.streaming.stateful import stream_funnel
+    t = lambda sec: datetime.fromtimestamp(sec)
+    rows = [(1, t(50), 1, "a"), (2, t(100), 1, "b"),
+            (3, t(60), 2, "a"), (4, t(80), 2, "b")]
+    src = os.path.join(tmp_out, "funnel_gap_src")
+    os.makedirs(src)
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+    q = (stream_funnel(stream, ("a", "b"), max_gap_seconds=30)
+         .writeStream.format("memory").queryName("funnel_gap_out")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM funnel_gap_out").toPandas()
+    finally:
+        q.stop()
+    got = {int(r.user): r.t2 for r in pdf.itertuples()}
+    import pandas as pd
+    assert pd.isna(got[1])          # 50s gap > 30
+    assert int(got[2]) == 80        # 20s gap converts
