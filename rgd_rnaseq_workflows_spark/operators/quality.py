@@ -540,3 +540,79 @@ SELECT g AS {by}, n_tokens, n_types, n_hapax, top1_n, topk_sum,
        round(CAST(topk_sum AS DOUBLE) / n_tokens, 6) AS head_mass
 FROM scal JOIN top USING (g)
 """
+
+
+# --- collocation mining (PMI by exact-integer lift) ---------------------------
+
+def pmi_collocations(docs: DataFrame, top_k: int = 50,
+                     min_count: int = 5,
+                     text_col: str = "text") -> DataFrame:
+    """Top adjacent-word collocations ranked by LIFT — the exact-integer
+    monotone twin of PMI (PMI = log lift, so the ranking is identical
+    and no log ever enters the oracle): lift = n_pair · N / (n_w1 ·
+    n_w2), N the total bigram-position count. A single division of
+    exact BIGINT products, rounded once; ties cut deterministically by
+    (w1, w2), so the top-k SET is engine-independent.
+
+    Scale shape: bigram and unigram frequency tables each come from one
+    map-side-combined shuffle (stopword-pair heavy hitters combine
+    before moving); the pair table joins the unigram table twice on the
+    word key (vocab-scale shuffle hash joins — at 100 TB the unigram
+    side is still vocab-scale, never broadcast blindly); N rides a
+    one-row broadcast cross join; the final top-k is TakeOrdered, never
+    a global sort.
+    """
+    bg = (docs.select(F.explode(TX.shingles_all(text_col, 2)).alias("bg"))
+          .groupBy("bg").agg(F.count("*").alias("n_pair"))
+          .filter(F.col("n_pair") >= min_count)
+          .select(F.split("bg", " ").getItem(0).alias("w1"),
+                  F.split("bg", " ").getItem(1).alias("w2"),
+                  "n_pair"))
+    uni = (docs.select(F.explode(TX.tokens(text_col)).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("n_w")))
+    total = (docs.select(F.explode(TX.shingles_all(text_col, 2)).alias("bg"))
+             .agg(F.count("*").cast("long").alias("n_total")))
+    out = (bg
+           .join(uni.select(F.col("w").alias("w1"),
+                            F.col("n_w").alias("n_w1")), "w1")
+           .join(uni.select(F.col("w").alias("w2"),
+                            F.col("n_w").alias("n_w2")), "w2")
+           .crossJoin(F.broadcast(total))
+           .select("w1", "w2",
+                   F.col("n_pair").cast("long").alias("n_pair"),
+                   F.col("n_w1").cast("long").alias("n_w1"),
+                   F.col("n_w2").cast("long").alias("n_w2"),
+                   # products in IEEE double (correctly rounded, no
+                   # accumulation): bigint n_pair*n_total would wrap
+                   # int64 at corpus scale (DuckDB would silently go
+                   # HUGEINT and diverge)
+                   F.round((F.col("n_pair").cast("double")
+                            * F.col("n_total"))
+                           / (F.col("n_w1").cast("double")
+                              * F.col("n_w2")), 6).alias("lift")))
+    return (out.orderBy(F.col("lift").desc(), "w1", "w2").limit(top_k))
+
+
+def pmi_collocations_sql(table: str = "documents", top_k: int = 50,
+                         min_count: int = 5,
+                         text_col: str = "text") -> str:
+    """DuckDB twin of :func:`pmi_collocations` (identical exact-integer
+    lift and deterministic tie-break)."""
+    sh = TX.shingles_all_sql(text_col, 2)
+    toks = TX.tokens_sql(text_col)
+    return f"""
+WITH bgs AS (
+  SELECT unnest({sh}) AS bg FROM {table}),
+bg AS (
+  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM bgs GROUP BY bg HAVING count(*) >= {min_count}),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_w
+  FROM (SELECT unnest({toks}) AS w FROM {table}) GROUP BY w),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM bgs)
+SELECT w1, w2, n_pair, a.n_w AS n_w1, b.n_w AS n_w2,
+       round((CAST(n_pair AS DOUBLE) * n_total)
+             / (CAST(a.n_w AS DOUBLE) * b.n_w), 6) AS lift
+FROM bg JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot
+ORDER BY lift DESC, w1, w2 LIMIT {top_k}"""

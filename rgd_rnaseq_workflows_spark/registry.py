@@ -1536,6 +1536,24 @@ def quality_bigram_lm(spark, sf_dir):
     return bigram_lm_report(_t(spark, sf_dir, "documents"))
 
 
+def _pmi_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        pmi_collocations_sql)
+    return pmi_collocations_sql("documents", top_k=50, min_count=5)
+
+
+@q("text_pmi_collocations", ("PMI",), oracle=_pmi_oracle(),
+   note="top-50 adjacent-word collocations by exact-integer LIFT (the "
+        "monotone twin of PMI - no log enters the oracle); products in "
+        "IEEE doubles (bigint would wrap at corpus scale), ties cut by "
+        "(w1,w2); TakeOrdered, never a global sort")
+def text_pmi_collocations(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        pmi_collocations)
+    return pmi_collocations(_t(spark, sf_dir, "documents"), top_k=50,
+                            min_count=5)
+
+
 def _term_head_oracle() -> str:
     from rgd_rnaseq_workflows_spark.operators.quality import (
         term_head_report_sql)
@@ -1598,6 +1616,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "events_funnel_windowed",
     "events_cohort_retention",
     "text_zipf_head_stats",
+    "text_pmi_collocations",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1626,14 +1645,13 @@ _RECORD_FIRST: tuple[str, ...] = (
     "sketch_log2_quantiles",
     "skew_salted_agg",
     "snapshot_apply_merge",
-    "srt_topk_global",
-    # stream_interval_join, stream_sessionize, stream_window_agg,
-    # text_bm25_topk and text_bpe_tokens dropped from the r6 window
-    # (their r4 rows stay exactly 2 rounds old) to fit the five round-6
-    # second-batch queries (winnow_cross_containment, events_funnel,
-    # events_funnel_windowed, events_cohort_retention,
-    # text_zipf_head_stats); they lead r7 with the other overflow
-    # queries listed above.
+    # srt_topk_global, stream_interval_join, stream_sessionize,
+    # stream_window_agg, text_bm25_topk and text_bpe_tokens dropped from
+    # the r6 window (their r4 rows stay exactly 2 rounds old) to fit the
+    # six round-6 second-batch queries (winnow_cross_containment,
+    # events_funnel, events_funnel_windowed, events_cohort_retention,
+    # text_zipf_head_stats, text_pmi_collocations); they lead r7 with
+    # the other overflow queries listed above.
 )
 
 

@@ -208,3 +208,42 @@ class TestTermHead:
         # topk_sum degrades to n_tokens when k >= vocabulary
         assert got["A"].topk_sum == got["A"].n_tokens
         assert got["B"].topk_sum == got["B"].n_tokens
+
+
+# --- pmi_collocations ----------------------------------------------------------
+
+class TestPMICollocations:
+    def test_planted_collocation_ranks_first(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.quality import (
+            pmi_collocations)
+        # "hong kong" always adjacent and exclusive; "the cat" frequent
+        # but both words are common elsewhere -> lower lift
+        rows = [(i, "the cat sat on the mat hong kong " +
+                 "the dog and the cat walked past hong kong")
+                for i in range(5)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pmi_collocations(docs, top_k=8, min_count=2).collect()
+        # 17 tokens -> N = 16 bigram positions per doc x 5 docs = 80.
+        # Exclusive once-per-doc adjacent pairs (dog-and, sat-on,
+        # walked-past) take max lift 5*80/(5*5) = 16, tie-cut by
+        # (w1,w2) asc; hong-kong (words twice per doc, paired twice)
+        # = 10*80/(10*10) = 8
+        assert (out[0].w1, out[0].w2, out[0].lift) == ("dog", "and", 16.0)
+        got = {(r.w1, r.w2): r for r in out}
+        hk = got[("hong", "kong")]
+        assert hk.n_pair == 10 and hk.n_w1 == 10 and hk.n_w2 == 10
+        assert hk.lift == 8.0
+        lifts = [r.lift for r in out]
+        assert lifts == sorted(lifts, reverse=True)
+
+    def test_min_count_filters(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.quality import (
+            pmi_collocations)
+        docs = spark.createDataFrame(
+            [(0, "rare pairx appears once only here"),
+             (1, "common duo common duo common duo")],
+            "doc_id long, text string")
+        out = pmi_collocations(docs, top_k=10, min_count=3).collect()
+        pairs = {(r.w1, r.w2) for r in out}
+        assert ("rare", "pairx") not in pairs
+        assert ("common", "duo") in pairs
