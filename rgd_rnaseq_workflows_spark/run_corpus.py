@@ -95,6 +95,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write a training-ready shard-partitioned "
                         "copy (md5 pseudorandom shard of doc_id) plus a "
                         "per-shard manifest TSV")
+    p.add_argument("--lake", default=None, metavar="PARQUET",
+                   help="existing-lake documents parquet for "
+                        "--containment-report")
+    p.add_argument("--containment-report", type=float, default=None,
+                   metavar="MIN_FRAC",
+                   help="write a winnowing containment report of the "
+                        "curated (incoming) docs against --lake: pairs "
+                        "where >= MIN_FRAC of the incoming doc's "
+                        "fingerprints appear in a lake doc (quote/"
+                        "boilerplate-copy detection; join is new x lake "
+                        "only)")
     p.add_argument("--mix", default=None,
                    help="per-language keep rates, e.g. en=0.5,de=0.25")
     p.add_argument("--mix-default", type=float, default=0.0,
@@ -244,6 +255,19 @@ def run(args: argparse.Namespace) -> int:
             final = spark.read.parquet(f"{out}/curated")
             (chunk_documents(final, window=args.chunks, stride=stride)
              .write.mode("overwrite").parquet(f"{out}/chunks"))
+    if args.containment_report is not None:
+        if not args.lake:
+            raise SystemExit("--containment-report requires --lake")
+        from rgd_rnaseq_workflows_spark.operators.winnowing import (
+            cross_containment_pairs, winnow_fingerprints)
+        with _stage("containment report"):
+            final = spark.read.parquet(f"{out}/curated")
+            lake = spark.read.parquet(args.lake)
+            rep = cross_containment_pairs(
+                winnow_fingerprints(final), winnow_fingerprints(lake),
+                min_shared=2, min_containment=args.containment_report)
+            write_tsv(rep.orderBy(*rep.columns), f"{out}/containment",
+                      single_file=True)
     if args.shards:
         from rgd_rnaseq_workflows_spark.functions.hashing import md5_long
         from rgd_rnaseq_workflows_spark.operators.packing import shard_corpus

@@ -459,3 +459,47 @@ def test_corpus_cli_epoch_budget_stage(spark, tmp_out):
     with pytest.raises(SystemExit):
         run_corpus.main(["--docs", src, "--out", out,
                          "--epoch-budget", "100"])
+
+
+def test_corpus_cli_containment_report(spark, tmp_out):
+    """--lake + --containment-report: the curated survivor's pasted
+    block shows up against the lake doc that contains it; the report is
+    new x lake only and byte-deterministically ordered."""
+    import glob
+    import os
+    from rgd_rnaseq_workflows_spark import run_corpus
+    src = os.path.join(tmp_out, "docs_cr.parquet")
+    _docs(spark).write.parquet(src)
+    # the lake holds a doc embedding the curated survivor's text
+    lake = os.path.join(tmp_out, "lake_cr.parquet")
+    near_a = BASE + " alpha"
+    spark.createDataFrame(
+        [(100, "en", "lake", "preamble words " + near_a + " trailing"),
+         (101, "en", "lake", "completely unrelated lake text here")],
+        ["doc_id", "lang", "source", "text"]).write.parquet(lake)
+    out = os.path.join(tmp_out, "corpus_cr_out")
+    rc = run_corpus.main(["--docs", src, "--out", out,
+                          "--min-tokens", "20", "--threshold", "0.9",
+                          "--lake", lake, "--containment-report", "0.3"])
+    assert rc == 0
+    [rep] = glob.glob(f"{out}/containment/part*.csv")
+    lines = open(rep).read().strip().split("\n")
+    assert lines[0] == "id_new\tid_old\tn_shared\tcontainment"
+    body = [l.split("\t") for l in lines[1:]]
+    # survivor doc 1 vs lake doc 100, high containment; never lake 101
+    assert any(r[0] == "1" and r[1] == "100" and float(r[3]) > 0.5
+               for r in body)
+    assert not any(r[1] == "101" for r in body)
+    assert body == sorted(body)
+
+
+def test_corpus_cli_containment_requires_lake(spark, tmp_out):
+    import os
+    import pytest
+    from rgd_rnaseq_workflows_spark import run_corpus
+    src = os.path.join(tmp_out, "docs_cr2.parquet")
+    _docs(spark).write.parquet(src)
+    with pytest.raises(SystemExit, match="requires --lake"):
+        run_corpus.main(["--docs", src,
+                         "--out", os.path.join(tmp_out, "o2"),
+                         "--containment-report", "0.3"])
