@@ -173,3 +173,46 @@ def test_centrality_keepers_replays_checkpointed_pairs(spark):
     assert "ExistingRDD" in plan           # checkpointed pair/rank frames
     assert "Generate" not in plan          # no re-explode of shingles
     assert "posexplode" not in plan
+
+
+@pytest.mark.parametrize("name", [
+    "winnow_cross_containment", "events_funnel", "events_funnel_windowed",
+    "events_cohort_retention", "text_zipf_head_stats",
+    "text_pmi_collocations",
+])
+def test_round6_batch3_surface_is_jvm_only(spark, name):
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_funnel_one_shuffle_no_joins(spark):
+    """The funnel is a single groupBy(user) — no joins, no window sort;
+    the step-type IN-filter reaches the parquet scan."""
+    import re
+    plan = _plan(spark, "events_funnel")
+    assert "Join" not in plan and "Window" not in plan
+    assert re.search(r"PushedFilters: \[.*In\(event_type", plan)
+
+
+def test_zipf_head_two_phase_topk(spark):
+    """Both window phases partition before ranking (the bucketed phase
+    bounds every sort partition) and the vocabulary never joins
+    sort-merge — the tiny top-k/scalar tables broadcast."""
+    plan = _plan(spark, "text_zipf_head_stats")
+    assert plan.count("Window") >= 2       # two-phase row_number
+    assert "SortMergeJoin" not in plan
+
+
+def test_pmi_take_ordered_not_global_sort(spark):
+    df = REGISTRY["text_pmi_collocations"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_containment_no_cartesian_and_doc_window(spark):
+    """Fingerprint selection is a per-doc window; pair matching is an
+    equi-join on the fingerprint — never a cartesian product."""
+    plan = _plan(spark, "winnow_cross_containment")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
