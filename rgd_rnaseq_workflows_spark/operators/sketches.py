@@ -135,6 +135,23 @@ def hll_distinct(df: DataFrame, col: str, p: int = 8, seed: int = 1,
                         p=p, by=by)
 
 
+def hll_merge(register_frames: list[DataFrame],
+              by: tuple[str, ...] = ()) -> DataFrame:
+    """Merge HLL register tables by register max — the incremental-lake
+    rollup: yesterday's lake sketch (stored, ≤m rows per group) merges
+    with today's delta sketch WITHOUT rescanning the lake, and the
+    merged registers are bit-identical to a single-pass sketch of the
+    union (max is associative/commutative/idempotent, so re-merges and
+    replays are harmless). The only moving data is register rows."""
+    if not register_frames:
+        raise ValueError("hll_merge needs at least one register frame")
+    merged = register_frames[0]
+    for f in register_frames[1:]:
+        merged = merged.unionByName(f)
+    return (merged.groupBy(*by, "bucket")
+            .agg(F.max("register").alias("register")))
+
+
 def hll_registers_sql(table: str, expr: str, p: int = 8, seed: int = 1,
                       by: tuple[str, ...] = ()) -> str:
     """DuckDB twin of :func:`hll_registers` (same buckets, same registers)."""
@@ -150,14 +167,12 @@ SELECT {byl}bucket, max(rank) AS register FROM (
 GROUP BY {byl}bucket"""
 
 
-def hll_distinct_sql(table: str, expr: str, p: int = 8, seed: int = 1,
+def hll_estimate_sql(regs_sql: str, p: int = 8,
                      by: tuple[str, ...] = ()) -> str:
-    """DuckDB twin of :func:`hll_distinct` — bit-identical registers, the
-    same integer indicator sum (bigint ``<<``, not the float-returning
-    ``**``), the same correction branch."""
+    """DuckDB twin of :func:`hll_estimate` over any register-table
+    subquery (``regs_sql`` must yield (*by, bucket, register))."""
     m = 1 << p
     maxrank = HASH_BITS - p + 1
-    regs = hll_registers_sql(table, expr, p=p, seed=seed, by=by)
     byl = "".join(f"{c}, " for c in by)
     group = f"GROUP BY {', '.join(by)}" if by else ""
     # one pre-multiplied float literal (scientific notation → DOUBLE);
@@ -165,7 +180,7 @@ def hll_distinct_sql(table: str, expr: str, p: int = 8, seed: int = 1,
     num = f"CAST({_estimate_numerator(p)!r} AS DOUBLE)"
     s_tot = f"(s_hit + ({m} - n_hit) * (CAST(1 AS BIGINT) << {maxrank}))"
     return f"""
-WITH regs AS ({regs}),
+WITH regs AS ({regs_sql}),
 folded AS (
   SELECT {byl}CAST(count(*) AS BIGINT) AS n_hit,
          CAST(sum(CAST(1 AS BIGINT) << ({maxrank} - register)) AS BIGINT)
@@ -178,6 +193,15 @@ SELECT {byl}CAST({m} AS BIGINT) AS m,
                   ELSE {num} / {s_tot} END,
              4) AS estimate
 FROM folded"""
+
+
+def hll_distinct_sql(table: str, expr: str, p: int = 8, seed: int = 1,
+                     by: tuple[str, ...] = ()) -> str:
+    """DuckDB twin of :func:`hll_distinct` — bit-identical registers, the
+    same integer indicator sum (bigint ``<<``, not the float-returning
+    ``**``), the same correction branch."""
+    return hll_estimate_sql(
+        hll_registers_sql(table, expr, p=p, seed=seed, by=by), p=p, by=by)
 
 
 def relative_error_bound(p: int) -> float:

@@ -1617,6 +1617,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "events_cohort_retention",
     "text_zipf_head_stats",
     "text_pmi_collocations",
+    "sketch_hll_incremental",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1644,14 +1645,15 @@ _RECORD_FIRST: tuple[str, ...] = (
     "sketch_hll_distinct",
     "sketch_log2_quantiles",
     "skew_salted_agg",
-    "snapshot_apply_merge",
-    # srt_topk_global, stream_interval_join, stream_sessionize,
-    # stream_window_agg, text_bm25_topk and text_bpe_tokens dropped from
-    # the r6 window (their r4 rows stay exactly 2 rounds old) to fit the
-    # six round-6 second-batch queries (winnow_cross_containment,
-    # events_funnel, events_funnel_windowed, events_cohort_retention,
-    # text_zipf_head_stats, text_pmi_collocations); they lead r7 with
-    # the other overflow queries listed above.
+    # snapshot_apply_merge, srt_topk_global, stream_interval_join,
+    # stream_sessionize, stream_window_agg, text_bm25_topk and
+    # text_bpe_tokens dropped from the r6 window (their r4 rows stay
+    # exactly 2 rounds old) to fit the seven round-6 second-batch
+    # queries (winnow_cross_containment, events_funnel,
+    # events_funnel_windowed, events_cohort_retention,
+    # text_zipf_head_stats, text_pmi_collocations,
+    # sketch_hll_incremental); they lead r7 with the other overflow
+    # queries listed above.
 )
 
 
@@ -2426,6 +2428,49 @@ def sketch_hll_distinct(spark, sf_dir):
             .select("m", "n_zero_registers", "estimate", "exact_distinct",
                     F.round((F.col("estimate") - F.col("exact_distinct"))
                             / F.col("exact_distinct"), 4).alias("rel_err")))
+
+
+def _hll_incremental_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        hll_distinct_sql, hll_estimate_sql, hll_registers_sql)
+    ra = hll_registers_sql("(SELECT * FROM events WHERE event_id % 5 = 0)",
+                           "user_id", p=8, seed=1)
+    rb = hll_registers_sql(
+        "(SELECT * FROM events WHERE event_id % 5 <> 0)",
+        "user_id", p=8, seed=1)
+    merged = (f"SELECT bucket, max(register) AS register FROM "
+              f"(({ra}) UNION ALL ({rb})) GROUP BY bucket")
+    est = hll_estimate_sql(merged, p=8)
+    single = hll_distinct_sql("events", "user_id", p=8, seed=1)
+    return f"""
+SELECT m, n_zero_registers, estimate, single_pass_estimate,
+       estimate = single_pass_estimate AS merge_lossless
+FROM ({est})
+CROSS JOIN (SELECT estimate AS single_pass_estimate FROM ({single}))"""
+
+
+@q("sketch_hll_incremental", ("SKETCH-HLL-MERGE",),
+   oracle=_hll_incremental_oracle(),
+   note="the incremental-lake HLL rollup: delta (event_id%5=0) and "
+        "lake sketches built separately, merged by register max, and "
+        "proven BIT-IDENTICAL to the single-pass sketch of the union - "
+        "days merge without rescanning the lake; only register rows "
+        "(<=2^p per sketch) ever move")
+def sketch_hll_incremental(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        hll_distinct, hll_estimate, hll_merge, hll_registers)
+    e = _events(spark, sf_dir)
+    delta = e.filter(F.col("event_id") % 5 == 0)
+    lake = e.filter(F.col("event_id") % 5 != 0)
+    merged = hll_merge([hll_registers(delta, "user_id", p=8, seed=1),
+                        hll_registers(lake, "user_id", p=8, seed=1)])
+    single = (hll_distinct(e, "user_id", p=8, seed=1)
+              .select(F.col("estimate").alias("single_pass_estimate")))
+    return (hll_estimate(merged, p=8)
+            .crossJoin(F.broadcast(single))
+            .withColumn("merge_lossless",
+                        F.col("estimate")
+                        == F.col("single_pass_estimate")))
 
 
 def _dsir_oracle() -> str:

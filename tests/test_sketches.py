@@ -223,3 +223,40 @@ def test_grouped_log2_estimate_equals_per_group(spark):
             [50, 95])
         for r in solo.collect():
             assert got[(g, r.percentile)] == r.est
+
+
+# --- hll_merge (incremental rollup) ---------------------------------------------
+
+def test_hll_merge_bit_identical_to_single_pass(spark):
+    """Registers merged by max across arbitrary splits equal the
+    single-pass registers of the union — the mergeability contract."""
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        hll_merge, hll_registers)
+    df = spark.range(0, 3000).selectExpr("id", "id % 7 AS g")
+    parts = [df.filter(f"id % 3 = {i}") for i in range(3)]
+    merged = hll_merge([hll_registers(p, "id", p=6) for p in parts])
+    single = hll_registers(df, "id", p=6)
+    assert sorted((r.bucket, r.register) for r in merged.collect()) == \
+        sorted((r.bucket, r.register) for r in single.collect())
+
+
+def test_hll_merge_idempotent_and_grouped(spark):
+    """Re-merging the same sketch changes nothing (max idempotence —
+    replay-safe), and grouped sketches merge per group."""
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        hll_estimate, hll_merge, hll_registers)
+    df = spark.range(0, 500).selectExpr("id", "id % 2 AS g")
+    regs = hll_registers(df, "id", p=5, by=("g",))
+    twice = hll_merge([regs, regs], by=("g",))
+    assert sorted(map(tuple, regs.collect())) == \
+        sorted(map(tuple, twice.collect()))
+    est = {r.g: r.estimate for r in
+           hll_estimate(twice, p=5, by=("g",)).collect()}
+    assert set(est) == {0, 1}
+
+
+def test_hll_merge_validates_input():
+    import pytest
+    from rgd_rnaseq_workflows_spark.operators.sketches import hll_merge
+    with pytest.raises(ValueError):
+        hll_merge([])

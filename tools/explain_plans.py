@@ -191,6 +191,14 @@ SHOWCASE = {
         "(source, term) counts from one map-side-combined shuffle; "
         "top-k is two-phase (per-md5-bucket then per-source) so no "
         "reducer sorts a whole source's vocabulary.",
+    "events_cohort_retention": "cohort matrix: distinct (user, bucket) "
+        "activity and first-activity cohorts are map-side-combined "
+        "user-key shuffles; the activity x cohort join co-locates on "
+        "user; bucket-scale sizes broadcast back.",
+    "text_pmi_collocations": "collocations by exact-integer lift "
+        "(monotone PMI twin): bigram/unigram tables from map-side "
+        "combines, vocab-key joins, a one-row broadcast for N, and "
+        "TakeOrdered for the top-k — never a global sort.",
 }
 
 
