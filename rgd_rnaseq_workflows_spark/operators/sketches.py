@@ -261,6 +261,36 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
                  .cast("long").alias("cms_estimate")))
 
 
+def cms_merge(sketches: list[DataFrame],
+              by: tuple[str, ...] = ()) -> DataFrame:
+    """Merge CMS counter tables by counter ADD — the frequency analog
+    of :func:`hll_merge`: daily sketches roll up without reprocessing,
+    and the merged counters are bit-identical to a single-pass sketch
+    of the union (sum is associative/commutative — but NOT idempotent:
+    never merge the same day twice; snapshot lineage is the replay
+    guard, unlike HLL's max)."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return (merged.groupBy(*by, "row", "pos")
+            .agg(F.sum("counter").cast("long").alias("counter")))
+
+
+def log2q_merge(sketches: list[DataFrame],
+                by: tuple[str, ...] = ()) -> DataFrame:
+    """Merge log2-quantile bucket histograms by count ADD (same
+    contract as :func:`cms_merge`: exact, order-free, not idempotent)."""
+    if not sketches:
+        raise ValueError("log2q_merge needs at least one sketch")
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return (merged.groupBy(*by, "bucket")
+            .agg(F.sum("n").cast("long").alias("n")))
+
+
 def cms_sketch_sql(table: str, expr: str, depth: int = 4, width: int = 1024,
                    seed: int = 9) -> str:
     """DuckDB twin of :func:`cms_sketch` (identical cells/counters)."""

@@ -1618,6 +1618,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "text_zipf_head_stats",
     "text_pmi_collocations",
     "sketch_hll_incremental",
+    "sketch_cms_incremental",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1644,16 +1645,15 @@ _RECORD_FIRST: tuple[str, ...] = (
     "sketch_hll_by_group",
     "sketch_hll_distinct",
     "sketch_log2_quantiles",
-    "skew_salted_agg",
-    # snapshot_apply_merge, srt_topk_global, stream_interval_join,
-    # stream_sessionize, stream_window_agg, text_bm25_topk and
-    # text_bpe_tokens dropped from the r6 window (their r4 rows stay
-    # exactly 2 rounds old) to fit the seven round-6 second-batch
-    # queries (winnow_cross_containment, events_funnel,
-    # events_funnel_windowed, events_cohort_retention,
+    # skew_salted_agg, snapshot_apply_merge, srt_topk_global,
+    # stream_interval_join, stream_sessionize, stream_window_agg,
+    # text_bm25_topk and text_bpe_tokens dropped from the r6 window
+    # (their r4 rows stay exactly 2 rounds old) to fit the eight
+    # round-6 second-batch queries (winnow_cross_containment,
+    # events_funnel, events_funnel_windowed, events_cohort_retention,
     # text_zipf_head_stats, text_pmi_collocations,
-    # sketch_hll_incremental); they lead r7 with the other overflow
-    # queries listed above.
+    # sketch_hll_incremental, sketch_cms_incremental); they lead r7
+    # with the other overflow queries listed above.
 )
 
 
@@ -2656,6 +2656,66 @@ def sketch_cms_heavy_hitters(spark, sf_dir):
             .select("tok", "exact_count", "cms_estimate",
                     (F.col("cms_estimate") - F.col("exact_count"))
                     .alias("overestimate")))
+
+
+def _cms_incremental_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.sketches import cms_sketch_sql
+    ska = cms_sketch_sql("(SELECT * FROM events WHERE event_id % 5 = 0)",
+                         "event_type", depth=4, width=1024, seed=9)
+    skb = cms_sketch_sql("(SELECT * FROM events WHERE event_id % 5 <> 0)",
+                         "event_type", depth=4, width=1024, seed=9)
+    sks = cms_sketch_sql("events", "event_type", depth=4, width=1024,
+                         seed=9)
+    probes = " UNION ALL ".join(
+        f"SELECT event_type, {i} AS row, "
+        + md5_long_sql(f"'{9 + i}:' || CAST(event_type AS VARCHAR)")
+        + " % 1024 AS pos FROM keys"
+        for i in range(4))
+    return f"""
+WITH keys AS (SELECT DISTINCT event_type FROM events),
+merged AS (
+  SELECT row, pos, CAST(sum(counter) AS BIGINT) AS counter
+  FROM (({ska}) UNION ALL ({skb})) GROUP BY row, pos),
+single AS ({sks}),
+probes AS ({probes}),
+est_m AS (
+  SELECT event_type, CAST(min(coalesce(counter, 0)) AS BIGINT) AS est
+  FROM probes LEFT JOIN merged USING (row, pos) GROUP BY event_type),
+est_s AS (
+  SELECT event_type, CAST(min(coalesce(counter, 0)) AS BIGINT) AS est
+  FROM probes LEFT JOIN single USING (row, pos) GROUP BY event_type)
+SELECT event_type, m.est AS cms_estimate, s.est AS single_pass_estimate,
+       m.est = s.est AS merge_lossless
+FROM est_m m JOIN est_s s USING (event_type)"""
+
+
+@q("sketch_cms_incremental", ("SKETCH-CMS-MERGE",),
+   oracle=_cms_incremental_oracle(),
+   note="the incremental-lake CMS rollup: delta (event_id%5=0) and lake "
+        "frequency sketches built separately, merged by counter ADD, "
+        "and proven identical to the single-pass sketch of the union - "
+        "sum is exact so the merge is lossless (but not idempotent: "
+        "snapshot lineage, not re-merge, is the replay guard)")
+def sketch_cms_incremental(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        cms_estimate, cms_merge, cms_sketch)
+    e = _events(spark, sf_dir)
+    delta = e.filter(F.col("event_id") % 5 == 0)
+    lake = e.filter(F.col("event_id") % 5 != 0)
+    merged = cms_merge([
+        cms_sketch(delta, "event_type", depth=4, width=1024, seed=9),
+        cms_sketch(lake, "event_type", depth=4, width=1024, seed=9)])
+    single = cms_sketch(e, "event_type", depth=4, width=1024, seed=9)
+    keys = e.select("event_type").distinct()
+    est_m = cms_estimate(merged, keys, "event_type", depth=4,
+                         width=1024, seed=9)
+    est_s = (cms_estimate(single, keys, "event_type", depth=4,
+                          width=1024, seed=9)
+             .withColumnRenamed("cms_estimate", "single_pass_estimate"))
+    return (est_m.join(est_s, "event_type")
+            .withColumn("merge_lossless",
+                        F.col("cms_estimate")
+                        == F.col("single_pass_estimate")))
 
 
 def _snapshot_apply_oracle() -> str:

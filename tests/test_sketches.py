@@ -260,3 +260,34 @@ def test_hll_merge_validates_input():
     from rgd_rnaseq_workflows_spark.operators.sketches import hll_merge
     with pytest.raises(ValueError):
         hll_merge([])
+
+
+def test_cms_and_log2q_merge_split_invariant(spark):
+    """Counter-add merges across arbitrary splits equal the single-pass
+    sketch of the union — exactly (integer counters)."""
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        cms_merge, cms_sketch, log2_quantile_sketch, log2q_merge)
+    df = spark.range(0, 2000).selectExpr("id", "id % 13 AS k",
+                                         "CAST(id % 97 AS DOUBLE) AS v")
+    parts = [df.filter(f"id % 4 = {i}") for i in range(4)]
+
+    m_cms = cms_merge([cms_sketch(p, "k", depth=3, width=32)
+                       for p in parts])
+    s_cms = cms_sketch(df, "k", depth=3, width=32)
+    assert sorted(map(tuple, m_cms.collect())) == \
+        sorted(map(tuple, s_cms.collect()))
+
+    m_q = log2q_merge([log2_quantile_sketch(p, "v") for p in parts])
+    s_q = log2_quantile_sketch(df, "v")
+    assert sorted(map(tuple, m_q.collect())) == \
+        sorted(map(tuple, s_q.collect()))
+
+
+def test_sketch_merge_validates_input():
+    import pytest
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        cms_merge, log2q_merge)
+    with pytest.raises(ValueError):
+        cms_merge([])
+    with pytest.raises(ValueError):
+        log2q_merge([])
