@@ -238,3 +238,74 @@ ret AS (
 SELECT cohort_bucket, bucket_offset, n_active, n_cohort,
        round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
 FROM ret JOIN sizes USING (cohort_bucket)"""
+
+
+# --- session-scoped funnel ------------------------------------------------------
+
+def session_funnel_report(events: DataFrame, steps: Sequence[str],
+                          gap_minutes: int = 30,
+                          user_col: str = "user_id", ts_col: str = "ts",
+                          type_col: str = "event_type",
+                          max_gap_seconds: int | None = None) -> DataFrame:
+    """The funnel confined to ONE session: events are lag-gap
+    sessionized per user first, and the funnel unit is the
+    (user, session) pair — a step completed in a later session never
+    counts (the strictest product-analytics form; the plain
+    :func:`funnel_report` is the lifetime form). Output is the report
+    shape with ``n_sessions`` as the unit column.
+
+    Scale shape: sessionization is one (user)-key window (the
+    sessionize shuffle), the funnel then groups by the composite
+    session key — two shuffles total, both user-scale, still no joins.
+    """
+    from rgd_rnaseq_workflows_spark.streaming.events_stream import (
+        assign_sessions)
+    se = assign_sessions(
+        events.select(F.col(user_col).alias("user_id"),
+                      F.col(ts_col).alias("ts"),
+                      F.col(type_col).alias("event_type")),
+        gap_minutes)
+    skey = F.concat(F.col("user_id").cast("string"), F.lit(":"),
+                    F.col("session_id").cast("string"))
+    rep = funnel_report(se.withColumn("skey", skey), steps,
+                        user_col="skey", ts_col="ts",
+                        type_col="event_type",
+                        max_gap_seconds=max_gap_seconds)
+    return rep.withColumnRenamed("n_users", "n_sessions")
+
+
+def session_funnel_report_sql(src: str, steps: Sequence[str],
+                              gap_minutes: int = 30,
+                              user_col: str = "user_id",
+                              ts_col: str = "ts",
+                              type_col: str = "event_type",
+                              max_gap_seconds: int | None = None) -> str:
+    """DuckDB twin of :func:`session_funnel_report` (identical lag-gap
+    session ids in floor-seconds, identical funnel chain)."""
+    gap = gap_minutes * 60
+    sessionized = f"""(
+WITH marked AS (
+  SELECT {user_col} AS user_id, {ts_col} AS ts,
+         {type_col} AS event_type,
+         CASE WHEN lag({ts_col}) OVER w IS NULL
+                OR CAST(floor(epoch({ts_col})) AS BIGINT)
+                   - CAST(floor(epoch(lag({ts_col}) OVER w)) AS BIGINT)
+                   > {gap}
+              THEN 1 ELSE 0 END AS is_new
+  FROM {src}
+  WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col})),
+sess AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM marked)
+SELECT CAST(user_id AS VARCHAR) || ':' || CAST(session_id AS VARCHAR)
+         AS skey,
+       ts, event_type
+FROM sess)"""
+    inner = funnel_report_sql(sessionized, steps, user_col="skey",
+                              ts_col="ts", type_col="event_type",
+                              max_gap_seconds=max_gap_seconds)
+    return (f"SELECT step_idx, step, n_users AS n_sessions, conversion, "
+            f"sum_gap_seconds, mean_gap_seconds FROM ({inner})")

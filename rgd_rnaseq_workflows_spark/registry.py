@@ -675,6 +675,28 @@ def events_funnel_windowed(spark, sf_dir):
                          max_gap_seconds=86_400)
 
 
+def _session_funnel_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        session_funnel_report_sql)
+    return session_funnel_report_sql("events", ("view", "click",
+                                                "purchase"),
+                                     gap_minutes=30)
+
+
+@q("events_session_funnel", ("FUNNEL-SESS",),
+   oracle=_session_funnel_oracle(),
+   note="the funnel confined to ONE lag-gap session (30 min): the "
+        "funnel unit is the (user, session) pair, so a step completed "
+        "in a later session never counts - sessionize window + the "
+        "same one-shuffle funnel, two user-scale shuffles total")
+def events_session_funnel(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        session_funnel_report)
+    e = _events(spark, sf_dir)
+    return session_funnel_report(e, ("view", "click", "purchase"),
+                                 gap_minutes=30)
+
+
 def _cohort_oracle() -> str:
     from rgd_rnaseq_workflows_spark.operators.funnel import (
         cohort_retention_sql)
@@ -1614,6 +1636,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "winnow_cross_containment",
     "events_funnel",
     "events_funnel_windowed",
+    "events_session_funnel",
     "events_cohort_retention",
     "text_zipf_head_stats",
     "text_pmi_collocations",
@@ -1644,8 +1667,8 @@ _RECORD_FIRST: tuple[str, ...] = (
     "sketch_cms_heavy_hitters",
     "sketch_hll_by_group",
     "sketch_hll_distinct",
-    "sketch_log2_quantiles",
-    # skew_salted_agg, snapshot_apply_merge, srt_topk_global,
+    # sketch_log2_quantiles, skew_salted_agg, snapshot_apply_merge,
+    # srt_topk_global,
     # stream_interval_join, stream_sessionize, stream_window_agg,
     # text_bm25_topk and text_bpe_tokens dropped from the r6 window
     # (their r4 rows stay exactly 2 rounds old) to fit the eight

@@ -141,20 +141,29 @@ def stream_interval_join(spark: SparkSession, source_dir: str,
     return interval_join(side("click"), side("view"), max_lag)
 
 
+def assign_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-EVENT session assignment: the input plus a ``session_id``
+    column (lag-gap cumulative ids per user). The building block
+    :func:`sessionize` aggregates and the session-scoped funnel groups
+    by — same one (user)-key window either way."""
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return (events
+            .withColumn("_new", new_sess)
+            .withColumn("session_id",
+                        F.sum("_new").over(
+                            w.rowsBetween(W.unboundedPreceding, 0)))
+            .drop("_new"))
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch sessionization: lag-gap cumulative session ids per user
     (the classic window composition; streaming twin would use
     ``session_window``). Returns (user_id, session_id, n_events,
     session_start_epoch, session_seconds)."""
-    from pyspark.sql import Window as W
-    w = W.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
-    sess = (events
-            .withColumn("_new", new_sess)
-            .withColumn("session_id",
-                        F.sum("_new").over(
-                            w.rowsBetween(W.unboundedPreceding, 0))))
+    sess = assign_sessions(events, gap_minutes)
     return (sess.groupBy("user_id", "session_id")
             .agg(F.count("*").alias("n_events"),
                  F.min(F.col("ts").cast("long")).alias("session_start_epoch"),

@@ -165,3 +165,37 @@ def test_max_gap_conversion_window(spark, events):
     assert got[3][1] is None
     with pytest.raises(ValueError):
         funnel_user_steps(events, ("a", "b"), max_gap_seconds=0)
+
+
+# --- session-scoped funnel -------------------------------------------------------
+
+def test_session_funnel_confines_to_one_session(spark):
+    """A step completed in a LATER session never counts; within-session
+    chains do. Two sessions for user 1 (gap > 30 min): a->b completes
+    in session 1; session 2's c does not join session 1's chain."""
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        funnel_report, session_funnel_report)
+    t = _ts
+    rows = [
+        # user 1 / session 1: a -> b (10s apart)
+        (1, t("2024-01-01 10:00:00"), 1, "a"),
+        (2, t("2024-01-01 10:00:10"), 1, "b"),
+        # user 1 / session 2 (2h later): c alone
+        (3, t("2024-01-01 12:30:00"), 1, "c"),
+        # user 2: full chain inside one session
+        (4, t("2024-01-01 09:00:00"), 2, "a"),
+        (5, t("2024-01-01 09:01:00"), 2, "b"),
+        (6, t("2024-01-01 09:02:00"), 2, "c"),
+    ]
+    ev = spark.createDataFrame(rows, SCHEMA)
+    sess = {r.step: r for r in
+            session_funnel_report(ev, ("a", "b", "c"),
+                                  gap_minutes=30).collect()}
+    # lifetime funnel would credit user 1 with the session-2 c
+    life = {r.step: r for r in
+            funnel_report(ev, ("a", "b", "c")).collect()}
+    assert life["c"].n_users == 2
+    assert sess["a"].n_sessions == 2      # u1/s1 and u2/s1 start with a
+    assert sess["b"].n_sessions == 2
+    assert sess["c"].n_sessions == 1      # only user 2 converts in-session
+    assert sess["c"].conversion == 0.5

@@ -404,3 +404,45 @@ def _round6_half_up(x: float) -> float:
     from decimal import ROUND_HALF_UP, Decimal
     return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
                                            rounding=ROUND_HALF_UP))
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.integers(1, 3),          # user
+                          st.integers(0, 50),          # epoch second
+                          st.sampled_from(["a", "b", "c", "x"])),
+                min_size=1, max_size=25))
+def test_funnel_matches_pure_python(spark, events):
+    """Engine funnel == the brute-force reference on arbitrary event
+    sets (duplicate timestamps, shuffled arrival, missing steps)."""
+    from datetime import datetime, timezone
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        funnel_user_steps)
+    steps = ("a", "b", "c")
+    rows = [(i, datetime.fromtimestamp(sec, tz=timezone.utc)
+             .replace(tzinfo=None), u, t)
+            for i, (u, sec, t) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.user_id: (r.t1, r.t2, r.t3)
+           for r in funnel_user_steps(df, steps).collect()}
+
+    def ref(user):
+        evs = sorted((sec, t) for i, (u, sec, t) in enumerate(events)
+                     if u == user)
+        times, prev = [], None
+        for k, s in enumerate(steps):
+            if k == 0:
+                cand = [sec for sec, t in evs if t == s]
+            elif prev is None:
+                cand = []
+            else:
+                cand = [sec for sec, t in evs if t == s and sec > prev]
+            cur = min(cand) if cand else None
+            times.append(cur)
+            prev = cur
+        return tuple(times)
+
+    users_with_steps = {u for u, sec, t in events if t in steps}
+    assert set(got) == users_with_steps
+    for u in users_with_steps:
+        assert got[u] == ref(u), f"user {u}"
