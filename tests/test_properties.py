@@ -446,3 +446,37 @@ def test_funnel_matches_pure_python(spark, events):
     assert set(got) == users_with_steps
     for u in users_with_steps:
         assert got[u] == ref(u), f"user {u}"
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.integers(1, 4),          # user
+                          st.integers(0, 300)),        # epoch second
+                min_size=1, max_size=25))
+def test_cohort_retention_matches_pure_python(spark, events):
+    """Engine cohort matrix == brute-force reference (100s buckets)."""
+    from collections import defaultdict
+    from datetime import datetime, timezone
+    from rgd_rnaseq_workflows_spark.operators.funnel import cohort_retention
+    rows = [(i, datetime.fromtimestamp(sec, tz=timezone.utc)
+             .replace(tzinfo=None), u, "x")
+            for i, (u, sec) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(r.cohort_bucket, r.bucket_offset):
+           (r.n_active, r.n_cohort, r.retention)
+           for r in cohort_retention(df, bucket_seconds=100).collect()}
+
+    active = defaultdict(set)
+    for u, sec in events:
+        active[u].add(sec // 100)
+    first = {u: min(bs) for u, bs in active.items()}
+    sizes = defaultdict(int)
+    for u, f in first.items():
+        sizes[f] += 1
+    want = defaultdict(int)
+    for u, bs in active.items():
+        for b in bs:
+            want[(first[u], b - first[u])] += 1
+    expect = {k: (n, sizes[k[0]], round(n / sizes[k[0]], 6))
+              for k, n in want.items()}
+    assert got == expect
