@@ -199,6 +199,17 @@ SHOWCASE = {
         "(monotone PMI twin): bigram/unigram tables from map-side "
         "combines, vocab-key joins, a one-row broadcast for N, and "
         "TakeOrdered for the top-k — never a global sort.",
+    "events_session_funnel": "session-scoped funnel: one (user)-key "
+        "window assigns lag-gap sessions, then the same one-shuffle "
+        "funnel groups by the composite session key — two user-scale "
+        "shuffles, still no joins.",
+    "sketch_hll_incremental": "incremental-lake rollup: register "
+        "tables (≤2^p rows each) union + max — the ONLY shuffled "
+        "payload is sketch rows; the lossless flag compares against "
+        "the single-pass sketch.",
+    "sketch_cms_incremental": "frequency-sketch rollup: counter "
+        "tables (≤depth·width rows) union + sum; probes broadcast "
+        "against both the merged and single-pass sketches.",
 }
 
 
