@@ -1642,6 +1642,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "text_pmi_collocations",
     "sketch_hll_incremental",
     "sketch_cms_incremental",
+    "sketch_hll_set_ops",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1666,17 +1667,17 @@ _RECORD_FIRST: tuple[str, ...] = (
     "rag_chunk_documents",
     "sketch_cms_heavy_hitters",
     "sketch_hll_by_group",
-    "sketch_hll_distinct",
-    # sketch_log2_quantiles, skew_salted_agg, snapshot_apply_merge,
-    # srt_topk_global,
-    # stream_interval_join, stream_sessionize, stream_window_agg,
-    # text_bm25_topk and text_bpe_tokens dropped from the r6 window
-    # (their r4 rows stay exactly 2 rounds old) to fit the eight
-    # round-6 second-batch queries (winnow_cross_containment,
-    # events_funnel, events_funnel_windowed, events_cohort_retention,
+    # sketch_hll_distinct, sketch_log2_quantiles, skew_salted_agg,
+    # snapshot_apply_merge, srt_topk_global, stream_interval_join,
+    # stream_sessionize, stream_window_agg, text_bm25_topk and
+    # text_bpe_tokens dropped from the r6 window (their r4 rows stay
+    # exactly 2 rounds old) to fit the ten round-6 second-batch queries
+    # (winnow_cross_containment, events_funnel, events_funnel_windowed,
+    # events_session_funnel, events_cohort_retention,
     # text_zipf_head_stats, text_pmi_collocations,
-    # sketch_hll_incremental, sketch_cms_incremental); they lead r7
-    # with the other overflow queries listed above.
+    # sketch_hll_incremental, sketch_cms_incremental,
+    # sketch_hll_set_ops); they lead r7 with the other overflow
+    # queries listed above.
 )
 
 
@@ -2679,6 +2680,61 @@ def sketch_cms_heavy_hitters(spark, sf_dir):
             .select("tok", "exact_count", "cms_estimate",
                     (F.col("cms_estimate") - F.col("exact_count"))
                     .alias("overestimate")))
+
+
+def _hll_set_ops_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        hll_estimate_sql, hll_registers_sql)
+    ra = hll_registers_sql("(SELECT * FROM events WHERE event_id % 2 = 0)",
+                           "user_id", p=8, seed=1)
+    rb = hll_registers_sql("(SELECT * FROM events WHERE event_id % 2 <> 0)",
+                           "user_id", p=8, seed=1)
+    merged = (f"SELECT bucket, max(register) AS register FROM "
+              f"(({ra}) UNION ALL ({rb})) GROUP BY bucket")
+    ea = hll_estimate_sql(ra, p=8)
+    eb = hll_estimate_sql(rb, p=8)
+    eu = hll_estimate_sql(merged, p=8)
+    return f"""
+WITH exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+    SELECT user_id FROM events WHERE event_id % 2 = 0
+    INTERSECT
+    SELECT user_id FROM events WHERE event_id % 2 <> 0))
+SELECT a.estimate AS est_a, b.estimate AS est_b, u.estimate AS est_union,
+       round(a.estimate + b.estimate - u.estimate, 4)
+         AS est_intersection,
+       exact_intersection
+FROM ({ea}) a CROSS JOIN ({eb}) b CROSS JOIN ({eu}) u CROSS JOIN exact"""
+
+
+@q("sketch_hll_set_ops", ("SKETCH-HLL-SETOPS",),
+   oracle=_hll_set_ops_oracle(),
+   note="HLL set algebra: |A|, |B|, |A union B| (register-max merge) "
+        "and |A intersect B| by inclusion-exclusion, cross-checked "
+        "against the exact intersection - the sketch-only way to "
+        "estimate audience overlap across partitions without moving "
+        "either side's raw keys")
+def sketch_hll_set_ops(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sketches import (
+        hll_estimate, hll_merge, hll_registers)
+    e = _events(spark, sf_dir)
+    a = e.filter(F.col("event_id") % 2 == 0)
+    b = e.filter(F.col("event_id") % 2 != 0)
+    ra = hll_registers(a, "user_id", p=8, seed=1)
+    rb = hll_registers(b, "user_id", p=8, seed=1)
+    ea = hll_estimate(ra, p=8).select(F.col("estimate").alias("est_a"))
+    eb = hll_estimate(rb, p=8).select(F.col("estimate").alias("est_b"))
+    eu = (hll_estimate(hll_merge([ra, rb]), p=8)
+          .select(F.col("estimate").alias("est_union")))
+    exact = (a.select("user_id").intersect(b.select("user_id"))
+             .agg(F.count("*").cast("long").alias("exact_intersection")))
+    return (ea.crossJoin(F.broadcast(eb)).crossJoin(F.broadcast(eu))
+            .crossJoin(F.broadcast(exact))
+            .select("est_a", "est_b", "est_union",
+                    F.round(F.col("est_a") + F.col("est_b")
+                            - F.col("est_union"), 4)
+                    .alias("est_intersection"),
+                    "exact_intersection"))
 
 
 def _cms_incremental_oracle() -> str:

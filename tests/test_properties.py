@@ -480,3 +480,56 @@ def test_cohort_retention_matches_pure_python(spark, events):
     expect = {k: (n, sizes[k[0]], round(n / sizes[k[0]], 6))
               for k, n in want.items()}
     assert got == expect
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.integers(1, 3),          # user
+                          st.integers(0, 500),         # epoch second
+                          st.sampled_from(["a", "b", "x"])),
+                min_size=1, max_size=20))
+def test_session_funnel_matches_pure_python(spark, events):
+    """Session-scoped funnel == brute-force reference: lag-gap (120s)
+    sessions computed per user, funnel chain confined to each."""
+    from collections import defaultdict
+    from datetime import datetime, timezone
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        session_funnel_report)
+    steps, gap_s = ("a", "b"), 120
+    rows = [(i, datetime.fromtimestamp(sec, tz=timezone.utc)
+             .replace(tzinfo=None), u, t)
+            for i, (u, sec, t) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.step: (r.n_sessions, r.sum_gap_seconds) for r in
+           session_funnel_report(df, steps,
+                                 gap_minutes=gap_s // 60).collect()}
+
+    # reference: per user, sort events, split sessions on gap > gap_s,
+    # then per session run the 2-step chain
+    by_user = defaultdict(list)
+    for u, sec, t in events:
+        by_user[u].append((sec, t))
+    n1 = n2 = 0
+    g2 = 0
+    for u, evs in by_user.items():
+        evs.sort()
+        sessions, cur, prev = [], [], None
+        for sec, t in evs:
+            if prev is not None and sec - prev > gap_s:
+                sessions.append(cur)
+                cur = []
+            cur.append((sec, t))
+            prev = sec
+        sessions.append(cur)
+        for sess in sessions:
+            a_times = sorted(s2 for s2, t in sess if t == "a")
+            if not a_times:
+                continue
+            t1 = a_times[0]
+            n1 += 1
+            b_after = sorted(s2 for s2, t in sess if t == "b" and s2 > t1)
+            if b_after:
+                n2 += 1
+                g2 += b_after[0] - t1
+    want = {"a": (n1, None), "b": (n2, g2 if n2 else None)}
+    assert got == want
