@@ -616,3 +616,110 @@ SELECT w1, w2, n_pair, a.n_w AS n_w1, b.n_w AS n_w2,
              / (CAST(a.n_w AS DOUBLE) * b.n_w), 6) AS lift
 FROM bg JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot
 ORDER BY lift DESC, w1, w2 LIMIT {top_k}"""
+
+
+# --- robust outlier gate (exact median/MAD over a bounded-domain histogram) --
+
+def length_outlier_report(docs: DataFrame, by: str = "source",
+                          value_col: str = "n_chars",
+                          k: int = 3) -> DataFrame:
+    """Robust per-group outlier statistics on an integer measure:
+    exact MEDIAN and MAD (median absolute deviation), plus the count
+    and fraction of docs with ``|x − median| > k·MAD`` — the classic
+    robust-z gate (a mean/stddev gate is dragged by the very outliers
+    it should catch; median/MAD is 50%-breakdown robust).
+
+    Exactness AND scale at once — the bounded-domain trick: an exact
+    corpus-wide median normally buffers every value
+    (``agg_percentiles``' documented caveat), but an integer measure
+    with a bounded domain (chars, tokens, lines) collapses to a
+    (group, value) HISTOGRAM first — corpus-scale rows fold map-side
+    into domain-scale counts, and the median is a running-sum walk over
+    that tiny histogram. Both medians here (value, then deviation) are
+    lower medians (smallest v whose cumulative count reaches
+    ceil(n/2)) in pure integer arithmetic.
+
+    Plan shape: two map-side-combined histogram aggregations + two
+    histogram-scale windows (partitions are |domain| rows, never
+    corpus rows) + broadcast joins of group-scale stats; the only
+    corpus-scale passes are the two histogram builds.
+    """
+    from pyspark.sql import Window
+    v = F.col(value_col).cast("long")
+    hist = (docs.select(F.col(by).alias("g"), v.alias("v"))
+            .groupBy("g", "v").agg(F.count("*").alias("c")))
+
+    def lower_median(h: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy("g").orderBy("v")
+        tot = h.groupBy("g").agg(F.sum("c").alias("_n"))
+        cum = (h.join(F.broadcast(tot), "g")
+               .withColumn("_cum", F.sum("c").over(w)))
+        # lower-median position: ceil(n/2) (n=4 → 2nd value, n=5 → 3rd)
+        return (cum.filter(F.col("_cum") >= F.ceil(F.col("_n") / 2.0))
+                .groupBy("g").agg(F.min("v").cast("long").alias(out)))
+
+    med = lower_median(hist, "median_v")
+    dev_hist = (hist.join(F.broadcast(med), "g")
+                .select("g", F.abs(F.col("v") - F.col("median_v"))
+                        .alias("v"), "c")
+                .groupBy("g", "v").agg(F.sum("c").alias("c")))
+    mad = lower_median(dev_hist, "mad_v")
+    stats = (hist.join(F.broadcast(med), "g")
+             .join(F.broadcast(mad), "g")
+             .groupBy("g", "median_v", "mad_v")
+             .agg(F.sum("c").cast("long").alias("n_docs"),
+                  F.sum(F.when(F.abs(F.col("v") - F.col("median_v"))
+                               > k * F.col("mad_v"), F.col("c"))
+                        .otherwise(F.lit(0)))
+                  .cast("long").alias("n_outliers")))
+    return stats.select(
+        F.col("g").alias(by),
+        "n_docs",
+        F.col("median_v").alias(f"median_{value_col}"),
+        F.col("mad_v").alias(f"mad_{value_col}"),
+        "n_outliers",
+        F.round(F.col("n_outliers") / F.col("n_docs").cast("double"), 6)
+        .alias("outlier_frac"))
+
+
+def length_outlier_report_sql(table: str = "documents",
+                              by: str = "source",
+                              value_col: str = "n_chars",
+                              k: int = 3) -> str:
+    """DuckDB twin of :func:`length_outlier_report` (identical lower
+    medians via the same histogram running-sum walk)."""
+    return f"""
+WITH hist AS (
+  SELECT {by} AS g, CAST({value_col} AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY {by}, {value_col}),
+tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY g),
+med AS (
+  SELECT g, CAST(min(v) AS BIGINT) AS median_v FROM (
+    SELECT h.g, v, sum(c) OVER (PARTITION BY h.g ORDER BY v) AS cum,
+           t.n
+    FROM hist h JOIN tot t USING (g))
+  WHERE cum >= CAST(ceil(n / 2.0) AS BIGINT)
+  GROUP BY g),
+dev AS (
+  SELECT h.g, abs(v - median_v) AS v, CAST(sum(c) AS BIGINT) AS c
+  FROM hist h JOIN med USING (g) GROUP BY h.g, abs(v - median_v)),
+dtot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM dev GROUP BY g),
+mad AS (
+  SELECT g, CAST(min(v) AS BIGINT) AS mad_v FROM (
+    SELECT d.g, v, sum(c) OVER (PARTITION BY d.g ORDER BY v) AS cum,
+           t.n
+    FROM dev d JOIN dtot t USING (g))
+  WHERE cum >= CAST(ceil(n / 2.0) AS BIGINT)
+  GROUP BY g)
+SELECT h.g AS {by},
+       CAST(sum(c) AS BIGINT) AS n_docs,
+       median_v AS median_{value_col},
+       mad_v AS mad_{value_col},
+       CAST(sum(CASE WHEN abs(v - median_v) > {k} * mad_v THEN c
+                     ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(CAST(sum(CASE WHEN abs(v - median_v) > {k} * mad_v THEN c
+                           ELSE 0 END) AS DOUBLE) / sum(c), 6)
+         AS outlier_frac
+FROM hist h JOIN med USING (g) JOIN mad USING (g)
+GROUP BY h.g, median_v, mad_v"""

@@ -1558,6 +1558,28 @@ def quality_bigram_lm(spark, sf_dir):
     return bigram_lm_report(_t(spark, sf_dir, "documents"))
 
 
+def _length_outlier_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        length_outlier_report_sql)
+    return length_outlier_report_sql("documents", by="source",
+                                     value_col="n_chars", k=3)
+
+
+@q("quality_length_outliers", ("ROBUST-MAD",),
+   oracle=_length_outlier_oracle(),
+   note="robust per-source outlier gate: EXACT integer median + MAD "
+        "via the bounded-domain histogram trick (corpus rows fold "
+        "map-side into (source, n_chars) counts; the median is a "
+        "running-sum walk over the domain-scale histogram - the "
+        "scale-honest exact-percentile path, unlike the buffering "
+        "agg_percentiles), |x-med| > 3*MAD counted in pure integers")
+def quality_length_outliers(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        length_outlier_report)
+    return length_outlier_report(_t(spark, sf_dir, "documents"),
+                                 by="source", value_col="n_chars", k=3)
+
+
 def _pmi_oracle() -> str:
     from rgd_rnaseq_workflows_spark.operators.quality import (
         pmi_collocations_sql)
@@ -1643,6 +1665,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "sketch_hll_incremental",
     "sketch_cms_incremental",
     "sketch_hll_set_ops",
+    "quality_length_outliers",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1666,8 +1689,8 @@ _RECORD_FIRST: tuple[str, ...] = (
     "quality_lm_buckets",
     "rag_chunk_documents",
     "sketch_cms_heavy_hitters",
-    "sketch_hll_by_group",
-    # sketch_hll_distinct, sketch_log2_quantiles, skew_salted_agg,
+    # sketch_hll_by_group, sketch_hll_distinct, sketch_log2_quantiles,
+    # skew_salted_agg,
     # snapshot_apply_merge, srt_topk_global, stream_interval_join,
     # stream_sessionize, stream_window_agg, text_bm25_topk and
     # text_bpe_tokens dropped from the r6 window (their r4 rows stay

@@ -247,3 +247,50 @@ class TestPMICollocations:
         pairs = {(r.w1, r.w2) for r in out}
         assert ("rare", "pairx") not in pairs
         assert ("common", "duo") in pairs
+
+
+# --- length_outlier_report (exact median/MAD) ----------------------------------
+
+class TestLengthOutliers:
+    def test_exact_median_mad_and_gate(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.quality import (
+            length_outlier_report)
+        # source A: values 10,10,12,14,100 -> median 12, deviations
+        # {2,2,0,2,88} -> MAD 2; outliers: |x-12| > 6 -> only 100
+        rows = ([(i, "t", "en", "A", v) for i, v in
+                 enumerate([10, 10, 12, 14, 100])]
+                + [(10 + i, "t", "en", "B", v) for i, v in
+                   enumerate([5, 7])])   # even n: lower median = 5
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+                  " n_chars long")
+        got = {r.source: r for r in
+               length_outlier_report(docs, by="source",
+                                     value_col="n_chars", k=3).collect()}
+        a = got["A"]
+        assert (a.n_docs, a.median_n_chars, a.mad_n_chars) == (5, 12, 2)
+        assert a.n_outliers == 1 and a.outlier_frac == 0.2
+        b = got["B"]
+        # n=2: lower median 5; deviations {0,2} -> lower MAD 0; with
+        # MAD 0 every deviation > 0 flags (degenerate-source signal)
+        assert (b.median_n_chars, b.mad_n_chars) == (5, 0)
+        assert b.n_outliers == 1
+
+    def test_matches_numpy_reference(self, spark):
+        import random
+        from rgd_rnaseq_workflows_spark.operators.quality import (
+            length_outlier_report)
+        rng = random.Random(7)
+        vals = [rng.randint(0, 50) for _ in range(101)]
+        docs = spark.createDataFrame(
+            [(i, "t", "en", "S", v) for i, v in enumerate(vals)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long")
+        [r] = length_outlier_report(docs, by="source").collect()
+        sv = sorted(vals)
+        med = sv[(len(sv) + 1) // 2 - 1]     # lower median, odd n
+        dev = sorted(abs(v - med) for v in vals)
+        mad = dev[(len(dev) + 1) // 2 - 1]
+        n_out = sum(1 for v in vals if abs(v - med) > 3 * mad)
+        assert (r.median_n_chars, r.mad_n_chars, r.n_outliers) == \
+            (med, mad, n_out)
