@@ -140,6 +140,120 @@ def cross_containment_pairs(new_fps: DataFrame, old_fps: DataFrame,
             .select("id_new", "id_old", "n_shared", "containment"))
 
 
+def containment_keepers(fps: DataFrame, id_col: str = "doc_id",
+                        min_shared: int = 2,
+                        threshold: float = 0.5) -> DataFrame:
+    """Within-corpus containment DROP POLICY ("keep the larger doc"):
+    a document is dropped when ≥ ``threshold`` of its selected
+    fingerprints also appear in a DOMINATING document — one with more
+    distinct fingerprints, ties broken toward the smaller id. Returns
+    one row per fingerprinted document: (id, n_fp, kept, contained_in,
+    containment) with ``contained_in``/``containment`` NULL for
+    keepers; for dropped docs they name the dominating container with
+    the most shared fingerprints (ties toward the smaller container
+    id — deterministic, engine-independent).
+
+    Dominance is a STRICT TOTAL ORDER (n_fp desc, id asc), so the
+    policy is acyclic and the maximal element of any containment chain
+    always survives. It is deliberately GREEDY-STATIC, not iterative
+    "contained in a surviving doc": if b is dropped by c and a is
+    contained in b, a is dropped too even though its best container
+    was itself dropped — the standard collapse of a containment
+    cluster onto its maximum, and conservative (never keeps a
+    contained duplicate). Documents with no selected fingerprints
+    (shorter than w+k−1 tokens) carry no evidence and are absent from
+    the report.
+
+    Scale shape: inputs are the winnowing selection set (~2/(w+1) of
+    corpus k-grams, each row (id, long)); the fp equi-join is the only
+    corpus-scale shuffle (never all-pairs), pair scoring and the
+    best-container pick ride pair-scale aggregations, and the final
+    report is one broadcast-scale left join per doc row.
+    """
+    da = fps.select(F.col(id_col).alias("_id"), "fp").distinct()
+    sizes = da.groupBy("_id").agg(F.count("*").cast("long").alias("n_fp"))
+    und = (da.alias("a")
+           .join(da.alias("b"), "fp")
+           .filter(F.col("a._id") < F.col("b._id"))
+           .groupBy(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"))
+           .agg(F.count("*").cast("long").alias("n_shared"))
+           .filter(F.col("n_shared") >= min_shared))
+    # both directions: (dropped-candidate d, container e)
+    directed = und.select(F.col("id_a").alias("id_d"),
+                          F.col("id_b").alias("id_e"), "n_shared").union(
+        und.select(F.col("id_b").alias("id_d"),
+                   F.col("id_a").alias("id_e"), "n_shared"))
+    sd = sizes.select(F.col("_id").alias("id_d"),
+                      F.col("n_fp").alias("n_d"))
+    se = sizes.select(F.col("_id").alias("id_e"),
+                      F.col("n_fp").alias("n_e"))
+    cand = (directed.join(sd, "id_d").join(se, "id_e")
+            .filter((F.col("n_e") > F.col("n_d"))
+                    | ((F.col("n_e") == F.col("n_d"))
+                       & (F.col("id_e") < F.col("id_d"))))
+            .filter(F.col("n_shared")
+                    >= F.lit(float(threshold)) * F.col("n_d")))
+    # best container per dropped doc: most shared fps (== max
+    # containment, n_d fixed per doc), ties toward the smaller id —
+    # integer ordering, so both engines pick identically
+    w_best = Window.partitionBy("id_d").orderBy(
+        F.col("n_shared").desc(), F.col("id_e").asc())
+    drops = (cand.withColumn("_rn", F.row_number().over(w_best))
+             .filter(F.col("_rn") == 1)
+             .select("id_d", F.col("id_e").alias("contained_in"),
+                     F.round(F.col("n_shared")
+                             / F.col("n_d").cast("double"), 4)
+                     .alias("containment")))
+    return (sizes.join(drops, sizes["_id"] == drops["id_d"], "left")
+            .select(F.col("_id").alias(id_col), "n_fp",
+                    F.col("contained_in").isNull().alias("kept"),
+                    "contained_in", "containment"))
+
+
+def containment_keepers_sql(table: str, k: int = 3, w: int = 4,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            min_shared: int = 2,
+                            threshold: float = 0.5) -> str:
+    """DuckDB twin of fingerprints → :func:`containment_keepers`
+    (identical selection set, dominance order, greedy-static policy
+    and integer tie-breaks)."""
+    sel = _winnow_sel_sql(table, "c", k, w, id_col, text_col)
+    return f"""
+WITH {sel},
+da AS (SELECT DISTINCT _id, fp FROM csel),
+sizes AS (SELECT _id, CAST(count(*) AS BIGINT) AS n_fp
+          FROM da GROUP BY _id),
+und AS (
+  SELECT a._id AS id_a, b._id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM da a JOIN da b ON a.fp = b.fp AND a._id < b._id
+  GROUP BY a._id, b._id
+  HAVING count(*) >= {min_shared}),
+directed AS (
+  SELECT id_a AS id_d, id_b AS id_e, n_shared FROM und
+  UNION ALL
+  SELECT id_b AS id_d, id_a AS id_e, n_shared FROM und),
+cand AS (
+  SELECT d.id_d, d.id_e, d.n_shared, sd.n_fp AS n_d
+  FROM directed d
+  JOIN sizes sd ON sd._id = d.id_d
+  JOIN sizes se ON se._id = d.id_e
+  WHERE (se.n_fp > sd.n_fp OR (se.n_fp = sd.n_fp AND d.id_e < d.id_d))
+    AND d.n_shared >= {float(threshold)} * sd.n_fp),
+drops AS (
+  SELECT id_d, id_e AS contained_in,
+         round(CAST(n_shared AS DOUBLE) / n_d, 4) AS containment
+  FROM (SELECT *, row_number() OVER (
+            PARTITION BY id_d ORDER BY n_shared DESC, id_e ASC) AS rn
+        FROM cand)
+  WHERE rn = 1)
+SELECT s._id AS {id_col}, s.n_fp,
+       d.contained_in IS NULL AS kept, d.contained_in, d.containment
+FROM sizes s LEFT JOIN drops d ON d.id_d = s._id"""
+
+
 def _winnow_sel_sql(rel: str, prefix: str, k: int, w: int,
                     id_col: str, text_col: str) -> str:
     """CTE chain (names prefixed) ending in ``{prefix}sel(_id, fp)`` —

@@ -1666,6 +1666,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "sketch_cms_incremental",
     "sketch_hll_set_ops",
     "quality_length_outliers",
+    "winnow_containment_keepers",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1688,9 +1689,8 @@ _RECORD_FIRST: tuple[str, ...] = (
     "graph_pagerank_neardup",
     "quality_lm_buckets",
     "rag_chunk_documents",
-    "sketch_cms_heavy_hitters",
-    # sketch_hll_by_group, sketch_hll_distinct, sketch_log2_quantiles,
-    # skew_salted_agg,
+    # sketch_cms_heavy_hitters, sketch_hll_by_group, sketch_hll_distinct,
+    # sketch_log2_quantiles, skew_salted_agg,
     # snapshot_apply_merge, srt_topk_global, stream_interval_join,
     # stream_sessionize, stream_window_agg, text_bm25_topk and
     # text_bpe_tokens dropped from the r6 window (their r4 rows stay
@@ -3113,6 +3113,30 @@ def winnow_cross_containment(spark, sf_dir):
                                   k=3, w=4)
     return cross_containment_pairs(new_fps, old_fps, min_shared=2,
                                    min_containment=0.2)
+
+
+def _containment_keepers_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.winnowing import (
+        containment_keepers_sql)
+    return containment_keepers_sql("documents", k=3, w=4, min_shared=2,
+                                   threshold=0.5)
+
+
+@q("winnow_containment_keepers", ("WINNOW-KEEP",),
+   oracle=_containment_keepers_oracle(),
+   note="within-corpus containment DROP POLICY (keep the larger doc): "
+        "a doc is dropped when >=50% of its winnowing fingerprints "
+        "appear in a dominating doc (more fps, ties to smaller id) - "
+        "dominance is a strict total order so the policy is acyclic "
+        "and the chain maximum always survives; greedy-static collapse "
+        "documented in-module; fp equi-join is the only corpus-scale "
+        "shuffle, best-container pick is an integer-ordered window")
+def winnow_containment_keepers(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.winnowing import (
+        containment_keepers, winnow_fingerprints)
+    d = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, k=3, w=4)
+    return containment_keepers(fps, min_shared=2, threshold=0.5)
 
 
 # =============================================================================

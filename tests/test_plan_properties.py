@@ -216,3 +216,14 @@ def test_containment_no_cartesian_and_doc_window(spark):
     plan = _plan(spark, "winnow_cross_containment")
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_containment_keepers_jvm_only_no_cartesian(spark):
+    """The drop policy is fp equi-join + integer-ordered windows — no
+    cartesian, no Python eval; the best-container pick is a window,
+    and the final doc report joins at doc scale."""
+    plan = _plan(spark, "winnow_containment_keepers")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Window" in plan

@@ -165,3 +165,92 @@ def test_containment_thresholds_filter(spark, lake_and_new):
     assert {(r.id_new, r.id_old) for r in hi} <= \
         {(r.id_new, r.id_old) for r in all_rows}
     assert all(r.containment >= 0.5 for r in hi)
+
+
+# --- containment_keepers (within-corpus drop policy) -------------------------
+
+class TestContainmentKeepers:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        big = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+               "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+        # doc 1 is a verbatim block of doc 0; doc 2 unrelated; doc 3
+        # shares a token-level sprinkle with 0 but no long run
+        rows = [
+            (0, big),
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "totally different words that never appear in the big one "
+                "padded out to comparable length for fingerprint volume"),
+            (3, "alpha solo beta solo gamma solo delta solo epsilon solo"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_contained_doc_dropped_container_kept(self, spark, corpus):
+        from rgd_rnaseq_workflows_spark.operators.winnowing import (
+            containment_keepers, winnow_fingerprints)
+        fps = winnow_fingerprints(corpus, k=3, w=4)
+        rep = {r.doc_id: r for r in
+               containment_keepers(fps, min_shared=2,
+                                   threshold=0.5).collect()}
+        assert rep[0].kept and rep[0].contained_in is None
+        assert not rep[1].kept and rep[1].contained_in == 0
+        assert rep[1].containment >= 0.5
+        assert rep[2].kept
+        # sprinkle overlap without a >= w+k-1 run stays under threshold
+        assert rep[3].kept
+
+    def test_identical_docs_tie_break_smaller_id(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.winnowing import (
+            containment_keepers, winnow_fingerprints)
+        txt = ("one two three four five six seven eight nine ten eleven "
+               "twelve thirteen fourteen fifteen sixteen")
+        docs = spark.createDataFrame(
+            [(7, txt), (3, txt)], "doc_id long, text string")
+        fps = winnow_fingerprints(docs, k=3, w=4)
+        rep = {r.doc_id: r for r in
+               containment_keepers(fps, min_shared=1,
+                                   threshold=0.9).collect()}
+        assert rep[3].kept
+        assert not rep[7].kept and rep[7].contained_in == 3
+        assert rep[7].containment == 1.0
+
+    def test_chain_collapses_to_maximum(self, spark):
+        """a ⊂ b ⊂ c: greedy-static policy keeps only c (the chain's
+        maximum); a and b are both dropped."""
+        from rgd_rnaseq_workflows_spark.operators.winnowing import (
+            containment_keepers, winnow_fingerprints)
+        a = "alpha beta gamma delta epsilon zeta eta theta"
+        b = a + " iota kappa lambda mu nu xi"
+        c = b + " omicron pi rho sigma tau upsilon phi chi psi omega"
+        docs = spark.createDataFrame(
+            [(10, a), (11, b), (12, c)], "doc_id long, text string")
+        fps = winnow_fingerprints(docs, k=3, w=4)
+        rep = {r.doc_id: r for r in
+               containment_keepers(fps, min_shared=2,
+                                   threshold=0.6).collect()}
+        assert rep[12].kept
+        assert not rep[10].kept and not rep[11].kept
+        # dominance never lets the chain's maximum drop
+        assert rep[12].contained_in is None
+
+    def test_matches_sql_twin(self, spark, corpus, tmp_path):
+        import duckdb
+        from rgd_rnaseq_workflows_spark.operators.winnowing import (
+            containment_keepers, containment_keepers_sql,
+            winnow_fingerprints)
+        pdf = corpus.toPandas()
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        got_sql = con.execute(containment_keepers_sql(
+            "documents", k=3, w=4, min_shared=2, threshold=0.5)).df()
+        fps = winnow_fingerprints(corpus, k=3, w=4)
+        got = containment_keepers(fps, min_shared=2,
+                                  threshold=0.5).toPandas()
+        key = lambda df: sorted(  # noqa: E731
+            (int(r.doc_id), int(r.n_fp), bool(r.kept),
+             None if r.contained_in is None or r.contained_in != r.contained_in
+             else int(r.contained_in),
+             None if r.containment is None or r.containment != r.containment
+             else round(float(r.containment), 4))
+            for r in df.itertuples(index=False))
+        assert key(got) == key(got_sql)
