@@ -163,3 +163,98 @@ ranked AS (
 SELECT comp, CAST(nm AS BIGINT) AS n_members, id AS keeper_id,
        rank AS keeper_rank
 FROM ranked WHERE rk = 1"""
+
+
+def triangle_stats(pairs: DataFrame, src: str = "id_a",
+                   dst: str = "id_b") -> DataFrame:
+    """Global triangle census of an undirected pair graph — the cluster
+    DENSITY diagnostic for a near-dup graph (a high transitivity means
+    duplicate clusters are tight cliques that collapse safely; a low
+    one means chains of borderline matches that a single threshold
+    would over-merge): one row
+    (n_nodes, n_edges, n_wedges, n_triangles, transitivity) with
+    ``transitivity = 3·triangles / wedges`` (the global clustering
+    coefficient), NULL on a wedge-free graph.
+
+    Scale shape — the degree-ordered NODE-ITERATOR (compact-forward):
+    every edge is oriented from its lower (deg, id) endpoint to the
+    higher, which turns the graph into a DAG whose out-degrees are
+    O(√E) amortized, so the wedge self-join (out-neighbor pairs per
+    source) never explodes on hubs — the textbook fix for the naive
+    edge-iterator that squares a celebrity node's degree. Wedge
+    closure is one more equi-join against the oriented edge list; the
+    ordering key is a (deg, id) STRUCT comparison (no packed-integer
+    overflow at any degree). Counts are exact integers; the wedge
+    total is Σ deg·(deg−1)/2, computed long-exact.
+    """
+    e = (pairs.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    deg = (_sym_edges(e, "a", "b")
+           .groupBy("u").agg(F.count("*").cast("long").alias("deg")))
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("degb"))
+    ka = F.struct(F.col("dega").alias("d"), F.col("a").alias("i"))
+    kb = F.struct(F.col("degb").alias("d"), F.col("b").alias("i"))
+    o = (e.join(da, "a").join(db, "b")
+         .select(F.when(ka < kb, F.col("a")).otherwise(F.col("b"))
+                 .alias("u"),
+                 F.when(ka < kb, F.col("b")).otherwise(F.col("a"))
+                 .alias("v"),
+                 F.when(ka < kb, kb).otherwise(ka).alias("kv")))
+    w1 = o.select("u", F.col("v").alias("x"), F.col("kv").alias("kx"))
+    w2 = o.select("u", F.col("v").alias("y"), F.col("kv").alias("ky"))
+    wedges = (w1.join(w2, "u")
+              .filter(F.col("kx") < F.col("ky"))
+              .select("x", "y"))
+    closed = wedges.join(o.select(F.col("u").alias("x"),
+                                  F.col("v").alias("y")), ["x", "y"])
+    tri = closed.agg(F.count("*").cast("long").alias("n_triangles"))
+    stats = (deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.expr("sum(deg) div 2").cast("long").alias("n_edges"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long")
+        .alias("n_wedges")))
+    return (stats.crossJoin(tri)   # two 1-row frames
+            .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
+                    F.when(F.col("n_wedges") > 0,
+                           F.round(3 * F.col("n_triangles")
+                                   / F.col("n_wedges").cast("double"), 6))
+                    .alias("transitivity")))
+
+
+def triangle_stats_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_stats` — identical orientation
+    (row-value (deg, id) comparison), wedge closure and exact counts.
+    ``pairs_sql`` must yield columns (id_a, id_b)."""
+    return f"""
+WITH tpairs AS MATERIALIZED ({pairs_sql}),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM tpairs WHERE id_a <> id_b),
+deg AS MATERIALIZED (
+  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS u FROM e UNION ALL SELECT b FROM e) GROUP BY u),
+o AS MATERIALIZED (
+  SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END
+           AS u,
+         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END
+           AS v,
+         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg
+              ELSE da.deg END AS dv
+  FROM e JOIN deg da ON da.u = e.a JOIN deg db ON db.u = e.b),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM o w1 JOIN o w2 ON w1.u = w2.u
+                     AND (w1.dv, w1.v) < (w2.dv, w2.v)
+  JOIN o c ON c.u = w1.v AND c.v = w2.v),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN round(3.0 * n_triangles / n_wedges, 6) END
+         AS transitivity
+FROM stats, tri"""

@@ -1667,6 +1667,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "sketch_hll_set_ops",
     "quality_length_outliers",
     "winnow_containment_keepers",
+    "graph_triangle_census",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1688,7 +1689,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "embedding_random_projection",
     "graph_pagerank_neardup",
     "quality_lm_buckets",
-    "rag_chunk_documents",
+    # rag_chunk_documents,
     # sketch_cms_heavy_hitters, sketch_hll_by_group, sketch_hll_distinct,
     # sketch_log2_quantiles, skew_salted_agg,
     # snapshot_apply_merge, srt_topk_global, stream_interval_join,
@@ -2891,6 +2892,33 @@ def graph_pagerank_neardup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = DD.simhash_near_pairs(d, bits=48, max_hamming=3, shingle_n=2)
     return pagerank(pairs, iters=3, damping_pct=85)
+
+
+def _triangle_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.graph import triangle_stats_sql
+    pairs = _simhash_fps_ctes(bits=48, seed=101, shingle_n=2) + """
+SELECT id_a, id_b FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM fps a JOIN fps b ON a.doc_id < b.doc_id)
+WHERE hamming <= 3"""
+    return triangle_stats_sql(pairs)
+
+
+@q("graph_triangle_census", ("GRAPH-TRIANGLE",), oracle=_triangle_oracle(),
+   note="triangle census + global clustering coefficient over the "
+        "SimHash near-dup graph - the cluster DENSITY diagnostic "
+        "(tight cliques collapse safely; low transitivity = chains of "
+        "borderline matches a single threshold would over-merge); "
+        "degree-ordered node-iterator orientation bounds out-degrees "
+        "at O(sqrt(E)) so the wedge join never squares a hub, (deg,id) "
+        "STRUCT ordering avoids packed-key overflow, all counts exact "
+        "integers")
+def graph_triangle_census(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.graph import triangle_stats
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.simhash_near_pairs(d, bits=48, max_hamming=3, shingle_n=2)
+    return triangle_stats(pairs)
 
 
 def _log2q_oracle() -> str:

@@ -79,3 +79,79 @@ def test_centrality_keepers_picks_hub(spark):
     assert pair_comp.n_members == 2
     # symmetric 2-cycle: equal ranks -> min-id tiebreak
     assert pair_comp.keeper_id == 20
+
+
+# --- triangle_stats (degree-ordered node-iterator census) --------------------
+
+class TestTriangleStats:
+    def _brute(self, edges):
+        from itertools import combinations
+        nodes = sorted({x for e in edges for x in e})
+        adj = {n: set() for n in nodes}
+        for a, b in edges:
+            adj[a].add(b); adj[b].add(a)
+        wedges = sum(len(adj[n]) * (len(adj[n]) - 1) // 2 for n in nodes)
+        tris = sum(1 for a, b, c in combinations(nodes, 3)
+                   if b in adj[a] and c in adj[a] and c in adj[b])
+        return len(nodes), len(edges), wedges, tris
+
+    def _run(self, spark, edges):
+        from rgd_rnaseq_workflows_spark.operators.graph import triangle_stats
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long")
+        return triangle_stats(pairs).collect()[0]
+
+    def test_triangle_plus_tail(self, spark):
+        # K3 on {1,2,3} plus a tail 3-4: 1 triangle, wedges 3+2=5... rely
+        # on the brute-force reference for the exact numbers
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        r = self._run(spark, edges)
+        n, m, w, t = self._brute(edges)
+        assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == \
+            (n, m, w, t)
+        assert r.transitivity == round(3 * t / w, 6)
+
+    def test_wedge_free_graph_null_transitivity(self, spark):
+        r = self._run(spark, [(1, 2), (3, 4)])
+        assert (r.n_triangles, r.n_wedges) == (0, 0)
+        assert r.transitivity is None
+
+    def test_random_graph_matches_brute_force(self, spark):
+        import random
+        rng = random.Random(11)
+        nodes = list(range(40))
+        edges = sorted({(min(a, b), max(a, b))
+                        for a, b in (rng.sample(nodes, 2)
+                                     for _ in range(160))})
+        r = self._run(spark, edges)
+        assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == \
+            self._brute(edges)
+
+    def test_duplicate_and_reversed_pairs_collapse(self, spark):
+        # same undirected edge presented twice and reversed: counted once
+        r1 = self._run(spark, [(1, 2), (2, 3), (1, 3)])
+        from rgd_rnaseq_workflows_spark.operators.graph import triangle_stats
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1)],
+            "id_a long, id_b long")
+        r2 = triangle_stats(pairs).collect()[0]
+        assert r1 == r2
+
+    def test_matches_sql_twin(self, spark):
+        import duckdb
+        import random
+        from rgd_rnaseq_workflows_spark.operators.graph import (
+            triangle_stats, triangle_stats_sql)
+        rng = random.Random(5)
+        edges = sorted({(min(a, b), max(a, b))
+                        for a, b in (rng.sample(range(30), 2)
+                                     for _ in range(90))})
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long")
+        got = triangle_stats(pairs).collect()[0]
+        con = duckdb.connect()
+        con.register("ep", pairs.toPandas())
+        [exp] = con.execute(
+            triangle_stats_sql("SELECT id_a, id_b FROM ep")).fetchall()
+        assert (got.n_nodes, got.n_edges, got.n_wedges,
+                got.n_triangles, got.transitivity) == exp

@@ -227,3 +227,13 @@ def test_containment_keepers_jvm_only_no_cartesian(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Window" in plan
+
+
+def test_triangle_census_jvm_only_no_cartesian(spark):
+    """Wedge generation rides the degree-ordered oriented edge list
+    (equi-join on the source node) and closure is another equi-join —
+    never a cartesian; all counts JVM-side."""
+    plan = _plan(spark, "graph_triangle_census")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
