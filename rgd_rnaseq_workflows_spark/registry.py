@@ -1668,6 +1668,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "quality_length_outliers",
     "winnow_containment_keepers",
     "graph_triangle_census",
+    "layout_zorder_stats",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1688,7 +1689,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "dsir_importance",
     "embedding_random_projection",
     "graph_pagerank_neardup",
-    "quality_lm_buckets",
+    # quality_lm_buckets,
     # rag_chunk_documents,
     # sketch_cms_heavy_hitters, sketch_hll_by_group, sketch_hll_distinct,
     # sketch_log2_quantiles, skew_salted_agg,
@@ -3165,6 +3166,35 @@ def winnow_containment_keepers(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     fps = winnow_fingerprints(d, k=3, w=4)
     return containment_keepers(fps, min_shared=2, threshold=0.5)
+
+
+def _zorder_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.zorder import (
+        zorder_stats_autobounds_sql)
+    return zorder_stats_autobounds_sql("lineitem",
+                                       ["l_partkey", "l_suppkey"],
+                                       bits=12, bucket_bits=4)
+
+
+@q("layout_zorder_stats", ("LAYOUT-ZORDER",), oracle=_zorder_oracle(),
+   note="Z-order (Morton) layout key for multi-dimensional file "
+        "skipping - the Delta/Iceberg OPTIMIZE ZORDER trick from plain "
+        "expressions: clamp + exact integer multiply-div quantization "
+        "(midpoint splits, overflow-proof pre-shift for wide domains) "
+        "+ disjoint-bit interleave, bit-identical across engines; this "
+        "query is the per-Z-prefix locality report (every bucket's "
+        "dimension spans are narrow slices of the global range - "
+        "exactly what parquet footer pruning feeds on); the key is a "
+        "pure projection, write_zordered adds ONE sampled range "
+        "shuffle, and the payoff is measured from real parquet footer "
+        "stats in test_zorder.py")
+def layout_zorder_stats(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.zorder import (
+        column_bounds, zorder_stats)
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_partkey", "l_suppkey"]
+    bounds = column_bounds(li, cols)
+    return zorder_stats(li, cols, bounds, bits=12, bucket_bits=4)
 
 
 # =============================================================================

@@ -237,3 +237,15 @@ def test_triangle_census_jvm_only_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_zorder_key_is_projection_jvm_only(spark):
+    """The Morton key is a pure projection fused with the scan — no
+    shuffle beyond the stats groupBy, no Python eval."""
+    plan = _plan(spark, "layout_zorder_stats")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # key projection + one aggregation: exactly one exchange pair
+    # (partial/final hash agg around a single shuffle)
+    assert plan.count("Exchange") <= 2
