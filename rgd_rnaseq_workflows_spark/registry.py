@@ -1669,6 +1669,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "winnow_containment_keepers",
     "graph_triangle_census",
     "layout_zorder_stats",
+    "embedding_centroid_drift",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1688,7 +1689,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "dedup_simhash",
     "dsir_importance",
     "embedding_random_projection",
-    "graph_pagerank_neardup",
+    # graph_pagerank_neardup,
     # quality_lm_buckets,
     # rag_chunk_documents,
     # sketch_cms_heavy_hitters, sketch_hll_by_group, sketch_hll_distinct,
@@ -3166,6 +3167,31 @@ def winnow_containment_keepers(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     fps = winnow_fingerprints(d, k=3, w=4)
     return containment_keepers(fps, min_shared=2, threshold=0.5)
+
+
+def _centroid_drift_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.embedding_drift import (
+        centroid_drift_sql)
+    return centroid_drift_sql("embeddings", "vec_id % 2 = 0",
+                              group_col="label")
+
+
+@q("embedding_centroid_drift", ("EMB-DRIFT",),
+   oracle=_centroid_drift_oracle(),
+   note="embedding-space drift monitor (semantic twin of "
+        "corpus_token_drift): per-label centroid L2 shift + cosine "
+        "between two batches; the whole aggregation is ORDER-FREE "
+        "exact arithmetic (fix-point int64 per-dim sums, "
+        "cross-multiplied deltas, decimal(38,0)/HUGEINT squares - "
+        "int64 would wrap) so no float-sum nondeterminism exists, "
+        "doubles only in the final per-label scalar chain; one "
+        "posexplode + two map-side-combined aggs, no joins")
+def embedding_centroid_drift(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.embedding_drift import (
+        centroid_drift)
+    e = _t(spark, sf_dir, "embeddings")
+    return centroid_drift(e, F.col("vec_id") % 2 == 0,
+                          group_col="label")
 
 
 def _zorder_oracle() -> str:

@@ -249,3 +249,14 @@ def test_zorder_key_is_projection_jvm_only(spark):
     # key projection + one aggregation: exactly one exchange pair
     # (partial/final hash agg around a single shuffle)
     assert plan.count("Exchange") <= 2
+
+
+def test_centroid_drift_no_joins_jvm_only(spark):
+    """Drift is explode + two hash aggregations — no joins, no windows,
+    no Python eval; partial aggregation collapses the dim inflation
+    map-side."""
+    plan = _plan(spark, "embedding_centroid_drift")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
