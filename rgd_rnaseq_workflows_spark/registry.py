@@ -1670,6 +1670,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "graph_triangle_census",
     "layout_zorder_stats",
     "embedding_centroid_drift",
+    "events_scd2_history",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1688,7 +1689,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "dedup_passages",
     "dedup_simhash",
     "dsir_importance",
-    "embedding_random_projection",
+    # embedding_random_projection,
     # graph_pagerank_neardup,
     # quality_lm_buckets,
     # rag_chunk_documents,
@@ -3167,6 +3168,31 @@ def winnow_containment_keepers(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     fps = winnow_fingerprints(d, k=3, w=4)
     return containment_keepers(fps, min_shared=2, threshold=0.5)
+
+
+def _scd2_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.scd import scd2_history_sql
+    return scd2_history_sql(
+        "SELECT user_id, event_type, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id FROM events")
+
+
+@q("events_scd2_history", ("SCD2",), oracle=_scd2_oracle(),
+   note="SCD2 dimension-history builder (gaps-and-islands): collapses "
+        "the per-user observation stream into versioned runs with "
+        "[valid_from, valid_to) intervals and an is_current flag - "
+        "point-in-time reconstruction for lake attributes (license, "
+        "crawl policy, consent); NULL-safe change detection (NULL is a "
+        "version), epoch-second + event_id total order (the events-"
+        "family convention vs sub-second cross-engine precision); ONE "
+        "shuffle on the entity key serves both windows, then a "
+        "map-side-combined agg - no self-joins")
+def events_scd2_history(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.scd import scd2_history
+    e = _events(spark, sf_dir)
+    obs = e.select("user_id", "event_type",
+                   F.col("ts").cast("long").alias("sec"), "event_id")
+    return scd2_history(obs)
 
 
 def _centroid_drift_oracle() -> str:

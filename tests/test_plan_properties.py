@@ -260,3 +260,12 @@ def test_centroid_drift_no_joins_jvm_only(spark):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_scd2_single_key_shuffle_no_joins(spark):
+    """Gaps-and-islands: both windows and the agg share the user_id
+    partitioning — no self-joins, JVM-only."""
+    plan = _plan(spark, "events_scd2_history")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
