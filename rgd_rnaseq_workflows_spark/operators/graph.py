@@ -187,21 +187,27 @@ def triangle_stats(pairs: DataFrame, src: str = "id_a",
     overflow at any degree). Counts are exact integers; the wedge
     total is Σ deg·(deg−1)/2, computed long-exact.
     """
-    e = (pairs.select(F.least(src, dst).alias("a"),
-                      F.greatest(src, dst).alias("b"))
-         .filter(F.col("a") != F.col("b")).distinct())
+    # the edge list feeds degree, orientation and closure — checkpoint
+    # it (and the oriented DAG below) so upstream pair GENERATION runs
+    # once, not once per consumer (the centrality_keepers pattern;
+    # without this the plan replays the pair join ~6×)
+    e = checkpoint_df(
+        pairs.select(F.least(src, dst).alias("a"),
+                     F.greatest(src, dst).alias("b"))
+        .filter(F.col("a") != F.col("b")).distinct())
     deg = (_sym_edges(e, "a", "b")
            .groupBy("u").agg(F.count("*").cast("long").alias("deg")))
     da = deg.select(F.col("u").alias("a"), F.col("deg").alias("dega"))
     db = deg.select(F.col("u").alias("b"), F.col("deg").alias("degb"))
     ka = F.struct(F.col("dega").alias("d"), F.col("a").alias("i"))
     kb = F.struct(F.col("degb").alias("d"), F.col("b").alias("i"))
-    o = (e.join(da, "a").join(db, "b")
-         .select(F.when(ka < kb, F.col("a")).otherwise(F.col("b"))
-                 .alias("u"),
-                 F.when(ka < kb, F.col("b")).otherwise(F.col("a"))
-                 .alias("v"),
-                 F.when(ka < kb, kb).otherwise(ka).alias("kv")))
+    o = checkpoint_df(
+        e.join(da, "a").join(db, "b")
+        .select(F.when(ka < kb, F.col("a")).otherwise(F.col("b"))
+                .alias("u"),
+                F.when(ka < kb, F.col("b")).otherwise(F.col("a"))
+                .alias("v"),
+                F.when(ka < kb, kb).otherwise(ka).alias("kv")))
     w1 = o.select("u", F.col("v").alias("x"), F.col("kv").alias("kx"))
     w2 = o.select("u", F.col("v").alias("y"), F.col("kv").alias("ky"))
     wedges = (w1.join(w2, "u")

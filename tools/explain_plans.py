@@ -210,6 +210,30 @@ SHOWCASE = {
     "sketch_cms_incremental": "frequency-sketch rollup: counter "
         "tables (≤depth·width rows) union + sum; probes broadcast "
         "against both the merged and single-pass sketches.",
+    "quality_length_outliers": "robust median/MAD outlier gate: corpus "
+        "rows fold map-side into a (group, value) histogram; both "
+        "medians are running-sum walks over domain-scale windows — the "
+        "exact-percentile path that never buffers corpus rows.",
+    "winnow_containment_keepers": "containment drop policy: the fp "
+        "equi-join is the only corpus-scale shuffle; dominance is a "
+        "strict (n_fp, id) total order so the chain maximum always "
+        "survives; best-container pick is an integer-ordered window.",
+    "graph_triangle_census": "triangle census: degree-ordered "
+        "orientation bounds DAG out-degrees at O(√E) so the wedge "
+        "self-join never squares a hub; closure is one more equi-join; "
+        "(deg,id) struct keys — no packed-int overflow.",
+    "layout_zorder_stats": "Z-order layout: the Morton key is a pure "
+        "projection (exact integer quantize + bit interleave) fused "
+        "with the scan; ONE map-side-combined agg over the top key "
+        "bits; write_zordered adds one sampled range shuffle.",
+    "embedding_centroid_drift": "semantic drift: posexplode + two "
+        "map-side-combined aggs, no joins; every accumulation is "
+        "order-free exact integer/decimal — doubles only in the final "
+        "per-group scalar chain.",
+    "events_scd2_history": "SCD2 history: one entity-key shuffle "
+        "serves both windows (change flag + running run-id, lead over "
+        "runs) and the runs agg — gaps-and-islands with zero "
+        "self-joins; output is runs-scale.",
 }
 
 
