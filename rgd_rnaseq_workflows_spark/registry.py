@@ -1671,6 +1671,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "layout_zorder_stats",
     "embedding_centroid_drift",
     "events_scd2_history",
+    "table_profile_stats",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1688,7 +1689,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "dedup_passage_rewrite",
     "dedup_passages",
     "dedup_simhash",
-    "dsir_importance",
+    # dsir_importance,
     # embedding_random_projection,
     # graph_pagerank_neardup,
     # quality_lm_buckets,
@@ -3168,6 +3169,30 @@ def winnow_containment_keepers(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     fps = winnow_fingerprints(d, k=3, w=4)
     return containment_keepers(fps, min_shared=2, threshold=0.5)
+
+
+def _profile_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        table_profile_sql)
+    return table_profile_sql(
+        "documents", ["doc_id", "text", "lang", "source", "n_chars"],
+        p=10)
+
+
+@q("table_profile_stats", ("PROFILE",), oracle=_profile_oracle(),
+   note="ANALYZE-style table profiler: per-column row/null counts + "
+        "HLL distinct estimates - the CBO statistics pass; exact "
+        "COUNT(DISTINCT) would shuffle every distinct value per "
+        "column, the HLL path ships <=2^p register rows and the "
+        "md5-derived estimate is deterministic on every engine and "
+        "partitioning (pinned in tests); one aggregation pair per "
+        "column over its COLUMN-PRUNED scan, register tables merge by "
+        "max for incremental daily profiling")
+def table_profile_stats(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.profile import table_profile
+    d = _t(spark, sf_dir, "documents")
+    return table_profile(
+        d, ["doc_id", "text", "lang", "source", "n_chars"], p=10)
 
 
 def _scd2_oracle() -> str:

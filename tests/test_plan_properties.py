@@ -269,3 +269,12 @@ def test_scd2_single_key_shuffle_no_joins(spark):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_table_profile_prunes_columns_jvm_only(spark):
+    """Each profile branch scans only its own column (plus the
+    register fold) — no joins beyond the 1-row cross joins, JVM-only."""
+    plan = _plan(spark, "table_profile_stats")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
