@@ -1672,6 +1672,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "embedding_centroid_drift",
     "events_scd2_history",
     "table_profile_stats",
+    "agg_histogram_quantiles",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1688,7 +1689,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_passage_rewrite",
     "dedup_passages",
-    "dedup_simhash",
+    # dedup_simhash,
     # dsir_importance,
     # embedding_random_projection,
     # graph_pagerank_neardup,
@@ -3169,6 +3170,30 @@ def winnow_containment_keepers(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     fps = winnow_fingerprints(d, k=3, w=4)
     return containment_keepers(fps, min_shared=2, threshold=0.5)
+
+
+def _histq_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.exact_quantiles import (
+        group_quantiles_sql)
+    return group_quantiles_sql("lineitem", "l_returnflag", "l_quantity",
+                               [25, 50, 90, 99])
+
+
+@q("agg_histogram_quantiles", ("HIST-QUANTILE",), oracle=_histq_oracle(),
+   note="EXACT per-group percentiles over a bounded integer domain "
+        "(quantities, token counts, ratings): corpus rows fold "
+        "map-side into a (group, value) histogram, every requested "
+        "quantile reads off ONE cumulative walk over domain-scale "
+        "rows - alpha~0 by construction (the scale-honest exact path; "
+        "agg_percentiles' buffering form stays a correctness gate); "
+        "lower-quantile targets are pure integers ((n*q+99) div 100), "
+        "no interpolation, engine-identical")
+def agg_histogram_quantiles(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.exact_quantiles import (
+        group_quantiles)
+    li = _t(spark, sf_dir, "lineitem")
+    return group_quantiles(li, "l_returnflag", "l_quantity",
+                           [25, 50, 90, 99])
 
 
 def _profile_oracle() -> str:
