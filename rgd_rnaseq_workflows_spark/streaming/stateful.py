@@ -247,3 +247,125 @@ def stream_funnel(event_stream: DataFrame, steps,
             .applyInPandasWithState(
                 _funnel_fn(steps, max_gap_seconds, ms), out_schema,
                 state_schema, "update", timeout))
+
+
+# --- streaming SCD2 history ----------------------------------------------------
+
+def _scd2_fn(ttl_ms: int):
+    """Per-entity SCD2 state function (closure → pickled by value).
+
+    State: the entity's observation set as three parallel arrays
+    (sec, event_id, attr) deduplicated by event_id — the minimal state
+    that keeps the operator ORDER-ROBUST: a late-arriving observation
+    can split an existing run in two, which no collapsed-runs state
+    could revise, so the history is recomputed from the merged set on
+    every update (user-scale work, never corpus-scale). Stream == batch
+    under any arrival order; event-time TTL bounds state like the
+    other stateful kernels.
+    """
+    def update(key, rows: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batches = list(rows)
+        cat = (pd.concat(batches, ignore_index=True)
+               if len(batches) > 1 else batches[0])
+        if state.exists:
+            st = state.get
+            secs, eids, attrs = (list(a or []) for a in st[:3])
+            ver = int(st[3] or 0)
+        else:
+            secs, eids, attrs, ver = [], [], [], 0
+        ver += 1
+        byid = {int(e): (int(s), a) for s, e, a in
+                zip(secs, eids, attrs)}
+        for s, e, a in zip(cat["sec"], cat["event_id"],
+                           cat["event_type"]):
+            byid[int(e)] = (int(s), None if pd.isna(a) else str(a))
+        obs = sorted(((s, e, a) for e, (s, a) in byid.items()),
+                     key=lambda t: (t[0], t[1]))
+        state.update((
+            [s for s, _, _ in obs],
+            [e for _, e, _ in obs],
+            [a for _, _, a in obs],
+            ver,
+        ))
+        runs = []          # [attr, valid_from, n_obs]
+        for s, _, a in obs:
+            if not runs or runs[-1][0] != a:
+                runs.append([a, s, 0])
+            runs[-1][2] += 1
+        n = len(runs)
+        yield pd.DataFrame({
+            "user": pd.array([key[0]] * n, dtype="Int64"),
+            "event_type": [r[0] for r in runs],
+            "valid_from": pd.array([r[1] for r in runs], dtype="Int64"),
+            "valid_to": pd.array(
+                [runs[i + 1][1] if i + 1 < n else None
+                 for i in range(n)], dtype="Int64"),
+            "n_obs": pd.array([r[2] for r in runs], dtype="Int64"),
+            "is_current": [i + 1 == n for i in range(n)],
+            "ver": pd.array([ver] * n, dtype="Int64"),
+        })
+        if ttl_ms:
+            max_ts = max(int(pdf["ts"].max().timestamp() * 1000)
+                         for pdf in batches)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(max_ts + ttl_ms, wm + 1))
+    return update
+
+
+SCD2_OUT_SCHEMA = T.StructType([
+    T.StructField("user", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("valid_from", T.LongType()),
+    T.StructField("valid_to", T.LongType()),
+    T.StructField("n_obs", T.LongType()),
+    T.StructField("is_current", T.BooleanType()),
+    # per-entity emission counter: consumers (and the stream==batch
+    # test) identify an entity's LATEST history snapshot as its max-ver
+    # rows — the CDC convention for multi-row update emissions
+    T.StructField("ver", T.LongType()),
+])
+SCD2_STATE_SCHEMA = T.StructType([
+    T.StructField("secs", T.ArrayType(T.LongType())),
+    T.StructField("eids", T.ArrayType(T.LongType())),
+    T.StructField("attrs", T.ArrayType(T.StringType())),
+    T.StructField("ver", T.LongType()),
+])
+
+
+def stream_scd2(event_stream: DataFrame, user_col: str = "user_id",
+                type_col: str = "event_type", ts_col: str = "ts",
+                id_col: str = "event_id",
+                ttl: str | None = None) -> DataFrame:
+    """Streaming twin of ``operators.scd.scd2_history``: emits, in
+    UPDATE mode, each touched entity's full current version history —
+    an entity's LATEST emission equals the batch operator over
+    everything seen (order-robust: late observations re-split runs).
+    With ``ttl`` the stream is watermarked and idle entities evict at
+    last-event + ttl (event-time timeout)."""
+    ms = 0
+    if ttl is not None:
+        num, unit = ttl.split()
+        ms = int(float(num) * {"millisecond": 1, "milliseconds": 1,
+                               "second": 1000, "seconds": 1000,
+                               "minute": 60_000, "minutes": 60_000,
+                               "hour": 3_600_000, "hours": 3_600_000}[unit])
+    src = event_stream.select(
+        F.col(user_col).alias("user"),
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).cast("long").alias("sec"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).alias("ts"))
+    if ttl is not None:
+        src = src.withWatermark("ts", ttl)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        src = src.drop("ts")
+        timeout = GroupStateTimeout.NoTimeout
+    return (src.groupBy("user")
+            .applyInPandasWithState(
+                _scd2_fn(ms), SCD2_OUT_SCHEMA, SCD2_STATE_SCHEMA,
+                "update", timeout))

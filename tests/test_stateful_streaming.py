@@ -218,3 +218,87 @@ def test_stream_funnel_conversion_window(spark, tmp_out):
     import pandas as pd
     assert pd.isna(got[1])          # 50s gap > 30
     assert int(got[2]) == 80        # 20s gap converts
+
+
+def test_stream_scd2_equals_batch_out_of_order(spark, tmp_out):
+    import pandas as pd
+    """Observations split across micro-batches NON-chronologically: a
+    late-arriving middle observation must SPLIT an existing run, which
+    only a recompute-from-state operator can revise. Each user's
+    max-ver emission must equal the batch scd2_history."""
+    from datetime import datetime
+    from rgd_rnaseq_workflows_spark.operators.scd import scd2_history
+    from rgd_rnaseq_workflows_spark.streaming.stateful import stream_scd2
+
+    t = lambda sec: datetime.fromtimestamp(sec)
+    # user 1: a@10, a@30 arrive first (one run); b@20 arrives LATE and
+    # splits it into a / b / a. user 2: single run.
+    batch1 = [(1, t(10), 1, "a"), (2, t(30), 1, "a"),
+              (3, t(10), 2, "x"), (4, t(20), 2, "x")]
+    batch2 = [(5, t(20), 1, "b")]
+    src = os.path.join(tmp_out, "scd2_src")
+    os.makedirs(src)
+    spark.createDataFrame(batch1, EV_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+    q = (stream_scd2(stream).writeStream.format("memory")
+         .queryName("scd2_out").outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, EV_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM scd2_out").toPandas()
+    finally:
+        q.stop()
+
+    latest = pdf[pdf.groupby("user")["ver"].transform("max") == pdf["ver"]]
+    got = sorted(
+        (int(r.user), r.event_type, int(r.valid_from),
+         None if pd.isna(r.valid_to) else int(r.valid_to),
+         int(r.n_obs), bool(r.is_current))
+        for r in latest.itertuples(index=False))
+
+    all_events = spark.createDataFrame(batch1 + batch2, EV_SCHEMA)
+    obs = all_events.selectExpr("user_id", "event_type",
+                                "cast(ts as long) as sec", "event_id")
+    want = sorted(
+        (int(r.user_id), r.event_type, int(r.valid_from),
+         None if r.valid_to is None else int(r.valid_to),
+         int(r.n_obs), bool(r.is_current))
+        for r in scd2_history(obs).collect())
+    assert got == want
+    # the late b@20 really did split user 1's a-run into a / b / a
+    u1 = sorted((g for g in got if g[0] == 1), key=lambda g: g[2])
+    assert [g[1] for g in u1] == ["a", "b", "a"]
+
+
+def test_stream_scd2_state_eviction(spark, tmp_out):
+    """Event-time TTL evicts idle entities once the watermark passes."""
+    from datetime import datetime
+    from rgd_rnaseq_workflows_spark.streaming.stateful import stream_scd2
+
+    t = lambda sec: datetime.fromtimestamp(sec)
+    src = os.path.join(tmp_out, "scd2_ttl_src")
+    os.makedirs(src)
+    spark.createDataFrame([(1, t(100), 1, "a")], EV_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+    q = (stream_scd2(stream, ttl="10 seconds")
+         .writeStream.format("memory").queryName("scd2_ttl")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        assert _state_rows(q) == 1
+        # watermark advances far past user 1's last event + ttl
+        spark.createDataFrame([(2, t(10_000), 2, "b")], EV_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # one more empty-ish trigger lets the store apply the timeout
+        spark.createDataFrame([(3, t(10_001), 2, "b")], EV_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert _state_rows(q) == 1      # only user 2 remains
+    finally:
+        q.stop()
