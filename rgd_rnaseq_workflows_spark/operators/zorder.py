@@ -211,3 +211,63 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
      .sortWithinPartitions("_zkey")
      .drop("_zkey")
      .write.mode("overwrite").parquet(path))
+
+
+def file_manifest(spark, path: str, cols: list[str]) -> list[dict]:
+    """Per-file min/max manifest from parquet FOOTERS (no data read) —
+    the metadata an Iceberg/Delta table keeps per data file. Returns a
+    list of {file, min_<c>, max_<c>} dicts; manifest size is
+    files-scale (driver metadata by definition). A production lake
+    writes this at ingest time (the write already has the stats);
+    computing it on demand here reads only footers."""
+    import glob
+    import pyarrow.parquet as pq
+    out = []
+    for f in sorted(glob.glob(f"{path.rstrip('/')}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo: dict[str, int] = {}
+        hi: dict[str, int] = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                cc = md.row_group(rg).column(ci)
+                name = cc.path_in_schema
+                if name in cols and cc.statistics is not None:
+                    st = cc.statistics
+                    lo[name] = st.min if name not in lo \
+                        else min(lo[name], st.min)
+                    hi[name] = st.max if name not in hi \
+                        else max(hi[name], st.max)
+        entry = {"file": f}
+        for c in cols:
+            entry[f"min_{c}"] = lo.get(c)
+            entry[f"max_{c}"] = hi.get(c)
+        out.append(entry)
+    return out
+
+
+def pruned_read(spark, path: str, manifest: list[dict],
+                ranges: dict[str, tuple[int, int]]):
+    """Range-predicate read that SKIPS files whose manifest interval
+    misses every predicate: the file-level pruning parquet row-group
+    stats can't give you (Spark prunes row groups inside a file, but
+    still opens and plans every file — at 100 TB the planner-side file
+    cut is the win, which is exactly why Z-ordering + manifests exist).
+
+    Returns (df, n_files_read, n_files_total): the DataFrame still
+    carries the residual filter, so correctness never depends on the
+    manifest — pruning is a pure fast-path. A file with no stats for a
+    predicated column is conservatively kept."""
+    keep = []
+    for e in manifest:
+        ok = True
+        for c, (lo, hi) in ranges.items():
+            mn, mx = e.get(f"min_{c}"), e.get(f"max_{c}")
+            if mn is not None and mx is not None and (mx < lo or mn > hi):
+                ok = False
+                break
+        keep.append(e["file"]) if ok else None
+    df = spark.read.parquet(*keep) if keep else \
+        spark.read.parquet(path).limit(0)
+    for c, (lo, hi) in ranges.items():
+        df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+    return df, len(keep), len(manifest)

@@ -167,3 +167,45 @@ class TestWriteZordered:
         back = spark.read.parquet(p)
         assert back.columns == ["id", "x", "y"]
         assert sorted(r.id for r in back.collect()) == list(range(500))
+
+
+class TestManifestPruning:
+    def test_pruned_read_skips_files_and_stays_correct(self, spark,
+                                                       tmp_path):
+        """The planner-side win: a small 2-D box predicate over the
+        Z-ordered layout reads a small fraction of the files, and the
+        result equals the unpruned filter exactly (the residual filter
+        makes pruning a pure fast-path)."""
+        import random
+        from rgd_rnaseq_workflows_spark.operators.zorder import (
+            file_manifest, pruned_read)
+        rng = random.Random(37)
+        rows = [(i, rng.randint(0, 1 << 16), rng.randint(0, 1 << 16))
+                for i in range(20_000)]
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        path = str(tmp_path / "zlake")
+        write_zordered(df, path, ["x", "y"], bits=10, n_files=16)
+
+        man = file_manifest(spark, path, ["x", "y"])
+        assert len(man) == 16
+        box = {"x": (1000, 5000), "y": (60000, 64000)}
+        got, n_read, n_total = pruned_read(spark, path, man, box)
+        exp = df.filter((df.x >= 1000) & (df.x <= 5000)
+                        & (df.y >= 60000) & (df.y <= 64000))
+        assert sorted(r.id for r in got.collect()) == \
+            sorted(r.id for r in exp.collect())
+        assert n_total == 16
+        assert n_read <= 6          # the box touches few hyper-rectangles
+
+    def test_missing_stats_kept_conservatively(self, spark, tmp_path):
+        from rgd_rnaseq_workflows_spark.operators.zorder import pruned_read
+        df = spark.createDataFrame([(1, 5, 5)], "id long, x long, y long")
+        p = str(tmp_path / "one")
+        df.write.parquet(p)
+        import glob
+        f = glob.glob(f"{p}/*.parquet")[0]
+        man = [{"file": f, "min_x": None, "max_x": None,
+                "min_y": 0, "max_y": 10}]
+        got, n_read, _ = pruned_read(spark, p, man, {"x": (0, 10),
+                                                     "y": (0, 10)})
+        assert n_read == 1 and got.count() == 1
