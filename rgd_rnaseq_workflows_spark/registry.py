@@ -1673,6 +1673,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "events_scd2_history",
     "table_profile_stats",
     "agg_histogram_quantiles",
+    "fuzzy_match_part_names",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1688,7 +1689,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_passage_rewrite",
-    "dedup_passages",
+    # dedup_passages,
     # dedup_simhash,
     # dsir_importance,
     # embedding_random_projection,
@@ -3170,6 +3171,28 @@ def winnow_containment_keepers(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     fps = winnow_fingerprints(d, k=3, w=4)
     return containment_keepers(fps, min_shared=2, threshold=0.5)
+
+
+def _fuzzy_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.fuzzy import (
+        fuzzy_match_keys_sql)
+    return fuzzy_match_keys_sql("part", "p_name", max_dist=3,
+                                min_dist=1, block_len=4)
+
+
+@q("fuzzy_match_part_names", ("FUZZY-LINK",), oracle=_fuzzy_oracle(),
+   note="fuzzy record linkage (entity resolution): DISTINCT values + "
+        "occurrence counts first (corpus rows never reach the pair "
+        "stage), prefix-OR-suffix block keys make matching two "
+        "equi-joins (never a cross product), length band + unit-cost "
+        "levenshtein (same definition both engines) on candidates "
+        "only; the blocking recall contract is explicit and the twin "
+        "implements it identically")
+def fuzzy_match_part_names(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.fuzzy import fuzzy_match_keys
+    p = _t(spark, sf_dir, "part")
+    return fuzzy_match_keys(p, "p_name", max_dist=3, min_dist=1,
+                            block_len=4)
 
 
 def _histq_oracle() -> str:

@@ -278,3 +278,13 @@ def test_table_profile_prunes_columns_jvm_only(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_linkage_distinct_first_no_cartesian(spark):
+    """Corpus rows collapse to distinct values before the pair stage;
+    matching is block-key equi-joins — no cross product, JVM-only
+    (levenshtein is codegen)."""
+    plan = _plan(spark, "fuzzy_match_part_names")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
