@@ -234,6 +234,18 @@ SHOWCASE = {
         "serves both windows (change flag + running run-id, lead over "
         "runs) and the runs agg — gaps-and-islands with zero "
         "self-joins; output is runs-scale.",
+    "table_profile_stats": "ANALYZE profiler: one aggregation pair "
+        "per column over its COLUMN-PRUNED scan; distinct cardinality "
+        "rides deterministic HLL registers (≤2^p rows on the wire — "
+        "exact COUNT(DISTINCT) would shuffle every distinct value).",
+    "agg_histogram_quantiles": "exact per-group percentiles: corpus "
+        "rows fold map-side into a (group, value) histogram; ALL "
+        "requested quantiles read off one cumulative walk over "
+        "domain-scale rows — α≈0 where buffering percentiles can't go.",
+    "fuzzy_match_part_names": "fuzzy linkage: distinct values + "
+        "counts first, prefix/suffix block-key equi-joins (never a "
+        "cross product), length band, codegen levenshtein on "
+        "candidates only.",
 }
 
 
