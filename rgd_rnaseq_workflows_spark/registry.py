@@ -1674,6 +1674,8 @@ _RECORD_FIRST: tuple[str, ...] = (
     "table_profile_stats",
     "agg_histogram_quantiles",
     "fuzzy_match_part_names",
+    "events_gapfill_locf",
+    "events_rate_anomaly",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1687,8 +1689,9 @@ _RECORD_FIRST: tuple[str, ...] = (
     "dedup_cluster_keepers",
     "dedup_exact_stats",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_passage_rewrite",
+    # dedup_ngram_jaccard and dedup_passage_rewrite dropped from the
+    # r6 window (r4 rows stay exactly 2 rounds old) to fit the two
+    # round-6 fifth-batch queries; they lead r7 with the other overflow
     # dedup_passages,
     # dedup_simhash,
     # dsir_importance,
@@ -3532,3 +3535,56 @@ def tokenizer_fertility_by_lang(spark, sf_dir):
         bpe_fertility_by_lang)
     d = _t(spark, sf_dir, "documents")
     return bpe_fertility_by_lang(d, rounds=4)
+
+
+# =============================================================================
+# Batch (round 6, fifth): time-series rollup/gapfill + robust rate anomalies
+# =============================================================================
+
+_TS_EVENTS_SQL = ("SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) "
+                  "AS sec, event_id, value FROM events")
+
+
+def _gapfill_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.timeseries import (
+        bucket_gapfill_sql)
+    return bucket_gapfill_sql(_TS_EVENTS_SQL, 3600)
+
+
+@q("events_gapfill_locf", ("TS-GAPFILL",), oracle=_gapfill_oracle(),
+   note="hypertable rollup + gap fill: hourly last-reading buckets per "
+        "event type, missing buckets generated with the previous "
+        "reading carried forward (LOCF) - ONE map-side-combined struct-"
+        "max aggregation (partials, not rows, cross the shuffle), then "
+        "a join-free spine-free gap generation: each gap row explodes "
+        "out of the observed row that precedes it, which is exactly "
+        "the row holding its LOCF value")
+def events_gapfill_locf(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.timeseries import (
+        bucket_last_rollup, gapfill_locf)
+    e = _events(spark, sf_dir)
+    ev = e.select("event_type", F.col("ts").cast("long").alias("sec"),
+                  "event_id", "value")
+    return gapfill_locf(bucket_last_rollup(ev, 3600), 3600)
+
+
+def _rate_anomaly_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.timeseries import (
+        rate_anomaly_sql)
+    return rate_anomaly_sql(_TS_EVENTS_SQL, 3600, k=3)
+
+
+@q("events_rate_anomaly", ("TS-ANOMALY",), oracle=_rate_anomaly_oracle(),
+   note="robust volume-spike detection on the bucketed series: flag "
+        "hourly buckets whose event count deviates from the type's "
+        "EXACT median by more than k exact MADs - the bounded-domain "
+        "histogram walk (quality_length_outliers machinery) on bucket-"
+        "scale counts, pure integer arithmetic end to end; a mean/"
+        "stddev gate would be dragged by the spikes it should catch")
+def events_rate_anomaly(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.timeseries import (
+        rate_anomaly_report)
+    e = _events(spark, sf_dir)
+    ev = e.select("event_type", F.col("ts").cast("long").alias("sec"),
+                  "event_id")
+    return rate_anomaly_report(ev, 3600, k=3)

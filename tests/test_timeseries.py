@@ -1,0 +1,112 @@
+"""Time-bucket rollup, gapfill/LOCF and rate anomalies: semantics,
+determinism, SQL-twin equality."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from rgd_rnaseq_workflows_spark.operators.timeseries import (
+    bucket_gapfill_sql, bucket_last_rollup, gapfill_locf,
+    rate_anomaly_report, rate_anomaly_sql)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_type string, sec long, event_id long, value double")
+
+
+class TestBucketRollup:
+    def test_counts_and_last_pick(self, spark):
+        rows = [("a", 5, 1, 1.0), ("a", 9, 2, 2.5), ("a", 12, 3, 7.0),
+                ("b", 3, 4, 9.0)]
+        got = {(r.event_type, r.bucket): r
+               for r in bucket_last_rollup(_ev(spark, rows), 10).collect()}
+        assert got[("a", 0)].n_events == 2
+        assert got[("a", 0)].last_value == 2.5   # sec 9 beats sec 5
+        assert got[("a", 10)].last_value == 7.0
+        assert got[("b", 0)].n_events == 1
+
+    def test_same_second_tiebreak_by_event_id(self, spark):
+        rows = [("a", 5, 2, 111.0), ("a", 5, 9, 222.0)]
+        r = bucket_last_rollup(_ev(spark, rows), 10).collect()[0]
+        assert r.last_value == 222.0   # event_id 9 wins within sec 5
+
+    def test_width_validation(self, spark):
+        with pytest.raises(ValueError):
+            bucket_last_rollup(_ev(spark, [("a", 1, 1, 1.0)]), 0)
+
+
+class TestGapfill:
+    def test_gap_rows_carry_locf(self, spark):
+        # buckets 0 and 30 observed -> gaps at 10 and 20 carrying
+        # bucket 0's reading; trailing edge stays open
+        rows = [("a", 5, 1, 4.0), ("a", 33, 2, 8.0)]
+        out = gapfill_locf(bucket_last_rollup(_ev(spark, rows), 10), 10)
+        got = {r.bucket: r for r in out.filter("event_type='a'").collect()}
+        assert sorted(got) == [0, 10, 20, 30]
+        assert not got[0].is_gap and not got[30].is_gap
+        for b in (10, 20):
+            g = got[b]
+            assert g.is_gap and g.n_events == 0
+            assert g.last_value is None and g.locf_value == 4.0
+        assert got[30].locf_value == 8.0
+
+    def test_adjacent_buckets_produce_no_gaps(self, spark):
+        rows = [("a", 5, 1, 1.0), ("a", 15, 2, 2.0)]
+        out = gapfill_locf(bucket_last_rollup(_ev(spark, rows), 10), 10)
+        assert out.filter("is_gap").count() == 0
+
+    def test_groups_fill_independently(self, spark):
+        rows = [("a", 0, 1, 1.0), ("a", 25, 2, 2.0), ("b", 0, 3, 3.0)]
+        out = gapfill_locf(bucket_last_rollup(_ev(spark, rows), 10), 10)
+        gaps = [(r.event_type, r.bucket) for r in
+                out.filter("is_gap").collect()]
+        assert gaps == [("a", 10)]
+
+    def test_sql_twin_matches(self, spark):
+        rows = [("t%d" % (i % 3), (i * 7) % 100, i, float(i % 11))
+                for i in range(60)]
+        spark_rows = sorted(
+            tuple(r) for r in gapfill_locf(
+                bucket_last_rollup(_ev(spark, rows), 10), 10).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE raw_ev (event_type VARCHAR, sec BIGINT, "
+                    "event_id BIGINT, value DOUBLE)")
+        con.executemany("INSERT INTO raw_ev VALUES (?, ?, ?, ?)", rows)
+        sql = bucket_gapfill_sql("SELECT * FROM raw_ev", 10)
+        duck_rows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert spark_rows == duck_rows
+
+
+class TestRateAnomaly:
+    def test_flags_planted_spike(self, spark):
+        # type "a": counts 2 per bucket except a 40-event spike
+        rows = []
+        eid = 0
+        for b in range(10):
+            n = 40 if b == 7 else 2
+            for j in range(n):
+                rows.append(("a", b * 10 + j % 10, eid, 0.0))
+                eid += 1
+        got = rate_anomaly_report(_ev(spark, rows), 10, k=3).collect()
+        assert [(r.bucket, r.n_events) for r in got] == [(70, 40)]
+        assert got[0].median_n == 2 and got[0].mad_n == 0
+
+    def test_uniform_series_is_clean(self, spark):
+        rows = [("a", b * 10, b, 0.0) for b in range(20)]
+        assert rate_anomaly_report(_ev(spark, rows), 10, k=3).count() == 0
+
+    def test_sql_twin_matches(self, spark):
+        rows = [("t%d" % (i % 2), (i * i) % 200, i, 0.0)
+                for i in range(80)]
+        spark_rows = sorted(
+            tuple(r) for r in
+            rate_anomaly_report(_ev(spark, rows), 20, k=1).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE raw_ev (event_type VARCHAR, sec BIGINT, "
+                    "event_id BIGINT, value DOUBLE)")
+        con.executemany("INSERT INTO raw_ev VALUES (?, ?, ?, ?)", rows)
+        sql = rate_anomaly_sql("SELECT * FROM raw_ev", 20, k=1)
+        duck_rows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert spark_rows == duck_rows
