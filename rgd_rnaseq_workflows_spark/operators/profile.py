@@ -54,6 +54,84 @@ def table_profile(df: DataFrame, cols: list[str],
     return out
 
 
+def fd_report(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Approximate functional-dependency audit: for each candidate
+    dependency ``lhs → rhs``, how close the table comes to satisfying
+    it — the g3 measure from the approximate-FD literature (TANE):
+    the minimum number of rows to delete so the FD holds exactly,
+    which is ``Σ_groups (group size − mode support)``.
+
+    One row per candidate: (lhs_col, rhs_col, n_rows, n_groups,
+    n_violating_groups, n_violations, conf_bp) where ``conf_bp`` =
+    basis points of rows kept, an exact integer
+    ``(10000·(n−viol)) div n`` — no float ratio crosses engines.
+    A key candidate (lhs unique) reads conf_bp = 10000 with zero
+    violating groups; a data-drop whose source labels stopped
+    implying language shows up as a conf drop before any model does.
+
+    NULL is a value on both sides (a NULL lhs is a group, a NULL rhs
+    is a mode candidate) — identical grouping semantics in Spark and
+    DuckDB GROUP BY.
+
+    Scale shape, per candidate: two map-side-combined aggregations
+    over a two-column pruned scan — (lhs, rhs) counts, then per-lhs
+    (total, mode, distinct-rhs) — both shuffles carry compact value
+    keys, never rows; the final report is one row. Candidates union
+    into one frame; cost scales with candidates audited, not table
+    width.
+    """
+    if not pairs:
+        raise ValueError("audit at least one candidate dependency")
+    parts = []
+    for lhs, rhs in pairs:
+        pc = (df.groupBy(F.col(lhs).alias("lv"), F.col(rhs).alias("rv"))
+              .agg(F.count("*").alias("c")))
+        g = pc.groupBy("lv").agg(F.sum("c").alias("n"),
+                                 F.max("c").alias("m"),
+                                 F.count("*").alias("k"))
+        rep = g.agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+            .cast("long").alias("n_violating_groups"),
+            F.sum(F.col("n") - F.col("m")).cast("long")
+            .alias("n_violations"))
+        parts.append(rep.select(
+            F.lit(lhs).alias("lhs_col"), F.lit(rhs).alias("rhs_col"),
+            "n_rows", "n_groups", "n_violating_groups", "n_violations",
+            F.expr("(10000 * (n_rows - n_violations)) div n_rows")
+            .cast("long").alias("conf_bp")))
+    out = parts[0]
+    for piece in parts[1:]:
+        out = out.unionByName(piece)
+    return out
+
+
+def fd_report_sql(table: str, pairs: list[tuple[str, str]]) -> str:
+    """DuckDB twin of :func:`fd_report` (identical g3 arithmetic,
+    identical NULL-as-value grouping)."""
+    if not pairs:
+        raise ValueError("audit at least one candidate dependency")
+    pieces = []
+    for lhs, rhs in pairs:
+        pieces.append(f"""
+SELECT '{lhs}' AS lhs_col, '{rhs}' AS rhs_col,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(n - m) AS BIGINT) AS n_violations,
+       (10000 * (CAST(sum(n) AS BIGINT) - CAST(sum(n - m) AS BIGINT)))
+         // CAST(sum(n) AS BIGINT) AS conf_bp
+FROM (
+  SELECT lv, CAST(sum(c) AS BIGINT) AS n, CAST(max(c) AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS k
+  FROM (SELECT {lhs} AS lv, {rhs} AS rv, count(*) AS c
+        FROM {table} GROUP BY 1, 2)
+  GROUP BY lv)""")
+    return "\nUNION ALL\n".join(pieces)
+
+
 def table_profile_sql(table: str, cols: list[str],
                       p: int = 10, seed: int = 1) -> str:
     """DuckDB twin of :func:`table_profile` (identical registers,

@@ -1676,6 +1676,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "fuzzy_match_part_names",
     "events_gapfill_locf",
     "events_rate_anomaly",
+    "profile_fd_audit",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1688,8 +1689,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "corpus_curation",
     "dedup_cluster_keepers",
     "dedup_exact_stats",
-    "dedup_minhash_lsh",
-    # dedup_ngram_jaccard and dedup_passage_rewrite dropped from the
+    # dedup_minhash_lsh, dedup_ngram_jaccard and dedup_passage_rewrite dropped from the
     # r6 window (r4 rows stay exactly 2 rounds old) to fit the two
     # round-6 fifth-batch queries; they lead r7 with the other overflow
     # dedup_passages,
@@ -3588,3 +3588,24 @@ def events_rate_anomaly(spark, sf_dir):
     ev = e.select("event_type", F.col("ts").cast("long").alias("sec"),
                   "event_id")
     return rate_anomaly_report(ev, 3600, k=3)
+
+
+_FD_PAIRS = [("doc_id", "lang"), ("source", "lang"), ("lang", "source")]
+
+
+def _fd_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.profile import fd_report_sql
+    return fd_report_sql("documents", _FD_PAIRS)
+
+
+@q("profile_fd_audit", ("PROFILE-FD",), oracle=_fd_oracle(),
+   note="approximate functional-dependency audit (TANE g3 measure): "
+        "per candidate lhs->rhs, the exact minimum row deletions for "
+        "the FD to hold and the kept fraction in integer basis points "
+        "- key/uniqueness checks and schema-drift tripwires in one "
+        "report; two map-side-combined aggs per candidate over a "
+        "two-column pruned scan, compact value keys only")
+def profile_fd_audit(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.profile import fd_report
+    d = _t(spark, sf_dir, "documents")
+    return fd_report(d, _FD_PAIRS)

@@ -65,3 +65,52 @@ def test_empty_cols_rejected(spark, tbl):
         table_profile(tbl, [])
     with pytest.raises(ValueError):
         table_profile_sql("t", [])
+
+
+class TestFDReport:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "a string, b string")
+
+    def test_exact_fd_and_violations(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.profile import fd_report
+        rows = [("x", "1"), ("x", "1"), ("x", "2"),   # mode 2, viol 1
+                ("y", "9"), ("y", "9"),               # clean
+                ("z", "5")]
+        r = {t.lhs_col: t for t in
+             fd_report(self._docs(spark, rows),
+                       [("a", "b"), ("b", "a")]).collect()}
+        ab = r["a"]
+        assert (ab.n_rows, ab.n_groups, ab.n_violating_groups,
+                ab.n_violations) == (6, 3, 1, 1)
+        assert ab.conf_bp == (10000 * 5) // 6
+        # b->a: b=1 maps only to x, b=9 only to y ... all clean
+        assert r["b"].n_violations == 0 and r["b"].conf_bp == 10000
+
+    def test_null_is_a_value(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.profile import fd_report
+        rows = [(None, "1"), (None, "1"), (None, "2"), ("x", None)]
+        r = fd_report(self._docs(spark, rows), [("a", "b")]).collect()[0]
+        # NULL lhs is one group of 3 with mode 2 -> 1 violation;
+        # ("x", NULL) is a clean singleton group
+        assert (r.n_groups, r.n_violations) == (2, 1)
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+        from rgd_rnaseq_workflows_spark.operators.profile import (
+            fd_report, fd_report_sql)
+        rows = [("k%d" % (i % 7), "v%d" % (i % 3)) for i in range(50)]
+        sdf = sorted(tuple(r) for r in
+                     fd_report(self._docs(spark, rows),
+                               [("a", "b"), ("b", "a")]).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (a VARCHAR, b VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        ddf = sorted(tuple(r) for r in con.execute(
+            fd_report_sql("t", [("a", "b"), ("b", "a")])).fetchall())
+        assert sdf == ddf
+
+    def test_empty_pairs_raises(self, spark):
+        import pytest
+        from rgd_rnaseq_workflows_spark.operators.profile import fd_report
+        with pytest.raises(ValueError):
+            fd_report(self._docs(spark, [("a", "b")]), [])
