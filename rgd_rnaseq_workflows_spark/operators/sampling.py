@@ -489,3 +489,34 @@ def split_assign_sql(key_col: str, seed: int = 1, train: float = 0.8,
     t, v = _bps(train), _bps(train) + _bps(val)
     return (f"CASE WHEN {b} < {t} THEN 'train' "
             f"WHEN {b} < {v} THEN 'val' ELSE 'test' END")
+
+def cluster_split_assign(docs: DataFrame, comps: DataFrame,
+                         id_col: str = "doc_id", seed: int = 1,
+                         train: float = 0.8,
+                         val: float = 0.1) -> DataFrame:
+    """Leakage-free train/val/test assignment: the split is a property
+    of the near-dup CLUSTER, not the document. Every member of a
+    connected component hashes the component label (its min reachable
+    id); singletons hash their own id — so two near-duplicate documents
+    can never land on opposite sides of the split, closing the gap
+    ``split_leakage_report`` measures (a per-doc hash split leaks: a
+    test doc with a train near-twin is memorization masquerading as
+    generalization).
+
+    ``comps`` is ``connected_components(pairs)`` output (id, comp) —
+    compute the pair graph ONCE (plans.neardup) and feed it to both the
+    dedup keepers and this assignment. Output: (id, rep, split).
+
+    Scale shape: one left join of docs onto the component table
+    (component rows ≈ duplicated docs only, usually a small fraction —
+    broadcastable in the common case) + a pure hash projection; the
+    split stays deterministic under repartitioning, re-ingestion and
+    engine change because rep and md5 are.
+    """
+    lab = (docs.select(F.col(id_col).cast("long").alias("id"))
+           .join(comps, "id", "left")
+           .withColumn("rep", F.coalesce("comp", F.col("id"))))
+    return lab.select(
+        "id", "rep",
+        split_assign(F.col("rep"), seed=seed, train=train,
+                     val=val).alias("split"))

@@ -1677,6 +1677,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "events_gapfill_locf",
     "events_rate_anomaly",
     "profile_fd_audit",
+    "split_cluster_assign",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1688,7 +1689,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "bloom_semi_join",
     "corpus_curation",
     "dedup_cluster_keepers",
-    "dedup_exact_stats",
+    # dedup_exact_stats dropped to lead r7 (displaced by split_cluster_assign)
     # dedup_minhash_lsh, dedup_ngram_jaccard and dedup_passage_rewrite dropped from the
     # r6 window (r4 rows stay exactly 2 rounds old) to fit the two
     # round-6 fifth-batch queries; they lead r7 with the other overflow
@@ -3609,3 +3610,53 @@ def profile_fd_audit(spark, sf_dir):
     from rgd_rnaseq_workflows_spark.operators.profile import fd_report
     d = _t(spark, sf_dir, "documents")
     return fd_report(d, _FD_PAIRS)
+
+
+def _cluster_split_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        split_assign_sql)
+    pairs_sql = REGISTRY["dedup_ngram_jaccard"].oracle.strip()
+    split = split_assign_sql("rep", seed=13)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+comps AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+asg AS (
+  SELECT d.doc_id AS id, coalesce(c.comp, d.doc_id) AS rep
+  FROM documents d LEFT JOIN comps c ON c.id = d.doc_id)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT rep) AS BIGINT) AS n_units
+FROM (SELECT rep, {split} AS split FROM asg)
+GROUP BY split
+"""
+
+
+@q("split_cluster_assign", ("SPLIT-CLUSTER",),
+   oracle=None,  # composes the ngram-pairs oracle text; set below
+   note="leakage-FREE train/val/test assignment: the split hashes the "
+        "near-dup COMPONENT label (min reachable id; singletons hash "
+        "their own id), so near-duplicate docs can never cross the "
+        "split - the constructive fix for what split_leakage_report "
+        "measures; one left join onto the component table (duplicated-"
+        "doc scale, broadcastable) + a pure hash projection, summary "
+        "is per-split doc and sampling-unit counts")
+def split_cluster_assign(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.components import (
+        connected_components)
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        cluster_split_assign)
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, block_col="lang", shingle_n=2,
+                                   threshold=0.8)
+    asg = cluster_split_assign(d, connected_components(pairs), seed=13)
+    return asg.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("rep").cast("long").alias("n_units"))
+
+
+REGISTRY["split_cluster_assign"].oracle = _cluster_split_oracle()

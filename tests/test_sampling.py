@@ -330,3 +330,43 @@ def test_epoch_budget_mix_replicates_and_chains(spark):
         # with 10-token docs the band is +-10% here
         assert abs(got[s] - want) <= max(2 * totals[s] // 10, 40), \
             (s, got[s], want)
+
+
+class TestClusterSplitAssign:
+    def test_components_never_cross_split(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.components import (
+            connected_components)
+        from rgd_rnaseq_workflows_spark.operators.sampling import (
+            cluster_split_assign)
+        # chain 1-2-3, pair 10-11, singletons 20..40
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+        docs = spark.createDataFrame(
+            [(i,) for i in [1, 2, 3, 10, 11] + list(range(20, 41))],
+            "doc_id long")
+        asg = cluster_split_assign(docs, connected_components(pairs),
+                                   seed=7)
+        rows = {r.id: r for r in asg.collect()}
+        assert len(rows) == 26
+        # every clustered doc carries the component min as rep and the
+        # whole component shares one split
+        assert {rows[i].rep for i in (1, 2, 3)} == {1}
+        assert {rows[i].split for i in (1, 2, 3)} == {rows[1].split}
+        assert {rows[i].split for i in (10, 11)} == {rows[10].split}
+        # singletons hash their own id
+        assert rows[25].rep == 25
+
+    def test_assignment_is_partition_invariant(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.components import (
+            connected_components)
+        from rgd_rnaseq_workflows_spark.operators.sampling import (
+            cluster_split_assign)
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        docs = spark.createDataFrame([(i,) for i in range(1, 30)],
+                                     "doc_id long")
+        comps = connected_components(pairs)
+        a = sorted(map(tuple, cluster_split_assign(
+            docs, comps, seed=3).collect()))
+        b = sorted(map(tuple, cluster_split_assign(
+            docs.repartition(7), comps, seed=3).collect()))
+        assert a == b
