@@ -1678,6 +1678,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "events_rate_anomaly",
     "profile_fd_audit",
     "split_cluster_assign",
+    "embedding_pca_scatter",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1688,7 +1689,8 @@ _RECORD_FIRST: tuple[str, ...] = (
     "asof_join_events",
     "bloom_semi_join",
     "corpus_curation",
-    "dedup_cluster_keepers",
+    # dedup_cluster_keepers dropped to lead r7 (displaced by
+    # embedding_pca_scatter)
     # dedup_exact_stats dropped to lead r7 (displaced by split_cluster_assign)
     # dedup_minhash_lsh, dedup_ngram_jaccard and dedup_passage_rewrite dropped from the
     # r6 window (r4 rows stay exactly 2 rounds old) to fit the two
@@ -3660,3 +3662,22 @@ def split_cluster_assign(spark, sf_dir):
 
 
 REGISTRY["split_cluster_assign"].oracle = _cluster_split_oracle()
+
+
+def _scatter_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.pca import scatter_matrix_sql
+    return scatter_matrix_sql("embeddings")
+
+
+@q("embedding_pca_scatter", ("PCA-SCATTER",), oracle=_scatter_oracle(),
+   note="distributed PCA sufficient statistics: the d x d exact-"
+        "integer scatter matrix (upper triangle) + per-dim fix-point "
+        "sums - 100 TB of vectors collapses to O(d^2) mergeable "
+        "metadata, eigen runs driver-side on the tiny matrix "
+        "(pca_fit/pca_project); per-batch integer XtX GEMM crosses "
+        "the Arrow boundary once (vectors in, 2080-row partial out), "
+        "one hash agg merges partials")
+def embedding_pca_scatter(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.pca import scatter_matrix
+    e = _t(spark, sf_dir, "embeddings")
+    return scatter_matrix(e, dims=64)
