@@ -110,3 +110,17 @@ class TestRateAnomaly:
         sql = rate_anomaly_sql("SELECT * FROM raw_ev", 20, k=1)
         duck_rows = sorted(tuple(r) for r in con.execute(sql).fetchall())
         assert spark_rows == duck_rows
+
+
+class TestGapfillPlan:
+    def test_rollup_not_replayed_by_union_branches(self, spark):
+        # the led frame is checkpointed before the two-branch fan-out:
+        # the executed plan must consume ExistingRDD scans only (no
+        # parquet re-scan, no exchange) - the triangle-census pattern
+        rows = [("a", i * 7, i, float(i)) for i in range(200)]
+        out = gapfill_locf(bucket_last_rollup(_ev(spark, rows), 10), 10)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Scan parquet" not in plan and "FileScan" not in plan
+        assert plan.count("Exchange") - plan.count("ReusedExchange") == 0
+        assert "ExistingRDD" in plan

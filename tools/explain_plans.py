@@ -246,6 +246,25 @@ SHOWCASE = {
         "counts first, prefix/suffix block-key equi-joins (never a "
         "cross product), length band, codegen levenshtein on "
         "candidates only.",
+    "events_gapfill_locf": "hypertable rollup + gapfill: ONE map-side-"
+        "combined struct-max aggregation (partials cross the shuffle, "
+        "not rows); gap buckets explode join-free out of the preceding "
+        "observed row, which hands them their LOCF value.",
+    "events_rate_anomaly": "robust spike gate: bucket counts fold "
+        "map-side, median/MAD walk over the bucket-count histogram "
+        "(domain-scale windows), broadcast stats joined back for the "
+        "integer flag.",
+    "profile_fd_audit": "FD audit: per candidate, two map-side-"
+        "combined aggs over a two-column pruned scan; shuffles carry "
+        "compact value keys, never rows; one report row per candidate.",
+    "split_cluster_assign": "leakage-free splits: PPJoin pair gen + "
+        "component propagation feed a left join of docs onto the "
+        "(duplicated-doc scale) component table; the split itself is a "
+        "pure md5 projection of the component label.",
+    "embedding_pca_scatter": "PCA sufficient statistics: per-batch "
+        "integer XtX GEMM behind ONE Arrow boundary (vectors in, "
+        "2080-row partial out), one hash agg merges partials, d-row "
+        "moment table broadcasts onto the pair grid — O(d^2) output.",
 }
 
 
