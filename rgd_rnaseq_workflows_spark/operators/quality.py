@@ -723,3 +723,84 @@ SELECT h.g AS {by},
          AS outlier_frac
 FROM hist h JOIN med USING (g) JOIN mad USING (g)
 GROUP BY h.g, median_v, mad_v"""
+
+def textrank_keywords(docs: DataFrame, top_k: int = 25,
+                      min_count: int = 5, iters: int = 3,
+                      damping_pct: int = 85,
+                      text_col: str = "text") -> DataFrame:
+    """Corpus-level TextRank keywords: PageRank over the adjacent-word
+    co-occurrence graph (Mihalcea & Tarau's graph ranking, run on the
+    whole corpus instead of one document — the unsupervised keyword
+    extractor that catches structurally-central terms raw frequency
+    misses: a word bridging many contexts outranks a word repeated in
+    one template).
+
+    Graph construction contract: DIRECTED bigram occurrences are
+    counted first (one map-side-combined shuffle — the PMI base),
+    pairs below ``min_count`` and self-loops drop, the survivors
+    canonicalize to undirected edges on the md5-long word ids (least/
+    greatest), deduped. The rank is the engine's fixed-point integer
+    PageRank (graph.pagerank — exact, oracle-unrollable), joined back
+    to word text; the final top-k is TakeOrdered by (rank DESC, word),
+    deterministic because ranks are integers underneath.
+
+    Scale shape: bigram counting is the only corpus-scale pass; edges
+    and ranks are vocabulary-graph-scale. Word ids are the house
+    md5-long (identical in the oracle); collision probability at 60
+    bits is negligible and engine-identical either way.
+    """
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long
+    from rgd_rnaseq_workflows_spark.operators.graph import pagerank
+    bg = (docs.select(F.explode(TX.shingles_all(text_col, 2)).alias("bg"))
+          .groupBy("bg").agg(F.count("*").alias("n_pair"))
+          .filter(F.col("n_pair") >= min_count)
+          .select(F.split("bg", " ").getItem(0).alias("w1"),
+                  F.split("bg", " ").getItem(1).alias("w2"))
+          .filter(F.col("w1") != F.col("w2")))
+    ha, hb = md5_long(F.col("w1")), md5_long(F.col("w2"))
+    pairs = (bg.select(F.least(ha, hb).alias("id_a"),
+                       F.greatest(ha, hb).alias("id_b"))
+             .distinct())
+    words = (bg.select(F.col("w1").alias("word"))
+             .union(bg.select("w2")).distinct()
+             .select("word", md5_long(F.col("word")).alias("id")))
+    ranks = pagerank(pairs, iters=iters, damping_pct=damping_pct)
+    return (ranks.join(words, "id")
+            .select("word", "rank")
+            .orderBy(F.col("rank").desc(), "word")
+            .limit(top_k))
+
+
+def textrank_keywords_sql(table: str = "documents", top_k: int = 25,
+                          min_count: int = 5, iters: int = 3,
+                          damping_pct: int = 85,
+                          text_col: str = "text") -> str:
+    """DuckDB twin of :func:`textrank_keywords`: identical edge
+    construction + the unrolled integer pagerank chain (CTE-wrapped,
+    the centrality_keepers composition pattern)."""
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long_sql
+    from rgd_rnaseq_workflows_spark.operators.graph import pagerank_sql
+    sh = TX.shingles_all_sql(text_col, 2)
+    h1, h2 = md5_long_sql("w1"), md5_long_sql("w2")
+    pr = pagerank_sql("SELECT id_a, id_b FROM tpairs",
+                      iters, damping_pct).strip()
+    return f"""
+WITH bgc AS MATERIALIZED (
+  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+  FROM (SELECT bg, count(*) AS n_pair
+        FROM (SELECT unnest({sh}) AS bg FROM {table})
+        GROUP BY bg HAVING count(*) >= {min_count})
+  WHERE string_split(bg, ' ')[1] <> string_split(bg, ' ')[2]),
+tpairs AS MATERIALIZED (
+  SELECT DISTINCT least({h1}, {h2}) AS id_a,
+         greatest({h1}, {h2}) AS id_b
+  FROM bgc),
+words AS (
+  SELECT word, {md5_long_sql("word")} AS id
+  FROM (SELECT w1 AS word FROM bgc UNION SELECT w2 FROM bgc)),
+pr AS (SELECT * FROM ({pr}) q)
+SELECT w.word, p.rank
+FROM pr p JOIN words w ON w.id = p.id
+ORDER BY p.rank DESC, w.word
+LIMIT {top_k}"""
+

@@ -1679,6 +1679,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "profile_fd_audit",
     "split_cluster_assign",
     "embedding_pca_scatter",
+    "text_textrank_keywords",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1688,7 +1689,8 @@ _RECORD_FIRST: tuple[str, ...] = (
     "ann_ivf_topk",
     "asof_join_events",
     "bloom_semi_join",
-    "corpus_curation",
+    # corpus_curation dropped to lead r7 (displaced by
+    # text_textrank_keywords)
     # dedup_cluster_keepers dropped to lead r7 (displaced by
     # embedding_pca_scatter)
     # dedup_exact_stats dropped to lead r7 (displaced by split_cluster_assign)
@@ -3681,3 +3683,25 @@ def embedding_pca_scatter(spark, sf_dir):
     from rgd_rnaseq_workflows_spark.operators.pca import scatter_matrix
     e = _t(spark, sf_dir, "embeddings")
     return scatter_matrix(e, dims=64)
+
+
+def _textrank_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        textrank_keywords_sql)
+    return textrank_keywords_sql("documents", top_k=25, min_count=5,
+                                 iters=3)
+
+
+@q("text_textrank_keywords", ("TEXTRANK",), oracle=_textrank_oracle(),
+   note="corpus-level TextRank keywords: integer PageRank over the "
+        "adjacent-word co-occurrence graph (directed bigram counts -> "
+        "min_count gate -> canonical undirected md5-id edges); one "
+        "corpus-scale bigram shuffle, everything after is vocabulary-"
+        "graph scale; deterministic top-k because ranks are exact "
+        "integers underneath - catches structurally-central terms "
+        "raw frequency misses")
+def text_textrank_keywords(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        textrank_keywords)
+    d = _t(spark, sf_dir, "documents")
+    return textrank_keywords(d, top_k=25, min_count=5, iters=3)

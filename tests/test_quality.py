@@ -294,3 +294,49 @@ class TestLengthOutliers:
         n_out = sum(1 for v in vals if abs(v - med) > 3 * mad)
         assert (r.median_n_chars, r.mad_n_chars, r.n_outliers) == \
             (med, mad, n_out)
+
+
+class TestTextRank:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    def test_bridge_word_outranks_template_word(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.quality import (
+            textrank_keywords)
+        # "hub" co-occurs with many distinct words; "spam" repeats in
+        # one two-word template with the same neighbor every time
+        texts = (["hub alpha", "hub beta", "hub gamma", "hub delta",
+                  "hub epsilon"] * 2 + ["spam spamx"] * 10)
+        out = textrank_keywords(self._docs(spark, texts), top_k=5,
+                                min_count=2, iters=3)
+        rows = out.collect()
+        assert rows[0].word == "hub"
+        ranks = {r.word: r.rank for r in rows}
+        assert ranks["hub"] > ranks.get("spam", 0.0)
+
+    def test_self_loops_and_rare_pairs_drop(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.quality import (
+            textrank_keywords)
+        texts = ["echo echo echo echo echo", "one two"]  # rare pair
+        out = textrank_keywords(self._docs(spark, texts), top_k=10,
+                                min_count=2, iters=2)
+        assert out.count() == 0   # echo-echo is a self-loop; one-two rare
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+        from rgd_rnaseq_workflows_spark.operators.quality import (
+            textrank_keywords, textrank_keywords_sql)
+        texts = ["the quick brown fox jumps over the lazy dog",
+                 "the quick brown cat sleeps", "quick brown fox again",
+                 "lazy dog and quick fox", "the lazy dog sleeps"] * 3
+        sdf = [tuple(r) for r in textrank_keywords(
+            self._docs(spark, texts), top_k=10, min_count=2,
+            iters=3).collect()]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)",
+                        [(i, t) for i, t in enumerate(texts)])
+        ddf = [tuple(r) for r in con.execute(textrank_keywords_sql(
+            "documents", top_k=10, min_count=2, iters=3)).fetchall()]
+        assert sdf == ddf
