@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -309,3 +309,64 @@ FROM sess)"""
                               max_gap_seconds=max_gap_seconds)
     return (f"SELECT step_idx, step, n_users AS n_sessions, conversion, "
             f"sum_gap_seconds, mean_gap_seconds FROM ({inner})")
+
+def transition_matrix(events: DataFrame, user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      sec_col: str = "sec",
+                      tiebreak: str = "event_id") -> DataFrame:
+    """First-order Markov transition matrix of the per-user event
+    stream: for every ordered pair of consecutive events (by
+    ``sec_col`` then the unique ``tiebreak``), one row
+    (from_type, to_type, n, row_total, p_bp) where ``p_bp`` is the
+    transition probability in integer basis points
+    (``(10000·n) div row_total`` — no float ratio crosses engines).
+
+    The journey diagnostic behind funnels: funnels test ONE hypothesis
+    path; the transition matrix shows every observed next-step and its
+    mass (where users actually go after a signup — including the
+    error loops a funnel never lists).
+
+    Scale shape: one shuffle on the user key (the same window the
+    sessionize/SCD2 family rides), then a map-side-combined pair count;
+    output is |types|² metadata. The lag is per-user ordered by
+    integer seconds — the events-family total-order convention.
+    """
+    w = Window.partitionBy(user_col).orderBy(sec_col, tiebreak)
+    pairs = (events
+             .withColumn("_prev", F.lag(type_col).over(w))
+             .filter(F.col("_prev").isNotNull())
+             .groupBy(F.col("_prev").alias("from_type"),
+                      F.col(type_col).alias("to_type"))
+             .agg(F.count("*").cast("long").alias("n")))
+    tot = (pairs.groupBy("from_type")
+           .agg(F.sum("n").cast("long").alias("row_total")))
+    return (pairs.join(F.broadcast(tot), "from_type")
+            .select("from_type", "to_type", "n", "row_total",
+                    F.expr("(10000 * n) div row_total").cast("long")
+                    .alias("p_bp")))
+
+
+def transition_matrix_sql(src: str, user_col: str = "user_id",
+                          type_col: str = "event_type",
+                          sec_col: str = "sec",
+                          tiebreak: str = "event_id") -> str:
+    """DuckDB twin of :func:`transition_matrix` (identical lag order
+    and integer basis points). ``src`` must yield
+    (user, type, sec, tiebreak)."""
+    return f"""
+WITH ev AS ({src}),
+lagged AS (
+  SELECT {user_col},
+         lag({type_col}) OVER (PARTITION BY {user_col}
+                               ORDER BY {sec_col}, {tiebreak}) AS f,
+         {type_col} AS t
+  FROM ev),
+pairs AS (
+  SELECT f AS from_type, t AS to_type, CAST(count(*) AS BIGINT) AS n
+  FROM lagged WHERE f IS NOT NULL GROUP BY f, t),
+tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+        FROM pairs GROUP BY from_type)
+SELECT from_type, to_type, n, row_total,
+       (10000 * n) // row_total AS p_bp
+FROM pairs JOIN tot USING (from_type)"""
+

@@ -1680,6 +1680,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "split_cluster_assign",
     "embedding_pca_scatter",
     "text_textrank_keywords",
+    "events_transition_matrix",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1688,8 +1689,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "ann_embedding_neardup",
     "ann_ivf_topk",
     "asof_join_events",
-    "bloom_semi_join",
-    # corpus_curation dropped to lead r7 (displaced by
+    # bloom_semi_join and corpus_curation dropped to lead r7 (displaced by
     # text_textrank_keywords)
     # dedup_cluster_keepers dropped to lead r7 (displaced by
     # embedding_pca_scatter)
@@ -3705,3 +3705,27 @@ def text_textrank_keywords(spark, sf_dir):
         textrank_keywords)
     d = _t(spark, sf_dir, "documents")
     return textrank_keywords(d, top_k=25, min_count=5, iters=3)
+
+
+def _transition_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        transition_matrix_sql)
+    return transition_matrix_sql(
+        "SELECT user_id, event_type, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id FROM events")
+
+
+@q("events_transition_matrix", ("TS-MARKOV",),
+   oracle=_transition_oracle(),
+   note="first-order Markov transition matrix of the per-user event "
+        "stream: consecutive-event pairs (epoch-second + event_id "
+        "total order) counted map-side after ONE user-key shuffle, "
+        "probabilities as integer basis points; |types|^2 metadata "
+        "out - the journey diagnostic funnels can't show")
+def events_transition_matrix(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        transition_matrix)
+    e = _events(spark, sf_dir)
+    ev = e.select("user_id", "event_type",
+                  F.col("ts").cast("long").alias("sec"), "event_id")
+    return transition_matrix(ev)

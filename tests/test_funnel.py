@@ -199,3 +199,51 @@ def test_session_funnel_confines_to_one_session(spark):
     assert sess["b"].n_sessions == 2
     assert sess["c"].n_sessions == 1      # only user 2 converts in-session
     assert sess["c"].conversion == 0.5
+
+
+class TestTransitionMatrix:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, sec long, event_id long")
+
+    def test_counts_and_basis_points(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.funnel import (
+            transition_matrix)
+        rows = [(1, "a", 1, 1), (1, "b", 2, 2), (1, "a", 3, 3),
+                (1, "b", 4, 4), (2, "a", 1, 5), (2, "c", 2, 6)]
+        got = {(r.from_type, r.to_type): r for r in
+               transition_matrix(self._ev(spark, rows)).collect()}
+        # a->b twice, a->c once, b->a once
+        assert got[("a", "b")].n == 2 and got[("a", "c")].n == 1
+        assert got[("a", "b")].row_total == 3
+        assert got[("a", "b")].p_bp == 20000 // 3
+        assert got[("b", "a")].p_bp == 10000
+
+    def test_no_cross_user_transitions(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.funnel import (
+            transition_matrix)
+        rows = [(1, "a", 1, 1), (2, "b", 2, 2)]
+        assert transition_matrix(self._ev(spark, rows)).count() == 0
+
+    def test_same_second_ordered_by_event_id(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.funnel import (
+            transition_matrix)
+        rows = [(1, "x", 5, 2), (1, "y", 5, 1)]
+        got = transition_matrix(self._ev(spark, rows)).collect()
+        assert [(r.from_type, r.to_type) for r in got] == [("y", "x")]
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+        from rgd_rnaseq_workflows_spark.operators.funnel import (
+            transition_matrix, transition_matrix_sql)
+        rows = [((i * 3) % 5, "t%d" % (i % 4), (i * 7) % 50, i)
+                for i in range(120)]
+        sdf = sorted(map(tuple, transition_matrix(
+            self._ev(spark, rows)).collect()))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE raw_ev (user_id BIGINT, "
+                    "event_type VARCHAR, sec BIGINT, event_id BIGINT)")
+        con.executemany("INSERT INTO raw_ev VALUES (?, ?, ?, ?)", rows)
+        ddf = sorted(map(tuple, con.execute(transition_matrix_sql(
+            "SELECT * FROM raw_ev")).fetchall()))
+        assert sdf == ddf
