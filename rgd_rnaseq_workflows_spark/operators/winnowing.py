@@ -255,14 +255,18 @@ FROM sizes s LEFT JOIN drops d ON d.id_d = s._id"""
 
 
 def _winnow_sel_sql(rel: str, prefix: str, k: int, w: int,
-                    id_col: str, text_col: str) -> str:
+                    id_col: str, text_col: str,
+                    with_pos: bool = False) -> str:
     """CTE chain (names prefixed) ending in ``{prefix}sel(_id, fp)`` —
     the distinct winnowing selection set of relation ``rel``, identical
     hashes / packing / full-window rule / overflow contract as
-    :func:`winnow_pairs_sql`."""
+    :func:`winnow_pairs_sql`. With ``with_pos`` the selection keeps the
+    selected position (the Spark frame's full (id, fp, pos) triple)."""
     grams = shingles_all_sql(text_col, k)
     h = md5_long_sql("gram")
     pos_cap = 1 << _POS_BITS
+    pos_sel = (f", CAST({pos_cap - 1} - (mk % {pos_cap}) AS BIGINT) AS pos"
+               if with_pos else "")
     return f"""
 {prefix}tk AS MATERIALIZED (
   SELECT {id_col} AS _id, {grams} AS g FROM {rel}),
@@ -275,7 +279,7 @@ def _winnow_sel_sql(rel: str, prefix: str, k: int, w: int,
          {h.replace('gram', 'g[i]')} % {1 << 40} AS h
   FROM {prefix}tk, unnest(range(1, len(g) + 1)) AS r(i)),
 {prefix}sel AS MATERIALIZED (
-  SELECT DISTINCT _id, CAST(mk // {pos_cap} AS BIGINT) AS fp
+  SELECT DISTINCT _id, CAST(mk // {pos_cap} AS BIGINT) AS fp{pos_sel}
   FROM (
     SELECT _id,
            min(h * {pos_cap} + ({pos_cap - 1} - pos))
@@ -356,3 +360,113 @@ pairs AS (
   FROM da a JOIN da b ON a.fp = b.fp AND a._id < b._id
   GROUP BY a._id, b._id)
 SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= {min_shared}"""
+
+def shared_span_report(fps: DataFrame, k: int, w: int,
+                       id_col: str = "doc_id", min_shared: int = 2,
+                       min_run: int = 2) -> DataFrame:
+    """Repeated-SPAN detection between document pairs — the
+    exact-substring-dedup signal (Lee et al.'s "Deduplicating Training
+    Data" concern) at winnowing granularity: a long pasted block shows
+    up as a RUN of shared fingerprints on one alignment diagonal, which
+    global Jaccard/containment scores can't localize.
+
+    Mechanics (the dot-plot diagonal trick): matched fingerprints
+    between a pair land at positions (pos_a, pos_b); a contiguous
+    shared region keeps ``pos_a − pos_b`` constant, so grouping matches
+    by that DIAGONAL and splitting where consecutive ``pos_a`` jump by
+    more than ``w + k − 1`` (winnowing's guarantee: any shared run of
+    ≥ w+k−1 tokens contributes a fingerprint — larger gaps mean the
+    shared region broke) yields the maximal shared runs. Output per
+    pair: (id_a, id_b, n_matches, n_runs, max_run_fps,
+    max_span_tokens) with ``max_span_tokens`` = the k-gram span of the
+    longest run + k − 1 (token-span estimate), runs below ``min_run``
+    fingerprints ignored (single-fingerprint coincidences).
+
+    All arithmetic integer; deterministic (max over exact spans).
+
+    Scale shape: the fp equi-join is the only corpus-scale shuffle
+    (same as shared_fingerprint_pairs); the islands window rides
+    (pair, diagonal) keys over MATCH-scale rows — at 100 TB matches
+    are pair-overlap scale, not corpus scale. All-pairs never happens:
+    only documents sharing a fingerprint meet.
+    """
+    a = fps.select(F.col(id_col).alias("id_a"), "fp",
+                   F.col("pos").alias("pos_a"))
+    b = fps.select(F.col(id_col).alias("id_b"), "fp",
+                   F.col("pos").alias("pos_b"))
+    m = (a.join(b, "fp")
+         .filter(F.col("id_a") < F.col("id_b"))
+         .select("id_a", "id_b", "pos_a",
+                 (F.col("pos_a") - F.col("pos_b")).alias("diag")))
+    gap = w + k - 1
+    wd = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = (m
+            .withColumn("_prev", F.lag("pos_a").over(wd))
+            .withColumn("_new", F.when(
+                F.col("_prev").isNull()
+                | (F.col("pos_a") - F.col("_prev") > gap), 1)
+                .otherwise(0))
+            .withColumn("_run", F.sum("_new").over(
+                wd.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("id_a", "id_b", "diag", "_run")
+            .agg(F.count("*").cast("long").alias("run_fps"),
+                 (F.max("pos_a") - F.min("pos_a") + k)
+                 .cast("long").alias("span_tokens")))
+    return (runs
+            .groupBy("id_a", "id_b")
+            .agg(F.sum("run_fps").cast("long").alias("n_matches"),
+                 F.sum(F.when(F.col("run_fps") >= min_run, 1)
+                       .otherwise(0)).cast("long").alias("n_runs"),
+                 F.max(F.when(F.col("run_fps") >= min_run,
+                              F.col("run_fps"))).cast("long")
+                 .alias("max_run_fps"),
+                 F.max(F.when(F.col("run_fps") >= min_run,
+                              F.col("span_tokens"))).cast("long")
+                 .alias("max_span_tokens"))
+            .filter(F.col("n_matches") >= min_shared)
+            .filter(F.col("n_runs") > 0))
+
+
+def shared_span_sql(table: str, k: int = 3, w: int = 4,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    min_shared: int = 2, min_run: int = 2) -> str:
+    """DuckDB twin of fingerprints → :func:`shared_span_report`
+    (identical selection set with positions, identical diagonal
+    islands)."""
+    sel = _winnow_sel_sql(table, "s", k, w, id_col, text_col,
+                          with_pos=True)
+    gap = w + k - 1
+    return f"""
+WITH {sel},
+m AS (
+  SELECT a._id AS id_a, b._id AS id_b, a.pos AS pos_a,
+         a.pos - b.pos AS diag
+  FROM ssel a JOIN ssel b ON a.fp = b.fp AND a._id < b._id),
+flagged AS (
+  SELECT *, CASE WHEN prev IS NULL OR pos_a - prev > {gap}
+                 THEN 1 ELSE 0 END AS newrun
+  FROM (SELECT *, lag(pos_a) OVER (PARTITION BY id_a, id_b, diag
+                                   ORDER BY pos_a) AS prev
+        FROM m)),
+runs0 AS (
+  SELECT *, sum(newrun) OVER (PARTITION BY id_a, id_b, diag
+                              ORDER BY pos_a
+                              ROWS UNBOUNDED PRECEDING) AS run
+  FROM flagged),
+runs AS (
+  SELECT id_a, id_b, diag, run,
+         CAST(count(*) AS BIGINT) AS run_fps,
+         CAST(max(pos_a) - min(pos_a) + {k} AS BIGINT) AS span_tokens
+  FROM runs0 GROUP BY id_a, id_b, diag, run)
+SELECT id_a, id_b,
+       CAST(sum(run_fps) AS BIGINT) AS n_matches,
+       CAST(sum(CASE WHEN run_fps >= {min_run} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_runs,
+       CAST(max(CASE WHEN run_fps >= {min_run} THEN run_fps END)
+            AS BIGINT) AS max_run_fps,
+       CAST(max(CASE WHEN run_fps >= {min_run} THEN span_tokens END)
+            AS BIGINT) AS max_span_tokens
+FROM runs GROUP BY id_a, id_b
+HAVING sum(run_fps) >= {min_shared}
+   AND sum(CASE WHEN run_fps >= {min_run} THEN 1 ELSE 0 END) > 0"""
+

@@ -1681,6 +1681,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "embedding_pca_scatter",
     "text_textrank_keywords",
     "events_transition_matrix",
+    "winnow_repeated_spans",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -1688,8 +1689,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "ann_cosine_topk",
     "ann_embedding_neardup",
     "ann_ivf_topk",
-    "asof_join_events",
-    # bloom_semi_join and corpus_curation dropped to lead r7 (displaced by
+    # asof_join_events, bloom_semi_join and corpus_curation dropped to lead r7 (displaced by
     # text_textrank_keywords)
     # dedup_cluster_keepers dropped to lead r7 (displaced by
     # embedding_pca_scatter)
@@ -3729,3 +3729,27 @@ def events_transition_matrix(spark, sf_dir):
     ev = e.select("user_id", "event_type",
                   F.col("ts").cast("long").alias("sec"), "event_id")
     return transition_matrix(ev)
+
+
+def _shared_span_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.winnowing import (
+        shared_span_sql)
+    return shared_span_sql("documents", k=3, w=4, min_shared=2,
+                           min_run=2)
+
+
+@q("winnow_repeated_spans", ("WINNOW-SPANS",),
+   oracle=_shared_span_oracle(),
+   note="repeated-SPAN localization between doc pairs (the exact-"
+        "substring-dedup signal): matched winnowing fingerprints "
+        "grouped by alignment DIAGONAL (pos_a - pos_b), split at gaps "
+        "> w+k-1 (winnowing's coverage guarantee) - a pasted block "
+        "surfaces as one long run where global Jaccard just dilutes; "
+        "fp equi-join is the only corpus-scale shuffle, the islands "
+        "window rides match-scale (pair, diagonal) keys; all integer")
+def winnow_repeated_spans(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.winnowing import (
+        shared_span_report, winnow_fingerprints)
+    d = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, k=3, w=4)
+    return shared_span_report(fps, k=3, w=4, min_shared=2, min_run=2)

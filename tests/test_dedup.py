@@ -224,3 +224,68 @@ def test_cross_corpus_equals_union_self_join_restriction(spark):
             nid, oid = (r.id_a, r.id_b) if a_new else (r.id_b, r.id_a)
             want.add((nid, oid, r.jaccard))
     assert cross == want and cross
+
+
+class TestSharedSpans:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+
+    def test_pasted_block_is_one_long_run(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.winnowing import (
+            shared_span_report, winnow_fingerprints)
+        block = " ".join("tok%d" % i for i in range(40))
+        a = "alpha beta gamma " + block + " delta epsilon zeta"
+        b = "one two three four five " + block + " six seven eight"
+        fps = winnow_fingerprints(self._docs(spark, [a, b]), k=3, w=4)
+        got = shared_span_report(fps, k=3, w=4).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.id_a, r.id_b) == (0, 1)
+        assert r.n_runs == 1
+        # the 40-token block must be spanned nearly end to end
+        assert r.max_span_tokens >= 30
+        assert r.max_run_fps >= 5
+
+    def test_scattered_shared_words_do_not_form_runs(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.winnowing import (
+            shared_span_report, winnow_fingerprints)
+        # share vocabulary but no contiguous >= k-gram runs beyond
+        # coincidence: different orders
+        a = " ".join("w%d" % i for i in range(30))
+        b = " ".join("w%d" % i for i in range(29, -1, -1))
+        fps = winnow_fingerprints(self._docs(spark, [a, b]), k=3, w=4)
+        got = shared_span_report(fps, k=3, w=4, min_run=2).collect()
+        assert got == []
+
+    def test_two_separate_blocks_are_two_runs(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.winnowing import (
+            shared_span_report, winnow_fingerprints)
+        b1 = " ".join("x%d" % i for i in range(20))
+        b2 = " ".join("y%d" % i for i in range(20))
+        a = b1 + " filler1 filler2 filler3 filler4 filler5 " + b2
+        b = b2 + " pad1 pad2 pad3 pad4 pad5 pad6 pad7 " + b1
+        fps = winnow_fingerprints(self._docs(spark, [a, b]), k=3, w=4)
+        got = shared_span_report(fps, k=3, w=4).collect()
+        assert len(got) == 1 and got[0].n_runs >= 2
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+        from rgd_rnaseq_workflows_spark.operators.winnowing import (
+            shared_span_report, shared_span_sql, winnow_fingerprints)
+        block = " ".join("s%d" % i for i in range(15))
+        texts = ["intro " + block + " outro",
+                 block + " tail words here",
+                 "unrelated content entirely different words",
+                 "another " + block]
+        fps = winnow_fingerprints(self._docs(spark, texts), k=3, w=4)
+        sdf = sorted(map(tuple,
+                         shared_span_report(fps, k=3, w=4).collect()))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)",
+                        [(i, t) for i, t in enumerate(texts)])
+        ddf = sorted(map(tuple, con.execute(
+            shared_span_sql("documents", k=3, w=4)).fetchall()))
+        assert sdf == ddf
