@@ -295,3 +295,89 @@ SELECT n_probe_rows, n_pass_rows, n_exact_rows, n_false_pos_rows,
        round(CAST(n_false_pos_keys AS DOUBLE)
              / greatest(_n_out_keys, 1), 6) AS key_fp_rate
 FROM row_stats, key_stats"""
+
+# --- per-file Bloom index: point-lookup file skipping ------------------------
+
+def file_bloom_manifest(spark, path: str, key_col: str,
+                        m_bits: int = 4096, k: int = 4,
+                        seed: int = 17) -> dict[str, list[int]]:
+    """Per-FILE Bloom bitmaps over ``key_col`` — the Iceberg/Delta
+    bloom-filter index for POINT lookups, the case min/max manifests
+    (``zorder.file_manifest``) can't prune: a high-cardinality key
+    whose values interleave across files makes every [min,max] interval
+    overlap every probe, while a few KB of bloom bits per file answers
+    "does this exact key live here" with no false negatives.
+
+    One scan builds every file's bitmap: rows tag themselves with
+    ``input_file_name()``, fan out to k positions, and
+    ``groupBy(file, word) + bit_or`` folds map-side to
+    files × m/64 metadata rows — the driver collects bitmaps, never
+    data. A production lake writes these at ingest (the write has the
+    rows anyway) and stores them in the table's manifest, exactly like
+    the min/max stats.
+
+    Uses the portable md5 KM family so published bitmaps are
+    reproducible by any engine (and by the driver-side probe below).
+    """
+    df = spark.read.parquet(path.rstrip("/"))
+    pos = F.explode(F.array(
+        *[_km_position(F.col(key_col), i, m_bits, seed)
+          for i in range(k)])).alias("pos")
+    rows = (df.select(F.input_file_name().alias("file"),
+                      F.col(key_col))
+            .select("file", pos)
+            .select("file",
+                    (F.col("pos") / WORD_BITS).cast("long").alias("word"),
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                           f"CAST(pos % {WORD_BITS} AS INT))")
+                    .alias("mask"))
+            .groupBy("file", "word").agg(F.bit_or("mask").alias("bits"))
+            .collect())
+    out: dict[str, list[int]] = {}
+    for r in rows:
+        bm = out.setdefault(r.file, [0] * (m_bits // WORD_BITS))
+        bm[r.word] = r.bits
+    return out
+
+
+def _km_positions_py(key, m_bits: int, k: int, seed: int) -> list[int]:
+    """Driver-side twin of :func:`_km_position` (hashlib md5 is the
+    same md5 — the constant-hash-literal house precedent). ``key`` must
+    be an int or string whose ``str()`` equals Spark's string cast
+    (ints and strings do; floats don't — don't bloom-index floats)."""
+    import hashlib
+
+    def h(tag: str) -> int:
+        return int(hashlib.md5(
+            f"{seed}:{tag}:{key}".encode()).hexdigest()[:15], 16)
+
+    g1 = h("a") % m_bits
+    g2 = (h("b") % (m_bits // 2)) * 2 + 1
+    return [(g1 + i * g2) % m_bits for i in range(k)]
+
+
+def bloom_pruned_point_read(spark, path: str,
+                            manifest: dict[str, list[int]],
+                            key_col: str, keys: list, m_bits: int,
+                            k: int = 4, seed: int = 17):
+    """Point-lookup read that SKIPS files whose Bloom bitmap rules out
+    every probed key (no false negatives ⇒ skipping is always safe).
+    Returns (df, n_files_read, n_files_total); the DataFrame carries
+    the residual IN-filter, so correctness never depends on the index —
+    a false positive only costs an extra file read (the
+    ``zorder.pruned_read`` contract)."""
+    def might_contain(bm: list[int], key) -> bool:
+        for p in _km_positions_py(key, m_bits, k, seed):
+            if not (bm[p // WORD_BITS] >> (p % WORD_BITS)) & 1:
+                return False
+        return True
+
+    keep = [f for f, bm in sorted(manifest.items())
+            if any(might_contain(bm, key) for key in keys)]
+    if keep:
+        df = spark.read.parquet(*keep)
+    else:
+        df = spark.read.parquet(path.rstrip("/")).limit(0)
+    df = df.filter(F.col(key_col).isin(keys))
+    return df, len(keep), len(manifest)
+

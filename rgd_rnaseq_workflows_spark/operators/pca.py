@@ -51,11 +51,12 @@ def scatter_matrix(vecs: DataFrame, vec_col: str = "embedding",
     ``g_ij = Σ round(x_i·SCALE)·round(x_j·SCALE)`` (exact int64),
     ``s_i`` the per-dim fix-point sums and ``n`` the row count.
 
-    Plan shape: an Arrow kernel folds each batch into a d(d+1)/2-row
-    integer partial (the corpus crosses the Python boundary ONCE,
-    vectors-in/partials-out), one hash aggregation merges partials;
-    the d-row moment table (JVM posexplode + map-side-combined agg)
-    broadcasts onto the pair grid. Output is O(d²) metadata."""
+    Plan shape: ONE corpus pass — an Arrow kernel folds each batch into
+    a d(d+1)/2-row integer XᵀX partial plus d moment rows (tagged
+    j = −1) and one count row (i = j = −1), so the corpus crosses the
+    Python boundary once and is scanned once; a single hash aggregation
+    merges all partials, and the d-row moment table broadcasts onto the
+    pair grid. Output is O(d²) metadata."""
     schema = "i int, j int, g long"
     iu, ju = np.triu_indices(dims)
 
@@ -64,17 +65,22 @@ def scatter_matrix(vecs: DataFrame, vec_col: str = "embedding",
             X = np.stack(pdf[vec_col].to_numpy())
             XI = _round_half_away(X.astype(np.float64) * SCALE)
             G = XI.T @ XI          # exact int64 within documented bounds
-            yield pd.DataFrame({"i": iu, "j": ju, "g": G[iu, ju]})
+            i = np.concatenate([iu, np.arange(dims), [-1]]).astype("int32")
+            j = np.concatenate([ju, np.full(dims, -1), [-1]]).astype("int32")
+            g = np.concatenate([G[iu, ju], XI.sum(axis=0),
+                                [len(XI)]]).astype("int64")
+            yield pd.DataFrame({"i": i, "j": j, "g": g})
 
-    pairs = (vecs.select(vec_col).mapInPandas(xtx, schema=schema)
-             .groupBy("i", "j").agg(F.sum("g").alias("g_ij")))
-    xi = F.transform(F.col(vec_col),
-                     lambda x: F.round(x.cast("double") * SCALE)
-                     .cast("long"))
-    moments = (vecs.select(F.posexplode(xi).alias("dim", "xi"))
-               .groupBy("dim")
-               .agg(F.sum("xi").alias("s"),
-                    F.count("*").cast("long").alias("n")))
+    raw = (vecs.select(vec_col).mapInPandas(xtx, schema=schema)
+           .groupBy("i", "j").agg(F.sum("g").alias("g")))
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    raw = checkpoint_df(raw, eager=False)   # O(d^2) rows; three readers
+    pairs = (raw.filter(F.col("j") >= 0)
+             .select("i", "j", F.col("g").alias("g_ij")))
+    n_row = raw.filter(F.col("i") == -1).select(F.col("g").alias("n"))
+    moments = (raw.filter((F.col("i") >= 0) & (F.col("j") == -1))
+               .select(F.col("i").alias("dim"), F.col("g").alias("s"))
+               .crossJoin(F.broadcast(n_row)))
     return (pairs
             .join(F.broadcast(moments.select(
                 F.col("dim").alias("i"), F.col("s").alias("s_i"),

@@ -81,6 +81,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="add a deterministic train/val/test column "
                         "(md5 bucket of doc_id, 80/10/10) to the curated "
                         "output — stable under repartitioning")
+    p.add_argument("--cluster-splits", type=float, nargs="?",
+                   const=0.5, default=None, metavar="THRESHOLD",
+                   help="like --splits, but the split hashes the "
+                        "near-dup COMPONENT label so near-duplicate "
+                        "docs never cross train/test (leakage-free). "
+                        "Pairs are computed on the CURATED docs at "
+                        "this Jaccard threshold (default 0.5 — lower "
+                        "than curation's, to catch the surviving "
+                        "lower-similarity twins curation keeps)")
     p.add_argument("--chunks", type=int, default=None, metavar="WINDOW",
                    help="also write an overlapping chunk table (RAG/"
                         "embedding indexing) with this token window")
@@ -231,11 +240,35 @@ def run(args: argparse.Namespace) -> int:
                 curated, "lang", "doc_id",
                 {s: p_["epochs_bps"] for s, p_ in plan.items()},
                 seed=args.mix_seed)
+    if args.splits and args.cluster_splits is not None:
+        print("[corpus] --splits and --cluster-splits are mutually "
+              "exclusive", file=sys.stderr)
+        return 2
     if args.splits:
         from rgd_rnaseq_workflows_spark.operators.sampling import (
             split_assign)
         curated = curated.withColumn(
             "split", split_assign("doc_id", seed=13))
+    if args.cluster_splits is not None:
+        from rgd_rnaseq_workflows_spark.operators.components import (
+            connected_components)
+        from rgd_rnaseq_workflows_spark.operators.sampling import (
+            cluster_split_assign)
+        from rgd_rnaseq_workflows_spark.plans.neardup import (
+            near_dup_pairs_cached)
+        with _stage("cluster splits"):
+            # pairs on the CURATED survivors at the (lower) split
+            # threshold: curation already collapsed >= its own
+            # threshold; leakage protection targets the borderline
+            # twins that remain
+            split_pairs = near_dup_pairs_cached(
+                curated, shingle_n=args.shingle_n,
+                threshold=args.cluster_splits)
+            asg = cluster_split_assign(
+                curated, connected_components(split_pairs), seed=13)
+            curated = curated.join(
+                asg.withColumnRenamed("id", "doc_id")
+                .select("doc_id", "split"), "doc_id", "left")
     # partition by lang: downstream training jobs prune per-language;
     # the curated set is a fraction of the input, so files stay chunky
     with _stage("curated write (materializes lazy stages)"):

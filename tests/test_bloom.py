@@ -68,3 +68,51 @@ def test_might_contain_respects_hash_fn(spark, build_keys):
         ~bloom_might_contain(F.col("k"), bm, 32768, 7, seed=17,
                              hash_fn="xxhash64")).count()
     assert missed == 0
+
+
+class TestFileBloomIndex:
+    def test_point_lookup_prunes_and_stays_correct(self, spark, tmp_out):
+        from rgd_rnaseq_workflows_spark.operators.bloom import (
+            bloom_pruned_point_read, file_bloom_manifest)
+        # 8 files, ids hash-scattered -> min/max stats would never
+        # prune, blooms must
+        df = spark.range(0, 4000).withColumnRenamed("id", "key")
+        path = f"{tmp_out}/tbl"
+        df.repartition(8, "key").write.parquet(path)
+        man = file_bloom_manifest(spark, path, "key",
+                                  m_bits=4096, k=4)
+        assert len(man) == 8
+        got, n_read, n_total = bloom_pruned_point_read(
+            spark, path, man, "key", [123, 2777], m_bits=4096, k=4)
+        rows = sorted(r.key for r in got.collect())
+        assert rows == [123, 2777]           # residual filter exact
+        assert n_total == 8
+        # each key lives in exactly 1 file; fp rate at n=500/m=4096,
+        # k=4 is ~2% so reading more than 4 of 8 would mean a broken
+        # index
+        assert n_read <= 4
+
+    def test_absent_key_reads_few_or_no_files(self, spark, tmp_out):
+        from rgd_rnaseq_workflows_spark.operators.bloom import (
+            bloom_pruned_point_read, file_bloom_manifest)
+        df = spark.range(0, 1000).withColumnRenamed("id", "key")
+        path = f"{tmp_out}/tbl2"
+        df.repartition(4, "key").write.parquet(path)
+        man = file_bloom_manifest(spark, path, "key", m_bits=4096, k=4)
+        got, n_read, _ = bloom_pruned_point_read(
+            spark, path, man, "key", [999_999], m_bits=4096, k=4)
+        assert got.count() == 0
+        assert n_read <= 1                    # fp tail at most
+
+    def test_python_positions_match_spark(self, spark):
+        import pyspark.sql.functions as F
+        from rgd_rnaseq_workflows_spark.operators.bloom import (
+            _km_position, _km_positions_py)
+        keys = [0, 7, 12345, 987654321]
+        df = spark.createDataFrame([(x,) for x in keys], "key long")
+        for i in range(4):
+            got = {r.key: r.p for r in df.select(
+                "key", _km_position(F.col("key"), i, 4096, 17)
+                .alias("p")).collect()}
+            for x in keys:
+                assert got[x] == _km_positions_py(x, 4096, 4, 17)[i]

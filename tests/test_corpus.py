@@ -503,3 +503,38 @@ def test_corpus_cli_containment_requires_lake(spark, tmp_out):
         run_corpus.main(["--docs", src,
                          "--out", os.path.join(tmp_out, "o2"),
                          "--containment-report", "0.3"])
+
+
+def test_corpus_cli_cluster_splits(spark, tmp_out):
+    """--cluster-splits: near-dup twins surviving curation must share
+    one split label; --splits and --cluster-splits are exclusive."""
+    import os
+    import pyspark.sql.functions as F
+    from rgd_rnaseq_workflows_spark import run_corpus
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet forest toward the distant river "
+            "bank where tall green trees grow near clear water")
+    twin = base + " today"              # borderline twin (same shingles)
+    rows = [(i, base if i % 2 == 0 else twin, "en", "web")
+            for i in range(40)]
+    # make every doc distinct enough that exact dedup keeps them but
+    # cluster-splitting still links the twins: append a unique token
+    rows = [(i, t + f" marker{i}", lg, s) for i, t, lg, s in rows]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    src = os.path.join(tmp_out, "docs.parquet")
+    docs.write.parquet(src)
+    out = os.path.join(tmp_out, "corpus_out")
+    rc = run_corpus.main(["--docs", src, "--out", out,
+                          "--min-tokens", "5", "--threshold", "0.999",
+                          "--cluster-splits", "0.5"])
+    assert rc == 0
+    curated = spark.read.parquet(f"{out}/curated")
+    assert "split" in curated.columns
+    # all survivors are >= 0.5-similar to each other -> one component
+    # -> exactly one split value across the whole set
+    assert curated.select("split").distinct().count() == 1
+    assert curated.filter(F.col("split").isNull()).count() == 0
+    rc2 = run_corpus.main(["--docs", src, "--out", out + "2",
+                           "--splits", "--cluster-splits"])
+    assert rc2 == 2

@@ -201,7 +201,9 @@ class TestManifestPruning:
         from rgd_rnaseq_workflows_spark.operators.zorder import pruned_read
         df = spark.createDataFrame([(1, 5, 5)], "id long, x long, y long")
         p = str(tmp_path / "one")
-        df.write.parquet(p)
+        # one part file: a multi-part write would let glob()[0] pick an
+        # EMPTY part and turn this into a flake
+        df.coalesce(1).write.parquet(p)
         import glob
         f = glob.glob(f"{p}/*.parquet")[0]
         man = [{"file": f, "min_x": None, "max_x": None,
