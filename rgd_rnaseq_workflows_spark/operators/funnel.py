@@ -370,3 +370,68 @@ SELECT from_type, to_type, n, row_total,
        (10000 * n) // row_total AS p_bp
 FROM pairs JOIN tot USING (from_type)"""
 
+def rfm_segments(events: DataFrame, n_tiles: int = 5,
+                 user_col: str = "user_id", sec_col: str = "sec",
+                 value_col: str = "value",
+                 tiebreak: str = "event_id") -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) — the
+    warehouse-classic behavioral cube: per user, last-activity second,
+    event count and exact monetary sum (fix-point cents — the _isum
+    discipline, never a float sum), then each axis splits into
+    ``n_tiles`` quantile buckets and the output is the segment-level
+    rollup (r_tile, f_tile, m_tile, n_users).
+
+    Determinism: tiles come from ``ntile`` over a TOTAL order
+    (metric, then user id) — the tie order is pinned, so bucket
+    boundaries are engine-identical; all metrics are exact integers.
+
+    Scale shape: one map-side-combined aggregation folds the corpus to
+    USER-scale rows; the three ntile windows ride that user-scale
+    frame (single-partition windows are fine at user scale — users are
+    orders of magnitude fewer than events; a 10^9-user deployment
+    would swap ntile for the bounded-domain histogram walk the
+    quantile family uses); the rollup is ≤ n_tiles³ metadata rows.
+    """
+    per_user = (events.groupBy(F.col(user_col).alias("u"))
+                .agg(F.max(F.col(sec_col).cast("long")).alias("last_sec"),
+                     F.count("*").cast("long").alias("n_events"),
+                     F.sum(F.round(F.col(value_col) * 100).cast("long"))
+                     .alias("cents")))
+    wr = Window.orderBy(F.col("last_sec").desc(), F.col("u"))
+    wf = Window.orderBy(F.col("n_events").desc(), F.col("u"))
+    wm = Window.orderBy(F.col("cents").desc(), F.col("u"))
+    tiled = per_user.select(
+        "u", F.ntile(n_tiles).over(wr).cast("long").alias("r_tile"),
+        F.ntile(n_tiles).over(wf).cast("long").alias("f_tile"),
+        F.ntile(n_tiles).over(wm).cast("long").alias("m_tile"))
+    return (tiled.groupBy("r_tile", "f_tile", "m_tile")
+            .agg(F.count("*").cast("long").alias("n_users")))
+
+
+def rfm_segments_sql(src: str, n_tiles: int = 5,
+                     user_col: str = "user_id", sec_col: str = "sec",
+                     value_col: str = "value",
+                     tiebreak: str = "event_id") -> str:
+    """DuckDB twin of :func:`rfm_segments` (identical total orders and
+    exact integer metrics). ``src`` yields (user, sec, value)."""
+    return f"""
+WITH ev AS ({src}),
+per_user AS (
+  SELECT {user_col} AS u,
+         CAST(max(CAST({sec_col} AS BIGINT)) AS BIGINT) AS last_sec,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round({value_col} * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM ev GROUP BY 1),
+tiled AS (
+  SELECT u,
+         CAST(ntile({n_tiles}) OVER (ORDER BY last_sec DESC, u)
+              AS BIGINT) AS r_tile,
+         CAST(ntile({n_tiles}) OVER (ORDER BY n_events DESC, u)
+              AS BIGINT) AS f_tile,
+         CAST(ntile({n_tiles}) OVER (ORDER BY cents DESC, u)
+              AS BIGINT) AS m_tile
+  FROM per_user)
+SELECT r_tile, f_tile, m_tile, CAST(count(*) AS BIGINT) AS n_users
+FROM tiled GROUP BY 1, 2, 3"""
+

@@ -520,3 +520,34 @@ def cluster_split_assign(docs: DataFrame, comps: DataFrame,
         "id", "rep",
         split_assign(F.col("rep"), seed=seed, train=train,
                      val=val).alias("split"))
+
+def duplicate_downweight(docs: DataFrame, comps: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """SOFT dedup for training mixes: instead of keeping one member
+    per near-dup cluster (the keeper policy), every member gets weight
+    ``1/cluster_size`` so the CLUSTER contributes one document's worth
+    of probability mass — the standard soft-dedup alternative when
+    hard dropping loses legitimate variation (forks, translations,
+    templated-but-distinct pages).
+
+    Output: (id, cluster_size, weight_bp) with ``weight_bp`` =
+    ``10000 div cluster_size`` in integer basis points (singletons =
+    10000) — exact, engine-identical, directly consumable by the
+    budget/mix operators as a per-doc rate.
+
+    ``comps`` is ``connected_components(pairs)`` output; one
+    cluster-size aggregation (duplicated-doc scale) + one left join —
+    the same shape as :func:`cluster_split_assign`, and the same
+    single pair-graph the keepers/splits/leakage reports share.
+    """
+    sizes = comps.groupBy("comp").agg(
+        F.count("*").cast("long").alias("cluster_size"))
+    lab = (docs.select(F.col(id_col).cast("long").alias("id"))
+           .join(comps, "id", "left")
+           .join(sizes, "comp", "left")
+           .select("id", F.coalesce("cluster_size", F.lit(1))
+                   .cast("long").alias("cluster_size")))
+    return lab.select(
+        "id", "cluster_size",
+        F.expr("10000 div cluster_size").cast("long").alias("weight_bp"))
+

@@ -1682,14 +1682,14 @@ _RECORD_FIRST: tuple[str, ...] = (
     "text_textrank_keywords",
     "events_transition_matrix",
     "winnow_repeated_spans",
+    "sample_duplicate_downweight",
+    "events_rfm_segments",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
     # r6 — and lead r7 with the window overflow)
     "ann_cosine_topk",
-    "ann_embedding_neardup",
-    "ann_ivf_topk",
-    # asof_join_events, bloom_semi_join and corpus_curation dropped to lead r7 (displaced by
+    # ann_embedding_neardup, ann_ivf_topk, asof_join_events, bloom_semi_join and corpus_curation dropped to lead r7 (displaced by
     # text_textrank_keywords)
     # dedup_cluster_keepers dropped to lead r7 (displaced by
     # embedding_pca_scatter)
@@ -3753,3 +3753,68 @@ def winnow_repeated_spans(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     fps = winnow_fingerprints(d, k=3, w=4)
     return shared_span_report(fps, k=3, w=4, min_shared=2, min_run=2)
+
+
+def _downweight_oracle() -> str:
+    pairs_sql = REGISTRY["dedup_ngram_jaccard"].oracle.strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+comps AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comps GROUP BY comp),
+lab AS (
+  SELECT d.doc_id AS id,
+         coalesce(s.cluster_size, 1) AS cluster_size
+  FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+                   LEFT JOIN sizes s ON s.comp = c.comp)
+SELECT id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       10000 // cluster_size AS weight_bp
+FROM lab
+"""
+
+
+@q("sample_duplicate_downweight", ("SOFT-DEDUP",),
+   oracle=_downweight_oracle(),
+   note="SOFT dedup for training mixes: every near-dup cluster member "
+        "weighted 1/cluster_size in integer basis points, so the "
+        "cluster contributes one doc's worth of mass without hard "
+        "drops losing legitimate variation; one cluster-size agg + "
+        "one left join on the SAME single pair graph the keepers/"
+        "splits/leakage reports share")
+def sample_duplicate_downweight(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.components import (
+        connected_components)
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        duplicate_downweight)
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, block_col="lang", shingle_n=2,
+                                   threshold=0.8)
+    return duplicate_downweight(d, connected_components(pairs))
+
+
+def _rfm_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        rfm_segments_sql)
+    return rfm_segments_sql(
+        "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, "
+        "value, event_id FROM events")
+
+
+@q("events_rfm_segments", ("RFM",), oracle=_rfm_oracle(),
+   note="RFM segmentation: per-user last-activity/count/exact-cents "
+        "metrics (one map-side-combined fold to USER scale), ntile "
+        "quantile buckets over pinned total orders (metric, user), "
+        "n_tiles^3 rollup out; a 1e9-user deployment swaps ntile for "
+        "the bounded-domain histogram walk - documented in-module")
+def events_rfm_segments(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.funnel import rfm_segments
+    e = _events(spark, sf_dir)
+    ev = e.select("user_id", F.col("ts").cast("long").alias("sec"),
+                  "value", "event_id")
+    return rfm_segments(ev)

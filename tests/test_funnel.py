@@ -247,3 +247,37 @@ class TestTransitionMatrix:
         ddf = sorted(map(tuple, con.execute(transition_matrix_sql(
             "SELECT * FROM raw_ev")).fetchall()))
         assert sdf == ddf
+
+
+class TestRFM:
+    def test_tiles_and_exact_cents(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.funnel import (
+            rfm_segments)
+        rows = [(u, u * 10, float(u), u) for u in range(1, 11)]
+        ev = spark.createDataFrame(
+            rows, "user_id long, sec long, value double, event_id long")
+        out = rfm_segments(ev, n_tiles=2).collect()
+        # 10 users, each axis splits 5/5. Recency and monetary favor
+        # high u (desc order); frequency ties everywhere, so its
+        # pinned tiebreak (u asc) puts users 1-5 in f_tile 1. Users
+        # 6-10 land in (r=1, f=2, m=1), users 1-5 in (2, 1, 2).
+        seg = {(r.r_tile, r.f_tile, r.m_tile): r.n_users for r in out}
+        assert sum(seg.values()) == 10
+        assert seg == {(1, 2, 1): 5, (2, 1, 2): 5}
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+        from rgd_rnaseq_workflows_spark.operators.funnel import (
+            rfm_segments, rfm_segments_sql)
+        rows = [((i * 3) % 7, (i * 11) % 90, float((i * i) % 40) / 4, i)
+                for i in range(100)]
+        ev = spark.createDataFrame(
+            rows, "user_id long, sec long, value double, event_id long")
+        sdf = sorted(map(tuple, rfm_segments(ev, n_tiles=3).collect()))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE raw_ev (user_id BIGINT, sec BIGINT, "
+                    "value DOUBLE, event_id BIGINT)")
+        con.executemany("INSERT INTO raw_ev VALUES (?, ?, ?, ?)", rows)
+        ddf = sorted(map(tuple, con.execute(rfm_segments_sql(
+            "SELECT * FROM raw_ev", n_tiles=3)).fetchall()))
+        assert sdf == ddf

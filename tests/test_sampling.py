@@ -370,3 +370,21 @@ class TestClusterSplitAssign:
         b = sorted(map(tuple, cluster_split_assign(
             docs.repartition(7), comps, seed=3).collect()))
         assert a == b
+
+
+class TestDuplicateDownweight:
+    def test_cluster_mass_is_one_doc(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.components import (
+            connected_components)
+        from rgd_rnaseq_workflows_spark.operators.sampling import (
+            duplicate_downweight)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+        docs = spark.createDataFrame(
+            [(i,) for i in [1, 2, 3, 10, 11, 20]], "doc_id long")
+        got = {r.id: r for r in duplicate_downweight(
+            docs, connected_components(pairs)).collect()}
+        assert got[1].cluster_size == 3 and got[1].weight_bp == 3333
+        assert got[2].weight_bp == 3333 and got[3].weight_bp == 3333
+        assert got[10].cluster_size == 2 and got[10].weight_bp == 5000
+        assert got[20].cluster_size == 1 and got[20].weight_bp == 10000
