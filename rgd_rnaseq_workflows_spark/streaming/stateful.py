@@ -369,3 +369,105 @@ def stream_scd2(event_stream: DataFrame, user_col: str = "user_id",
             .applyInPandasWithState(
                 _scd2_fn(ms), SCD2_OUT_SCHEMA, SCD2_STATE_SCHEMA,
                 "update", timeout))
+
+def _transitions_fn(ttl_ms: int):
+    """Per-user transition state function: the same observation-set
+    state as the SCD2 kernel (a late-arriving middle event REWIRES two
+    transitions — only recompute-from-state can revise that), emitting
+    the user's CURRENT consecutive-pair counts with a ver counter so
+    consumers read each user's latest emission (CDC convention).
+    Aggregating every user's max-ver pair rows reproduces the batch
+    transition matrix under any arrival order."""
+    def update(key, rows: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batches = list(rows)
+        cat = (pd.concat(batches, ignore_index=True)
+               if len(batches) > 1 else batches[0])
+        if state.exists:
+            st = state.get
+            secs, eids, attrs = (list(a or []) for a in st[:3])
+            ver = int(st[3] or 0)
+        else:
+            secs, eids, attrs, ver = [], [], [], 0
+        ver += 1
+        byid = {int(e): (int(s), a) for s, e, a in
+                zip(secs, eids, attrs)}
+        for s, e, a in zip(cat["sec"], cat["event_id"],
+                           cat["event_type"]):
+            byid[int(e)] = (int(s), None if pd.isna(a) else str(a))
+        obs = sorted(((s, e, a) for e, (s, a) in byid.items()),
+                     key=lambda t: (t[0], t[1]))
+        state.update((
+            [s for s, _, _ in obs],
+            [e for _, e, _ in obs],
+            [a for _, _, a in obs],
+            ver,
+        ))
+        counts: dict[tuple, int] = {}
+        for prev, cur in zip(obs, obs[1:]):
+            k = (prev[2], cur[2])
+            counts[k] = counts.get(k, 0) + 1
+        n = len(counts)
+        ks = sorted(counts)
+        yield pd.DataFrame({
+            "user": pd.array([key[0]] * n, dtype="Int64"),
+            "from_type": [k[0] for k in ks],
+            "to_type": [k[1] for k in ks],
+            "n": pd.array([counts[k] for k in ks], dtype="Int64"),
+            "ver": pd.array([ver] * n, dtype="Int64"),
+        })
+        if ttl_ms:
+            max_ts = max(int(pdf["ts"].max().timestamp() * 1000)
+                         for pdf in batches)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(max_ts + ttl_ms, wm + 1))
+    return update
+
+
+TRANS_OUT_SCHEMA = T.StructType([
+    T.StructField("user", T.LongType()),
+    T.StructField("from_type", T.StringType()),
+    T.StructField("to_type", T.StringType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("ver", T.LongType()),
+])
+
+
+def stream_transitions(event_stream: DataFrame,
+                       user_col: str = "user_id",
+                       type_col: str = "event_type", ts_col: str = "ts",
+                       id_col: str = "event_id",
+                       ttl: str | None = None) -> DataFrame:
+    """Streaming twin of ``operators.funnel.transition_matrix``
+    (incremental view maintenance for the Markov journey matrix):
+    per-user pair counts re-emitted on every touched user; summing
+    each user's max-ver rows equals the batch matrix over everything
+    seen, under any arrival order. Same observation-set state and
+    event-time TTL as the SCD2 kernel (shared state schema)."""
+    ms = 0
+    if ttl is not None:
+        num, unit = ttl.split()
+        ms = int(float(num) * {"millisecond": 1, "milliseconds": 1,
+                               "second": 1000, "seconds": 1000,
+                               "minute": 60_000, "minutes": 60_000,
+                               "hour": 3_600_000, "hours": 3_600_000}[unit])
+    src = event_stream.select(
+        F.col(user_col).alias("user"),
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).cast("long").alias("sec"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).alias("ts"))
+    if ttl is not None:
+        src = src.withWatermark("ts", ttl)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        src = src.drop("ts")
+        timeout = GroupStateTimeout.NoTimeout
+    return (src.groupBy("user")
+            .applyInPandasWithState(
+                _transitions_fn(ms), TRANS_OUT_SCHEMA, SCD2_STATE_SCHEMA,
+                "update", timeout))
+

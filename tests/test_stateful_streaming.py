@@ -302,3 +302,60 @@ def test_stream_scd2_state_eviction(spark, tmp_out):
         assert _state_rows(q) == 1      # only user 2 remains
     finally:
         q.stop()
+
+
+def test_stream_transitions_equals_batch_out_of_order(spark, tmp_out):
+    """A late-arriving middle event REWIRES two transitions (a->c
+    becomes a->b and b->c) — summing every user's max-ver emission
+    must equal the batch transition matrix regardless."""
+    from datetime import datetime
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        transition_matrix)
+    from rgd_rnaseq_workflows_spark.streaming.stateful import (
+        stream_transitions)
+
+    t = lambda sec: datetime.fromtimestamp(sec)
+    batch1 = [(1, t(10), 1, "a"), (2, t(30), 1, "c"),
+              (3, t(10), 2, "x"), (4, t(20), 2, "y")]
+    batch2 = [(5, t(20), 1, "b")]      # late: splits a->c
+    src = os.path.join(tmp_out, "trans_src")
+    os.makedirs(src)
+    spark.createDataFrame(batch1, EV_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+    q = (stream_transitions(stream).writeStream.format("memory")
+         .queryName("trans_out").outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        mid = spark.sql("SELECT * FROM trans_out").toPandas()
+        # before the late event: user 1 shows a->c
+        m1 = mid[(mid.user == 1)
+                 & (mid.groupby("user")["ver"].transform("max")
+                    == mid["ver"])]
+        assert [(r.from_type, r.to_type, int(r.n))
+                for r in m1.itertuples(index=False)] == [("a", "c", 1)]
+        spark.createDataFrame(batch2, EV_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM trans_out").toPandas()
+    finally:
+        q.stop()
+
+    latest = pdf[pdf.groupby("user")["ver"].transform("max")
+                 == pdf["ver"]]
+    got = sorted(
+        ((r.from_type, r.to_type), int(r.n))
+        for r in latest.itertuples(index=False))
+    agg: dict = {}
+    for (k, n) in got:
+        agg[k] = agg.get(k, 0) + n
+
+    all_events = spark.createDataFrame(batch1 + batch2, EV_SCHEMA)
+    ev = all_events.selectExpr("user_id", "event_type",
+                               "cast(ts as long) as sec", "event_id")
+    want = {(r.from_type, r.to_type): int(r.n)
+            for r in transition_matrix(ev).collect()}
+    assert agg == want
+    assert ("a", "c") not in agg     # the rewire really happened
+    assert agg[("a", "b")] == 1 and agg[("b", "c")] == 1
