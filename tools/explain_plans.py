@@ -265,6 +265,21 @@ SHOWCASE = {
         "integer XtX GEMM behind ONE Arrow boundary (vectors in, "
         "2080-row partial out), one hash agg merges partials, d-row "
         "moment table broadcasts onto the pair grid — O(d^2) output.",
+    "text_textrank_keywords": "TextRank: one corpus-scale bigram "
+        "shuffle, then vocabulary-graph-scale edges feed the integer "
+        "pagerank iterations; top-k is TakeOrdered on exact ranks.",
+    "events_transition_matrix": "Markov journeys: one user-key "
+        "shuffle for the lag window, map-side-combined pair count, "
+        "broadcast row totals; |types|^2 metadata out.",
+    "winnow_repeated_spans": "span localization: fp equi-join is the "
+        "only corpus-scale shuffle; the diagonal-islands window rides "
+        "match-scale (pair, diagonal) keys.",
+    "sample_duplicate_downweight": "soft dedup: component propagation "
+        "on the pair graph, cluster-size agg (duplicated-doc scale), "
+        "one left join back onto docs; weights are integer bp.",
+    "events_rfm_segments": "RFM: one map-side-combined fold to "
+        "user-scale rows, three ntile windows on that frame, "
+        "n_tiles^3 rollup out.",
 }
 
 
