@@ -151,3 +151,59 @@ FROM (SELECT CAST(count(*) AS BIGINT) AS n_rows,
       FROM {table}),
      (SELECT estimate AS n_distinct_est FROM ({est}))""")
     return "\nUNION ALL\n".join(pieces)
+
+def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
+                       k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier column set: how many
+    equivalence classes (distinct quasi-identifier combinations) have
+    fewer than ``k`` rows, and what fraction of ROWS sit in them — the
+    re-identification risk measure privacy review asks for before a
+    dataset ships. One row out: (k, n_rows, n_classes,
+    n_small_classes, n_risk_rows, risk_bp, min_class_size) with
+    ``risk_bp`` exact integer basis points.
+
+    NULL is a quasi-identifier value (two NULL-city rows are the same
+    equivalence class — GROUP BY semantics, identical cross-engine).
+
+    Scale shape: one map-side-combined aggregation to class-scale
+    rows, one fold to a single metadata row; the quasi-identifier
+    tuple never leaves the shuffle key.
+    """
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    classes = (df.groupBy(*[F.col(c) for c in quasi_cols])
+               .agg(F.count("*").alias("c")))
+    return classes.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("c") < k, 1).otherwise(0)).cast("long")
+        .alias("n_small_classes"),
+        F.sum(F.when(F.col("c") < k, F.col("c")).otherwise(F.lit(0)))
+        .cast("long").alias("n_risk_rows"),
+        F.expr(f"(10000 * sum(CASE WHEN c < {k} THEN c ELSE 0 END)) "
+               f"div sum(c)").cast("long").alias("risk_bp"),
+        F.min("c").cast("long").alias("min_class_size"))
+
+
+def k_anonymity_sql(table: str, quasi_cols: list[str],
+                    k: int = 5) -> str:
+    """DuckDB twin of :func:`k_anonymity_report`."""
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    cols = ", ".join(quasi_cols)
+    return f"""
+WITH classes AS (
+  SELECT count(*) AS c FROM {table} GROUP BY {cols})
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN c < {k} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_classes,
+       CAST(sum(CASE WHEN c < {k} THEN c ELSE 0 END) AS BIGINT)
+         AS n_risk_rows,
+       (10000 * CAST(sum(CASE WHEN c < {k} THEN c ELSE 0 END)
+                     AS BIGINT)) // CAST(sum(c) AS BIGINT) AS risk_bp,
+       CAST(min(c) AS BIGINT) AS min_class_size
+FROM classes"""
+

@@ -1684,12 +1684,12 @@ _RECORD_FIRST: tuple[str, ...] = (
     "winnow_repeated_spans",
     "sample_duplicate_downweight",
     "events_rfm_segments",
+    "profile_k_anonymity",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
     # r6 — and lead r7 with the window overflow)
-    "ann_cosine_topk",
-    # ann_embedding_neardup, ann_ivf_topk, asof_join_events, bloom_semi_join and corpus_curation dropped to lead r7 (displaced by
+    # ann_cosine_topk, ann_embedding_neardup, ann_ivf_topk, asof_join_events, bloom_semi_join and corpus_curation dropped to lead r7 (displaced by
     # text_textrank_keywords)
     # dedup_cluster_keepers dropped to lead r7 (displaced by
     # embedding_pca_scatter)
@@ -3818,3 +3818,23 @@ def events_rfm_segments(spark, sf_dir):
     ev = e.select("user_id", F.col("ts").cast("long").alias("sec"),
                   "value", "event_id")
     return rfm_segments(ev)
+
+
+def _kanon_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        k_anonymity_sql)
+    return k_anonymity_sql("customer",
+                           ["c_nationkey", "c_mktsegment"], k=25)
+
+
+@q("profile_k_anonymity", ("PROFILE-KANON",), oracle=_kanon_oracle(),
+   note="k-anonymity audit: equivalence classes below k and the exact "
+        "row fraction at re-identification risk (integer basis "
+        "points) over a quasi-identifier set - the privacy-review "
+        "gate; one map-side-combined agg to class scale, one fold to "
+        "a single metadata row; NULL is a quasi-identifier value")
+def profile_k_anonymity(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        k_anonymity_report)
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(c, ["c_nationkey", "c_mktsegment"], k=25)

@@ -114,3 +114,32 @@ class TestFDReport:
         from rgd_rnaseq_workflows_spark.operators.profile import fd_report
         with pytest.raises(ValueError):
             fd_report(self._docs(spark, [("a", "b")]), [])
+
+
+class TestKAnonymity:
+    def test_counts_and_risk(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.profile import (
+            k_anonymity_report)
+        rows = ([("us", "a")] * 5 + [("us", "b")] * 2
+                + [(None, "a")] * 1)
+        df = spark.createDataFrame(rows, "country string, seg string")
+        r = k_anonymity_report(df, ["country", "seg"], k=3).collect()[0]
+        assert (r.n_rows, r.n_classes) == (8, 3)
+        assert (r.n_small_classes, r.n_risk_rows) == (2, 3)
+        assert r.risk_bp == (10000 * 3) // 8
+        assert r.min_class_size == 1
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+        from rgd_rnaseq_workflows_spark.operators.profile import (
+            k_anonymity_report, k_anonymity_sql)
+        rows = [("c%d" % (i % 9), "s%d" % (i % 4)) for i in range(70)]
+        df = spark.createDataFrame(rows, "country string, seg string")
+        sdf = [tuple(r) for r in k_anonymity_report(
+            df, ["country", "seg"], k=2).collect()]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (country VARCHAR, seg VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        ddf = [tuple(r) for r in con.execute(
+            k_anonymity_sql("t", ["country", "seg"], k=2)).fetchall()]
+        assert sdf == ddf
