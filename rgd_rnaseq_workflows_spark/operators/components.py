@@ -62,11 +62,6 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     labels = (adj.groupBy("src").agg(F.min("dst").alias("_mn"))
               .select(F.col("src").alias("id"),
                       F.least("src", "_mn").alias("comp")))
-    # fingerprint the INIT labels too (one cheap agg): a graph whose
-    # clusters are stars/diameter-2 — the common near-dup shape — is
-    # already converged after the fused first hop, and the loop then
-    # exits after ONE confirming round instead of two
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for i in range(max_iter):
         # pointer jump fused into the neighbor hop: comp(v) is a node id
         # with its own label row, so unioning the label edge v → comp(v)
@@ -78,15 +73,22 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                           .withColumnRenamed("comp", "n_comp"), "dst")
                  .groupBy(F.col("src").alias("id"))
                  .agg(F.min("n_comp").alias("n_comp")))
-        labels = (labels.join(neigh, "id", "left")
-                  .select("id", F.least(
-                      "comp", F.coalesce("n_comp", "comp")).alias("comp")))
+        # convergence = EXACT count of changed labels, computed inside
+        # the same join (no extra shuffle, no extra scan).  A label-SUM
+        # fingerprint would be cheaper to express but silently no-ops
+        # on STRING node ids (sum of strings is NULL, NULL == NULL) —
+        # the fuzzy value-pair graphs cluster string keys
+        nxt = F.least("comp", F.coalesce("n_comp", "comp"))
+        stepped = (labels.join(neigh, "id", "left")
+                   .select("id", nxt.alias("comp"),
+                           (~nxt.eqNullSafe(F.col("comp")))
+                           .cast("long").alias("_chg")))
         if (i + 1) % 5 == 0:
-            labels = checkpoint_df(labels, eager=False)
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if cur_sum == prev_sum:
+            stepped = checkpoint_df(stepped, eager=False)
+        n_chg = stepped.agg(F.sum("_chg")).collect()[0][0]
+        labels = stepped.drop("_chg")
+        if n_chg == 0:
             break
-        prev_sum = cur_sum
     else:
         # label-sum fixpoint never reached: labels are NOT component ids
         # yet (a chain longer than max_iter hops would silently split);

@@ -264,3 +264,82 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
             THEN round(3.0 * n_triangles / n_wedges, 6) END
          AS transitivity
 FROM stats, tri"""
+
+
+def k_core(pairs: DataFrame, k: int = 2, src: str = "id_a",
+           dst: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """k-core decomposition of the undirected pair graph: iteratively
+    peel every vertex of degree < ``k`` until the fixpoint, then report
+    the surviving vertices with their within-core degree — (id,
+    core_deg).  On a near-dup graph the 2-core separates genuine
+    duplicate CLIQUES (template farms, mirrored sites) from incidental
+    chain/star matches that a pure connected-components view lumps
+    together; the 3-core is the standard dense-community filter.
+
+    Scale design (100 TB corpora → pair-scale graphs): state is only
+    the surviving EDGE list; each round is one vertex-scale degree
+    aggregation + one semi-join back onto edges (both keyed on compact
+    ids), checkpointed per round to keep the iterative lineage flat.
+    Peeling is monotone (edges only leave), so the count fixpoint IS
+    the set fixpoint; like ``connected_components``, a graph that has
+    not converged within ``max_iter`` raises rather than returning a
+    wrong core (peeling converges in <= #vertices rounds; real near-dup
+    graphs take a handful).
+
+    ``pairs`` must be distinct undirected pairs (the near-dup
+    generators' contract); symmetrization dedups defensively to match
+    the SQL twin's UNION.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    edges = checkpoint_df(_sym_edges(pairs, src, dst).distinct())
+    n_prev = edges.count()
+    if n_prev == 0:
+        return edges.select(F.col("u").alias("id"),
+                            F.lit(0).cast("long").alias("core_deg"))
+    for _ in range(max_iter):
+        keep = (edges.groupBy("u").agg(F.count("*").alias("_deg"))
+                .filter(F.col("_deg") >= k).select("u"))
+        edges = checkpoint_df(
+            edges.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v"))
+        n_cur = edges.count()
+        if n_cur == n_prev:
+            break
+        n_prev = n_cur
+    else:
+        raise RuntimeError(
+            f"k_core: no fixpoint after {max_iter} peeling rounds — "
+            f"raise max_iter (rounds are one agg + one semi-join each)")
+    return (edges.groupBy("u")
+            .agg(F.count("*").cast("long").alias("core_deg"))
+            .select(F.col("u").alias("id"), "core_deg"))
+
+
+def k_core_sql(pairs_sql: str, k: int = 2, iters: int = 20) -> str:
+    """DuckDB twin of :func:`k_core`: the peel is a recursive CTE whose
+    working set is the surviving edge list, degrees via COUNT windows
+    (single reference to the recursive table), iterated a fixed
+    ``iters`` rounds — past the fixpoint each round reproduces the same
+    edges under a new iteration stamp, so ``iter = iters`` IS the
+    fixpoint whenever the Spark side converged within the same bound
+    (it raises otherwise)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges0 AS (SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+core(iter, u, v) AS (
+  SELECT 0, u, v FROM edges0
+  UNION
+  SELECT iter + 1, u, v FROM (
+    SELECT iter, u, v,
+           count(*) OVER (PARTITION BY iter, u) AS du,
+           count(*) OVER (PARTITION BY iter, v) AS dv
+    FROM core) s
+  WHERE du >= {k} AND dv >= {k} AND iter < {iters})
+SELECT u AS id, CAST(count(*) AS BIGINT) AS core_deg
+FROM core WHERE iter = {iters} GROUP BY u
+"""

@@ -551,3 +551,133 @@ def duplicate_downweight(docs: DataFrame, comps: DataFrame,
         "id", "cluster_size",
         F.expr("10000 div cluster_size").cast("long").alias("weight_bp"))
 
+
+
+# =============================================================================
+# Systematic PPS sampling (probability proportional to size, exact-k)
+# =============================================================================
+
+PPS_HASH_BITS = 60          # md5_long's range is [0, 2^60)
+PPS_BUCKETS = 64            # range buckets for the distributed prefix sum
+
+
+def pps_systematic(df: DataFrame, id_col: str, weight_col: str,
+                   k: int, seed: int = 1) -> DataFrame:
+    """Systematic PPS sample (Madow's method): EXACTLY ``k`` draws with
+    inclusion probability proportional to an integer weight — the
+    classic "sample k docs proportional to token count" primitive for
+    eval sets, inspection panels and Horvitz-Thompson corpus estimates.
+
+    Construction (all exact integer arithmetic, engine-identical):
+    rows are laid on a circle in md5 order (``h = md5(seed:id)``, ties
+    by id), each covering ``[cum, cum + w)`` of the total weight ``W``;
+    ``k`` equally-spaced grid points ``R + m*W`` (scaled by ``k``; the
+    offset ``R = md5('pps:seed') mod W`` is data-independent given W)
+    select whichever intervals they land in.  A doc with ``w > W/k``
+    can be hit more than once — ``n_copies`` reports multiplicity, and
+    ``sum(n_copies) = k`` exactly, always.
+
+    Output: the selected rows only — (id, weight, n_copies, incl_bp)
+    with ``incl_bp = min(10000, w*k*10000 div W)`` the exact
+    inclusion probability in basis points (the HT reweighting input).
+
+    Scale design (100 TB): the cumulative sum is a DISTRIBUTED prefix
+    sum, not a global-window sort — md5 range buckets (high bits of h,
+    so bucket order == hash order) aggregate to ``PPS_BUCKETS`` totals,
+    the driver folds those into per-bucket offsets (64 rows of
+    metadata, never data), and the intra-bucket running total is a
+    window partitioned BY BUCKET.  Grid products are computed in
+    decimal(38,0) (the drift-monitor discipline): ``cum*k`` overflows
+    int64 around W*k > 9.2e18, which a 10-trillion-token corpus with a
+    million-point sample reaches.
+
+    Weights must be >= 1 (a zero-weight row can never be selected and
+    breaks the interval partition) — enforced with ``raise_error``, the
+    winnowing overflow-cap precedent, and the SQL twin errors
+    identically.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    step = (1 << PPS_HASH_BITS) // PPS_BUCKETS
+    w = (F.when(F.col(weight_col) >= 1, F.col(weight_col))
+         .otherwise(F.raise_error(F.concat(
+             F.lit("pps_systematic: weight < 1 for id "),
+             F.col(id_col).cast("string")))).cast("long"))
+    base = (df.select(F.col(id_col).alias("id"), w.alias("w"))
+            .withColumn("h", md5_long(F.col("id").cast("string"),
+                                      seed=seed))
+            .withColumn("bkt", F.expr(f"h div {step}")))
+    totals = {r["bkt"]: r["tw"]
+              for r in base.groupBy("bkt")
+              .agg(F.sum("w").alias("tw")).collect()}
+    W = sum(totals.values())
+    if W == 0:
+        return base.select("id", F.col("w").alias("weight"),
+                           F.lit(0).cast("long").alias("n_copies"),
+                           F.lit(0).cast("long").alias("incl_bp")
+                           ).filter(F.lit(False))
+    offsets, acc = {}, 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    import hashlib
+    R = int(hashlib.md5(f"{seed}:pps".encode()).hexdigest()[:15], 16) % W
+    off = F.create_map(*[F.lit(x) for pair in offsets.items()
+                         for x in pair])
+    from pyspark.sql import Window
+    win = (Window.partitionBy("bkt").orderBy("h", "id")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    cum = (base
+           .withColumn("lo", (F.coalesce(F.sum("w").over(win), F.lit(0))
+                              + off[F.col("bkt")]).cast("long")))
+    dec = "decimal(38,0)"
+    lo_k = f"CAST(lo AS {dec}) * {k}"
+    hi_k = f"CAST(lo + w AS {dec}) * {k}"
+    n_copies = (f"(({hi_k} - {R} - 1 + {W}) div {W})"
+                f" - (({lo_k} - {R} - 1 + {W}) div {W})")
+    incl = f"least(CAST(10000 AS BIGINT), CAST(w AS {dec}) * {k} * 10000 div {W})"
+    return (cum.select("id", F.col("w").alias("weight"),
+                       F.expr(n_copies).cast("long").alias("n_copies"),
+                       F.expr(incl).cast("long").alias("incl_bp"))
+            .filter(F.col("n_copies") > 0)
+            .orderBy("id"))
+
+
+def pps_systematic_sql(src: str, id_col: str, weight_col: str,
+                       k: int, seed: int = 1) -> str:
+    """DuckDB twin of :func:`pps_systematic` — same hash order, same
+    offset derivation, same grid identity in HUGEINT (the oracle's
+    decimal(38,0)); the global window ORDER BY (h, id) is the
+    single-node equivalent of the bucketed prefix sum."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = md5_long_sql(f"CAST({id_col} AS VARCHAR)", seed=seed)
+    r_raw = md5_long_sql(f"'pps'", seed=seed)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id,
+         CAST(CASE WHEN {weight_col} >= 1 THEN {weight_col}
+              ELSE error('pps_systematic: weight < 1 for id '
+                         || CAST({id_col} AS VARCHAR)) END AS BIGINT) AS w,
+         {h} AS h
+  FROM {src}),
+tot AS (SELECT CAST(sum(w) AS HUGEINT) AS tot_w FROM base),
+par AS (SELECT tot_w, {r_raw} % tot_w AS grid_r FROM tot),
+cum AS (
+  SELECT id, w,
+         CAST(coalesce(sum(w) OVER (ORDER BY h, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS HUGEINT) AS lo
+  FROM base),
+sel AS (
+  SELECT id, w,
+         ((lo + w) * {k} - grid_r - 1 + tot_w) // tot_w
+           - (lo * {k} - grid_r - 1 + tot_w) // tot_w AS n_copies,
+         least(CAST(10000 AS HUGEINT),
+               CAST(w AS HUGEINT) * {k} * 10000 // tot_w) AS incl_bp
+  FROM cum, par)
+SELECT id, CAST(w AS BIGINT) AS weight,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(incl_bp AS BIGINT) AS incl_bp
+FROM sel WHERE n_copies > 0
+"""

@@ -1685,6 +1685,11 @@ _RECORD_FIRST: tuple[str, ...] = (
     "sample_duplicate_downweight",
     "events_rfm_segments",
     "profile_k_anonymity",
+    # round-6 seventh batch — past the 50-row window (positions 51+):
+    # no driver row until r7; judge-oracle-verified at sf0.01 this round
+    "sample_pps_systematic",
+    "graph_kcore_filter",
+    "linkage_golden_records",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -3838,3 +3843,78 @@ def profile_k_anonymity(spark, sf_dir):
         k_anonymity_report)
     c = _t(spark, sf_dir, "customer")
     return k_anonymity_report(c, ["c_nationkey", "c_mktsegment"], k=25)
+
+
+def _pps_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        pps_systematic_sql)
+    src = ("(SELECT doc_id, greatest(1, length(text)) AS w_bytes "
+           "FROM documents)")
+    return pps_systematic_sql(src, "doc_id", "w_bytes", k=120, seed=7)
+
+
+@q("sample_pps_systematic", ("PPS-SAMPLE",), oracle=_pps_oracle(),
+   note="systematic PPS sample (Madow): EXACTLY k draws proportional "
+        "to doc size, all exact integer/decimal(38,0) arithmetic on a "
+        "md5-ordered weight circle - the cumulative sum is a bucketed "
+        "distributed prefix sum (64 metadata totals to the driver, "
+        "never data), sum(n_copies) = k always; incl_bp is the exact "
+        "Horvitz-Thompson reweighting input")
+def sample_pps_systematic(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        pps_systematic)
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id",
+                 F.greatest(F.lit(1), F.length("text")).cast("long")
+                 .alias("w_bytes"))
+    return pps_systematic(w, "doc_id", "w_bytes", k=120, seed=7)
+
+
+def _kcore_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.fuzzy import (
+        fuzzy_match_keys_sql)
+    from rgd_rnaseq_workflows_spark.operators.graph import k_core_sql
+    pairs = ("SELECT val_a AS id_a, val_b AS id_b FROM ("
+             + fuzzy_match_keys_sql("part", "p_name", max_dist=3,
+                                    min_dist=1, block_len=4).strip()
+             + ")")
+    return k_core_sql(pairs, k=3, iters=20)
+
+
+@q("graph_kcore_filter", ("K-CORE",), oracle=_kcore_oracle(),
+   note="k-core decomposition of the fuzzy-match pair graph (k=3): "
+        "iterative degree peel to the fixpoint separates dense "
+        "entity CLIQUES from incidental edit-distance chains (A-B-C "
+        "where A,C are unrelated) that components alone lump "
+        "together; state is only the surviving edge list, one "
+        "vertex-scale agg + one semi-join per round, checkpointed; "
+        "raises rather than returning an unconverged core")
+def graph_kcore_filter(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.fuzzy import (
+        fuzzy_match_keys)
+    from rgd_rnaseq_workflows_spark.operators.graph import k_core
+    p = _t(spark, sf_dir, "part")
+    pairs = fuzzy_match_keys(p, "p_name", max_dist=3, min_dist=1,
+                             block_len=4)
+    return k_core(pairs, k=3, src="val_a", dst="val_b")
+
+
+def _golden_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.fuzzy import (
+        golden_records_sql)
+    return golden_records_sql("part", "p_name",
+                              ["p_brand", "p_type"],
+                              max_dist=3, min_dist=1, block_len=4)
+
+
+@q("linkage_golden_records", ("GOLDEN-REC",), oracle=_golden_oracle(),
+   note="survivorship merge after fuzzy linkage: value-pair components "
+        "label corpus rows through ONE broadcast value-to-cluster map, "
+        "canonical name + per-field elected values by (count desc, "
+        "value asc) - a single stack melt scans the corpus once for "
+        "every field, pivot is over the caller's pinned field list")
+def linkage_golden_records(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.fuzzy import golden_records
+    p = _t(spark, sf_dir, "part")
+    return golden_records(p, "p_name", ["p_brand", "p_type"],
+                          max_dist=3, min_dist=1, block_len=4)

@@ -57,3 +57,18 @@ def test_non_convergence_raises_not_silent(spark):
     # and one extra iteration headroom is enough for this diameter
     ok = connected_components(edges, max_iter=8)
     assert ok.select("comp").distinct().count() == 1
+
+
+def test_string_id_chain_fully_merges(spark):
+    # REGRESSION (r6): the old label-SUM convergence fingerprint is
+    # NULL on string node ids (sum of strings), and NULL == NULL broke
+    # the loop after one round — a >3-diameter STRING chain silently
+    # under-merged.  The changed-label count must converge it fully.
+    names = [f"name_{c}" for c in "abcdefghij"]
+    edges = spark.createDataFrame(
+        [(names[i], names[i + 1]) for i in range(len(names) - 1)],
+        ["id_a", "id_b"])
+    comps = connected_components(edges)
+    assert comps.select("comp").distinct().count() == 1
+    assert {r["comp"] for r in comps.collect()} == {"name_a"}
+    assert comps.count() == len(names)

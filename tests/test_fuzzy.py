@@ -71,3 +71,33 @@ def test_matches_sql_twin(spark):
         fuzzy_match_keys_sql("t", "name", max_dist=3)).fetchall())
     assert got == exp
     assert len(got) > 0
+
+
+def test_golden_records_survivorship_election(spark):
+    from rgd_rnaseq_workflows_spark.operators.fuzzy import golden_records
+    # 'widget' / 'widgit' / 'widgets' fuzzy-cluster; 'sprocket' stands
+    # alone.  Brand election: B1 twice vs B2 once -> B1; name election:
+    # 'widget' appears twice -> canonical
+    rows = [("widget", "B1", 1), ("widgit", "B2", 2),
+            ("widgets", "B1", 3), ("widget", "B2", 4),
+            ("sprocket", "B9", 5)]
+    df = spark.createDataFrame(rows, ["name", "brand", "n"])
+    out = golden_records(df, "name", ["brand"], max_dist=2,
+                         min_dist=1, block_len=3)
+    got = {r["comp"]: (r["n_rows"], r["n_values"], r["canonical_v"],
+                       r["brand"]) for r in out.collect()}
+    assert got == {"widget": (4, 3, "widget", "B1"),
+                   "sprocket": (1, 1, "sprocket", "B9")}
+
+
+def test_golden_records_tie_breaks_deterministic(spark):
+    from rgd_rnaseq_workflows_spark.operators.fuzzy import golden_records
+    # equal counts everywhere: canonical name and field value must both
+    # fall back to the lexicographically smallest
+    rows = [("abcx", "Z", 1), ("abcy", "A", 2)]
+    df = spark.createDataFrame(rows, ["name", "brand", "n"])
+    out = golden_records(df, "name", ["brand"], max_dist=2,
+                         min_dist=1, block_len=3).collect()
+    assert len(out) == 1
+    assert out[0]["canonical_v"] == "abcx"
+    assert out[0]["brand"] == "A"

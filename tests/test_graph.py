@@ -155,3 +155,43 @@ class TestTriangleStats:
             triangle_stats_sql("SELECT id_a, id_b FROM ep")).fetchall()
         assert (got.n_nodes, got.n_edges, got.n_wedges,
                 got.n_triangles, got.transitivity) == exp
+
+
+def test_k_core_peels_chains_keeps_cliques(spark):
+    from rgd_rnaseq_workflows_spark.operators.graph import k_core
+    # triangle {1,2,3} + pendant chain 3-4-5 + isolated pair 6-7:
+    # the 2-core is exactly the triangle, every chain vertex peels
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (6, 7)],
+        ["id_a", "id_b"])
+    core = k_core(edges, k=2)
+    rows = {r["id"]: r["core_deg"] for r in core.collect()}
+    assert rows == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_cascade_and_empty(spark):
+    from rgd_rnaseq_workflows_spark.operators.graph import k_core
+    # removing one low-degree vertex cascades: a path's 2-core is empty
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["id_a", "id_b"])
+    assert k_core(edges, k=2).count() == 0
+    # k=1 keeps everything with its degree
+    rows = {r["id"]: r["core_deg"] for r in k_core(edges, k=1).collect()}
+    assert rows[0] == 1 and rows[3] == 2
+
+
+def test_k_core_matches_duckdb_twin(spark):
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.graph import k_core, k_core_sql
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6),
+             (6, 7), (5, 7), (6, 8)]
+    sdf = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {(r["id"], r["core_deg"]) for r in k_core(sdf, k=2).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(id_a INT, id_b INT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    exp = set(con.execute(
+        k_core_sql("SELECT id_a, id_b FROM e", k=2, iters=20))
+        .fetchall())
+    assert got == exp and len(got) > 0

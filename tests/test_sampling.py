@@ -388,3 +388,60 @@ class TestDuplicateDownweight:
         assert got[2].weight_bp == 3333 and got[3].weight_bp == 3333
         assert got[10].cluster_size == 2 and got[10].weight_bp == 5000
         assert got[20].cluster_size == 1 and got[20].weight_bp == 10000
+
+
+def test_pps_systematic_exact_k_and_ht_bounds(spark):
+    from rgd_rnaseq_workflows_spark.operators.sampling import pps_systematic
+    rows = [(i, 1 + (i * 37) % 100) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    for k in (1, 7, 50):
+        out = pps_systematic(df, "id", "w", k=k, seed=3).collect()
+        assert sum(r["n_copies"] for r in out) == k  # Madow: exact k, always
+        for r in out:
+            assert 1 <= r["incl_bp"] <= 10000
+    # a dominant weight (> W/k) must be hit multiple times
+    big = spark.createDataFrame([(1, 1000), (2, 1), (3, 1)], ["id", "w"])
+    out = {r["id"]: r["n_copies"] for r in
+           pps_systematic(big, "id", "w", k=10, seed=1).collect()}
+    assert out[1] >= 9
+
+
+def test_pps_systematic_partitioning_invariant(spark):
+    # the bucketed prefix sum must give the identical sample on any
+    # physical partitioning — determinism lives in the md5 order
+    from rgd_rnaseq_workflows_spark.operators.sampling import pps_systematic
+    rows = [(i, 1 + i % 13) for i in range(300)]
+    a = spark.createDataFrame(rows, ["id", "w"]).repartition(1)
+    b = spark.createDataFrame(rows, ["id", "w"]).repartition(17, "w")
+    sa = sorted((r["id"], r["n_copies"])
+                for r in pps_systematic(a, "id", "w", k=29, seed=5).collect())
+    sb = sorted((r["id"], r["n_copies"])
+                for r in pps_systematic(b, "id", "w", k=29, seed=5).collect())
+    assert sa == sb and len(sa) > 0
+
+
+def test_pps_systematic_rejects_bad_weights(spark):
+    import pytest
+
+    from rgd_rnaseq_workflows_spark.operators.sampling import pps_systematic
+    df = spark.createDataFrame([(1, 5), (2, 0)], ["id", "w"])
+    with pytest.raises(Exception, match="weight < 1"):
+        pps_systematic(df, "id", "w", k=2, seed=1).collect()
+
+
+def test_pps_systematic_matches_duckdb_twin(spark):
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        pps_systematic, pps_systematic_sql)
+    rows = [(i, 1 + (i * 17) % 50) for i in range(150)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = sorted((r["id"], r["weight"], r["n_copies"], r["incl_bp"])
+                 for r in pps_systematic(df, "id", "w", k=23,
+                                         seed=9).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, w INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = sorted(tuple(r) for r in con.execute(
+        pps_systematic_sql("t", "id", "w", k=23, seed=9)).fetchall())
+    assert got == exp
