@@ -280,6 +280,17 @@ SHOWCASE = {
     "events_rfm_segments": "RFM: one map-side-combined fold to "
         "user-scale rows, three ntile windows on that frame, "
         "n_tiles^3 rollup out.",
+    "sample_pps_systematic": "exact-k PPS: bucketed distributed "
+        "prefix sum (64 metadata totals to the driver, never data), "
+        "intra-bucket cumsum window partitioned BY BUCKET, grid "
+        "selection in decimal(38,0) — no global sort, no Python.",
+    "graph_kcore_filter": "k-core peel: per-round vertex-scale "
+        "degree agg + semi-join on the surviving edge list, "
+        "checkpointed; raises on non-convergence.",
+    "linkage_golden_records": "survivorship: corpus rows take ONE "
+        "broadcast value→cluster map; canonical/field elections are "
+        "single-melt (stack) aggs at (cluster, field, value) scale; "
+        "pivot over the pinned field list.",
 }
 
 
