@@ -2269,8 +2269,13 @@ def multimodal_audio_features(spark, sf_dir):
         body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
                 + b"data" + struct.pack("<I", len(pcm)) + pcm)
         rows.append((k, b"RIFF" + struct.pack("<I", len(body)) + body))
+    # coalesce the tiny local frame: createDataFrame parallelizes to
+    # one partition PER CORE, and 32 single-row partitions fan out to
+    # 32 simultaneous Arrow kernels — ~9 s of Python-worker spawn when
+    # the pool is cold (measured in-suite) for 32 rows of work. Four
+    # 8-row batches is the right shape.
     media = engine_session(spark).createDataFrame(
-        rows, "media_id long, content binary")
+        rows, "media_id long, content binary").coalesce(4)
     return audio_features(media)
 
 

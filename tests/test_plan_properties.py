@@ -288,3 +288,30 @@ def test_fuzzy_linkage_distinct_first_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_pps_prefix_sum_is_bucketed_not_global(spark):
+    # the cumsum window must be PARTITIONED (bucketed prefix sum) — a
+    # global ORDER BY window would single-thread the whole corpus
+    plan = _plan(spark, "sample_pps_systematic")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re
+    for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)",
+                         plan):
+        spec = m.group(1)
+        assert "bkt" in spec, f"unpartitioned window spec: {spec}"
+
+
+def test_golden_records_value_map_is_broadcast(spark):
+    # corpus rows must take the value→cluster map as a BROADCAST join;
+    # elections are value-scale aggs, never a corpus×corpus join
+    plan = _plan(spark, "linkage_golden_records")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kcore_jvm_only_no_cartesian(spark):
+    plan = _plan(spark, "graph_kcore_filter")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
