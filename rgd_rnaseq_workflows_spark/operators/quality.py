@@ -804,3 +804,105 @@ FROM pr p JOIN words w ON w.id = p.id
 ORDER BY p.rank DESC, w.word
 LIMIT {top_k}"""
 
+
+
+# =============================================================================
+# Cross-source quantile normalization
+# =============================================================================
+
+
+def quantile_normalize_by_group(df: DataFrame, group_col: str,
+                                value_col: str) -> DataFrame:
+    """Quantile-normalize an integer metric ACROSS groups: map each
+    group's value distribution onto the pooled distribution (the
+    batch-effect correction classic — Bolstad et al. 2003), so one
+    threshold means the same thing for every source. A length or
+    quality-score gate tuned on one source otherwise over-prunes
+    sources whose distribution merely sits lower.
+
+    Construction (exact integer, engine-identical): works entirely at
+    (group, value) HISTOGRAM scale — never ranks individual rows. Each
+    (group, value) cell's doubled midrank ``2*cum_before + cnt + 1``
+    maps to a pooled target index ``ceil(midrank * N / n_g)`` (computed
+    in decimal(38,0): midrank2·N reaches 2·N² which wraps int64 near a
+    trillion rows), and the normalized value is the pooled value whose
+    cumulative rank interval covers that index.
+
+    Output: one row per (group, value) — (group, value, n, norm_value),
+    ordered. Corpus rows are touched by exactly ONE map-side-combined
+    count aggregation; all windows and the interval join ride
+    value-scale frames (bounded metric domains — lengths, scores in
+    basis points — keep these tiny at any corpus size; the pooled side
+    broadcasts).
+    """
+    from pyspark.sql import Window
+    cnt = (df.groupBy(F.col(group_col).alias("g"),
+                      F.col(value_col).cast("long").alias("v"))
+           .agg(F.count("*").cast("long").alias("n")))
+    gw = Window.partitionBy("g").orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    per_g = (cnt
+             .withColumn("cum0", F.coalesce(F.sum("n").over(gw), F.lit(0)))
+             .withColumn("n_g", F.sum("n").over(Window.partitionBy("g"))))
+    pooled = (cnt.groupBy("v").agg(F.sum("n").alias("pn")))
+    pw = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pooled = (pooled
+              .withColumn("p_lo", F.coalesce(F.sum("pn").over(pw),
+                                             F.lit(0)) + 1)
+              .withColumn("p_hi", F.col("p_lo") + F.col("pn") - 1)
+              .select(F.col("v").alias("norm_value"), "p_lo", "p_hi"))
+    dec = "decimal(38,0)"
+    # n_tot, NOT "N": Spark column names are case-insensitive, so a
+    # column named N would silently REPLACE n (the DuckDB twin hit the
+    # same class of collision with W/w)
+    idx = (f"CAST((CAST(2 * cum0 + n + 1 AS {dec}) * n_tot + 2 * n_g - 1) "
+           f"div (2 * n_g) AS BIGINT)")
+    lab = (per_g
+           .withColumn("n_tot", F.sum("n").over(Window.partitionBy()))
+           .withColumn("idx", F.expr(idx)))
+    return (lab.join(F.broadcast(pooled),
+                     (F.col("idx") >= F.col("p_lo"))
+                     & (F.col("idx") <= F.col("p_hi")))
+            .select(F.col("g").alias(group_col),
+                    F.col("v").alias(value_col),
+                    "n", "norm_value")
+            .orderBy(group_col, value_col))
+
+
+def quantile_normalize_sql(table: str, group_col: str,
+                           value_col: str) -> str:
+    """DuckDB twin of :func:`quantile_normalize_by_group` — identical
+    histogram construction, midrank, HUGEINT index arithmetic and
+    interval mapping (the oracle's decimal(38,0))."""
+    return f"""
+WITH cnt AS (
+  SELECT {group_col} AS g, CAST({value_col} AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1, 2),
+per_g AS (
+  SELECT g, v, n,
+         CAST(coalesce(sum(n) OVER (PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum0,
+         CAST(sum(n) OVER (PARTITION BY g) AS BIGINT) AS n_g
+  FROM cnt),
+pooled AS (
+  SELECT v, CAST(sum(n) AS BIGINT) AS pn FROM cnt GROUP BY v),
+pooled2 AS (
+  SELECT v AS norm_value,
+         CAST(coalesce(sum(pn) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) + 1 AS p_lo,
+         CAST(coalesce(sum(pn) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) + pn AS p_hi,
+         CAST(sum(pn) OVER () AS BIGINT) AS N_tot
+  FROM pooled),
+lab AS (
+  SELECT g, v, n,
+         CAST((CAST(2 * cum0 + n + 1 AS HUGEINT) * N_tot + 2 * n_g - 1)
+              // (2 * n_g) AS BIGINT) AS idx
+  FROM per_g, (SELECT max(N_tot) AS N_tot FROM pooled2))
+SELECT l.g AS {group_col}, l.v AS {value_col}, l.n, p.norm_value
+FROM lab l JOIN pooled2 p ON l.idx BETWEEN p.p_lo AND p.p_hi
+"""

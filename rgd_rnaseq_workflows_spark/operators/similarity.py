@@ -489,3 +489,81 @@ SELECT b.id_left, b.id_right,
 FROM best b JOIN topk t USING (id_left)
 WHERE t.n = {k} AND (b.ci * {k} * 1000000) // t.s >= {min_margin_ppm}
 """
+
+
+def cross_split_leakage(emb: DataFrame, block_col: str = "label",
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        threshold: float = 0.4, seed: int = 1,
+                        train: float = 0.8, val: float = 0.1) -> DataFrame:
+    """SEMANTIC split-leakage report — the embedding-level twin of the
+    n-gram ``split_leakage_report``: near-identical vectors landing in
+    different train/val/test splits leak evaluation signal that exact
+    and n-gram dedup both miss (paraphrases, translations, re-encodes).
+
+    Pairs come from :func:`embedding_near_dup` (blocked equi-join /
+    per-block GEMM — never a cross product); split labels are the same
+    deterministic md5-bucket assignment the rest of the split family
+    uses, so this report composes with ``split_assign`` /
+    ``cluster_split_assign`` output. One aggregation at PAIR scale.
+
+    Output: (split_lo, split_hi, n_pairs, max_sim, sum_sim_e6) per
+    unordered cross-split pair of splits. ``sum_sim_e6`` is the exact
+    integer sum of the (already round-6) similarities ×1e6 — the
+    engine-identical mean numerator; a mean is one division away and
+    the sum itself never carries float-summation order dependence.
+    """
+    from rgd_rnaseq_workflows_spark.operators.sampling import split_assign
+    pairs = embedding_near_dup(emb, block_col=block_col, id_col=id_col,
+                               vec_col=vec_col, threshold=threshold)
+    lab = emb.select(F.col(id_col).alias("_sid"),
+                     split_assign(F.col(id_col), seed=seed, train=train,
+                                  val=val).alias("_split"))
+    joined = (pairs
+              .join(lab.withColumnRenamed("_sid", "id_a")
+                    .withColumnRenamed("_split", "_sa"), "id_a")
+              .join(lab.withColumnRenamed("_sid", "id_b")
+                    .withColumnRenamed("_split", "_sb"), "id_b")
+              .filter(F.col("_sa") != F.col("_sb")))
+    return (joined
+            .select(F.least("_sa", "_sb").alias("split_lo"),
+                    F.greatest("_sa", "_sb").alias("split_hi"),
+                    "cosine_sim",
+                    F.round(F.col("cosine_sim") * 1_000_000)
+                    .cast("long").alias("_e6"))
+            .groupBy("split_lo", "split_hi")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.max("cosine_sim").alias("max_sim"),
+                 F.sum("_e6").cast("long").alias("sum_sim_e6"))
+            .orderBy("split_lo", "split_hi"))
+
+
+def cross_split_leakage_sql(emb_table: str, threshold: float = 0.4,
+                            seed: int = 1, train: float = 0.8,
+                            val: float = 0.1) -> str:
+    """DuckDB twin of :func:`cross_split_leakage` (label-blocked exact
+    pairs, identical split assignment, integer-exact similarity sum)."""
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        split_assign_sql)
+    split = split_assign_sql("vec_id", seed=seed, train=train, val=val)
+    return f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve
+           FROM {emb_table}),
+pairs AS (
+  SELECT id_a, id_b, cosine_sim FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+  WHERE NOT isnan(cosine_sim) AND cosine_sim >= {threshold}),
+lab AS (SELECT vec_id, {split} AS split FROM {emb_table})
+SELECT least(sa.split, sb.split) AS split_lo,
+       greatest(sa.split, sb.split) AS split_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       max(cosine_sim) AS max_sim,
+       CAST(sum(CAST(round(cosine_sim * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_sim_e6
+FROM pairs p
+JOIN lab sa ON sa.vec_id = p.id_a
+JOIN lab sb ON sb.vec_id = p.id_b
+WHERE sa.split <> sb.split
+GROUP BY 1, 2
+"""

@@ -1690,6 +1690,8 @@ _RECORD_FIRST: tuple[str, ...] = (
     "sample_pps_systematic",
     "graph_kcore_filter",
     "linkage_golden_records",
+    "quality_quantile_norm",
+    "split_semantic_leakage",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -3923,3 +3925,43 @@ def linkage_golden_records(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     return golden_records(p, "p_name", ["p_brand", "p_type"],
                           max_dist=3, min_dist=1, block_len=4)
+
+
+def _qnorm_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        quantile_normalize_sql)
+    return quantile_normalize_sql("documents", "source", "n_chars")
+
+
+@q("quality_quantile_norm", ("QNORM",), oracle=_qnorm_oracle(),
+   note="cross-source quantile normalization (Bolstad batch-effect "
+        "correction) of a quality metric: one map-side-combined count "
+        "is the only corpus touch, midrank-to-pooled-index mapping in "
+        "decimal(38,0) (2*N^2 wraps int64 near 1e12 rows), all windows "
+        "and the interval join at bounded (group, value) scale with "
+        "the pooled side broadcast")
+def quality_quantile_norm(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        quantile_normalize_by_group)
+    d = _t(spark, sf_dir, "documents")
+    return quantile_normalize_by_group(d, "source", "n_chars")
+
+
+def _semleak_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        cross_split_leakage_sql)
+    return cross_split_leakage_sql("embeddings", threshold=0.3, seed=1)
+
+
+@q("split_semantic_leakage", ("SEM-LEAK",), oracle=_semleak_oracle(),
+   note="embedding-level split leakage - the semantic twin of "
+        "split_leakage_report: near-identical vectors across "
+        "train/val/test that n-gram dedup misses (paraphrases, "
+        "re-encodes); pairs from the label-blocked GEMM near-dup path "
+        "(never cross), md5-bucket split labels, ONE pair-scale agg "
+        "with an exact integer similarity sum (sum_sim_e6)")
+def split_semantic_leakage(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        cross_split_leakage)
+    emb = _t(spark, sf_dir, "embeddings")
+    return cross_split_leakage(emb, threshold=0.3, seed=1)

@@ -340,3 +340,48 @@ class TestTextRank:
         ddf = [tuple(r) for r in con.execute(textrank_keywords_sql(
             "documents", top_k=10, min_count=2, iters=3)).fetchall()]
         assert sdf == ddf
+
+
+def test_quantile_norm_identity_on_single_group(spark):
+    # one group: the pooled distribution IS the group's, so the mapping
+    # must be the identity
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        quantile_normalize_by_group)
+    rows = [("a", v) for v in [10, 20, 20, 30, 50, 80]]
+    df = spark.createDataFrame(rows, ["src", "score"])
+    out = quantile_normalize_by_group(df, "src", "score").collect()
+    assert all(r["score"] == r["norm_value"] for r in out)
+
+
+def test_quantile_norm_shifts_low_source_up(spark):
+    # source b sits uniformly 100 below source a; after normalization
+    # b's values must map onto pooled values ABOVE themselves, and the
+    # two sources' normalized medians must coincide
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        quantile_normalize_by_group)
+    a = [("a", v) for v in range(200, 300, 10)]
+    b = [("b", v) for v in range(100, 200, 10)]
+    df = spark.createDataFrame(a + b, ["src", "score"])
+    out = quantile_normalize_by_group(df, "src", "score")
+    got = {(r["src"], r["score"]): r["norm_value"] for r in out.collect()}
+    assert all(got[("b", v)] > v for v in range(100, 200, 10))
+    # equal ranks within each source map to the same pooled value
+    assert got[("a", 250)] == got[("b", 150)]
+
+
+def test_quantile_norm_matches_duckdb_twin(spark):
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        quantile_normalize_by_group, quantile_normalize_sql)
+    rows = [("s" + str(i % 3), 1 + (i * 7) % 40) for i in range(120)]
+    df = spark.createDataFrame(rows, ["src", "score"])
+    got = sorted((r["src"], r["score"], r["n"], r["norm_value"])
+                 for r in quantile_normalize_by_group(
+                     df, "src", "score").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(src VARCHAR, score INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = sorted(tuple(r) for r in con.execute(
+        quantile_normalize_sql("t", "src", "score")).fetchall())
+    assert got == exp

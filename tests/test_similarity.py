@@ -233,3 +233,30 @@ def test_margin_alignment_ivf_lists_and_recall(spark):
     part = margin_alignment_ivf(left, right, kc=4, nprobe=2, iters=2,
                                 k=3, min_margin_ppm=0).collect()
     assert len({(r.id_left, r.id_right) for r in part}) == len(part)
+
+
+def test_cross_split_leakage_plants_and_finds_a_leak(spark):
+    # two near-identical vectors forced into different splits by their
+    # ids; one orthogonal pair stays out; the report counts exactly one
+    # leaking pair and the exact e6 similarity sum
+    from rgd_rnaseq_workflows_spark.operators.sampling import split_assign
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        cross_split_leakage)
+    from pyspark.sql import functions as F
+    # find two ids that land in different splits under seed=1
+    probe = spark.range(1, 200).select(
+        F.col("id"), split_assign(F.col("id"), seed=1).alias("s"))
+    by_split = {r["s"]: r["id"] for r in probe.collect()}
+    id_tr, id_te = by_split["train"], by_split["test"]
+    rows = [(int(id_tr), 0, [1.0, 0.0, 0.0]),
+            (int(id_te), 0, [1.0, 0.001, 0.0]),
+            (9999, 0, [0.0, 0.0, 1.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"]) \
+        .select("vec_id", "label",
+                F.col("embedding").cast("array<float>").alias("embedding"))
+    out = cross_split_leakage(emb, threshold=0.9, seed=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert {r["split_lo"], r["split_hi"]} <= {"train", "val", "test"}
+    assert r["n_pairs"] == 1
+    assert r["sum_sim_e6"] == round(r["max_sim"] * 1_000_000)
