@@ -291,6 +291,14 @@ SHOWCASE = {
         "broadcast value→cluster map; canonical/field elections are "
         "single-melt (stack) aggs at (cluster, field, value) scale; "
         "pivot over the pinned field list.",
+    "quality_quantile_norm": "quantile normalization: one map-side-"
+        "combined count is the only corpus touch; midrank→pooled-index "
+        "mapping in decimal(38,0); windows + interval join ride "
+        "(group, value)-scale frames, pooled side broadcast.",
+    "split_semantic_leakage": "semantic split leakage: label-blocked "
+        "GEMM near-dup pairs (the one sanctioned Arrow kernel), "
+        "broadcast split labels, ONE pair-scale agg with an exact "
+        "integer similarity sum.",
 }
 
 
