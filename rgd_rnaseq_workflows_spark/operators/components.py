@@ -85,7 +85,11 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                            .cast("long").alias("_chg")))
         if (i + 1) % 5 == 0:
             stepped = checkpoint_df(stepped, eager=False)
-        n_chg = stepped.agg(F.sum("_chg")).collect()[0][0]
+        # coalesce: SUM over an EMPTY label frame (no edges at all) is
+        # NULL, and None == 0 is False — the empty graph must converge
+        # on round one, not raise at max_iter
+        n_chg = stepped.agg(
+            F.coalesce(F.sum("_chg"), F.lit(0))).collect()[0][0]
         labels = stepped.drop("_chg")
         if n_chg == 0:
             break

@@ -72,3 +72,16 @@ def test_string_id_chain_fully_merges(spark):
     assert comps.select("comp").distinct().count() == 1
     assert {r["comp"] for r in comps.collect()} == {"name_a"}
     assert comps.count() == len(names)
+
+
+def test_empty_graph_converges_immediately(spark):
+    # REGRESSION (r6): SUM of the changed-label count over an EMPTY
+    # label frame is NULL; the loop must treat that as converged (zero
+    # changes), not iterate to max_iter and raise — the corpus CLI at
+    # threshold 0.999 produces exactly this empty pair graph
+    from pyspark.sql.types import LongType, StructField, StructType
+    edges = spark.createDataFrame(
+        [], StructType([StructField("id_a", LongType()),
+                        StructField("id_b", LongType())]))
+    comps = connected_components(edges, max_iter=3)
+    assert comps.count() == 0
