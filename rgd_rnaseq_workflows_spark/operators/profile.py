@@ -207,3 +207,135 @@ SELECT CAST({k} AS BIGINT) AS k,
        CAST(min(c) AS BIGINT) AS min_class_size
 FROM classes"""
 
+
+
+# =============================================================================
+# Declarative data-expectations audit (the Deequ / Great Expectations shape)
+# =============================================================================
+
+_ROW_LOCAL = {"not_null", "range", "regex", "in_set"}
+
+
+def _violation_expr(kind: str, col: str, args: tuple) -> F.Column:
+    """Row-local violation indicator (0/1) for one constraint."""
+    c = F.col(col)
+    if kind == "not_null":
+        bad = c.isNull()
+    elif kind == "range":
+        lo, hi = args
+        bad = c.isNull() | (c < F.lit(lo)) | (c > F.lit(hi))
+    elif kind == "regex":
+        (pat,) = args
+        bad = c.isNull() | ~c.rlike(pat)
+    elif kind == "in_set":
+        (vals,) = args
+        bad = c.isNull() | ~c.isin(list(vals))
+    else:
+        raise ValueError(f"unknown row-local constraint {kind}")
+    return F.when(bad, 1).otherwise(0)
+
+
+def expectations_report(df: DataFrame,
+                        constraints: list[tuple]) -> DataFrame:
+    """Declarative constraint-suite audit — the ingest gate every
+    production pipeline runs before promoting a batch (the Deequ /
+    Great Expectations operator class). ``constraints`` is a list of
+    tuples: ``("not_null", col)``, ``("range", col, lo, hi)``,
+    ``("regex", col, pattern)``, ``("in_set", col, values)``,
+    ``("unique", col)``.
+
+    Output: one row per constraint — (constraint, column, spec,
+    n_violations, n_rows, status PASS/FAIL) — ordered by (constraint,
+    column, spec).
+
+    Scale design: every ROW-LOCAL constraint folds into ONE map-side-
+    combined aggregation over a single corpus scan (conditional sums —
+    adding a constraint adds an expression, not a pass). ``unique``
+    needs value-scale state and runs as one count-distinct aggregation
+    per audited column (the exact form; the profiler's HLL variant is
+    the estimate when approximate suffices). The report itself is
+    metadata (one row per constraint), assembled distributed via a
+    union of aggregate frames — no driver collect.
+    """
+    if not constraints:
+        raise ValueError("constraints must be non-empty")
+    specs = []
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i, con in enumerate(constraints):
+        kind, col = con[0], con[1]
+        if kind in _ROW_LOCAL:
+            aggs.append(F.sum(_violation_expr(kind, col, tuple(con[2:])))
+                        .cast("long").alias(f"_v{i}"))
+        elif kind != "unique":
+            raise ValueError(f"unknown constraint kind {kind}")
+        specs.append(con)
+    base = df.agg(*aggs)
+    frames = []
+    for i, con in enumerate(specs):
+        kind, col = con[0], con[1]
+        spec = "" if len(con) <= 2 else repr(tuple(con[2:]))
+        if kind in _ROW_LOCAL:
+            frames.append(base.select(
+                F.lit(kind).alias("constraint"),
+                F.lit(col).alias("column"),
+                F.lit(spec).alias("spec"),
+                F.col(f"_v{i}").alias("n_violations"),
+                F.col("_n").alias("n_rows")))
+        else:  # unique: violations = rows beyond one per distinct value
+            frames.append(df.agg(
+                F.lit("unique").alias("constraint"),
+                F.lit(col).alias("column"),
+                F.lit(spec).alias("spec"),
+                (F.count(col) - F.countDistinct(col)).cast("long")
+                .alias("n_violations"),
+                F.count(F.lit(1)).cast("long").alias("n_rows")))
+    rep = frames[0]
+    for f_ in frames[1:]:
+        rep = rep.unionByName(f_)
+    return (rep.withColumn(
+        "status", F.when(F.col("n_violations") == 0, "PASS")
+        .otherwise("FAIL"))
+        .orderBy("constraint", "column", "spec"))
+
+
+def expectations_sql(table: str, constraints: list[tuple]) -> str:
+    """DuckDB twin of :func:`expectations_report` — identical
+    violation predicates, one UNION ALL arm per constraint."""
+    if not constraints:
+        raise ValueError("constraints must be non-empty")
+    arms = []
+    for con in constraints:
+        kind, col = con[0], con[1]
+        spec = "" if len(con) <= 2 else repr(tuple(con[2:]))
+        spec_sql = spec.replace("'", "''")
+        if kind == "not_null":
+            bad = f"{col} IS NULL"
+        elif kind == "range":
+            lo, hi = con[2], con[3]
+            bad = f"({col} IS NULL OR {col} < {lo} OR {col} > {hi})"
+        elif kind == "regex":
+            pat = con[2].replace("'", "''")
+            bad = f"({col} IS NULL OR NOT regexp_matches({col}, '{pat}'))"
+        elif kind == "in_set":
+            vals = ", ".join(f"'{v}'" if isinstance(v, str) else str(v)
+                             for v in con[2])
+            bad = f"({col} IS NULL OR {col} NOT IN ({vals}))"
+        elif kind == "unique":
+            arms.append(
+                f"SELECT 'unique' AS constraint, '{col}' AS \"column\", "
+                f"'{spec_sql}' AS spec, "
+                f"CAST(count({col}) - count(DISTINCT {col}) AS BIGINT) "
+                f"AS n_violations, CAST(count(*) AS BIGINT) AS n_rows "
+                f"FROM {table}")
+            continue
+        else:
+            raise ValueError(f"unknown constraint kind {kind}")
+        arms.append(
+            f"SELECT '{kind}' AS constraint, '{col}' AS \"column\", "
+            f"'{spec_sql}' AS spec, "
+            f"CAST(sum(CASE WHEN {bad} THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_violations, CAST(count(*) AS BIGINT) AS n_rows "
+            f"FROM {table}")
+    union = "\nUNION ALL\n".join(arms)
+    return (f"SELECT *, CASE WHEN n_violations = 0 THEN 'PASS' "
+            f"ELSE 'FAIL' END AS status FROM (\n{union}\n)")

@@ -1692,6 +1692,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "linkage_golden_records",
     "quality_quantile_norm",
     "split_semantic_leakage",
+    "profile_expectations",
     # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
     # winnowing, text_token_stats, text_quality_features, text_lang_id
     # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
@@ -3965,3 +3966,32 @@ def split_semantic_leakage(spark, sf_dir):
         cross_split_leakage)
     emb = _t(spark, sf_dir, "embeddings")
     return cross_split_leakage(emb, threshold=0.3, seed=1)
+
+
+_EXPECTATIONS = [
+    ("unique", "o_orderkey"),
+    ("not_null", "o_custkey"),
+    ("range", "o_totalprice", 0, 1000000),
+    ("in_set", "o_orderstatus", ("O", "F", "P")),
+    ("regex", "o_orderpriority", "^[1-5]-"),
+]
+
+
+def _expectations_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        expectations_sql)
+    return expectations_sql("orders", _EXPECTATIONS)
+
+
+@q("profile_expectations", ("EXPECT",), oracle=_expectations_oracle(),
+   note="declarative constraint-suite audit (the Deequ/Great-"
+        "Expectations ingest gate): every row-local constraint folds "
+        "into ONE map-side-combined aggregation over a single corpus "
+        "scan - adding a constraint adds an expression, not a pass; "
+        "unique runs as an exact count-distinct agg per audited "
+        "column; the report is metadata rows, no driver collect")
+def profile_expectations(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        expectations_report)
+    o = _t(spark, sf_dir, "orders")
+    return expectations_report(o, _EXPECTATIONS)

@@ -143,3 +143,65 @@ class TestKAnonymity:
         ddf = [tuple(r) for r in con.execute(
             k_anonymity_sql("t", ["country", "seg"], k=2)).fetchall()]
         assert sdf == ddf
+
+
+class TestExpectations:
+    def _df(self, spark):
+        rows = [(1, "a", 10, "X"), (2, "b", 20, "Y"), (2, None, 200, "Z"),
+                (4, "dd", -5, "X")]
+        return spark.createDataFrame(rows, ["id", "name", "amt", "cat"])
+
+    def test_violations_counted_exactly(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.profile import (
+            expectations_report)
+        cons = [("unique", "id"), ("not_null", "name"),
+                ("range", "amt", 0, 100), ("in_set", "cat", ("X", "Y")),
+                ("regex", "name", "^[a-z]$")]
+        out = {(r["constraint"], r["column"]): (r["n_violations"],
+                                                r["status"])
+               for r in expectations_report(self._df(spark),
+                                            cons).collect()}
+        assert out[("unique", "id")] == (1, "FAIL")       # dup id=2
+        assert out[("not_null", "name")] == (1, "FAIL")   # one NULL
+        assert out[("range", "amt")] == (2, "FAIL")       # 200 and -5
+        assert out[("in_set", "cat")] == (1, "FAIL")      # Z
+        # regex: NULL counts as violation + "dd" fails ^[a-z]$
+        assert out[("regex", "name")] == (2, "FAIL")
+
+    def test_all_pass_suite(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.profile import (
+            expectations_report)
+        out = expectations_report(
+            self._df(spark), [("range", "amt", -100, 1000)]).collect()
+        assert len(out) == 1 and out[0]["status"] == "PASS"
+        assert out[0]["n_rows"] == 4
+
+    def test_matches_duckdb_twin(self, spark):
+        import duckdb
+
+        from rgd_rnaseq_workflows_spark.operators.profile import (
+            expectations_report, expectations_sql)
+        cons = [("unique", "id"), ("not_null", "name"),
+                ("range", "amt", 0, 100), ("in_set", "cat", ("X", "Y")),
+                ("regex", "name", "^[a-z]$")]
+        got = sorted(tuple(r) for r in
+                     expectations_report(self._df(spark), cons).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(id INT, name VARCHAR, amt INT, "
+                    "cat VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)",
+                        [(1, "a", 10, "X"), (2, "b", 20, "Y"),
+                         (2, None, 200, "Z"), (4, "dd", -5, "X")])
+        exp = sorted(tuple(r) for r in
+                     con.execute(expectations_sql("t", cons)).fetchall())
+        assert got == exp
+
+    def test_rejects_bad_input(self, spark):
+        import pytest
+
+        from rgd_rnaseq_workflows_spark.operators.profile import (
+            expectations_report)
+        with pytest.raises(ValueError):
+            expectations_report(self._df(spark), [])
+        with pytest.raises(ValueError):
+            expectations_report(self._df(spark), [("bogus", "id")])

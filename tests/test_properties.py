@@ -533,3 +533,37 @@ def test_session_funnel_matches_pure_python(spark, events):
                 g2 += b_after[0] - t1
     want = {"a": (n1, None), "b": (n2, g2 if n2 else None)}
     assert got == want
+
+
+@SETTINGS
+@given(st.lists(st.integers(1, 500), min_size=1, max_size=25),
+       st.integers(1, 40), st.integers(0, 9))
+def test_pps_exact_k_for_any_weights(spark, weights, k, seed):
+    from rgd_rnaseq_workflows_spark.operators.sampling import pps_systematic
+    df = spark.createDataFrame(list(enumerate(weights)), ["id", "w"])
+    out = pps_systematic(df, "id", "w", k=k, seed=seed).collect()
+    assert sum(r["n_copies"] for r in out) == k          # Madow invariant
+    assert all(r["n_copies"] >= 1 for r in out)
+    assert all(1 <= r["incl_bp"] <= 10000 for r in out)
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                          st.integers(0, 30)),
+                min_size=1, max_size=40))
+def test_quantile_norm_is_rank_monotone_within_group(spark, rows):
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        quantile_normalize_by_group)
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = quantile_normalize_by_group(df, "g", "v").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["v"], r["norm_value"]))
+    pooled = sorted(v for _, v in rows)
+    for g, cells in by_g.items():
+        cells.sort()
+        # monotone: higher raw value never maps to a lower pooled value
+        norms = [n for _, n in cells]
+        assert norms == sorted(norms)
+        # normalized values are actual pooled values
+        assert all(n in pooled for n in norms)
