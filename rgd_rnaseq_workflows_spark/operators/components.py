@@ -44,18 +44,59 @@ from pyspark.sql import functions as F
 from rgd_rnaseq_workflows_spark.session import checkpoint_df
 
 
+DRIVER_GATE_EDGES = 100_000  # union-find fast path below this edge count
+
+
 def connected_components(edges: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         driver_gate: int = DRIVER_GATE_EDGES
+                         ) -> DataFrame:
     """Undirected connected components: (id, comp) with comp = the
     smallest node id reachable from ``id``. Includes every node appearing
     in ``edges`` (isolated nodes never enter — prepend them upstream if
-    singleton clusters are wanted)."""
+    singleton clusters are wanted).
+
+    Pair graphs are usually tiny relative to the corpus (duplicate
+    pairs, fuzzy-matched values), and each distributed label round
+    costs a join + an action — so below ``driver_gate`` directed edges
+    the labels come from a driver-side union-find over the collected
+    edge list (same min-member labeling, exact; a few MB at the gate —
+    the BPE vocab-gate discipline). Above the gate: pointer-jumping
+    min-label propagation, all state distributed. ``driver_gate=0``
+    forces the distributed path (tests pin it directly).
+    """
     adj = (edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
            .union(edges.select(F.col(id_b).alias("src"),
                                F.col(id_a).alias("dst")))
            .distinct()
            .transform(checkpoint_df))
+    if driver_gate > 0 and adj.limit(driver_gate + 1).count() <= driver_gate:
+        pairs = [(r["src"], r["dst"]) for r in adj.collect()]
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:       # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in pairs:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:                   # min id becomes the root
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        spark = edges.sparkSession
+        from pyspark.sql.types import StructField, StructType
+        id_type = adj.schema["src"].dataType
+        schema = StructType([StructField("id", id_type),
+                             StructField("comp", id_type)])
+        return spark.createDataFrame(rows, schema)
     # label init WITH the first propagation fused: every node appears as
     # src (adjacency holds both directions), so min(id, min neighbor) is
     # one aggregation over adj — cheaper than the loop's join form

@@ -39,7 +39,7 @@ def test_pointer_jumping_rounds_are_logarithmic(spark):
     # within 9 rounds including the fixpoint-confirmation round
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], ["id_a", "id_b"])
-    comps = connected_components(edges, max_iter=9)
+    comps = connected_components(edges, max_iter=9, driver_gate=0)
     assert comps.select("comp").distinct().count() == 1
     assert comps.count() == 65
     assert {r["comp"] for r in comps.collect()} == {0}
@@ -53,9 +53,9 @@ def test_non_convergence_raises_not_silent(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=2, driver_gate=0)
     # and one extra iteration headroom is enough for this diameter
-    ok = connected_components(edges, max_iter=8)
+    ok = connected_components(edges, max_iter=8, driver_gate=0)
     assert ok.select("comp").distinct().count() == 1
 
 
@@ -68,10 +68,11 @@ def test_string_id_chain_fully_merges(spark):
     edges = spark.createDataFrame(
         [(names[i], names[i + 1]) for i in range(len(names) - 1)],
         ["id_a", "id_b"])
-    comps = connected_components(edges)
-    assert comps.select("comp").distinct().count() == 1
-    assert {r["comp"] for r in comps.collect()} == {"name_a"}
-    assert comps.count() == len(names)
+    for gate in (0, 100_000):     # distributed loop AND union-find path
+        comps = connected_components(edges, driver_gate=gate)
+        assert comps.select("comp").distinct().count() == 1
+        assert {r["comp"] for r in comps.collect()} == {"name_a"}
+        assert comps.count() == len(names)
 
 
 def test_empty_graph_converges_immediately(spark):
@@ -83,5 +84,21 @@ def test_empty_graph_converges_immediately(spark):
     edges = spark.createDataFrame(
         [], StructType([StructField("id_a", LongType()),
                         StructField("id_b", LongType())]))
-    comps = connected_components(edges, max_iter=3)
-    assert comps.count() == 0
+    for gate in (0, 100_000):
+        comps = connected_components(edges, max_iter=3, driver_gate=gate)
+        assert comps.count() == 0
+
+
+def test_union_find_path_equals_distributed_path(spark):
+    # the size-gated driver union-find must produce exactly the
+    # distributed loop's labeling (min member id per component)
+    import random
+    rng = random.Random(42)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = {(r["id"], r["comp"]) for r in
+            connected_components(df).collect()}
+    slow = {(r["id"], r["comp"]) for r in
+            connected_components(df, driver_gate=0).collect()}
+    assert fast == slow and len(fast) > 0
