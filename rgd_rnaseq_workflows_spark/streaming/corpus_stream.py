@@ -198,3 +198,57 @@ def stream_token_counts(doc_stream: DataFrame,
     Stream==batch equality is test-pinned (``test_streaming``)."""
     from rgd_rnaseq_workflows_spark.operators.snapshot import token_counts
     return token_counts(doc_stream, text_col, "cq")
+
+
+def stream_expectations(doc_stream: DataFrame,
+                        constraints: list[tuple]) -> DataFrame:
+    """Streaming twin of ``profile.expectations_report`` for the
+    ROW-LOCAL constraint classes (not_null / range / regex / in_set):
+    the identical violation expressions under a streaming aggregation,
+    so an ingest stream carries a live constraint dashboard whose
+    complete-mode output equals the batch report over the same rows.
+    State is one counter row per constraint — metadata, unbounded-safe.
+
+    ``unique`` is excluded by contract: exact streaming uniqueness
+    needs per-value state (the stateful dedup kernel is that operator);
+    a suite containing it raises here rather than silently degrading.
+    """
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        _ROW_LOCAL, _violation_expr)
+    bad = [c for c in constraints if c[0] not in _ROW_LOCAL]
+    if bad or not constraints:
+        raise ValueError(
+            f"stream_expectations handles row-local constraints only "
+            f"(got {bad or 'empty suite'}); route 'unique' through the "
+            f"stateful dedup kernel")
+    import pyspark.sql.functions as F
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for i, con in enumerate(constraints):
+        aggs.append(F.sum(_violation_expr(con[0], con[1], tuple(con[2:])))
+                    .cast("long").alias(f"v{i}"))
+    return doc_stream.agg(*aggs)
+
+
+def expectations_from_counts(counts: DataFrame,
+                             constraints: list[tuple]) -> DataFrame:
+    """Fold a :func:`stream_expectations` counter row into the exact
+    batch-report shape (constraint, column, spec, n_violations, n_rows,
+    status) — a metadata-scale batch transform over the stream sink."""
+    import pyspark.sql.functions as F
+    frames = []
+    for i, con in enumerate(constraints):
+        kind, col = con[0], con[1]
+        spec = "" if len(con) <= 2 else repr(tuple(con[2:]))
+        frames.append(counts.select(
+            F.lit(kind).alias("constraint"),
+            F.lit(col).alias("column"),
+            F.lit(spec).alias("spec"),
+            F.col(f"v{i}").alias("n_violations"),
+            F.col("n_rows").alias("n_rows")))
+    rep = frames[0]
+    for f_ in frames[1:]:
+        rep = rep.unionByName(f_)
+    return (rep.withColumn(
+        "status", F.when(F.col("n_violations") == 0, "PASS")
+        .otherwise("FAIL"))
+        .orderBy("constraint", "column", "spec"))

@@ -269,3 +269,40 @@ def test_stream_boilerplate_gate_equals_batch(spark, tmp_out):
     finally:
         q.stop()
     assert streamed == batch_keep
+
+
+def test_stream_expectations_equals_batch(spark, tmp_out):
+    """Live ingest constraint dashboard: the stream-maintained counter
+    row folded to report shape == the batch expectations_report over
+    the same rows (row-local constraint classes)."""
+    import os
+
+    import pytest
+
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        expectations_report)
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        expectations_from_counts, stream_expectations)
+    cons = [("not_null", "name"), ("range", "amt", 0, 100),
+            ("in_set", "cat", ("X", "Y"))]
+    rows = [(1, "a", 10, "X"), (2, None, 20, "Y"), (3, "c", 500, "Z")]
+    df = spark.createDataFrame(rows, "id long, name string, amt long, "
+                               "cat string")
+    batch = sorted(tuple(r) for r in
+                   expectations_report(df, cons).collect())
+    src = os.path.join(tmp_out, "exp_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (stream_expectations(stream, cons)
+         .writeStream.format("memory").queryName("exp_counts")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        streamed = sorted(tuple(r) for r in expectations_from_counts(
+            spark.sql("SELECT * FROM exp_counts"), cons).collect())
+    finally:
+        q.stop()
+    assert streamed == batch
+    # unique is excluded by contract — must raise, not degrade
+    with pytest.raises(ValueError, match="stateful dedup"):
+        stream_expectations(stream, [("unique", "id")])
