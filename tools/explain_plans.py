@@ -299,6 +299,9 @@ SHOWCASE = {
         "GEMM near-dup pairs (the one sanctioned Arrow kernel), "
         "broadcast split labels, ONE pair-scale agg with an exact "
         "integer similarity sum.",
+    "profile_expectations": "constraint suite: all row-local checks "
+        "fold into one map-side-combined agg per scan; unique = exact "
+        "count-distinct arms; report rows are metadata.",
 }
 
 
