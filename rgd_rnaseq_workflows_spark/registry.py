@@ -1626,104 +1626,66 @@ def text_zipf_head_stats(spark, sf_dir):
 # prior round are surfaced first so every registry entry accumulates a
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
-    # round-6 window (standing rotation): first the 12 queries with no
-    # r4/r5 driver row — the 4 deferred from r5 (q1/jn3/audio/bpe_merges,
-    # all judge-re-run in r5) and the 8 round-5 operators (judge-oracle-
-    # verified but landed after the r5 window was cut) — then 38 of the
-    # 50 r4-stamped rows, oldest evidence refreshed first.  The 12 r4
-    # queries left out (golden-byte or trivial-builtin backed: agg7/agg8/
-    # aggp1/src7/agg9/agg4/set1/set2/f16/f17/rollup/range_join) are the
-    # natural head of the r7 window.
-    "q1_pricing_summary",
-    "jn3_merge_join",
-    "multimodal_audio_features",
-    "tokenizer_bpe_merges",
-    "sample_token_budget",
-    "quality_classifier_score",
-    "corpus_token_drift",
-    "corpus_drift_terms",
-    "quality_oov_rate",
-    "graph_centrality_keepers",
-    "contamination_source_matrix",
-    "tokenizer_fertility_by_lang",
-    # new this round (no prior driver row possible)
-    "sketch_log2q_by_group",
-    "sketch_cms_by_group",
-    "dedup_cross_corpus",
-    "quality_boilerplate_ngrams",
-    "sample_epoch_budget",
-    "sample_epoch_mix",
-    "ann_margin_alignment",
-    "ann_margin_ivf",
-    "winnow_cross_containment",
-    "events_funnel",
-    "events_funnel_windowed",
-    "events_session_funnel",
-    "events_cohort_retention",
-    "text_zipf_head_stats",
-    "text_pmi_collocations",
-    "sketch_hll_incremental",
-    "sketch_cms_incremental",
-    "sketch_hll_set_ops",
-    "quality_length_outliers",
-    "winnow_containment_keepers",
-    "graph_triangle_census",
-    "layout_zorder_stats",
-    "embedding_centroid_drift",
-    "events_scd2_history",
-    "table_profile_stats",
-    "agg_histogram_quantiles",
-    "fuzzy_match_part_names",
-    "events_gapfill_locf",
-    "events_rate_anomaly",
-    "profile_fd_audit",
-    "split_cluster_assign",
-    "embedding_pca_scatter",
-    "text_textrank_keywords",
-    "events_transition_matrix",
-    "winnow_repeated_spans",
-    "sample_duplicate_downweight",
-    "events_rfm_segments",
-    "profile_k_anonymity",
-    # round-6 seventh batch — past the 50-row window (positions 51+):
-    # no driver row until r7; judge-oracle-verified at sf0.01 this round
+    # round-7 window (standing rotation, ≤3-round evidence age; see
+    # tools/rotation_check.py which enforces this mechanically).  Head:
+    # the 6 queries that have never had a driver row (round-6 window
+    # overflow; all judge-oracle-verified at sf0.01 in r6), then 44 of
+    # the 50 r4-stamped rows whose evidence reaches age 3 at r7.  The 6
+    # r4 rows deferred to lead r8 (agg4_dedup_keep_first, agg9_histogram,
+    # set1_union, set2_intersect, f16_date_arithmetic, f17_url_template)
+    # are the ones with independent golden-byte / trivial-builtin test
+    # evidence; the 50 r5-stamped rows follow them in the r8 queue.
     "sample_pps_systematic",
     "graph_kcore_filter",
     "linkage_golden_records",
     "quality_quantile_norm",
     "split_semantic_leakage",
     "profile_expectations",
-    # r4-stamped refreshes (30; agg_percentiles/_approx, bpe_encode,
-    # winnowing, text_token_stats, text_quality_features, text_lang_id
-    # and text_fingerprint keep their r4 rows — exactly 2 rounds old at
-    # r6 — and lead r7 with the window overflow)
-    # ann_cosine_topk, ann_embedding_neardup, ann_ivf_topk, asof_join_events, bloom_semi_join and corpus_curation dropped to lead r7 (displaced by
-    # text_textrank_keywords)
-    # dedup_cluster_keepers dropped to lead r7 (displaced by
-    # embedding_pca_scatter)
-    # dedup_exact_stats dropped to lead r7 (displaced by split_cluster_assign)
-    # dedup_minhash_lsh, dedup_ngram_jaccard and dedup_passage_rewrite dropped from the
-    # r6 window (r4 rows stay exactly 2 rounds old) to fit the two
-    # round-6 fifth-batch queries; they lead r7 with the other overflow
-    # dedup_passages,
-    # dedup_simhash,
-    # dsir_importance,
-    # embedding_random_projection,
-    # graph_pagerank_neardup,
-    # quality_lm_buckets,
-    # rag_chunk_documents,
-    # sketch_cms_heavy_hitters, sketch_hll_by_group, sketch_hll_distinct,
-    # sketch_log2_quantiles, skew_salted_agg,
-    # snapshot_apply_merge, srt_topk_global, stream_interval_join,
-    # stream_sessionize, stream_window_agg, text_bm25_topk and
-    # text_bpe_tokens dropped from the r6 window (their r4 rows stay
-    # exactly 2 rounds old) to fit the ten round-6 second-batch queries
-    # (winnow_cross_containment, events_funnel, events_funnel_windowed,
-    # events_session_funnel, events_cohort_retention,
-    # text_zipf_head_stats, text_pmi_collocations,
-    # sketch_hll_incremental, sketch_cms_incremental,
-    # sketch_hll_set_ops); they lead r7 with the other overflow
-    # queries listed above.
+    # r4-stamped refreshes (44)
+    "agg7_binned_rate",
+    "agg8_ratio_classify",
+    "aggp1_pivot_matrix",
+    "srt_topk_global",
+    "src7_json_extract",
+    "stream_window_agg",
+    "stream_sessionize",
+    "stream_interval_join",
+    "dedup_exact_stats",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_keepers",
+    "text_quality_features",
+    "text_lang_id",
+    "text_token_stats",
+    "text_fingerprint",
+    "ann_cosine_topk",
+    "ann_embedding_neardup",
+    "asof_join_events",
+    "range_join_dim",
+    "rollup_aggregate",
+    "agg_percentiles",
+    "agg_percentiles_approx",
+    "text_bpe_tokens",
+    "ann_ivf_topk",
+    "corpus_curation",
+    "skew_salted_agg",
+    "text_bm25_topk",
+    "quality_lm_buckets",
+    "sketch_hll_distinct",
+    "dsir_importance",
+    "dedup_passages",
+    "embedding_random_projection",
+    "bloom_semi_join",
+    "sketch_hll_by_group",
+    "dedup_passage_rewrite",
+    "tokenizer_bpe_encode",
+    "sketch_cms_heavy_hitters",
+    "snapshot_apply_merge",
+    "graph_pagerank_neardup",
+    "sketch_log2_quantiles",
+    "rag_chunk_documents",
+    "winnow_partial_overlap",
 )
 
 
