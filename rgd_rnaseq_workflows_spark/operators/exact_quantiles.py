@@ -24,8 +24,10 @@ aggregation producing all requested quantiles in a single pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from rgd_rnaseq_workflows_spark.session import checkpoint_df
 
 
 def _validate(percents: list[int]) -> None:
@@ -54,6 +56,76 @@ def group_quantiles(df: DataFrame, by: str, value_col: str,
                     .cast("long").alias(f"p{p}"))
     return (cum.groupBy("g").agg(*aggs)
             .withColumnRenamed("g", by))
+
+
+def global_ranks(df: DataFrame, order_cols: list[Column],
+                 rank_col: str = "_rank",
+                 total_col: str = "_n") -> DataFrame:
+    """Exact 1-based global ``row_number`` under a TOTAL order without a
+    single-task global sort — the distributed two-phase rank:
+
+    1. ``repartitionByRange`` on the sort key: one sampled range shuffle;
+       partition ids ascend with the order, ties spread by the caller's
+       tiebreak column (the order must be total — strict, no duplicate
+       keys — or ranks of tied rows are partition-placement-dependent).
+    2. Freeze the placement with :func:`checkpoint_df`: both downstream
+       consumers (the ranked rows and the per-partition sizes) must read
+       the SAME materialized placement — a recompute would re-sample
+       range boundaries and silently mis-rank (the pps_systematic
+       checkpoint discipline).
+    3. ``row_number`` within each frozen partition (balanced, never the
+       whole frame in one task) + broadcast per-partition offsets.
+       Offsets are partition-COUNT-scale metadata (≤ shuffle
+       partitions), so their cumulative window is a metadata window —
+       the dense_rank_palette precedent, not a corpus sort.
+
+    Adds ``rank_col`` (1-based global rank) and ``total_col`` (total row
+    count) to ``df``. Cost: one range shuffle + one checkpoint + one
+    hash shuffle of the frame — each task holds one partition, so no
+    executor ever sorts more than ``|df| / num_partitions`` rows.
+    """
+    part = (df.repartitionByRange(*order_cols)
+            .withColumn("_pid", F.spark_partition_id()))
+    # lazy is safe here: both branches reference the SAME checkpointed
+    # RDD instance, so the placement materializes once (block-locked)
+    # and each branch reads identical frozen blocks — while eager would
+    # add a blocking job per call.
+    frozen = checkpoint_df(part, eager=False)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked = frozen.withColumn("_rn", F.row_number().over(w))
+    sizes = frozen.groupBy("_pid").agg(F.count("*").alias("_c"))
+    w_off = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_tot = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    offs = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(w_tot).alias(total_col))
+    return (ranked.join(F.broadcast(offs), "_pid")
+            .withColumn(rank_col,
+                        (F.col("_off") + F.col("_rn")).cast("long"))
+            .drop("_pid", "_rn", "_off"))
+
+
+def ntile_from_rank(rank_col: str, total_col: str, n_tiles: int) -> Column:
+    """SQL-standard ``ntile(n)`` computed arithmetically from a global
+    rank — the first ``N mod n`` tiles take ``ceil(N/n)`` rows, the rest
+    ``floor(N/n)`` — so a distributed rank (:func:`global_ranks`)
+    replaces the partition-less ``ntile`` window exactly, ties and all.
+    Pure integer arithmetic: engine-identical by construction."""
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles {n_tiles} must be >= 1")
+    r, n = rank_col, total_col
+    return F.expr(f"""CAST(CASE
+        WHEN {n} div {n_tiles} = 0 THEN {r}
+        WHEN {r} <= ({n} % {n_tiles}) * ({n} div {n_tiles} + 1)
+          THEN ({r} + {n} div {n_tiles}) div ({n} div {n_tiles} + 1)
+        ELSE {n} % {n_tiles}
+             + ({r} - ({n} % {n_tiles}) * ({n} div {n_tiles} + 1)
+                + {n} div {n_tiles} - 1) div ({n} div {n_tiles})
+      END AS BIGINT)""")
 
 
 def group_quantiles_sql(table: str, by: str, value_col: str,

@@ -381,29 +381,37 @@ def rfm_segments(events: DataFrame, n_tiles: int = 5,
     ``n_tiles`` quantile buckets and the output is the segment-level
     rollup (r_tile, f_tile, m_tile, n_users).
 
-    Determinism: tiles come from ``ntile`` over a TOTAL order
-    (metric, then user id) — the tie order is pinned, so bucket
-    boundaries are engine-identical; all metrics are exact integers.
+    Determinism: tiles are SQL-standard ``ntile`` semantics over a
+    TOTAL order (metric desc, then user id) — the tie order is pinned,
+    so bucket boundaries are engine-identical; all metrics are exact
+    integers.
 
     Scale shape: one map-side-combined aggregation folds the corpus to
-    USER-scale rows; the three ntile windows ride that user-scale
-    frame (single-partition windows are fine at user scale — users are
-    orders of magnitude fewer than events; a 10^9-user deployment
-    would swap ntile for the bounded-domain histogram walk the
-    quantile family uses); the rollup is ≤ n_tiles³ metadata rows.
+    USER-scale rows; each axis' tile then comes from a DISTRIBUTED
+    two-phase global rank (range-repartition → per-partition
+    row_number + broadcast metadata offsets —
+    :func:`~rgd_rnaseq_workflows_spark.operators.exact_quantiles.global_ranks`)
+    fed through the exact ntile arithmetic
+    (:func:`~rgd_rnaseq_workflows_spark.operators.exact_quantiles.ntile_from_rank`),
+    so NO task ever sorts the whole user table — a 10^9-user frame
+    splits across every executor, unlike a partition-less ``ntile``
+    window which funnels it through one; the rollup is ≤ n_tiles³
+    metadata rows.
     """
+    from rgd_rnaseq_workflows_spark.operators.exact_quantiles import (
+        global_ranks, ntile_from_rank)
     per_user = (events.groupBy(F.col(user_col).alias("u"))
                 .agg(F.max(F.col(sec_col).cast("long")).alias("last_sec"),
                      F.count("*").cast("long").alias("n_events"),
                      F.sum(F.round(F.col(value_col) * 100).cast("long"))
                      .alias("cents")))
-    wr = Window.orderBy(F.col("last_sec").desc(), F.col("u"))
-    wf = Window.orderBy(F.col("n_events").desc(), F.col("u"))
-    wm = Window.orderBy(F.col("cents").desc(), F.col("u"))
-    tiled = per_user.select(
-        "u", F.ntile(n_tiles).over(wr).cast("long").alias("r_tile"),
-        F.ntile(n_tiles).over(wf).cast("long").alias("f_tile"),
-        F.ntile(n_tiles).over(wm).cast("long").alias("m_tile"))
+    tiled = per_user
+    for metric, out in (("last_sec", "r_tile"), ("n_events", "f_tile"),
+                        ("cents", "m_tile")):
+        tiled = (global_ranks(tiled,
+                              [F.col(metric).desc(), F.col("u").asc()])
+                 .withColumn(out, ntile_from_rank("_rank", "_n", n_tiles))
+                 .drop("_rank", "_n"))
     return (tiled.groupBy("r_tile", "f_tile", "m_tile")
             .agg(F.count("*").cast("long").alias("n_users")))
 

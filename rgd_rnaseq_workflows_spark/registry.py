@@ -3783,10 +3783,11 @@ def _rfm_oracle() -> str:
 
 @q("events_rfm_segments", ("RFM",), oracle=_rfm_oracle(),
    note="RFM segmentation: per-user last-activity/count/exact-cents "
-        "metrics (one map-side-combined fold to USER scale), ntile "
-        "quantile buckets over pinned total orders (metric, user), "
-        "n_tiles^3 rollup out; a 1e9-user deployment swaps ntile for "
-        "the bounded-domain histogram walk - documented in-module")
+        "metrics (one map-side-combined fold to USER scale), then each "
+        "axis tiles via a DISTRIBUTED two-phase global rank (range "
+        "repartition -> frozen per-partition row_number + broadcast "
+        "metadata offsets) fed through exact ntile arithmetic - no "
+        "task ever sorts the whole user table; n_tiles^3 rollup out")
 def events_rfm_segments(spark, sf_dir):
     from rgd_rnaseq_workflows_spark.operators.funnel import rfm_segments
     e = _events(spark, sf_dir)

@@ -62,3 +62,53 @@ def test_matches_sql_twin(spark, data):
     exp = sorted(tuple(r) for r in con.execute(
         group_quantiles_sql("t", "grp", "x", [25, 50, 99])).fetchall())
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# distributed global rank + arithmetic ntile (the rfm_segments machinery)
+# ---------------------------------------------------------------------------
+
+def test_global_ranks_matches_single_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.operators.exact_quantiles import (
+        global_ranks)
+    import random
+    rng = random.Random(7)
+    rows = [(f"u{i:04d}", rng.randint(0, 20)) for i in range(500)]
+    df = spark.createDataFrame(rows, "u string, m long").repartition(16)
+    order = [F.col("m").desc(), F.col("u").asc()]
+    got = {r.u: r._rank for r in global_ranks(df, order).collect()}
+    ref = {r.u: r.rn for r in df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(*order))).collect()}
+    assert got == ref
+
+
+def test_ntile_from_rank_matches_spark_ntile(spark):
+    """The arithmetic tile equals F.ntile over the same total order for
+    awkward (N, n_tiles) shapes — N < n, N % n != 0, N == n."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.operators.exact_quantiles import (
+        global_ranks, ntile_from_rank)
+    import random
+    rng = random.Random(11)
+    for n_rows, n_tiles in [(3, 5), (7, 5), (10, 5), (500, 7), (6, 6)]:
+        rows = [(f"u{i:04d}", rng.randint(0, 9)) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "u string, m long")
+        order = [F.col("m").desc(), F.col("u").asc()]
+        got = {r.u: r.t for r in
+               global_ranks(df, order)
+               .withColumn("t", ntile_from_rank("_rank", "_n", n_tiles))
+               .collect()}
+        ref = {r.u: r.t for r in df.withColumn(
+            "t", F.ntile(n_tiles).over(Window.orderBy(*order))
+            .cast("long")).collect()}
+        assert got == ref, (n_rows, n_tiles)
+
+
+def test_ntile_from_rank_rejects_bad_tiles():
+    from rgd_rnaseq_workflows_spark.operators.exact_quantiles import (
+        ntile_from_rank)
+    with pytest.raises(ValueError):
+        ntile_from_rank("r", "n", 0)

@@ -315,3 +315,19 @@ def test_kcore_jvm_only_no_cartesian(spark):
     plan = _plan(spark, "graph_kcore_filter")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rfm_no_partitionless_user_window(spark):
+    """r7: every window in the rfm plan must be partitioned by the
+    frozen range-partition id (per-partition rank) or ride the
+    partition-count metadata frame (offsets) — a bare
+    ntile/row_number window over the user frame would funnel it
+    through ONE task, three times (the r6 weak item)."""
+    plan = _plan(spark, "events_rfm_segments")
+    assert "ntile" not in plan
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the rfm plan"
+    for spec in specs:
+        assert "_pid" in spec, f"partition-less user window: {spec}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
