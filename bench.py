@@ -78,7 +78,7 @@ def main() -> None:
 
     timings = {name: median(xs) for name, xs in runs.items()}
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(json.dumps({
+    full = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
@@ -87,7 +87,38 @@ def main() -> None:
         "passes": passes,
         "sf": sf,
         "excluded_oracle_gates": gates,
-    }))
+    }
+    # Full record: to a file + an early stdout line (for humans / the
+    # judge). The recording harness keeps only the LAST ~2000 chars of
+    # stdout and json-parses the line it finds there, so the FINAL line
+    # must stay compact: headline numbers + as many of the slowest
+    # query medians as fit the budget (descending, so the entries that
+    # matter for regression triage survive), with a pointer to the full
+    # record. BENCH_r01/r02 parsed fine at ~90 queries; r3-r6 fell to
+    # "parsed: null" once the one-line record outgrew the tail window.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_local_last.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh)
+    print(json.dumps(full))
+    compact = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "passes": passes,
+        "n_queries": len(timings),
+        "full_record": full_path,
+        "queries": {},
+    }
+    budget = 1800
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        compact["queries"][name] = timings[name]
+        if len(json.dumps(compact)) > budget:
+            del compact["queries"][name]
+            break
+    sys.stdout.flush()
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
