@@ -323,10 +323,15 @@ def k_core_sql(pairs_sql: str, k: int = 2, iters: int = 20) -> str:
     (single reference to the recursive table), iterated a fixed
     ``iters`` rounds — past the fixpoint each round reproduces the same
     edges under a new iteration stamp, so ``iter = iters`` IS the
-    fixpoint whenever the Spark side converged within the same bound
-    (it raises otherwise)."""
+    fixpoint whenever peeling converged within the bound. A guard arm
+    compares the last two iterations' edge counts and calls ``error()``
+    on mismatch, so a too-small ``iters`` FAILS loudly instead of
+    returning a non-fixpoint partial core (the Spark twin raises; a
+    standalone SQL user gets the same signal)."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     return f"""
 WITH RECURSIVE pairs AS ({pairs_sql}),
 edges0 AS (SELECT id_a AS u, id_b AS v FROM pairs
@@ -339,7 +344,12 @@ core(iter, u, v) AS (
            count(*) OVER (PARTITION BY iter, u) AS du,
            count(*) OVER (PARTITION BY iter, v) AS dv
     FROM core) s
-  WHERE du >= {k} AND dv >= {k} AND iter < {iters})
+  WHERE du >= {k} AND dv >= {k} AND iter < {iters}),
+guard AS (
+  SELECT CASE WHEN (SELECT count(*) FROM core WHERE iter = {iters}) =
+                   (SELECT count(*) FROM core WHERE iter = {iters - 1})
+         THEN 1 ELSE error('k_core_sql: no fixpoint within {iters} '
+                           'peeling rounds - raise iters') END AS ok)
 SELECT u AS id, CAST(count(*) AS BIGINT) AS core_deg
-FROM core WHERE iter = {iters} GROUP BY u
+FROM core JOIN guard ON guard.ok = 1 WHERE iter = {iters} GROUP BY u
 """

@@ -317,8 +317,9 @@ def expectations_sql(table: str, constraints: list[tuple]) -> str:
             pat = con[2].replace("'", "''")
             bad = f"({col} IS NULL OR NOT regexp_matches({col}, '{pat}'))"
         elif kind == "in_set":
-            vals = ", ".join(f"'{v}'" if isinstance(v, str) else str(v)
-                             for v in con[2])
+            vals = ", ".join(
+                "'{}'".format(v.replace("'", "''")) if isinstance(v, str)
+                else str(v) for v in con[2])
             bad = f"({col} IS NULL OR {col} NOT IN ({vals}))"
         elif kind == "unique":
             arms.append(

@@ -834,10 +834,17 @@ def quantile_normalize_by_group(df: DataFrame, group_col: str,
     value-scale frames (bounded metric domains — lengths, scores in
     basis points — keep these tiny at any corpus size; the pooled side
     broadcasts).
+
+    NULL contract: rows with a NULL value are EXCLUDED up front (they
+    carry no rank). Without the filter the two engines silently
+    diverge — Spark windows sort NULLS FIRST, DuckDB defaults to NULLS
+    LAST, shifting every cum0/pooled rank — so the exclusion is pinned
+    here and in the SQL twin.
     """
     from pyspark.sql import Window
-    cnt = (df.groupBy(F.col(group_col).alias("g"),
-                      F.col(value_col).cast("long").alias("v"))
+    cnt = (df.filter(F.col(value_col).isNotNull())
+           .groupBy(F.col(group_col).alias("g"),
+                    F.col(value_col).cast("long").alias("v"))
            .agg(F.count("*").cast("long").alias("n")))
     gw = Window.partitionBy("g").orderBy("v") \
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -878,7 +885,7 @@ def quantile_normalize_sql(table: str, group_col: str,
 WITH cnt AS (
   SELECT {group_col} AS g, CAST({value_col} AS BIGINT) AS v,
          CAST(count(*) AS BIGINT) AS n
-  FROM {table} GROUP BY 1, 2),
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2),
 per_g AS (
   SELECT g, v, n,
          CAST(coalesce(sum(n) OVER (PARTITION BY g ORDER BY v

@@ -607,6 +607,14 @@ def pps_systematic(df: DataFrame, id_col: str, weight_col: str,
             .withColumn("h", md5_long(F.col("id").cast("string"),
                                       seed=seed))
             .withColumn("bkt", F.expr(f"h div {step}")))
+    # freeze the lineage BEFORE the totals collect: the final job
+    # re-reads `base`, and a source that changed (or is
+    # non-deterministic) between the two jobs would silently break the
+    # sum(n_copies) == k invariant — W and R are baked in as literals
+    # (the connected_components adjacency discipline); the checkpoint
+    # also saves the second full corpus scan.
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    base = checkpoint_df(base)
     totals = {r["bkt"]: r["tw"]
               for r in base.groupBy("bkt")
               .agg(F.sum("w").alias("tw")).collect()}

@@ -511,6 +511,16 @@ def cross_split_leakage(emb: DataFrame, block_col: str = "label",
     integer sum of the (already round-6) similarities ×1e6 — the
     engine-identical mean numerator; a mean is one division away and
     the sum itself never carries float-summation order dependence.
+
+    Rounding contract: the one cross-engine float op is the FIRST
+    round-6 of the cosine (numpy half-to-even vs DuckDB half-away).
+    The rules differ only on exact decimal halves, which are not
+    representable as binary doubles — a disagreement needs the
+    ``x*1e6`` intermediate to round onto an exact ``n + 0.5`` double,
+    a measure-zero coincidence accepted here rather than re-plumbing
+    every similarity kernel through integer-scaled rounding; every
+    LATER stage (``sum_sim_e6``, margins) re-rounds values already on
+    the 6-decimal grid, where the engines agree identically.
     """
     from rgd_rnaseq_workflows_spark.operators.sampling import split_assign
     pairs = embedding_near_dup(emb, block_col=block_col, id_col=id_col,

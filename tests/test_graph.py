@@ -195,3 +195,24 @@ def test_k_core_matches_duckdb_twin(spark):
         k_core_sql("SELECT id_a, id_b FROM e", k=2, iters=20))
         .fetchall())
     assert got == exp and len(got) > 0
+
+
+def test_k_core_sql_guard_errors_on_non_fixpoint(spark):
+    """ADVICE r6: a too-small iters must FAIL loudly in the SQL twin
+    (a chain of n vertices needs ~n/2 peeling rounds), matching the
+    Spark side's raise — never a silent partial core."""
+    import duckdb
+    import pytest
+
+    from rgd_rnaseq_workflows_spark.operators.graph import k_core_sql
+    chain = [(i, i + 1) for i in range(1, 30)]  # needs ~14 rounds at k=2
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(id_a INT, id_b INT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", chain)
+    with pytest.raises(Exception, match="no fixpoint"):
+        con.execute(k_core_sql("SELECT id_a, id_b FROM e", k=2, iters=3))
+    # converged within the bound: guard passes, chain fully peels
+    assert con.execute(k_core_sql("SELECT id_a, id_b FROM e", k=2,
+                                  iters=20)).fetchall() == []
+    with pytest.raises(ValueError):
+        k_core_sql("SELECT 1, 2", k=2, iters=0)

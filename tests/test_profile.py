@@ -205,3 +205,24 @@ class TestExpectations:
             expectations_report(self._df(spark), [])
         with pytest.raises(ValueError):
             expectations_report(self._df(spark), [("bogus", "id")])
+
+
+def test_expectations_sql_escapes_quoted_in_set_values(spark):
+    """ADVICE r6: an in_set value containing a single quote must not
+    produce malformed oracle SQL — and the two engines must agree."""
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        expectations_report, expectations_sql)
+    rows = [(1, "o'brien"), (2, "plain"), (3, "x'); DROP TABLE t; --")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    cons = [("in_set", "name", ("o'brien", "plain"))]
+    got = sorted(tuple(r) for r in
+                 expectations_report(df, cons).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, name VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = sorted(tuple(r) for r in
+                 con.execute(expectations_sql("t", cons)).fetchall())
+    assert got == exp
+    assert got[0][3] == 1  # exactly the injection-looking row violates

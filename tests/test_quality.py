@@ -385,3 +385,25 @@ def test_quantile_norm_matches_duckdb_twin(spark):
     exp = sorted(tuple(r) for r in con.execute(
         quantile_normalize_sql("t", "src", "score")).fetchall())
     assert got == exp
+
+
+def test_quantile_norm_excludes_null_values(spark):
+    """ADVICE r6: NULL metric rows are excluded up front (Spark sorts
+    NULLS FIRST, DuckDB NULLS LAST — without the filter every rank
+    shifts differently per engine)."""
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        quantile_normalize_by_group, quantile_normalize_sql)
+    rows = [("a", 10), ("a", None), ("a", 30), ("b", None), ("b", 20)]
+    df = spark.createDataFrame(rows, "src string, score int")
+    got = sorted((r["src"], r["score"], r["n"], r["norm_value"])
+                 for r in quantile_normalize_by_group(
+                     df, "src", "score").collect())
+    assert all(s is not None for _, s, _, _ in got)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(src VARCHAR, score INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = sorted(tuple(r) for r in con.execute(
+        quantile_normalize_sql("t", "src", "score")).fetchall())
+    assert got == exp
