@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
                         ".bw when bedGraphToBigWig is on PATH")
     p.add_argument("--bin-size", type=int, default=10,
                    help="coverage bin size (with --alignments)")
+    p.add_argument("--genome-sizes", default=None,
+                   help="shared UCSC chrom.sizes file (BAM-header genome "
+                        "bounds) for the coverage stage: the reference's "
+                        "bamCoverage emits header-sized BigWigs "
+                        "(STAR_bigwig2.sh), so every sample's chrom.sizes "
+                        "uses these bounds instead of per-sample "
+                        "coverage-derived ones")
     p.add_argument("--qc-scan-root", default=None,
                    help="optional scratch-dir root for the aggregate QC "
                         "report (SNK8): scanned for STAR/samtools/idxstats/"
@@ -298,8 +305,10 @@ def run(args: argparse.Namespace) -> int:
         from rgd_rnaseq_workflows_spark.operators.coverage import (
             binned_coverage)
         from rgd_rnaseq_workflows_spark.sources.bigwig import (
-            write_bigwig_track)
+            read_chrom_sizes, write_bigwig_track)
         aln = spark.read.parquet(args.alignments)
+        genome = (read_chrom_sizes(spark, args.genome_sizes)
+                  if args.genome_sizes else None)
         # persist the aggregated coverage: each sample's sink runs two
         # actions (bedGraph write + chrom.sizes collect) — without the
         # cache every action would re-read and re-aggregate the whole
@@ -317,7 +326,7 @@ def run(args: argparse.Namespace) -> int:
                 cmds = write_bigwig_track(
                     cov.filter(F.col("sample") == s).drop("sample"),
                     f"{out}/coverage/{s}", name=f"RNAseq_{s}",
-                    bin_size=args.bin_size)
+                    bin_size=args.bin_size, genome_sizes=genome)
                 if have_tool:
                     for cmd in cmds:
                         _subprocess.run(cmd, check=True)

@@ -102,3 +102,27 @@ def test_union_find_path_equals_distributed_path(spark):
     slow = {(r["id"], r["comp"]) for r in
             connected_components(df, driver_gate=0).collect()}
     assert fast == slow and len(fast) > 0
+
+
+def test_gate_boundary_string_ids_identical_labels(spark):
+    # VERDICT r6 task 7: a graph that STRADDLES the gate — driver
+    # union-find one run (adj == gate), distributed loop the next
+    # (adj > gate) — must label identically, with STRING ids (the
+    # fuzzy value-pair graphs cluster string keys)
+    import random
+    rng = random.Random(7)
+    und = {tuple(sorted((f"v{rng.randrange(25):02d}",
+                         f"v{rng.randrange(25):02d}")))
+           for _ in range(40)}
+    und = [(a, b) for a, b in und if a != b]
+    df = spark.createDataFrame(und, ["id_a", "id_b"])
+    n_adj = 2 * len(und)  # distinct directed adjacency size
+    at_gate = {(r["id"], r["comp"]) for r in
+               connected_components(df, driver_gate=n_adj).collect()}
+    above_gate = {(r["id"], r["comp"]) for r in
+                  connected_components(df, driver_gate=n_adj - 1).collect()}
+    forced_distributed = {(r["id"], r["comp"]) for r in
+                          connected_components(df, driver_gate=0).collect()}
+    assert at_gate == above_gate == forced_distributed
+    assert len(at_gate) > 0
+    assert all(isinstance(i, str) for i, _ in at_gate)

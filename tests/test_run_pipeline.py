@@ -233,3 +233,34 @@ def test_cli_coverage_stage_writes_tracks(spark, tmp_out):
         bg = open(f"{out}/coverage/{s}/RNAseq_{s}.bedGraph").read()
         assert bg.count("\n") >= 1
         assert os.path.exists(f"{out}/coverage/{s}/chrom.sizes")
+
+
+def test_cli_coverage_stage_uses_shared_genome_sizes(spark, tmp_out):
+    """VERDICT r6 task 6: with --genome-sizes, every sample's
+    chrom.sizes carries the SHARED BAM-header bounds (the reference's
+    bamCoverage emits header-sized BigWigs), identical across samples,
+    not per-sample coverage-derived maxima."""
+    _fixtures(tmp_out)
+    aln = spark.createDataFrame(
+        [("GSM1", "chr1", 5, 10, 255), ("GSM1", "chr1", 12, 5, 255),
+         ("GSM3", "chr1", 100, 10, 255), ("GSM3", "chr2", 0, 10, 255)],
+        ["sample", "chrom", "pos", "read_len", "mapq"])
+    aln.write.mode("overwrite").parquet(f"{tmp_out}/aln.parquet")
+    with open(f"{tmp_out}/genome.chrom.sizes", "w") as fh:
+        fh.write("chr1\t248956422\nchr2\t242193529\n")
+    out = f"{tmp_out}/out_gs"
+    rc = run_pipeline.main(
+        _argv(tmp_out, out)
+        + ["--alignments", f"{tmp_out}/aln.parquet",
+           "--genome-sizes", f"{tmp_out}/genome.chrom.sizes"])
+    assert rc == 0
+    sizes = {}
+    for s in ("GSM1", "GSM3"):
+        with open(f"{out}/coverage/{s}/chrom.sizes") as fh:
+            for line in fh.read().strip().split("\n"):
+                chrom, size = line.split("\t")
+                sizes.setdefault(chrom, set()).add((s, int(size)))
+    # chr1 appears in both samples with the SAME header-derived bound
+    assert {sz for _, sz in sizes["chr1"]} == {248956422}
+    assert len(sizes["chr1"]) == 2
+    assert {sz for _, sz in sizes["chr2"]} == {242193529}
