@@ -101,11 +101,15 @@ def build_replica(src: str, dst: str, rep: int) -> None:
 
 def run_bench(sf_dir: str) -> dict:
     env = {**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir}
-    out = subprocess.run(
-        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
-                                      "bench.py")],
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
         env=env, capture_output=True, text=True, check=True)
-    return json.loads(out.stdout.strip().split("\n")[-1])
+    # bench's final stdout line is the recorder-friendly COMPACT record
+    # (slowest queries only); the sweep needs every query — read the
+    # full record bench writes alongside itself
+    with open(os.path.join(repo, "BENCH_local_last.json")) as fh:
+        return json.load(fh)
 
 
 def main() -> None:
