@@ -3958,3 +3958,34 @@ def profile_expectations(spark, sf_dir):
         expectations_report)
     o = _t(spark, sf_dir, "orders")
     return expectations_report(o, _EXPECTATIONS)
+
+
+# =============================================================================
+# Round 7 — multi-touch attribution, CDC chunk dedup
+# =============================================================================
+
+
+def _attribution_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.attribution import (
+        multi_touch_attribution_sql)
+    return multi_touch_attribution_sql(
+        "SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) "
+        "AS sec, value, event_id FROM events")
+
+
+@q("events_attribution", ("ATTR",), oracle=_attribution_oracle(),
+   note="multi-touch conversion attribution (first/last/linear): one "
+        "user-keyed equi-join range-filtered to the lookback (pair "
+        "count bounded by touches-per-window, never |touches|^2), "
+        "per-conversion rank windows, exact-cents credit with integer "
+        "remainder to the most recent touches so sum(credit) == "
+        "conversion cents per model on every engine; models x types "
+        "metadata out, '(direct)' bucket for untouched conversions")
+def events_attribution(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.attribution import (
+        multi_touch_attribution)
+    e = _events(spark, sf_dir)
+    ev = e.select("user_id", "event_type",
+                  F.col("ts").cast("long").alias("sec"),
+                  "value", "event_id")
+    return multi_touch_attribution(ev)

@@ -331,3 +331,16 @@ def test_rfm_no_partitionless_user_window(spark):
     for spec in specs:
         assert "_pid" in spec, f"partition-less user window: {spec}"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_attribution_user_equijoin_no_cartesian(spark):
+    """Conversions meet touches through a user-keyed equi-join with the
+    lookback as a join-time range filter — never a cross product — and
+    rank windows are partitioned by conversion id; JVM-only."""
+    plan = _plan(spark, "events_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "conv_id" in m.group(1), \
+            f"unpartitioned attribution window: {m.group(1)}"
