@@ -3989,3 +3989,24 @@ def events_attribution(spark, sf_dir):
                   F.col("ts").cast("long").alias("sec"),
                   "value", "event_id")
     return multi_touch_attribution(ev)
+
+
+def _cdc_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_chunk_stats_sql)
+    return cdc_chunk_stats_sql("documents", k=2, divisor=8)
+
+
+@q("dedup_cdc_chunks", ("CDC",), oracle=_cdc_oracle(),
+   note="content-defined-chunking duplication audit: cuts where the "
+        "CONTENT hashes to 0 mod divisor (k-gram ending at the token), "
+        "so a duplicate passage shifted by one token still chunks "
+        "identically - the boundary-shift robustness fixed-window "
+        "passage dedup lacks; chunk lists are built as per-doc ARRAY "
+        "work inside the scan stage, and the only corpus-scale shuffle "
+        "carries (group, 60-bit hash) longs - never text")
+def dedup_cdc_chunks(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_chunk_stats)
+    d = _t(spark, sf_dir, "documents")
+    return cdc_chunk_stats(d, k=2, divisor=8)

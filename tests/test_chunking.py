@@ -46,3 +46,80 @@ def test_no_shuffle_plan(spark, docs):
 def test_bad_stride_raises(spark, docs):
     with pytest.raises(ValueError):
         chunk_documents(docs, window=4, stride=5)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+def _cdc_rows():
+    return [
+        (1, "the quick brown fox jumps over the lazy dog and runs "
+            "away fast", "a"),
+        # same passage shifted by two tokens — fixed windows realign,
+        # CDC must still find the shared chunks
+        (2, "prefix token the quick brown fox jumps over the lazy dog "
+            "and runs away fast", "a"),
+        (3, "completely different text with no shared content here", "b"),
+        (4, "tiny", "b"),
+        (5, "completely different text with no shared content here", "b"),
+    ]
+
+
+def test_cdc_detects_shifted_duplicates(spark):
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_chunk_stats)
+    df = spark.createDataFrame(_cdc_rows(), ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in cdc_chunk_stats(df).collect()}
+    # the shifted copy shares chunks with the original
+    assert out["a"]["dup_chunks"] > 0
+    # the exact copy duplicates every one of its chunks
+    assert out["b"]["dup_chunks"] > 0
+    # chunks partition each doc: token mass is exact
+    assert out["a"]["sum_chunk_tokens"] == 13 + 15
+    assert out["b"]["sum_chunk_tokens"] == 8 + 1 + 8
+
+
+def test_cdc_chunk_identity_is_position_free(spark):
+    """The SAME text yields the SAME chunk multiset wherever it sits:
+    prepending tokens must not change chunks derived from content
+    after the first unaffected boundary — here the full-doc overlap
+    shows up as duplicated hashes across the pair."""
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_chunk_stats)
+    base = " ".join(f"w{i % 17}tok" for i in range(200))
+    rows = [(1, base, "s"), (2, "shift " + base, "s")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    [r] = cdc_chunk_stats(df).collect()
+    # nearly all chunks of the shifted doc re-hash identically
+    assert r["dup_chunks"] >= (r["n_chunks"] // 2) - 2
+
+
+def test_cdc_matches_duckdb_twin(spark):
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_chunk_stats, cdc_chunk_stats_sql)
+    df = spark.createDataFrame(_cdc_rows(), ["doc_id", "text", "source"])
+    got = sorted(tuple(r) for r in cdc_chunk_stats(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR, "
+                "source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", _cdc_rows())
+    exp = sorted(tuple(r) for r in
+                 con.execute(cdc_chunk_stats_sql("documents")).fetchall())
+    assert got == exp
+
+
+def test_cdc_rejects_bad_params(spark):
+    import pytest
+
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_chunk_stats, cdc_chunk_stats_sql)
+    df = spark.createDataFrame(_cdc_rows(), ["doc_id", "text", "source"])
+    with pytest.raises(ValueError):
+        cdc_chunk_stats(df, k=0)
+    with pytest.raises(ValueError):
+        cdc_chunk_stats(df, divisor=1)
+    with pytest.raises(ValueError):
+        cdc_chunk_stats_sql("t", divisor=0)

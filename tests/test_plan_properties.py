@@ -344,3 +344,12 @@ def test_attribution_user_equijoin_no_cartesian(spark):
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "conv_id" in m.group(1), \
             f"unpartitioned attribution window: {m.group(1)}"
+
+
+def test_cdc_chunks_no_python_no_pre_agg_shuffle(spark):
+    """Chunk construction is per-doc array work in the scan stage: the
+    plan's only corpus exchange feeds the final hash aggregation —
+    and nothing drops to Python."""
+    plan = _plan(spark, "dedup_cdc_chunks")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
