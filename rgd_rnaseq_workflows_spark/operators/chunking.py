@@ -85,6 +85,43 @@ def _md5_long_expr(s: str) -> str:
     return f"CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
 
 
+def _cdc_chunks(docs: DataFrame, k: int, divisor: int,
+                keep_cols: list[str], id_col: str,
+                text_col: str) -> DataFrame:
+    """Shared CDC chunk builder: (keep_cols..., _id, _h, _len) — one
+    row per chunk, built as per-document array work in the scan stage
+    (see :func:`cdc_chunk_stats` for the cut rule and scale shape)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if divisor < 2:
+        raise ValueError("divisor must be >= 2")
+    from rgd_rnaseq_workflows_spark.functions.text import shingles_all
+    base = (docs.select(*keep_cols, F.col(id_col).alias("_id"),
+                        tokens(text_col).alias("_t"),
+                        shingles_all(text_col, k).alias("_g"))
+            .filter(F.size("_t") > 0))
+    n = "size(_t)"
+    cut_h = _md5_long_expr("element_at(_g, CAST(i AS INT))")
+    ends = (f"filter(transform(sequence(1, size(_g)), "
+            f"i -> CASE WHEN {cut_h} % {divisor} = 0 "
+            f"THEN least(CAST(i AS INT) + {k - 1}, {n}) END), "
+            f"x -> x IS NOT NULL)")
+    ends2 = (f"CASE WHEN size({ends}) = 0 OR element_at({ends}, -1) <> {n} "
+             f"THEN concat({ends}, array({n})) ELSE {ends} END")
+    chunk_str = "array_join(slice(_t, _s._start, _s._end - _s._start + 1), ' ')"
+    spans = (f"transform(sequence(1, size(_e)), j -> named_struct("
+             f"'_start', CASE WHEN j = 1 THEN 1 "
+             f"ELSE element_at(_e, CAST(j AS INT) - 1) + 1 END, "
+             f"'_end', element_at(_e, CAST(j AS INT))))")
+    return (base.withColumn("_e", F.expr(ends2))
+            .select(*keep_cols, "_id", "_t",
+                    F.explode(F.expr(spans)).alias("_s"))
+            .select(*keep_cols, "_id",
+                    F.expr(_md5_long_expr(chunk_str)).alias("_h"),
+                    F.expr("_s._end - _s._start + 1").cast("long")
+                    .alias("_len")))
+
+
 def cdc_chunk_stats(docs: DataFrame, k: int = 2,
                     divisor: int = CDC_DIVISOR,
                     by: str = "source", id_col: str = "doc_id",
@@ -116,36 +153,9 @@ def cdc_chunk_stats(docs: DataFrame, k: int = 2,
     (group, 60-bit hash) rows, never text. A 100 TB corpus shuffles
     ~tokens/divisor longs once.
     """
-    if k < 1:
-        raise ValueError("k must be >= 1")
-    if divisor < 2:
-        raise ValueError("divisor must be >= 2")
-    from rgd_rnaseq_workflows_spark.functions.text import shingles_all
-    base = (docs.select(F.col(by).alias("g"), F.col(id_col).alias("_id"),
-                        tokens(text_col).alias("_t"),
-                        shingles_all(text_col, k).alias("_g"))
-            .filter(F.size("_t") > 0))
-    n = "size(_t)"
-    cut_h = _md5_long_expr("element_at(_g, CAST(i AS INT))")
-    ends = (f"filter(transform(sequence(1, size(_g)), "
-            f"i -> CASE WHEN {cut_h} % {divisor} = 0 "
-            f"THEN least(CAST(i AS INT) + {k - 1}, {n}) END), "
-            f"x -> x IS NOT NULL)")
-    ends2 = (f"CASE WHEN size({ends}) = 0 OR element_at({ends}, -1) <> {n} "
-             f"THEN concat({ends}, array({n})) ELSE {ends} END")
-    chunk_str = (f"array_join(slice(_t, _start, _end - _start + 1), ' ')")
-    spans = (f"transform(sequence(1, size(_e)), j -> named_struct("
-             f"'_start', CASE WHEN j = 1 THEN 1 "
-             f"ELSE element_at(_e, CAST(j AS INT) - 1) + 1 END, "
-             f"'_end', element_at(_e, CAST(j AS INT))))")
-    chunks = (base.withColumn("_e", F.expr(ends2))
-              .select("g", "_id", "_t",
-                      F.explode(F.expr(spans)).alias("_s"))
-              .select("g", "_id",
-                      F.expr(f"{_md5_long_expr(chunk_str.replace('_start', '_s._start').replace('_end', '_s._end'))}")
-                      .alias("_h"),
-                      F.expr("_s._end - _s._start + 1").cast("long")
-                      .alias("_len")))
+    chunks = _cdc_chunks(docs.withColumn("_grp", F.col(by)), k, divisor,
+                         ["_grp"], id_col, text_col) \
+        .withColumnRenamed("_grp", "g")
     return (chunks.groupBy("g")
             .agg(F.countDistinct("_id").cast("long").alias("n_docs"),
                  F.count("*").cast("long").alias("n_chunks"),
@@ -214,4 +224,128 @@ SELECT g AS {by}, CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
        (10000 * (count(*) - count(DISTINCT h))) // count(*) AS dup_bp,
        CAST(sum(len) AS BIGINT) AS sum_chunk_tokens
 FROM chunks GROUP BY g
+"""
+
+
+def cdc_containment_pairs(docs: DataFrame, k: int = 2,
+                          divisor: int = CDC_DIVISOR,
+                          min_shared: int = 2,
+                          min_containment_bp: int = 5000,
+                          max_chunk_df: int = 100,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Shift-robust near-duplicate / containment pairs from CDC chunk
+    identity — the payoff of :func:`cdc_chunk_stats`' cut rule: two
+    docs sharing a long passage share its CDC chunks wherever the
+    passage sits, so pairing is a chunk-hash EQUI-join, never all-pairs
+    and never alignment-sensitive.
+
+    Output: (id_a, id_b, shared_chunks, containment_bp) for ordered
+    pairs with ``shared_chunks >= min_shared`` distinct common chunk
+    hashes and ``containment_bp = 10000 * shared div min(|A|, |B|)``
+    (chunk-SET containment of the smaller doc) at or above the
+    threshold — exact integers end to end.
+
+    Scale guards (the minhash/winnowing discipline): chunk hashes with
+    document frequency above ``max_chunk_df`` are boilerplate
+    (headers, license blocks shared by thousands of docs) and are
+    DROPPED before the self-join — otherwise one viral chunk creates
+    df² pair rows; the cap bounds per-chunk fan-out at max_chunk_df²
+    and is reported honestly by the stats operator, not here. Per-doc
+    chunk sets are DISTINCT hashes (a chunk repeated inside one doc
+    counts once for containment).
+    """
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    if not 0 <= min_containment_bp <= 10000:
+        raise ValueError("min_containment_bp must be in [0, 10000]")
+    if max_chunk_df < 2:
+        raise ValueError("max_chunk_df must be >= 2 (a pair needs df 2)")
+    ch = (_cdc_chunks(docs, k, divisor, [], id_col, text_col)
+          .select("_id", "_h").distinct())
+    sizes = ch.groupBy("_id").agg(F.count("*").alias("_nc"))
+    rare = (ch.groupBy("_h").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_chunk_df).select("_h"))
+    kept = ch.join(rare, "_h")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (a.join(b, (F.col("a._h") == F.col("b._h"))
+                    & (F.col("a._id") < F.col("b._id")))
+             .groupBy(F.col("a._id").alias("id_a"),
+                      F.col("b._id").alias("id_b"))
+             .agg(F.count("*").cast("long").alias("shared_chunks"))
+             .filter(F.col("shared_chunks") >= min_shared))
+    sa = sizes.select(F.col("_id").alias("id_a"),
+                      F.col("_nc").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"),
+                      F.col("_nc").alias("_nb"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("containment_bp",
+                        F.expr("10000 * shared_chunks div "
+                               "least(_na, _nb)").cast("long"))
+            .filter(F.col("containment_bp") >= min_containment_bp)
+            .select("id_a", "id_b", "shared_chunks", "containment_bp")
+            .orderBy("id_a", "id_b"))
+
+
+def cdc_containment_pairs_sql(table: str, k: int = 2,
+                              divisor: int = CDC_DIVISOR,
+                              min_shared: int = 2,
+                              min_containment_bp: int = 5000,
+                              max_chunk_df: int = 100,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    """DuckDB twin of :func:`cdc_containment_pairs` — identical chunk
+    identity, df cap, distinct chunk sets and integer containment."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    if not 0 <= min_containment_bp <= 10000:
+        raise ValueError("min_containment_bp must be in [0, 10000]")
+    if max_chunk_df < 2:
+        raise ValueError("max_chunk_df must be >= 2 (a pair needs df 2)")
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long_sql
+    from rgd_rnaseq_workflows_spark.functions.text import (
+        shingles_all_sql, tokens_sql)
+    toks = tokens_sql(text_col)
+    grams = shingles_all_sql(text_col, k)
+    cut_h = md5_long_sql("gr[i]")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {toks} AS t, {grams} AS gr
+  FROM {table} WHERE len({toks}) > 0),
+cuts AS (
+  SELECT id, t,
+    list_filter(list_transform(range(1, len(gr) + 1),
+      i -> CASE WHEN {cut_h} % {divisor} = 0
+           THEN least(i + {k - 1}, len(t)) END),
+      x -> x IS NOT NULL) AS e0
+  FROM base),
+ends AS (
+  SELECT id, t,
+    CASE WHEN len(e0) = 0 OR e0[-1] <> len(t)
+         THEN list_append(e0, len(t)) ELSE e0 END AS e
+  FROM cuts),
+ch AS (
+  SELECT DISTINCT id,
+    {md5_long_sql("array_to_string(t[(sp.s):(sp.e)], ' ')")} AS h
+  FROM (SELECT id, t,
+          unnest(list_transform(range(1, len(e) + 1),
+            j -> {{'s': CASE WHEN j = 1 THEN 1 ELSE e[j - 1] + 1 END,
+                  'e': e[j]}})) AS sp
+        FROM ends)),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS nc FROM ch GROUP BY id),
+rare AS (SELECT h FROM ch GROUP BY h HAVING count(*) <= {max_chunk_df}),
+kept AS (SELECT ch.id, ch.h FROM ch JOIN rare USING (h)),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(count(*) AS BIGINT) AS shared_chunks
+  FROM kept a JOIN kept b ON a.h = b.h AND a.id < b.id
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_shared})
+SELECT p.id_a, p.id_b, p.shared_chunks,
+       (10000 * p.shared_chunks) // least(sa.nc, sb.nc) AS containment_bp
+FROM pairs p
+JOIN sizes sa ON sa.id = p.id_a
+JOIN sizes sb ON sb.id = p.id_b
+WHERE (10000 * p.shared_chunks) // least(sa.nc, sb.nc)
+      >= {min_containment_bp}
 """

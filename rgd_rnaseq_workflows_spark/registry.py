@@ -4010,3 +4010,29 @@ def dedup_cdc_chunks(spark, sf_dir):
         cdc_chunk_stats)
     d = _t(spark, sf_dir, "documents")
     return cdc_chunk_stats(d, k=2, divisor=8)
+
+
+def _cdc_pairs_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_containment_pairs_sql)
+    return cdc_containment_pairs_sql("documents", k=2, divisor=8,
+                                     min_shared=2,
+                                     min_containment_bp=5000,
+                                     max_chunk_df=100)
+
+
+@q("dedup_cdc_pairs", ("CDC-PAIRS",), oracle=_cdc_pairs_oracle(),
+   note="shift-robust near-dup pairs from CDC chunk identity: a "
+        "duplicate passage shares its chunks wherever it sits, so "
+        "pairing is a chunk-hash EQUI-join (never all-pairs, never "
+        "alignment-sensitive); boilerplate guard drops chunks with "
+        "doc-frequency > 100 before the self-join (one viral chunk "
+        "would otherwise mint df^2 pair rows); distinct chunk sets, "
+        "exact integer containment of the smaller doc")
+def dedup_cdc_pairs(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_containment_pairs)
+    d = _t(spark, sf_dir, "documents")
+    return cdc_containment_pairs(d, k=2, divisor=8, min_shared=2,
+                                 min_containment_bp=5000,
+                                 max_chunk_df=100)

@@ -123,3 +123,84 @@ def test_cdc_rejects_bad_params(spark):
         cdc_chunk_stats(df, divisor=1)
     with pytest.raises(ValueError):
         cdc_chunk_stats_sql("t", divisor=0)
+
+
+# ---------------------------------------------------------------------------
+# CDC containment pairs
+# ---------------------------------------------------------------------------
+
+def _pair_rows():
+    base = " ".join(f"w{i % 23}x" for i in range(120))
+    boiler = ("standard license header text common to every document "
+              "in the corpus here")
+    return [
+        (1, base, "a"),
+        (2, "shifted prefix " + base, "a"),      # near-dup of 1
+        (3, boiler + " unique body three "
+            + " ".join(f"u3t{i}" for i in range(40)), "b"),
+        (4, boiler + " unique body four "
+            + " ".join(f"u4t{i}" for i in range(40)), "b"),
+        (5, "entirely unrelated content "
+            + " ".join(f"z{i}q" for i in range(60)), "b"),
+    ]
+
+
+def test_cdc_pairs_find_shifted_duplicate(spark):
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_containment_pairs)
+    df = spark.createDataFrame(_pair_rows(), ["doc_id", "text", "source"])
+    out = {(r["id_a"], r["id_b"]): r["containment_bp"]
+           for r in cdc_containment_pairs(
+               df, min_shared=2, min_containment_bp=3000).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 5000
+    assert (1, 5) not in out and (2, 5) not in out
+
+
+def test_cdc_pairs_boilerplate_guard_drops_viral_chunks(spark):
+    """A chunk shared by EVERY doc must not mint pairs: with
+    max_chunk_df below the corpus size the boilerplate-only docs 3/4
+    pair only through their genuine shared chunks (the boiler text),
+    and with max_chunk_df=2 nothing changes for the true dup pair."""
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_containment_pairs)
+    boiler = "common header line repeated all over the corpus every time"
+    rows = [(i, boiler + " body " + " ".join(f"d{i}t{j}" for j in range(30)),
+             "s") for i in range(1, 9)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # df cap 3 < 8 docs: the boiler chunks (df=8) are dropped, no pair
+    # reaches min_shared through them
+    out = cdc_containment_pairs(df, min_shared=1,
+                                min_containment_bp=1000,
+                                max_chunk_df=3).collect()
+    assert out == []
+
+
+def test_cdc_pairs_match_duckdb_twin(spark):
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_containment_pairs, cdc_containment_pairs_sql)
+    df = spark.createDataFrame(_pair_rows(), ["doc_id", "text", "source"])
+    got = sorted(tuple(r) for r in cdc_containment_pairs(
+        df, min_shared=1, min_containment_bp=0).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR, "
+                "source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", _pair_rows())
+    exp = sorted(tuple(r) for r in con.execute(cdc_containment_pairs_sql(
+        "documents", min_shared=1, min_containment_bp=0)).fetchall())
+    assert got == exp and len(got) > 0
+
+
+def test_cdc_pairs_reject_bad_params(spark):
+    import pytest
+
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_containment_pairs, cdc_containment_pairs_sql)
+    df = spark.createDataFrame(_pair_rows(), ["doc_id", "text", "source"])
+    with pytest.raises(ValueError):
+        cdc_containment_pairs(df, min_shared=0)
+    with pytest.raises(ValueError):
+        cdc_containment_pairs(df, min_containment_bp=10001)
+    with pytest.raises(ValueError):
+        cdc_containment_pairs_sql("t", max_chunk_df=1)

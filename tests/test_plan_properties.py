@@ -353,3 +353,11 @@ def test_cdc_chunks_no_python_no_pre_agg_shuffle(spark):
     plan = _plan(spark, "dedup_cdc_chunks")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_cdc_pairs_equijoin_only_no_python(spark):
+    """The pair stage must be a chunk-hash equi-join (never a cross
+    product) with the df-cap semi filter upstream; JVM-only."""
+    plan = _plan(spark, "dedup_cdc_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
