@@ -4036,3 +4036,28 @@ def dedup_cdc_pairs(spark, sf_dir):
     return cdc_containment_pairs(d, k=2, divisor=8, min_shared=2,
                                  min_containment_bp=5000,
                                  max_chunk_df=100)
+
+
+def _hilbert_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.hilbert import (
+        hilbert_stats_autobounds_sql)
+    return hilbert_stats_autobounds_sql(
+        "lineitem", ["l_partkey", "l_suppkey"], bits=12, bucket_bits=4)
+
+
+@q("layout_hilbert_stats", ("LAYOUT-HILBERT",), oracle=_hilbert_oracle(),
+   note="Hilbert-curve layout key - the locality upgrade over Z-order "
+        "(consecutive indices are GRID NEIGHBORS, test-pinned, so "
+        "every run of keys is a compact blob, not a Morton jump): "
+        "same exact-integer quantization, the quadrant rotation runs "
+        "as a chain of narrow scan-fused projections (no shuffle); "
+        "this query is the per-prefix locality report; the clustered "
+        "write adds ONE sampled range shuffle and the payoff is "
+        "measured from real parquet footers in test_hilbert.py")
+def layout_hilbert_stats(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.hilbert import (
+        column_bounds, hilbert_stats)
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_partkey", "l_suppkey"]
+    bounds = column_bounds(li, cols)
+    return hilbert_stats(li, cols, bounds, bits=12, bucket_bits=4)
