@@ -443,3 +443,84 @@ tiled AS (
 SELECT r_tile, f_tile, m_tile, CAST(count(*) AS BIGINT) AS n_users
 FROM tiled GROUP BY 1, 2, 3"""
 
+
+
+def top_event_paths(events: DataFrame, n: int = 3, top_k: int = 20,
+                    cap_per_user: int = 50,
+                    user_col: str = "user_id",
+                    type_col: str = "event_type", sec_col: str = "sec",
+                    tiebreak: str = "event_id") -> DataFrame:
+    """Top-k user journeys: the most frequent runs of ``n`` CONSECUTIVE
+    event types across users — the order-n generalization of
+    :func:`transition_matrix` (n=2 pairs → n-step paths), the product-
+    analytics "common paths" report.
+
+    Construction (engine-identical): each user's event types in
+    (sec, tiebreak) order, truncated to the user's ``cap_per_user``
+    EARLIEST events (the funnel family's bot guard — one pathological
+    user cannot flood the path counts, and per-user state stays
+    bounded); every window of ``n`` consecutive types becomes a path
+    string joined with ``' > '``; exact occurrence and distinct-user
+    counts; top-k by (count desc, path) — a pinned total order, and
+    TakeOrdered in the plan, never a global sort.
+
+    Scale shape: ONE corpus shuffle (the per-user fold — map-side
+    combined collect of (sec, id, type) structs), per-user array work
+    for ordering/slicing/n-gramming (no window, no second shuffle of
+    events), then a path-vocabulary-scale count aggregation.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2 (n=1 is a plain type count)")
+    if top_k < 1 or cap_per_user < n:
+        raise ValueError("need top_k >= 1 and cap_per_user >= n")
+    per_user = (events
+                .select(F.col(user_col).alias("u"),
+                        F.struct(F.col(sec_col).cast("long").alias("s"),
+                                 F.col(tiebreak).alias("t"),
+                                 F.col(type_col).alias("e")).alias("_r"))
+                .groupBy("u")
+                .agg(F.slice(F.array_sort(F.collect_list("_r")), 1,
+                             cap_per_user).alias("_seq")))
+    types = "transform(_seq, r -> r.e)"
+    grams = (f"transform(sequence(1, greatest(size(_seq) - {n - 1}, 0)), "
+             f"i -> array_join(slice({types}, i, {n}), ' > '))")
+    paths = (per_user.select("u", F.explode(F.expr(grams)).alias("path"))
+             .groupBy("path")
+             .agg(F.count("*").cast("long").alias("n_occurrences"),
+                  F.countDistinct("u").cast("long").alias("n_users")))
+    return (paths.select("path", "n_occurrences", "n_users")
+            .orderBy(F.desc("n_occurrences"), "path").limit(top_k))
+
+
+def top_event_paths_sql(src: str, n: int = 3, top_k: int = 20,
+                        cap_per_user: int = 50,
+                        user_col: str = "user_id",
+                        type_col: str = "event_type",
+                        sec_col: str = "sec",
+                        tiebreak: str = "event_id") -> str:
+    """DuckDB twin of :func:`top_event_paths` — identical order, cap,
+    n-gram windows and tie-broken top-k. ``src`` yields (user, type,
+    sec, tiebreak)."""
+    if n < 2:
+        raise ValueError("n must be >= 2 (n=1 is a plain type count)")
+    if top_k < 1 or cap_per_user < n:
+        raise ValueError("need top_k >= 1 and cap_per_user >= n")
+    return f"""
+WITH ev AS ({src}),
+per_user AS (
+  SELECT {user_col} AS u,
+         list_slice(list({type_col}
+           ORDER BY CAST({sec_col} AS BIGINT), {tiebreak}),
+           1, {cap_per_user}) AS seq
+  FROM ev GROUP BY 1),
+paths AS (
+  SELECT u, unnest(list_transform(
+    range(1, greatest(len(seq) - {n - 1}, 0) + 1),
+    i -> array_to_string(list_slice(seq, i, i + {n - 1}), ' > ')))
+    AS path
+  FROM per_user)
+SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_occurrences DESC, path LIMIT {top_k}
+"""

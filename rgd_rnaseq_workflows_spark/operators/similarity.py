@@ -577,3 +577,161 @@ JOIN lab sb ON sb.vec_id = p.id_b
 WHERE sa.split <> sb.split
 GROUP BY 1, 2
 """
+
+
+# =============================================================================
+# Retrieval evaluation: recall@k / MRR of an ANN path vs exact truth
+# =============================================================================
+
+
+def hyperplane_signature_sql(dims: int, n_planes: int, seed: int,
+                             vec_expr: str) -> str:
+    """DuckDB SQL for the hyperplane signature of ``vec_expr`` — the
+    same md5-derived ±1 planes as :func:`plane_components`, each
+    projection emitted as a left-associated ± chain so every IEEE
+    rounding step matches Spark's sequential fold."""
+    comps = plane_components(dims, n_planes, seed)
+    terms = []
+    for p, row in enumerate(comps):
+        proj = " ".join(
+            ("+" if c > 0 else "-") + f" {vec_expr}[{d + 1}]"
+            for d, c in enumerate(row)).lstrip("+ ")
+        terms.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + "\n       + ".join(terms) + " AS BIGINT)"
+
+
+def _grouped_topk(scored: DataFrame, k: int,
+                  n_buckets: int = 32) -> DataFrame:
+    """Per-query top-k WITHOUT a corpus-in-one-task window: phase 1
+    ranks inside (query, hash-bucket) partitions (corpus/buckets rows
+    each), phase 2 ranks the q × buckets × k survivors — the
+    cap_per_source two-phase discipline. Bucketing never changes the
+    result (a global top-k row is a top-k row of its bucket); ranks
+    are total-ordered by (sim desc, id)."""
+    from pyspark.sql import Window
+    bkt = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_buckets))
+    w1 = (Window.partitionBy("qid", "_bkt")
+          .orderBy(F.desc("cosine_sim"), F.col("vec_id")))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"),
+                                           F.col("vec_id"))
+    return (scored.withColumn("_bkt", bkt)
+            .withColumn("_rb", F.row_number().over(w1))
+            .filter(F.col("_rb") <= k)
+            .withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= k)
+            .select("qid", "vec_id", "rn"))
+
+
+def retrieval_recall_report(emb: DataFrame, query_ids: list[int],
+                            dims: int, k: int = 10, n_planes: int = 16,
+                            max_hamming: int = 5, seed: int = 7,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Measured retrieval quality — the "measure, don't guess" gate for
+    the ANN family: for each query vector, exact brute-force cosine
+    top-k is the truth set, the hyperplane-LSH path is the candidate
+    retriever, and the report is (query_id, n_hits, recall_bp, mrr_e6)
+    with ``recall_bp = 10000·hits div k`` and ``mrr_e6 = 1e6 div
+    (candidate rank of the true #1)`` (0 when missed) — exact integer
+    metrics, engine-identical. The query itself is EXCLUDED from both
+    sides (its self-match would fake recall).
+
+    Scale shape: queries broadcast (a handful of rows); the corpus is
+    scanned once for all queries; per-query ranking is the TWO-PHASE
+    bucketed top-k (no corpus-in-one-task window — the cap_per_source
+    discipline); the report is |queries| rows.
+    """
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sigs = with_signature(emb, dims, n_planes, seed=seed,
+                          vec_col=vec_col)
+    corpus = sigs.select(F.col(id_col).alias("vec_id"),
+                         _as_double(vec_col).alias("_v"),
+                         F.col("_sig"))
+    queries = (corpus.filter(F.col("vec_id").isin(query_ids))
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("_v").alias("_qv"),
+                       F.col("_sig").alias("_qsig")))
+    cos = cosine_kernel()
+    joined = (corpus.crossJoin(F.broadcast(queries))
+              .filter(F.col("vec_id") != F.col("qid"))
+              .withColumn("cosine_sim",
+                          F.round(cos(F.col("_v"), F.col("_qv")), 6)))
+    truth = _grouped_topk(joined.select("qid", "vec_id", "cosine_sim"), k)
+    cand = joined.filter(
+        F.bit_count(F.col("_sig").bitwiseXOR(F.col("_qsig")))
+        <= max_hamming)
+    approx = _grouped_topk(cand.select("qid", "vec_id", "cosine_sim"), k)
+    hits = (truth.join(approx, ["qid", "vec_id"])
+            .groupBy("qid").agg(F.count("*").cast("long").alias("n_hits")))
+    mrr = (truth.filter(F.col("rn") == 1)
+           .join(approx.select("qid", "vec_id",
+                               F.col("rn").alias("_arn")),
+                 ["qid", "vec_id"], "left")
+           .select("qid", F.coalesce(F.expr("1000000 div _arn"),
+                                     F.lit(0)).cast("long")
+                   .alias("mrr_e6")))
+    return (queries.select("qid")
+            .join(hits, "qid", "left").join(mrr, "qid", "left")
+            .select(F.col("qid").alias("query_id"),
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.expr(f"10000 * coalesce(n_hits, 0) div {k}")
+                    .cast("long").alias("recall_bp"),
+                    F.coalesce("mrr_e6", F.lit(0)).cast("long")
+                    .alias("mrr_e6"))
+            .orderBy("query_id"))
+
+
+def retrieval_recall_report_sql(emb_table: str, query_ids: list[int],
+                                dims: int, k: int = 10,
+                                n_planes: int = 16, max_hamming: int = 5,
+                                seed: int = 7) -> str:
+    """DuckDB twin of :func:`retrieval_recall_report` — identical plane
+    folds, rounded ranking order, integer metrics."""
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sig = hyperplane_signature_sql(dims, n_planes, seed, "ve")
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+           FROM {emb_table}),
+s AS (SELECT vec_id, ve, {sig} AS sig FROM v),
+q AS (SELECT vec_id AS qid, ve AS qv, sig AS qsig FROM s
+      WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.qid, s.vec_id, s.sig, q.qsig,
+         round(list_cosine_similarity(s.ve, q.qv), 6) AS c
+  FROM s, q WHERE s.vec_id <> q.qid),
+truth AS (
+  SELECT qid, vec_id, rn FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY c DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= {k}),
+approx AS (
+  SELECT qid, vec_id, rn FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY c DESC, vec_id) AS rn
+    FROM scored WHERE bit_count(xor(sig, qsig)) <= {max_hamming})
+  WHERE rn <= {k}),
+hits AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS n_hits
+         FROM truth t JOIN approx a USING (qid, vec_id) GROUP BY t.qid),
+mrr AS (SELECT t.qid,
+               CAST(coalesce(1000000 // a.rn, 0) AS BIGINT) AS mrr_e6
+        FROM truth t LEFT JOIN approx a USING (qid, vec_id)
+        WHERE t.rn = 1)
+SELECT q.qid AS query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((10000 * coalesce(h.n_hits, 0)) // {k} AS BIGINT)
+         AS recall_bp,
+       CAST(coalesce(m.mrr_e6, 0) AS BIGINT) AS mrr_e6
+FROM q LEFT JOIN hits h ON h.qid = q.qid
+       LEFT JOIN mrr m ON m.qid = q.qid
+ORDER BY query_id
+"""

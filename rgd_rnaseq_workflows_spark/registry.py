@@ -4061,3 +4061,55 @@ def layout_hilbert_stats(spark, sf_dir):
     cols = ["l_partkey", "l_suppkey"]
     bounds = column_bounds(li, cols)
     return hilbert_stats(li, cols, bounds, bits=12, bucket_bits=4)
+
+
+_RECALL_QUERY_IDS = [0, 7, 19, 42]
+
+
+def _recall_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        retrieval_recall_report_sql)
+    return retrieval_recall_report_sql(
+        "embeddings", _RECALL_QUERY_IDS, dims=64, k=10, n_planes=16,
+        max_hamming=5)
+
+
+@q("ann_recall_report", ("ANN-EVAL",), oracle=_recall_oracle(),
+   note="measured retrieval quality for the ANN family: per query, "
+        "exact brute-force top-k is truth, the hyperplane-LSH path is "
+        "the candidate retriever, report = exact-integer recall_bp + "
+        "mrr_e6 (query excluded from both sides - a self-match would "
+        "fake recall); corpus scanned ONCE for all queries, per-query "
+        "ranking via the two-phase bucketed top-k (no corpus-in-one-"
+        "task window), |queries| rows out")
+def ann_recall_report(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        retrieval_recall_report)
+    emb = _t(spark, sf_dir, "embeddings")
+    return retrieval_recall_report(emb, _RECALL_QUERY_IDS, dims=64,
+                                   k=10, n_planes=16, max_hamming=5)
+
+
+def _paths_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        top_event_paths_sql)
+    return top_event_paths_sql(
+        "SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) "
+        "AS sec, event_id FROM events", n=3, top_k=20, cap_per_user=50)
+
+
+@q("events_top_paths", ("PATHS",), oracle=_paths_oracle(),
+   note="top-k user journeys (runs of n consecutive event types) - "
+        "the order-n generalization of the transition matrix: ONE "
+        "map-side-combined per-user fold (types in pinned (sec, id) "
+        "order, truncated to the user's cap_per_user earliest events "
+        "- the funnel family's bot guard), per-user array n-gramming "
+        "(no second event shuffle), path-vocabulary-scale counts, "
+        "TakeOrdered top-k with tie order pinned")
+def events_top_paths(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        top_event_paths)
+    e = _events(spark, sf_dir)
+    ev = e.select("user_id", "event_type",
+                  F.col("ts").cast("long").alias("sec"), "event_id")
+    return top_event_paths(ev, n=3, top_k=20, cap_per_user=50)

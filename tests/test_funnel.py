@@ -281,3 +281,82 @@ class TestRFM:
         ddf = sorted(map(tuple, con.execute(rfm_segments_sql(
             "SELECT * FROM raw_ev", n_tiles=3)).fetchall()))
         assert sdf == ddf
+
+
+# ---------------------------------------------------------------------------
+# top event paths
+# ---------------------------------------------------------------------------
+
+def _path_rows():
+    # user 1: view > click > purchase > view ; user 2: view > click >
+    # purchase ; user 3: error > error > error > error
+    return [(1, "view", 10, 101), (1, "click", 20, 102),
+            (1, "purchase", 30, 103), (1, "view", 40, 104),
+            (2, "view", 11, 201), (2, "click", 21, 202),
+            (2, "purchase", 31, 203),
+            (3, "error", 5, 301), (3, "error", 6, 302),
+            (3, "error", 7, 303), (3, "error", 8, 304)]
+
+
+def test_top_paths_counts_and_order(spark):
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        top_event_paths)
+    df = spark.createDataFrame(_path_rows(),
+                               ["user_id", "event_type", "sec",
+                                "event_id"])
+    out = [(r["path"], r["n_occurrences"], r["n_users"])
+           for r in top_event_paths(df, n=3, top_k=10).collect()]
+    # view > click > purchase happens for users 1 and 2; the error run
+    # gives two windows for one user
+    assert out[0] == ("error > error > error", 2, 1) or \
+        out[0] == ("view > click > purchase", 2, 2)
+    d = dict((p, (o, u)) for p, o, u in out)
+    assert d["view > click > purchase"] == (2, 2)
+    assert d["error > error > error"] == (2, 1)
+    assert d["click > purchase > view"] == (1, 1)
+
+
+def test_top_paths_cap_bounds_bot_users(spark):
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        top_event_paths)
+    rows = [(9, "spam", i, 900 + i) for i in range(200)]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "sec",
+                                      "event_id"])
+    [r] = top_event_paths(df, n=2, top_k=5, cap_per_user=10).collect()
+    # 10 earliest events -> 9 windows, never 199
+    assert r["n_occurrences"] == 9
+
+
+def test_top_paths_match_duckdb_twin(spark):
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        top_event_paths, top_event_paths_sql)
+    df = spark.createDataFrame(_path_rows(),
+                               ["user_id", "event_type", "sec",
+                                "event_id"])
+    got = [tuple(r) for r in top_event_paths(df, n=2, top_k=50).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raw_ev(user_id INT, event_type VARCHAR, "
+                "sec BIGINT, event_id INT)")
+    con.executemany("INSERT INTO raw_ev VALUES (?, ?, ?, ?)", _path_rows())
+    exp = [tuple(r) for r in con.execute(top_event_paths_sql(
+        "SELECT user_id, event_type, sec, event_id FROM raw_ev",
+        n=2, top_k=50)).fetchall()]
+    assert got == exp and len(got) > 3
+
+
+def test_top_paths_reject_bad_params(spark):
+    import pytest
+
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        top_event_paths, top_event_paths_sql)
+    df = spark.createDataFrame(_path_rows(),
+                               ["user_id", "event_type", "sec",
+                                "event_id"])
+    with pytest.raises(ValueError):
+        top_event_paths(df, n=1)
+    with pytest.raises(ValueError):
+        top_event_paths(df, n=3, cap_per_user=2)
+    with pytest.raises(ValueError):
+        top_event_paths_sql("t", top_k=0)

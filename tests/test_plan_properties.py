@@ -361,3 +361,13 @@ def test_cdc_pairs_equijoin_only_no_python(spark):
     plan = _plan(spark, "dedup_cdc_pairs")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_recall_report_two_phase_topk_windows(spark):
+    """Every rank window must be partitioned (qid or qid+bucket) — the
+    two-phase top-k; no cartesian beyond the broadcast query join."""
+    plan = _plan(spark, "ann_recall_report")
+    import re
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "qid" in m.group(1), \
+            f"unpartitioned ranking window: {m.group(1)}"

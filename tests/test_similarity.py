@@ -260,3 +260,71 @@ def test_cross_split_leakage_plants_and_finds_a_leak(spark):
     assert {r["split_lo"], r["split_hi"]} <= {"train", "val", "test"}
     assert r["n_pairs"] == 1
     assert r["sum_sim_e6"] == round(r["max_sim"] * 1_000_000)
+
+
+# ---------------------------------------------------------------------------
+# retrieval recall report
+# ---------------------------------------------------------------------------
+
+def test_recall_report_perfect_for_exhaustive_retriever(spark):
+    """With max_hamming = n_planes the candidate set IS the corpus, so
+    recall must be 10000 bp and MRR 1e6 for every query."""
+    import numpy as np
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        retrieval_recall_report)
+    rng = np.random.RandomState(3)
+    v = rng.randn(60, 8)
+    rows = [(i, v[i].tolist()) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = retrieval_recall_report(emb, [1, 5], dims=8, k=5,
+                                  n_planes=8, max_hamming=8).collect()
+    assert [(r["recall_bp"], r["mrr_e6"]) for r in out] == \
+        [(10000, 1000000)] * 2
+
+
+def test_recall_report_excludes_self_match(spark):
+    import numpy as np
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        retrieval_recall_report)
+    rng = np.random.RandomState(4)
+    v = rng.randn(40, 8)
+    rows = [(i, v[i].tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # truth@k never contains the query id itself: with k = corpus-1 an
+    # exhaustive retriever still reports exactly corpus-1 hits
+    out = retrieval_recall_report(emb, [3], dims=8, k=39,
+                                  n_planes=8, max_hamming=8).collect()
+    assert out[0]["n_hits"] == 39
+
+
+def test_recall_report_matches_duckdb_twin(spark):
+    import duckdb
+    import numpy as np
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        retrieval_recall_report, retrieval_recall_report_sql)
+    rng = np.random.RandomState(9)
+    v = rng.randn(80, 16)
+    rows = [(i, [float(x) for x in v[i]]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [tuple(r) for r in retrieval_recall_report(
+        emb, [2, 11, 33], dims=16, k=8, n_planes=12,
+        max_hamming=3).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE et(vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO et VALUES (?, ?)", rows)
+    exp = [tuple(r) for r in con.execute(retrieval_recall_report_sql(
+        "et", [2, 11, 33], dims=16, k=8, n_planes=12,
+        max_hamming=3)).fetchall()]
+    assert got == exp
+
+
+def test_recall_report_rejects_bad_input(spark):
+    import pytest
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        retrieval_recall_report, retrieval_recall_report_sql)
+    emb = spark.createDataFrame([(0, [1.0])],
+                                "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        retrieval_recall_report(emb, [], dims=1)
+    with pytest.raises(ValueError):
+        retrieval_recall_report_sql("t", [0], dims=1, k=0)
