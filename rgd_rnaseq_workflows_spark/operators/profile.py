@@ -340,3 +340,185 @@ def expectations_sql(table: str, constraints: list[tuple]) -> str:
     union = "\nUNION ALL\n".join(arms)
     return (f"SELECT *, CASE WHEN n_violations = 0 THEN 'PASS' "
             f"ELSE 'FAIL' END AS status FROM (\n{union}\n)")
+
+
+# =============================================================================
+# Pairwise correlation matrix — exact integer moments, one pass
+# =============================================================================
+
+
+def correlation_report(df: DataFrame, cols: list[tuple[str, int]]
+                       ) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns in ONE
+    map-side-combined pass — the ANALYZE-extended-stats profiler: each
+    column is fixed-pointed by its declared scale (the _isum
+    discipline — ``round(x·scale)`` once, integers after), and every
+    moment (Σx, Σx², Σxy) accumulates in decimal(38,0), so the moments
+    are EXACT and engine-identical; r itself is the textbook
+    ``(n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))`` evaluated
+    as exact-decimal numerator/variance terms cast once to double
+    (IEEE-deterministic), rounded to 6.
+
+    Rows with a NULL in either column of a pair are excluded from THAT
+    pair (pairwise deletion — each pair's n is reported). Output:
+    (col_x, col_y, n, r6) for every unordered pair, ordered.
+
+    Scale shape: one aggregation, no joins, no windows — moments for
+    all pairs fold in the same pass; output is |cols|²/2 metadata rows.
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    names = [c for c, _ in cols]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate column")
+    dec = "decimal(38,0)"
+    fx = {c: f"CAST(round({c} * {s}) AS BIGINT)" for c, s in cols}
+    aggs = []
+    pairs = [(a, b) for i, a in enumerate(names)
+             for b in names[i + 1:]]
+    for a, b in pairs:
+        both = f"({a} IS NOT NULL AND {b} IS NOT NULL)"
+        xa, xb = fx[a], fx[b]
+        p = f"{a}__{b}"
+        aggs += [
+            F.expr(f"CAST(count_if({both}) AS BIGINT)").alias(f"n_{p}"),
+            F.expr(f"sum(CASE WHEN {both} THEN CAST({xa} AS {dec}) "
+                   f"END)").alias(f"sx_{p}"),
+            F.expr(f"sum(CASE WHEN {both} THEN CAST({xb} AS {dec}) "
+                   f"END)").alias(f"sy_{p}"),
+            F.expr(f"sum(CASE WHEN {both} THEN CAST({xa} AS {dec}) "
+                   f"* {xa} END)").alias(f"sxx_{p}"),
+            F.expr(f"sum(CASE WHEN {both} THEN CAST({xb} AS {dec}) "
+                   f"* {xb} END)").alias(f"syy_{p}"),
+            F.expr(f"sum(CASE WHEN {both} THEN CAST({xa} AS {dec}) "
+                   f"* {xb} END)").alias(f"sxy_{p}"),
+        ]
+    one = df.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        p = f"{a}__{b}"
+        num = f"CAST(n_{p} * sxy_{p} - sx_{p} * sy_{p} AS DOUBLE)"
+        dx = f"CAST(n_{p} * sxx_{p} - sx_{p} * sx_{p} AS DOUBLE)"
+        dy = f"CAST(n_{p} * syy_{p} - sy_{p} * sy_{p} AS DOUBLE)"
+        r6 = (f"CASE WHEN n_{p} >= 2 AND {dx} > 0 AND {dy} > 0 THEN "
+              f"round({num} / (sqrt({dx}) * sqrt({dy})), 6) END")
+        rows.append(F.struct(F.lit(a).alias("col_x"),
+                             F.lit(b).alias("col_y"),
+                             F.col(f"n_{p}").alias("n"),
+                             F.expr(r6).alias("r6")))
+    return (one.select(F.explode(F.array(*rows)).alias("s"))
+            .select("s.*").orderBy("col_x", "col_y"))
+
+
+def correlation_report_sql(table: str, cols: list[tuple[str, int]]
+                           ) -> str:
+    """DuckDB twin of :func:`correlation_report` — identical fixed-
+    point moments in HUGEINT-capable decimals and the same single
+    double division."""
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    names = [c for c, _ in cols]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate column")
+    fx = {c: f"CAST(round({c} * {s}) AS BIGINT)" for c, s in cols}
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    moments, arms = [], []
+    for a, b in pairs:
+        both = f"({a} IS NOT NULL AND {b} IS NOT NULL)"
+        xa, xb = fx[a], fx[b]
+        p = f"{a}__{b}"
+        d = "DECIMAL(38,0)"
+        moments += [
+            f"CAST(count(*) FILTER (WHERE {both}) AS BIGINT) AS n_{p}",
+            f"sum(CAST({xa} AS {d})) FILTER (WHERE {both}) AS sx_{p}",
+            f"sum(CAST({xb} AS {d})) FILTER (WHERE {both}) AS sy_{p}",
+            f"sum(CAST({xa} AS {d}) * {xa}) FILTER (WHERE {both}) "
+            f"AS sxx_{p}",
+            f"sum(CAST({xb} AS {d}) * {xb}) FILTER (WHERE {both}) "
+            f"AS syy_{p}",
+            f"sum(CAST({xa} AS {d}) * {xb}) FILTER (WHERE {both}) "
+            f"AS sxy_{p}",
+        ]
+        num = f"CAST(n_{p} * sxy_{p} - sx_{p} * sy_{p} AS DOUBLE)"
+        dx = f"CAST(n_{p} * sxx_{p} - sx_{p} * sx_{p} AS DOUBLE)"
+        dy = f"CAST(n_{p} * syy_{p} - sy_{p} * sy_{p} AS DOUBLE)"
+        arms.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n_{p} AS n, "
+            f"CASE WHEN n_{p} >= 2 AND {dx} > 0 AND {dy} > 0 THEN "
+            f"round({num} / (sqrt({dx}) * sqrt({dy})), 6) END AS r6 "
+            f"FROM m")
+    return (f"WITH m AS (SELECT {', '.join(moments)} FROM {table})\n"
+            + "\nUNION ALL\n".join(arms)
+            + "\nORDER BY col_x, col_y")
+
+
+# =============================================================================
+# Inclusion-dependency (foreign-key candidate) audit
+# =============================================================================
+
+
+def fk_candidates_report(spark, pairs: list[tuple[DataFrame, str,
+                                                  DataFrame, str, str]]
+                         ) -> DataFrame:
+    """Inclusion-dependency audit — the FK-discovery complement of the
+    FD audit: for each (child frame, child col, parent frame, parent
+    col, label), how completely the child's VALUE SET is contained in
+    the parent's key set. A true FK reads 10000 bp; orphaned keys
+    (broken referential integrity, late-arriving dims) show up as the
+    gap, with the exact orphan count alongside.
+
+    Semantics (engine-identical): containment over DISTINCT non-NULL
+    child values — ``contained = count(distinct child values found in
+    parent)``; ``containment_bp = 10000·contained div n_child_values``.
+    Output: (relation, n_child_values, n_contained, n_orphans,
+    containment_bp) per audited pair.
+
+    Scale shape: each side collapses to its DISTINCT value set first
+    (map-side combined), then ONE left semi/anti-style join per pair at
+    value-set scale — never a row-level join of the full tables.
+    """
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    outs = []
+    for child, ccol, parent, pcol, label in pairs:
+        cv = (child.filter(F.col(ccol).isNotNull())
+              .select(F.col(ccol).cast("long").alias("v")).distinct())
+        pv = (parent.filter(F.col(pcol).isNotNull())
+              .select(F.col(pcol).cast("long").alias("v")).distinct())
+        hit = cv.join(pv, "v", "left_semi")
+        outs.append(
+            cv.agg(F.count("*").cast("long").alias("n_child_values"))
+            .crossJoin(hit.agg(F.count("*").cast("long")
+                               .alias("n_contained")))
+            .select(F.lit(label).alias("relation"), "n_child_values",
+                    "n_contained",
+                    (F.col("n_child_values") - F.col("n_contained"))
+                    .cast("long").alias("n_orphans"),
+                    F.expr("10000 * n_contained div n_child_values")
+                    .cast("long").alias("containment_bp")))
+    rep = outs[0]
+    for o in outs[1:]:
+        rep = rep.unionByName(o)
+    return rep.orderBy("relation")
+
+
+def fk_candidates_sql(pairs: list[tuple[str, str, str, str, str]]) -> str:
+    """DuckDB twin of :func:`fk_candidates_report`: pairs of
+    (child_table, child_col, parent_table, parent_col, label)."""
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    arms = []
+    for ct, cc, pt, pc, label in pairs:
+        arms.append(f"""
+SELECT '{label}' AS relation,
+       CAST(count(*) AS BIGINT) AS n_child_values,
+       CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_contained,
+       CAST(count(*) FILTER (WHERE NOT hit) AS BIGINT) AS n_orphans,
+       (10000 * count(*) FILTER (WHERE hit)) // count(*)
+         AS containment_bp
+FROM (
+  SELECT v, EXISTS (SELECT 1 FROM {pt} p
+                    WHERE CAST(p.{pc} AS BIGINT) = c.v) AS hit
+  FROM (SELECT DISTINCT CAST({cc} AS BIGINT) AS v FROM {ct}
+        WHERE {cc} IS NOT NULL) c)""")
+    return "\nUNION ALL\n".join(arms) + "\nORDER BY relation"

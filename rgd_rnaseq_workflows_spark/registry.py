@@ -4113,3 +4113,67 @@ def events_top_paths(spark, sf_dir):
     ev = e.select("user_id", "event_type",
                   F.col("ts").cast("long").alias("sec"), "event_id")
     return top_event_paths(ev, n=3, top_k=20, cap_per_user=50)
+
+
+_CORR_COLS = [("l_quantity", 100), ("l_extendedprice", 100),
+              ("l_discount", 100)]
+
+
+def _corr_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        correlation_report_sql)
+    return correlation_report_sql("lineitem", _CORR_COLS)
+
+
+@q("profile_correlations", ("PROFILE-CORR",), oracle=_corr_oracle(),
+   note="pairwise Pearson correlation matrix in ONE map-side-combined "
+        "pass: fixed-point columns (the _isum discipline), every "
+        "moment (sum, sum-of-squares, cross products for ALL pairs) "
+        "accumulates exactly in decimal(38,0); r is one double "
+        "division of exact-decimal terms, rounded once; pairwise NULL "
+        "deletion with per-pair n; |cols|^2/2 metadata rows out, no "
+        "joins, no windows")
+def profile_correlations(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        correlation_report)
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_report(li, _CORR_COLS)
+
+
+_FK_PAIRS_SQL = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey",
+     "lineitem.l_orderkey -> orders.o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey",
+     "orders.o_custkey -> customer.c_custkey"),
+    ("documents", "doc_id", "embeddings", "vec_id",
+     "documents.doc_id -> embeddings.vec_id"),
+]
+
+
+def _fk_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        fk_candidates_sql)
+    return fk_candidates_sql(_FK_PAIRS_SQL)
+
+
+@q("profile_fk_candidates", ("PROFILE-FK",), oracle=_fk_oracle(),
+   note="inclusion-dependency (FK-candidate) audit - the referential-"
+        "integrity complement of the FD audit: distinct-value-set "
+        "containment of each child column in its parent key with the "
+        "exact orphan count (the docs->embeddings relation is "
+        "deliberately orphan-bearing: unembedded documents); each side "
+        "collapses to DISTINCT values map-side first, then one "
+        "value-set-scale semi-join per pair - never a row-level join")
+def profile_fk_candidates(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        fk_candidates_report)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return fk_candidates_report(spark, [
+        (li, "l_orderkey", o, "o_orderkey", _FK_PAIRS_SQL[0][4]),
+        (o, "o_custkey", c, "c_custkey", _FK_PAIRS_SQL[1][4]),
+        (d, "doc_id", e, "vec_id", _FK_PAIRS_SQL[2][4]),
+    ])

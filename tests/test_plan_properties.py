@@ -371,3 +371,19 @@ def test_recall_report_two_phase_topk_windows(spark):
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "qid" in m.group(1), \
             f"unpartitioned ranking window: {m.group(1)}"
+
+
+def test_correlations_single_pass_no_join(spark):
+    """All pairwise moments fold in ONE aggregation: no joins, no
+    windows, no Python."""
+    plan = _plan(spark, "profile_correlations")
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fk_candidates_semi_join_at_value_scale(spark):
+    """Each relation audits via a LeftSemi over DISTINCT value sets —
+    aggregates below the join, never a row-level table join."""
+    plan = _plan(spark, "profile_fk_candidates")
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -226,3 +226,70 @@ def test_expectations_sql_escapes_quoted_in_set_values(spark):
                  con.execute(expectations_sql("t", cons)).fetchall())
     assert got == exp
     assert got[0][3] == 1  # exactly the injection-looking row violates
+
+
+# ---------------------------------------------------------------------------
+# correlation matrix
+# ---------------------------------------------------------------------------
+
+def test_correlations_match_numpy_and_twin(spark):
+    import duckdb
+    import numpy as np
+
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        correlation_report, correlation_report_sql)
+    rng = np.random.RandomState(2)
+    x = rng.randint(0, 500, 300)
+    y = 2 * x + rng.randint(0, 100, 300)     # strongly correlated
+    z = rng.randint(0, 500, 300)             # independent
+    rows = [(float(a) / 100, float(b) / 100, float(c) / 100)
+            for a, b, c in zip(x, y, z)]
+    df = spark.createDataFrame(rows, ["x", "y", "z"])
+    cols = [("x", 100), ("y", 100), ("z", 100)]
+    got = {(r["col_x"], r["col_y"]): (r["n"], r["r6"])
+           for r in correlation_report(df, cols).collect()}
+    ref = float(np.corrcoef(x, y)[0, 1])
+    assert abs(got[("x", "y")][1] - ref) < 1e-6
+    assert abs(got[("x", "z")][1]) < 0.2
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE, y DOUBLE, z DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    exp = {(r[0], r[1]): (r[2], r[3]) for r in
+           con.execute(correlation_report_sql("t", cols)).fetchall()}
+    assert got == exp
+
+
+def test_correlations_pairwise_null_deletion_and_degenerate(spark):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        correlation_report)
+    rows = [(1.0, 2.0, None), (2.0, 4.0, 5.0), (3.0, None, 5.0),
+            (4.0, 8.0, 5.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {(r["col_x"], r["col_y"]): (r["n"], r["r6"])
+           for r in correlation_report(
+               df, [("x", 10), ("y", 10), ("z", 10)]).collect()}
+    assert got[("x", "y")] == (3, 1.0)       # exact linear, NULL row out
+    assert got[("x", "z")][0] == 3
+    assert got[("x", "z")][1] is None        # z constant: no variance
+    with __import__("pytest").raises(ValueError):
+        correlation_report(df, [("x", 10)])
+
+
+# ---------------------------------------------------------------------------
+# FK candidates
+# ---------------------------------------------------------------------------
+
+def test_fk_candidates_counts_orphans_exactly(spark):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        fk_candidates_report)
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (3,), (99,), (None,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,), (4,)], "pk long")
+    [r] = fk_candidates_report(
+        spark, [(child, "fk", parent, "pk", "c->p")]).collect()
+    # distinct non-null child values: {1,2,3,99}; 99 is the orphan
+    assert (r["n_child_values"], r["n_contained"], r["n_orphans"],
+            r["containment_bp"]) == (4, 3, 1, 7500)
+    import pytest
+    with pytest.raises(ValueError):
+        fk_candidates_report(spark, [])
