@@ -349,3 +349,113 @@ JOIN sizes sb ON sb.id = p.id_b
 WHERE (10000 * p.shared_chunks) // least(sa.nc, sb.nc)
       >= {min_containment_bp}
 """
+
+
+def cdc_containment_keepers(docs: DataFrame, k: int = 2,
+                            divisor: int = CDC_DIVISOR,
+                            min_shared: int = 2,
+                            min_containment_bp: int = 5000,
+                            max_chunk_df: int = 100,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """The keep-the-larger drop policy over CDC containment pairs —
+    near-dup dedup that keeps the SUPERSET document: when a smaller
+    doc is mostly contained in a bigger one (a quote, an excerpt, a
+    truncated mirror), exact dedup keeps both and random-keeper near-
+    dup dedup may keep the fragment; this keeps the doc with MORE
+    distinct chunks (ties: the smaller id), dropping any doc that is
+    the lesser side of at least one qualifying pair.
+
+    Deterministic single rule, no transitive clustering: a doc
+    survives iff NO qualifying pair condemns it — engine-identical
+    set algebra (an anti-join), no iteration. Output: (doc_id,
+    n_chunks, kept) for every chunked doc.
+
+    Scale shape: :func:`cdc_containment_pairs`' equi-join plus one
+    value-scale anti-join; the corpus never joins row-level.
+    """
+    pairs = cdc_containment_pairs(
+        docs, k=k, divisor=divisor, min_shared=min_shared,
+        min_containment_bp=min_containment_bp,
+        max_chunk_df=max_chunk_df, id_col=id_col, text_col=text_col)
+    sizes = (_cdc_chunks(docs, k, divisor, [], id_col, text_col)
+             .select("_id", "_h").distinct()
+             .groupBy("_id").agg(F.count("*").cast("long")
+                                 .alias("n_chunks")))
+    sa = sizes.select(F.col("_id").alias("id_a"),
+                      F.col("n_chunks").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"),
+                      F.col("n_chunks").alias("_nb"))
+    losers = (pairs.join(sa, "id_a").join(sb, "id_b")
+              .select(F.when((F.col("_na") > F.col("_nb"))
+                             | ((F.col("_na") == F.col("_nb"))
+                                & (F.col("id_a") < F.col("id_b"))),
+                             F.col("id_b"))
+                      .otherwise(F.col("id_a")).alias("_loser"))
+              .distinct())
+    return (sizes.join(losers.withColumnRenamed("_loser", "_id"),
+                       "_id", "left_anti")
+            .withColumn("kept", F.lit(True))
+            .unionByName(
+                sizes.join(losers.withColumnRenamed("_loser", "_id"),
+                           "_id", "left_semi")
+                .withColumn("kept", F.lit(False)))
+            .select(F.col("_id").alias(id_col), "n_chunks", "kept")
+            .orderBy(id_col))
+
+
+def cdc_containment_keepers_sql(table: str, k: int = 2,
+                                divisor: int = CDC_DIVISOR,
+                                min_shared: int = 2,
+                                min_containment_bp: int = 5000,
+                                max_chunk_df: int = 100,
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> str:
+    """DuckDB twin of :func:`cdc_containment_keepers`."""
+    pairs = cdc_containment_pairs_sql(
+        table, k=k, divisor=divisor, min_shared=min_shared,
+        min_containment_bp=min_containment_bp,
+        max_chunk_df=max_chunk_df, id_col=id_col, text_col=text_col)
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long_sql
+    from rgd_rnaseq_workflows_spark.functions.text import (
+        shingles_all_sql, tokens_sql)
+    toks = tokens_sql(text_col)
+    grams = shingles_all_sql(text_col, k)
+    cut_h = md5_long_sql("gr[i]")
+    return f"""
+WITH p AS ({pairs}),
+base AS (
+  SELECT {id_col} AS id, {toks} AS t, {grams} AS gr
+  FROM {table} WHERE len({toks}) > 0),
+cuts AS (
+  SELECT id, t,
+    list_filter(list_transform(range(1, len(gr) + 1),
+      i -> CASE WHEN {cut_h} % {divisor} = 0
+           THEN least(i + {k - 1}, len(t)) END),
+      x -> x IS NOT NULL) AS e0
+  FROM base),
+ends AS (
+  SELECT id, t,
+    CASE WHEN len(e0) = 0 OR e0[-1] <> len(t)
+         THEN list_append(e0, len(t)) ELSE e0 END AS e
+  FROM cuts),
+sizes AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_chunks FROM (
+    SELECT DISTINCT id,
+      {md5_long_sql("array_to_string(t[(sp.s):(sp.e)], ' ')")} AS h
+    FROM (SELECT id, t,
+            unnest(list_transform(range(1, len(e) + 1),
+              j -> {{'s': CASE WHEN j = 1 THEN 1 ELSE e[j - 1] + 1 END,
+                    'e': e[j]}})) AS sp
+          FROM ends)) GROUP BY id),
+losers AS (
+  SELECT DISTINCT CASE WHEN sa.n_chunks > sb.n_chunks
+              OR (sa.n_chunks = sb.n_chunks AND p.id_a < p.id_b)
+         THEN p.id_b ELSE p.id_a END AS id
+  FROM p JOIN sizes sa ON sa.id = p.id_a
+         JOIN sizes sb ON sb.id = p.id_b)
+SELECT s.id AS {id_col}, s.n_chunks,
+       (l.id IS NULL) AS kept
+FROM sizes s LEFT JOIN losers l ON l.id = s.id
+ORDER BY {id_col}
+"""

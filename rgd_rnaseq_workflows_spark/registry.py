@@ -4177,3 +4177,28 @@ def profile_fk_candidates(spark, sf_dir):
         (o, "o_custkey", c, "c_custkey", _FK_PAIRS_SQL[1][4]),
         (d, "doc_id", e, "vec_id", _FK_PAIRS_SQL[2][4]),
     ])
+
+
+def _cdc_keepers_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_containment_keepers_sql)
+    return cdc_containment_keepers_sql("documents", k=2, divisor=8,
+                                       min_shared=2,
+                                       min_containment_bp=5000,
+                                       max_chunk_df=100)
+
+
+@q("dedup_cdc_keepers", ("CDC-KEEPERS",), oracle=_cdc_keepers_oracle(),
+   note="keep-the-larger containment drop policy: a doc is dropped "
+        "iff it is the lesser side (fewer distinct chunks; ties by "
+        "id) of at least one qualifying CDC containment pair - exact "
+        "dedup keeps both copies and random-keeper near-dup may keep "
+        "the fragment, this keeps the superset doc; one deterministic "
+        "anti-join, no transitive clustering, no iteration")
+def dedup_cdc_keepers(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_containment_keepers)
+    d = _t(spark, sf_dir, "documents")
+    return cdc_containment_keepers(d, k=2, divisor=8, min_shared=2,
+                                   min_containment_bp=5000,
+                                   max_chunk_df=100)

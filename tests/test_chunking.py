@@ -204,3 +204,35 @@ def test_cdc_pairs_reject_bad_params(spark):
         cdc_containment_pairs(df, min_containment_bp=10001)
     with pytest.raises(ValueError):
         cdc_containment_pairs_sql("t", max_chunk_df=1)
+
+
+def test_cdc_keepers_keep_the_larger_doc(spark):
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_containment_keepers)
+    big = " ".join(f"w{i % 23}x" for i in range(120))
+    small = " ".join(f"w{i % 23}x" for i in range(60))  # prefix excerpt
+    rows = [(1, big, "s"), (2, small, "s"),
+            (3, "unrelated " + " ".join(f"z{i}q" for i in range(40)), "s")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["doc_id"]: r["kept"] for r in cdc_containment_keepers(
+        df, min_shared=2, min_containment_bp=5000).collect()}
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_cdc_keepers_match_duckdb_twin(spark):
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_containment_keepers, cdc_containment_keepers_sql)
+    df = spark.createDataFrame(_pair_rows(), ["doc_id", "text", "source"])
+    got = sorted(tuple(r) for r in cdc_containment_keepers(
+        df, min_shared=1, min_containment_bp=2000).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR, "
+                "source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", _pair_rows())
+    exp = sorted(tuple(r) for r in con.execute(
+        cdc_containment_keepers_sql(
+            "documents", min_shared=1,
+            min_containment_bp=2000)).fetchall())
+    assert got == exp and any(not k for _, _, k in got)
