@@ -93,6 +93,18 @@ def check(ordered: list[str], latest: dict[str, int], max_round: int,
     return problems
 
 
+def plan_next_window(ordered: list[str], latest: dict[str, int],
+                     max_round: int, window: int = WINDOW) -> list[str]:
+    """Suggested head for the NEXT round's window: never-stamped
+    queries first (registration order), then stamped queries
+    oldest-evidence-first (ties by registry order)."""
+    never = [n for n in ordered if n not in latest]
+    pos = {n: i for i, n in enumerate(ordered)}
+    stamped = sorted((n for n in ordered if n in latest),
+                     key=lambda n: (latest[n], pos[n]))
+    return (never + stamped)[:window]
+
+
 def main() -> int:
     sys.path.insert(0, REPO)
     from rgd_rnaseq_workflows_spark import registry
@@ -100,6 +112,10 @@ def main() -> int:
     latest, max_round = load_latest_green()
     if not max_round:
         print("rotation_check: no CORRECTNESS_r*.json found — nothing to do")
+        return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--plan":
+        for name in plan_next_window(ordered, latest, max_round):
+            print(name)
         return 0
     problems = check(ordered, latest, max_round)
     never = [n for n in ordered if n not in latest]
