@@ -471,3 +471,163 @@ def stream_transitions(event_stream: DataFrame,
                 _transitions_fn(ms), TRANS_OUT_SCHEMA, SCD2_STATE_SCHEMA,
                 "update", timeout))
 
+
+
+# =============================================================================
+# Streaming multi-touch attribution (twin of operators.attribution)
+# =============================================================================
+
+ATTR_OUT_SCHEMA = T.StructType([
+    T.StructField("user", T.LongType()),
+    T.StructField("model", T.StringType()),
+    T.StructField("touch_type", T.StringType()),
+    T.StructField("n_pairs", T.LongType()),
+    T.StructField("credited_cents", T.LongType()),
+    T.StructField("ver", T.LongType()),
+])
+
+ATTR_STATE_SCHEMA = T.StructType([
+    T.StructField("secs", T.ArrayType(T.LongType())),
+    T.StructField("eids", T.ArrayType(T.LongType())),
+    T.StructField("types", T.ArrayType(T.StringType())),
+    T.StructField("cents", T.ArrayType(T.LongType())),
+    T.StructField("ver", T.LongType()),
+])
+
+
+def _attr_credits(obs, conv_type, touch_types, lookback_sec):
+    """Exact per-user attribution from an observation list of
+    (sec, event_id, type, cents) — the batch operator's semantics
+    replayed: per conversion, in-window touches in (sec, id) order;
+    first/last full credit, linear base + remainder to the MOST
+    RECENT; '(direct)' when no touch. Returns {(model, touch_type):
+    [n_pairs, credited_cents]}."""
+    out: dict = {}
+
+    def add(model, tt, cents):
+        k = (model, tt)
+        cur = out.setdefault(k, [0, 0])
+        cur[0] += 1
+        cur[1] += cents
+
+    touches = sorted(((s, e, t) for s, e, t, _ in obs
+                      if t in touch_types))
+    for s, e, t, c in obs:
+        if t != conv_type:
+            continue
+        win = [(ts, te, tt) for ts, te, tt in touches
+               if ts < s and ts >= s - lookback_sec]
+        if not win:
+            for m in ("first_touch", "last_touch", "linear"):
+                add(m, "(direct)", c)
+            continue
+        add("first_touch", win[0][2], c)
+        add("last_touch", win[-1][2], c)
+        n = len(win)
+        base, rem = c // n, c % n
+        for rank_desc, (_, _, tt) in enumerate(reversed(win), start=1):
+            add("linear", tt, base + (1 if rank_desc <= rem else 0))
+    return out
+
+
+def _attribution_fn(ttl_ms: int, conv_type: str, touch_types: tuple,
+                    lookback_sec: int):
+    """Per-user attribution state function — the recompute-from-state
+    discipline (SCD2/transitions precedent): a LATE touch landing
+    inside a conversion's lookback REWIRES credit (last-touch moves,
+    the linear split re-divides), which only a replay from the full
+    observation set can revise. Emits the user's CURRENT credit rows
+    under a ver counter; summing every user's max-ver rows equals the
+    batch operator over everything seen, under any arrival order."""
+    import math
+
+    def update(key, rows: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batches = list(rows)
+        cat = (pd.concat(batches, ignore_index=True)
+               if len(batches) > 1 else batches[0])
+        if state.exists:
+            st = state.get
+            secs, eids, types, cents = (list(a or []) for a in st[:4])
+            ver = int(st[4] or 0)
+        else:
+            secs, eids, types, cents, ver = [], [], [], [], 0
+        ver += 1
+        byid = {int(e): (int(s), t, int(c)) for s, e, t, c in
+                zip(secs, eids, types, cents)}
+        for s, e, t, v in zip(cat["sec"], cat["event_id"],
+                              cat["event_type"], cat["value"]):
+            # HALF_UP for non-negative values — F.round / DuckDB round
+            c = int(math.floor(float(v) * 100 + 0.5)) if pd.notna(v) else 0
+            byid[int(e)] = (int(s), str(t), c)
+        obs = sorted(((s, e, t, c) for e, (s, t, c) in byid.items()),
+                     key=lambda r: (r[0], r[1]))
+        state.update((
+            [s for s, _, _, _ in obs],
+            [e for _, e, _, _ in obs],
+            [t for _, _, t, _ in obs],
+            [c for _, _, _, c in obs],
+            ver,
+        ))
+        credits = _attr_credits(obs, conv_type, touch_types,
+                                lookback_sec)
+        ks = sorted(credits)
+        n = len(ks)
+        yield pd.DataFrame({
+            "user": pd.array([key[0]] * n, dtype="Int64"),
+            "model": [k[0] for k in ks],
+            "touch_type": [k[1] for k in ks],
+            "n_pairs": pd.array([credits[k][0] for k in ks],
+                                dtype="Int64"),
+            "credited_cents": pd.array([credits[k][1] for k in ks],
+                                       dtype="Int64"),
+            "ver": pd.array([ver] * n, dtype="Int64"),
+        })
+
+    return update
+
+
+def stream_attribution(event_stream: DataFrame,
+                       conv_type: str = "purchase",
+                       touch_types: tuple = ("click", "view"),
+                       lookback_sec: int = 48 * 3600,
+                       user_col: str = "user_id",
+                       type_col: str = "event_type", ts_col: str = "ts",
+                       id_col: str = "event_id",
+                       value_col: str = "value",
+                       ttl: str | None = None) -> DataFrame:
+    """Streaming twin of ``operators.attribution.multi_touch_
+    attribution`` (incremental view maintenance for the credit
+    rollup): per-user credit rows re-emitted on every touched user;
+    summing each user's max-ver rows by (model, touch_type) equals
+    the batch rollup over everything seen, under any arrival order.
+    Same observation-set state + event-time TTL discipline as the
+    SCD2/transitions kernels."""
+    ms = 0
+    if ttl is not None:
+        num, unit = ttl.split()
+        ms = int(float(num) * {"millisecond": 1, "milliseconds": 1,
+                               "second": 1000, "seconds": 1000,
+                               "minute": 60_000, "minutes": 60_000,
+                               "hour": 3_600_000, "hours": 3_600_000}[unit])
+    src = event_stream.select(
+        F.col(user_col).alias("user"),
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).cast("long").alias("sec"),
+        F.col(id_col).alias("event_id"),
+        F.col(value_col).alias("value"),
+        F.col(ts_col).alias("ts"))
+    if ttl is not None:
+        src = src.withWatermark("ts", ttl)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        src = src.drop("ts")
+        timeout = GroupStateTimeout.NoTimeout
+    return (src.groupBy("user")
+            .applyInPandasWithState(
+                _attribution_fn(ms, conv_type, tuple(touch_types),
+                                lookback_sec),
+                ATTR_OUT_SCHEMA, ATTR_STATE_SCHEMA, "update", timeout))

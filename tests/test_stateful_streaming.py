@@ -359,3 +359,75 @@ def test_stream_transitions_equals_batch_out_of_order(spark, tmp_out):
     assert agg == want
     assert ("a", "c") not in agg     # the rewire really happened
     assert agg[("a", "b")] == 1 and agg[("b", "c")] == 1
+
+
+EVV_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+
+def test_stream_attribution_equals_batch_out_of_order(spark, tmp_out):
+    """A LATE touch landing inside the conversion's lookback REWIRES
+    credit (last-touch moves to it, the linear split re-divides) —
+    summing every user's max-ver rows by (model, touch_type) must
+    equal the batch attribution rollup regardless of arrival order."""
+    from datetime import datetime
+
+    from rgd_rnaseq_workflows_spark.operators.attribution import (
+        multi_touch_attribution)
+    from rgd_rnaseq_workflows_spark.streaming.stateful import (
+        stream_attribution)
+
+    t = lambda sec: datetime.fromtimestamp(sec)
+    batch1 = [(1, t(100), 1, "click", 0.0), (2, t(300), 1, "purchase", 10.01),
+              (3, t(50), 2, "purchase", 5.0)]          # user 2: direct
+    batch2 = [(4, t(200), 1, "view", 0.0)]             # LATE: now last touch
+    src = os.path.join(tmp_out, "attr_src")
+    os.makedirs(src)
+    spark.createDataFrame(batch1, EVV_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(EVV_SCHEMA).parquet(src)
+    q = (stream_attribution(stream, lookback_sec=1000)
+         .writeStream.format("memory").queryName("attr_out")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        mid = spark.sql("SELECT * FROM attr_out").toPandas()
+        m1 = mid[(mid.user == 1)
+                 & (mid.groupby("user")["ver"].transform("max")
+                    == mid["ver"])]
+        # before the late view: click owns first, last AND all linear
+        assert {(r.model, r.touch_type): r.credited_cents
+                for r in m1.itertuples(index=False)} == {
+            ("first_touch", "click"): 1001,
+            ("last_touch", "click"): 1001,
+            ("linear", "click"): 1001}
+        spark.createDataFrame(batch2, EVV_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM attr_out").toPandas()
+    finally:
+        q.stop()
+
+    latest = pdf[pdf.groupby("user")["ver"].transform("max")
+                 == pdf["ver"]]
+    agg: dict = {}
+    for r in latest.itertuples(index=False):
+        k = (r.model, r.touch_type)
+        n, c = agg.get(k, (0, 0))
+        agg[k] = (n + int(r.n_pairs), c + int(r.credited_cents))
+
+    all_events = spark.createDataFrame(batch1 + batch2, EVV_SCHEMA)
+    ev = all_events.selectExpr("user_id", "event_type",
+                               "cast(ts as long) as sec", "value",
+                               "event_id")
+    want = {(r["model"], r["touch_type"]): (int(r["n_pairs"]),
+                                            int(r["credited_cents"]))
+            for r in multi_touch_attribution(
+                ev, lookback_sec=1000).collect()}
+    assert agg == want
+    # the rewire really happened: last touch is now the late view
+    assert want[("last_touch", "view")] == (1, 1001)
+    # and the linear remainder went to the MOST RECENT touch (the view)
+    assert want[("linear", "view")] == (1, 501)
+    assert want[("linear", "click")] == (1, 500)
