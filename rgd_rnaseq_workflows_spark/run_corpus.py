@@ -115,6 +115,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "fingerprints appear in a lake doc (quote/"
                         "boilerplate-copy detection; join is new x lake "
                         "only)")
+    p.add_argument("--cdc-containment", type=int, default=None,
+                   metavar="BP",
+                   help="drop documents contained in a larger one at or "
+                        "above this many basis points of CDC chunk-set "
+                        "containment (keep-the-larger policy; shift-"
+                        "robust - an excerpt moved by one token still "
+                        "matches)")
     p.add_argument("--mix", default=None,
                    help="per-language keep rates, e.g. en=0.5,de=0.25")
     p.add_argument("--mix-default", type=float, default=0.0,
@@ -195,6 +202,14 @@ def run(args: argparse.Namespace) -> int:
         bench = spark.read.parquet(args.benchmark)
         curated = decontaminate(curated, bench, shingle_n=args.contam_n,
                                 min_shared=args.min_shared)
+    if args.cdc_containment is not None:
+        from rgd_rnaseq_workflows_spark.operators.chunking import (
+            cdc_containment_keepers)
+        with _stage("cdc containment drop (keep-the-larger)"):
+            keep = (cdc_containment_keepers(
+                curated, min_containment_bp=args.cdc_containment)
+                .filter("kept").select("doc_id"))
+            curated = curated.join(keep, "doc_id", "left_semi")
     mix_modes = sum(bool(m) for m in
                     (args.mix, args.temperature_mix is not None,
                      args.epoch_budget is not None))

@@ -538,3 +538,31 @@ def test_corpus_cli_cluster_splits(spark, tmp_out):
     rc2 = run_corpus.main(["--docs", src, "--out", out + "2",
                            "--splits", "--cluster-splits"])
     assert rc2 == 2
+
+
+def test_corpus_cli_cdc_containment_drop(spark, tmp_out):
+    """--cdc-containment drops a doc mostly contained in a larger one
+    (shift-robust: the excerpt is offset by a prefix token) while
+    keeping the superset and unrelated docs."""
+    import os
+
+    from rgd_rnaseq_workflows_spark import run_corpus
+    tail = ("and the barn was red for it is near the house "
+            "of the dog and the cat runs to the fields")
+    big = BASE + " " + tail                  # superset document
+    excerpt = "shifted " + BASE              # contained, offset by one
+    other = ("the sun in sky is high and the moon at night is far "
+             "over hills where wind blows cold on stones by lakes")
+    rows = [(1, "en", "web", big), (2, "en", "web", excerpt),
+            (3, "en", "web", other)]
+    src = os.path.join(tmp_out, "cdc_docs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"]) \
+        .write.parquet(src)
+    out = os.path.join(tmp_out, "cdc_out")
+    rc = run_corpus.main(["--docs", src, "--out", out,
+                          "--min-tokens", "5", "--threshold", "0.99",
+                          "--cdc-containment", "5000"])
+    assert rc == 0
+    kept = sorted(r["doc_id"] for r in
+                  spark.read.parquet(f"{out}/curated").collect())
+    assert kept == [1, 3]
