@@ -227,6 +227,21 @@ FROM chunks GROUP BY g
 """
 
 
+def chunk_sets(docs: DataFrame, k: int = 2,
+               divisor: int = CDC_DIVISOR, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """The distinct per-doc CDC chunk-hash set (_id, _h), lineage-
+    frozen with a lazy checkpoint: the pair/keeper operators consume it
+    from several branches (sizes, df cap, both join sides), and without
+    the freeze each branch would re-run the whole chunk build — four
+    corpus scans instead of one. Post-chunking rows are (id, hash)
+    longs only, so the materialization never stores text."""
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    ch = (_cdc_chunks(docs, k, divisor, [], id_col, text_col)
+          .select("_id", "_h").distinct())
+    return checkpoint_df(ch, eager=False)
+
+
 def cdc_containment_pairs(docs: DataFrame, k: int = 2,
                           divisor: int = CDC_DIVISOR,
                           min_shared: int = 2,
@@ -261,8 +276,7 @@ def cdc_containment_pairs(docs: DataFrame, k: int = 2,
         raise ValueError("min_containment_bp must be in [0, 10000]")
     if max_chunk_df < 2:
         raise ValueError("max_chunk_df must be >= 2 (a pair needs df 2)")
-    ch = (_cdc_chunks(docs, k, divisor, [], id_col, text_col)
-          .select("_id", "_h").distinct())
+    ch = chunk_sets(docs, k, divisor, id_col, text_col)
     sizes = ch.groupBy("_id").agg(F.count("*").alias("_nc"))
     rare = (ch.groupBy("_h").agg(F.count("*").alias("_df"))
             .filter(F.col("_df") <= max_chunk_df).select("_h"))
@@ -378,8 +392,7 @@ def cdc_containment_keepers(docs: DataFrame, k: int = 2,
         docs, k=k, divisor=divisor, min_shared=min_shared,
         min_containment_bp=min_containment_bp,
         max_chunk_df=max_chunk_df, id_col=id_col, text_col=text_col)
-    sizes = (_cdc_chunks(docs, k, divisor, [], id_col, text_col)
-             .select("_id", "_h").distinct()
+    sizes = (chunk_sets(docs, k, divisor, id_col, text_col)
              .groupBy("_id").agg(F.count("*").cast("long")
                                  .alias("n_chunks")))
     sa = sizes.select(F.col("_id").alias("id_a"),

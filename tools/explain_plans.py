@@ -278,8 +278,10 @@ SHOWCASE = {
         "on the pair graph, cluster-size agg (duplicated-doc scale), "
         "one left join back onto docs; weights are integer bp.",
     "events_rfm_segments": "RFM: one map-side-combined fold to "
-        "user-scale rows, three ntile windows on that frame, "
-        "n_tiles^3 rollup out.",
+        "user-scale rows; each axis tiles via the distributed "
+        "two-phase rank (range repartition, frozen per-partition "
+        "row_number, broadcast metadata offsets) + exact ntile "
+        "arithmetic — no partition-less window; n_tiles^3 rollup out.",
     "sample_pps_systematic": "exact-k PPS: bucketed distributed "
         "prefix sum (64 metadata totals to the driver, never data), "
         "intra-bucket cumsum window partitioned BY BUCKET, grid "
@@ -302,6 +304,36 @@ SHOWCASE = {
     "profile_expectations": "constraint suite: all row-local checks "
         "fold into one map-side-combined agg per scan; unique = exact "
         "count-distinct arms; report rows are metadata.",
+    "events_attribution": "multi-touch attribution: one user-keyed "
+        "equi-join range-filtered to the lookback (pairs bounded by "
+        "touches-per-window), conv_id-partitioned rank windows, "
+        "models × types metadata out.",
+    "dedup_cdc_chunks": "CDC audit: chunk lists built as per-doc "
+        "array work inside the scan stage; the only corpus shuffle "
+        "carries (group, hash) longs — never text.",
+    "dedup_cdc_pairs": "CDC pairs: chunk-hash equi-join with the "
+        "df-capped boilerplate guard upstream (a viral chunk would "
+        "mint df^2 pair rows); distinct chunk sets, integer "
+        "containment.",
+    "dedup_cdc_keepers": "keep-the-larger drop policy: pairs + sizes "
+        "feed one deterministic anti-join — no transitive clustering, "
+        "no iteration.",
+    "layout_hilbert_stats": "Hilbert locality report: the quadrant "
+        "rotation runs as a chain of scan-fused projections (no "
+        "shuffle), then one map-side-combined bucket agg.",
+    "ann_recall_report": "retrieval eval: corpus scanned once for "
+        "all queries (broadcast query join), two-phase bucketed "
+        "top-k ranking (every window partitioned), |queries| rows "
+        "out.",
+    "events_top_paths": "top journeys: one map-side-combined "
+        "per-user fold with the cap_per_user bot guard, per-user "
+        "array n-gramming, path-vocabulary counts, TakeOrdered.",
+    "profile_correlations": "correlation matrix: ALL pairs' exact "
+        "decimal(38,0) moments in one map-side-combined pass — no "
+        "joins, no windows; |cols|^2/2 metadata rows.",
+    "profile_fk_candidates": "FK audit: distinct-collapse both sides "
+        "first, then a value-set-scale LeftSemi per relation — never "
+        "a row-level table join.",
 }
 
 
