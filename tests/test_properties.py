@@ -567,3 +567,52 @@ def test_quantile_norm_is_rank_monotone_within_group(spark, rows):
         assert norms == sorted(norms)
         # normalized values are actual pooled values
         assert all(n in pooled for n in norms)
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.integers(1, 4),                 # user
+                          st.sampled_from(["click", "view",
+                                           "purchase"]),
+                          st.integers(0, 500),               # sec
+                          st.floats(0, 50, allow_nan=False)),
+                min_size=1, max_size=25))
+def test_attribution_credit_sums_to_conversions(spark, events):
+    """The money-conservation invariant: under EVERY model the credit
+    sums exactly to the total conversion cents — any arrival mix of
+    touches, ties, multi-conversion users, empty windows."""
+    from rgd_rnaseq_workflows_spark.operators.attribution import (
+        multi_touch_attribution)
+    rows = [(u, t, s, round(v, 2), i)
+            for i, (u, t, s, v) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_type string, sec long, value double, "
+              "event_id int")
+    out = multi_touch_attribution(df, lookback_sec=100).collect()
+    total = sum(int(__import__("math").floor(v * 100 + 0.5))
+                for _, t, _, v, _ in rows if t == "purchase")
+    for m in ("first_touch", "last_touch", "linear"):
+        got = sum(r["credited_cents"] for r in out if r["model"] == m)
+        assert got == total, (m, got, total)
+
+
+@SETTINGS
+@given(st.lists(st.lists(st.sampled_from(["aa", "bb", "cc", "dd",
+                                          "ee", "ff"]),
+                         min_size=1, max_size=40),
+                min_size=1, max_size=12))
+def test_cdc_chunks_partition_every_document(spark, docs):
+    """CDC chunks PARTITION each doc: per-source token mass equals the
+    exact token count, whatever the cut pattern (no boundary, every
+    boundary, short docs below the gram size)."""
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_chunk_stats)
+    rows = [(i, " ".join(toks), f"s{i % 2}")
+            for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["source"]: r["sum_chunk_tokens"]
+           for r in cdc_chunk_stats(df, k=2, divisor=4).collect()}
+    want: dict = {}
+    for i, toks in enumerate(docs):
+        s = f"s{i % 2}"
+        want[s] = want.get(s, 0) + len(toks)
+    assert got == want
