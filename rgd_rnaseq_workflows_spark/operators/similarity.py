@@ -735,3 +735,133 @@ FROM q LEFT JOIN hits h ON h.qid = q.qid
        LEFT JOIN mrr m ON m.qid = q.qid
 ORDER BY query_id
 """
+
+
+def truncation_recall_report(emb: DataFrame, query_ids: list[int],
+                             dims_list: list[int], k: int = 10,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Matryoshka-style truncation evaluation: how much retrieval
+    quality survives when vectors are cut to their first ``d``
+    dimensions — the question behind MRL-trained embeddings and every
+    "store 64 of the 768 dims" storage decision. For each query and
+    each ``d`` in ``dims_list``: exact FULL-dimension cosine top-k is
+    truth, exact ``d``-dimension cosine top-k is the candidate, and
+    the report carries exact-integer recall_bp + mrr_e6 (the
+    :func:`retrieval_recall_report` metrics; query excluded from both
+    sides).
+
+    Scale shape: ONE corpus scan computes every (query, d) score —
+    the truncated dot/norm reuse the same broadcast-joined row — and
+    each (query, d) ranking runs through the two-phase bucketed top-k;
+    output is |queries| × |dims_list| rows.
+    """
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    if not dims_list:
+        raise ValueError("dims_list must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if len(set(dims_list)) != len(dims_list) or min(dims_list) < 1:
+        raise ValueError("dims_list must be distinct positive ints")
+    corpus = emb.select(F.col(id_col).alias("vec_id"),
+                        _as_double(vec_col).alias("_v"))
+    queries = (corpus.filter(F.col("vec_id").isin(query_ids))
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("_v").alias("_qv")))
+    cos = cosine_kernel()
+    joined = (corpus.crossJoin(F.broadcast(queries))
+              .filter(F.col("vec_id") != F.col("qid")))
+    truth = _grouped_topk(
+        joined.withColumn("cosine_sim",
+                          F.round(cos(F.col("_v"), F.col("_qv")), 6))
+        .select("qid", "vec_id", "cosine_sim"), k)
+    out = None
+    for d in dims_list:
+        sliced = (joined
+                  .withColumn("cosine_sim", F.round(
+                      cos(F.slice("_v", 1, d), F.slice("_qv", 1, d)), 6))
+                  .select("qid", "vec_id", "cosine_sim"))
+        approx = _grouped_topk(sliced, k)
+        hits = (truth.join(approx, ["qid", "vec_id"])
+                .groupBy("qid").agg(F.count("*").cast("long")
+                                    .alias("n_hits")))
+        mrr = (truth.filter(F.col("rn") == 1)
+               .join(approx.select("qid", "vec_id",
+                                   F.col("rn").alias("_arn")),
+                     ["qid", "vec_id"], "left")
+               .select("qid", F.coalesce(F.expr("1000000 div _arn"),
+                                         F.lit(0)).cast("long")
+                       .alias("mrr_e6")))
+        rep = (queries.select("qid")
+               .join(hits, "qid", "left").join(mrr, "qid", "left")
+               .select(F.col("qid").alias("query_id"),
+                       F.lit(d).cast("int").alias("dims"),
+                       F.coalesce("n_hits", F.lit(0)).cast("long")
+                       .alias("n_hits"),
+                       F.expr(f"10000 * coalesce(n_hits, 0) div {k}")
+                       .cast("long").alias("recall_bp"),
+                       F.coalesce("mrr_e6", F.lit(0)).cast("long")
+                       .alias("mrr_e6")))
+        out = rep if out is None else out.unionByName(rep)
+    return out.orderBy("query_id", "dims")
+
+
+def truncation_recall_report_sql(emb_table: str, query_ids: list[int],
+                                 dims_list: list[int],
+                                 k: int = 10) -> str:
+    """DuckDB twin of :func:`truncation_recall_report`."""
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    if not dims_list:
+        raise ValueError("dims_list must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if len(set(dims_list)) != len(dims_list) or min(dims_list) < 1:
+        raise ValueError("dims_list must be distinct positive ints")
+    ids = ", ".join(str(i) for i in query_ids)
+    arms = []
+    for d in dims_list:
+        arms.append(f"""
+SELECT q.qid AS query_id, {d} AS dims,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((10000 * coalesce(h.n_hits, 0)) // {k} AS BIGINT)
+         AS recall_bp,
+       CAST(coalesce(m.mrr_e6, 0) AS BIGINT) AS mrr_e6
+FROM q
+LEFT JOIN (
+  SELECT t.qid, CAST(count(*) AS BIGINT) AS n_hits
+  FROM truth t JOIN (
+    SELECT qid, vec_id, rn FROM (
+      SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        ORDER BY round(list_cosine_similarity(ve[1:{d}], qv[1:{d}]), 6)
+          DESC, vec_id) AS rn
+      FROM sc) WHERE rn <= {k}) a USING (qid, vec_id)
+  GROUP BY t.qid) h ON h.qid = q.qid
+LEFT JOIN (
+  SELECT t.qid, CAST(coalesce(1000000 // a.rn, 0) AS BIGINT) AS mrr_e6
+  FROM truth t LEFT JOIN (
+    SELECT qid, vec_id, rn FROM (
+      SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        ORDER BY round(list_cosine_similarity(ve[1:{d}], qv[1:{d}]), 6)
+          DESC, vec_id) AS rn
+      FROM sc) WHERE rn <= {k}) a USING (qid, vec_id)
+  WHERE t.rn = 1) m ON m.qid = q.qid""")
+    union_arms = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+           FROM {emb_table}),
+q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id IN ({ids})),
+sc AS MATERIALIZED (
+  SELECT q.qid, s.vec_id, s.ve, q.qv
+  FROM v s, q WHERE s.vec_id <> q.qid),
+truth AS (
+  SELECT qid, vec_id, rn FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY round(list_cosine_similarity(ve, qv), 6)
+               DESC, vec_id) AS rn
+    FROM sc) WHERE rn <= {k})
+{union_arms}
+ORDER BY query_id, dims
+"""

@@ -4202,3 +4202,24 @@ def dedup_cdc_keepers(spark, sf_dir):
     return cdc_containment_keepers(d, k=2, divisor=8, min_shared=2,
                                    min_containment_bp=5000,
                                    max_chunk_df=100)
+
+
+def _truncation_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        truncation_recall_report_sql)
+    return truncation_recall_report_sql(
+        "embeddings", _RECALL_QUERY_IDS, [8, 16, 32], k=10)
+
+
+@q("ann_truncation_report", ("ANN-TRUNC",), oracle=_truncation_oracle(),
+   note="Matryoshka-style truncation eval: per (query, d), exact "
+        "d-dimension cosine top-k vs exact full-dimension truth - the "
+        "'store 64 of the 768 dims' storage decision measured, not "
+        "guessed; ONE corpus scan scores every (query, d), two-phase "
+        "bucketed top-k per ranking, |queries| x |dims| rows out")
+def ann_truncation_report(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        truncation_recall_report)
+    emb = _t(spark, sf_dir, "embeddings")
+    return truncation_recall_report(emb, _RECALL_QUERY_IDS,
+                                    [8, 16, 32], k=10)

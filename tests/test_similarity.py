@@ -328,3 +328,51 @@ def test_recall_report_rejects_bad_input(spark):
         retrieval_recall_report(emb, [], dims=1)
     with pytest.raises(ValueError):
         retrieval_recall_report_sql("t", [0], dims=1, k=0)
+
+
+def test_truncation_report_full_dims_is_perfect(spark):
+    """Truncating to the FULL dimensionality is the identity retriever:
+    recall 10000 bp and MRR 1e6 for every query."""
+    import numpy as np
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        truncation_recall_report)
+    rng = np.random.RandomState(6)
+    v = rng.randn(50, 12)
+    rows = [(i, [float(x) for x in v[i]]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = truncation_recall_report(emb, [2, 9], [12], k=5).collect()
+    assert [(r["recall_bp"], r["mrr_e6"]) for r in out] == \
+        [(10000, 1000000)] * 2
+
+
+def test_truncation_report_matches_duckdb_twin(spark):
+    import duckdb
+    import numpy as np
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        truncation_recall_report, truncation_recall_report_sql)
+    rng = np.random.RandomState(8)
+    v = rng.randn(70, 16)
+    rows = [(i, [float(x) for x in v[i]]) for i in range(70)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [tuple(r) for r in truncation_recall_report(
+        emb, [1, 44], [4, 8, 16], k=6).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE et(vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO et VALUES (?, ?)", rows)
+    exp = [tuple(r) for r in con.execute(truncation_recall_report_sql(
+        "et", [1, 44], [4, 8, 16], k=6)).fetchall()]
+    assert got == exp
+
+
+def test_truncation_report_rejects_bad_input(spark):
+    import pytest
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        truncation_recall_report, truncation_recall_report_sql)
+    emb = spark.createDataFrame([(0, [1.0])],
+                                "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        truncation_recall_report(emb, [0], [])
+    with pytest.raises(ValueError):
+        truncation_recall_report(emb, [0], [4, 4])
+    with pytest.raises(ValueError):
+        truncation_recall_report_sql("t", [0], [0])
