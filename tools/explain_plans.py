@@ -334,6 +334,9 @@ SHOWCASE = {
     "profile_fk_candidates": "FK audit: distinct-collapse both sides "
         "first, then a value-set-scale LeftSemi per relation — never "
         "a row-level table join.",
+    "ann_truncation_report": "Matryoshka eval: one corpus scan scores "
+        "every (query, d) from the same broadcast-joined row; each "
+        "ranking is the two-phase bucketed top-k.",
 }
 
 
