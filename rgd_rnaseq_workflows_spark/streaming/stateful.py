@@ -631,3 +631,109 @@ def stream_attribution(event_stream: DataFrame,
                 _attribution_fn(ms, conv_type, tuple(touch_types),
                                 lookback_sec),
                 ATTR_OUT_SCHEMA, ATTR_STATE_SCHEMA, "update", timeout))
+
+
+# =============================================================================
+# Streaming top event paths (twin of operators.funnel.top_event_paths)
+# =============================================================================
+
+PATHS_OUT_SCHEMA = T.StructType([
+    T.StructField("user", T.LongType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("ver", T.LongType()),
+])
+
+
+def _paths_fn(ttl_ms: int, n: int, cap_per_user: int):
+    """Per-user journey-path state function — a LATE event inserted
+    mid-sequence REWIRES every n-gram window that crosses it (and the
+    cap keeps the user's EARLIEST events, so a late-but-early event
+    can evict the tail), which only a replay from the observation set
+    can revise. Emits the user's CURRENT path n-gram counts under a
+    ver counter; summing max-ver rows per path reproduces the batch
+    occurrence counts under any arrival order."""
+    def update(key, rows: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batches = list(rows)
+        cat = (pd.concat(batches, ignore_index=True)
+               if len(batches) > 1 else batches[0])
+        if state.exists:
+            st = state.get
+            secs, eids, attrs = (list(a or []) for a in st[:3])
+            ver = int(st[3] or 0)
+        else:
+            secs, eids, attrs, ver = [], [], [], 0
+        ver += 1
+        byid = {int(e): (int(s), a) for s, e, a in
+                zip(secs, eids, attrs)}
+        for s, e, a in zip(cat["sec"], cat["event_id"],
+                           cat["event_type"]):
+            byid[int(e)] = (int(s), None if pd.isna(a) else str(a))
+        obs = sorted(((s, e, a) for e, (s, a) in byid.items()),
+                     key=lambda t: (t[0], t[1]))
+        state.update((
+            [s for s, _, _ in obs],
+            [e for _, e, _ in obs],
+            [a for _, _, a in obs],
+            ver,
+        ))
+        seq = [a for _, _, a in obs[:cap_per_user]]
+        counts: dict[str, int] = {}
+        for i in range(max(len(seq) - n + 1, 0)):
+            p = " > ".join(seq[i:i + n])
+            counts[p] = counts.get(p, 0) + 1
+        ks = sorted(counts)
+        m = len(ks)
+        yield pd.DataFrame({
+            "user": pd.array([key[0]] * m, dtype="Int64"),
+            "path": ks,
+            "n": pd.array([counts[p] for p in ks], dtype="Int64"),
+            "ver": pd.array([ver] * m, dtype="Int64"),
+        })
+
+    return update
+
+
+def stream_top_paths(event_stream: DataFrame, n: int = 3,
+                     cap_per_user: int = 50,
+                     user_col: str = "user_id",
+                     type_col: str = "event_type", ts_col: str = "ts",
+                     id_col: str = "event_id",
+                     ttl: str | None = None) -> DataFrame:
+    """Streaming twin of ``operators.funnel.top_event_paths``'
+    per-user path counts (incremental view maintenance): summing each
+    user's max-ver rows by path equals the batch n-gram occurrence
+    counts over everything seen, under any arrival order — the global
+    top-k is one metadata-scale batch aggregation away. Shares the
+    SCD2/transitions observation-set state schema and TTL convention."""
+    if n < 2:
+        raise ValueError("n must be >= 2 (n=1 is a plain type count)")
+    if cap_per_user < n:
+        raise ValueError("need cap_per_user >= n")
+    ms = 0
+    if ttl is not None:
+        num, unit = ttl.split()
+        ms = int(float(num) * {"millisecond": 1, "milliseconds": 1,
+                               "second": 1000, "seconds": 1000,
+                               "minute": 60_000, "minutes": 60_000,
+                               "hour": 3_600_000, "hours": 3_600_000}[unit])
+    src = event_stream.select(
+        F.col(user_col).alias("user"),
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).cast("long").alias("sec"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).alias("ts"))
+    if ttl is not None:
+        src = src.withWatermark("ts", ttl)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        src = src.drop("ts")
+        timeout = GroupStateTimeout.NoTimeout
+    return (src.groupBy("user")
+            .applyInPandasWithState(
+                _paths_fn(ms, n, cap_per_user), PATHS_OUT_SCHEMA,
+                SCD2_STATE_SCHEMA, "update", timeout))

@@ -431,3 +431,59 @@ def test_stream_attribution_equals_batch_out_of_order(spark, tmp_out):
     # and the linear remainder went to the MOST RECENT touch (the view)
     assert want[("linear", "view")] == (1, 501)
     assert want[("linear", "click")] == (1, 500)
+
+
+def test_stream_top_paths_equals_batch_out_of_order(spark, tmp_out):
+    """A LATE event inserted mid-sequence REWIRES every n-gram window
+    crossing it (a>c becomes a>b and b>c for n=2) — summing every
+    user's max-ver rows by path must equal the batch occurrence
+    counts regardless of arrival order."""
+    from datetime import datetime
+
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        top_event_paths)
+    from rgd_rnaseq_workflows_spark.streaming.stateful import (
+        stream_top_paths)
+
+    t = lambda sec: datetime.fromtimestamp(sec)
+    batch1 = [(1, t(10), 1, "a"), (2, t(30), 1, "c"),
+              (3, t(10), 2, "x"), (4, t(20), 2, "y"),
+              (5, t(30), 2, "x")]
+    batch2 = [(6, t(20), 1, "b")]      # late: splits a>c
+    src = os.path.join(tmp_out, "paths_src")
+    os.makedirs(src)
+    spark.createDataFrame(batch1, EV_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+    q = (stream_top_paths(stream, n=2).writeStream.format("memory")
+         .queryName("paths_out").outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        mid = spark.sql("SELECT * FROM paths_out").toPandas()
+        m1 = mid[(mid.user == 1)
+                 & (mid.groupby("user")["ver"].transform("max")
+                    == mid["ver"])]
+        assert {(r.path, int(r.n)) for r in
+                m1.itertuples(index=False)} == {("a > c", 1)}
+        spark.createDataFrame(batch2, EV_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM paths_out").toPandas()
+    finally:
+        q.stop()
+
+    latest = pdf[pdf.groupby("user")["ver"].transform("max")
+                 == pdf["ver"]]
+    agg: dict = {}
+    for r in latest.itertuples(index=False):
+        agg[r.path] = agg.get(r.path, 0) + int(r.n)
+
+    all_events = spark.createDataFrame(batch1 + batch2, EV_SCHEMA)
+    ev = all_events.selectExpr("user_id", "event_type",
+                               "cast(ts as long) as sec", "event_id")
+    want = {r["path"]: int(r["n_occurrences"])
+            for r in top_event_paths(ev, n=2, top_k=100).collect()}
+    assert agg == want
+    assert "a > c" not in agg          # the rewire really happened
+    assert agg["a > b"] == 1 and agg["b > c"] == 1
