@@ -524,3 +524,86 @@ SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences,
 FROM paths GROUP BY path
 ORDER BY n_occurrences DESC, path LIMIT {top_k}
 """
+
+
+def funnel_gap_quantiles(events: DataFrame, steps: Sequence[str],
+                         percents: Sequence[int] = (50, 90, 99),
+                         user_col: str = "user_id", ts_col: str = "ts",
+                         type_col: str = "event_type",
+                         max_gap_seconds: int | None = None) -> DataFrame:
+    """EXACT step-to-step conversion-lag percentiles — the
+    distribution ``funnel_report``'s mean hides (a P99 stuck at hours
+    while the mean looks fine is the classic funnel pathology): per
+    step transition k (2..len(steps)), the exact lower quantiles of
+    ``t_k − t_{k−1}`` over converting users.
+
+    Composition: :func:`funnel_user_steps` (one corpus fold) melts to
+    (step_idx, gap_seconds) rows, then the bounded-domain histogram
+    walk (``exact_quantiles.group_quantiles``) reads every percentile
+    off one cumulative pass — no per-group value buffering, no global
+    sort; the histogram is (step, distinct-gap)-scale. Output:
+    (step_idx, n_rows, p<q>…) — integer seconds, engine-identical.
+    """
+    from rgd_rnaseq_workflows_spark.operators.exact_quantiles import (
+        group_quantiles)
+    per = funnel_user_steps(events, steps, user_col, ts_col, type_col,
+                            max_gap_seconds)
+    arms = F.array(*[
+        F.struct(F.lit(i + 2).cast("long").alias("step_idx"),
+                 (F.col(f"t{i + 2}") - F.col(f"t{i + 1}"))
+                 .cast("long").alias("gap"))
+        for i in range(len(steps) - 1)])
+    gaps = (per.select(F.explode(arms).alias("g"))
+            .select("g.*").filter(F.col("gap").isNotNull()))
+    return (group_quantiles(gaps, "step_idx", "gap", list(percents))
+            .orderBy("step_idx"))
+
+
+def funnel_gap_quantiles_sql(src: str, steps: Sequence[str],
+                             percents: Sequence[int] = (50, 90, 99),
+                             user_col: str = "user_id",
+                             ts_col: str = "ts",
+                             type_col: str = "event_type",
+                             max_gap_seconds: int | None = None) -> str:
+    """DuckDB twin of :func:`funnel_gap_quantiles` — the funnel twin's
+    per-user step-time chain melted to gaps, then the shared
+    histogram-walk quantile SQL over the (step, gap) relation."""
+    from rgd_rnaseq_workflows_spark.operators.exact_quantiles import (
+        group_quantiles_sql)
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    arrs = ",\n         ".join(
+        f"list_sort(list(tsec) FILTER (WHERE {type_col} = '{s}')) AS a{i}"
+        for i, s in enumerate(steps))
+    tchain = ["a0[1] AS t1"]
+    for i in range(1, len(steps)):
+        gap = ("" if max_gap_seconds is None
+               else f" AND x <= t{i} + {max_gap_seconds}")
+        tchain.append(
+            f"CASE WHEN t{i} IS NOT NULL THEN "
+            f"(list_filter(a{i}, x -> x > t{i}{gap}))[1] END AS t{i + 1}")
+    tsel = "SELECT user_id_, " + tchain[0] + ", " + \
+        ", ".join(f"a{i}" for i in range(1, len(steps))) + " FROM per"
+    for i in range(1, len(steps)):
+        keep = ", ".join(f"a{j}" for j in range(i + 1, len(steps)))
+        keep = (", " + keep) if keep else ""
+        tsel = (f"SELECT user_id_, "
+                + ", ".join(f"t{j}" for j in range(1, i + 1))
+                + f", {tchain[i]}{keep} FROM ({tsel})")
+    gap_arms = " UNION ALL ".join(
+        f"SELECT {i + 2} AS step_idx, t{i + 2} - t{i + 1} AS gap "
+        f"FROM times WHERE t{i + 2} IS NOT NULL"
+        for i in range(len(steps) - 1))
+    gaps_rel = f"""(
+WITH f AS (
+  SELECT {user_col} AS user_id_, {type_col},
+         CAST(floor(epoch({ts_col})) AS BIGINT) AS tsec
+  FROM {src} WHERE {type_col} IN ({in_list})),
+per AS (
+  SELECT user_id_,
+         {arrs}
+  FROM f GROUP BY user_id_),
+times AS ({tsel})
+{gap_arms})"""
+    inner = group_quantiles_sql(gaps_rel, "step_idx", "gap",
+                                list(percents))
+    return f"SELECT * FROM ({inner}) ORDER BY step_idx"

@@ -4223,3 +4223,28 @@ def ann_truncation_report(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return truncation_recall_report(emb, _RECALL_QUERY_IDS,
                                     [8, 16, 32], k=10)
+
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _funnel_gapq_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        funnel_gap_quantiles_sql)
+    return funnel_gap_quantiles_sql("events", _FUNNEL_STEPS,
+                                    percents=(50, 90, 99))
+
+
+@q("events_funnel_gap_quantiles", ("FUNNEL-GAPQ",),
+   oracle=_funnel_gapq_oracle(),
+   note="exact step-to-step conversion-lag percentiles - the "
+        "distribution the funnel's mean hides: per transition, exact "
+        "lower quantiles of t_k - t_(k-1) via ONE corpus fold (the "
+        "funnel per-user step chain) melted to gaps + the bounded-"
+        "domain histogram walk - no per-group buffering, no global "
+        "sort; (step, distinct-gap)-scale state")
+def events_funnel_gap_quantiles(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        funnel_gap_quantiles)
+    e = _events(spark, sf_dir)
+    return funnel_gap_quantiles(e, _FUNNEL_STEPS, percents=(50, 90, 99))

@@ -360,3 +360,59 @@ def test_top_paths_reject_bad_params(spark):
         top_event_paths(df, n=3, cap_per_user=2)
     with pytest.raises(ValueError):
         top_event_paths_sql("t", top_k=0)
+
+
+# ---------------------------------------------------------------------------
+# funnel gap quantiles
+# ---------------------------------------------------------------------------
+
+def test_funnel_gap_quantiles_exact_values(spark):
+    """Hand-checkable: three converting users with gaps 10/20/40 —
+    p50 is the exact lower median (20), p100 the max."""
+    from datetime import datetime
+
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        funnel_gap_quantiles)
+    t = lambda s: datetime.fromtimestamp(s)
+    rows = [(1, t(0), 1, "a"), (2, t(10), 1, "b"),
+            (3, t(0), 2, "a"), (4, t(20), 2, "b"),
+            (5, t(0), 3, "a"), (6, t(40), 3, "b"),
+            (7, t(0), 4, "a")]                     # never converts
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    [r] = funnel_gap_quantiles(df, ["a", "b"],
+                               percents=(50, 100)).collect()
+    assert (r["step_idx"], r["n_rows"], r["p50"], r["p100"]) == \
+        (2, 3, 20, 40)
+
+
+def test_funnel_gap_quantiles_matches_duckdb_twin(spark):
+    import random
+    from datetime import datetime
+
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        funnel_gap_quantiles, funnel_gap_quantiles_sql)
+    t = lambda s: datetime.fromtimestamp(s)
+    rng = random.Random(9)
+    rows, eid = [], 0
+    for u in range(30):
+        base = rng.randint(0, 500)
+        for st, lo, hi in (("view", 0, 0), ("click", 1, 60),
+                           ("purchase", 61, 300)):
+            if st == "view" or rng.random() < 0.7:
+                rows.append((eid, t(base + rng.randint(lo, hi)),
+                             u, st))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    steps = ["view", "click", "purchase"]
+    got = [tuple(r) for r in funnel_gap_quantiles(df, steps).collect()]
+    con = duckdb.connect()
+    con.register("ev", df.toPandas())
+    exp = [tuple(r) for r in con.execute(
+        funnel_gap_quantiles_sql("ev", steps)).fetchall()]
+    assert got == exp and len(got) == 2
