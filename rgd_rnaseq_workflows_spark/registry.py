@@ -1626,66 +1626,61 @@ def text_zipf_head_stats(spark, sf_dir):
 # prior round are surfaced first so every registry entry accumulates a
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
-    # round-7 window (standing rotation, ≤3-round evidence age; see
-    # tools/rotation_check.py which enforces this mechanically).  Head:
-    # the 6 queries that have never had a driver row (round-6 window
-    # overflow; all judge-oracle-verified at sf0.01 in r6), then 44 of
-    # the 50 r4-stamped rows whose evidence reaches age 3 at r7.  The 6
-    # r4 rows deferred to lead r8 (agg4_dedup_keep_first, agg9_histogram,
-    # set1_union, set2_intersect, f16_date_arithmetic, f17_url_template)
-    # are the ones with independent golden-byte / trivial-builtin test
-    # evidence; the 50 r5-stamped rows follow them in the r8 queue.
-    "sample_pps_systematic",
-    "graph_kcore_filter",
-    "linkage_golden_records",
-    "quality_quantile_norm",
-    "split_semantic_leakage",
-    "profile_expectations",
-    # r4-stamped refreshes (44)
-    "agg7_binned_rate",
-    "agg8_ratio_classify",
-    "aggp1_pivot_matrix",
-    "srt_topk_global",
-    "src7_json_extract",
-    "stream_window_agg",
-    "stream_sessionize",
-    "stream_interval_join",
-    "dedup_exact_stats",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_keepers",
-    "text_quality_features",
-    "text_lang_id",
-    "text_token_stats",
-    "text_fingerprint",
-    "ann_cosine_topk",
-    "ann_embedding_neardup",
-    "asof_join_events",
-    "range_join_dim",
-    "rollup_aggregate",
-    "agg_percentiles",
-    "agg_percentiles_approx",
-    "text_bpe_tokens",
-    "ann_ivf_topk",
-    "corpus_curation",
-    "skew_salted_agg",
-    "text_bm25_topk",
-    "quality_lm_buckets",
-    "sketch_hll_distinct",
-    "dsir_importance",
-    "dedup_passages",
-    "embedding_random_projection",
-    "bloom_semi_join",
-    "sketch_hll_by_group",
-    "dedup_passage_rewrite",
-    "tokenizer_bpe_encode",
-    "sketch_cms_heavy_hitters",
-    "snapshot_apply_merge",
-    "graph_pagerank_neardup",
-    "sketch_log2_quantiles",
-    "rag_chunk_documents",
-    "winnow_partial_overlap",
+    # round-8 window (standing rotation, <=3-round evidence age; head is
+    # exactly tools/rotation_check.py --plan at r8 entry): the 11 r7
+    # queries that have never had a driver row (all judge-verified at
+    # sf0.01 in VERDICT r7), then the 6 age-4 r4 rows at hard deadline,
+    # then the oldest r5-stamped rows in registry order.
+    "events_attribution",
+    "dedup_cdc_chunks",
+    "dedup_cdc_pairs",
+    "layout_hilbert_stats",
+    "ann_recall_report",
+    "events_top_paths",
+    "profile_correlations",
+    "profile_fk_candidates",
+    "dedup_cdc_keepers",
+    "ann_truncation_report",
+    "events_funnel_gap_quantiles",
+    "agg4_dedup_keep_first",
+    "agg9_histogram",
+    "set1_union",
+    "set2_intersect",
+    "f16_date_arithmetic",
+    "f17_url_template",
+    "prj3_computed_projection",
+    "fil4_threshold_status",
+    "fil6_regex_predicates",
+    "fil8_in_list_slice",
+    "f13_case_buckets",
+    "jn1_semi_join",
+    "set3_anti_join",
+    "jn2_broadcast_annotate",
+    "jn5_lookup_default",
+    "jn6_outer_validation",
+    "agg1_count_distinct",
+    "agg2_collect_sorted_list",
+    "agg3_first_per_group",
+    "win1_dense_rank_palette",
+    "win2_topk_per_group",
+    "stream_sliding_topk",
+    "stratified_hash_sample",
+    "contamination_ngram",
+    "text_redact_pii",
+    "kmeans_embeddings",
+    "semdedup_embeddings",
+    "quality_repetition",
+    "dedup_ngram_coverage",
+    "pack_sequences",
+    "corpus_shard_manifest",
+    "text_tfidf_top_terms",
+    "ann_quantize_report",
+    "ann_int8_topk",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivfpq_topk",
+    "sample_temperature_mix",
+    "cap_per_source",
 )
 
 
