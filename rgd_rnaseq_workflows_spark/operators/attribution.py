@@ -55,12 +55,21 @@ def multi_touch_attribution(events: DataFrame,
     if lookback_sec < 1:
         raise ValueError("lookback_sec must be >= 1")
     sec = F.col(sec_col).cast("long")
+    # value >= 0 is a hard contract (NULL reads as 0): Spark div/%
+    # truncate toward zero while DuckDB // floors, so negative cents
+    # would break sum(credit) == cents AND cross-engine equality.
+    # Refunds must be netted out upstream; we fail loudly instead of
+    # mis-crediting.
+    val = F.coalesce(F.col(value_col), F.lit(0.0))
+    cents = F.when(val >= 0, F.round(val * 100).cast("long")).otherwise(
+        F.raise_error(F.lit(
+            "multi_touch_attribution: negative conversion value — "
+            "value >= 0 required (net refunds upstream)")).cast("long"))
     conv = (events.filter(F.col(type_col) == conv_type)
             .select(F.col(user_col).alias("u"),
                     F.col(id_col).alias("conv_id"),
                     sec.alias("conv_sec"),
-                    F.round(F.col(value_col) * 100).cast("long")
-                    .alias("cents")))
+                    cents.alias("cents")))
     touch = (events.filter(F.col(type_col).isin(list(touch_types)))
              .select(F.col(user_col).alias("u"),
                      F.col(id_col).alias("touch_id"),
@@ -122,7 +131,10 @@ WITH ev AS ({src}),
 conv AS (
   SELECT {user_col} AS u, {id_col} AS conv_id,
          CAST({sec_col} AS BIGINT) AS conv_sec,
-         CAST(round({value_col} * 100) AS BIGINT) AS cents
+         CASE WHEN coalesce({value_col}, 0) >= 0
+              THEN CAST(round(coalesce({value_col}, 0) * 100) AS BIGINT)
+              ELSE error('multi_touch_attribution: negative conversion '
+                         'value - value >= 0 required') END AS cents
   FROM ev WHERE {type_col} = '{conv_type}'),
 touch AS (
   SELECT {user_col} AS u, {id_col} AS touch_id,

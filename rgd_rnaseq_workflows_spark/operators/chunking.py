@@ -277,7 +277,33 @@ def cdc_containment_pairs(docs: DataFrame, k: int = 2,
     if max_chunk_df < 2:
         raise ValueError("max_chunk_df must be >= 2 (a pair needs df 2)")
     ch = chunk_sets(docs, k, divisor, id_col, text_col)
-    sizes = ch.groupBy("_id").agg(F.count("*").alias("_nc"))
+    sizes = _chunk_sizes(ch)
+    return (_containment_pairs_from_chunks(
+        ch, sizes, min_shared, min_containment_bp, max_chunk_df)
+            .select("id_a", "id_b", "shared_chunks", "containment_bp")
+            .orderBy("id_a", "id_b"))
+
+
+def _chunk_sizes(ch: DataFrame) -> DataFrame:
+    """Per-doc distinct-chunk counts (_id, _nc) off a frozen chunk-set
+    frame, lazily checkpointed because pairs AND keepers consume it
+    from multiple join branches (both pair sides, the keeper output) —
+    without the freeze each branch re-runs the aggregation."""
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    return checkpoint_df(
+        ch.groupBy("_id").agg(F.count("*").cast("long").alias("_nc")),
+        eager=False)
+
+
+def _containment_pairs_from_chunks(ch: DataFrame, sizes: DataFrame,
+                                   min_shared: int,
+                                   min_containment_bp: int,
+                                   max_chunk_df: int) -> DataFrame:
+    """Pair generation over a PREBUILT chunk-set frame — shared by
+    :func:`cdc_containment_pairs` and :func:`cdc_containment_keepers`
+    so the corpus chunk build runs exactly once per caller. Keeps the
+    per-side sizes (_na, _nb) so the keeper's drop rule reads them
+    without re-joining the sizes table."""
     rare = (ch.groupBy("_h").agg(F.count("*").alias("_df"))
             .filter(F.col("_df") <= max_chunk_df).select("_h"))
     kept = ch.join(rare, "_h")
@@ -296,9 +322,7 @@ def cdc_containment_pairs(docs: DataFrame, k: int = 2,
             .withColumn("containment_bp",
                         F.expr("10000 * shared_chunks div "
                                "least(_na, _nb)").cast("long"))
-            .filter(F.col("containment_bp") >= min_containment_bp)
-            .select("id_a", "id_b", "shared_chunks", "containment_bp")
-            .orderBy("id_a", "id_b"))
+            .filter(F.col("containment_bp") >= min_containment_bp))
 
 
 def cdc_containment_pairs_sql(table: str, k: int = 2,
@@ -385,34 +409,31 @@ def cdc_containment_keepers(docs: DataFrame, k: int = 2,
     set algebra (an anti-join), no iteration. Output: (doc_id,
     n_chunks, kept) for every chunked doc.
 
-    Scale shape: :func:`cdc_containment_pairs`' equi-join plus one
-    value-scale anti-join; the corpus never joins row-level.
+    Scale shape: ONE chunk build (the frozen :func:`chunk_sets` frame
+    and its checkpointed per-doc sizes feed pair generation AND the
+    keeper output — no second corpus scan), the chunk-hash equi-join,
+    then one value-scale outer join against the loser set.
     """
-    pairs = cdc_containment_pairs(
-        docs, k=k, divisor=divisor, min_shared=min_shared,
-        min_containment_bp=min_containment_bp,
-        max_chunk_df=max_chunk_df, id_col=id_col, text_col=text_col)
-    sizes = (chunk_sets(docs, k, divisor, id_col, text_col)
-             .groupBy("_id").agg(F.count("*").cast("long")
-                                 .alias("n_chunks")))
-    sa = sizes.select(F.col("_id").alias("id_a"),
-                      F.col("n_chunks").alias("_na"))
-    sb = sizes.select(F.col("_id").alias("id_b"),
-                      F.col("n_chunks").alias("_nb"))
-    losers = (pairs.join(sa, "id_a").join(sb, "id_b")
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    if not 0 <= min_containment_bp <= 10000:
+        raise ValueError("min_containment_bp must be in [0, 10000]")
+    if max_chunk_df < 2:
+        raise ValueError("max_chunk_df must be >= 2 (a pair needs df 2)")
+    ch = chunk_sets(docs, k, divisor, id_col, text_col)
+    sizes = _chunk_sizes(ch)
+    pairs = _containment_pairs_from_chunks(
+        ch, sizes, min_shared, min_containment_bp, max_chunk_df)
+    losers = (pairs
               .select(F.when((F.col("_na") > F.col("_nb"))
                              | ((F.col("_na") == F.col("_nb"))
                                 & (F.col("id_a") < F.col("id_b"))),
                              F.col("id_b"))
-                      .otherwise(F.col("id_a")).alias("_loser"))
+                      .otherwise(F.col("id_a")).alias("_id"))
               .distinct())
-    return (sizes.join(losers.withColumnRenamed("_loser", "_id"),
-                       "_id", "left_anti")
-            .withColumn("kept", F.lit(True))
-            .unionByName(
-                sizes.join(losers.withColumnRenamed("_loser", "_id"),
-                           "_id", "left_semi")
-                .withColumn("kept", F.lit(False)))
+    return (sizes.withColumnRenamed("_nc", "n_chunks")
+            .join(losers.withColumn("_lost", F.lit(True)), "_id", "left")
+            .withColumn("kept", F.col("_lost").isNull())
             .select(F.col("_id").alias(id_col), "n_chunks", "kept")
             .orderBy(id_col))
 

@@ -474,6 +474,7 @@ def top_event_paths(events: DataFrame, n: int = 3, top_k: int = 20,
     if top_k < 1 or cap_per_user < n:
         raise ValueError("need top_k >= 1 and cap_per_user >= n")
     per_user = (events
+                .filter(F.col(type_col).isNotNull())
                 .select(F.col(user_col).alias("u"),
                         F.struct(F.col(sec_col).cast("long").alias("s"),
                                  F.col(tiebreak).alias("t"),
@@ -512,7 +513,7 @@ per_user AS (
          list_slice(list({type_col}
            ORDER BY CAST({sec_col} AS BIGINT), {tiebreak}),
            1, {cap_per_user}) AS seq
-  FROM ev GROUP BY 1),
+  FROM ev WHERE {type_col} IS NOT NULL GROUP BY 1),
 paths AS (
   SELECT u, unnest(list_transform(
     range(1, greatest(len(seq) - {n - 1}, 0) + 1),

@@ -203,13 +203,18 @@ def run(args: argparse.Namespace) -> int:
         curated = decontaminate(curated, bench, shingle_n=args.contam_n,
                                 min_shared=args.min_shared)
     if args.cdc_containment is not None:
+        import pyspark.sql.functions as F
         from rgd_rnaseq_workflows_spark.operators.chunking import (
             cdc_containment_keepers)
         with _stage("cdc containment drop (keep-the-larger)"):
-            keep = (cdc_containment_keepers(
+            # anti-join against the LOSERS (kept=false), not semi-join
+            # on winners: the keeper report only covers chunkable docs,
+            # and this stage drops contained duplicates ONLY — a zero-
+            # token doc is absent from the report and must pass through
+            drop = (cdc_containment_keepers(
                 curated, min_containment_bp=args.cdc_containment)
-                .filter("kept").select("doc_id"))
-            curated = curated.join(keep, "doc_id", "left_semi")
+                .filter(~F.col("kept")).select("doc_id"))
+            curated = curated.join(drop, "doc_id", "left_anti")
     mix_modes = sum(bool(m) for m in
                     (args.mix, args.temperature_mix is not None,
                      args.epoch_budget is not None))

@@ -561,6 +561,10 @@ def _attribution_fn(ttl_ms: int, conv_type: str, touch_types: tuple,
         for s, e, t, v in zip(cat["sec"], cat["event_id"],
                               cat["event_type"], cat["value"]):
             # HALF_UP for non-negative values — F.round / DuckDB round
+            if pd.notna(v) and float(v) < 0 and str(t) == conv_type:
+                raise ValueError(
+                    "stream_attribution: negative conversion value — "
+                    "value >= 0 required (net refunds upstream)")
             c = int(math.floor(float(v) * 100 + 0.5)) if pd.notna(v) else 0
             byid[int(e)] = (int(s), str(t), c)
         obs = sorted(((s, e, t, c) for e, (s, t, c) in byid.items()),
@@ -586,6 +590,11 @@ def _attribution_fn(ttl_ms: int, conv_type: str, touch_types: tuple,
                                        dtype="Int64"),
             "ver": pd.array([ver] * n, dtype="Int64"),
         })
+        if ttl_ms:
+            max_ts = max(int(pdf["ts"].max().timestamp() * 1000)
+                         for pdf in batches)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(max_ts + ttl_ms, wm + 1))
 
     return update
 
@@ -672,7 +681,9 @@ def _paths_fn(ttl_ms: int, n: int, cap_per_user: int):
                 zip(secs, eids, attrs)}
         for s, e, a in zip(cat["sec"], cat["event_id"],
                            cat["event_type"]):
-            byid[int(e)] = (int(s), None if pd.isna(a) else str(a))
+            if pd.isna(a):
+                continue    # null-type contract: dropped, like the
+            byid[int(e)] = (int(s), str(a))    # batch twin's filter
         obs = sorted(((s, e, a) for e, (s, a) in byid.items()),
                      key=lambda t: (t[0], t[1]))
         state.update((
@@ -694,6 +705,11 @@ def _paths_fn(ttl_ms: int, n: int, cap_per_user: int):
             "n": pd.array([counts[p] for p in ks], dtype="Int64"),
             "ver": pd.array([ver] * m, dtype="Int64"),
         })
+        if ttl_ms:
+            max_ts = max(int(pdf["ts"].max().timestamp() * 1000)
+                         for pdf in batches)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(max_ts + ttl_ms, wm + 1))
 
     return update
 

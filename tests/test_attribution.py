@@ -85,3 +85,43 @@ def test_rejects_bad_input(spark):
         multi_touch_attribution(df, lookback_sec=0)
     with pytest.raises(ValueError):
         multi_touch_attribution_sql("SELECT 1", touch_types=())
+
+
+def test_negative_conversion_value_raises(spark):
+    """value >= 0 is a hard contract (div/% sign semantics diverge
+    across Spark, DuckDB and the streaming kernel): both engines must
+    fail loudly on a refund-valued conversion, and a NULL value reads
+    as 0 cents in both."""
+    import duckdb
+    from pyspark.errors import SparkRuntimeException
+
+    rows = [(1, "click", 100, 0.0, 11), (1, "purchase", 300, -10.0, 13)]
+    df = spark.createDataFrame(rows, COLS)
+    with pytest.raises(SparkRuntimeException,
+                       match="negative conversion value"):
+        multi_touch_attribution(df, lookback_sec=1000).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raw_events(user_id INT, event_type VARCHAR,"
+                " sec BIGINT, value DOUBLE, event_id INT)")
+    con.executemany("INSERT INTO raw_events VALUES (?, ?, ?, ?, ?)", rows)
+    with pytest.raises(duckdb.Error, match="negative conversion value"):
+        con.execute(multi_touch_attribution_sql(
+            "SELECT user_id, event_type, sec, value, event_id "
+            "FROM raw_events", lookback_sec=1000)).fetchall()
+    # NULL conversion value -> 0 cents, no error, engines agree
+    rows_null = [(1, "click", 100, 0.0, 11),
+                 (1, "purchase", 300, None, 13)]
+    got = sorted(tuple(r) for r in multi_touch_attribution(
+        spark.createDataFrame(rows_null, COLS),
+        lookback_sec=1000).collect())
+    con2 = duckdb.connect()
+    con2.execute("CREATE TABLE raw_events(user_id INT, event_type "
+                 "VARCHAR, sec BIGINT, value DOUBLE, event_id INT)")
+    con2.executemany("INSERT INTO raw_events VALUES (?, ?, ?, ?, ?)",
+                     rows_null)
+    exp = sorted(tuple(r) for r in con2.execute(
+        multi_touch_attribution_sql(
+            "SELECT user_id, event_type, sec, value, event_id "
+            "FROM raw_events", lookback_sec=1000)).fetchall())
+    assert got == exp
+    assert all(c == 0 for *_, c in got)

@@ -566,3 +566,33 @@ def test_corpus_cli_cdc_containment_drop(spark, tmp_out):
     kept = sorted(r["doc_id"] for r in
                   spark.read.parquet(f"{out}/curated").collect())
     assert kept == [1, 3]
+
+
+def test_corpus_cli_cdc_containment_keeps_unchunkable_docs(spark, tmp_out):
+    """The containment stage drops contained DUPLICATES only: a zero-
+    token doc (absent from the keeper report because it cannot be
+    chunked) must pass through unchanged (ADVICE-r7 — the stage now
+    anti-joins the losers instead of semi-joining the winners)."""
+    import os
+
+    from rgd_rnaseq_workflows_spark import run_corpus
+    tail = ("and the barn was red for it is near the house "
+            "of the dog and the cat runs to the fields")
+    big = BASE + " " + tail
+    excerpt = "shifted " + BASE
+    # lang_id('') falls back to 'de' (no stopword hits) — label the
+    # empty doc 'de' so curation's language gate keeps it and the
+    # containment stage is what decides its fate
+    rows = [(1, "en", "web", big), (2, "en", "web", excerpt),
+            (3, "de", "web", "   ")]         # whitespace-only doc
+    src = os.path.join(tmp_out, "cdc_zero_docs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"]) \
+        .write.parquet(src)
+    out = os.path.join(tmp_out, "cdc_zero_out")
+    rc = run_corpus.main(["--docs", src, "--out", out,
+                          "--min-tokens", "0", "--threshold", "0.99",
+                          "--cdc-containment", "5000"])
+    assert rc == 0
+    kept = sorted(r["doc_id"] for r in
+                  spark.read.parquet(f"{out}/curated").collect())
+    assert kept == [1, 3]      # excerpt dropped, empty doc kept

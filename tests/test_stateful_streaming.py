@@ -487,3 +487,127 @@ def test_stream_top_paths_equals_batch_out_of_order(spark, tmp_out):
     assert agg == want
     assert "a > c" not in agg          # the rewire really happened
     assert agg["a > b"] == 1 and agg["b > c"] == 1
+
+
+def test_stream_attribution_state_eviction(spark, tmp_out):
+    """Event-time TTL evicts an idle user's attribution state once the
+    watermark passes last event + ttl (the ADVICE-r7 fix: the kernel
+    must ARM the timeout, not just select EventTimeTimeout)."""
+    from datetime import datetime
+    from rgd_rnaseq_workflows_spark.streaming.stateful import (
+        stream_attribution)
+
+    t = lambda sec: datetime.fromtimestamp(sec)
+    src = os.path.join(tmp_out, "attr_ttl_src")
+    os.makedirs(src)
+    spark.createDataFrame([(1, t(100), 1, "purchase", 1.0)], EVV_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(EVV_SCHEMA).parquet(src)
+    q = (stream_attribution(stream, ttl="10 seconds")
+         .writeStream.format("memory").queryName("attr_ttl")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        assert _state_rows(q) == 1
+        spark.createDataFrame([(2, t(10_000), 2, "purchase", 1.0)],
+                              EVV_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # one more trigger lets the store apply the timeout
+        spark.createDataFrame([(3, t(10_001), 2, "purchase", 1.0)],
+                              EVV_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert _state_rows(q) == 1      # only user 2 remains
+    finally:
+        q.stop()
+
+
+def test_stream_top_paths_state_eviction(spark, tmp_out):
+    """Event-time TTL evicts an idle user's path state once the
+    watermark passes last event + ttl."""
+    from datetime import datetime
+    from rgd_rnaseq_workflows_spark.streaming.stateful import (
+        stream_top_paths)
+
+    t = lambda sec: datetime.fromtimestamp(sec)
+    src = os.path.join(tmp_out, "paths_ttl_src")
+    os.makedirs(src)
+    spark.createDataFrame([(1, t(100), 1, "a")], EV_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+    q = (stream_top_paths(stream, n=2, ttl="10 seconds")
+         .writeStream.format("memory").queryName("paths_ttl")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        assert _state_rows(q) == 1
+        spark.createDataFrame([(2, t(10_000), 2, "b")], EV_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame([(3, t(10_001), 2, "b")], EV_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert _state_rows(q) == 1      # only user 2 remains
+    finally:
+        q.stop()
+
+
+def test_stream_top_paths_null_type_matches_batch(spark, tmp_out):
+    """Null event types are DROPPED before n-gramming in BOTH twins
+    (the pinned contract): a null mid-sequence neither crashes the
+    streaming kernel nor produces a collapsed batch path."""
+    from datetime import datetime
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        top_event_paths)
+    from rgd_rnaseq_workflows_spark.streaming.stateful import (
+        stream_top_paths)
+
+    t = lambda sec: datetime.fromtimestamp(sec)
+    rows = [(1, t(10), 1, "a"), (2, t(20), 1, None), (3, t(30), 1, "c")]
+    src = os.path.join(tmp_out, "paths_null_src")
+    os.makedirs(src)
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+    q = (stream_top_paths(stream, n=2).writeStream.format("memory")
+         .queryName("paths_null").outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        pdf = spark.sql("SELECT * FROM paths_null").toPandas()
+    finally:
+        q.stop()
+    latest = pdf[pdf.groupby("user")["ver"].transform("max")
+                 == pdf["ver"]]
+    got = {r.path: int(r.n) for r in latest.itertuples(index=False)}
+
+    ev = spark.createDataFrame(rows, EV_SCHEMA).selectExpr(
+        "user_id", "event_type", "cast(ts as long) as sec", "event_id")
+    want = {r["path"]: int(r["n_occurrences"])
+            for r in top_event_paths(ev, n=2, top_k=100).collect()}
+    assert got == want == {"a > c": 1}   # null dropped, no crash
+
+
+def test_stream_attribution_negative_value_raises(spark, tmp_out):
+    """Negative conversion values are out of contract in ALL three
+    implementations — the streaming kernel fails loudly rather than
+    mis-crediting with sign-divergent rounding."""
+    from datetime import datetime
+    from rgd_rnaseq_workflows_spark.streaming.stateful import (
+        stream_attribution)
+
+    t = lambda sec: datetime.fromtimestamp(sec)
+    src = os.path.join(tmp_out, "attr_neg_src")
+    os.makedirs(src)
+    spark.createDataFrame([(1, t(100), 1, "purchase", -5.0)], EVV_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(EVV_SCHEMA).parquet(src)
+    q = (stream_attribution(stream)
+         .writeStream.format("memory").queryName("attr_neg")
+         .outputMode("update").start())
+    import pytest
+    with pytest.raises(Exception, match="negative conversion value"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
