@@ -600,26 +600,33 @@ def hyperplane_signature_sql(dims: int, n_planes: int, seed: int,
     return "CAST(" + "\n       + ".join(terms) + " AS BIGINT)"
 
 
-def _grouped_topk(scored: DataFrame, k: int,
-                  n_buckets: int = 32) -> DataFrame:
-    """Per-query top-k WITHOUT a corpus-in-one-task window: phase 1
-    ranks inside (query, hash-bucket) partitions (corpus/buckets rows
-    each), phase 2 ranks the q × buckets × k survivors — the
+def _grouped_topk(scored: DataFrame, k: int, n_buckets: int = 32,
+                  extra: tuple[str, ...] = ()) -> DataFrame:
+    """Per-group top-k WITHOUT a corpus-in-one-task window: phase 1
+    ranks inside (group, hash-bucket) partitions (corpus/buckets rows
+    each), phase 2 ranks the groups × buckets × k survivors — the
     cap_per_source two-phase discipline. Bucketing never changes the
     result (a global top-k row is a top-k row of its bucket); ranks
-    are total-ordered by (sim desc, id)."""
+    are total-ordered by (sim desc, id).
+
+    ``extra`` names additional ranking-group columns beyond ``qid``
+    (the shared kernel for the eval reports: MELT every ranking —
+    truth arm, candidate arm, each truncation level — into one frame
+    keyed by (qid, *extra) so a single two-phase pass serves them all,
+    instead of one exchange-pair per ranking)."""
     from pyspark.sql import Window
+    keys = ["qid", *extra]
     bkt = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_buckets))
-    w1 = (Window.partitionBy("qid", "_bkt")
+    w1 = (Window.partitionBy(*keys, "_bkt")
           .orderBy(F.desc("cosine_sim"), F.col("vec_id")))
-    w2 = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"),
+    w2 = Window.partitionBy(*keys).orderBy(F.desc("cosine_sim"),
                                            F.col("vec_id"))
     return (scored.withColumn("_bkt", bkt)
             .withColumn("_rb", F.row_number().over(w1))
             .filter(F.col("_rb") <= k)
             .withColumn("rn", F.row_number().over(w2))
             .filter(F.col("rn") <= k)
-            .select("qid", "vec_id", "rn"))
+            .select(*keys, "vec_id", "rn"))
 
 
 def retrieval_recall_report(emb: DataFrame, query_ids: list[int],
@@ -637,9 +644,10 @@ def retrieval_recall_report(emb: DataFrame, query_ids: list[int],
     sides (its self-match would fake recall).
 
     Scale shape: queries broadcast (a handful of rows); the corpus is
-    scanned once for all queries; per-query ranking is the TWO-PHASE
-    bucketed top-k (no corpus-in-one-task window — the cap_per_source
-    discipline); the report is |queries| rows.
+    scanned once for all queries; truth and candidate arms MELT into
+    one (qid, arm) frame so a single two-phase bucketed top-k ranks
+    both (no corpus-in-one-task window, no per-arm exchange pair);
+    the report is |queries| rows.
     """
     if not query_ids:
         raise ValueError("query_ids must be non-empty")
@@ -659,22 +667,41 @@ def retrieval_recall_report(emb: DataFrame, query_ids: list[int],
               .filter(F.col("vec_id") != F.col("qid"))
               .withColumn("cosine_sim",
                           F.round(cos(F.col("_v"), F.col("_qv")), 6)))
-    truth = _grouped_topk(joined.select("qid", "vec_id", "cosine_sim"), k)
-    cand = joined.filter(
-        F.bit_count(F.col("_sig").bitwiseXOR(F.col("_qsig")))
-        <= max_hamming)
-    approx = _grouped_topk(cand.select("qid", "vec_id", "cosine_sim"), k)
-    hits = (truth.join(approx, ["qid", "vec_id"])
+    # arm 0 = exact truth (every row), arm 1 = LSH candidates (null
+    # sim outside the hamming ball, dropped before ranking)
+    in_ball = (F.bit_count(F.col("_sig").bitwiseXOR(F.col("_qsig")))
+               <= max_hamming)
+    melted = (joined.select("qid", "vec_id", F.explode(F.array(
+        F.struct(F.lit(0).alias("arm"),
+                 F.col("cosine_sim").alias("cosine_sim")),
+        F.struct(F.lit(1).alias("arm"),
+                 F.when(in_ball, F.col("cosine_sim"))
+                 .alias("cosine_sim")))).alias("_a"))
+        .select("qid", "vec_id", "_a.arm", "_a.cosine_sim")
+        .filter(F.col("cosine_sim").isNotNull()))
+    # ranked is <= |q| * 2 * k rows but its lineage is the full corpus
+    # melt + ranking; freeze it so truth/approx/hits/mrr branches read
+    # the tiny result instead of re-running the corpus subtree
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    ranked = checkpoint_df(_grouped_topk(melted, k, extra=("arm",)),
+                           eager=False)
+    truth = ranked.filter(F.col("arm") == 0).select("qid", "vec_id", "rn")
+    approx = (ranked.filter(F.col("arm") == 1)
+              .select("qid", "vec_id", "rn"))
+    # every post-ranking frame is <= |q| * arms * k rows -> broadcast
+    hits = (truth.join(F.broadcast(approx.select("qid", "vec_id")),
+                       ["qid", "vec_id"])
             .groupBy("qid").agg(F.count("*").cast("long").alias("n_hits")))
     mrr = (truth.filter(F.col("rn") == 1)
-           .join(approx.select("qid", "vec_id",
-                               F.col("rn").alias("_arn")),
+           .join(F.broadcast(approx.select("qid", "vec_id",
+                                           F.col("rn").alias("_arn"))),
                  ["qid", "vec_id"], "left")
            .select("qid", F.coalesce(F.expr("1000000 div _arn"),
                                      F.lit(0)).cast("long")
                    .alias("mrr_e6")))
     return (queries.select("qid")
-            .join(hits, "qid", "left").join(mrr, "qid", "left")
+            .join(F.broadcast(hits), "qid", "left")
+            .join(F.broadcast(mrr), "qid", "left")
             .select(F.col("qid").alias("query_id"),
                     F.coalesce("n_hits", F.lit(0)).cast("long")
                     .alias("n_hits"),
@@ -753,7 +780,9 @@ def truncation_recall_report(emb: DataFrame, query_ids: list[int],
 
     Scale shape: ONE corpus scan computes every (query, d) score —
     the truncated dot/norm reuse the same broadcast-joined row — and
-    each (query, d) ranking runs through the two-phase bucketed top-k;
+    all the rankings (full-dimension truth + every truncation level)
+    MELT into one (qid, dims) frame served by a single two-phase
+    bucketed top-k pass, instead of one exchange pair per level;
     output is |queries| × |dims_list| rows.
     """
     if not query_ids:
@@ -772,39 +801,51 @@ def truncation_recall_report(emb: DataFrame, query_ids: list[int],
     cos = cosine_kernel()
     joined = (corpus.crossJoin(F.broadcast(queries))
               .filter(F.col("vec_id") != F.col("qid")))
-    truth = _grouped_topk(
-        joined.withColumn("cosine_sim",
-                          F.round(cos(F.col("_v"), F.col("_qv")), 6))
-        .select("qid", "vec_id", "cosine_sim"), k)
-    out = None
-    for d in dims_list:
-        sliced = (joined
-                  .withColumn("cosine_sim", F.round(
-                      cos(F.slice("_v", 1, d), F.slice("_qv", 1, d)), 6))
-                  .select("qid", "vec_id", "cosine_sim"))
-        approx = _grouped_topk(sliced, k)
-        hits = (truth.join(approx, ["qid", "vec_id"])
-                .groupBy("qid").agg(F.count("*").cast("long")
-                                    .alias("n_hits")))
-        mrr = (truth.filter(F.col("rn") == 1)
-               .join(approx.select("qid", "vec_id",
-                                   F.col("rn").alias("_arn")),
-                     ["qid", "vec_id"], "left")
-               .select("qid", F.coalesce(F.expr("1000000 div _arn"),
-                                         F.lit(0)).cast("long")
-                       .alias("mrr_e6")))
-        rep = (queries.select("qid")
-               .join(hits, "qid", "left").join(mrr, "qid", "left")
-               .select(F.col("qid").alias("query_id"),
-                       F.lit(d).cast("int").alias("dims"),
-                       F.coalesce("n_hits", F.lit(0)).cast("long")
-                       .alias("n_hits"),
-                       F.expr(f"10000 * coalesce(n_hits, 0) div {k}")
-                       .cast("long").alias("recall_bp"),
-                       F.coalesce("mrr_e6", F.lit(0)).cast("long")
-                       .alias("mrr_e6")))
-        out = rep if out is None else out.unionByName(rep)
-    return out.orderBy("query_id", "dims")
+    # dims=0 is the full-dimension truth arm; every sim is computed in
+    # the same projection over the same broadcast-joined row
+    arms = [F.struct(F.lit(0).cast("int").alias("dims"),
+                     F.round(cos(F.col("_v"), F.col("_qv")), 6)
+                     .alias("cosine_sim"))]
+    arms += [F.struct(F.lit(d).cast("int").alias("dims"),
+                      F.round(cos(F.slice("_v", 1, d),
+                                  F.slice("_qv", 1, d)), 6)
+                      .alias("cosine_sim"))
+             for d in dims_list]
+    melted = (joined.select("qid", "vec_id",
+                            F.explode(F.array(*arms)).alias("_a"))
+              .select("qid", "vec_id", "_a.dims", "_a.cosine_sim"))
+    # freeze the tiny ranked frame (<= |q| * (levels+1) * k rows) so
+    # the corpus melt + ranking runs once, not once per consumer branch
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    ranked = checkpoint_df(_grouped_topk(melted, k, extra=("dims",)),
+                           eager=False)
+    truth = (ranked.filter(F.col("dims") == 0)
+             .select("qid", "vec_id", "rn"))
+    approx = ranked.filter(F.col("dims") != 0)
+    # every post-ranking frame is <= |q| * levels * k rows -> broadcast
+    hits = (truth.join(F.broadcast(approx.select("qid", "dims",
+                                                 "vec_id")),
+                       ["qid", "vec_id"])
+            .groupBy("qid", "dims")
+            .agg(F.count("*").cast("long").alias("n_hits")))
+    mrr = (truth.filter(F.col("rn") == 1)
+           .join(F.broadcast(approx.select("qid", "dims", "vec_id",
+                                           F.col("rn").alias("_arn"))),
+                 ["qid", "vec_id"])
+           .select("qid", "dims", F.expr("1000000 div _arn")
+                   .cast("long").alias("mrr_e6")))
+    base = queries.select("qid", F.explode(F.array(
+        *[F.lit(d).cast("int") for d in dims_list])).alias("dims"))
+    return (base.join(F.broadcast(hits), ["qid", "dims"], "left")
+            .join(F.broadcast(mrr), ["qid", "dims"], "left")
+            .select(F.col("qid").alias("query_id"), "dims",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.expr(f"10000 * coalesce(n_hits, 0) div {k}")
+                    .cast("long").alias("recall_bp"),
+                    F.coalesce("mrr_e6", F.lit(0)).cast("long")
+                    .alias("mrr_e6"))
+            .orderBy("query_id", "dims"))
 
 
 def truncation_recall_report_sql(emb_table: str, query_ids: list[int],
