@@ -104,6 +104,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write a training-ready shard-partitioned "
                         "copy (md5 pseudorandom shard of doc_id) plus a "
                         "per-shard manifest TSV")
+    p.add_argument("--layout", choices=["zorder", "hilbert"],
+                   default=None,
+                   help="also write a space-filling-curve clustered "
+                        "copy of the curated set (out/clustered): one "
+                        "sampled range shuffle on the curve key, so "
+                        "parquet footer min/max stats prune files for "
+                        "multi-dimensional box predicates")
+    p.add_argument("--layout-cols", default="doc_id,n_tokens",
+                   metavar="C1,C2",
+                   help="integer columns to interleave for --layout "
+                        "(default doc_id,n_tokens)")
+    p.add_argument("--layout-files", type=int, default=16,
+                   help="output file count for --layout (default 16)")
     p.add_argument("--lake", default=None, metavar="PARQUET",
                    help="existing-lake documents parquet for "
                         "--containment-report")
@@ -300,6 +313,22 @@ def run(args: argparse.Namespace) -> int:
         for r in stats.orderBy("lang").collect():
             print(f"[corpus] {r['lang']}: {r['n_docs']} docs, "
                   f"{r['total_tokens']} tokens", file=sys.stderr)
+    if args.layout:
+        cols = [c.strip() for c in args.layout_cols.split(",") if c.strip()]
+        if len(cols) < 2:
+            raise SystemExit("--layout-cols needs >= 2 columns")
+        with _stage(f"{args.layout} clustered write"):
+            final = spark.read.parquet(f"{out}/curated")
+            if args.layout == "zorder":
+                from rgd_rnaseq_workflows_spark.operators.zorder import (
+                    write_zordered)
+                write_zordered(final, f"{out}/clustered", cols,
+                               n_files=args.layout_files)
+            else:
+                from rgd_rnaseq_workflows_spark.operators.hilbert import (
+                    write_hilbert_clustered)
+                write_hilbert_clustered(final, f"{out}/clustered", cols,
+                                        n_files=args.layout_files)
     if args.chunks:
         from rgd_rnaseq_workflows_spark.operators.chunking import (
             chunk_documents)

@@ -596,3 +596,66 @@ def test_corpus_cli_cdc_containment_keeps_unchunkable_docs(spark, tmp_out):
     kept = sorted(r["doc_id"] for r in
                   spark.read.parquet(f"{out}/curated").collect())
     assert kept == [1, 3]      # excerpt dropped, empty doc kept
+
+
+def test_corpus_cli_layout_hilbert_prunes(spark, tmp_out):
+    """--layout hilbert writes a curve-clustered copy whose parquet
+    footers prune a 2-D box to a small fraction of the files, and the
+    pruned read equals the unpruned filter exactly."""
+    import os
+    import random
+
+    from rgd_rnaseq_workflows_spark import run_corpus
+    from rgd_rnaseq_workflows_spark.operators.zorder import (
+        file_manifest, pruned_read)
+
+    rng = random.Random(41)
+    words = ["the", "cat", "dog", "runs", "sun", "sky", "barn", "red",
+             "and", "is", "on", "to", "a", "in", "it", "of"]
+    rows = [(i, "en", "web",
+             " ".join(rng.choice(words) for _ in range(rng.randint(21, 60))))
+            for i in range(4000)]
+    src = os.path.join(tmp_out, "layout_docs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"]) \
+        .write.parquet(src)
+    out = os.path.join(tmp_out, "layout_out")
+    rc = run_corpus.main(["--docs", src, "--out", out,
+                          "--threshold", "0.99",
+                          "--layout", "hilbert",
+                          "--layout-cols", "doc_id,n_tokens",
+                          "--layout-files", "16"])
+    assert rc == 0
+    path = f"{out}/clustered"
+    man = file_manifest(spark, path, ["doc_id", "n_tokens"])
+    assert len(man) == 16
+    box = {"doc_id": (100, 600), "n_tokens": (21, 30)}
+    got, n_read, n_total = pruned_read(spark, path, man, box)
+    exp = (spark.read.parquet(f"{out}/curated")
+           .filter("doc_id BETWEEN 100 AND 600 "
+                   "AND n_tokens BETWEEN 21 AND 30"))
+    assert sorted(r.doc_id for r in got.collect()) == \
+        sorted(r.doc_id for r in exp.collect())
+    assert n_total == 16 and n_read <= 6
+
+
+def test_corpus_cli_layout_zorder_runs(spark, tmp_out):
+    """--layout zorder exercises the same stage through the Morton
+    key path (files written, rows conserved)."""
+    import os
+
+    from rgd_rnaseq_workflows_spark import run_corpus
+    rows = [(i, "en", "web",
+             "the cat and dog runs to the barn in the sun and the sky "
+             f"is red over field {i} where it sits on a stone")
+            for i in range(200)]
+    src = os.path.join(tmp_out, "zl_docs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"]) \
+        .write.parquet(src)
+    out = os.path.join(tmp_out, "zl_out")
+    rc = run_corpus.main(["--docs", src, "--out", out,
+                          "--threshold", "0.99",
+                          "--layout", "zorder", "--layout-files", "4"])
+    assert rc == 0
+    cl = spark.read.parquet(f"{out}/clustered")
+    cur = spark.read.parquet(f"{out}/curated")
+    assert cl.count() == cur.count()
