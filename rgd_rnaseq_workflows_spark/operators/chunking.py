@@ -85,12 +85,14 @@ def _md5_long_expr(s: str) -> str:
     return f"CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
 
 
-def _cdc_chunks(docs: DataFrame, k: int, divisor: int,
-                keep_cols: list[str], id_col: str,
-                text_col: str) -> DataFrame:
-    """Shared CDC chunk builder: (keep_cols..., _id, _h, _len) — one
-    row per chunk, built as per-document array work in the scan stage
-    (see :func:`cdc_chunk_stats` for the cut rule and scale shape)."""
+def _cdc_base(docs: DataFrame, k: int, divisor: int,
+              keep_cols: list[str], id_col: str,
+              text_col: str) -> tuple[DataFrame, str]:
+    """Shared CDC cut-rule front end: (keep_cols..., _id, _t, _e) with
+    the boundary-end array materialized, plus the span-struct
+    expression over ``_e`` — everything row-local (no aggregation), so
+    every consumer (batch chunk rows, the streaming row-local chunk
+    sets) replays identical boundaries."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if divisor < 2:
@@ -108,18 +110,46 @@ def _cdc_chunks(docs: DataFrame, k: int, divisor: int,
             f"x -> x IS NOT NULL)")
     ends2 = (f"CASE WHEN size({ends}) = 0 OR element_at({ends}, -1) <> {n} "
              f"THEN concat({ends}, array({n})) ELSE {ends} END")
-    chunk_str = "array_join(slice(_t, _s._start, _s._end - _s._start + 1), ' ')"
     spans = (f"transform(sequence(1, size(_e)), j -> named_struct("
              f"'_start', CASE WHEN j = 1 THEN 1 "
              f"ELSE element_at(_e, CAST(j AS INT) - 1) + 1 END, "
              f"'_end', element_at(_e, CAST(j AS INT))))")
-    return (base.withColumn("_e", F.expr(ends2))
-            .select(*keep_cols, "_id", "_t",
-                    F.explode(F.expr(spans)).alias("_s"))
+    return base.withColumn("_e", F.expr(ends2)).drop("_g"), spans
+
+
+def _cdc_chunks(docs: DataFrame, k: int, divisor: int,
+                keep_cols: list[str], id_col: str,
+                text_col: str) -> DataFrame:
+    """Shared CDC chunk builder: (keep_cols..., _id, _h, _len) — one
+    row per chunk, built as per-document array work in the scan stage
+    (see :func:`cdc_chunk_stats` for the cut rule and scale shape)."""
+    cut, spans = _cdc_base(docs, k, divisor, keep_cols, id_col, text_col)
+    chunk_str = "array_join(slice(_t, _s._start, _s._end - _s._start + 1), ' ')"
+    return (cut.select(*keep_cols, "_id", "_t",
+                       F.explode(F.expr(spans)).alias("_s"))
             .select(*keep_cols, "_id",
                     F.expr(_md5_long_expr(chunk_str)).alias("_h"),
                     F.expr("_s._end - _s._start + 1").cast("long")
                     .alias("_len")))
+
+
+def chunk_sets_rowlocal(docs: DataFrame, k: int = 2,
+                        divisor: int = CDC_DIVISOR,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """The distinct per-doc CDC chunk-hash rows (_id, _h) with NO
+    aggregation anywhere in the plan: the per-doc distinct folds
+    INSIDE the row (``array_distinct`` over the span-hash array before
+    the explode), so the identical expression tree runs under
+    Structured Streaming — the incremental half of the CDC containment
+    gate (a stream maintains the chunk table; the keep-the-larger
+    policy compacts over it batch-side, see
+    :func:`cdc_containment_keepers_from_chunks`)."""
+    cut, spans = _cdc_base(docs, k, divisor, [], id_col, text_col)
+    chunk_h = _md5_long_expr(
+        "array_join(slice(_t, s._start, s._end - s._start + 1), ' ')")
+    hashes = f"array_distinct(transform({spans}, s -> {chunk_h}))"
+    return cut.select("_id", F.explode(F.expr(hashes)).alias("_h"))
 
 
 def cdc_chunk_stats(docs: DataFrame, k: int = 2,
@@ -421,6 +451,14 @@ def cdc_containment_keepers(docs: DataFrame, k: int = 2,
     if max_chunk_df < 2:
         raise ValueError("max_chunk_df must be >= 2 (a pair needs df 2)")
     ch = chunk_sets(docs, k, divisor, id_col, text_col)
+    return _keepers_from_frozen(ch, min_shared, min_containment_bp,
+                                max_chunk_df, id_col)
+
+
+def _keepers_from_frozen(ch: DataFrame, min_shared: int,
+                         min_containment_bp: int, max_chunk_df: int,
+                         id_col: str) -> DataFrame:
+    """Keep-the-larger fold over a FROZEN (_id, _h) chunk frame."""
     sizes = _chunk_sizes(ch)
     pairs = _containment_pairs_from_chunks(
         ch, sizes, min_shared, min_containment_bp, max_chunk_df)
@@ -436,6 +474,35 @@ def cdc_containment_keepers(docs: DataFrame, k: int = 2,
             .withColumn("kept", F.col("_lost").isNull())
             .select(F.col("_id").alias(id_col), "n_chunks", "kept")
             .orderBy(id_col))
+
+
+def cdc_containment_keepers_from_chunks(chunks: DataFrame,
+                                        min_shared: int = 2,
+                                        min_containment_bp: int = 5000,
+                                        max_chunk_df: int = 100,
+                                        id_col: str = "doc_id") -> DataFrame:
+    """The keep-the-larger policy over an EXTERNALLY MAINTAINED chunk
+    table — the periodic-compaction half of the streaming CDC gate: a
+    stream appends (doc_id, chunk_hash) rows incrementally (row-local
+    :func:`chunk_sets_rowlocal` — Structured-Streaming-safe), and this
+    fold produces the exact batch keeper report from the sink WITHOUT
+    re-chunking the corpus (the ``stream_curate`` near-dup hot/cold
+    pattern). ``chunks`` must yield (id_col, chunk-hash) rows;
+    duplicates (e.g. stream restarts) are collapsed here."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    if not 0 <= min_containment_bp <= 10000:
+        raise ValueError("min_containment_bp must be in [0, 10000]")
+    if max_chunk_df < 2:
+        raise ValueError("max_chunk_df must be >= 2 (a pair needs df 2)")
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    cols = chunks.columns
+    ch = checkpoint_df(
+        chunks.select(F.col(cols[0]).alias("_id"),
+                      F.col(cols[1]).alias("_h")).distinct(),
+        eager=False)
+    return _keepers_from_frozen(ch, min_shared, min_containment_bp,
+                                max_chunk_df, id_col)
 
 
 def cdc_containment_keepers_sql(table: str, k: int = 2,

@@ -105,6 +105,29 @@ def stream_training_mix(doc_stream: DataFrame, bench_shingles: frozenset[str],
                                   seed=seed, default=default)
 
 
+def stream_cdc_chunk_sets(doc_stream: DataFrame, k: int = 2,
+                          divisor: int | None = None,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Incremental half of the CDC containment gate (the batch stage
+    behind ``run_corpus --cdc-containment``): chunk identity is
+    per-document, so the stream maintains the (doc_id, chunk_hash)
+    table with a purely ROW-LOCAL plan — the per-doc distinct folds
+    inside each row via ``array_distinct`` (``chunk_sets_rowlocal``),
+    no aggregation, no state. Append the output to a sink as documents
+    arrive; pair generation and the keep-the-larger policy need the
+    full chunk table (a self-join Structured Streaming cannot
+    express), so they run as the periodic batch compaction
+    ``operators.chunking.cdc_containment_keepers_from_chunks`` over
+    the sink — the same hot/cold split as the near-dup stage (module
+    docstring). Stream==batch equality is test-pinned."""
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        CDC_DIVISOR, chunk_sets_rowlocal)
+    return chunk_sets_rowlocal(doc_stream, k,
+                               CDC_DIVISOR if divisor is None else divisor,
+                               id_col, text_col)
+
+
 def collect_bench_shingles(benchmark: DataFrame,
                            contam_n: int = 4) -> frozenset[str]:
     """Benchmark → its distinct shingle set (the one driver-side collect

@@ -659,3 +659,53 @@ def test_corpus_cli_layout_zorder_runs(spark, tmp_out):
     cl = spark.read.parquet(f"{out}/clustered")
     cur = spark.read.parquet(f"{out}/curated")
     assert cl.count() == cur.count()
+
+
+def test_stream_cdc_chunks_compaction_equals_batch(spark, tmp_out):
+    """The streaming CDC gate: the stream maintains the (doc_id,
+    chunk_hash) table row-locally across micro-batches, and the
+    batch compaction over the sink equals cdc_containment_keepers
+    run directly on all the documents — including after a restart
+    replays a doc (duplicate chunk rows collapse in the compaction)."""
+    import os
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_containment_keepers, cdc_containment_keepers_from_chunks)
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        stream_cdc_chunk_sets)
+
+    tail = ("and the barn was red for it is near the house "
+            "of the dog and the cat runs to the fields")
+    big = BASE + " " + tail
+    excerpt = "shifted " + BASE
+    other = ("the sun in sky is high and the moon at night is far "
+             "over hills where wind blows cold on stones by lakes")
+    b1 = spark.createDataFrame(
+        [(1, big), (2, excerpt)], ["doc_id", "text"])
+    b2 = spark.createDataFrame(
+        [(3, other), (2, excerpt)],        # doc 2 replayed (restart)
+        ["doc_id", "text"])
+    src = os.path.join(tmp_out, "cdc_stream_src")
+    os.makedirs(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (stream_cdc_chunk_sets(stream)
+         .writeStream.format("memory").queryName("cdc_chunks")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        sink = spark.sql("SELECT * FROM cdc_chunks")
+        got = sorted(tuple(r) for r in
+                     cdc_containment_keepers_from_chunks(sink).collect())
+    finally:
+        q.stop()
+
+    all_docs = spark.createDataFrame(
+        [(1, big), (2, excerpt), (3, other)], ["doc_id", "text"])
+    want = sorted(tuple(r) for r in
+                  cdc_containment_keepers(all_docs).collect())
+    assert got == want
+    kept = {d: k for d, _, k in got}
+    assert kept == {1: True, 2: False, 3: True}
