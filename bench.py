@@ -46,8 +46,22 @@ def main() -> None:
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     runs: dict[str, list[float]] = {}
     gates = [n for n, s in REGISTRY.items() if not s.production]
+    # Ambient-noise sentinel: the SAME fixed plan re-timed every
+    # SENTINEL_EVERY queries. Its wall should be constant; drift in the
+    # sentinel during a pass is a box slow phase, not a query
+    # regression — this makes a single recording self-qualifying
+    # (previously flags needed a manual interleaved A/B rerun).
+    SENTINEL_EVERY = 15
+    sentinel_spec = REGISTRY["q1_pricing_summary"]
+    sentinel_runs: list[float] = []
     for _ in range(passes):
-        for name, spec in REGISTRY.items():
+        for qi, (name, spec) in enumerate(REGISTRY.items()):
+            if qi % SENTINEL_EVERY == 0:
+                gc.collect()
+                t0 = time.time()
+                sentinel_spec.fn(spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                sentinel_runs.append(round(time.time() - t0, 3))
             if not spec.production:
                 # correctness-oracle gates (exact twins of approx/pruned
                 # production paths) are driver-checked for values but are
@@ -78,6 +92,31 @@ def main() -> None:
 
     timings = {name: median(xs) for name, xs in runs.items()}
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    def cov(xs: list[float]) -> float:
+        ok = [x for x in xs if x >= 0]
+        if len(ok) < 2:
+            return 0.0
+        m = statistics.mean(ok)
+        return round(statistics.stdev(ok) / m, 3) if m > 0 else 0.0
+
+    # noise indicator: sentinel spread (same plan, so any spread is
+    # ambient) + how many non-trivial queries saw high pass-to-pass
+    # variance. Cross-round comparisons should distrust a recording
+    # whose sentinel_max_over_min is high (>~1.5 = a slow phase hit
+    # the run) and prefer per-query medians from a quieter pass.
+    q_cov = {n: cov(xs) for n, xs in runs.items()}
+    noise = {
+        "sentinel_secs": sentinel_runs,
+        "sentinel_median": median(sentinel_runs),
+        "sentinel_cov": cov(sentinel_runs),
+        "sentinel_max_over_min": (
+            round(max(sentinel_runs) / min(sentinel_runs), 3)
+            if sentinel_runs and min(sentinel_runs) > 0 else -1.0),
+        "high_cov_queries": sorted(
+            n for n, c in q_cov.items()
+            if c > 0.25 and timings.get(n, 0) > 0.3),
+    }
     full = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -86,6 +125,8 @@ def main() -> None:
         "runs": runs,
         "passes": passes,
         "sf": sf,
+        "noise": noise,
+        "query_cov": q_cov,
         "excluded_oracle_gates": gates,
     }
     # Full record: to a file + an early stdout line (for humans / the
@@ -109,6 +150,11 @@ def main() -> None:
         "passes": passes,
         "n_queries": len(timings),
         "full_record": full_path,
+        "noise": {
+            "sentinel_cov": noise["sentinel_cov"],
+            "sentinel_max_over_min": noise["sentinel_max_over_min"],
+            "n_high_cov_queries": len(noise["high_cov_queries"]),
+        },
         "queries": {},
     }
     budget = 1800
