@@ -315,16 +315,19 @@ SHOWCASE = {
         "df-capped boilerplate guard upstream (a viral chunk would "
         "mint df^2 pair rows); distinct chunk sets, integer "
         "containment.",
-    "dedup_cdc_keepers": "keep-the-larger drop policy: pairs + sizes "
-        "feed one deterministic anti-join — no transitive clustering, "
-        "no iteration.",
+    "dedup_cdc_keepers": "keep-the-larger drop policy: ONE frozen "
+        "chunk build + checkpointed sizes feed pair generation and "
+        "the keeper report; one deterministic outer join against the "
+        "loser set — no transitive clustering, no iteration.",
     "layout_hilbert_stats": "Hilbert locality report: the quadrant "
         "rotation runs as a chain of scan-fused projections (no "
         "shuffle), then one map-side-combined bucket agg.",
     "ann_recall_report": "retrieval eval: corpus scanned once for "
-        "all queries (broadcast query join), two-phase bucketed "
-        "top-k ranking (every window partitioned), |queries| rows "
-        "out.",
+        "all queries (broadcast query join); truth + candidate arms "
+        "melt into ONE two-phase bucketed top-k pass whose tiny "
+        "result is frozen, so the final plan is metadata-scale "
+        "broadcast joins (the Arrow cosine kernel runs inside the "
+        "checkpointed subtree).",
     "events_top_paths": "top journeys: one map-side-combined "
         "per-user fold with the cap_per_user bot guard, per-user "
         "array n-gramming, path-vocabulary counts, TakeOrdered.",
@@ -335,8 +338,10 @@ SHOWCASE = {
         "first, then a value-set-scale LeftSemi per relation — never "
         "a row-level table join.",
     "ann_truncation_report": "Matryoshka eval: one corpus scan scores "
-        "every (query, d) from the same broadcast-joined row; each "
-        "ranking is the two-phase bucketed top-k.",
+        "every (query, d) from the same broadcast-joined row; ALL "
+        "levels + the full-dim truth melt into one (qid, dims)-keyed "
+        "two-phase top-k pass, frozen before the metadata-scale "
+        "report joins.",
 }
 
 
