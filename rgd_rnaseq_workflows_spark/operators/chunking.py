@@ -560,3 +560,103 @@ SELECT s.id AS {id_col}, s.n_chunks,
 FROM sizes s LEFT JOIN losers l ON l.id = s.id
 ORDER BY {id_col}
 """
+
+
+def cdc_cross_source_overlap(docs: DataFrame, k: int = 2,
+                             divisor: int = CDC_DIVISOR,
+                             by: str = "source",
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Source × source shared-chunk heatmap — WHERE the duplication
+    lives, not just how much: for every unordered group pair, the
+    number of distinct CDC chunk hashes present in BOTH groups and the
+    containment of the smaller side (``10000·shared div min(|A|,|B|)``
+    basis points). Shift-robust by the CDC cut rule, so a mirror site
+    that prepends a banner still lights up. The curation payoff: a hot
+    cell says cross-source dedup between those two sources pays before
+    any pair enumeration is attempted.
+
+    Scale shape: chunking is per-doc array work in the scan; the group
+    chunk-SET frame (group, hash) is one distinct aggregation; the
+    self-join fans out per chunk hash by the number of GROUPS sharing
+    it (bounded by the source vocabulary, never document df); output
+    is |groups|² metadata.
+    """
+    ch = (_cdc_chunks(docs, k, divisor, [by], id_col, text_col)
+          .select(F.col(by).alias("_g"), "_h").distinct())
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    ch = checkpoint_df(ch, eager=False)
+    sizes = ch.groupBy("_g").agg(F.count("*").cast("long").alias("_n"))
+    a, b = ch.alias("a"), ch.alias("b")
+    shared = (a.join(b, (F.col("a._h") == F.col("b._h"))
+                     & (F.col("a._g") < F.col("b._g")))
+              .groupBy(F.col("a._g").alias("source_a"),
+                       F.col("b._g").alias("source_b"))
+              .agg(F.count("*").cast("long").alias("shared_chunks")))
+    sa = sizes.select(F.col("_g").alias("source_a"),
+                      F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_g").alias("source_b"),
+                      F.col("_n").alias("_nb"))
+    return (shared.join(F.broadcast(sa), "source_a")
+            .join(F.broadcast(sb), "source_b")
+            .select("source_a", "source_b", "shared_chunks",
+                    F.expr("10000 * shared_chunks div least(_na, _nb)")
+                    .cast("long").alias("containment_bp"))
+            .orderBy("source_a", "source_b"))
+
+
+def cdc_cross_source_overlap_sql(table: str, k: int = 2,
+                                 divisor: int = CDC_DIVISOR,
+                                 by: str = "source",
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> str:
+    """DuckDB twin of :func:`cdc_cross_source_overlap` — identical cut
+    rule, chunk identity, distinct group sets and integer containment."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if divisor < 2:
+        raise ValueError("divisor must be >= 2")
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long_sql
+    from rgd_rnaseq_workflows_spark.functions.text import (
+        shingles_all_sql, tokens_sql)
+    toks = tokens_sql(text_col)
+    grams = shingles_all_sql(text_col, k)
+    cut_h = md5_long_sql("gr[i]")
+    return f"""
+WITH base AS (
+  SELECT {by} AS g, {toks} AS t, {grams} AS gr
+  FROM {table} WHERE len({toks}) > 0),
+cuts AS (
+  SELECT g, t,
+    list_filter(list_transform(range(1, len(gr) + 1),
+      i -> CASE WHEN {cut_h} % {divisor} = 0
+           THEN least(i + {k - 1}, len(t)) END),
+      x -> x IS NOT NULL) AS e0
+  FROM base),
+ends AS (
+  SELECT g, t,
+    CASE WHEN len(e0) = 0 OR e0[-1] <> len(t)
+         THEN list_append(e0, len(t)) ELSE e0 END AS e
+  FROM cuts),
+grp AS (
+  SELECT DISTINCT g,
+    {md5_long_sql("array_to_string(t[(sp.s):(sp.e)], ' ')")} AS h
+  FROM (SELECT g, t,
+          unnest(list_transform(range(1, len(e) + 1),
+            j -> {{'s': CASE WHEN j = 1 THEN 1 ELSE e[j - 1] + 1 END,
+                  'e': e[j]}})) AS sp
+        FROM ends)),
+sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM grp GROUP BY g),
+shared AS (
+  SELECT a.g AS source_a, b.g AS source_b,
+         CAST(count(*) AS BIGINT) AS shared_chunks
+  FROM grp a JOIN grp b ON a.h = b.h AND a.g < b.g
+  GROUP BY 1, 2)
+SELECT source_a, source_b, shared_chunks,
+       CAST((10000 * shared_chunks) // least(sa.n, sb.n) AS BIGINT)
+         AS containment_bp
+FROM shared
+JOIN sizes sa ON sa.g = source_a
+JOIN sizes sb ON sb.g = source_b
+ORDER BY source_a, source_b
+"""

@@ -181,6 +181,142 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+def minhash_calibration_report(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id",
+                               num_hashes: int = 8, band_size: int = 2,
+                               shingle_n: int = 3,
+                               n_buckets: int = 10) -> DataFrame:
+    """Measured MinHash estimator quality — the dedup family's
+    "measure, don't guess" gate (the ``retrieval_recall_report``
+    discipline applied to near-dup): over the LSH candidate pairs
+    themselves, the signature-AGREEMENT estimate of Jaccard
+    (``est_bp = 10000·|{i: hᵢ(a)=hᵢ(b)}| div k``) is compared against
+    the exact shingle-set Jaccard, bucketed by estimate decile —
+    (bucket, n_pairs, mean_est_bp, mean_exact_bp, mean_abs_err_bp),
+    exact integers end to end. A drifting mean_abs_err says the
+    signature width is too small for the corpus's similarity range;
+    a systematic est>exact bias in low buckets quantifies the LSH
+    false-candidate cost BEFORE committing a 100 TB dedup run to
+    those parameters.
+
+    Scale shape: the hashed shingle-set frame is built once
+    (checkpoint) and feeds signatures AND the exact side; candidates
+    come from the banded bucket join (never all-pairs); the report
+    aggregation is n_buckets rows.
+    """
+    if num_hashes < 1 or num_hashes % band_size:
+        raise ValueError("num_hashes must be a positive multiple of "
+                         "band_size")
+    if not 1 <= n_buckets <= 10000:
+        raise ValueError("n_buckets must be in [1, 10000]")
+    hashed = (df.select(
+        F.col(id_col),
+        F.array_sort(F.transform(shingles(text_col, shingle_n),
+                                 lambda s: md5_long(s))).alias("hs"))
+        .transform(checkpoint_df, eager=False))
+    base = F.pmod(F.col("h"), F.lit(1 << 30))
+    sh = (hashed.select(F.col(id_col), F.explode("hs").alias("h"))
+          .select(F.col(id_col), base.alias("x")))
+    aggs = [F.min((F.col("x") * a + b) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_params(num_hashes))]
+    sigs = (sh.groupBy(id_col).agg(*aggs)
+            .transform(checkpoint_df, eager=False))
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
+    sa = sigs.select(F.col(id_col).alias("id_a"),
+                     *[F.col(f"h{i}").alias(f"a{i}")
+                       for i in range(num_hashes)])
+    sb = sigs.select(F.col(id_col).alias("id_b"),
+                     *[F.col(f"h{i}").alias(f"b{i}")
+                       for i in range(num_hashes)])
+    sets_a = (hashed.withColumnRenamed(id_col, "id_a")
+              .withColumnRenamed("hs", "sh_a"))
+    sets_b = (hashed.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("hs", "sh_b"))
+    agree = " + ".join(f"CAST(a{i} = b{i} AS BIGINT)"
+                       for i in range(num_hashes))
+    pairs = (cand.join(sa, "id_a").join(sb, "id_b")
+             .join(sets_a, "id_a").join(sets_b, "id_b")
+             .select(
+                 F.expr(f"10000 * ({agree}) div {num_hashes}")
+                 .alias("est_bp"),
+                 F.expr("10000 * size(array_intersect(sh_a, sh_b)) div "
+                        "size(array_union(sh_a, sh_b))").alias("exact_bp")))
+    bw = 10000 // n_buckets
+    return (pairs
+            .select(F.least(F.expr(f"est_bp div {bw}"),
+                            F.lit(n_buckets - 1)).cast("long")
+                    .alias("bucket"), "est_bp", "exact_bp")
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.expr("sum(est_bp) div count(*)").cast("long")
+                 .alias("mean_est_bp"),
+                 F.expr("sum(exact_bp) div count(*)").cast("long")
+                 .alias("mean_exact_bp"),
+                 F.expr("sum(abs(est_bp - exact_bp)) div count(*)")
+                 .cast("long").alias("mean_abs_err_bp"))
+            .orderBy("bucket"))
+
+
+def minhash_calibration_sql(table: str, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            num_hashes: int = 8, band_size: int = 2,
+                            shingle_n: int = 3,
+                            n_buckets: int = 10) -> str:
+    """DuckDB twin of :func:`minhash_calibration_report` — identical
+    hash family, banding, agreement estimate, exact Jaccard and
+    integer bucketing."""
+    if num_hashes < 1 or num_hashes % band_size:
+        raise ValueError("num_hashes must be a positive multiple of "
+                         "band_size")
+    if not 1 <= n_buckets <= 10000:
+        raise ValueError("n_buckets must be in [1, 10000]")
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long_sql
+    from rgd_rnaseq_workflows_spark.functions.text import shingles_sql
+    sh_expr = shingles_sql(text_col, shingle_n)
+    base = f"(({md5_long_sql('s')}) % {1 << 30})"
+    mins = ",\n         ".join(
+        f"MIN(({base} * {a} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes)))
+    n_bands = num_hashes // band_size
+    band_selects = []
+    for b in range(n_bands):
+        cols = " || '_' || ".join(
+            f"CAST(h{b * band_size + r} AS VARCHAR)"
+            for r in range(band_size))
+        band_selects.append(
+            f"SELECT {id_col}, {b} AS band_idx, "
+            f"{md5_long_sql(f'({cols})')} AS band_hash FROM sig")
+    bands = " UNION ALL ".join(band_selects)
+    agree = " + ".join(f"CAST(x.h{i} = y.h{i} AS BIGINT)"
+                       for i in range(num_hashes))
+    bw = 10000 // n_buckets
+    return f"""
+WITH sh AS (SELECT {id_col}, unnest({sh_expr}) AS s FROM {table}),
+sig AS (SELECT {id_col}, {mins} FROM sh GROUP BY {id_col}),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+         FROM bands a JOIN bands b USING (band_idx, band_hash)
+         WHERE a.{id_col} < b.{id_col}),
+sets AS (SELECT {id_col}, {sh_expr} AS sh FROM {table}),
+pairs AS (
+  SELECT (10000 * ({agree})) // {num_hashes} AS est_bp,
+         (10000 * len(list_intersect(sx.sh, sy.sh)))
+           // len(list_distinct(sx.sh || sy.sh)) AS exact_bp
+  FROM cand c
+  JOIN sig x ON x.{id_col} = c.id_a
+  JOIN sig y ON y.{id_col} = c.id_b
+  JOIN sets sx ON sx.{id_col} = c.id_a
+  JOIN sets sy ON sy.{id_col} = c.id_b)
+SELECT CAST(least(est_bp // {bw}, {n_buckets - 1}) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(est_bp) // count(*) AS BIGINT) AS mean_est_bp,
+       CAST(sum(exact_bp) // count(*) AS BIGINT) AS mean_exact_bp,
+       CAST(sum(abs(est_bp - exact_bp)) // count(*) AS BIGINT)
+         AS mean_abs_err_bp
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+
 def cross_corpus_minhash_pairs(new: DataFrame, old: DataFrame,
                                text_col: str = "text",
                                id_col: str = "doc_id",

@@ -4199,6 +4199,53 @@ def dedup_cdc_keepers(spark, sf_dir):
                                    max_chunk_df=100)
 
 
+def _cdc_cross_source_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_cross_source_overlap_sql)
+    return cdc_cross_source_overlap_sql("documents", k=2, divisor=8)
+
+
+@q("dedup_cdc_cross_source", ("CDC-XSOURCE",),
+   oracle=_cdc_cross_source_oracle(),
+   note="source x source shared-chunk heatmap: distinct CDC chunk "
+        "hashes present in BOTH groups + integer containment of the "
+        "smaller side - WHERE the duplication lives (a hot cell says "
+        "cross-source dedup between those two sources pays before any "
+        "pair enumeration); self-join fan-out is bounded by the "
+        "source vocabulary per hash, never document df; |groups|^2 "
+        "metadata out")
+def dedup_cdc_cross_source(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_cross_source_overlap)
+    d = _t(spark, sf_dir, "documents")
+    return cdc_cross_source_overlap(d, k=2, divisor=8)
+
+
+def _minhash_calibration_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.dedup import (
+        minhash_calibration_sql)
+    return minhash_calibration_sql("documents", num_hashes=8,
+                                   band_size=2, shingle_n=2)
+
+
+@q("dedup_minhash_calibration", ("MINHASH-CAL",),
+   oracle=_minhash_calibration_oracle(),
+   note="measured MinHash estimator quality (the ann_recall_report "
+        "discipline applied to dedup): over the LSH candidate pairs, "
+        "signature-agreement Jaccard estimate vs exact shingle-set "
+        "Jaccard, bucketed by estimate decile with exact-integer "
+        "means + abs error - quantifies signature width adequacy and "
+        "the LSH false-candidate cost BEFORE a 100 TB dedup commits "
+        "to the parameters; shingle frame built once (checkpoint), "
+        "candidates from the banded bucket join, n_buckets rows out")
+def dedup_minhash_calibration(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.dedup import (
+        minhash_calibration_report)
+    d = _t(spark, sf_dir, "documents")
+    return minhash_calibration_report(d, num_hashes=8, band_size=2,
+                                      shingle_n=2)
+
+
 def _truncation_oracle() -> str:
     from rgd_rnaseq_workflows_spark.operators.similarity import (
         truncation_recall_report_sql)

@@ -236,3 +236,39 @@ def test_cdc_keepers_match_duckdb_twin(spark):
             "documents", min_shared=1,
             min_containment_bp=2000)).fetchall())
     assert got == exp and any(not k for _, _, k in got)
+
+
+def test_cdc_cross_source_overlap(spark):
+    """Two sources sharing a shifted passage light up their cell; a
+    source with unrelated text shares nothing; DuckDB twin agrees."""
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.chunking import (
+        cdc_cross_source_overlap, cdc_cross_source_overlap_sql)
+
+    base = ("the cat and dog of mouse to house in barn with hay "
+            "under sun by the river where fish swim past reeds "
+            "and frogs sit on logs near the bank all day long")
+    rows = [
+        (1, "web", base),
+        (2, "books", "prefix token " + base),        # shifted copy
+        (3, "wiki", "completely different words entirely unrelated "
+                    "text written here now about stars and planets "
+                    "orbiting distant suns far away in deep space"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {(r["source_a"], r["source_b"]):
+           (r["shared_chunks"], r["containment_bp"])
+           for r in cdc_cross_source_overlap(docs).collect()}
+    assert ("books", "web") in out
+    shared, bp = out[("books", "web")]
+    assert shared >= 1 and bp >= 5000      # most of the copy survives
+    assert not any("wiki" in k for k in out)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, source VARCHAR, "
+                "text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    exp = {(a, b): (s, c) for a, b, s, c in con.execute(
+        cdc_cross_source_overlap_sql("documents")).fetchall()}
+    assert out == exp

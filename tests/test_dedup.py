@@ -289,3 +289,37 @@ class TestSharedSpans:
         ddf = sorted(map(tuple, con.execute(
             shared_span_sql("documents", k=3, w=4)).fetchall()))
         assert sdf == ddf
+
+
+def test_minhash_calibration_report(spark):
+    """Exact duplicates land in the top bucket with est == exact ==
+    10000 and zero error; every bucket's mean_est sits inside its
+    bucket bounds; DuckDB twin agrees exactly."""
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.dedup import (
+        minhash_calibration_report, minhash_calibration_sql)
+
+    out = minhash_calibration_report(_docs(spark), num_hashes=8,
+                                     band_size=2, shingle_n=3)
+    rows = out.collect()
+    assert rows, "LSH should produce at least the exact-dup pair"
+    by_bucket = {r["bucket"]: r for r in rows}
+    top = by_bucket[max(by_bucket)]
+    # the (1,2) exact-dup pair: all signature components agree and the
+    # shingle sets are identical
+    assert top["mean_est_bp"] == 10000
+    assert top["mean_exact_bp"] == 10000
+    assert top["mean_abs_err_bp"] == 0
+    for r in rows:
+        assert r["bucket"] * 1000 <= r["mean_est_bp"] <= 10000
+        assert r["n_pairs"] >= 1
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?)", DOCS)
+    exp = sorted(tuple(r) for r in con.execute(
+        minhash_calibration_sql("documents", num_hashes=8, band_size=2,
+                                shingle_n=3)).fetchall())
+    assert sorted(tuple(r) for r in rows) == exp
