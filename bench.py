@@ -101,18 +101,26 @@ def main() -> None:
         return round(statistics.stdev(ok) / m, 3) if m > 0 else 0.0
 
     # noise indicator: sentinel spread (same plan, so any spread is
-    # ambient) + how many non-trivial queries saw high pass-to-pass
-    # variance. Cross-round comparisons should distrust a recording
-    # whose sentinel_max_over_min is high (>~1.5 = a slow phase hit
-    # the run) and prefer per-query medians from a quieter pass.
-    q_cov = {n: cov(xs) for n, xs in runs.items()}
+    # ambient) + how many non-trivial queries saw high WARM-pass
+    # variance. The first pass (and the first sentinel sample) run
+    # each plan cold — per-query JIT/codegen systematically inflates
+    # them ~1.5-2x — so noise stats use the warm samples only; the
+    # median already lands on a warm pass. Cross-round comparisons
+    # should distrust a recording whose sentinel_max_over_min is high
+    # (>~1.5 = a slow phase hit the run) and re-check its flags A/B.
+    def warm(xs: list[float]) -> list[float]:
+        ok = [x for x in xs if x >= 0]
+        return ok[1:] if len(ok) >= 3 else ok
+
+    q_cov = {n: cov(warm(xs)) for n, xs in runs.items()}
+    sent_w = warm(sentinel_runs)
     noise = {
         "sentinel_secs": sentinel_runs,
-        "sentinel_median": median(sentinel_runs),
-        "sentinel_cov": cov(sentinel_runs),
+        "sentinel_median": median(sent_w),
+        "sentinel_cov": cov(sent_w),
         "sentinel_max_over_min": (
-            round(max(sentinel_runs) / min(sentinel_runs), 3)
-            if sentinel_runs and min(sentinel_runs) > 0 else -1.0),
+            round(max(sent_w) / min(sent_w), 3)
+            if sent_w and min(sent_w) > 0 else -1.0),
         "high_cov_queries": sorted(
             n for n, c in q_cov.items()
             if c > 0.25 and timings.get(n, 0) > 0.3),

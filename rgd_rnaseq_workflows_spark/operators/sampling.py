@@ -689,3 +689,106 @@ SELECT id, CAST(w AS BIGINT) AS weight,
        CAST(incl_bp AS BIGINT) AS incl_bp
 FROM sel WHERE n_copies > 0
 """
+
+
+def token_waterfill_allocation(docs: DataFrame, budget_pct: int = 60,
+                               by: str = "source",
+                               weight_col: str = "n_tokens") -> DataFrame:
+    """Water-filling token-budget allocation — the mix primitive
+    between a hard per-source cap and temperature sampling: given a
+    global budget of ``budget_pct`` percent of the corpus's tokens,
+    find the unique level L such that granting every source
+    ``min(supply, L)`` spends the budget; small sources keep
+    everything (saturated), large sources are clipped to the common
+    level — the max-min fair allocation (classic water-filling).
+
+    EXACT integer semantics, engine-identical: sources sorted by
+    (supply, name); with j sources saturated, the candidate level is
+    ``L_j = (B − P_j) div (n − j)`` (P_j = sum of the j smallest
+    supplies) and exactly one j satisfies ``s_j ≤ L_j < s_{j+1}``;
+    the remainder ``(B − P_j) mod (n − j)`` hands one extra token to
+    each of the first R unsaturated sources in sort order, so
+    ``sum(allocated) == B`` exactly.
+
+    Scale shape: ONE map-side-combined corpus aggregation (per-source
+    token sums); everything after rides the |sources|-row metadata
+    frame (the partition-less windows are domain-scale by
+    construction). Output: (source, supply_tokens, allocated_tokens,
+    saturated), ordered by source.
+    """
+    if not 1 <= budget_pct <= 99:
+        raise ValueError("budget_pct must be in [1, 99] (100+ means "
+                         "no clipping - the allocation is the supply)")
+    from pyspark.sql import Window
+    sup = (docs.groupBy(F.col(by).alias("_g"))
+           .agg(F.sum(F.col(weight_col)).cast("long").alias("_s")))
+    w_ord = Window.orderBy("_s", "_g")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    t = (sup.withColumn("_rn", F.row_number().over(w_ord))
+         .withColumn("_P", F.sum("_s").over(w_cum))
+         .withColumn("_n", F.count("*").over(w_all))
+         .withColumn("_B", F.expr(
+             f"{budget_pct} * sum(_s) over () div 100"))
+         .withColumn("_lag", F.lag("_s").over(w_ord)))
+    lj = F.expr("(_B - (_P - _s)) div (_n - _rn + 1)")
+    valid = (((F.col("_rn") == 1) | (F.col("_lag") <= lj))
+             & (lj < F.col("_s")))
+    lvl = (t.filter(valid)
+           .select(lj.alias("_L"), (F.col("_rn") - 1).alias("_j"),
+                   F.expr("(_B - (_P - _s)) % (_n - _rn + 1)")
+                   .alias("_R")))
+    return (t.crossJoin(F.broadcast(lvl))
+            .select(F.col("_g").alias(by),
+                    F.col("_s").alias("supply_tokens"),
+                    F.when(F.col("_s") <= F.col("_L"), F.col("_s"))
+                    .otherwise(F.col("_L") + (F.col("_rn") - F.col("_j")
+                                              <= F.col("_R"))
+                               .cast("long"))
+                    .cast("long").alias("allocated_tokens"),
+                    (F.col("_s") <= F.col("_L")).alias("saturated"))
+            .orderBy(by))
+
+
+def token_waterfill_sql(table: str, budget_pct: int = 60,
+                        by: str = "source",
+                        weight_expr: str | None = None,
+                        text_col: str = "text") -> str:
+    """DuckDB twin of :func:`token_waterfill_allocation` — identical
+    sort order, level search, integer division and remainder hand-out.
+    ``weight_expr`` defaults to the house whitespace token count."""
+    if not 1 <= budget_pct <= 99:
+        raise ValueError("budget_pct must be in [1, 99]")
+    if weight_expr is None:
+        from rgd_rnaseq_workflows_spark.functions.text import (
+            token_count_sql)
+        weight_expr = token_count_sql(text_col)
+    return f"""
+WITH sup AS (
+  SELECT {by} AS g, CAST(sum({weight_expr}) AS BIGINT) AS s
+  FROM {table} GROUP BY 1),
+t AS (
+  SELECT g, s,
+         row_number() OVER (ORDER BY s, g) AS rn,
+         sum(s) OVER (ORDER BY s, g
+                      ROWS UNBOUNDED PRECEDING) AS p,
+         count(*) OVER () AS n,
+         ({budget_pct} * sum(s) OVER ()) // 100 AS b,
+         lag(s) OVER (ORDER BY s, g) AS lag_s
+  FROM sup),
+lvl AS (
+  SELECT (b - (p - s)) // (n - rn + 1) AS l,
+         rn - 1 AS j,
+         (b - (p - s)) % (n - rn + 1) AS r
+  FROM t
+  WHERE (rn = 1 OR lag_s <= (b - (p - s)) // (n - rn + 1))
+    AND (b - (p - s)) // (n - rn + 1) < s)
+SELECT t.g AS {by},
+       t.s AS supply_tokens,
+       CAST(CASE WHEN t.s <= lvl.l THEN t.s
+                 ELSE lvl.l + CAST(t.rn - lvl.j <= lvl.r AS BIGINT)
+            END AS BIGINT) AS allocated_tokens,
+       t.s <= lvl.l AS saturated
+FROM t CROSS JOIN lvl
+ORDER BY {by}
+"""

@@ -906,3 +906,179 @@ truth AS (
 {union_arms}
 ORDER BY query_id, dims
 """
+
+
+def ivf_probe_sweep_report(emb: DataFrame, query_ids: list[int],
+                           probes: list[int] = (1, 2, 4), k: int = 10,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           label_col: str = "label") -> DataFrame:
+    """IVF probe-count sweep — the recall-vs-nprobe curve every IVF
+    deployment tunes, measured instead of guessed (the third member of
+    the eval family after :func:`retrieval_recall_report` and
+    :func:`truncation_recall_report`): for each query and each
+    ``nprobe``, the candidate set is the vectors whose pre-assigned
+    cluster (``label_col``) ranks in the query's top-``nprobe``
+    centroids by EXACT integer dot product (the ``ann_ivf_topk``
+    probe rule), and the report carries exact-integer recall_bp +
+    mrr_e6 against the brute-force truth. Query excluded from both
+    sides.
+
+    Scale shape: centroids are one per-dimension aggregation; label
+    ranks are a |queries|×|labels| metadata frame (broadcast); the
+    corpus is scanned ONCE and every (query, nprobe) ranking — plus
+    the truth arm — melts into a single (qid, arm)-keyed two-phase
+    bucketed top-k pass (the shared ``_grouped_topk`` kernel), frozen
+    before the metadata-scale report joins.
+    """
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    probes = list(probes)
+    if (not probes or len(set(probes)) != len(probes)
+            or min(probes) < 1):
+        raise ValueError("probes must be distinct positive ints")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    corpus = emb.select(F.col(id_col).alias("vec_id"),
+                        F.col(label_col).alias("_lbl"),
+                        _as_double(vec_col).alias("_v"))
+    queries = (corpus.filter(F.col("vec_id").isin(query_ids))
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("_v").alias("_qv")))
+    # exact integer centroid components (the ann_ivf_topk probe rule)
+    e = (corpus.select("_lbl", F.posexplode("_v").alias("_d0", "_x"))
+         .select("_lbl", (F.col("_d0") + 1).alias("_d"),
+                 F.round(F.col("_x") * 10000000).cast("long").alias("_xi")))
+    centroid = e.groupBy("_lbl", "_d").agg(F.sum("_xi").alias("_c"))
+    qv = (emb.filter(F.col(id_col).isin(query_ids))
+          .select(F.col(id_col).alias("qid"),
+                  F.posexplode(_as_double(vec_col)).alias("_d0", "_x"))
+          .select("qid", (F.col("_d0") + 1).alias("_d"),
+                  F.round(F.col("_x") * 10000000).cast("long")
+                  .alias("_qx")))
+    from pyspark.sql import Window
+    rank_w = Window.partitionBy("qid").orderBy(F.desc("_dot"), "_lbl")
+    label_rank = (centroid.join(qv, "_d")
+                  .groupBy("qid", "_lbl")
+                  .agg(F.sum(F.col("_c") * F.col("_qx")).alias("_dot"))
+                  .select("qid", "_lbl",
+                          F.row_number().over(rank_w).alias("_lrank")))
+    cos = cosine_kernel()
+    joined = (corpus.crossJoin(F.broadcast(queries))
+              .filter(F.col("vec_id") != F.col("qid"))
+              .join(F.broadcast(label_rank), ["qid", "_lbl"])
+              .withColumn("cosine_sim",
+                          F.round(cos(F.col("_v"), F.col("_qv")), 6)))
+    # arm 0 = brute-force truth; arm p = top-p-probed candidates
+    arms = [F.struct(F.lit(0).cast("int").alias("arm"),
+                     F.col("cosine_sim").alias("cosine_sim"))]
+    arms += [F.struct(F.lit(p).cast("int").alias("arm"),
+                      F.when(F.col("_lrank") <= p, F.col("cosine_sim"))
+                      .alias("cosine_sim"))
+             for p in probes]
+    melted = (joined.select("qid", "vec_id",
+                            F.explode(F.array(*arms)).alias("_a"))
+              .select("qid", "vec_id", "_a.arm", "_a.cosine_sim")
+              .filter(F.col("cosine_sim").isNotNull()))
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    ranked = checkpoint_df(_grouped_topk(melted, k, extra=("arm",)),
+                           eager=False)
+    truth = (ranked.filter(F.col("arm") == 0)
+             .select("qid", "vec_id", "rn"))
+    approx = ranked.filter(F.col("arm") != 0)
+    hits = (truth.join(F.broadcast(approx.select("qid", "arm", "vec_id")),
+                       ["qid", "vec_id"])
+            .groupBy("qid", "arm")
+            .agg(F.count("*").cast("long").alias("n_hits")))
+    mrr = (truth.filter(F.col("rn") == 1)
+           .join(F.broadcast(approx.select("qid", "arm", "vec_id",
+                                           F.col("rn").alias("_arn"))),
+                 ["qid", "vec_id"])
+           .select("qid", "arm", F.expr("1000000 div _arn")
+                   .cast("long").alias("mrr_e6")))
+    base = queries.select("qid", F.explode(F.array(
+        *[F.lit(p).cast("int") for p in probes])).alias("arm"))
+    return (base.join(F.broadcast(hits), ["qid", "arm"], "left")
+            .join(F.broadcast(mrr), ["qid", "arm"], "left")
+            .select(F.col("qid").alias("query_id"),
+                    F.col("arm").alias("nprobe"),
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.expr(f"10000 * coalesce(n_hits, 0) div {k}")
+                    .cast("long").alias("recall_bp"),
+                    F.coalesce("mrr_e6", F.lit(0)).cast("long")
+                    .alias("mrr_e6"))
+            .orderBy("query_id", "nprobe"))
+
+
+def ivf_probe_sweep_sql(emb_table: str, query_ids: list[int],
+                        probes: list[int] = (1, 2, 4),
+                        k: int = 10) -> str:
+    """DuckDB twin of :func:`ivf_probe_sweep_report` — identical
+    integer centroid dots, probe ranks, rounded cosine ranking order
+    and integer metrics."""
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    probes = list(probes)
+    if (not probes or len(set(probes)) != len(probes)
+            or min(probes) < 1):
+        raise ValueError("probes must be distinct positive ints")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ids = ", ".join(str(i) for i in query_ids)
+    probe_rows = ", ".join(f"({p})" for p in probes)
+    return f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve
+           FROM {emb_table}),
+q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id IN ({ids})),
+e AS (SELECT label, unnest(ve) AS x, generate_subscripts(ve, 1) AS d
+      FROM v),
+centroid AS (
+  SELECT label, d, CAST(sum(CAST(round(x * 10000000) AS BIGINT))
+                        AS BIGINT) AS c
+  FROM e GROUP BY label, d),
+qe AS (SELECT qid, CAST(round(unnest(qv) * 10000000) AS BIGINT) AS qx,
+              generate_subscripts(qv, 1) AS d
+       FROM q),
+label_rank AS (
+  SELECT qid, label,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sum(c * qx) DESC, label) AS lrank
+  FROM centroid JOIN qe USING (d) GROUP BY qid, label),
+scored AS (
+  SELECT q.qid, s.vec_id, lr.lrank,
+         round(list_cosine_similarity(s.ve, q.qv), 6) AS cs
+  FROM v s
+  JOIN q ON s.vec_id <> q.qid
+  JOIN label_rank lr ON lr.qid = q.qid AND lr.label = s.label),
+truth AS (
+  SELECT qid, vec_id, rn FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cs DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= {k}),
+probes(p) AS (VALUES {probe_rows}),
+approx AS (
+  SELECT p, qid, vec_id, rn FROM (
+    SELECT p.p, s.qid, s.vec_id,
+           row_number() OVER (PARTITION BY p.p, s.qid
+                              ORDER BY s.cs DESC, s.vec_id) AS rn
+    FROM scored s JOIN probes p ON s.lrank <= p.p)
+  WHERE rn <= {k}),
+hits AS (SELECT a.p, t.qid, CAST(count(*) AS BIGINT) AS n_hits
+         FROM truth t JOIN approx a USING (qid, vec_id)
+         GROUP BY a.p, t.qid),
+mrr AS (SELECT a.p, t.qid,
+               CAST(1000000 // a.rn AS BIGINT) AS mrr_e6
+        FROM truth t JOIN approx a USING (qid, vec_id)
+        WHERE t.rn = 1)
+SELECT q.qid AS query_id, CAST(p.p AS INTEGER) AS nprobe,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((10000 * coalesce(h.n_hits, 0)) // {k} AS BIGINT)
+         AS recall_bp,
+       CAST(coalesce(m.mrr_e6, 0) AS BIGINT) AS mrr_e6
+FROM q CROSS JOIN probes p
+LEFT JOIN hits h ON h.qid = q.qid AND h.p = p.p
+LEFT JOIN mrr m ON m.qid = q.qid AND m.p = p.p
+ORDER BY query_id, nprobe
+"""

@@ -4246,6 +4246,53 @@ def dedup_minhash_calibration(spark, sf_dir):
                                       shingle_n=2)
 
 
+def _ivf_sweep_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        ivf_probe_sweep_sql)
+    return ivf_probe_sweep_sql("embeddings", _RECALL_QUERY_IDS,
+                               probes=[1, 2, 4], k=10)
+
+
+@q("ann_ivf_probe_sweep", ("ANN-IVF-SWEEP",), oracle=_ivf_sweep_oracle(),
+   note="recall-vs-nprobe curve for the IVF path, measured not "
+        "guessed (third member of the eval family): per (query, "
+        "nprobe), candidates = vectors whose pre-assigned cluster "
+        "ranks in the query's top-nprobe centroids by exact integer "
+        "dot; exact-integer recall_bp + mrr_e6 vs brute truth; corpus "
+        "scanned once, every ranking melts into ONE (qid, arm)-keyed "
+        "two-phase top-k pass (the shared kernel), frozen before the "
+        "metadata-scale report joins")
+def ann_ivf_probe_sweep(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        ivf_probe_sweep_report)
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_probe_sweep_report(emb, _RECALL_QUERY_IDS,
+                                  probes=[1, 2, 4], k=10)
+
+
+def _waterfill_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        token_waterfill_sql)
+    return token_waterfill_sql("documents", budget_pct=60)
+
+
+@q("sample_token_waterfill", ("SAMPLE-WATERFILL",),
+   oracle=_waterfill_oracle(),
+   note="max-min fair token-budget allocation (water-filling): the "
+        "unique level L where granting min(supply, L) per source "
+        "spends exactly budget_pct of the corpus tokens - small "
+        "sources keep everything, large sources clip to the common "
+        "level, remainder tokens handed out deterministically so "
+        "sum(allocated) == budget exactly; one map-side-combined "
+        "corpus aggregation, then |sources|-row metadata windows")
+def sample_token_waterfill(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        token_waterfill_allocation)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", TX.token_count("text"))
+    return token_waterfill_allocation(d, budget_pct=60)
+
+
 def _truncation_oracle() -> str:
     from rgd_rnaseq_workflows_spark.operators.similarity import (
         truncation_recall_report_sql)

@@ -445,3 +445,46 @@ def test_pps_systematic_matches_duckdb_twin(spark):
     exp = sorted(tuple(r) for r in con.execute(
         pps_systematic_sql("t", "id", "w", k=23, seed=9)).fetchall())
     assert got == exp
+
+
+def test_token_waterfill_hand_case_and_budget_invariant(spark):
+    """Hand-computed level: supplies (10, 100, 1000) at 60% budget
+    (666 tokens) -> level 556, small sources saturated; the budget is
+    spent EXACTLY; DuckDB twin agrees on a messier corpus."""
+    import random
+
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        token_waterfill_allocation, token_waterfill_sql)
+
+    rows = [("a", 10), ("b", 100), ("c", 1000)]
+    docs = spark.createDataFrame(rows, ["source", "n_tokens"])
+    got = {r["source"]: (r["supply_tokens"], r["allocated_tokens"],
+                         r["saturated"])
+           for r in token_waterfill_allocation(docs, 60).collect()}
+    assert got == {"a": (10, 10, True), "b": (100, 100, True),
+                   "c": (1000, 556, False)}
+    assert sum(a for _, a, _ in got.values()) == (60 * 1110) // 100
+
+    # messier corpus incl. remainder hand-out; twin equality
+    rng = random.Random(7)
+    words = ["tok%d" % i for i in range(20)]
+    drows = [(i, "s%d" % (i % 7),
+              " ".join(rng.choice(words)
+                       for _ in range(rng.randint(1, 40))))
+             for i in range(300)]
+    sdf = (spark.createDataFrame(drows, ["doc_id", "source", "text"]))
+    from rgd_rnaseq_workflows_spark.functions import text as TX
+    alloc = token_waterfill_allocation(
+        sdf.withColumn("n_tokens", TX.token_count("text")), 37)
+    srows = sorted(tuple(r) for r in alloc.collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, source VARCHAR, "
+                "text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", drows)
+    exp = sorted(tuple(r) for r in con.execute(
+        token_waterfill_sql("documents", 37)).fetchall())
+    assert srows == exp
+    total = sum(s for _, s, _, _ in srows)
+    assert sum(a for _, _, a, _ in srows) == (37 * total) // 100

@@ -376,3 +376,40 @@ def test_truncation_report_rejects_bad_input(spark):
         truncation_recall_report(emb, [0], [4, 4])
     with pytest.raises(ValueError):
         truncation_recall_report_sql("t", [0], [0])
+
+
+def test_ivf_probe_sweep_monotone_and_exact_at_full_probe(spark):
+    """Recall is non-decreasing in nprobe, probing every cluster IS
+    brute force (recall 10000, mrr 1e6), and the DuckDB twin agrees
+    exactly."""
+    import random
+
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        ivf_probe_sweep_report, ivf_probe_sweep_sql)
+
+    rng = random.Random(23)
+    rows = [(i, i % 3,
+             [round(rng.uniform(-1, 1), 3) for _ in range(8)])
+            for i in range(60)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    out = ivf_probe_sweep_report(emb, [0, 5], probes=[1, 2, 3], k=5)
+    got = {(r["query_id"], r["nprobe"]):
+           (r["n_hits"], r["recall_bp"], r["mrr_e6"])
+           for r in out.collect()}
+    assert len(got) == 6
+    for q in (0, 5):
+        recalls = [got[(q, p)][1] for p in (1, 2, 3)]
+        assert recalls == sorted(recalls)          # monotone in nprobe
+        assert got[(q, 3)] == (5, 10000, 1000000)  # full probe = brute
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, label INTEGER, "
+                "embedding FLOAT[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?, ?)", rows)
+    exp = {(q, p): (h, r, m) for q, p, h, r, m in con.execute(
+        ivf_probe_sweep_sql("embeddings", [0, 5], probes=[1, 2, 3],
+                            k=5)).fetchall()}
+    assert got == exp
