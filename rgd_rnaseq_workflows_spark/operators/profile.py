@@ -366,17 +366,32 @@ def correlation_report(df: DataFrame, cols: list[tuple[str, int]]
     Scale shape: one aggregation, no joins, no windows — moments for
     all pairs fold in the same pass; output is |cols|²/2 metadata rows.
     """
+    one = df.agg(*correlation_moment_aggs(cols))
+    return correlations_from_moments(one, cols)
+
+
+def _corr_pairs(cols: list[tuple[str, int]]) -> list[tuple[str, str]]:
     if len(cols) < 2:
         raise ValueError("need at least 2 columns")
     names = [c for c, _ in cols]
     if len(set(names)) != len(names):
         raise ValueError("duplicate column")
+    return [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+
+
+def correlation_moment_aggs(cols: list[tuple[str, int]]) -> list:
+    """The exact decimal(38,0) moment aggregates behind
+    :func:`correlation_report` — factored out because the SAME
+    expressions run under a Structured Streaming aggregation
+    (``streaming.corpus_stream.stream_correlation_moments``): moments
+    are one-row sufficient statistics, so the stream maintains them
+    incrementally and :func:`correlations_from_moments` folds the
+    report on demand (the HLL-register / stream_expectations
+    pattern)."""
     dec = "decimal(38,0)"
     fx = {c: f"CAST(round({c} * {s}) AS BIGINT)" for c, s in cols}
     aggs = []
-    pairs = [(a, b) for i, a in enumerate(names)
-             for b in names[i + 1:]]
-    for a, b in pairs:
+    for a, b in _corr_pairs(cols):
         both = f"({a} IS NOT NULL AND {b} IS NOT NULL)"
         xa, xb = fx[a], fx[b]
         p = f"{a}__{b}"
@@ -393,9 +408,16 @@ def correlation_report(df: DataFrame, cols: list[tuple[str, int]]
             F.expr(f"sum(CASE WHEN {both} THEN CAST({xa} AS {dec}) "
                    f"* {xb} END)").alias(f"sxy_{p}"),
         ]
-    one = df.agg(*aggs)
+    return aggs
+
+
+def correlations_from_moments(one: DataFrame,
+                              cols: list[tuple[str, int]]) -> DataFrame:
+    """Fold a 1-row moments frame (batch agg or a streaming sink's
+    latest row) into the (col_x, col_y, n, r6) report — metadata-scale,
+    never re-reading the corpus."""
     rows = []
-    for a, b in pairs:
+    for a, b in _corr_pairs(cols):
         p = f"{a}__{b}"
         num = f"CAST(n_{p} * sxy_{p} - sx_{p} * sy_{p} AS DOUBLE)"
         dx = f"CAST(n_{p} * sxx_{p} - sx_{p} * sx_{p} AS DOUBLE)"

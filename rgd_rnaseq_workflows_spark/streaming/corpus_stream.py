@@ -275,3 +275,20 @@ def expectations_from_counts(counts: DataFrame,
         "status", F.when(F.col("n_violations") == 0, "PASS")
         .otherwise("FAIL"))
         .orderBy("constraint", "column", "spec"))
+
+
+def stream_correlation_moments(doc_stream: DataFrame,
+                               cols: list[tuple[str, int]]) -> DataFrame:
+    """Streaming twin of ``profile.correlation_report`` — the one-pass
+    exact moment design is streamable BY CONSTRUCTION: the identical
+    decimal(38,0) fixed-point aggregates (Σx, Σx², Σxy per pair,
+    pairwise NULL deletion) run under a Structured Streaming
+    aggregation whose state is ONE row of sufficient statistics.
+    Read the sink's latest row any time and fold it with
+    ``profile.correlations_from_moments`` — the live correlation
+    matrix equals the batch report over the same rows (test-pinned),
+    without re-reading the corpus. The stream_expectations /
+    HLL-register pattern."""
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        correlation_moment_aggs)
+    return doc_stream.agg(*correlation_moment_aggs(cols))

@@ -306,3 +306,48 @@ def test_stream_expectations_equals_batch(spark, tmp_out):
     # unique is excluded by contract — must raise, not degrade
     with pytest.raises(ValueError, match="stateful dedup"):
         stream_expectations(stream, [("unique", "id")])
+
+
+def test_stream_correlations_equal_batch(spark, tmp_out):
+    """The exact decimal moments maintained under a streaming
+    aggregation, folded by correlations_from_moments, equal the batch
+    correlation_report over the same rows — including a NULL cell
+    (pairwise deletion) and across two micro-batches."""
+    import os
+
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        correlation_report, correlations_from_moments)
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        stream_correlation_moments)
+
+    cols = [("x", 100), ("y", 100), ("z", 1000)]
+    b1 = [(1.25, 2.5, 0.111), (2.0, 4.1, 0.222), (None, 9.9, 0.333)]
+    b2 = [(3.5, 7.0, 0.444), (4.25, 8.4, None)]
+    schema = "x double, y double, z double"
+    src = os.path.join(tmp_out, "corr_src")
+    os.makedirs(src)
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stream_correlation_moments(stream, cols)
+         .writeStream.format("memory").queryName("corr_out")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        moments = spark.sql("SELECT * FROM corr_out")
+        got = sorted(tuple(r) for r in
+                     correlations_from_moments(moments, cols).collect())
+    finally:
+        q.stop()
+
+    both = spark.createDataFrame(b1 + b2, schema)
+    want = sorted(tuple(r) for r in
+                  correlation_report(both, cols).collect())
+    assert got == want
+    n_by_pair = {(a, b): n for a, b, n, _ in want}
+    assert n_by_pair[("x", "y")] == 4      # NULL x row excluded
+    assert n_by_pair[("y", "z")] == 4      # NULL z row excluded
