@@ -792,3 +792,76 @@ SELECT t.g AS {by},
 FROM t CROSS JOIN lvl
 ORDER BY {by}
 """
+
+
+def cap_tokens_per_key(df: DataFrame, key_col: str, budgets: DataFrame,
+                       weight_col: str, id_col: str, seed: int = 1,
+                       n_salts: int = 8) -> DataFrame:
+    """Enforce a per-key TOKEN budget (the :func:`token_waterfill_
+    allocation` companion): walk each key's rows in md5(seed:id) rank
+    order and keep the greedy prefix whose cumulative weight stays
+    within the key's budget — reproducible uniform-random survivor
+    choice, exact integer accounting (``cum_tokens`` emitted for
+    audit; per-key kept weight never exceeds the budget).
+
+    Skew-safe two-phase prefix-sum (the :func:`cap_per_key` discipline
+    adapted to weights, which need one extra guard): a row's
+    salt-local cumulative weight LOWER-bounds its global one (its salt
+    predecessors are a subset of its global predecessors), so every
+    truly-kept row survives the per-(key, salt) phase-1 prune — but a
+    phase-1 DROP carries information too: the dropped row's true cum
+    already exceeds the budget, and weights are non-negative, so NO
+    row at or after the key's earliest dropped position is keepable.
+    Phase 2 therefore cuts survivors at that per-key position
+    (metadata-scale broadcast) — before it, the survivor prefix IS the
+    true prefix — and re-walks only them: exactly the single-window
+    answer, with a hot key split across ``n_salts`` window partitions
+    and phase-2 input bounded by the kept prefix itself.
+
+    Weights must be >= 0 (the cumulative walk relies on monotone
+    prefixes). ``budgets`` must yield (key_col, allocated_tokens) —
+    metadata-scale, broadcast.
+    """
+    from pyspark.sql import Window
+    b = F.broadcast(budgets.select(
+        F.col(budgets.columns[0]).alias(key_col),
+        F.col(budgets.columns[1]).cast("long").alias("_budget")))
+    ord_col = md5_long(F.col(id_col).cast("string"), seed=seed)
+    t = (df.join(b, key_col)
+         .withColumn("_w", F.col(weight_col).cast("long"))
+         .withColumn("_ord", ord_col)
+         .withColumn("_salt", F.pmod(F.col("_ord"), F.lit(n_salts))))
+    w1 = (Window.partitionBy(key_col, "_salt").orderBy("_ord", id_col)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    walked = t.withColumn("_c1", F.sum("_w").over(w1))
+    pos = F.struct(F.col("_ord"), F.col(id_col))
+    cut = (walked.filter(F.col("_c1") > F.col("_budget"))
+           .groupBy(key_col).agg(F.min(pos).alias("_cut")))
+    survivors = (walked.filter(F.col("_c1") <= F.col("_budget"))
+                 .join(F.broadcast(cut), key_col, "left")
+                 .filter(F.col("_cut").isNull() | (pos < F.col("_cut"))))
+    w2 = (Window.partitionBy(key_col).orderBy("_ord", id_col)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (survivors.withColumn("cum_tokens",
+                                 F.sum("_w").over(w2).cast("long"))
+            .filter(F.col("cum_tokens") <= F.col("_budget"))
+            .drop("_w", "_ord", "_salt", "_c1", "_cut", "_budget"))
+
+
+def cap_tokens_per_key_sql(src: str, key_col: str, budgets_sql: str,
+                           weight_expr: str, id_col: str, seed: int = 1,
+                           cols: str = "*") -> str:
+    """Single-window twin of :func:`cap_tokens_per_key` (the two-phase
+    plan is exact, so the plain cumulative form is the oracle).
+    ``budgets_sql`` must select (key, allocated_tokens)."""
+    ord_sql = md5_long_sql(f"CAST({id_col} AS VARCHAR)", seed=seed)
+    return f"""
+WITH budgets AS ({budgets_sql}),
+walked AS (
+  SELECT s.*, b.allocated_tokens AS _budget,
+         CAST(sum({weight_expr}) OVER (
+             PARTITION BY s.{key_col} ORDER BY {ord_sql}, s.{id_col}
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM {src} s JOIN budgets b ON b.{key_col} = s.{key_col})
+SELECT {cols}, cum_tokens FROM walked WHERE cum_tokens <= _budget
+"""

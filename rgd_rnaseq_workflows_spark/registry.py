@@ -4293,6 +4293,37 @@ def sample_token_waterfill(spark, sf_dir):
     return token_waterfill_allocation(d, budget_pct=60)
 
 
+def _token_cap_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        cap_tokens_per_key_sql, token_waterfill_sql)
+    src = (f"(SELECT doc_id, source, {TX.token_count_sql('text')} "
+           f"AS n_tokens FROM documents)")
+    return cap_tokens_per_key_sql(
+        src, "source", token_waterfill_sql("documents", 60),
+        "n_tokens", "doc_id", seed=3,
+        cols="doc_id, source, n_tokens")
+
+
+@q("sample_token_budget_cap", ("TOKEN-CAP",), oracle=_token_cap_oracle(),
+   note="waterfill budgets ENFORCED: per source, keep the greedy "
+        "md5-rank prefix whose cumulative tokens stay within the "
+        "allocated budget - reproducible survivor choice, exact "
+        "integer accounting (kept weight never exceeds allocation); "
+        "skew-safe lossless two-phase prefix-sum (salt-local cumsum "
+        "lower-bounds the global one, so phase 1 prunes safely and a "
+        "hot source splits across 8 window partitions)")
+def sample_token_budget_cap(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        cap_tokens_per_key, token_waterfill_allocation)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", TX.token_count("text"))
+    alloc = token_waterfill_allocation(d, budget_pct=60) \
+        .select("source", "allocated_tokens")
+    return (cap_tokens_per_key(d, "source", alloc, "n_tokens",
+                               "doc_id", seed=3)
+            .select("doc_id", "source", "n_tokens", "cum_tokens"))
+
+
 def _truncation_oracle() -> str:
     from rgd_rnaseq_workflows_spark.operators.similarity import (
         truncation_recall_report_sql)

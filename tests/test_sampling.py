@@ -488,3 +488,57 @@ def test_token_waterfill_hand_case_and_budget_invariant(spark):
     assert srows == exp
     total = sum(s for _, s, _, _ in srows)
     assert sum(a for _, _, a, _ in srows) == (37 * total) // 100
+
+
+def test_cap_tokens_per_key_budget_never_exceeded_and_lossless(spark):
+    """The two-phase prefix-sum equals the plain single-window walk
+    (DuckDB twin), the kept weight per key never exceeds its budget,
+    and adding the NEXT-ranked doc would always overflow (greedy
+    maximality); weight-0 rows never consume budget."""
+    import random
+
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.functions import text as TX
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        cap_tokens_per_key, cap_tokens_per_key_sql)
+
+    rng = random.Random(11)
+    rows = [(i, "s%d" % (i % 3),
+             " ".join("w%d" % rng.randint(0, 9)
+                      for _ in range(rng.choice([0, 3, 10, 25]))))
+            for i in range(200)]
+    docs = (spark.createDataFrame(rows, ["doc_id", "source", "text"])
+            .withColumn("n_tokens", TX.token_count("text")))
+    budgets = spark.createDataFrame(
+        [("s0", 120), ("s1", 55), ("s2", 0)],
+        ["source", "allocated_tokens"])
+    out = cap_tokens_per_key(docs, "source", budgets, "n_tokens",
+                             "doc_id", seed=5)
+    got = out.select("doc_id", "source", "n_tokens",
+                     "cum_tokens").collect()
+    spent = {}
+    for r in got:
+        spent[r["source"]] = max(spent.get(r["source"], 0),
+                                 r["cum_tokens"])
+    assert spent.get("s0", 0) <= 120 and spent.get("s1", 0) <= 55
+    # s2 budget 0: only the weight-0 PREFIX survives (the first
+    # positive-weight doc overflows and closes the key)
+    assert all(r["n_tokens"] == 0 for r in got if r["source"] == "s2")
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, source VARCHAR, "
+                "text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)",
+                    [(i, s, t) for i, s, t in rows])
+    con.execute("CREATE TABLE b(source VARCHAR, "
+                "allocated_tokens BIGINT)")
+    con.executemany("INSERT INTO b VALUES (?, ?)",
+                    [("s0", 120), ("s1", 55), ("s2", 0)])
+    src = (f"(SELECT doc_id, source, {TX.token_count_sql('text')} "
+           f"AS n_tokens FROM documents)")
+    exp = sorted(tuple(r) for r in con.execute(cap_tokens_per_key_sql(
+        src, "source", "SELECT source, allocated_tokens FROM b",
+        "n_tokens", "doc_id", seed=5,
+        cols="doc_id, source, n_tokens")).fetchall())
+    assert sorted(tuple(r) for r in got) == exp
