@@ -719,9 +719,27 @@ def token_waterfill_allocation(docs: DataFrame, budget_pct: int = 60,
     if not 1 <= budget_pct <= 99:
         raise ValueError("budget_pct must be in [1, 99] (100+ means "
                          "no clipping - the allocation is the supply)")
-    from pyspark.sql import Window
     sup = (docs.groupBy(F.col(by).alias("_g"))
            .agg(F.sum(F.col(weight_col)).cast("long").alias("_s")))
+    return waterfill_from_supply(sup, budget_pct, by)
+
+
+def waterfill_from_supply(supply: DataFrame, budget_pct: int = 60,
+                          by: str = "source") -> DataFrame:
+    """The level search + allocation fold over a PREBUILT (group,
+    token-sum) supply table — exposed separately because the supply is
+    the allocation's sufficient statistic: a stream maintains it
+    incrementally (``streaming.corpus_stream.stream_token_supply``)
+    and this fold reads the live allocation off the sink without
+    re-reading the corpus. ``supply`` must yield (group, tokens) —
+    metadata-scale by construction."""
+    if not 1 <= budget_pct <= 99:
+        raise ValueError("budget_pct must be in [1, 99] (100+ means "
+                         "no clipping - the allocation is the supply)")
+    from pyspark.sql import Window
+    cols = supply.columns
+    sup = supply.select(F.col(cols[0]).alias("_g"),
+                        F.col(cols[1]).cast("long").alias("_s"))
     w_ord = Window.orderBy("_s", "_g")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy()

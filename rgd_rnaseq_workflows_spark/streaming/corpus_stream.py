@@ -292,3 +292,17 @@ def stream_correlation_moments(doc_stream: DataFrame,
     from rgd_rnaseq_workflows_spark.operators.profile import (
         correlation_moment_aggs)
     return doc_stream.agg(*correlation_moment_aggs(cols))
+
+
+def stream_token_supply(doc_stream: DataFrame, by: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Streaming half of the water-filling budget allocator: the
+    per-group token supply is the allocation's sufficient statistic
+    (one row per group), so the stream maintains it under a plain
+    streaming aggregation and ``sampling.waterfill_from_supply`` folds
+    the live allocation off the sink — the stream_expectations /
+    moments pattern. Stream==batch equality is test-pinned."""
+    return (doc_stream
+            .groupBy(F.col(by))
+            .agg(F.sum(TX.token_count(text_col)).cast("long")
+                 .alias("supply_tokens")))

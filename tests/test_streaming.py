@@ -351,3 +351,46 @@ def test_stream_correlations_equal_batch(spark, tmp_out):
     n_by_pair = {(a, b): n for a, b, n, _ in want}
     assert n_by_pair[("x", "y")] == 4      # NULL x row excluded
     assert n_by_pair[("y", "z")] == 4      # NULL z row excluded
+
+
+def test_stream_waterfill_supply_equals_batch(spark, tmp_out):
+    """The water-fill allocation folded from a STREAM-maintained
+    per-source supply table equals the batch allocator over the same
+    documents, across two micro-batches."""
+    import os
+
+    from rgd_rnaseq_workflows_spark.functions import text as TX
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        token_waterfill_allocation, waterfill_from_supply)
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        stream_token_supply)
+
+    schema = "doc_id long, source string, text string"
+    b1 = [(1, "a", "one two three"), (2, "b", "x " * 50)]
+    b2 = [(3, "b", "y " * 30), (4, "c", "z")]
+    src = os.path.join(tmp_out, "wf_src")
+    os.makedirs(src)
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stream_token_supply(stream)
+         .writeStream.format("memory").queryName("wf_out")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        sup = spark.sql("SELECT * FROM wf_out")
+        got = sorted(tuple(r) for r in
+                     waterfill_from_supply(sup, 60).collect())
+    finally:
+        q.stop()
+
+    both = (spark.createDataFrame(b1 + b2, schema)
+            .withColumn("n_tokens", TX.token_count("text")))
+    want = sorted(tuple(r) for r in
+                  token_waterfill_allocation(both, 60).collect())
+    assert got == want
+    assert sum(a for _, _, a, _ in got) == (60 * (3 + 50 + 30 + 1)) // 100
