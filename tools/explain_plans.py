@@ -342,6 +342,25 @@ SHOWCASE = {
         "levels + the full-dim truth melt into one (qid, dims)-keyed "
         "two-phase top-k pass, frozen before the metadata-scale "
         "report joins.",
+    "dedup_minhash_calibration": "MinHash estimator quality gate: the "
+        "hashed shingle frame is built once (checkpoint) and feeds "
+        "both the signature and exact-Jaccard sides; candidates from "
+        "the banded bucket join, never all-pairs; n_buckets rows out.",
+    "dedup_cdc_cross_source": "source x source shared-chunk heatmap: "
+        "distinct group chunk sets; the self-join fans out per hash by "
+        "the number of GROUPS sharing it (source-vocabulary bound), "
+        "never document df; |groups|^2 metadata out.",
+    "ann_ivf_probe_sweep": "recall-vs-nprobe curve: centroids one "
+        "per-dim agg, label ranks a broadcast metadata frame, corpus "
+        "scanned once, truth + every probe level ranked by ONE melted "
+        "two-phase top-k pass (the shared kernel), frozen result.",
+    "sample_token_waterfill": "max-min fair token budgets: one "
+        "map-side-combined corpus agg; level search + remainder "
+        "hand-out ride the |sources|-row metadata frame.",
+    "sample_token_budget_cap": "waterfill enforced: per-key greedy "
+        "md5-rank prefix under the token budget; lossless two-phase "
+        "prefix-sum (salt-local cumsum lower-bounds global; earliest "
+        "dropped position closes the key), hot keys split 8 ways.",
 }
 
 
