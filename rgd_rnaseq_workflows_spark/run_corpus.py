@@ -71,6 +71,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="contamination shingle size")
     p.add_argument("--min-shared", type=int, default=1,
                    help="shared-shingle count that flags a doc")
+    p.add_argument("--token-waterfill", type=int, default=None,
+                   metavar="PCT",
+                   help="cap the curated set to PCT%% of its tokens via "
+                        "max-min fair water-filling over sources: small "
+                        "sources keep everything, large ones clip to "
+                        "the common level; writes the allocation TSV "
+                        "(out/waterfill) and enforces it with the "
+                        "deterministic md5-rank prefix cap; mutually "
+                        "exclusive with the other mix modes")
     p.add_argument("--temperature-mix", type=float, default=None,
                    metavar="FRACTION",
                    help="temperature-resampled mix (alpha=0.5): keep "
@@ -230,12 +239,30 @@ def run(args: argparse.Namespace) -> int:
             curated = curated.join(drop, "doc_id", "left_anti")
     mix_modes = sum(bool(m) for m in
                     (args.mix, args.temperature_mix is not None,
-                     args.epoch_budget is not None))
+                     args.epoch_budget is not None,
+                     args.token_waterfill is not None))
     if mix_modes > 1:
-        raise SystemExit("--mix, --temperature-mix and --epoch-budget "
-                         "are mutually exclusive")
+        raise SystemExit("--mix, --temperature-mix, --epoch-budget and "
+                         "--token-waterfill are mutually exclusive")
     if args.epoch_budget is not None and not args.epoch_weights:
         raise SystemExit("--epoch-budget requires --epoch-weights")
+    if args.token_waterfill is not None:
+        import pyspark.sql.functions as F
+        from rgd_rnaseq_workflows_spark.functions.text import token_count
+        from rgd_rnaseq_workflows_spark.operators.sampling import (
+            cap_tokens_per_key, token_waterfill_allocation)
+        with _stage("water-fill budget cap"):
+            weighted = curated.withColumn("_wf_tokens",
+                                          token_count("text"))
+            alloc = token_waterfill_allocation(
+                weighted, args.token_waterfill, by="source",
+                weight_col="_wf_tokens")
+            write_tsv(alloc, f"{out}/waterfill", single_file=True)
+            curated = cap_tokens_per_key(
+                weighted, "source",
+                alloc.select("source", "allocated_tokens"),
+                "_wf_tokens", "doc_id",
+                seed=args.mix_seed).drop("_wf_tokens", "cum_tokens")
     if args.mix:
         from rgd_rnaseq_workflows_spark.operators.sampling import (
             stratified_hash_sample)

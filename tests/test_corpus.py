@@ -709,3 +709,46 @@ def test_stream_cdc_chunks_compaction_equals_batch(spark, tmp_out):
     assert got == want
     kept = {d: k for d, _, k in got}
     assert kept == {1: True, 2: False, 3: True}
+
+
+def test_corpus_cli_token_waterfill(spark, tmp_out):
+    """--token-waterfill caps the curated set to the budget: the
+    allocation TSV lands, the kept token count per source never
+    exceeds its allocation, and the total kept is within the budget."""
+    import glob
+    import os
+
+    from rgd_rnaseq_workflows_spark import run_corpus
+    from rgd_rnaseq_workflows_spark.functions import text as TX
+    import pyspark.sql.functions as F
+
+    # stopword-bearing vocabulary so lang_id agrees with lang='en'
+    words = ["the", "cat", "dog", "runs", "sun", "sky", "barn", "red",
+             "and", "is", "on", "to", "a", "in", "it", "of"]
+    import random
+    rng = random.Random(13)
+    rows = [(i, "en", "s%d" % (i % 3),
+             " ".join(rng.choice(words)
+                      for _ in range(rng.randint(21, 60))))
+            for i in range(120)]
+    src = os.path.join(tmp_out, "wf_docs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"]) \
+        .write.parquet(src)
+    out = os.path.join(tmp_out, "wf_out")
+    rc = run_corpus.main(["--docs", src, "--out", out,
+                          "--threshold", "0.99",
+                          "--token-waterfill", "50"])
+    assert rc == 0
+    [tsv] = glob.glob(f"{out}/waterfill/part*.csv")
+    lines = open(tsv).read().strip().split("\n")
+    assert lines[0].split("\t") == ["source", "supply_tokens",
+                                    "allocated_tokens", "saturated"]
+    alloc = {l.split("\t")[0]: int(l.split("\t")[2])
+             for l in lines[1:]}
+    kept = (spark.read.parquet(f"{out}/curated")
+            .withColumn("_t", TX.token_count("text"))
+            .groupBy("source").agg(F.sum("_t").alias("t")).collect())
+    for r in kept:
+        assert r["t"] <= alloc[r["source"]]
+    supply = sum(int(l.split("\t")[1]) for l in lines[1:])
+    assert sum(alloc.values()) == (50 * supply) // 100
