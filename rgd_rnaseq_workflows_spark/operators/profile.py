@@ -544,3 +544,72 @@ FROM (
   FROM (SELECT DISTINCT CAST({cc} AS BIGINT) AS v FROM {ct}
         WHERE {cc} IS NOT NULL) c)""")
     return "\nUNION ALL\n".join(arms) + "\nORDER BY relation"
+
+
+def embedding_health_report(emb: DataFrame, dims: int,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Vector-column ANALYZE — the data-quality gate the ANN family
+    assumes but never checks: one corpus pass counting NULL vectors,
+    wrong-dimension vectors, vectors carrying a non-finite or NULL element
+    (NaN/Inf/NULL poison every downstream dot product), all-zero vectors
+    (cosine is undefined — the classic failed-encoder sentinel), plus
+    the norm range over the healthy rest (round(·, 6) — the family's
+    cross-engine float tolerance). A non-zero count in any defect
+    column means the embedding job upstream needs attention BEFORE a
+    100 TB index build burns compute on poisoned vectors.
+
+    Scale shape: one map-side-combined aggregation over per-row
+    array expressions — no shuffle of vector payloads, 1 row out.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    is_null = F.col(vec_col).isNull()
+    bad_dim = ~is_null & (F.size(vec_col) != F.lit(dims))
+    nonfinite = (~is_null & ~bad_dim & F.exists(
+        v, lambda x: x.isNull() | x.isNaN()
+        | (F.abs(x) == float("inf"))))
+    zero = (~is_null & ~bad_dim & ~nonfinite
+            & ~F.exists(v, lambda x: x != 0.0))
+    healthy = ~is_null & ~bad_dim & ~nonfinite & ~zero
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+    return (emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(is_null.cast("long")).cast("long").alias("n_null"),
+        F.sum(bad_dim.cast("long")).cast("long").alias("n_bad_dim"),
+        F.sum(nonfinite.cast("long")).cast("long").alias("n_nonfinite"),
+        F.sum(zero.cast("long")).cast("long").alias("n_zero"),
+        F.round(F.min(F.when(healthy, norm)), 6).alias("min_norm6"),
+        F.round(F.max(F.when(healthy, norm)), 6).alias("max_norm6")))
+
+
+def embedding_health_sql(table: str, dims: int,
+                         vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`embedding_health_report` — identical
+    defect classes and the same rounded norm range."""
+    v = f"CAST({vec_col} AS DOUBLE[])"
+    is_null = f"{vec_col} IS NULL"
+    bad_dim = f"(NOT {is_null} AND len({vec_col}) <> {dims})"
+    nonfinite = (f"(NOT {is_null} AND NOT {bad_dim} AND "
+                 f"len(list_filter({v}, x -> x IS NULL OR isnan(x) OR "
+                 f"abs(x) = 'infinity'::DOUBLE)) > 0)")
+    zero = (f"(NOT {is_null} AND NOT {bad_dim} AND NOT {nonfinite} "
+            f"AND len(list_filter({v}, x -> x <> 0.0)) = 0)")
+    healthy = (f"(NOT {is_null} AND NOT {bad_dim} AND NOT {nonfinite} "
+               f"AND NOT {zero})")
+    norm = (f"sqrt(list_aggregate(list_transform({v}, x -> x * x), "
+            f"'sum'))")
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(coalesce(sum(CAST({is_null} AS BIGINT)), 0) AS BIGINT)
+         AS n_null,
+       CAST(coalesce(sum(CAST({bad_dim} AS BIGINT)), 0) AS BIGINT)
+         AS n_bad_dim,
+       CAST(coalesce(sum(CAST({nonfinite} AS BIGINT)), 0) AS BIGINT)
+         AS n_nonfinite,
+       CAST(coalesce(sum(CAST({zero} AS BIGINT)), 0) AS BIGINT)
+         AS n_zero,
+       round(min(CASE WHEN {healthy} THEN {norm} END), 6) AS min_norm6,
+       round(max(CASE WHEN {healthy} THEN {norm} END), 6) AS max_norm6
+FROM {table}
+"""

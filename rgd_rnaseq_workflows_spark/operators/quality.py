@@ -913,3 +913,90 @@ lab AS (
 SELECT l.g AS {group_col}, l.v AS {value_col}, l.n, p.norm_value
 FROM lab l JOIN pooled2 p ON l.idx BETWEEN p.p_lo AND p.p_hi
 """
+
+
+def vocab_coverage_curve(docs: DataFrame,
+                         vocab_sizes: list[int] = (100, 1000, 10000),
+                         text_col: str = "text",
+                         n_buckets: int = 32) -> DataFrame:
+    """Token-coverage-vs-vocabulary-size curve — the measurement behind
+    every "how big must the vocab be" tokenizer decision: for each
+    candidate size K, the exact fraction of corpus TOKENS covered by
+    the K most frequent terms (ties broken by term text, so the head
+    set is deterministic). Output per K: (vocab_size, n_terms,
+    total_tokens, covered_tokens, coverage_bp) — exact BIGINTs, one
+    integer division for the basis points.
+
+    Scale shape: ONE map-side-combined shuffle builds the term
+    frequency table; totals are a vocab-scale aggregation; the head is
+    the TWO-PHASE bucketed top-K (the ``term_head_report`` discipline
+    — no single reducer ever sorts the whole vocabulary), taken once
+    at max(K) and re-used for every curve point via conditional sums;
+    phase 2's single ranking task sees <= n_buckets * max(K) rows —
+    bounded by the requested head, independent of corpus size.
+    """
+    sizes = sorted(set(int(k) for k in vocab_sizes))
+    if not sizes or sizes[0] < 1:
+        raise ValueError("vocab_sizes must be positive ints")
+    from pyspark.sql import Window
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long
+    kmax = sizes[-1]
+    terms = (docs.select(F.explode(TX.tokens(text_col)).alias("t"))
+             .groupBy("t").agg(F.count("*").alias("c")))
+    totals = terms.agg(F.sum("c").cast("long").alias("total_tokens"),
+                       F.count("*").cast("long").alias("n_terms"))
+    order = [F.col("c").desc(), F.col("t").asc()]
+    w1 = Window.partitionBy(F.pmod(md5_long("t"), F.lit(n_buckets))) \
+        .orderBy(*order)
+    w2 = Window.partitionBy().orderBy(*order)   # <= n_buckets*kmax rows
+    head = (terms.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= kmax)
+            .withColumn("_r2", F.row_number().over(w2))
+            .filter(F.col("_r2") <= kmax))
+    covs = head.agg(*[
+        F.sum(F.when(F.col("_r2") <= k, F.col("c"))).cast("long")
+        .alias(f"cov_{k}") for k in sizes])
+    arms = [F.struct(F.lit(k).cast("long").alias("vocab_size"),
+                     F.coalesce(F.col(f"cov_{k}"), F.lit(0))
+                     .alias("covered_tokens")) for k in sizes]
+    return (totals.crossJoin(F.broadcast(covs))
+            .select("n_terms", "total_tokens",
+                    F.explode(F.array(*arms)).alias("s"))
+            .select("s.vocab_size", "n_terms", "total_tokens",
+                    F.col("s.covered_tokens").alias("covered_tokens"),
+                    F.expr("10000 * s.covered_tokens div total_tokens")
+                    .cast("long").alias("coverage_bp"))
+            .orderBy("vocab_size"))
+
+
+def vocab_coverage_curve_sql(table: str,
+                             vocab_sizes: list[int] = (100, 1000, 10000),
+                             text_col: str = "text") -> str:
+    """DuckDB twin of :func:`vocab_coverage_curve` — single-window
+    ranking (the two-phase plan is lossless for the head, so the plain
+    form is the oracle)."""
+    sizes = sorted(set(int(k) for k in vocab_sizes))
+    if not sizes or sizes[0] < 1:
+        raise ValueError("vocab_sizes must be positive ints")
+    toks = TX.tokens_sql(text_col)
+    arms = " UNION ALL ".join(
+        f"SELECT {k} AS vocab_size, "
+        f"(SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM ranked "
+        f" WHERE r <= {k}) AS covered_tokens" for k in sizes)
+    return f"""
+WITH terms AS (
+  SELECT t, count(*) AS c FROM (
+    SELECT unnest({toks}) AS t FROM {table}) GROUP BY t),
+totals AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_terms FROM terms),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r FROM terms),
+arms AS ({arms})
+SELECT CAST(vocab_size AS BIGINT) AS vocab_size, n_terms, total_tokens,
+       covered_tokens,
+       CAST((10000 * covered_tokens) // total_tokens AS BIGINT)
+         AS coverage_bp
+FROM arms CROSS JOIN totals
+ORDER BY vocab_size
+"""

@@ -4324,6 +4324,46 @@ def sample_token_budget_cap(spark, sf_dir):
             .select("doc_id", "source", "n_tokens", "cum_tokens"))
 
 
+def _vocab_curve_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        vocab_coverage_curve_sql)
+    return vocab_coverage_curve_sql("documents", [100, 1000, 10000])
+
+
+@q("text_vocab_coverage", ("VOCAB-CURVE",), oracle=_vocab_curve_oracle(),
+   note="token-coverage-vs-vocab-size curve (the tokenizer vocab "
+        "decision measured): exact fraction of corpus tokens covered "
+        "by the K most frequent terms at each candidate K, "
+        "deterministic tie-break; ONE term-frequency shuffle, "
+        "two-phase bucketed top-K taken once at max(K) (phase 2 sees "
+        "<= buckets*K rows regardless of corpus size), conditional "
+        "sums serve every curve point")
+def text_vocab_coverage(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        vocab_coverage_curve)
+    d = _t(spark, sf_dir, "documents")
+    return vocab_coverage_curve(d, [100, 1000, 10000])
+
+
+def _emb_health_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        embedding_health_sql)
+    return embedding_health_sql("embeddings", dims=64)
+
+
+@q("profile_embedding_health", ("EMB-HEALTH",), oracle=_emb_health_oracle(),
+   note="vector-column ANALYZE the ANN family assumes but never "
+        "checks: NULL / wrong-dim / non-finite (NaN poisons every "
+        "dot product) / all-zero (cosine undefined) counts plus the "
+        "healthy norm range - one map-side-combined pass over per-row "
+        "array expressions, no vector payload shuffle, 1 row out")
+def profile_embedding_health(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        embedding_health_report)
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_health_report(emb, dims=64)
+
+
 def _truncation_oracle() -> str:
     from rgd_rnaseq_workflows_spark.operators.similarity import (
         truncation_recall_report_sql)

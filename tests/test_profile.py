@@ -293,3 +293,36 @@ def test_fk_candidates_counts_orphans_exactly(spark):
     import pytest
     with pytest.raises(ValueError):
         fk_candidates_report(spark, [])
+
+
+def test_embedding_health_report(spark):
+    """Each defect class counted once with NULL > bad-dim > non-finite
+    > zero precedence; healthy norm range matches the twin."""
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        embedding_health_report, embedding_health_sql)
+
+    rows = [
+        (1, [3.0, 4.0]),                  # healthy, norm 5
+        (2, None),                        # null
+        (3, [1.0]),                       # bad dim
+        (4, [float("nan"), 1.0]),         # non-finite
+        (5, [float("inf"), 0.0]),         # non-finite
+        (6, [0.0, 0.0]),                  # all-zero
+        (7, [0.6, 0.8]),                  # healthy, norm 1
+    ]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    [r] = embedding_health_report(emb, dims=2).collect()
+    assert (r["n_vecs"], r["n_null"], r["n_bad_dim"], r["n_nonfinite"],
+            r["n_zero"]) == (7, 1, 1, 2, 1)
+    assert r["min_norm6"] == 1.0 and r["max_norm6"] == 5.0
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, "
+                "embedding FLOAT[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    [exp] = con.execute(embedding_health_sql("embeddings",
+                                             dims=2)).fetchall()
+    assert tuple(r) == tuple(exp)

@@ -407,3 +407,38 @@ def test_quantile_norm_excludes_null_values(spark):
     exp = sorted(tuple(r) for r in con.execute(
         quantile_normalize_sql("t", "src", "score")).fetchall())
     assert got == exp
+
+
+def test_vocab_coverage_curve(spark):
+    """Hand case: coverage is monotone in K, covering every type reads
+    10000 bp, and the two-phase head equals the single-window DuckDB
+    twin on a messier corpus."""
+    import random
+
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        vocab_coverage_curve, vocab_coverage_curve_sql)
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], ["doc_id", "text"])
+    got = {r["vocab_size"]: (r["covered_tokens"], r["coverage_bp"],
+                             r["n_terms"], r["total_tokens"])
+           for r in vocab_coverage_curve(docs, [1, 2, 4]).collect()}
+    # counts: a=4, b=3, c=1, d=1 -> total 9, 4 types
+    assert got[1] == (4, 4444, 4, 9)
+    assert got[2] == (7, 7777, 4, 9)
+    assert got[4] == (9, 10000, 4, 9)
+
+    rng = random.Random(3)
+    rows = [(i, " ".join("w%d" % rng.randint(0, 500)
+                         for _ in range(30))) for i in range(300)]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+    srows = sorted(tuple(r) for r in
+                   vocab_coverage_curve(sdf, [10, 100]).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    exp = sorted(tuple(r) for r in con.execute(
+        vocab_coverage_curve_sql("documents", [10, 100])).fetchall())
+    assert srows == exp
