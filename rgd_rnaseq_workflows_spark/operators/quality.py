@@ -935,14 +935,31 @@ def vocab_coverage_curve(docs: DataFrame,
     phase 2's single ranking task sees <= n_buckets * max(K) rows —
     bounded by the requested head, independent of corpus size.
     """
+    terms = (docs.select(F.explode(TX.tokens(text_col)).alias("t"))
+             .groupBy("t").agg(F.count("*").alias("c")))
+    return vocab_coverage_from_counts(terms, vocab_sizes, n_buckets)
+
+
+def vocab_coverage_from_counts(terms: DataFrame,
+                               vocab_sizes: list[int] = (100, 1000,
+                                                         10000),
+                               n_buckets: int = 32) -> DataFrame:
+    """The curve fold over a PREBUILT (term, count) frequency table —
+    exposed separately because the term table is the curve's
+    sufficient statistic: ``streaming.corpus_stream.
+    stream_token_counts`` maintains it incrementally and this fold
+    reads the live curve off the sink without re-reading the corpus
+    (the drift-report / moments pattern). ``terms`` must yield
+    (term, count)."""
     sizes = sorted(set(int(k) for k in vocab_sizes))
     if not sizes or sizes[0] < 1:
         raise ValueError("vocab_sizes must be positive ints")
     from pyspark.sql import Window
     from rgd_rnaseq_workflows_spark.functions.hashing import md5_long
     kmax = sizes[-1]
-    terms = (docs.select(F.explode(TX.tokens(text_col)).alias("t"))
-             .groupBy("t").agg(F.count("*").alias("c")))
+    cols = terms.columns
+    terms = terms.select(F.col(cols[0]).alias("t"),
+                         F.col(cols[1]).alias("c"))
     totals = terms.agg(F.sum("c").cast("long").alias("total_tokens"),
                        F.count("*").cast("long").alias("n_terms"))
     order = [F.col("c").desc(), F.col("t").asc()]

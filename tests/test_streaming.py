@@ -394,3 +394,43 @@ def test_stream_waterfill_supply_equals_batch(spark, tmp_out):
                   token_waterfill_allocation(both, 60).collect())
     assert got == want
     assert sum(a for _, _, a, _ in got) == (60 * (3 + 50 + 30 + 1)) // 100
+
+
+def test_stream_vocab_coverage_equals_batch(spark, tmp_out):
+    """The coverage curve folded from the STREAM-maintained term count
+    table equals the batch curve over the same documents, across two
+    micro-batches."""
+    import os
+
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        vocab_coverage_curve, vocab_coverage_from_counts)
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        stream_token_counts)
+
+    schema = "doc_id long, text string"
+    b1 = [(1, "a a a b b c"), (2, "a b d")]
+    b2 = [(3, "c c e a"), (4, "b e")]
+    src = os.path.join(tmp_out, "vc_src")
+    os.makedirs(src)
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stream_token_counts(stream)
+         .writeStream.format("memory").queryName("vc_out")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        counts = spark.sql("SELECT * FROM vc_out")
+        got = sorted(tuple(r) for r in vocab_coverage_from_counts(
+            counts, [1, 3, 10]).collect())
+    finally:
+        q.stop()
+
+    both = spark.createDataFrame(b1 + b2, schema)
+    want = sorted(tuple(r) for r in
+                  vocab_coverage_curve(both, [1, 3, 10]).collect())
+    assert got == want
