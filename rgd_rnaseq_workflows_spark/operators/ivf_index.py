@@ -55,7 +55,11 @@ def write_ivf_index(emb: DataFrame, path: str, label_col: str = "label",
     partitioned by cluster directory (one repartition-on-label write —
     balanced, and every cluster's rows are co-located for the probe
     scan), centroid components under ``{path}/centroids``."""
-    (emb.withColumn("_pt", F.col(label_col))
+    # Drop the source label column from the data files: its value is
+    # fully preserved in the _pt partition directory, and keeping both
+    # would make probe_scan's _pt->label rename produce an AMBIGUOUS
+    # duplicate 'label' column when label_col='label' (ADVICE r8).
+    (emb.withColumn("_pt", F.col(label_col)).drop(label_col)
      .repartition(F.col("_pt"))
      .write.mode("overwrite").partitionBy("_pt")
      .parquet(f"{path}/vectors"))

@@ -979,9 +979,18 @@ def vocab_coverage_from_counts(terms: DataFrame,
     return (totals.crossJoin(F.broadcast(covs))
             .select("n_terms", "total_tokens",
                     F.explode(F.array(*arms)).alias("s"))
-            .select("s.vocab_size", "n_terms", "total_tokens",
+            .select("s.vocab_size", "n_terms",
+                    F.coalesce("total_tokens", F.lit(0)).cast("long")
+                    .alias("total_tokens"),
                     F.col("s.covered_tokens").alias("covered_tokens"),
-                    F.expr("10000 * s.covered_tokens div total_tokens")
+                    # empty / zero-token term table: Spark's div would
+                    # yield NULL while DuckDB's // 0 errors (ADVICE
+                    # r8) — pin coverage_bp to 0 in BOTH twins so the
+                    # engines agree on the empty-corpus edge.
+                    F.when(F.coalesce(F.col("total_tokens"),
+                                      F.lit(0)) == 0, F.lit(0))
+                    .otherwise(F.expr(
+                        "10000 * s.covered_tokens div total_tokens"))
                     .cast("long").alias("coverage_bp"))
             .orderBy("vocab_size"))
 
@@ -1010,10 +1019,12 @@ totals AS (
 ranked AS (
   SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r FROM terms),
 arms AS ({arms})
-SELECT CAST(vocab_size AS BIGINT) AS vocab_size, n_terms, total_tokens,
+SELECT CAST(vocab_size AS BIGINT) AS vocab_size, n_terms,
+       CAST(coalesce(total_tokens, 0) AS BIGINT) AS total_tokens,
        covered_tokens,
-       CAST((10000 * covered_tokens) // total_tokens AS BIGINT)
-         AS coverage_bp
+       CAST(CASE WHEN coalesce(total_tokens, 0) = 0 THEN 0
+                 ELSE (10000 * covered_tokens) // total_tokens
+            END AS BIGINT) AS coverage_bp
 FROM arms CROSS JOIN totals
 ORDER BY vocab_size
 """

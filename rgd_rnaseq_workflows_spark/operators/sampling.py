@@ -748,10 +748,17 @@ def waterfill_from_supply(supply: DataFrame, budget_pct: int = 60,
          .withColumn("_n", F.count("*").over(w_all))
          .withColumn("_B", F.expr(
              f"{budget_pct} * sum(_s) over () div 100"))
-         .withColumn("_lag", F.lag("_s").over(w_ord)))
+         .withColumn("_lag", F.lag("_s").over(w_ord))
+         .withColumn("_tot", F.sum("_s").over(w_all)))
     lj = F.expr("(_B - (_P - _s)) div (_n - _rn + 1)")
-    valid = (((F.col("_rn") == 1) | (F.col("_lag") <= lj))
-             & (lj < F.col("_s")))
+    # Degenerate total-supply-0 corpus: no row satisfies lj < s (every
+    # s is 0), which would make lvl EMPTY and silently empty the whole
+    # allocation via the crossJoin (ADVICE r8). Short-circuit: accept
+    # the rn=1 row as the level (L=0, j=0, R=0), so every group gets
+    # allocated_tokens=0 / saturated=true instead of vanishing.
+    valid = ((((F.col("_rn") == 1) | (F.col("_lag") <= lj))
+              & (lj < F.col("_s")))
+             | ((F.col("_rn") == 1) & (F.col("_tot") == 0)))
     lvl = (t.filter(valid)
            .select(lj.alias("_L"), (F.col("_rn") - 1).alias("_j"),
                    F.expr("(_B - (_P - _s)) % (_n - _rn + 1)")
@@ -792,15 +799,17 @@ t AS (
                       ROWS UNBOUNDED PRECEDING) AS p,
          count(*) OVER () AS n,
          ({budget_pct} * sum(s) OVER ()) // 100 AS b,
-         lag(s) OVER (ORDER BY s, g) AS lag_s
+         lag(s) OVER (ORDER BY s, g) AS lag_s,
+         sum(s) OVER () AS tot
   FROM sup),
 lvl AS (
   SELECT (b - (p - s)) // (n - rn + 1) AS l,
          rn - 1 AS j,
          (b - (p - s)) % (n - rn + 1) AS r
   FROM t
-  WHERE (rn = 1 OR lag_s <= (b - (p - s)) // (n - rn + 1))
-    AND (b - (p - s)) // (n - rn + 1) < s)
+  WHERE ((rn = 1 OR lag_s <= (b - (p - s)) // (n - rn + 1))
+         AND (b - (p - s)) // (n - rn + 1) < s)
+     OR (rn = 1 AND tot = 0))
 SELECT t.g AS {by},
        t.s AS supply_tokens,
        CAST(CASE WHEN t.s <= lvl.l THEN t.s
@@ -845,8 +854,19 @@ def cap_tokens_per_key(df: DataFrame, key_col: str, budgets: DataFrame,
         F.col(budgets.columns[0]).alias(key_col),
         F.col(budgets.columns[1]).cast("long").alias("_budget")))
     ord_col = md5_long(F.col(id_col).cast("string"), seed=seed)
+    # weight >= 0 is a hard contract (the two-phase proof needs
+    # monotone prefixes: a negative weight makes the salt-local cumsum
+    # stop lower-bounding the global one, silently diverging from the
+    # single-window oracle) — fail loudly like attribution.py does for
+    # negative conversion values.
+    w_raw = F.col(weight_col).cast("long")
+    w_guarded = F.when(w_raw >= 0, w_raw).otherwise(
+        F.raise_error(F.lit(
+            "cap_tokens_per_key: negative weight — weights must be "
+            ">= 0 (the cumulative walk relies on monotone prefixes)"))
+        .cast("long"))
     t = (df.join(b, key_col)
-         .withColumn("_w", F.col(weight_col).cast("long"))
+         .withColumn("_w", w_guarded)
          .withColumn("_ord", ord_col)
          .withColumn("_salt", F.pmod(F.col("_ord"), F.lit(n_salts))))
     w1 = (Window.partitionBy(key_col, "_salt").orderBy("_ord", id_col)

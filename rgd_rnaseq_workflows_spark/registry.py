@@ -1626,61 +1626,61 @@ def text_zipf_head_stats(spark, sf_dir):
 # prior round are surfaced first so every registry entry accumulates a
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
-    # round-8 window (standing rotation, <=3-round evidence age; head is
-    # exactly tools/rotation_check.py --plan at r8 entry): the 11 r7
-    # queries that have never had a driver row (all judge-verified at
-    # sf0.01 in VERDICT r7), then the 6 age-4 r4 rows at hard deadline,
-    # then the oldest r5-stamped rows in registry order.
-    "events_attribution",
-    "dedup_cdc_chunks",
-    "dedup_cdc_pairs",
-    "layout_hilbert_stats",
-    "ann_recall_report",
-    "events_top_paths",
-    "profile_correlations",
-    "profile_fk_candidates",
-    "dedup_cdc_keepers",
-    "ann_truncation_report",
-    "events_funnel_gap_quantiles",
-    "agg4_dedup_keep_first",
-    "agg9_histogram",
-    "set1_union",
-    "set2_intersect",
-    "f16_date_arithmetic",
-    "f17_url_template",
-    "prj3_computed_projection",
-    "fil4_threshold_status",
-    "fil6_regex_predicates",
-    "fil8_in_list_slice",
-    "f13_case_buckets",
-    "jn1_semi_join",
-    "set3_anti_join",
-    "jn2_broadcast_annotate",
-    "jn5_lookup_default",
-    "jn6_outer_validation",
-    "agg1_count_distinct",
-    "agg2_collect_sorted_list",
-    "agg3_first_per_group",
-    "win1_dense_rank_palette",
-    "win2_topk_per_group",
-    "stream_sliding_topk",
-    "stratified_hash_sample",
-    "contamination_ngram",
-    "text_redact_pii",
-    "kmeans_embeddings",
-    "semdedup_embeddings",
-    "quality_repetition",
-    "dedup_ngram_coverage",
-    "pack_sequences",
-    "corpus_shard_manifest",
-    "text_tfidf_top_terms",
-    "ann_quantize_report",
-    "ann_int8_topk",
-    "ann_pq_topk",
-    "ann_pq_rerank_topk",
-    "ann_ivfpq_topk",
-    "sample_temperature_mix",
-    "cap_per_source",
+    # round-9 window (standing rotation, <=3-round evidence age; head is
+    # exactly tools/rotation_check.py --plan at r9 entry): the 7 r8
+    # queries whose only oracle evidence is the judge's re-run (all
+    # verified at sf0.01 in VERDICT r8), then the age-4 r5-stamped rows
+    # at hard deadline, then the oldest stamped rows in registry order.
+    "dedup_cdc_cross_source",
+    "dedup_minhash_calibration",
+    "ann_ivf_probe_sweep",
+    "sample_token_waterfill",
+    "sample_token_budget_cap",
+    "text_vocab_coverage",
+    "profile_embedding_health",
+    "corpus_snapshot_diff",
+    "split_leakage_report",
+    "quality_bigram_lm",
+    "win3_running_total",
+    "win4_lead_lag",
+    "corpus_full_curation",
+    "corpus_training_mix",
+    "stateful_dedup_kernel",
+    "ann_lsh_topk",
+    "simhash_near_pairs_q",
+    "multimodal_phash_dedup",
+    "multimodal_image_features",
+    "grouping_sets_agg",
+    "cube_aggregate",
+    "multimodal_frame_plan",
+    "observe_metrics",
+    "scalar_cleanup",
+    "q1_pricing_summary",
+    "jn3_merge_join",
+    "events_funnel",
+    "events_funnel_windowed",
+    "events_session_funnel",
+    "events_cohort_retention",
+    "dedup_cross_corpus",
+    "ann_margin_alignment",
+    "ann_margin_ivf",
+    "tokenizer_bpe_merges",
+    "quality_length_outliers",
+    "text_pmi_collocations",
+    "text_zipf_head_stats",
+    "multimodal_audio_features",
+    "sketch_hll_incremental",
+    "sketch_hll_set_ops",
+    "sketch_cms_incremental",
+    "graph_triangle_census",
+    "sketch_log2q_by_group",
+    "sketch_cms_by_group",
+    "quality_boilerplate_ngrams",
+    "sample_epoch_mix",
+    "winnow_cross_containment",
+    "winnow_containment_keepers",
+    "fuzzy_match_part_names",
+    "agg_histogram_quantiles",
 )
 
 

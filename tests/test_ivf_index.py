@@ -81,3 +81,19 @@ def test_index_topk_equals_unpartitioned_rule(spark, tmp_path):
               .orderBy(F.desc("cosine_sim"), "vec_id").limit(5)
               .collect())]
     assert full == brute
+
+
+def test_probe_scan_label_column_unambiguous(spark, tmp_path):
+    """Regression (ADVICE r8): when the index is written with the
+    default label_col='label', the data files must NOT keep a second
+    'label' column — selecting 'label' from probe_scan output used to
+    raise AMBIGUOUS_REFERENCE after the _pt->label rename."""
+    rows, emb = _emb(spark, n=80, k=4)
+    path = str(tmp_path / "ivf_amb")
+    write_ivf_index(emb, path)
+    probed = probe_scan(spark, path, [0, 2])
+    assert probed.columns.count("label") == 1
+    got = sorted((r["vec_id"], r["label"])
+                 for r in probed.select("vec_id", "label").collect())
+    want = sorted((i, lbl) for i, lbl, _ in rows if lbl in (0, 2))
+    assert got == want

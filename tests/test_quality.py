@@ -442,3 +442,32 @@ def test_vocab_coverage_curve(spark):
     exp = sorted(tuple(r) for r in con.execute(
         vocab_coverage_curve_sql("documents", [10, 100])).fetchall())
     assert srows == exp
+
+
+def test_vocab_coverage_zero_token_edge(spark):
+    """Regression (ADVICE r8): a zero-token term table used to make
+    Spark's div yield NULL coverage_bp while DuckDB's // 0 errors —
+    both twins must now pin coverage_bp to 0 on the empty corpus."""
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        vocab_coverage_curve, vocab_coverage_curve_sql,
+        vocab_coverage_from_counts)
+
+    # empty corpus via the curve entry point
+    docs = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    got = sorted(tuple(r) for r in
+                 vocab_coverage_curve(docs, [1, 10]).collect())
+    assert got == [(1, 0, 0, 0, 0), (10, 0, 0, 0, 0)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (1, '')")
+    exp = sorted(tuple(r) for r in con.execute(
+        vocab_coverage_curve_sql("documents", [1, 10])).fetchall())
+    assert got == exp
+
+    # zero-count term table via the from_counts fold
+    terms = spark.createDataFrame([("a", 0), ("b", 0)], ["t", "c"])
+    got2 = sorted(tuple(r) for r in
+                  vocab_coverage_from_counts(terms, [1]).collect())
+    assert got2 == [(1, 2, 0, 0, 0)]

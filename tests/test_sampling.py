@@ -542,3 +542,54 @@ def test_cap_tokens_per_key_budget_never_exceeded_and_lossless(spark):
         "n_tokens", "doc_id", seed=5,
         cols="doc_id, source, n_tokens")).fetchall())
     assert sorted(tuple(r) for r in got) == exp
+
+
+def test_cap_tokens_per_key_rejects_negative_weight(spark):
+    """Regression (ADVICE r8): a negative weight silently breaks the
+    two-phase prefix-sum proof — the guard must fail loudly instead."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        cap_tokens_per_key)
+
+    docs = spark.createDataFrame(
+        [(1, "s0", 5), (2, "s0", -3), (3, "s0", 4)],
+        ["doc_id", "source", "n_tokens"])
+    budgets = spark.createDataFrame([("s0", 100)],
+                                    ["source", "allocated_tokens"])
+    out = cap_tokens_per_key(docs, "source", budgets, "n_tokens",
+                             "doc_id")
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception),
+                       match="negative weight"):
+        out.collect()
+
+
+def test_waterfill_zero_supply_short_circuits(spark):
+    """Regression (ADVICE r8): a total-supply-0 corpus used to yield
+    an EMPTY allocation frame (no level row satisfies lj < s), which
+    would silently drop every document downstream. Now every group is
+    allocated 0 / saturated, and the DuckDB twin agrees."""
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        token_waterfill_allocation, token_waterfill_sql)
+
+    docs = spark.createDataFrame(
+        [(1, "a", ""), (2, "b", ""), (3, "a", "")],
+        ["doc_id", "source", "text"])
+    from rgd_rnaseq_workflows_spark.functions import text as TX
+    alloc = token_waterfill_allocation(
+        docs.withColumn("n_tokens", TX.token_count("text")), 60)
+    got = sorted(tuple(r) for r in alloc.collect())
+    assert got == [("a", 0, 0, True), ("b", 0, 0, True)]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, source VARCHAR, "
+                "text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)",
+                    [(1, "a", ""), (2, "b", ""), (3, "a", "")])
+    exp = sorted(tuple(r) for r in con.execute(
+        token_waterfill_sql("documents", 60)).fetchall())
+    assert got == exp
