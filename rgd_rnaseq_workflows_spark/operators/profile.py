@@ -562,6 +562,17 @@ def embedding_health_report(emb: DataFrame, dims: int,
     Scale shape: one map-side-combined aggregation over per-row
     array expressions — no shuffle of vector payloads, 1 row out.
     """
+    return emb.agg(*embedding_health_aggs(dims, vec_col))
+
+
+def embedding_health_aggs(dims: int,
+                          vec_col: str = "embedding") -> list:
+    """The health report's aggregate expressions, factored out because
+    every one of them is trivially mergeable (counts, min, max): a
+    Structured Streaming aggregation maintains the identical
+    sufficient statistics incrementally
+    (``streaming.corpus_stream.stream_embedding_health``) and its sink
+    row IS the live report — the correlation-moments pattern."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     is_null = F.col(vec_col).isNull()
     bad_dim = ~is_null & (F.size(vec_col) != F.lit(dims))
@@ -573,14 +584,14 @@ def embedding_health_report(emb: DataFrame, dims: int,
     healthy = ~is_null & ~bad_dim & ~nonfinite & ~zero
     norm = F.sqrt(F.aggregate(v, F.lit(0.0),
                               lambda acc, x: acc + x * x))
-    return (emb.agg(
+    return [
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.sum(is_null.cast("long")).cast("long").alias("n_null"),
         F.sum(bad_dim.cast("long")).cast("long").alias("n_bad_dim"),
         F.sum(nonfinite.cast("long")).cast("long").alias("n_nonfinite"),
         F.sum(zero.cast("long")).cast("long").alias("n_zero"),
         F.round(F.min(F.when(healthy, norm)), 6).alias("min_norm6"),
-        F.round(F.max(F.when(healthy, norm)), 6).alias("max_norm6")))
+        F.round(F.max(F.when(healthy, norm)), 6).alias("max_norm6")]
 
 
 def embedding_health_sql(table: str, dims: int,

@@ -337,17 +337,23 @@ def margin_alignment(left: DataFrame, right: DataFrame, k: int = 4,
     w = Window.partitionBy("id_left").orderBy(F.desc("_ci"), "id_right")
     rk = sc.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= k)
-    top = (rk.groupBy("id_left")
+    # ONE aggregation over the ranked frame: the top-1 row rides the
+    # k-sum group as a min_by struct instead of a best⋈top self-join —
+    # the join form recomputed the whole candidate/cosine lineage once
+    # per branch (2 sort-merge joins, pair generation ×2); this agg
+    # reuses the window's hash partitioning, so candidates are
+    # generated, Arrow-scored, and ranked exactly once.
+    agg = (rk.groupBy("id_left")
            .agg(F.count("*").alias("_n"),
-                F.sum("_ci").cast("long").alias("_s"))
+                F.sum("_ci").cast("long").alias("_s"),
+                F.min_by(F.struct("id_right", "_ci"), "_rn")
+                .alias("_b"))
            .filter(F.col("_n") == k))
-    best = rk.filter(F.col("_rn") == 1).select("id_left", "id_right", "_ci")
-    margin_ppm = F.expr(f"(_ci * {k} * 1000000) div _s")
-    return (best.join(top, "id_left")
-            .withColumn("_m", margin_ppm)
+    margin_ppm = F.expr(f"(_b._ci * {k} * 1000000) div _s")
+    return (agg.withColumn("_m", margin_ppm)
             .filter(F.col("_m") >= min_margin_ppm)
-            .select("id_left", "id_right",
-                    F.round(F.col("_ci") / 1_000_000.0, 6)
+            .select("id_left", F.col("_b.id_right").alias("id_right"),
+                    F.round(F.col("_b._ci") / 1_000_000.0, 6)
                     .alias("cosine_sim"),
                     F.round(F.col("_m") / 1_000_000.0, 6)
                     .alias("margin6")))

@@ -161,6 +161,38 @@ def build_parser() -> argparse.ArgumentParser:
                         "en=50,de=20")
     p.add_argument("--max-epochs", type=int, default=4,
                    help="repetition cap for --epoch-budget")
+    p.add_argument("--ann-index", default=None, metavar="PATH",
+                   help="fit coarse k-means on --embeddings and persist "
+                        "the IVF layout (vectors partitionBy(cluster) + "
+                        "exact-int centroid table) under PATH; probe it "
+                        "later with the probe-ann subcommand")
+    p.add_argument("--embeddings", default=None, metavar="PARQUET",
+                   help="embeddings parquet (vec_id, embedding) for "
+                        "--ann-index")
+    p.add_argument("--ann-clusters", type=int, default=8,
+                   help="coarse quantizer cardinality for --ann-index "
+                        "(production sizing: ∝ N / target list size)")
+    p.add_argument("--ann-iters", type=int, default=2,
+                   help="k-means assignment passes for --ann-index")
+    return p
+
+
+def build_probe_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rgd_rnaseq_workflows_spark.run_corpus probe-ann",
+        description="probe a persisted IVF index: centroid rank "
+                    "(metadata) -> directory-pruned scan -> exact "
+                    "cosine top-k over the probed lists only")
+    p.add_argument("--index", required=True,
+                   help="IVF layout written by --ann-index")
+    p.add_argument("--embeddings", required=True,
+                   help="embeddings parquet holding the query vector")
+    p.add_argument("--query-id", type=int, required=True,
+                   help="vec_id of the query vector in --embeddings")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--nprobe", type=int, default=2)
+    p.add_argument("--out", default=None, metavar="DIR",
+                   help="write the top-k as TSV here (default: stdout)")
     return p
 
 
@@ -397,10 +429,53 @@ def run(args: argparse.Namespace) -> int:
              .parquet(f"{out}/shards"))
             manifest = shard_corpus(final, n_shards=args.shards, seed=11)
             write_tsv(manifest, f"{out}/shard_manifest", single_file=True)
+    if args.ann_index:
+        if not args.embeddings:
+            raise SystemExit("--ann-index requires --embeddings")
+        from rgd_rnaseq_workflows_spark.operators.clustering import (
+            kmeans_fit)
+        from rgd_rnaseq_workflows_spark.operators.ivf_index import (
+            write_ivf_index)
+        with _stage("IVF index build (k-means fit + partitioned write)"):
+            emb = spark.read.parquet(args.embeddings)
+            assigned, _ = kmeans_fit(emb, k=args.ann_clusters,
+                                     iters=args.ann_iters,
+                                     persist=False)
+            write_ivf_index(assigned, args.ann_index,
+                            label_col="cluster")
+    return 0
+
+
+def run_probe(args: argparse.Namespace) -> int:
+    """probe-ann: one query against a persisted IVF layout — reads the
+    k×dims centroid table plus ONLY the probed cluster directories."""
+    from pyspark.sql import functions as F
+
+    from rgd_rnaseq_workflows_spark.operators.ivf_index import (
+        ivf_index_topk)
+    spark = get_spark("ann-probe")
+    qrow = (spark.read.parquet(args.embeddings)
+            .filter(F.col("vec_id") == args.query_id)
+            .select("embedding").head())
+    if qrow is None:
+        raise SystemExit(f"vec_id {args.query_id} not found in "
+                         f"{args.embeddings}")
+    with _stage(f"IVF probe (k={args.k}, nprobe={args.nprobe})"):
+        topk = ivf_index_topk(spark, args.index,
+                              [float(x) for x in qrow["embedding"]],
+                              k=args.k, nprobe=args.nprobe)
+        if args.out:
+            write_tsv(topk, args.out, single_file=True)
+        else:
+            for r in topk.collect():
+                print(f"{r['vec_id']}\t{r['cosine_sim']}")
     return 0
 
 
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "probe-ann":
+        return run_probe(build_probe_parser().parse_args(argv[1:]))
     return run(build_parser().parse_args(argv))
 
 

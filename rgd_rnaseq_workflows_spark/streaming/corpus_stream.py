@@ -294,6 +294,21 @@ def stream_correlation_moments(doc_stream: DataFrame,
     return doc_stream.agg(*correlation_moment_aggs(cols))
 
 
+def stream_embedding_health(emb_stream: DataFrame, dims: int,
+                            vec_col: str = "embedding") -> DataFrame:
+    """Streaming twin of ``profile.embedding_health_report`` — every
+    statistic in the audit (defect-class counts, healthy-norm min/max)
+    is trivially mergeable, so the identical aggregate expressions run
+    under a Structured Streaming aggregation whose state is ONE row.
+    Read the sink's latest row any time: the live health report equals
+    the batch audit over the same vectors (test-pinned) without
+    re-reading the lake — catch a poisoned embedding job WHILE it
+    writes, before an index build burns compute on it."""
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        embedding_health_aggs)
+    return emb_stream.agg(*embedding_health_aggs(dims, vec_col))
+
+
 def stream_token_supply(doc_stream: DataFrame, by: str = "source",
                         text_col: str = "text") -> DataFrame:
     """Streaming half of the water-filling budget allocator: the

@@ -97,3 +97,68 @@ def test_probe_scan_label_column_unambiguous(spark, tmp_path):
                  for r in probed.select("vec_id", "label").collect())
     want = sorted((i, lbl) for i, lbl, _ in rows if lbl in (0, 2))
     assert got == want
+
+
+def test_ann_index_cli_build_and_probe(spark, tmp_path):
+    """e2e: --ann-index fits k-means and persists the partitioned
+    layout; probe-ann reads only the probed cluster directories and
+    its top-k equals the brute-force rule over the probed lists."""
+    import os
+
+    from rgd_rnaseq_workflows_spark import run_corpus
+    from rgd_rnaseq_workflows_spark.operators.clustering import (
+        kmeans_fit)
+    from rgd_rnaseq_workflows_spark.operators.ivf_index import (
+        probe_labels)
+    from rgd_rnaseq_workflows_spark.operators.similarity import cosine
+
+    rows, emb = _emb(spark, n=240, dims=8, k=6, seed=23)
+    base = ("the cat and dog of mouse to house in barn is red it "
+            "runs over fields near rivers under stars tok%d")
+    docs = spark.createDataFrame(
+        [(i, "en", "s0", base % i) for i in range(6)],
+        ["doc_id", "lang", "source", "text"])
+    src = str(tmp_path / "docs.parquet")
+    esrc = str(tmp_path / "emb.parquet")
+    docs.write.parquet(src)
+    emb.drop("label").write.parquet(esrc)
+    out = str(tmp_path / "corpus_out")
+    idx = str(tmp_path / "ivf_idx")
+    rc = run_corpus.main(["--docs", src, "--out", out,
+                          "--min-tokens", "5", "--embeddings", esrc,
+                          "--ann-index", idx, "--ann-clusters", "6"])
+    assert rc == 0
+    # the persisted layout: one directory per non-empty cluster
+    dirs = sorted(os.listdir(f"{idx}/vectors"))
+    pts = [d for d in dirs if d.startswith("_pt=")]
+    assert pts and len(pts) <= 6
+
+    # probe subcommand: TSV out, equals the brute-force rule over the
+    # probed lists (same k-means assignment, same exact-cosine order)
+    qvec = [float(x) for x in rows[0][2]]
+    probe_out = str(tmp_path / "probe_out")
+    rc = run_corpus.main(["probe-ann", "--index", idx,
+                          "--embeddings", esrc,
+                          "--query-id", str(rows[0][0]),
+                          "--k", "5", "--nprobe", "2",
+                          "--out", probe_out])
+    assert rc == 0
+    import glob
+    [tsv] = glob.glob(f"{probe_out}/part*.csv")
+    lines = open(tsv).read().strip().split("\n")
+    got = [(int(a), float(b)) for a, b in
+           (ln.split("\t") for ln in lines[1:])]
+
+    assigned, _ = kmeans_fit(spark.read.parquet(esrc), k=6, iters=2,
+                             persist=False)
+    labels = probe_labels(spark, idx, qvec, nprobe=2)
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    want = [(r["vec_id"], r["cosine_sim"]) for r in
+            (assigned.filter(F.col("cluster").isin(labels))
+             .select("vec_id",
+                     F.round(cosine(F.transform(
+                         "embedding", lambda x: x.cast("double")),
+                         qlit), 6).alias("cosine_sim"))
+             .orderBy(F.desc("cosine_sim"), "vec_id").limit(5)
+             .collect())]
+    assert got == want

@@ -434,3 +434,49 @@ def test_stream_vocab_coverage_equals_batch(spark, tmp_out):
     want = sorted(tuple(r) for r in
                   vocab_coverage_curve(both, [1, 3, 10]).collect())
     assert got == want
+
+
+def test_stream_embedding_health_equals_batch(spark, tmp_out):
+    """The embedding-health audit maintained under a streaming
+    aggregation equals the batch report over the same vectors — every
+    defect class exercised, across two micro-batches."""
+    import os
+
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        embedding_health_report)
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        stream_embedding_health)
+
+    schema = "vec_id long, embedding array<double>"
+    b1 = [(1, [0.6, 0.8]),                 # healthy
+          (2, None),                       # NULL vector
+          (3, [1.0, 2.0, 3.0]),            # wrong dims
+          (4, [float("nan"), 1.0])]        # non-finite
+    b2 = [(5, [0.0, 0.0]),                 # all-zero
+          (6, [3.0, 4.0]),                 # healthy (norm 5)
+          (7, [1.0, float("inf")])]        # non-finite
+    src = os.path.join(tmp_out, "emb_health_src")
+    os.makedirs(src)
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stream_embedding_health(stream, dims=2)
+         .writeStream.format("memory").queryName("emb_health_out")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM emb_health_out").collect()
+    finally:
+        q.stop()
+
+    want = embedding_health_report(
+        spark.createDataFrame(b1 + b2, schema), dims=2).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    [r] = want
+    assert (r["n_vecs"], r["n_null"], r["n_bad_dim"], r["n_nonfinite"],
+            r["n_zero"]) == (7, 1, 1, 2, 1)
+    assert (r["min_norm6"], r["max_norm6"]) == (1.0, 5.0)
