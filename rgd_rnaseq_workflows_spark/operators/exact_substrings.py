@@ -1,0 +1,274 @@
+"""Exact duplicated-substring dedup — the Lee et al. 2022 ExactSubstr
+modality (``Deduplicating Training Data Makes Language Models Better``):
+find every L-token window whose exact token sequence occurs at 2+
+positions across the corpus, keep the FIRST occurrence (min (doc, pos)
+— the house keeper discipline), and rewrite the later occurrences out
+of their documents with exact token accounting.
+
+The paper's tool builds a suffix array; a distributed suffix array is
+out of scope and unnecessary for fixed-L window semantics. Instead the
+engine uses the Karp–Miller–Rosenberg fingerprint-doubling ladder,
+Spark-first:
+
+- **Fingerprints are built per row, in codegen, with ZERO shuffle**:
+  level 0 hashes each token (the house 60-bit md5 integer), level k
+  combines ``h[i]`` with ``h[i + 2^(k-1)]`` via one ``zip_with`` over
+  the array and a shifted ``slice`` of itself — O(n·log L) work per
+  document, all inside whole-stage codegen, no explode until the final
+  level. A non-power-of-two L takes one extra overlapped combine at
+  offset ``L − 2^k`` (the standard KMR trick: the (prefix, suffix)
+  window pair determines the L-window, so fingerprint equality still
+  implies substring equality up to md5 collisions).
+- **One hash shuffle finds the duplicates**: explode (pos, fp), count
+  per fingerprint with map-side partial aggregation, keep fingerprints
+  with count ≥ 2 and their min-(doc,pos) keeper.
+- **Removal ranges are duplicate-scale, not corpus-scale**: only
+  non-keeper occurrences become [pos, pos+L) ranges; the classic
+  gaps-and-islands window merge runs per doc over that small set.
+- The rewrite joins the per-doc merged spans (doc-scale, broadcastable)
+  back onto the corpus and filters tokens by index — one more codegen
+  array op.
+
+NULL propagation does the boundary work: a position with no full
+window gets a NULL partner in ``zip_with`` (or an out-of-range list
+index in the DuckDB twin), the ``concat``/``||`` combine yields NULL,
+and the explode filter drops it — identical in both engines.
+
+Cross-engine exactness: every fingerprint is the house md5-prefix
+integer (``functions.hashing.md5_long``) of either a token or the
+``"<a>:<b>"`` decimal-string combine, so the DuckDB twin
+(:func:`exact_substring_report_sql`) replays the ladder bit-for-bit.
+
+Reference scope note: the reference pipeline has no dedup surface;
+this is the LLM-pipeline extension family (the one dedup modality the
+engine lacked — exact substring, alongside exact-hash, MinHash/LSH,
+SimHash, CDC and semantic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rgd_rnaseq_workflows_spark.functions import text as TX
+from rgd_rnaseq_workflows_spark.functions.hashing import (
+    HEX_DIGITS, md5_long, md5_long_sql)
+
+_BIG = 1 << 30  # slice length bound (arrays are document-sized)
+
+
+def _combine(a: Column, b: Column) -> Column:
+    # md5_long of "<a>:<b>"; F.concat (NOT concat_ws) so a missing
+    # partner propagates NULL instead of hashing the half-window
+    return md5_long(F.concat(a.cast("string"), F.lit(":"),
+                             b.cast("string")))
+
+
+def _combine_sql(a: str, b: str) -> str:
+    return md5_long_sql(f"CAST({a} AS VARCHAR) || ':' || "
+                        f"CAST({b} AS VARCHAR)")
+
+
+def _ladder_widths(window: int) -> list[int]:
+    """The doubling offsets: combine at offset 2^k while 2·2^k ≤ L,
+    then one overlapped combine at L − 2^k if L is not a power of 2.
+    Returns the offset sequence (each step's shift amount)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    widths, w = [], 1
+    while 2 * w <= window:
+        widths.append(w)
+        w *= 2
+    if w < window:
+        widths.append(window - w)
+    return widths
+
+
+def window_fingerprints(docs: DataFrame, window: int,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, fp): one 60-bit fingerprint per 0-based start
+    position that has a full ``window``-token window — fingerprint
+    equality ⇔ exact token-sequence equality (mod md5 collisions).
+    The ladder is pure array codegen; the only shuffle-bound output is
+    the exploded (pos, fp) stream, which feeds straight into partial
+    aggregation downstream."""
+    toks = TX.tokens(F.col(text_col))
+    # one PROJECTION per ladder level, not one nested expression:
+    # zip_with references its input twice, higher-order functions are
+    # interpreted (no codegen subexpression elimination), so a single
+    # nested Column would re-evaluate level k-1 twice per level k —
+    # 2^levels work. As successive withColumns each level is a bound
+    # attribute computed once (CollapseProject keeps projects split
+    # when a non-cheap alias is referenced more than once).
+    lvl = docs.select(F.col(id_col).alias("doc_id"),
+                      F.transform(toks, lambda t: md5_long(t))
+                      .alias("_h"))
+    for off in _ladder_widths(window):
+        lvl = lvl.withColumn(
+            "_h", F.zip_with(F.col("_h"),
+                             F.slice(F.col("_h"), off + 1, _BIG),
+                             lambda a, b: _combine(a, b)))
+    # posexplode_OUTER: the plain posexplode makes
+    # InferFiltersFromGenerate add a size(_h) > 0 filter that predicate
+    # pushdown re-inlines below every ladder projection — evaluating
+    # the whole exponentially-nested ladder a second time per document.
+    # The outer variant infers no filter; the fp null-check (needed
+    # anyway for boundary positions) also drops the empty-array row.
+    return (lvl.select("doc_id",
+                       F.posexplode_outer("_h").alias("pos", "fp"))
+            .filter(F.col("fp").isNotNull()))
+
+
+def duplicate_spans(docs: DataFrame, window: int,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Merged removal spans (doc_id, span_start, span_end, 0-based
+    half-open): every occurrence of a 2+-count window EXCEPT the
+    global first (min (doc, pos)) contributes [pos, pos+L); adjacent
+    and overlapping ranges merge (gaps-and-islands window, running on
+    the duplicate-scale range set only)."""
+    from pyspark.sql import Window
+    occ = window_fingerprints(docs, window, id_col, text_col)
+    # per-fingerprint count + keeper as WINDOW functions, not a
+    # groupBy + join back: the join form is a self-join on occ that
+    # recomputes the whole fingerprint ladder once per branch — the
+    # window is ONE shuffle on fp with the corpus scanned once (the
+    # margin_alignment min_by lesson; same shape as the DuckDB twin)
+    w_fp = Window.partitionBy("fp")
+    occ2 = (occ.withColumn("_c", F.count("*").over(w_fp))
+            .withColumn("_keep",
+                        F.min(F.struct("doc_id", "pos")).over(w_fp)))
+    rng = (occ2.filter((F.col("_c") >= 2)
+                       & ((F.col("doc_id") != F.col("_keep.doc_id"))
+                          | (F.col("pos") != F.col("_keep.pos"))))
+           .select("doc_id", F.col("pos").alias("_s"),
+                   (F.col("pos") + window).alias("_e")))
+    w_prev = (Window.partitionBy("doc_id").orderBy("_s", "_e")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_cum = (Window.partitionBy("doc_id").orderBy("_s", "_e")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    isl = (rng.withColumn(
+        "_new", (F.col("_s") > F.coalesce(F.max("_e").over(w_prev),
+                                          F.lit(-1))).cast("int"))
+        .withColumn("_g", F.sum("_new").over(w_cum)))
+    return (isl.groupBy("doc_id", "_g")
+            .agg(F.min("_s").alias("span_start"),
+                 F.max("_e").alias("span_end"))
+            .drop("_g"))
+
+
+def rewrite_without_duplicate_substrings(
+        docs: DataFrame, window: int, id_col: str = "doc_id",
+        text_col: str = "text") -> DataFrame:
+    """The corpus with later copies of duplicated windows rewritten
+    out: adds ``clean_text`` (tokens outside every removal span,
+    space-joined), ``removed_tokens`` (== Σ merged span lengths — the
+    byte-accounting invariant, test-pinned) and ``n_spans``. Documents
+    with nothing to remove pass through with removed_tokens = 0."""
+    spans = duplicate_spans(docs, window, id_col, text_col)
+    # _rw_doc_id: spans derive from docs, so the join key must carry a
+    # distinct name or the self-join reference is ambiguous
+    per_doc = (spans.groupBy(F.col("doc_id").alias("_rw_doc_id"))
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("span_start", "span_end"))).alias("_spans"),
+                   F.sum(F.col("span_end") - F.col("span_start"))
+                   .cast("long").alias("removed_tokens"),
+                   F.count("*").cast("long").alias("n_spans")))
+    toks = TX.tokens(F.col(text_col))
+    kept = F.filter(
+        toks, lambda t, i: ~F.exists(
+            F.col("_spans"), lambda s: (i >= s["span_start"])
+            & (i < s["span_end"])))
+    return (docs.join(per_doc,
+                      F.col(id_col) == F.col("_rw_doc_id"), "left")
+            .drop("_rw_doc_id")
+            .withColumn("_spans", F.coalesce(
+                F.col("_spans"), F.array().cast(
+                    "array<struct<span_start:int,span_end:int>>")))
+            .withColumn("clean_text", F.array_join(kept, " "))
+            .withColumn("removed_tokens",
+                        F.coalesce("removed_tokens", F.lit(0)))
+            .withColumn("n_spans", F.coalesce("n_spans", F.lit(0)))
+            .drop("_spans"))
+
+
+def exact_substring_accounting(docs: DataFrame, window: int,
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """Per-document removal accounting for docs that lost tokens:
+    (doc_id, n_tokens, removed_tokens, n_spans), ordered — the registry
+    / oracle surface of the modality."""
+    rw = rewrite_without_duplicate_substrings(docs, window, id_col,
+                                              text_col)
+    return (rw.filter(F.col("removed_tokens") > 0)
+            .select(F.col(id_col).alias("doc_id"),
+                    TX.token_count(text_col).alias("n_tokens"),
+                    "removed_tokens", "n_spans")
+            .orderBy("doc_id"))
+
+
+def _ladder_ctes(window: int, table: str, id_col: str,
+                 text_col: str) -> str:
+    """The DuckDB ladder: one CTE per doubling level; ``h[i+off]``
+    reads NULL past the end, so the combine NULL-propagates exactly
+    like the Spark ``zip_with``/``slice`` form."""
+    lvl0 = (f"SELECT {id_col} AS doc_id, "
+            f"list_transform({TX.tokens_sql(text_col)}, "
+            f"t -> {md5_long_sql('t')}) AS h FROM {table}")
+    ctes = [f"fp0 AS ({lvl0})"]
+    for n, off in enumerate(_ladder_widths(window), start=1):
+        comb = _combine_sql("h[i]", f"h[i + {off}]")
+        ctes.append(
+            f"fp{n} AS (SELECT doc_id, "
+            f"list_transform(range(1, len(h) + 1), i -> {comb}) AS h "
+            f"FROM fp{n - 1})")
+    return ",\n".join(ctes), f"fp{len(ctes) - 1}"
+
+
+def exact_substring_report_sql(table: str, window: int,
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> str:
+    """DuckDB twin of :func:`exact_substring_accounting` — identical
+    ladder fingerprints, keeper rule (row_number over (doc, pos) ≡ the
+    min-struct keeper), island merge and accounting."""
+    ctes, last = _ladder_ctes(window, table, id_col, text_col)
+    return f"""
+WITH {ctes},
+occ AS (
+  SELECT doc_id, generate_subscripts(h, 1) - 1 AS pos, unnest(h) AS fp
+  FROM {last}),
+occ2 AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY fp) AS c,
+         row_number() OVER (PARTITION BY fp
+                            ORDER BY doc_id, pos) AS rn
+  FROM occ WHERE fp IS NOT NULL),
+rng AS (SELECT doc_id, pos AS s, pos + {window} AS e
+        FROM occ2 WHERE c >= 2 AND rn > 1),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS nw
+  FROM rng),
+isl2 AS (
+  SELECT doc_id, s, e, sum(nw) OVER (
+      PARTITION BY doc_id ORDER BY s, e
+      ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl),
+spans AS (
+  SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+  FROM isl2 GROUP BY doc_id, g),
+acct AS (
+  SELECT doc_id,
+         CAST(sum(span_end - span_start) AS BIGINT) AS removed_tokens,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM spans GROUP BY doc_id)
+SELECT t.{id_col} AS doc_id,
+       {TX.token_count_sql(text_col)} AS n_tokens,
+       a.removed_tokens, a.n_spans
+FROM {table} t JOIN acct a ON a.doc_id = t.{id_col}
+ORDER BY doc_id
+"""

@@ -4408,3 +4408,24 @@ def events_funnel_gap_quantiles(spark, sf_dir):
         funnel_gap_quantiles)
     e = _events(spark, sf_dir)
     return funnel_gap_quantiles(e, _FUNNEL_STEPS, percents=(50, 90, 99))
+
+
+def _xsub_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        exact_substring_report_sql)
+    return exact_substring_report_sql("documents", window=8)
+
+
+@q("dedup_exact_substrings", ("DEDUP-XSUB",), oracle=_xsub_oracle(),
+   note="exact duplicated-substring dedup (Lee et al. 2022 ExactSubstr "
+        "shape, fixed-L windows instead of a suffix array): KMR "
+        "fingerprint-doubling ladder built per row in codegen (zip_with "
+        "+ md5 combine, O(n log L), zero shuffle to fingerprint), ONE "
+        "hash shuffle counts window occurrences, keep-first keeper "
+        "(min (doc,pos)), later copies become interval-merged removal "
+        "spans with exact token accounting")
+def dedup_exact_substrings(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        exact_substring_accounting)
+    return exact_substring_accounting(_t(spark, sf_dir, "documents"),
+                                      window=8)

@@ -1,0 +1,163 @@
+"""Exact duplicated-substring dedup (Lee et al. 2022 ExactSubstr
+shape): fingerprint-ladder correctness, keep-first keeper semantics,
+interval-merged spans, byte accounting, and DuckDB-twin equality on
+planted repeats."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+    _ladder_widths, duplicate_spans, exact_substring_accounting,
+    exact_substring_report_sql, rewrite_without_duplicate_substrings,
+    window_fingerprints)
+
+
+def test_ladder_widths():
+    assert _ladder_widths(1) == []
+    assert _ladder_widths(2) == [1]
+    assert _ladder_widths(4) == [1, 2]
+    assert _ladder_widths(8) == [1, 2, 4]
+    # non-powers of two: one overlapped combine at L - 2^k
+    assert _ladder_widths(3) == [1, 1]
+    assert _ladder_widths(5) == [1, 2, 1]
+    assert _ladder_widths(50) == [1, 2, 4, 8, 16, 18]
+    with pytest.raises(ValueError):
+        _ladder_widths(0)
+
+
+def test_fingerprint_equality_iff_substring_equality(spark):
+    """Equal L-windows get equal fingerprints; any differing window
+    (including at non-power-of-two L where the last combine overlaps)
+    gets a different one. Boundary positions yield no fingerprint."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "z a b c d e"), (3, "a b c x e")],
+        ["doc_id", "text"])
+    for L in (2, 3, 4, 5):
+        fps = [(r["doc_id"], r["pos"], r["fp"]) for r in
+               window_fingerprints(docs, L).collect()]
+        # every doc contributes exactly n_tokens - L + 1 positions
+        n = {1: 5, 2: 6, 3: 5}
+        from collections import Counter
+        per_doc = Counter(d for d, _, _ in fps)
+        assert per_doc == {d: cnt - L + 1 for d, cnt in n.items()}
+        by_key = {(d, p): f for d, p, f in fps}
+        # doc2 is doc1 shifted by one: all windows equal at offset +1
+        for p in range(5 - L + 1):
+            assert by_key[(1, p)] == by_key[(2, p + 1)]
+        # doc3 differs at token 3 ('x' vs 'd'): windows covering
+        # position 3 differ from doc1's
+        for p in range(5 - L + 1):
+            covers = p <= 3 < p + L
+            assert (by_key[(3, p)] == by_key[(1, p)]) != covers
+
+
+def test_hand_case_spans_and_rewrite(spark):
+    """Keep-first keeper, self-repeats, merged overlapping windows,
+    and exact accounting on a hand-checkable corpus."""
+    rows = [
+        (1, "a b c d e f g h i j"),       # global keeper of "c d e f"
+        (2, "x x c d e f y y c d e f z"),  # two later copies
+        (3, "q w e r t y u i o p"),        # clean
+        (4, "a b c d e f g h zz"),         # repeated 8-token run
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = sorted(tuple(r) for r in duplicate_spans(docs, 4).collect())
+    # doc2: [2,6) and [8,12); doc4: windows 0..4 all match doc1 and
+    # merge into one span [0,8)
+    assert spans == [(2, 2, 6), (2, 8, 12), (4, 0, 8)]
+    rw = {r["doc_id"]: (r["clean_text"], r["removed_tokens"],
+                        r["n_spans"])
+          for r in rewrite_without_duplicate_substrings(docs, 4)
+          .collect()}
+    assert rw[1] == ("a b c d e f g h i j", 0, 0)   # keeper intact
+    assert rw[2] == ("x x y y z", 8, 2)
+    assert rw[3] == ("q w e r t y u i o p", 0, 0)
+    assert rw[4] == ("zz", 8, 1)
+
+
+def test_planted_repeats_twin_equality_and_invariants(spark):
+    """A messy corpus with PLANTED repeated passages: the Spark
+    accounting equals the DuckDB twin bit-for-bit, and the rewrite's
+    byte accounting holds (removed_tokens == n_tokens − kept tokens ==
+    Σ merged span lengths, spans disjoint)."""
+    rng = random.Random(41)
+    vocab = ["w%d" % i for i in range(2000)]  # big vocab: no accident
+    planted = [" ".join(rng.choice(vocab) for _ in range(12))
+               for _ in range(5)]
+    rows = []
+    for i in range(120):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(10, 60))]
+        text = " ".join(toks)
+        if i % 3 == 0:   # plant a repeated passage mid-document
+            cut = rng.randint(0, len(toks))
+            text = " ".join(toks[:cut]) + " " + planted[i % 5] + \
+                " " + " ".join(toks[cut:])
+        rows.append((i, text.strip()))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    L = 8
+
+    got = [tuple(r) for r in
+           exact_substring_accounting(docs, L).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    exp = [tuple(r) for r in con.execute(
+        exact_substring_report_sql("documents", L)).fetchall()]
+    assert got == exp
+    assert len(got) >= 30        # the planted repeats were found
+
+    # accounting invariants on the rewrite
+    rw = rewrite_without_duplicate_substrings(docs, L)
+    from rgd_rnaseq_workflows_spark.functions import text as TX
+    chk = rw.select(
+        "doc_id", "removed_tokens", "n_spans",
+        TX.token_count("text").alias("n"),
+        TX.token_count("clean_text").alias("n_clean")).collect()
+    for r in chk:
+        assert r["removed_tokens"] == r["n"] - r["n_clean"]
+    spans = [tuple(r) for r in duplicate_spans(docs, L).collect()]
+    assert sum(e - s for _, s, e in spans) == \
+        sum(r["removed_tokens"] for r in chk)
+    # merged spans are disjoint with a gap (no touching intervals)
+    by_doc = {}
+    for d, s, e in spans:
+        by_doc.setdefault(d, []).append((s, e))
+    for d, ss in by_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert s2 > e1
+
+    # every later copy of a planted passage was removed: re-running the
+    # finder on the CLEAN text finds no window equal to a planted one
+    clean = rw.select("doc_id", F.col("clean_text").alias("text"))
+    fps = window_fingerprints(clean, 12)
+    plant_df = spark.createDataFrame([(i, p) for i, p in
+                                      enumerate(planted)],
+                                     ["doc_id", "text"])
+    plant_fps = window_fingerprints(plant_df, 12).filter("pos = 0") \
+        .select("fp")
+    hits = fps.join(plant_fps, "fp").count()
+    assert hits == 5             # exactly the 5 kept first occurrences
+
+
+def test_short_documents_yield_nothing(spark):
+    """Documents shorter than L produce no fingerprints, no spans, and
+    pass through the rewrite untouched — in both engines."""
+    rows = [(1, "a b c"), (2, "a b c"), (3, "")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert window_fingerprints(docs, 5).count() == 0
+    assert duplicate_spans(docs, 5).count() == 0
+    rw = {r["doc_id"]: (r["clean_text"], r["removed_tokens"])
+          for r in rewrite_without_duplicate_substrings(docs, 5)
+          .collect()}
+    assert rw == {1: ("a b c", 0), 2: ("a b c", 0), 3: ("", 0)}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    assert con.execute(
+        exact_substring_report_sql("documents", 5)).fetchall() == []

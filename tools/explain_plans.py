@@ -361,6 +361,10 @@ SHOWCASE = {
         "md5-rank prefix under the token budget; lossless two-phase "
         "prefix-sum (salt-local cumsum lower-bounds global; earliest "
         "dropped position closes the key), hot keys split 8 ways.",
+    "dedup_exact_substrings": "ExactSubstr dedup: KMR fingerprint "
+        "ladder as per-level array projections inside the scan stage "
+        "(no shuffle to fingerprint), ONE fp-window shuffle for "
+        "count+keeper, island merge on duplicate-scale ranges only.",
 }
 
 
