@@ -120,6 +120,24 @@ def window_fingerprints(docs: DataFrame, window: int,
             .filter(F.col("fp").isNotNull()))
 
 
+def fingerprint_counts(docs: DataFrame, window: int,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(fp, n_occurrences, keeper): the per-fingerprint occurrence
+    count plus the global first occurrence (min (doc, pos) struct) —
+    the dedup decision's SUFFICIENT STATISTIC. Every aggregate is
+    mergeable, so a Structured Streaming aggregation maintains this
+    table incrementally (``streaming.corpus_stream.
+    stream_fingerprint_counts``) and :func:`duplicate_spans_from_
+    counts` folds the spans off the sink without re-counting the lake.
+    State is fingerprint-scale (≈ token-scale) — the heaviest state
+    table in the streaming family; document retention accordingly."""
+    return (window_fingerprints(docs, window, id_col, text_col)
+            .groupBy("fp")
+            .agg(F.count("*").alias("n_occurrences"),
+                 F.min(F.struct("doc_id", "pos")).alias("keeper")))
+
+
 def duplicate_spans(docs: DataFrame, window: int,
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
@@ -144,6 +162,32 @@ def duplicate_spans(docs: DataFrame, window: int,
                           | (F.col("pos") != F.col("_keep.pos"))))
            .select("doc_id", F.col("pos").alias("_s"),
                    (F.col("pos") + window).alias("_e")))
+    return _merge_ranges(rng)
+
+
+def duplicate_spans_from_counts(docs: DataFrame, counts: DataFrame,
+                                window: int, id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """:func:`duplicate_spans` against a PREBUILT fingerprint-count
+    table (``counts`` must yield (fp, n_occurrences, keeper)) — the
+    streaming fold: the stream maintains the count table, this pass
+    re-fingerprints only the CURRENT corpus (one codegen ladder, no
+    count shuffle) and joins the duplicate fingerprints. Equals the
+    one-pass batch form over the same rows (test-pinned)."""
+    occ = window_fingerprints(docs, window, id_col, text_col)
+    dup = (counts.filter(F.col("n_occurrences") >= 2)
+           .select("fp", F.col("keeper").alias("_keep")))
+    rng = (occ.join(dup, "fp")
+           .filter((F.col("doc_id") != F.col("_keep.doc_id"))
+                   | (F.col("pos") != F.col("_keep.pos")))
+           .select("doc_id", F.col("pos").alias("_s"),
+                   (F.col("pos") + window).alias("_e")))
+    return _merge_ranges(rng)
+
+
+def _merge_ranges(rng: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of (doc_id, _s, _e) half-open ranges."""
+    from pyspark.sql import Window
     w_prev = (Window.partitionBy("doc_id").orderBy("_s", "_e")
               .rowsBetween(Window.unboundedPreceding, -1))
     w_cum = (Window.partitionBy("doc_id").orderBy("_s", "_e")

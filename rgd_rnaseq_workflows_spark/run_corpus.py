@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--docs", required=True, help="documents parquet path")
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--min-tokens", type=int, default=20)
+    p.add_argument("--exact-substr", type=int, default=None,
+                   metavar="L",
+                   help="rewrite exact duplicated substrings out before "
+                        "curation: every L-token window occurring 2+ "
+                        "times keeps only its first occurrence (Lee et "
+                        "al. 2022 ExactSubstr shape)")
     p.add_argument("--passage-dedup", type=int, default=None,
                    metavar="WINDOW",
                    help="pre-curation passage-level dedup rewrite: drop "
@@ -210,6 +216,18 @@ def run(args: argparse.Namespace) -> int:
     spark = get_spark("corpus-curation")
     out = args.out.rstrip("/")
     docs = spark.read.parquet(args.docs)
+    if args.exact_substr:
+        import pyspark.sql.functions as F
+
+        from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+            rewrite_without_duplicate_substrings)
+        with _stage("exact-substring dedup (lazy)"):
+            rw = rewrite_without_duplicate_substrings(
+                docs, window=args.exact_substr)
+            docs = (rw.drop("text", "removed_tokens", "n_spans")
+                    .withColumnRenamed("clean_text", "text"))
+            if "n_chars" in docs.columns:
+                docs = docs.withColumn("n_chars", F.length("text"))
     if args.passage_dedup:
         from rgd_rnaseq_workflows_spark.operators.dedup import (
             remove_duplicate_passages)

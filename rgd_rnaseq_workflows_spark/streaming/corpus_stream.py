@@ -294,6 +294,24 @@ def stream_correlation_moments(doc_stream: DataFrame,
     return doc_stream.agg(*correlation_moment_aggs(cols))
 
 
+def stream_fingerprint_counts(doc_stream: DataFrame, window: int,
+                              text_col: str = "text") -> DataFrame:
+    """Streaming half of exact duplicated-substring dedup
+    (``operators.exact_substrings``): the per-fingerprint occurrence
+    count and keep-first keeper are both mergeable (count, min-struct),
+    so the SAME fingerprint-ladder + aggregation runs under Structured
+    Streaming, maintaining the dedup decision table as documents
+    arrive. ``exact_substrings.duplicate_spans_from_counts`` folds the
+    removal spans off the sink — re-fingerprinting only the corpus
+    snapshot being rewritten, never re-counting the stream's history.
+    Stream==batch equality is test-pinned. State is fingerprint-scale
+    (≈ one row per distinct L-window) — the heaviest state table in
+    this family; pair with a TTL/compaction policy in production."""
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        fingerprint_counts)
+    return fingerprint_counts(doc_stream, window, text_col=text_col)
+
+
 def stream_embedding_health(emb_stream: DataFrame, dims: int,
                             vec_col: str = "embedding") -> DataFrame:
     """Streaming twin of ``profile.embedding_health_report`` — every

@@ -161,3 +161,36 @@ def test_short_documents_yield_nothing(spark):
     con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
     assert con.execute(
         exact_substring_report_sql("documents", 5)).fetchall() == []
+
+
+def test_corpus_cli_exact_substr_stage(spark, tmp_path):
+    """e2e: --exact-substr L rewrites duplicated windows out BEFORE
+    curation; the curated corpus carries the rewritten text."""
+    import os
+
+    from rgd_rnaseq_workflows_spark import run_corpus
+
+    base = ("the cat and dog of mouse to house in barn is red it "
+            "runs over fields near rivers under stars")
+    rows = [
+        (1, "en", "web", base + " uniq1 uniq2 uniq3"),
+        # doc 2 embeds doc 1's opening 8-token run inside other text
+        (2, "en", "web", "alpha beta " + " ".join(base.split()[:8])
+         + " gamma delta " + base.replace("cat", "bat")),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "source",
+                                        "text"])
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "corpus_out")
+    rc = run_corpus.main(["--docs", src, "--out", out,
+                          "--min-tokens", "3", "--threshold", "0.95",
+                          "--exact-substr", "8"])
+    assert rc == 0
+    curated = {r["doc_id"]: r["text"] for r in
+               spark.read.parquet(f"{out}/curated").collect()}
+    assert curated[1].startswith("the cat and dog")   # keeper intact
+    # doc 2 lost the copied run (and only it — the 'bat' variant stays)
+    assert "alpha beta gamma delta" in curated[2]
+    assert "the cat and dog of mouse to house in" not in curated[2]
+    assert "bat" in curated[2]

@@ -480,3 +480,52 @@ def test_stream_embedding_health_equals_batch(spark, tmp_out):
     assert (r["n_vecs"], r["n_null"], r["n_bad_dim"], r["n_nonfinite"],
             r["n_zero"]) == (7, 1, 1, 2, 1)
     assert (r["min_norm6"], r["max_norm6"]) == (1.0, 5.0)
+
+
+def test_stream_fingerprint_counts_equals_batch(spark, tmp_out):
+    """The exact-substring fingerprint-count table maintained under a
+    streaming aggregation, folded by duplicate_spans_from_counts,
+    yields the SAME removal spans as the one-pass batch form over the
+    same documents — across two micro-batches (the duplicate pair
+    spans batch boundaries)."""
+    import os
+
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        duplicate_spans, duplicate_spans_from_counts,
+        fingerprint_counts)
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        stream_fingerprint_counts)
+
+    schema = "doc_id long, text string"
+    b1 = [(1, "a b c d e f g h"), (2, "q w e r t y")]
+    b2 = [(3, "z z c d e f z z"), (4, "c d e f g h x y")]
+    src = os.path.join(tmp_out, "xsub_src")
+    os.makedirs(src)
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stream_fingerprint_counts(stream, window=4)
+         .writeStream.format("memory").queryName("xsub_counts")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        counts = spark.sql("SELECT * FROM xsub_counts")
+        both = spark.createDataFrame(b1 + b2, schema)
+        got = sorted(tuple(r) for r in duplicate_spans_from_counts(
+            both, counts, window=4).collect())
+    finally:
+        q.stop()
+
+    want = sorted(tuple(r) for r in
+                  duplicate_spans(both, window=4).collect())
+    assert got == want
+    # cross-batch duplicate found: docs 3 and 4 copy doc 1's windows
+    assert {d for d, _, _ in got} == {3, 4}
+    # and the maintained table equals the batch count table
+    batch_counts = sorted(tuple(r) for r in
+                          fingerprint_counts(both, 4).collect())
+    assert sorted(tuple(r) for r in counts.collect()) == batch_counts
