@@ -316,3 +316,107 @@ SELECT t.{id_col} AS doc_id,
 FROM {table} t JOIN acct a ON a.doc_id = t.{id_col}
 ORDER BY doc_id
 """
+
+
+def exact_substring_calibration(docs: DataFrame,
+                                windows: tuple[int, ...] = (4, 8, 16),
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """Window-length adequacy report — the ``minhash_calibration``
+    discipline applied to ExactSubstr: per candidate L, how many
+    windows exist, how many are duplicated (occurrences in 2+-count
+    groups), how many distinct duplicated sequences, and exactly how
+    many tokens the rewrite would strip. Too-small L over-merges
+    (stopword runs count as repeats); too-large L misses real
+    boilerplate — this quantifies the trade on REAL data BEFORE a
+    100 TB dedup commits to the parameter.
+
+    Scale shape: one fingerprint ladder + one fp shuffle per candidate
+    L (calibration is an offline pass; the occurrence frame is
+    checkpointed so the dup-mass branch does not recompute the
+    ladder). All-exact integers; |windows| rows out."""
+    from pyspark.sql import Window
+
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    out = None
+    for w in sorted(set(int(x) for x in windows)):
+        occ = window_fingerprints(docs, w, id_col, text_col)
+        w_fp = Window.partitionBy("fp")
+        occ2 = checkpoint_df(
+            occ.withColumn("_c", F.count("*").over(w_fp))
+            .withColumn("_keep",
+                        F.min(F.struct("doc_id", "pos")).over(w_fp)))
+        stats = occ2.agg(
+            F.lit(w).cast("long").alias("window"),
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum((F.col("_c") >= 2).cast("long")).cast("long")
+            .alias("n_dup_occurrences"),
+            F.count_distinct(F.when(F.col("_c") >= 2, F.col("fp")))
+            .cast("long").alias("n_dup_sequences"))
+        rng = (occ2.filter((F.col("_c") >= 2)
+                           & ((F.col("doc_id") != F.col("_keep.doc_id"))
+                              | (F.col("pos") != F.col("_keep.pos"))))
+               .select("doc_id", F.col("pos").alias("_s"),
+                       (F.col("pos") + w).alias("_e")))
+        removed = _merge_ranges(rng).agg(
+            F.coalesce(F.sum(F.col("span_end") - F.col("span_start")),
+                       F.lit(0)).cast("long").alias("removed_tokens"))
+        row = stats.crossJoin(F.broadcast(removed))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("window")
+
+
+def exact_substring_calibration_sql(
+        table: str, windows: tuple[int, ...] = (4, 8, 16),
+        id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`exact_substring_calibration` — one ladder
+    chain per candidate L, UNION ALL of the per-L stat rows."""
+    arms = []
+    for w in sorted(set(int(x) for x in windows)):
+        ctes, last = _ladder_ctes(w, table, id_col, text_col)
+        arms.append(f"""
+SELECT * FROM (
+WITH {ctes},
+occ AS (
+  SELECT doc_id, generate_subscripts(h, 1) - 1 AS pos, unnest(h) AS fp
+  FROM {last}),
+occ2 AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY fp) AS c,
+         row_number() OVER (PARTITION BY fp
+                            ORDER BY doc_id, pos) AS rn
+  FROM occ WHERE fp IS NOT NULL),
+stats AS (
+  SELECT CAST({w} AS BIGINT) AS "window",
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(coalesce(sum(CAST(c >= 2 AS BIGINT)), 0) AS BIGINT)
+           AS n_dup_occurrences
+  FROM occ2),
+rng AS (SELECT doc_id, pos AS s, pos + {w} AS e
+        FROM occ2 WHERE c >= 2 AND rn > 1),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS nw
+  FROM rng),
+isl2 AS (
+  SELECT doc_id, s, e, sum(nw) OVER (
+      PARTITION BY doc_id ORDER BY s, e
+      ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl),
+spans AS (
+  SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+  FROM isl2 GROUP BY doc_id, g),
+dupfp AS (
+  SELECT CAST(count(DISTINCT fp) AS BIGINT) AS n_dup_sequences
+  FROM (SELECT fp, count(*) AS c FROM occ WHERE fp IS NOT NULL
+        GROUP BY fp) WHERE c >= 2),
+rem AS (
+  SELECT CAST(coalesce(sum(span_end - span_start), 0) AS BIGINT)
+    AS removed_tokens FROM spans)
+SELECT s."window", s.n_windows, s.n_dup_occurrences,
+       d.n_dup_sequences, r.removed_tokens
+FROM stats s CROSS JOIN dupfp d CROSS JOIN rem r)""")
+    return " UNION ALL ".join(arms) + '\nORDER BY "window"'

@@ -4429,3 +4429,25 @@ def dedup_exact_substrings(spark, sf_dir):
         exact_substring_accounting)
     return exact_substring_accounting(_t(spark, sf_dir, "documents"),
                                       window=8)
+
+
+def _xsub_cal_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        exact_substring_calibration_sql)
+    return exact_substring_calibration_sql("documents", (4, 8, 16))
+
+
+@q("dedup_exact_substr_calibration", ("DEDUP-XSUB-CAL",),
+   oracle=_xsub_cal_oracle(),
+   note="window-length adequacy report for ExactSubstr dedup (the "
+        "minhash_calibration discipline): per candidate L, window / "
+        "duplicated-occurrence / distinct-duplicated-sequence counts "
+        "and the exact token mass the rewrite would strip - quantifies "
+        "the over-merge vs missed-boilerplate trade BEFORE a 100 TB "
+        "dedup commits to L; one checkpointed ladder pass per "
+        "candidate, |windows| rows out")
+def dedup_exact_substr_calibration(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        exact_substring_calibration)
+    return exact_substring_calibration(_t(spark, sf_dir, "documents"),
+                                       (4, 8, 16))

@@ -180,6 +180,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(production sizing: ∝ N / target list size)")
     p.add_argument("--ann-iters", type=int, default=2,
                    help="k-means assignment passes for --ann-index")
+    p.add_argument("--lsh-index", default=None, metavar="PATH",
+                   help="persist the MinHash/LSH bucket index of the "
+                        "CURATED corpus under PATH (banded signatures "
+                        "partitioned by band, bucket-sorted files); "
+                        "probe it later with the probe-lsh subcommand")
+    p.add_argument("--lsh-hashes", type=int, default=8)
+    p.add_argument("--lsh-band-size", type=int, default=2)
+    p.add_argument("--lsh-shingle-n", type=int, default=3)
     return p
 
 
@@ -461,6 +469,15 @@ def run(args: argparse.Namespace) -> int:
                                      persist=False)
             write_ivf_index(assigned, args.ann_index,
                             label_col="cluster")
+    if args.lsh_index:
+        from rgd_rnaseq_workflows_spark.operators.lsh_index import (
+            write_lsh_index)
+        with _stage("LSH index build (sign + banded partitioned write)"):
+            final = spark.read.parquet(f"{out}/curated")
+            write_lsh_index(final, args.lsh_index,
+                            num_hashes=args.lsh_hashes,
+                            band_size=args.lsh_band_size,
+                            shingle_n=args.lsh_shingle_n)
     return 0
 
 
@@ -490,10 +507,44 @@ def run_probe(args: argparse.Namespace) -> int:
     return 0
 
 
+def build_lsh_probe_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rgd_rnaseq_workflows_spark.run_corpus probe-lsh",
+        description="probe a persisted LSH index: is this document a "
+                    "near-dup candidate of anything in the lake? One "
+                    "pruned index scan; candidates only — verify with "
+                    "exact Jaccard against the corpus")
+    p.add_argument("--index", required=True,
+                   help="LSH layout written by --lsh-index")
+    p.add_argument("--text", required=True,
+                   help="query document text")
+    p.add_argument("--out", default=None, metavar="DIR",
+                   help="write candidate doc_ids as TSV (default: "
+                        "stdout)")
+    return p
+
+
+def run_lsh_probe(args: argparse.Namespace) -> int:
+    from rgd_rnaseq_workflows_spark.operators.lsh_index import (
+        probe_lsh_index)
+    spark = get_spark("lsh-probe")
+    with _stage("LSH probe (pruned band scan)"):
+        cands = probe_lsh_index(spark, args.index, args.text) \
+            .orderBy("doc_id")
+        if args.out:
+            write_tsv(cands, args.out, single_file=True)
+        else:
+            for r in cands.collect():
+                print(r["doc_id"])
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "probe-ann":
         return run_probe(build_probe_parser().parse_args(argv[1:]))
+    if argv and argv[0] == "probe-lsh":
+        return run_lsh_probe(build_lsh_probe_parser().parse_args(argv[1:]))
     return run(build_parser().parse_args(argv))
 
 

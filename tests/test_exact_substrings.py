@@ -194,3 +194,41 @@ def test_corpus_cli_exact_substr_stage(spark, tmp_path):
     assert "alpha beta gamma delta" in curated[2]
     assert "the cat and dog of mouse to house in" not in curated[2]
     assert "bat" in curated[2]
+
+
+def test_calibration_report(spark):
+    """Per-L adequacy stats: monotone window counts, dup counts shrink
+    as L grows, removed mass equals the rewrite's accounting at each
+    L, and the DuckDB twin agrees bit-for-bit."""
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        exact_substring_calibration, exact_substring_calibration_sql)
+
+    rng = random.Random(17)
+    vocab = ["w%d" % i for i in range(500)]
+    planted = " ".join(rng.choice(vocab) for _ in range(10))
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(8, 50)))
+             + (" " + planted if i % 4 == 0 else ""))
+            for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [tuple(r) for r in
+           exact_substring_calibration(docs, (3, 6, 9)).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    exp = [tuple(r) for r in con.execute(
+        exact_substring_calibration_sql("documents",
+                                        (3, 6, 9))).fetchall()]
+    assert got == exp
+    ws = [r[0] for r in got]
+    assert ws == [3, 6, 9]
+    # fewer windows and fewer dup occurrences as L grows
+    assert got[0][1] > got[1][1] > got[2][1]
+    assert got[0][2] >= got[1][2] >= got[2][2]
+    # per-L removed mass equals the rewrite accounting
+    for w, _, _, _, removed in got:
+        rw = rewrite_without_duplicate_substrings(docs, w)
+        assert removed == sum(r["removed_tokens"]
+                              for r in rw.collect())
