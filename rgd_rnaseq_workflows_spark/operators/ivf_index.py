@@ -112,3 +112,94 @@ def ivf_index_topk(spark: SparkSession, path: str,
                     F.round(cos(_as_double(vec_col), qlit), 6)
                     .alias("cosine_sim"))
             .orderBy(F.desc("cosine_sim"), id_col).limit(k))
+
+
+def assign_by_centroids(spark: SparkSession, path: str,
+                        emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Assign vectors to index lists by the INDEX'S OWN ranking rule:
+    label = argmax Σ c·q (ties → label asc) against the persisted
+    exact-integer centroid table — the top-1 of ``probe_labels`` per
+    vector, so an appended vector lands exactly in the list a probe
+    for it would scan first. Distributed form of the probe rank:
+    posexplode + broadcast centroid join + map-side-combined dot."""
+    from pyspark.sql import Window
+    cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    q = (emb.select(F.col(id_col), F.posexplode(_as_double(vec_col))
+                    .alias("_d0", "_x"))
+         .select(id_col, (F.col("_d0") + 1).alias("d"),
+                 F.round(F.col("_x") * CENT_SCALE).cast("long")
+                 .alias("qx")))
+    dots = (q.join(cents, "d")
+            .groupBy(id_col, "label")
+            .agg(F.sum(F.col("c") * F.col("qx")).alias("_dot")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_dot"), "label")
+    return (dots.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, F.col("label").alias("assigned_label")))
+
+
+def append_to_ivf_index(emb: DataFrame, path: str,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> None:
+    """Incremental index maintenance: append a delta batch WITHOUT
+    re-fitting — the coarse quantizer stays FROZEN (standard IVF
+    contract: lists grow, centroids do not move; rebuild when drift
+    reports say so). Each new vector is assigned by
+    :func:`assign_by_centroids` and appended into its cluster
+    directory; probes immediately see it, and the append never
+    rewrites existing files."""
+    spark = emb.sparkSession
+    asg = assign_by_centroids(spark, path, emb, id_col, vec_col)
+    (emb.join(asg, id_col)
+     .withColumn("_pt", F.col("assigned_label"))
+     .drop("assigned_label")
+     .repartition(F.col("_pt"))
+     .write.mode("append").partitionBy("_pt")
+     .parquet(f"{path}/vectors"))
+
+
+def ivf_index_topk_batch(spark: SparkSession, queries: DataFrame,
+                         path: str, k: int = 10, nprobe: int = 2,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         qid_col: str = "qid") -> DataFrame:
+    """Many queries against the persisted index in ONE pass: per-query
+    labels ranked against the broadcast centroid table (metadata), the
+    UNION of probed directories scanned once, each query joined only
+    to its own probed lists, exact cosine, and the house two-phase
+    grouped top-k. Returns (qid, vec_id, rn) — per-query rank, equal
+    to running :func:`ivf_index_topk` per query (test-pinned)."""
+    from pyspark.sql import Window
+
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        _grouped_topk, cosine_kernel)
+    cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    qv = queries.select(F.col(qid_col).alias("qid"),
+                        _as_double(vec_col).alias("_qv"))
+    qe = (qv.select("qid", F.posexplode("_qv").alias("_d0", "_x"))
+          .select("qid", (F.col("_d0") + 1).alias("d"),
+                  F.round(F.col("_x") * CENT_SCALE).cast("long")
+                  .alias("qx")))
+    w = Window.partitionBy("qid").orderBy(F.desc("_dot"), "label")
+    qlabels = (qe.join(cents, "d")
+               .groupBy("qid", "label")
+               .agg(F.sum(F.col("c") * F.col("qx")).alias("_dot"))
+               .withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") <= nprobe)
+               .select("qid", "label"))
+    # the probed-directory union is driver metadata (≤ n_queries × nprobe
+    # ints) — collecting it is what turns the scan into an IN-list the
+    # reader prunes directories with
+    labels = [r["label"] for r in
+              qlabels.select("label").distinct().collect()]
+    probed = probe_scan(spark, path, labels).select(
+        "label", F.col(id_col).alias("vec_id"),
+        _as_double(vec_col).alias("_v"))
+    cos = cosine_kernel()
+    scored = (qlabels.join(probed, "label")
+              .join(F.broadcast(qv), "qid")
+              .select("qid", "vec_id",
+                      F.round(cos(F.col("_v"), F.col("_qv")), 6)
+                      .alias("cosine_sim")))
+    return _grouped_topk(scored, k).withColumnRenamed("rn", "rank")

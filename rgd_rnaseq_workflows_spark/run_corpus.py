@@ -180,6 +180,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(production sizing: ∝ N / target list size)")
     p.add_argument("--ann-iters", type=int, default=2,
                    help="k-means assignment passes for --ann-index")
+    p.add_argument("--ann-append", action="store_true",
+                   help="with --ann-index: append --embeddings into "
+                        "the EXISTING index (frozen coarse quantizer) "
+                        "instead of rebuilding")
     p.add_argument("--lsh-index", default=None, metavar="PATH",
                    help="persist the MinHash/LSH bucket index of the "
                         "CURATED corpus under PATH (banded signatures "
@@ -458,17 +462,25 @@ def run(args: argparse.Namespace) -> int:
     if args.ann_index:
         if not args.embeddings:
             raise SystemExit("--ann-index requires --embeddings")
-        from rgd_rnaseq_workflows_spark.operators.clustering import (
-            kmeans_fit)
-        from rgd_rnaseq_workflows_spark.operators.ivf_index import (
-            write_ivf_index)
-        with _stage("IVF index build (k-means fit + partitioned write)"):
-            emb = spark.read.parquet(args.embeddings)
-            assigned, _ = kmeans_fit(emb, k=args.ann_clusters,
-                                     iters=args.ann_iters,
-                                     persist=False)
-            write_ivf_index(assigned, args.ann_index,
-                            label_col="cluster")
+        if args.ann_append:
+            from rgd_rnaseq_workflows_spark.operators.ivf_index import (
+                append_to_ivf_index)
+            with _stage("IVF index append (frozen quantizer)"):
+                append_to_ivf_index(spark.read.parquet(args.embeddings),
+                                    args.ann_index)
+        else:
+            from rgd_rnaseq_workflows_spark.operators.clustering import (
+                kmeans_fit)
+            from rgd_rnaseq_workflows_spark.operators.ivf_index import (
+                write_ivf_index)
+            with _stage("IVF index build (k-means fit + partitioned "
+                        "write)"):
+                emb = spark.read.parquet(args.embeddings)
+                assigned, _ = kmeans_fit(emb, k=args.ann_clusters,
+                                         iters=args.ann_iters,
+                                         persist=False)
+                write_ivf_index(assigned, args.ann_index,
+                                label_col="cluster")
     if args.lsh_index:
         from rgd_rnaseq_workflows_spark.operators.lsh_index import (
             write_lsh_index)

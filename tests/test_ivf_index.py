@@ -162,3 +162,75 @@ def test_ann_index_cli_build_and_probe(spark, tmp_path):
              .orderBy(F.desc("cosine_sim"), "vec_id").limit(5)
              .collect())]
     assert got == want
+
+
+def test_append_to_index_frozen_centroids(spark, tmp_path):
+    """Incremental append: new vectors land in exactly the list the
+    probe rule ranks first, probes see them immediately, existing
+    files are never rewritten, and the centroid table is unchanged."""
+    import os
+
+    from rgd_rnaseq_workflows_spark.operators.ivf_index import (
+        append_to_ivf_index, assign_by_centroids)
+
+    rows, emb = _emb(spark, n=160, dims=8, k=4, seed=31)
+    path = str(tmp_path / "ivf_app")
+    write_ivf_index(emb, path)
+    before_files = set(glob.glob(f"{path}/vectors/_pt=*/*.parquet"))
+    cents_before = sorted(tuple(r) for r in
+                          spark.read.parquet(f"{path}/centroids")
+                          .collect())
+
+    rng = random.Random(77)
+    new_rows = [(10_000 + i, 0,
+                 [round(rng.uniform(-1, 1), 3) for _ in range(8)])
+                for i in range(20)]
+    new = spark.createDataFrame(
+        new_rows, "vec_id long, label int, embedding array<float>"
+    ).drop("label")
+    append_to_ivf_index(new, path)
+
+    # assignment rule == top-1 probe label, per appended vector
+    asg = {r["vec_id"]: r["assigned_label"] for r in
+           assign_by_centroids(spark, path, new).collect()}
+    for vid, _, vec in new_rows:
+        assert asg[vid] == probe_labels(spark, path, vec, nprobe=1)[0]
+
+    # appended rows are readable in their assigned partitions; probes
+    # see them through the normal pruned scan
+    got = {r["vec_id"]: r["label"] for r in
+           probe_scan(spark, path, sorted(set(asg.values()))).collect()
+           if r["vec_id"] >= 10_000}
+    assert got == asg
+
+    # append-only: no pre-existing file rewritten, centroids frozen
+    assert before_files <= set(
+        glob.glob(f"{path}/vectors/_pt=*/*.parquet"))
+    cents_after = sorted(tuple(r) for r in
+                         spark.read.parquet(f"{path}/centroids")
+                         .collect())
+    assert cents_after == cents_before
+
+
+def test_batch_topk_equals_per_query_probe(spark, tmp_path):
+    """The one-pass batched probe returns, per query, exactly the
+    per-query ivf_index_topk ranking."""
+    from rgd_rnaseq_workflows_spark.operators.ivf_index import (
+        ivf_index_topk_batch)
+
+    rows, emb = _emb(spark, n=200, dims=8, k=5, seed=43)
+    path = str(tmp_path / "ivf_batch")
+    write_ivf_index(emb, path)
+
+    qrows = [(qid, rows[qid * 13][2]) for qid in range(6)]
+    queries = spark.createDataFrame(
+        qrows, "qid long, embedding array<float>")
+    got = {}
+    for r in ivf_index_topk_batch(spark, queries, path, k=5,
+                                  nprobe=2).collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    for qid, vec in qrows:
+        want = [(i + 1, r["vec_id"]) for i, r in enumerate(
+            ivf_index_topk(spark, path, [float(x) for x in vec],
+                           k=5, nprobe=2).collect())]
+        assert sorted(got[qid]) == want, f"qid {qid}"
