@@ -253,21 +253,23 @@ def exact_substring_accounting(docs: DataFrame, window: int,
 
 
 def _ladder_ctes(window: int, table: str, id_col: str,
-                 text_col: str) -> str:
+                 text_col: str, prefix: str = "fp") -> str:
     """The DuckDB ladder: one CTE per doubling level; ``h[i+off]``
     reads NULL past the end, so the combine NULL-propagates exactly
-    like the Spark ``zip_with``/``slice`` form."""
+    like the Spark ``zip_with``/``slice`` form. ``prefix`` namespaces
+    the CTEs so two ladders (e.g. corpus + benchmark) coexist in one
+    query."""
     lvl0 = (f"SELECT {id_col} AS doc_id, "
             f"list_transform({TX.tokens_sql(text_col)}, "
             f"t -> {md5_long_sql('t')}) AS h FROM {table}")
-    ctes = [f"fp0 AS ({lvl0})"]
+    ctes = [f"{prefix}0 AS ({lvl0})"]
     for n, off in enumerate(_ladder_widths(window), start=1):
         comb = _combine_sql("h[i]", f"h[i + {off}]")
         ctes.append(
-            f"fp{n} AS (SELECT doc_id, "
+            f"{prefix}{n} AS (SELECT doc_id, "
             f"list_transform(range(1, len(h) + 1), i -> {comb}) AS h "
-            f"FROM fp{n - 1})")
-    return ",\n".join(ctes), f"fp{len(ctes) - 1}"
+            f"FROM {prefix}{n - 1})")
+    return ",\n".join(ctes), f"{prefix}{len(ctes) - 1}"
 
 
 def exact_substring_report_sql(table: str, window: int,
@@ -420,3 +422,62 @@ SELECT s."window", s.n_windows, s.n_dup_occurrences,
        d.n_dup_sequences, r.removed_tokens
 FROM stats s CROSS JOIN dupfp d CROSS JOIN rem r)""")
     return " UNION ALL ".join(arms) + '\nORDER BY "window"'
+
+
+def substring_contamination(docs: DataFrame, bench: DataFrame,
+                            window: int, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Exact-substring eval contamination — the sharper sibling of the
+    n-gram-overlap gate (``operators.contamination``): a training
+    document is contaminated where an L-token window of it appears
+    VERBATIM in the benchmark (the GPT-3/PaLM-style decontamination
+    rule; n-gram Jaccard can miss a verbatim answer string embedded in
+    an otherwise-different document). Returns, per contaminated doc:
+    (doc_id, n_hit_positions, n_bench_docs) — how many of its window
+    positions are benchmark text and how many distinct benchmark
+    documents it touches; ordered.
+
+    Scale shape: one fingerprint ladder per side, the join keys on the
+    60-bit fp — the benchmark side is eval-scale and its distinct
+    (fp, bench_id) table broadcasts, so the corpus never shuffles."""
+    dfp = window_fingerprints(docs, window, id_col, text_col)
+    bfp = (window_fingerprints(bench, window, id_col, text_col)
+           .select(F.col("doc_id").alias("bench_id"), "fp").distinct())
+    return (dfp.join(F.broadcast(bfp), "fp")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("pos").cast("long")
+                 .alias("n_hit_positions"),
+                 F.count_distinct("bench_id").cast("long")
+                 .alias("n_bench_docs"))
+            .orderBy("doc_id"))
+
+
+def substring_contamination_sql(docs_table: str, bench_table: str,
+                                window: int, id_col: str = "doc_id",
+                                text_col: str = "text") -> str:
+    """DuckDB twin of :func:`substring_contamination` — both ladders
+    replayed under namespaced CTE prefixes, same join + counts."""
+    dctes, dlast = _ladder_ctes(window, docs_table, id_col, text_col,
+                                prefix="dfp")
+    bctes, blast = _ladder_ctes(window, bench_table, id_col, text_col,
+                                prefix="bfp")
+    return f"""
+WITH {dctes},
+{bctes},
+docc AS (
+  SELECT doc_id, generate_subscripts(h, 1) - 1 AS pos, unnest(h) AS fp
+  FROM {dlast}),
+bocc AS (
+  SELECT DISTINCT bench_id, fp FROM (
+    SELECT doc_id AS bench_id, unnest(h) AS fp FROM {blast})
+  WHERE fp IS NOT NULL),
+hits AS (
+  SELECT d.doc_id, d.pos, b.bench_id
+  FROM docc d JOIN bocc b USING (fp)
+  WHERE d.fp IS NOT NULL AND b.fp IS NOT NULL)
+SELECT doc_id,
+       CAST(count(DISTINCT pos) AS BIGINT) AS n_hit_positions,
+       CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+FROM hits GROUP BY doc_id
+ORDER BY doc_id
+"""

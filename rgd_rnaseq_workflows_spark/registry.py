@@ -4451,3 +4451,28 @@ def dedup_exact_substr_calibration(spark, sf_dir):
         exact_substring_calibration)
     return exact_substring_calibration(_t(spark, sf_dir, "documents"),
                                        (4, 8, 16))
+
+
+def _xsub_contam_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        substring_contamination_sql)
+    return substring_contamination_sql(
+        "(SELECT * FROM documents WHERE source <> 'src0')",
+        "(SELECT * FROM documents WHERE source = 'src0')", window=6)
+
+
+@q("contamination_substring", ("CONTAM-XSUB",),
+   oracle=_xsub_contam_oracle(),
+   note="exact-substring eval decontamination (GPT-3/PaLM rule - the "
+        "sharper sibling of contamination_ngram): a training doc is "
+        "contaminated where an L-token window appears VERBATIM in the "
+        "src0 'eval set'; fingerprint ladders both sides, eval-scale "
+        "distinct (fp, bench) table broadcasts, corpus never shuffles; "
+        "per-doc hit positions + distinct benchmark docs touched")
+def contamination_substring(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        substring_contamination)
+    d = _t(spark, sf_dir, "documents")
+    return substring_contamination(d.filter(F.col("source") != "src0"),
+                                   d.filter(F.col("source") == "src0"),
+                                   window=6)

@@ -232,3 +232,41 @@ def test_calibration_report(spark):
         rw = rewrite_without_duplicate_substrings(docs, w)
         assert removed == sum(r["removed_tokens"]
                               for r in rw.collect())
+
+
+def test_substring_contamination(spark):
+    """Verbatim benchmark windows are found regardless of surrounding
+    text (the case n-gram Jaccard under-weights); the DuckDB twin
+    agrees; clean docs are absent."""
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        substring_contamination, substring_contamination_sql)
+
+    bench_rows = [(100, "what is the capital of france paris"),
+                  (101, "two plus two equals four exactly")]
+    doc_rows = [
+        # embeds bench 100's 6-token answer string verbatim
+        (1, "filler one two what is the capital of france more filler"),
+        # embeds windows from BOTH bench docs
+        (2, "x what is the capital of france y two plus two equals "
+            "four exactly z"),
+        (3, "completely unrelated content about something else here"),
+    ]
+    docs = spark.createDataFrame(doc_rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(bench_rows, ["doc_id", "text"])
+    got = [tuple(r) for r in
+           substring_contamination(docs, bench, window=6).collect()]
+    assert [d for d, _, _ in got] == [1, 2]
+    by_doc = {d: (h, b) for d, h, b in got}
+    assert by_doc[1][1] == 1
+    assert by_doc[2][1] == 2
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.execute("CREATE TABLE bench(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", doc_rows)
+    con.executemany("INSERT INTO bench VALUES (?, ?)", bench_rows)
+    exp = [tuple(r) for r in con.execute(
+        substring_contamination_sql("docs", "bench", 6)).fetchall()]
+    assert got == exp
