@@ -1,0 +1,236 @@
+"""Persisted inverted (BM25) index — the layout-family treatment for
+lexical retrieval, completing the index triad: ``ivf_index`` (dense
+vectors), ``lsh_index`` (near-dup signatures), and this module (sparse
+lexical posting lists).
+
+The in-query BM25 path (``retrieval.bm25_topk``) tokenizes the LAKE on
+every query; a production retrieval service builds posting lists ONCE
+and amortizes them across every query, contamination hunt, and targeted
+curation pull. Persisted artifacts:
+
+- the posting table ``(term, doc_id, tf, dl)`` written
+  ``partitionBy(_tb)`` where ``_tb = pmod(xxhash64(term), num_buckets)``
+  and ``sortWithinPartitions(_tb, term)`` — a probe for q query terms
+  lists only their term-hash bucket DIRECTORIES, and inside each
+  bucket's files the rows are term-ordered so the pushed term IN-list
+  prunes at the parquet row-group level (min/max footers over a sorted
+  column — the ``lsh_index`` band_hash contract). ``dl`` is denormalized
+  into the posting row (the Lucene "norms" statistic) so scoring needs
+  no doc-length side join;
+- a 1-row ``meta`` parquet ``(n_docs, total_len, num_buckets)`` — the
+  two corpus-level BM25 statistics (N and avgdl = total_len/N) plus the
+  bucketing parameter, so probes are self-describing (probing with a
+  mismatched bucket count would silently scan the wrong directories).
+
+Per-term ``df`` is NOT persisted: the pruned scan already holds every
+posting row of each query term, so ``df = count(*) per term`` over that
+scan is exact, free, and — unlike a stored df — automatically correct
+after incremental appends.
+
+Scale shape: the build is one tokenize + two map-side-combined
+aggregations + one repartition-on-bucket write (the ``write_zordered``
+contract); the probe reads a 1-row meta, then ONE directory- and
+footer-pruned scan whose size is the query's posting lists — the corpus
+is never touched. There is no early-termination (WAND/maxscore) step by
+design: in Spark's batch model the win comes from scan pruning, and the
+scoring aggregation over the pruned postings is already
+posting-list-sized; a skip-pointer walk would serialize what the
+pruned scan parallelizes.
+
+Cross-engine exactness: identical to ``retrieval.bm25_topk`` — tf, dl,
+df, N, Σdl are exact BIGINTs, each per-term score is rounded to an
+exact micro-unit BIGINT, and the per-doc score is the integer sum of
+those units (probe == in-query top-k is test-pinned, not assumed).
+
+Reference scope note: the reference pipeline has no retrieval surface;
+LLM-pipeline extension family (lexical retrieval at 100 TB: the lake's
+posting lists are the asset, not a per-query intermediate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rgd_rnaseq_workflows_spark.functions import text as TX
+
+
+def _postings(docs: DataFrame, id_col: str, text_col: str,
+              num_buckets: int) -> DataFrame:
+    """(term, doc_id, tf, dl, _tb): one row per (doc, term) with the
+    doc's exact token length denormalized in."""
+    toks = TX.tokens(text_col)
+    base = docs.select(F.col(id_col), toks.alias("_t"))
+    dl = base.select(id_col, F.size("_t").cast("long").alias("dl"))
+    tf = (base.select(F.col(id_col), F.explode("_t").alias("term"))
+          .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    return (tf.join(dl, id_col)
+            .withColumn("_tb", F.pmod(F.xxhash64("term"),
+                                      F.lit(num_buckets)).cast("int")))
+
+
+def write_inverted_index(docs: DataFrame, path: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         num_buckets: int = 32) -> None:
+    """Persist the posting-list layout under ``{path}/postings`` plus
+    the corpus statistics under ``{path}/meta``."""
+    post = _postings(docs, id_col, text_col, num_buckets)
+    # sort by (_tb, term), not term alone: the file writer requires its
+    # input ordered by the partition columns and would otherwise insert
+    # its own Sort(_tb), destroying the term order the footer pruning
+    # relies on (the lsh_index band_hash lesson)
+    (post.repartition(F.col("_tb"))
+     .sortWithinPartitions("_tb", "term")
+     .write.mode("overwrite").partitionBy("_tb")
+     .parquet(f"{path}/postings"))
+    spark = docs.sparkSession
+    toks = TX.tokens(text_col)
+    [s] = (docs.select(F.size(toks).cast("long").alias("dl"))
+           .agg(F.count("*").alias("n"), F.sum("dl").alias("t"))
+           .collect())
+    (spark.createDataFrame(
+        [(int(s["n"]), int(s["t"] or 0), num_buckets)],
+        "n_docs long, total_len long, num_buckets int")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+
+def read_inverted_meta(spark: SparkSession,
+                       path: str) -> tuple[int, int, int]:
+    [r] = spark.read.parquet(f"{path}/meta").collect()
+    return r["n_docs"], r["total_len"], r["num_buckets"]
+
+
+def append_to_inverted_index(new_docs: DataFrame, path: str,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> None:
+    """Incremental index maintenance: a delta batch's postings append
+    into their term-hash bucket directories (existing files are never
+    rewritten) and the 1-row meta is re-derived as old + delta. The
+    probe's df/N/avgdl stay exact because df is computed from the
+    pruned scan (which now includes the appends) and N/Σdl live in the
+    meta — probing after an append equals rebuilding from scratch
+    (test-pinned)."""
+    spark = new_docs.sparkSession
+    n_docs, total_len, num_buckets = read_inverted_meta(spark, path)
+    post = _postings(new_docs, id_col, text_col, num_buckets)
+    (post.repartition(F.col("_tb"))
+     .sortWithinPartitions("_tb", "term")
+     .write.mode("append").partitionBy("_tb")
+     .parquet(f"{path}/postings"))
+    toks = TX.tokens(text_col)
+    [s] = (new_docs.select(F.size(toks).cast("long").alias("dl"))
+           .agg(F.count("*").alias("n"), F.sum("dl").alias("t"))
+           .collect())
+    (spark.createDataFrame(
+        [(n_docs + int(s["n"]), total_len + int(s["t"] or 0),
+          num_buckets)],
+        "n_docs long, total_len long, num_buckets int")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+
+def _pruned_scan(spark: SparkSession, path: str, terms: list[str],
+                 num_buckets: int) -> DataFrame:
+    """ONE pruned posting read for a term set: directory pruning on the
+    term-hash bucket IN-list plus the pushed, footer-prunable term
+    IN-list. Bucket ids replay the writer's pmod(xxhash64) on a
+    terms-sized literal frame — metadata-scale by construction."""
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    tbs = sorted({r["_tb"] for r in
+                  tdf.select(F.pmod(F.xxhash64("term"),
+                                    F.lit(num_buckets)).cast("int")
+                             .alias("_tb")).distinct().collect()})
+    return (spark.read.parquet(f"{path}/postings")
+            .filter(F.col("_tb").isin(tbs) & F.col("term").isin(terms)))
+
+
+def _score_postings(scan: DataFrame, n_docs: int, total_len: int,
+                    k: int, k1: float, b: float,
+                    id_col: str) -> DataFrame:
+    """The ``retrieval.bm25_topk`` scoring tail over an already-pruned
+    posting frame: broadcast df, fixed per-term scalar tree rounded to
+    micro-units, integer per-doc sum, TakeOrdered top-k."""
+    df_ = scan.groupBy("term").agg(F.count("*").alias("df"))
+    sc = scan.join(F.broadcast(df_), "term")
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = (F.col("dl") * F.lit(n_docs)).cast("double") \
+        / F.lit(total_len)
+    term_score = (idf * F.col("tf") * (k1 + 1.0)
+                  / (F.col("tf") + k1 * (1.0 - b + b * norm)))
+    s6 = F.round(term_score * 1e6).cast("long")
+    return (sc.groupBy(id_col)
+            .agg(F.sum(s6).alias("_s6"),
+                 F.count("*").alias("n_terms_hit"))
+            .select(F.col(id_col), "n_terms_hit",
+                    (F.col("_s6") / 1e6).alias("bm25"), "_s6")
+            .orderBy(F.desc("_s6"), id_col).limit(k)
+            .drop("_s6"))
+
+
+def bm25_index_topk(spark: SparkSession, path: str, query: str,
+                    k: int = 10, k1: float = 1.2, b: float = 0.75,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` documents for one query against the persisted layout:
+    meta read (1 row) → pruned posting scan → exact micro-unit BM25.
+    Returns (doc_id, n_terms_hit, bm25), score desc / id asc — equal to
+    ``retrieval.bm25_topk`` over the indexed corpus (test-pinned)."""
+    n_docs, total_len, num_buckets = read_inverted_meta(spark, path)
+    terms = sorted({t for t in query.split() if t})
+    if not terms or total_len == 0:
+        scan = spark.read.parquet(f"{path}/postings")
+        return (scan.select(F.col(id_col),
+                            F.lit(0).cast("long").alias("n_terms_hit"),
+                            F.lit(0.0).alias("bm25"))
+                .filter(F.lit(False)))
+    scan = _pruned_scan(spark, path, terms, num_buckets)
+    return _score_postings(scan, n_docs, total_len, k, k1, b, id_col)
+
+
+def bm25_index_topk_batch(spark: SparkSession, queries: DataFrame,
+                          path: str, k: int = 10, k1: float = 1.2,
+                          b: float = 0.75, id_col: str = "doc_id",
+                          qid_col: str = "qid",
+                          query_col: str = "query") -> DataFrame:
+    """Many queries in ONE pass: the union of all query terms prunes
+    the scan once (the term→bucket map is metadata-scale — queries ×
+    terms rows), each query joins only to its own terms' postings, df
+    stays a GLOBAL per-term statistic, and the house two-phase grouped
+    top-k ranks per query. Returns (qid, doc_id, n_terms_hit, bm25,
+    rank) — per-query rank equal to running :func:`bm25_index_topk`
+    per query (test-pinned)."""
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        _grouped_topk)
+    n_docs, total_len, num_buckets = read_inverted_meta(spark, path)
+    qterms = (queries.select(F.col(qid_col).alias("qid"),
+                             F.explode(TX.tokens(query_col))
+                             .alias("term"))
+              .distinct())
+    terms = sorted({r["term"] for r in
+                    qterms.select("term").distinct().collect()})
+    if not terms or total_len == 0:
+        return spark.createDataFrame(
+            [], f"qid long, {id_col} long, n_terms_hit long, "
+                "bm25 double, rank int")
+    scan = _pruned_scan(spark, path, terms, num_buckets)
+    df_ = scan.groupBy("term").agg(F.count("*").alias("df"))
+    sc = (qterms.join(scan, "term")
+          .join(F.broadcast(df_), "term"))
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = (F.col("dl") * F.lit(n_docs)).cast("double") \
+        / F.lit(total_len)
+    term_score = (idf * F.col("tf") * (k1 + 1.0)
+                  / (F.col("tf") + k1 * (1.0 - b + b * norm)))
+    s6 = F.round(term_score * 1e6).cast("long")
+    per_doc = (sc.groupBy("qid", id_col)
+               .agg(F.sum(s6).alias("_s6"),
+                    F.count("*").alias("n_terms_hit")))
+    scored = per_doc.select("qid", F.col(id_col).alias("vec_id"),
+                            (F.col("_s6") / 1e6).alias("cosine_sim"),
+                            "n_terms_hit")
+    ranked = _grouped_topk(scored.select("qid", "vec_id", "cosine_sim"),
+                           k).withColumnRenamed("rn", "rank")
+    return (ranked.join(scored, ["qid", "vec_id"])
+            .select("qid", F.col("vec_id").alias(id_col),
+                    "n_terms_hit", F.col("cosine_sim").alias("bm25"),
+                    "rank"))

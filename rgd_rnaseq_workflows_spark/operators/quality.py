@@ -354,6 +354,121 @@ ORDER BY lang, bucket
 """
 
 
+# --- Kneser-Ney smoothed bigram perplexity ------------------------------------
+
+KN_DISCOUNT = 0.75  # the standard absolute-discount constant
+
+
+def kn_lm_report(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document perplexity under a corpus-trained Kneser-Ney
+    smoothed bigram LM — the KenLM/CCNet quality scorer (Wenzek et al.
+    2020 filter documents by perplexity under exactly this model
+    family; Kneser & Ney 1995, Chen & Goodman 1998 for the smoothing):
+
+        P_KN(w2|w1) = max(c(w1 w2) - d, 0)/c(w1·)
+                      + d · N1+(w1 ·)/c(w1·) · N1+(· w2)/N1+(· ·)
+
+    with d = 0.75. The continuation probability N1+(· w2)/N1+(· ·)
+    (how many distinct contexts precede w2, not how often w2 occurs)
+    is what distinguishes KN from the raw-count familiarity of
+    :func:`bigram_lm_report` — "San Francisco" makes "Francisco"
+    frequent but nearly context-bound, and KN scores it accordingly.
+
+    Cross-engine exactness (the ``bm25_topk`` discipline): every LM
+    statistic (c12, c1, N1+ counts, bigram-type total) is an exact
+    BIGINT; each DISTINCT bigram's negative log-prob is ONE fixed
+    scalar expression tree rounded to an exact micro-nat BIGINT
+    (``nll6``); the per-doc total is the INTEGER sum ``Σ cnt·nll6`` —
+    order-independent, unlike a float log-prob accumulation, which no
+    distributed engine pins down. ``ppl`` is one exp of a
+    deterministic double, rounded.
+
+    The LM is trained on the scored corpus itself, so every document
+    bigram has c12 ≥ 1 and P_KN > 0 — no OOV backoff path is needed
+    (scoring a FOREIGN corpus would need the unigram backoff level;
+    out of scope here, as in CCNet where the LM's training side is
+    fixed).
+
+    Scale shape: explode bigrams → groupBy bigram (map-side combined —
+    the LM, bigram-type-scale); the three stat tables (per-context,
+    per-continuation, total) are vocabulary-scale GROUPs OF THE LM
+    TABLE, never of the corpus; scoring joins doc-distinct bigrams to
+    the scored LM on the bigram key (the train/score co-location
+    shuffle) and reduces per doc. One corpus-scale explode, one
+    corpus-scale join — same envelope as ``bigram_lm_report``.
+    """
+    b = docs.select(F.col(id_col).alias("id"),
+                    F.explode(TX.shingles_all(text_col, 2)).alias("bg"))
+    tf = b.groupBy("id", "bg").agg(F.count("*").alias("cnt"))
+    lm = (b.groupBy("bg").agg(F.count("*").alias("c12"))
+          .withColumn("w1", F.element_at(F.split("bg", " "), 1))
+          .withColumn("w2", F.element_at(F.split("bg", " "), -1)))
+    ctx = lm.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                               F.count("*").alias("n1p_fwd"))
+    cont = lm.groupBy("w2").agg(F.count("*").alias("n1p_rev"))
+    tot = lm.agg(F.count("*").alias("n_types"))
+    d = F.lit(KN_DISCOUNT)
+    p = ((F.col("c12") - d) / F.col("c1")
+         + d * F.col("n1p_fwd") / F.col("c1")
+         * F.col("n1p_rev") / F.col("n_types"))
+    scored = (lm.join(ctx, "w1").join(cont, "w2")
+              .crossJoin(F.broadcast(tot))
+              .select("bg", F.round(-F.log(p) * 1e6).cast("long")
+                      .alias("nll6")))
+    return (tf.join(scored, "bg")
+            .groupBy("id")
+            .agg(F.sum("cnt").alias("n_bigrams"),
+                 F.sum(F.col("cnt") * F.col("nll6")).alias("nll_micro"))
+            .select(F.col("id").alias(id_col), "n_bigrams", "nll_micro",
+                    F.round(F.exp(F.col("nll_micro").cast("double")
+                                  / 1e6 / F.col("n_bigrams")), 4)
+                    .alias("ppl")))
+
+
+def kn_lm_report_sql(table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """DuckDB twin of :func:`kn_lm_report` (exact integer LM stats, one
+    rounded micro-nat per distinct bigram, integer per-doc sum)."""
+    sh = TX.shingles_all_sql(text_col, 2)
+    d = KN_DISCOUNT
+    return f"""
+WITH b AS (
+  -- coalesce: DuckDB's array_to_string over the empty-doc slice yields
+  -- NULL where Spark's shingles_all yields '' — align on '' so the
+  -- empty-document row survives the NULL-rejecting score join
+  SELECT id, coalesce(bg, '') AS bg FROM (
+    SELECT {id_col} AS id, unnest({sh}) AS bg FROM {table})),
+tf AS (SELECT id, bg, CAST(count(*) AS BIGINT) AS cnt
+       FROM b GROUP BY id, bg),
+lm AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c12,
+         string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[-1] AS w2
+  FROM b GROUP BY bg),
+ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n1p_fwd
+        FROM lm GROUP BY w1),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_rev
+         FROM lm GROUP BY w2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM lm),
+scored AS (
+  SELECT bg, CAST(round(-ln(
+           (c12 - {d}) / c1
+           + {d} * n1p_fwd / c1 * n1p_rev / n_types) * 1e6) AS BIGINT)
+           AS nll6
+  FROM lm JOIN ctx USING (w1) JOIN cont USING (w2), tot),
+per AS (
+  SELECT id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         CAST(sum(cnt * nll6) AS BIGINT) AS nll_micro
+  FROM tf JOIN scored USING (bg) GROUP BY id)
+SELECT id AS {id_col}, n_bigrams, nll_micro,
+       round(exp(CAST(nll_micro AS DOUBLE) / 1e6 / n_bigrams), 4)
+         AS ppl
+FROM per
+"""
+
+
 # --- hashed linear classifier scoring ----------------------------------------
 
 W_SCALE = 1_000_000  # fixed-point classifier weights (exact bigints)

@@ -1558,6 +1558,25 @@ def quality_bigram_lm(spark, sf_dir):
     return bigram_lm_report(_t(spark, sf_dir, "documents"))
 
 
+def _kn_lm_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        kn_lm_report_sql)
+    return kn_lm_report_sql("documents")
+
+
+@q("quality_kn_perplexity", ("KN-LM",), oracle=_kn_lm_oracle(),
+   note="Kneser-Ney smoothed bigram perplexity per document (the "
+        "KenLM/CCNet quality scorer): continuation-count smoothing "
+        "distinguishes frequent-but-context-bound bigrams from truly "
+        "productive ones; every LM stat is an exact BIGINT, each "
+        "distinct bigram's -ln P is rounded to a micro-nat BIGINT once, "
+        "and the per-doc total is the integer sum cnt*nll6 — the "
+        "bm25_topk discipline applied to a log-prob sum")
+def quality_kn_perplexity(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import kn_lm_report
+    return kn_lm_report(_t(spark, sf_dir, "documents"))
+
+
 def _length_outlier_oracle() -> str:
     from rgd_rnaseq_workflows_spark.operators.quality import (
         length_outlier_report_sql)

@@ -192,6 +192,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lsh-hashes", type=int, default=8)
     p.add_argument("--lsh-band-size", type=int, default=2)
     p.add_argument("--lsh-shingle-n", type=int, default=3)
+    p.add_argument("--bm25-index", default=None, metavar="PATH",
+                   help="persist the inverted (BM25) posting-list "
+                        "index of the CURATED corpus under PATH "
+                        "(term-hash-bucket directories, term-sorted "
+                        "files); probe it later with the probe-bm25 "
+                        "subcommand")
+    p.add_argument("--bm25-append", action="store_true",
+                   help="with --bm25-index: append the curated docs "
+                        "into the EXISTING index (postings + meta "
+                        "delta) instead of rebuilding")
+    p.add_argument("--bm25-buckets", type=int, default=32,
+                   help="term-hash directory fan-out for --bm25-index")
     return p
 
 
@@ -490,6 +502,20 @@ def run(args: argparse.Namespace) -> int:
                             num_hashes=args.lsh_hashes,
                             band_size=args.lsh_band_size,
                             shingle_n=args.lsh_shingle_n)
+    if args.bm25_index:
+        final = spark.read.parquet(f"{out}/curated")
+        if args.bm25_append:
+            from rgd_rnaseq_workflows_spark.operators.inverted_index \
+                import append_to_inverted_index
+            with _stage("BM25 index append (postings + meta delta)"):
+                append_to_inverted_index(final, args.bm25_index)
+        else:
+            from rgd_rnaseq_workflows_spark.operators.inverted_index \
+                import write_inverted_index
+            with _stage("BM25 index build (posting-list partitioned "
+                        "write)"):
+                write_inverted_index(final, args.bm25_index,
+                                     num_buckets=args.bm25_buckets)
     return 0
 
 
@@ -551,12 +577,47 @@ def run_lsh_probe(args: argparse.Namespace) -> int:
     return 0
 
 
+def build_bm25_probe_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rgd_rnaseq_workflows_spark.run_corpus probe-bm25",
+        description="probe a persisted inverted index: top-k BM25 "
+                    "documents for a query string. Reads the 1-row "
+                    "meta plus ONLY the query terms' bucket "
+                    "directories")
+    p.add_argument("--index", required=True,
+                   help="inverted layout written by --bm25-index")
+    p.add_argument("--query", required=True,
+                   help="query text (whitespace terms, the corpus "
+                        "tokenizer)")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--out", default=None, metavar="DIR",
+                   help="write (doc_id, n_terms_hit, bm25) as TSV "
+                        "(default: stdout)")
+    return p
+
+
+def run_bm25_probe(args: argparse.Namespace) -> int:
+    from rgd_rnaseq_workflows_spark.operators.inverted_index import (
+        bm25_index_topk)
+    spark = get_spark("bm25-probe")
+    with _stage(f"BM25 probe (k={args.k}, pruned posting scan)"):
+        topk = bm25_index_topk(spark, args.index, args.query, k=args.k)
+        if args.out:
+            write_tsv(topk, args.out, single_file=True)
+        else:
+            for r in topk.collect():
+                print(f"{r['doc_id']}\t{r['n_terms_hit']}\t{r['bm25']}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "probe-ann":
         return run_probe(build_probe_parser().parse_args(argv[1:]))
     if argv and argv[0] == "probe-lsh":
         return run_lsh_probe(build_lsh_probe_parser().parse_args(argv[1:]))
+    if argv and argv[0] == "probe-bm25":
+        return run_bm25_probe(build_bm25_probe_parser().parse_args(argv[1:]))
     return run(build_parser().parse_args(argv))
 
 

@@ -471,3 +471,69 @@ def test_vocab_coverage_zero_token_edge(spark):
     got2 = sorted(tuple(r) for r in
                   vocab_coverage_from_counts(terms, [1]).collect())
     assert got2 == [(1, 2, 0, 0, 0)]
+
+
+class TestKneserNeyLM:
+    def test_hand_computed_tiny_corpus(self, spark):
+        """KN probabilities on a corpus small enough to hand-check:
+        docs 'a b a b' and 'a b c' -> bigrams (a b)x3, (b a)x1, (b c)x1.
+        Stats: c(a·)=3, c(b·)=2; N1+(a·)=1, N1+(b·)=2; N1+(·b)=1,
+        N1+(·a)=1, N1+(·c)=1; types T=3."""
+        import math
+
+        from rgd_rnaseq_workflows_spark.operators.quality import (
+            KN_DISCOUNT, kn_lm_report)
+        d = KN_DISCOUNT
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in kn_lm_report(docs).collect()}
+
+        p_ab = (3 - d) / 3 + d * 1 / 3 * 1 / 3      # c12=3,c1=3,fwd=1,rev(b)=1
+        p_ba = (1 - d) / 2 + d * 2 / 2 * 1 / 3      # c12=1,c1=2,fwd=2,rev(a)=1
+        p_bc = (1 - d) / 2 + d * 2 / 2 * 1 / 3
+        nll = {bg: round(-math.log(p) * 1e6)
+               for bg, p in [("a b", p_ab), ("b a", p_ba), ("b c", p_bc)]}
+        # doc 1: positions (a b), (b a), (a b); doc 2: (a b), (b c)
+        want1 = 2 * nll["a b"] + nll["b a"]
+        want2 = nll["a b"] + nll["b c"]
+        assert got[1]["n_bigrams"] == 3 and got[1]["nll_micro"] == want1
+        assert got[2]["n_bigrams"] == 2 and got[2]["nll_micro"] == want2
+        assert got[1]["ppl"] == round(math.exp(want1 / 1e6 / 3), 4)
+
+    def test_continuation_beats_raw_frequency(self, spark):
+        """The KN signature: a bigram whose SECOND word appears in many
+        contexts gets a higher continuation boost than an equally
+        frequent context-bound one."""
+        from rgd_rnaseq_workflows_spark.operators.quality import (
+            kn_lm_report)
+        # frequency-matched by construction: every bigram occurs once
+        # and every context word has one continuation, so the raw-count
+        # term (c12-d)/c1 is IDENTICAL for all bigrams; only the
+        # continuation count differs — 'end' is preceded by 3 distinct
+        # contexts, 'francisco' by 1.
+        corpus = [(1, "x end"), (2, "san francisco"),
+                  (3, "y end"), (4, "z end")]
+        docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in kn_lm_report(docs).collect()}
+        assert got[1]["n_bigrams"] == 1 and got[2]["n_bigrams"] == 1
+        # productive continuation -> more probable -> lower nll
+        assert got[1]["nll_micro"] < got[2]["nll_micro"]
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+
+        from rgd_rnaseq_workflows_spark.operators.quality import (
+            kn_lm_report, kn_lm_report_sql)
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c"), (3, "c"), (4, "")],
+            ["doc_id", "text"])
+        got = sorted(tuple(r) for r in kn_lm_report(docs).collect())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)",
+                        [(1, "a b a b"), (2, "a b c"), (3, "c"),
+                         (4, "")])
+        exp = sorted(tuple(r) for r in
+                     con.execute(kn_lm_report_sql()).fetchall())
+        assert got == exp
