@@ -4495,3 +4495,69 @@ def contamination_substring(spark, sf_dir):
     return substring_contamination(d.filter(F.col("source") != "src0"),
                                    d.filter(F.col("source") == "src0"),
                                    window=6)
+
+
+# =============================================================================
+# Batch 10 (r9) — URL canonicalization dedup
+# =============================================================================
+
+# Deterministic URL spike (the _pii_spike_sql pattern: documents carry no
+# URL column, so both twins synthesize the same refetch-variant URLs from
+# doc_id): 97 logical pages x 5 spelling variants. Variants 0-3 differ
+# only by case/default-port/www+trailing-slash+utm/fragment and must
+# collapse to ONE https canonical; variant 4 is the http:// sibling and
+# must stay separate (scheme is semantic).
+_URL_VARIANTS = (
+    ("https://Example.COM/p/", "?a=1&b=2"),
+    ("https://example.com:443/p/", "?b=2&a=1"),
+    ("https://www.example.com/p/", "/?a=1&b=2&utm_source=x"),
+    ("https://example.com/p/", "?a=1&b=2#frag"),
+    ("http://example.com:80/p/", "?utm_campaign=y&b=2&a=1"),
+)
+
+
+def _url_spike_col():
+    key = (F.col("doc_id") % 97).cast("string")
+    v = F.col("doc_id") % 5
+    expr = F.lit(None).cast("string")
+    for i, (pre, post) in enumerate(_URL_VARIANTS):
+        expr = F.when(v == i, F.concat(F.lit(pre), key,
+                                       F.lit(post))).otherwise(expr)
+    return expr
+
+
+def _url_spike_sql() -> str:
+    key = "CAST(doc_id % 97 AS VARCHAR)"
+    arms = "\n".join(
+        f"  WHEN doc_id % 5 = {i} THEN '{pre}' || {key} || '{post}'"
+        for i, (pre, post) in enumerate(_URL_VARIANTS))
+    return f"CASE\n{arms}\nEND"
+
+
+def _url_dedup_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.urls import (
+        canonical_url_sql)
+    canon = canonical_url_sql(
+        f"(SELECT doc_id, {_url_spike_sql()} AS url FROM documents)",
+        "url", "doc_id, url")
+    return f"""
+WITH c AS ({canon})
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id
+FROM c GROUP BY canonical_url
+"""
+
+
+@q("dedup_url_canonical", ("URL-DEDUP",), oracle=_url_dedup_oracle(),
+   note="canonical-URL refetch dedup (crawl hygiene, the cheapest dedup "
+        "pass): fragment/case/default-port/www/trailing-slash/utm "
+        "normalization + bytewise query-param sort, all string/array "
+        "built-ins (zero Python, no shuffle until the final "
+        "map-side-combined groupBy on the canonical string); the value "
+        "oracle pins every normalization rule via the 5-variant spike")
+def dedup_url_canonical(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.urls import url_dedup_report
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", _url_spike_col().alias("url")))
+    return url_dedup_report(d)

@@ -1,0 +1,107 @@
+"""URL canonicalization: every normalization rule, edge cases, the
+DuckDB twin, and the dedup report."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from rgd_rnaseq_workflows_spark.operators.urls import (
+    canonical_url_sql, url_dedup_report, with_canonical_url)
+
+CASES = [
+    # (raw, canonical)
+    ("https://Example.COM/p/1?a=1&b=2", "https://example.com/p/1?a=1&b=2"),
+    ("https://example.com:443/p/1?b=2&a=1",
+     "https://example.com/p/1?a=1&b=2"),
+    ("https://www.example.com/p/1/?a=1&b=2&utm_source=x",
+     "https://example.com/p/1?a=1&b=2"),
+    ("https://example.com/p/1?a=1&b=2#frag",
+     "https://example.com/p/1?a=1&b=2"),
+    ("http://example.com:80/p/1?utm_campaign=y&b=2&a=1",
+     "http://example.com/p/1?a=1&b=2"),
+    # scheme is semantic: http does NOT merge with https
+    ("http://example.com/p/1?a=1&b=2", "http://example.com/p/1?a=1&b=2"),
+    # non-default port kept
+    ("https://example.com:8443/x", "https://example.com:8443/x"),
+    ("http://example.com:8080/", "http://example.com:8080/"),
+    # bare host / empty path -> '/'
+    ("https://Example.com", "https://example.com/"),
+    ("https://example.com/", "https://example.com/"),
+    ("https://example.com///", "https://example.com/"),
+    # all params tracking -> query dropped entirely
+    ("https://example.com/a?utm_source=x&utm_medium=y",
+     "https://example.com/a"),
+    # fragment only
+    ("https://example.com/a#sec", "https://example.com/a"),
+    # empty params pruned, ordering bytewise
+    ("https://example.com/a?z=1&&y=2", "https://example.com/a?y=2&z=1"),
+    # www kept when mid-host, stripped only as prefix
+    ("https://www.wwwish.com/a", "https://wwwish.com/a"),
+    ("https://notwww.com/a", "https://notwww.com/a"),
+]
+
+
+def test_canonicalization_rules(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)],
+        ["doc_id", "url"])
+    got = {r["doc_id"]: r["canonical_url"] for r in
+           with_canonical_url(df).collect()}
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_sql_twin_matches_spark(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)],
+        ["doc_id", "url"])
+    got = sorted((r["doc_id"], r["canonical_url"]) for r in
+                 with_canonical_url(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE urls(doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO urls VALUES (?, ?)",
+                    [(i, raw) for i, (raw, _) in enumerate(CASES)])
+    exp = sorted(tuple(r) for r in con.execute(
+        canonical_url_sql("urls", "url", "doc_id")).fetchall())
+    assert got == exp
+
+
+def test_plan_is_pure_projection(spark):
+    """No shuffle, no Python: canonicalization must stay a single
+    codegen projection."""
+    df = spark.createDataFrame([(1, "https://a.com/x")],
+                               ["doc_id", "url"])
+    plan = (with_canonical_url(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dedup_report_groups_refetches(spark):
+    rows = [(i, raw) for i, (raw, _) in enumerate(CASES[:5])]
+    got = {r["canonical_url"]: r for r in
+           url_dedup_report(spark.createDataFrame(
+               rows, ["doc_id", "url"])).collect()}
+    https = got["https://example.com/p/1?a=1&b=2"]
+    assert https["n_docs"] == 4 and https["n_distinct_raw"] == 4
+    assert https["keeper_id"] == 0
+    http = got["http://example.com/p/1?a=1&b=2"]
+    assert http["n_docs"] == 1 and http["keeper_id"] == 4
+
+
+@pytest.mark.parametrize("weird", [
+    "https://example.com/a?a=1#f1#f2",        # repeated '#'
+    "https://example.com/a/b/c//",            # inner + trailing slashes
+    "HTTPS://WWW.EXAMPLE.COM:443",            # everything at once
+])
+def test_twin_agrees_on_weird_inputs(spark, weird):
+    df = spark.createDataFrame([(1, weird)], ["doc_id", "url"])
+    [got] = [r["canonical_url"] for r in
+             with_canonical_url(df).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE urls(doc_id BIGINT, url VARCHAR)")
+    con.execute("INSERT INTO urls VALUES (1, ?)", [weird])
+    [(_, exp)] = con.execute(
+        canonical_url_sql("urls", "url", "doc_id")).fetchall()
+    assert got == exp
