@@ -384,11 +384,14 @@ def kn_lm_report(docs: DataFrame, id_col: str = "doc_id",
     distributed engine pins down. ``ppl`` is one exp of a
     deterministic double, rounded.
 
-    The LM is trained on the scored corpus itself, so every document
-    bigram has c12 ≥ 1 and P_KN > 0 — no OOV backoff path is needed
-    (scoring a FOREIGN corpus would need the unigram backoff level;
-    out of scope here, as in CCNet where the LM's training side is
-    fixed).
+    The LM here is trained on the scored corpus itself, so every
+    document bigram has c12 ≥ 1 and P_KN > 0 (``n_oov`` is pinned 0 by
+    the oracle). Scoring a FOREIGN corpus against a frozen or
+    stream-maintained LM goes through the same factored pieces
+    (:func:`bigram_counts` → :func:`kn_nll_table` → :func:`kn_score`),
+    where unseen bigrams are excluded and counted in ``n_oov`` rather
+    than given a backoff mass — the filter-pipeline reading (an OOV
+    transition is its own quality signal, reported separately).
 
     Scale shape: explode bigrams → groupBy bigram (map-side combined —
     the LM, bigram-type-scale); the three stat tables (per-context,
@@ -398,11 +401,26 @@ def kn_lm_report(docs: DataFrame, id_col: str = "doc_id",
     shuffle) and reduces per doc. One corpus-scale explode, one
     corpus-scale join — same envelope as ``bigram_lm_report``.
     """
-    b = docs.select(F.col(id_col).alias("id"),
-                    F.explode(TX.shingles_all(text_col, 2)).alias("bg"))
-    tf = b.groupBy("id", "bg").agg(F.count("*").alias("cnt"))
-    lm = (b.groupBy("bg").agg(F.count("*").alias("c12"))
-          .withColumn("w1", F.element_at(F.split("bg", " "), 1))
+    lm = bigram_counts(docs, text_col)
+    return kn_score(docs, kn_nll_table(lm), id_col, text_col)
+
+
+def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The KN LM's sufficient statistic: (bg, c12) — corpus bigram
+    counts via one map-side-combined groupBy. Mergeable, so the SAME
+    expression tree maintains the LM under Structured Streaming
+    (``corpus_stream.stream_bigram_counts``)."""
+    return (docs.select(F.explode(TX.shingles_all(text_col, 2))
+                        .alias("bg"))
+            .groupBy("bg").agg(F.count("*").alias("c12")))
+
+
+def kn_nll_table(lm: DataFrame) -> DataFrame:
+    """Fold the (bg, c12) count table into the per-bigram micro-nat
+    table (bg, nll6). Bigram-type-scale only — the corpus is never
+    touched: context/continuation statistics are GROUPs OF THE LM
+    TABLE, the type total is a 1-row broadcast."""
+    lm = (lm.withColumn("w1", F.element_at(F.split("bg", " "), 1))
           .withColumn("w2", F.element_at(F.split("bg", " "), -1)))
     ctx = lm.groupBy("w1").agg(F.sum("c12").alias("c1"),
                                F.count("*").alias("n1p_fwd"))
@@ -412,17 +430,39 @@ def kn_lm_report(docs: DataFrame, id_col: str = "doc_id",
     p = ((F.col("c12") - d) / F.col("c1")
          + d * F.col("n1p_fwd") / F.col("c1")
          * F.col("n1p_rev") / F.col("n_types"))
-    scored = (lm.join(ctx, "w1").join(cont, "w2")
-              .crossJoin(F.broadcast(tot))
-              .select("bg", F.round(-F.log(p) * 1e6).cast("long")
-                      .alias("nll6")))
-    return (tf.join(scored, "bg")
+    return (lm.join(ctx, "w1").join(cont, "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("bg", F.round(-F.log(p) * 1e6).cast("long")
+                    .alias("nll6")))
+
+
+def kn_score(docs: DataFrame, nll_table: DataFrame,
+             id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Score documents against a (bg, nll6) table — the LM may be
+    frozen/stream-maintained and need not come from ``docs`` itself.
+    Bigrams absent from the LM are EXCLUDED from the perplexity and
+    counted in ``n_oov`` (zero for the self-trained registry query,
+    which pins the join semantics; nonzero when scoring a foreign
+    corpus against a frozen LM — the CCNet deployment shape)."""
+    b = docs.select(F.col(id_col).alias("id"),
+                    F.explode(TX.shingles_all(text_col, 2)).alias("bg"))
+    tf = b.groupBy("id", "bg").agg(F.count("*").alias("cnt"))
+    return (tf.join(nll_table, "bg", "left")
             .groupBy("id")
-            .agg(F.sum("cnt").alias("n_bigrams"),
-                 F.sum(F.col("cnt") * F.col("nll6")).alias("nll_micro"))
-            .select(F.col("id").alias(id_col), "n_bigrams", "nll_micro",
-                    F.round(F.exp(F.col("nll_micro").cast("double")
-                                  / 1e6 / F.col("n_bigrams")), 4)
+            .agg(F.sum(F.when(F.col("nll6").isNotNull(), F.col("cnt"))
+                       .otherwise(0)).alias("n_bigrams"),
+                 F.sum(F.when(F.col("nll6").isNull(), F.col("cnt"))
+                       .otherwise(0)).alias("n_oov"),
+                 F.sum(F.col("cnt") * F.coalesce(F.col("nll6"),
+                                                 F.lit(0)))
+                 .alias("nll_micro"))
+            .select(F.col("id").alias(id_col), "n_bigrams", "n_oov",
+                    "nll_micro",
+                    F.when(F.col("n_bigrams") == 0, F.lit(None))
+                    .otherwise(
+                        F.round(F.exp(F.col("nll_micro").cast("double")
+                                      / 1e6 / F.col("n_bigrams")), 4))
                     .alias("ppl")))
 
 
@@ -459,12 +499,17 @@ scored AS (
            AS nll6
   FROM lm JOIN ctx USING (w1) JOIN cont USING (w2), tot),
 per AS (
-  SELECT id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
-         CAST(sum(cnt * nll6) AS BIGINT) AS nll_micro
-  FROM tf JOIN scored USING (bg) GROUP BY id)
-SELECT id AS {id_col}, n_bigrams, nll_micro,
-       round(exp(CAST(nll_micro AS DOUBLE) / 1e6 / n_bigrams), 4)
-         AS ppl
+  SELECT id,
+         CAST(sum(CASE WHEN nll6 IS NOT NULL THEN cnt ELSE 0 END)
+           AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN nll6 IS NULL THEN cnt ELSE 0 END)
+           AS BIGINT) AS n_oov,
+         CAST(sum(cnt * coalesce(nll6, 0)) AS BIGINT) AS nll_micro
+  FROM tf LEFT JOIN scored USING (bg) GROUP BY id)
+SELECT id AS {id_col}, n_bigrams, n_oov, nll_micro,
+       CASE WHEN n_bigrams = 0 THEN NULL
+            ELSE round(exp(CAST(nll_micro AS DOUBLE) / 1e6
+                           / n_bigrams), 4) END AS ppl
 FROM per
 """
 

@@ -312,6 +312,25 @@ def stream_fingerprint_counts(doc_stream: DataFrame, window: int,
     return fingerprint_counts(doc_stream, window, text_col=text_col)
 
 
+def stream_bigram_counts(doc_stream: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """Streaming half of the Kneser-Ney quality scorer
+    (``quality.kn_lm_report``): the LM's sufficient statistic is the
+    corpus bigram count table, which is mergeable, so the SAME
+    ``bigram_counts`` expression tree maintains it under Structured
+    Streaming as documents arrive. ``quality.kn_nll_table`` +
+    ``quality.kn_score`` fold per-document perplexities off the
+    maintained table on demand — scoring a snapshot against the LIVE
+    corpus LM without re-counting the stream's history (the
+    stream_token_counts / HLL-register pattern). Stream==batch
+    equality is test-pinned. State is bigram-type-scale — larger than
+    the unigram vocabulary; pair with a TTL/compaction policy in
+    production (the stream_fingerprint_counts caveat)."""
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        bigram_counts)
+    return bigram_counts(doc_stream, text_col)
+
+
 def stream_embedding_health(emb_stream: DataFrame, dims: int,
                             vec_col: str = "embedding") -> DataFrame:
     """Streaming twin of ``profile.embedding_health_report`` — every

@@ -529,3 +529,92 @@ def test_stream_fingerprint_counts_equals_batch(spark, tmp_out):
     batch_counts = sorted(tuple(r) for r in
                           fingerprint_counts(both, 4).collect())
     assert sorted(tuple(r) for r in counts.collect()) == batch_counts
+
+
+def test_stream_bigram_counts_kn_equals_batch(spark, tmp_out):
+    """The bigram LM table maintained under a streaming aggregation,
+    folded through kn_nll_table + kn_score, yields the SAME per-doc KN
+    perplexities as the one-pass batch kn_lm_report — across two
+    micro-batches (the LM statistics shift when batch 2 lands)."""
+    import os
+
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        bigram_counts, kn_lm_report, kn_nll_table, kn_score)
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        stream_bigram_counts)
+
+    schema = "doc_id long, text string"
+    b1 = [(1, "a b a b"), (2, "a b c")]
+    b2 = [(3, "b c a"), (4, "c a b")]
+    src = os.path.join(tmp_out, "kn_src")
+    os.makedirs(src)
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stream_bigram_counts(stream)
+         .writeStream.format("memory").queryName("kn_counts")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        counts = spark.sql("SELECT * FROM kn_counts")
+        both = spark.createDataFrame(b1 + b2, schema)
+        got = sorted(tuple(r) for r in
+                     kn_score(both, kn_nll_table(counts)).collect())
+    finally:
+        q.stop()
+
+    want = sorted(tuple(r) for r in kn_lm_report(both).collect())
+    assert got == want
+    # the maintained LM equals the batch count table
+    assert sorted(tuple(r) for r in counts.collect()) == \
+        sorted(tuple(r) for r in bigram_counts(both).collect())
+    # self-trained: no OOV positions by construction
+    assert all(r[2] == 0 for r in got)
+
+
+def test_stream_url_dedup_keepers_equal_batch(spark, tmp_out):
+    """Streaming canonical-URL dedup: the stateful first-seen kernel
+    keyed on the CANONICAL url (stream_dedup with text_col pointed at
+    the canonicalized column) emits exactly the batch
+    url_dedup_report keepers — refetch variants arriving in LATER
+    micro-batches are suppressed."""
+    import os
+
+    from rgd_rnaseq_workflows_spark.operators.urls import (
+        url_dedup_report, with_canonical_url)
+    from rgd_rnaseq_workflows_spark.streaming.stateful import (
+        stream_dedup)
+
+    schema = "doc_id long, url string"
+    b1 = [(1, "https://Example.COM/p/1?a=1&b=2"),
+          (2, "https://other.com/x")]
+    b2 = [(3, "https://example.com:443/p/1?b=2&a=1"),   # refetch of 1
+          (4, "https://www.other.com/x/"),              # refetch of 2
+          (5, "http://example.com/p/1?a=1&b=2")]        # http: new
+    src = os.path.join(tmp_out, "url_src")
+    os.makedirs(src)
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    canon_stream = with_canonical_url(stream)
+    q = (stream_dedup(canon_stream, text_col="canonical_url")
+         .writeStream.format("memory").queryName("url_keepers")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        kept = {r["doc_id"] for r in
+                spark.sql("SELECT doc_id FROM url_keepers").collect()}
+    finally:
+        q.stop()
+
+    both = spark.createDataFrame(b1 + b2, schema)
+    want = {r["keeper_id"] for r in url_dedup_report(both).collect()}
+    assert kept == want == {1, 2, 5}
