@@ -77,6 +77,32 @@ def write_lsh_index(docs: DataFrame, path: str, text_col: str = "text",
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
 
 
+def append_to_lsh_index(new_docs: DataFrame, path: str,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> None:
+    """Incremental index maintenance: a delta batch's banded signatures
+    append into their band directories (existing files are never
+    rewritten — the ``append_to_ivf_index`` contract). The signature
+    parameters are read from the index's own meta, so an append can
+    never silently mix hash families; probes see the appended docs
+    immediately and equal a from-scratch rebuild (test-pinned).
+
+    Appended files are band_hash-sorted WITHIN themselves, so footer
+    pruning still skips row groups per file; a periodic rebuild
+    restores the single-sorted-run layout if append churn fragments
+    it (the standard LSM-ish compaction trade)."""
+    spark = new_docs.sparkSession
+    num_hashes, band_size, shingle_n = read_lsh_meta(spark, path)
+    sigs = minhash_signatures(new_docs, text_col, id_col,
+                              num_hashes=num_hashes, shingle_n=shingle_n)
+    bands = lsh_bands(sigs, id_col, num_hashes=num_hashes,
+                      band_size=band_size)
+    (bands.repartition(F.col("band_idx"))
+     .sortWithinPartitions("band_idx", "band_hash")
+     .write.mode("append").partitionBy("band_idx")
+     .parquet(f"{path}/bands"))
+
+
 def read_lsh_meta(spark: SparkSession, path: str) -> tuple[int, int, int]:
     [r] = spark.read.parquet(f"{path}/meta").collect()
     return r["num_hashes"], r["band_size"], r["shingle_n"]

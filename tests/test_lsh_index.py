@@ -150,3 +150,40 @@ def test_lsh_index_cli_build_and_probe(spark, tmp_path):
     # both base-variant docs collide in some band; doc 3 does not
     assert 1 in ids or 2 in ids
     assert 3 not in ids
+
+
+def test_append_equals_rebuild_and_never_rewrites(spark, tmp_path):
+    """Appending a delta equals rebuilding over the union (same probe
+    candidates, batch and single-doc) and never rewrites existing
+    band files."""
+    from rgd_rnaseq_workflows_spark.operators.lsh_index import (
+        append_to_lsh_index)
+
+    rows, docs = _corpus(spark, n=40)
+    # delta: near-dup of doc 0 plus two fresh docs
+    base0 = rows[0][1]
+    delta = spark.createDataFrame(
+        [(5000, base0), (5001, "fresh " * 25), (5002, "other " * 25)],
+        ["doc_id", "text"])
+    p_inc = str(tmp_path / "lsh_inc")
+    p_full = str(tmp_path / "lsh_full")
+    write_lsh_index(docs, p_inc, num_hashes=8, band_size=2)
+    before = set(glob.glob(f"{p_inc}/bands/band_idx=*/*.parquet"))
+    append_to_lsh_index(delta, p_inc)
+    after = set(glob.glob(f"{p_inc}/bands/band_idx=*/*.parquet"))
+    assert before <= after and len(after) > len(before)
+
+    write_lsh_index(docs.unionByName(delta), p_full,
+                    num_hashes=8, band_size=2)
+    got = sorted(r["doc_id"] for r in
+                 probe_lsh_index(spark, p_inc, base0).collect())
+    want = sorted(r["doc_id"] for r in
+                  probe_lsh_index(spark, p_full, base0).collect())
+    assert got == want and 5000 in got
+
+    probe = spark.createDataFrame([(1, base0)], ["doc_id", "text"])
+    got_b = sorted((r["id_new"], r["id_lake"]) for r in
+                   probe_lsh_index_batch(spark, p_inc, probe).collect())
+    want_b = sorted((r["id_new"], r["id_lake"]) for r in
+                    probe_lsh_index_batch(spark, p_full, probe).collect())
+    assert got_b == want_b
