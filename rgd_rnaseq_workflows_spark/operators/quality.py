@@ -401,7 +401,11 @@ def kn_lm_report(docs: DataFrame, id_col: str = "doc_id",
     shuffle) and reduces per doc. One corpus-scale explode, one
     corpus-scale join — same envelope as ``bigram_lm_report``.
     """
-    lm = bigram_counts(docs, text_col)
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    # the LM table feeds four consumers (context stats, continuation
+    # stats, type total, score join) — checkpoint it once so the
+    # corpus explode + LM shuffle run ONCE, not per branch
+    lm = checkpoint_df(bigram_counts(docs, text_col), eager=False)
     return kn_score(docs, kn_nll_table(lm), id_col, text_col)
 
 

@@ -365,6 +365,15 @@ SHOWCASE = {
         "ladder as per-level array projections inside the scan stage "
         "(no shuffle to fingerprint), ONE fp-window shuffle for "
         "count+keeper, island merge on duplicate-scale ranges only.",
+    "quality_kn_perplexity": "KN bigram perplexity: one corpus explode "
+        "→ map-side-combined LM groupBy; context/continuation stats "
+        "are groups OF THE LM TABLE (vocabulary-scale, never corpus); "
+        "score join on the bigram key; per-doc integer micro-nat sums "
+        "so the log-prob total is order-independent.",
+    "dedup_url_canonical": "canonical-URL dedup: the whole "
+        "normalization (fragment/case/port/www/slash/utm/param-sort) "
+        "is ONE codegen projection — zero exchanges until the single "
+        "map-side-combined groupBy on the canonical string.",
 }
 
 
