@@ -331,6 +331,47 @@ def stream_bigram_counts(doc_stream: DataFrame,
     return bigram_counts(doc_stream, text_col)
 
 
+def stream_index_ingest(stream: DataFrame, path: str, kind: str):
+    """Streaming maintenance for the persisted index family: each
+    micro-batch appends into the layout through the SAME incremental
+    path the batch CLI uses (``append_to_ivf_index`` /
+    ``append_to_lsh_index`` / ``append_to_inverted_index``), so probes
+    see new documents/vectors within one trigger interval and
+    stream-maintained == batch-rebuilt is pinned by the append
+    contracts those functions already test.
+
+    Returns the ``DataStreamWriter`` (caller picks trigger/checkpoint
+    and calls ``start()``).
+
+    Delivery note: ``foreachBatch`` is at-least-once — a batch retried
+    after a sink failure would append its rows twice. The IVF/LSH
+    probe paths tolerate duplicate rows (candidate sets are DISTINCT;
+    cosine top-k of a duplicated vector keeps rank order), but BM25
+    df/tf would double-count; production bm25 ingest should write
+    per-epoch subdirectories or carry epoch_id for reconciliation —
+    the standard exactly-once ledger, out of scope for the kernel."""
+    from rgd_rnaseq_workflows_spark.operators.inverted_index import (
+        append_to_inverted_index)
+    from rgd_rnaseq_workflows_spark.operators.ivf_index import (
+        append_to_ivf_index)
+    from rgd_rnaseq_workflows_spark.operators.lsh_index import (
+        append_to_lsh_index)
+    appenders = {"ivf": append_to_ivf_index,
+                 "lsh": append_to_lsh_index,
+                 "bm25": append_to_inverted_index}
+    if kind not in appenders:
+        raise ValueError(f"unknown index kind {kind!r}; "
+                         f"one of {sorted(appenders)}")
+    fn = appenders[kind]
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fn(batch_df, path)
+
+    return stream.writeStream.foreachBatch(_sink)
+
+
 def stream_embedding_health(emb_stream: DataFrame, dims: int,
                             vec_col: str = "embedding") -> DataFrame:
     """Streaming twin of ``profile.embedding_health_report`` — every

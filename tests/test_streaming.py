@@ -618,3 +618,78 @@ def test_stream_url_dedup_keepers_equal_batch(spark, tmp_out):
     both = spark.createDataFrame(b1 + b2, schema)
     want = {r["keeper_id"] for r in url_dedup_report(both).collect()}
     assert kept == want == {1, 2, 5}
+
+
+def test_stream_index_ingest_bm25_and_ivf(spark, tmp_out):
+    """Streaming index maintenance: micro-batches append into the
+    persisted layouts via the incremental paths; after the stream
+    drains, probes equal a from-scratch rebuild over base+delta."""
+    import os
+
+    from rgd_rnaseq_workflows_spark.operators.inverted_index import (
+        bm25_index_topk, write_inverted_index)
+    from rgd_rnaseq_workflows_spark.operators.ivf_index import (
+        ivf_index_topk, write_ivf_index)
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        stream_index_ingest)
+
+    # --- bm25 ---------------------------------------------------------------
+    schema = "doc_id long, text string"
+    base = [(i, f"w{i} w{i % 3} common") for i in range(10)]
+    delta = [(100 + i, f"w{i % 3} common fresh{i}") for i in range(4)]
+    docs = spark.createDataFrame(base, schema)
+    idx = os.path.join(tmp_out, "inv_stream")
+    write_inverted_index(docs, idx, num_buckets=4)
+
+    src = os.path.join(tmp_out, "inv_delta_src")
+    os.makedirs(src)
+    spark.createDataFrame(delta[:2], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_index_ingest(stream, idx, "bm25") \
+        .option("checkpointLocation",
+                os.path.join(tmp_out, "inv_ckpt")).start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(delta[2:], schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    idx_full = os.path.join(tmp_out, "inv_full")
+    write_inverted_index(
+        docs.unionByName(spark.createDataFrame(delta, schema)),
+        idx_full, num_buckets=4)
+    got = [tuple(r) for r in
+           bm25_index_topk(spark, idx, "common w1", k=8).collect()]
+    want = [tuple(r) for r in
+            bm25_index_topk(spark, idx_full, "common w1", k=8).collect()]
+    assert got == want
+    assert any(d >= 100 for d, _, _ in got)   # streamed docs probe-visible
+
+    # --- ivf ----------------------------------------------------------------
+    eschema = "vec_id long, embedding array<float>, label int"
+    ebase = [(i, [float(i % 4), 1.0], i % 4) for i in range(12)]
+    edelta = [(200 + i, [float(i % 4), 1.0], 0) for i in range(4)]
+    emb = spark.createDataFrame(ebase, eschema)
+    eidx = os.path.join(tmp_out, "ivf_stream")
+    write_ivf_index(emb, eidx)
+
+    esrc = os.path.join(tmp_out, "ivf_delta_src")
+    os.makedirs(esrc)
+    spark.createDataFrame(edelta, eschema).coalesce(1) \
+        .write.mode("append").parquet(esrc)
+    estream = spark.readStream.schema(eschema).parquet(esrc) \
+        .drop("label")           # appends are assigned by the index
+    eq = stream_index_ingest(estream, eidx, "ivf") \
+        .option("checkpointLocation",
+                os.path.join(tmp_out, "ivf_ckpt")).start()
+    try:
+        eq.processAllAvailable()
+    finally:
+        eq.stop()
+    got_ids = {r["vec_id"] for r in
+               ivf_index_topk(spark, eidx, [2.0, 1.0], k=6,
+                              nprobe=4).collect()}
+    assert {202}.issubset(got_ids)            # streamed vector found
