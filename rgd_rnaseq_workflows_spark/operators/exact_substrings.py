@@ -481,3 +481,44 @@ SELECT doc_id,
 FROM hits GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# --- persisted decontamination index ------------------------------------------
+
+def write_contamination_index(bench: DataFrame, path: str, window: int,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> None:
+    """Persist a benchmark's distinct (bench_id, fp) window-fingerprint
+    table plus a 1-row meta (window) — the decontamination-as-a-service
+    artifact: eval suites change rarely, corpus deltas arrive
+    constantly, so the eval side is laddered ONCE and every delta probe
+    pays only its own fingerprints. The table is eval-scale (it
+    broadcasts at probe time); meta makes probes self-describing — a
+    probe laddering the corpus at a different window would silently
+    miss every hit otherwise."""
+    spark = bench.sparkSession
+    (window_fingerprints(bench, window, id_col, text_col)
+     .select(F.col("doc_id").alias("bench_id"), "fp").distinct()
+     .write.mode("overwrite").parquet(f"{path}/fingerprints"))
+    (spark.createDataFrame([(window,)], "window int")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+
+def probe_contamination_index(spark, path: str, docs: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Exact-substring contamination of ``docs`` against a persisted
+    benchmark index: ladder the (delta) corpus at the INDEX'S window,
+    broadcast-join the stored fingerprint table. Returns the
+    ``substring_contamination`` report shape and equals it over the
+    same benchmark (test-pinned)."""
+    [r] = spark.read.parquet(f"{path}/meta").collect()
+    dfp = window_fingerprints(docs, int(r["window"]), id_col, text_col)
+    bfp = spark.read.parquet(f"{path}/fingerprints")
+    return (dfp.join(F.broadcast(bfp), "fp")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("pos").cast("long")
+                 .alias("n_hit_positions"),
+                 F.count_distinct("bench_id").cast("long")
+                 .alias("n_bench_docs"))
+            .orderBy("doc_id"))

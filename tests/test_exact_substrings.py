@@ -270,3 +270,31 @@ def test_substring_contamination(spark):
     exp = [tuple(r) for r in con.execute(
         substring_contamination_sql("docs", "bench", 6)).fetchall()]
     assert got == exp
+
+
+def test_contamination_index_probe_equals_inquery(spark, tmp_path):
+    """Persisted eval-fingerprint index: probing a corpus against the
+    stored table equals the in-query substring_contamination over the
+    same benchmark, and the probe ladders at the index's own window."""
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        probe_contamination_index, substring_contamination,
+        write_contamination_index)
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs")],
+        ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(10, "intro text then the quick brown fox jumps over it"),
+         (11, "totally clean document with original words only"),
+         (12, "pack my box with five dozen liquor jugs verbatim")],
+        ["doc_id", "text"])
+    path = str(tmp_path / "contam_idx")
+    write_contamination_index(bench, path, window=5)
+
+    got = [tuple(r) for r in
+           probe_contamination_index(spark, path, docs).collect()]
+    want = [tuple(r) for r in
+            substring_contamination(docs, bench, window=5).collect()]
+    assert got == want
+    assert {d for d, _, _ in got} == {10, 12}   # doc 11 clean
