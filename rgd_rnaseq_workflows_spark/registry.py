@@ -1645,11 +1645,11 @@ def text_zipf_head_stats(spark, sf_dir):
 # prior round are surfaced first so every registry entry accumulates a
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
-    # round-9 window (standing rotation, <=3-round evidence age; head is
-    # exactly tools/rotation_check.py --plan at r9 entry): the 7 r8
-    # queries whose only oracle evidence is the judge's re-run (all
-    # verified at sf0.01 in VERDICT r8), then the age-4 r5-stamped rows
-    # at hard deadline, then the oldest stamped rows in registry order.
+    # round-9 window refreshed at close (head is exactly
+    # tools/rotation_check.py --plan after the r9 registry additions):
+    # never-driver-stamped first — the 7 r8 judge-verified rows plus the
+    # 5 new r9 queries (exact-substring family, KN perplexity, URL
+    # dedup) — then the age-deadline rows in registry order.
     "dedup_cdc_cross_source",
     "dedup_minhash_calibration",
     "ann_ivf_probe_sweep",
@@ -1657,6 +1657,11 @@ _RECORD_FIRST: tuple[str, ...] = (
     "sample_token_budget_cap",
     "text_vocab_coverage",
     "profile_embedding_health",
+    "quality_kn_perplexity",
+    "dedup_exact_substrings",
+    "dedup_exact_substr_calibration",
+    "contamination_substring",
+    "dedup_url_canonical",
     "corpus_snapshot_diff",
     "split_leakage_report",
     "quality_bigram_lm",
@@ -1695,11 +1700,6 @@ _RECORD_FIRST: tuple[str, ...] = (
     "sketch_log2q_by_group",
     "sketch_cms_by_group",
     "quality_boilerplate_ngrams",
-    "sample_epoch_mix",
-    "winnow_cross_containment",
-    "winnow_containment_keepers",
-    "fuzzy_match_part_names",
-    "agg_histogram_quantiles",
 )
 
 
