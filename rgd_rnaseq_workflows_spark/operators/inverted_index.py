@@ -109,7 +109,13 @@ def append_to_inverted_index(new_docs: DataFrame, path: str,
     probe's df/N/avgdl stay exact because df is computed from the
     pruned scan (which now includes the appends) and N/Σdl live in the
     meta — probing after an append equals rebuilding from scratch
-    (test-pinned)."""
+    (test-pinned).
+
+    Not transactional: a crash between the postings append and the
+    meta rewrite leaves meta one delta behind (scores drift slightly
+    until the append is retried); a production deployment wraps the
+    two writes in a manifest commit (the lakehouse table-format move),
+    out of scope for the layout kernel."""
     spark = new_docs.sparkSession
     n_docs, total_len, num_buckets = read_inverted_meta(spark, path)
     post = _postings(new_docs, id_col, text_col, num_buckets)

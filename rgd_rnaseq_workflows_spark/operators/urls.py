@@ -51,7 +51,13 @@ from pyspark.sql import functions as F
 def with_canonical_url(df: DataFrame, url_col: str = "url",
                        out_col: str = "canonical_url") -> DataFrame:
     """Add ``out_col`` = the canonical form of ``url_col``. Pure
-    projection — intermediate columns are dropped before returning."""
+    projection — intermediate columns are dropped before returning.
+
+    Contract: inputs are absolute http(s) URLs (the crawl-frontier
+    shape). A string without ``://`` still canonicalizes
+    deterministically (the whole string is read as a scheme) and the
+    DuckDB twin agrees, but the result is not meaningful — filter
+    non-absolute rows upstream if the source is dirty."""
     nofrag = F.split_part(F.col(url_col), F.lit("#"), F.lit(1))
     d = (df.withColumn("_scheme", F.lower(
              F.split_part(nofrag, F.lit("://"), F.lit(1))))
