@@ -1648,8 +1648,9 @@ _RECORD_FIRST: tuple[str, ...] = (
     # round-9 window refreshed at close (head is exactly
     # tools/rotation_check.py --plan after the r9 registry additions):
     # never-driver-stamped first — the 7 r8 judge-verified rows plus the
-    # 5 new r9 queries (exact-substring family, KN perplexity, URL
-    # dedup) — then the age-deadline rows in registry order.
+    # 6 new r9 queries (exact-substring family, KN perplexity, URL
+    # dedup, frontier cap) — then the age-deadline rows in registry
+    # order.
     "dedup_cdc_cross_source",
     "dedup_minhash_calibration",
     "ann_ivf_probe_sweep",
@@ -1662,6 +1663,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "dedup_exact_substr_calibration",
     "contamination_substring",
     "dedup_url_canonical",
+    "crawl_frontier_cap",
     "corpus_snapshot_diff",
     "split_leakage_report",
     "quality_bigram_lm",
@@ -1699,7 +1701,6 @@ _RECORD_FIRST: tuple[str, ...] = (
     "graph_triangle_census",
     "sketch_log2q_by_group",
     "sketch_cms_by_group",
-    "quality_boilerplate_ngrams",
 )
 
 
@@ -4561,3 +4562,54 @@ def dedup_url_canonical(spark, sf_dir):
     d = (_t(spark, sf_dir, "documents")
          .select("doc_id", _url_spike_col().alias("url")))
     return url_dedup_report(d)
+
+
+def _frontier_spike_col():
+    return F.concat(F.lit("https://WWW.h"),
+                    (F.col("doc_id") % 13).cast("string"),
+                    F.lit(".Example.com:443/p/"),
+                    (F.col("doc_id") % 97).cast("string"),
+                    F.lit("?x=1&utm_ref=f"))
+
+
+def _frontier_spike_sql() -> str:
+    return ("'https://WWW.h' || CAST(doc_id % 13 AS VARCHAR) || "
+            "'.Example.com:443/p/' || CAST(doc_id % 97 AS VARCHAR) || "
+            "'?x=1&utm_ref=f'")
+
+
+def _frontier_cap_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        cap_per_key_sql)
+    from rgd_rnaseq_workflows_spark.operators.urls import (
+        canonical_url_sql)
+    canon = canonical_url_sql(
+        f"(SELECT doc_id, {_frontier_spike_sql()} AS url "
+        "FROM documents)", "url", "doc_id")
+    capped = cap_per_key_sql(
+        f"""(SELECT doc_id, canonical_url,
+        split_part(split_part(canonical_url, '://', 2), '/', 1) AS host
+        FROM ({canon}))""",
+        "host", 5, "doc_id", cols="doc_id, canonical_url, host")
+    return capped
+
+
+@q("crawl_frontier_cap", ("FRONTIER",), oracle=_frontier_cap_oracle(),
+   note="crawl-frontier politeness budget: canonicalize (one codegen "
+        "projection), key on the CANONICAL host, keep at most K pages "
+        "per host via the skew-safe two-phase cap (a hot domain with "
+        "1e9 pages at 100 TB never funnels through one window task); "
+        "value oracle pins the canonical form AND the per-host "
+        "keep_rank survivors")
+def crawl_frontier_cap(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sampling import cap_per_key
+    from rgd_rnaseq_workflows_spark.operators.urls import (
+        with_canonical_url)
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", _frontier_spike_col().alias("url")))
+    c = (with_canonical_url(d)
+         .withColumn("host", F.split_part(
+             F.split_part(F.col("canonical_url"), F.lit("://"),
+                          F.lit(2)), F.lit("/"), F.lit(1)))
+         .select("doc_id", "canonical_url", "host"))
+    return cap_per_key(c, "host", cap=5, id_col="doc_id")

@@ -105,3 +105,15 @@ def test_twin_agrees_on_weird_inputs(spark, weird):
     [(_, exp)] = con.execute(
         canonical_url_sql("urls", "url", "doc_id")).fetchall()
     assert got == exp
+
+
+def test_canonicalization_is_idempotent_on_canonical_forms(spark):
+    """Re-canonicalizing a canonical URL is a no-op — crawl systems
+    apply the normalizer at multiple pipeline stages, so the canonical
+    set must be a fixpoint."""
+    canons = sorted({want for _, want in CASES})
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(canons)], ["doc_id", "url"])
+    got = {r["url"]: r["canonical_url"] for r in
+           with_canonical_url(df).collect()}
+    assert got == {c: c for c in canons}
