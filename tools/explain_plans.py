@@ -374,6 +374,10 @@ SHOWCASE = {
         "normalization (fragment/case/port/www/slash/utm/param-sort) "
         "is ONE codegen projection — zero exchanges until the single "
         "map-side-combined groupBy on the canonical string.",
+    "crawl_frontier_cap": "frontier politeness budget: canonicalize "
+        "(projection) → two-phase per-host cap — the hot-domain "
+        "window is salted 8 ways in phase 1, so no single task ever "
+        "ranks a whole domain; phase 2 ranks ≤ cap·salts survivors.",
 }
 
 
