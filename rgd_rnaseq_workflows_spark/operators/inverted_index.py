@@ -51,6 +51,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from rgd_rnaseq_workflows_spark.functions import text as TX
 
@@ -214,9 +215,17 @@ def bm25_index_topk_batch(spark: SparkSession, queries: DataFrame,
     terms = sorted({r["term"] for r in
                     qterms.select("term").distinct().collect()})
     if not terms or total_len == 0:
-        return spark.createDataFrame(
-            [], f"qid long, {id_col} long, n_terms_hit long, "
-                "bm25 double, rank int")
+        # empty result with the REAL output schema (qid keeps the
+        # caller's type, doc_id the index's) — not a hardcoded guess
+        idx_id_type = spark.read.parquet(f"{path}/postings") \
+            .schema[id_col].dataType
+        fields = T.StructType([
+            T.StructField("qid", queries.schema[qid_col].dataType),
+            T.StructField(id_col, idx_id_type),
+            T.StructField("n_terms_hit", T.LongType()),
+            T.StructField("bm25", T.DoubleType()),
+            T.StructField("rank", T.IntegerType())])
+        return spark.createDataFrame([], fields)
     scan = _pruned_scan(spark, path, terms, num_buckets)
     df_ = scan.groupBy("term").agg(F.count("*").alias("df"))
     sc = (qterms.join(scan, "term")

@@ -149,3 +149,17 @@ def test_bm25_index_cli_build_and_probe(spark, tmp_path):
     assert top_doc == 1            # tf-heavy + both terms hit
     ranked = [int(ln.split("\t")[0]) for ln in lines[1:]]
     assert 3 not in ranked         # no query term -> no posting row
+
+
+def test_batch_empty_query_set_keeps_real_schema(spark, tmp_path):
+    """A batch whose queries tokenize to nothing returns an EMPTY frame
+    with the real output schema — qid keeps the caller's type."""
+    rows, docs = _corpus(spark, n=10)
+    path = str(tmp_path / "inv5")
+    write_inverted_index(docs, path, num_buckets=4)
+    qdf = spark.createDataFrame([("qa", " "), ("qb", "")],
+                                ["qid", "query"])
+    out = bm25_index_topk_batch(spark, qdf, path, k=3)
+    assert out.count() == 0
+    assert [f.dataType.simpleString() for f in out.schema.fields] == \
+        ["string", "bigint", "bigint", "double", "int"]
