@@ -1648,9 +1648,9 @@ _RECORD_FIRST: tuple[str, ...] = (
     # round-9 window refreshed at close (head is exactly
     # tools/rotation_check.py --plan after the r9 registry additions):
     # never-driver-stamped first — the 7 r8 judge-verified rows plus the
-    # 6 new r9 queries (exact-substring family, KN perplexity, URL
-    # dedup, frontier cap) — then the age-deadline rows in registry
-    # order.
+    # 7 new r9 queries (exact-substring family, KN perplexity, URL
+    # dedup, frontier cap, host splits) — then the age-deadline rows in
+    # registry order.
     "dedup_cdc_cross_source",
     "dedup_minhash_calibration",
     "ann_ivf_probe_sweep",
@@ -1664,6 +1664,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "contamination_substring",
     "dedup_url_canonical",
     "crawl_frontier_cap",
+    "split_host_assign",
     "corpus_snapshot_diff",
     "split_leakage_report",
     "quality_bigram_lm",
@@ -1700,7 +1701,6 @@ _RECORD_FIRST: tuple[str, ...] = (
     "sketch_cms_incremental",
     "graph_triangle_census",
     "sketch_log2q_by_group",
-    "sketch_cms_by_group",
 )
 
 
@@ -4613,3 +4613,54 @@ def crawl_frontier_cap(spark, sf_dir):
                           F.lit(2)), F.lit("/"), F.lit(1)))
          .select("doc_id", "canonical_url", "host"))
     return cap_per_key(c, "host", cap=5, id_col="doc_id")
+
+
+def _host_split_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        split_assign_sql)
+    from rgd_rnaseq_workflows_spark.operators.urls import (
+        canonical_url_sql)
+    spike = ("'https://H' || CAST(doc_id % 37 AS VARCHAR) || "
+             "'.site.Example.org/d/' || CAST(doc_id AS VARCHAR)")
+    canon = canonical_url_sql(
+        f"(SELECT doc_id, {spike} AS url FROM documents)",
+        "url", "doc_id")
+    split = split_assign_sql("host", seed=13)
+    return f"""
+WITH c AS ({canon}),
+h AS (SELECT doc_id,
+             split_part(split_part(canonical_url, '://', 2), '/', 1)
+               AS host
+      FROM c)
+SELECT host, {split} AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM h GROUP BY host, split
+"""
+
+
+@q("split_host_assign", ("SPLIT-HOST",), oracle=_host_split_oracle(),
+   note="host-level train/val/test splits — the standard web-data "
+        "leakage rule: near-duplicate pages cluster within a site, so "
+        "the split is a deterministic md5-bucket property of the "
+        "CANONICAL host and every page of a host lands in one split "
+        "by construction (the cluster_split_assign idea with the "
+        "component oracle replaced by the URL structure — no pair "
+        "generation needed at all); stable under repartitioning and "
+        "re-crawls")
+def split_host_assign(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sampling import split_assign
+    from rgd_rnaseq_workflows_spark.operators.urls import (
+        with_canonical_url)
+    spike = F.concat(F.lit("https://H"),
+                     (F.col("doc_id") % 37).cast("string"),
+                     F.lit(".site.Example.org/d/"),
+                     F.col("doc_id").cast("string"))
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", spike.alias("url"))
+    c = (with_canonical_url(d)
+         .withColumn("host", F.split_part(
+             F.split_part(F.col("canonical_url"), F.lit("://"),
+                          F.lit(2)), F.lit("/"), F.lit(1))))
+    return (c.withColumn("split", split_assign(F.col("host"), seed=13))
+            .groupBy("host", "split")
+            .agg(F.count("*").alias("n_docs")))

@@ -117,3 +117,15 @@ def test_canonicalization_is_idempotent_on_canonical_forms(spark):
     got = {r["url"]: r["canonical_url"] for r in
            with_canonical_url(df).collect()}
     assert got == {c: c for c in canons}
+
+
+def test_host_split_is_leakage_free_by_construction(spark):
+    """Every page of a host lands in exactly one split, and all three
+    splits are populated across enough hosts."""
+    from rgd_rnaseq_workflows_spark.registry import REGISTRY
+    rep = REGISTRY["split_host_assign"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    by_host = {}
+    for r in rep:
+        by_host.setdefault(r["host"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_host.values())
