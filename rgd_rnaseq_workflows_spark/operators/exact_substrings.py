@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 
 from rgd_rnaseq_workflows_spark.functions import text as TX
 from rgd_rnaseq_workflows_spark.functions.hashing import (
-    HEX_DIGITS, md5_long, md5_long_sql)
+    md5_long, md5_long_sql)
 
 _BIG = 1 << 30  # slice length bound (arrays are document-sized)
 
@@ -138,31 +138,42 @@ def fingerprint_counts(docs: DataFrame, window: int,
                  F.min(F.struct("doc_id", "pos")).alias("keeper")))
 
 
+def _counted_occurrences(docs: DataFrame, window: int,
+                         id_col: str, text_col: str) -> DataFrame:
+    """occ2: (doc_id, pos, fp, _c, _keep) — per-fingerprint count and
+    global-first keeper as WINDOW functions, not a groupBy + join
+    back: the join form is a self-join on occ that recomputes the
+    whole fingerprint ladder once per branch — the window is ONE
+    shuffle on fp with the corpus scanned once (the margin_alignment
+    min_by lesson; same shape as the DuckDB twin). The ONE definition
+    shared by the report and calibration paths."""
+    from pyspark.sql import Window
+    occ = window_fingerprints(docs, window, id_col, text_col)
+    w_fp = Window.partitionBy("fp")
+    return (occ.withColumn("_c", F.count("*").over(w_fp))
+            .withColumn("_keep",
+                        F.min(F.struct("doc_id", "pos")).over(w_fp)))
+
+
+def _removal_ranges(occ2: DataFrame, window: int) -> DataFrame:
+    """Every occurrence of a 2+-count window EXCEPT the global first
+    contributes [pos, pos+L) — the shared range rule."""
+    return (occ2.filter((F.col("_c") >= 2)
+                        & ((F.col("doc_id") != F.col("_keep.doc_id"))
+                           | (F.col("pos") != F.col("_keep.pos"))))
+            .select("doc_id", F.col("pos").alias("_s"),
+                    (F.col("pos") + window).alias("_e")))
+
+
 def duplicate_spans(docs: DataFrame, window: int,
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Merged removal spans (doc_id, span_start, span_end, 0-based
-    half-open): every occurrence of a 2+-count window EXCEPT the
-    global first (min (doc, pos)) contributes [pos, pos+L); adjacent
-    and overlapping ranges merge (gaps-and-islands window, running on
-    the duplicate-scale range set only)."""
-    from pyspark.sql import Window
-    occ = window_fingerprints(docs, window, id_col, text_col)
-    # per-fingerprint count + keeper as WINDOW functions, not a
-    # groupBy + join back: the join form is a self-join on occ that
-    # recomputes the whole fingerprint ladder once per branch — the
-    # window is ONE shuffle on fp with the corpus scanned once (the
-    # margin_alignment min_by lesson; same shape as the DuckDB twin)
-    w_fp = Window.partitionBy("fp")
-    occ2 = (occ.withColumn("_c", F.count("*").over(w_fp))
-            .withColumn("_keep",
-                        F.min(F.struct("doc_id", "pos")).over(w_fp)))
-    rng = (occ2.filter((F.col("_c") >= 2)
-                       & ((F.col("doc_id") != F.col("_keep.doc_id"))
-                          | (F.col("pos") != F.col("_keep.pos"))))
-           .select("doc_id", F.col("pos").alias("_s"),
-                   (F.col("pos") + window).alias("_e")))
-    return _merge_ranges(rng)
+    half-open): the shared count+keeper window and range rule, then
+    adjacent/overlapping ranges merge (gaps-and-islands window,
+    running on the duplicate-scale range set only)."""
+    occ2 = _counted_occurrences(docs, window, id_col, text_col)
+    return _merge_ranges(_removal_ranges(occ2, window))
 
 
 def duplicate_spans_from_counts(docs: DataFrame, counts: DataFrame,
@@ -253,7 +264,7 @@ def exact_substring_accounting(docs: DataFrame, window: int,
 
 
 def _ladder_ctes(window: int, table: str, id_col: str,
-                 text_col: str, prefix: str = "fp") -> str:
+                 text_col: str, prefix: str = "fp") -> tuple[str, str]:
     """The DuckDB ladder: one CTE per doubling level; ``h[i+off]``
     reads NULL past the end, so the combine NULL-propagates exactly
     like the Spark ``zip_with``/``slice`` form. ``prefix`` namespaces
@@ -272,16 +283,12 @@ def _ladder_ctes(window: int, table: str, id_col: str,
     return ",\n".join(ctes), f"{prefix}{len(ctes) - 1}"
 
 
-def exact_substring_report_sql(table: str, window: int,
-                               id_col: str = "doc_id",
-                               text_col: str = "text") -> str:
-    """DuckDB twin of :func:`exact_substring_accounting` — identical
-    ladder fingerprints, keeper rule (row_number over (doc, pos) ≡ the
-    min-struct keeper), island merge and accounting."""
-    ctes, last = _ladder_ctes(window, table, id_col, text_col)
-    return f"""
-WITH {ctes},
-occ AS (
+def _span_ctes(window: int, last: str) -> str:
+    """occ → occ2 (count + keeper-rank) → rng → islands → merged spans:
+    the ONE definition of the removal-span CTE chain, shared by the
+    report and calibration twins (row_number over (doc, pos) ≡ the
+    Spark min-struct keeper)."""
+    return f"""occ AS (
   SELECT doc_id, generate_subscripts(h, 1) - 1 AS pos, unnest(h) AS fp
   FROM {last}),
 occ2 AS (
@@ -306,7 +313,19 @@ isl2 AS (
   FROM isl),
 spans AS (
   SELECT doc_id, min(s) AS span_start, max(e) AS span_end
-  FROM isl2 GROUP BY doc_id, g),
+  FROM isl2 GROUP BY doc_id, g)"""
+
+
+def exact_substring_report_sql(table: str, window: int,
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> str:
+    """DuckDB twin of :func:`exact_substring_accounting` — identical
+    ladder fingerprints, the shared removal-span CTE chain, island
+    merge and accounting."""
+    ctes, last = _ladder_ctes(window, table, id_col, text_col)
+    return f"""
+WITH {ctes},
+{_span_ctes(window, last)},
 acct AS (
   SELECT doc_id,
          CAST(sum(span_end - span_start) AS BIGINT) AS removed_tokens,
@@ -337,30 +356,20 @@ def exact_substring_calibration(docs: DataFrame,
     L (calibration is an offline pass; the occurrence frame is
     checkpointed so the dup-mass branch does not recompute the
     ladder). All-exact integers; |windows| rows out."""
-    from pyspark.sql import Window
-
     from rgd_rnaseq_workflows_spark.session import checkpoint_df
     out = None
     for w in sorted(set(int(x) for x in windows)):
-        occ = window_fingerprints(docs, w, id_col, text_col)
-        w_fp = Window.partitionBy("fp")
         occ2 = checkpoint_df(
-            occ.withColumn("_c", F.count("*").over(w_fp))
-            .withColumn("_keep",
-                        F.min(F.struct("doc_id", "pos")).over(w_fp)))
+            _counted_occurrences(docs, w, id_col, text_col))
         stats = occ2.agg(
             F.lit(w).cast("long").alias("window"),
             F.count("*").cast("long").alias("n_windows"),
-            F.sum((F.col("_c") >= 2).cast("long")).cast("long")
+            F.coalesce(F.sum((F.col("_c") >= 2).cast("long")),
+                       F.lit(0)).cast("long")
             .alias("n_dup_occurrences"),
             F.count_distinct(F.when(F.col("_c") >= 2, F.col("fp")))
             .cast("long").alias("n_dup_sequences"))
-        rng = (occ2.filter((F.col("_c") >= 2)
-                           & ((F.col("doc_id") != F.col("_keep.doc_id"))
-                              | (F.col("pos") != F.col("_keep.pos"))))
-               .select("doc_id", F.col("pos").alias("_s"),
-                       (F.col("pos") + w).alias("_e")))
-        removed = _merge_ranges(rng).agg(
+        removed = _merge_ranges(_removal_ranges(occ2, w)).agg(
             F.coalesce(F.sum(F.col("span_end") - F.col("span_start")),
                        F.lit(0)).cast("long").alias("removed_tokens"))
         row = stats.crossJoin(F.broadcast(removed))
@@ -379,38 +388,13 @@ def exact_substring_calibration_sql(
         arms.append(f"""
 SELECT * FROM (
 WITH {ctes},
-occ AS (
-  SELECT doc_id, generate_subscripts(h, 1) - 1 AS pos, unnest(h) AS fp
-  FROM {last}),
-occ2 AS (
-  SELECT doc_id, pos,
-         count(*) OVER (PARTITION BY fp) AS c,
-         row_number() OVER (PARTITION BY fp
-                            ORDER BY doc_id, pos) AS rn
-  FROM occ WHERE fp IS NOT NULL),
+{_span_ctes(w, last)},
 stats AS (
   SELECT CAST({w} AS BIGINT) AS "window",
          CAST(count(*) AS BIGINT) AS n_windows,
          CAST(coalesce(sum(CAST(c >= 2 AS BIGINT)), 0) AS BIGINT)
            AS n_dup_occurrences
   FROM occ2),
-rng AS (SELECT doc_id, pos AS s, pos + {w} AS e
-        FROM occ2 WHERE c >= 2 AND rn > 1),
-isl AS (
-  SELECT doc_id, s, e,
-         CASE WHEN s > coalesce(max(e) OVER (
-                PARTITION BY doc_id ORDER BY s, e
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-              THEN 1 ELSE 0 END AS nw
-  FROM rng),
-isl2 AS (
-  SELECT doc_id, s, e, sum(nw) OVER (
-      PARTITION BY doc_id ORDER BY s, e
-      ROWS UNBOUNDED PRECEDING) AS g
-  FROM isl),
-spans AS (
-  SELECT doc_id, min(s) AS span_start, max(e) AS span_end
-  FROM isl2 GROUP BY doc_id, g),
 dupfp AS (
   SELECT CAST(count(DISTINCT fp) AS BIGINT) AS n_dup_sequences
   FROM (SELECT fp, count(*) AS c FROM occ WHERE fp IS NOT NULL

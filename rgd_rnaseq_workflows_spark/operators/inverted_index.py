@@ -56,18 +56,46 @@ from pyspark.sql import types as T
 from rgd_rnaseq_workflows_spark.functions import text as TX
 
 
-def _postings(docs: DataFrame, id_col: str, text_col: str,
-              num_buckets: int) -> DataFrame:
-    """(term, doc_id, tf, dl, _tb): one row per (doc, term) with the
-    doc's exact token length denormalized in."""
+def _postings_parts(docs: DataFrame, id_col: str, text_col: str,
+                    num_buckets: int) -> tuple[DataFrame, DataFrame]:
+    """(postings, dl): postings is one (term, doc_id, tf, dl, _tb) row
+    per (doc, term) with the doc's exact token length denormalized in;
+    ``dl`` is the (doc_id, dl) length table, lineage-truncated so the
+    corpus is tokenized for it ONCE and the meta statistics aggregate
+    the materialized doc-scale table instead of re-scanning."""
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
     toks = TX.tokens(text_col)
     base = docs.select(F.col(id_col), toks.alias("_t"))
-    dl = base.select(id_col, F.size("_t").cast("long").alias("dl"))
+    dl = checkpoint_df(
+        base.select(id_col, F.size("_t").cast("long").alias("dl")),
+        eager=False)
     tf = (base.select(F.col(id_col), F.explode("_t").alias("term"))
           .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
-    return (tf.join(dl, id_col)
+    post = (tf.join(dl, id_col)
             .withColumn("_tb", F.pmod(F.xxhash64("term"),
                                       F.lit(num_buckets)).cast("int")))
+    return post, dl
+
+
+def _write_layout(post: DataFrame, dl: DataFrame, path: str,
+                  n_docs0: int, total_len0: int,
+                  num_buckets: int, mode: str) -> None:
+    # sort by (_tb, term), not term alone: the file writer requires its
+    # input ordered by the partition columns and would otherwise insert
+    # its own Sort(_tb), destroying the term order the footer pruning
+    # relies on (the lsh_index band_hash lesson)
+    (post.repartition(F.col("_tb"))
+     .sortWithinPartitions("_tb", "term")
+     .write.mode(mode).partitionBy("_tb")
+     .parquet(f"{path}/postings"))
+    spark = post.sparkSession
+    [s] = (dl.agg(F.count("*").alias("n"), F.sum("dl").alias("t"))
+           .collect())
+    (spark.createDataFrame(
+        [(n_docs0 + int(s["n"]), total_len0 + int(s["t"] or 0),
+          num_buckets)],
+        "n_docs long, total_len long, num_buckets int")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
 
 
 def write_inverted_index(docs: DataFrame, path: str,
@@ -75,24 +103,8 @@ def write_inverted_index(docs: DataFrame, path: str,
                          num_buckets: int = 32) -> None:
     """Persist the posting-list layout under ``{path}/postings`` plus
     the corpus statistics under ``{path}/meta``."""
-    post = _postings(docs, id_col, text_col, num_buckets)
-    # sort by (_tb, term), not term alone: the file writer requires its
-    # input ordered by the partition columns and would otherwise insert
-    # its own Sort(_tb), destroying the term order the footer pruning
-    # relies on (the lsh_index band_hash lesson)
-    (post.repartition(F.col("_tb"))
-     .sortWithinPartitions("_tb", "term")
-     .write.mode("overwrite").partitionBy("_tb")
-     .parquet(f"{path}/postings"))
-    spark = docs.sparkSession
-    toks = TX.tokens(text_col)
-    [s] = (docs.select(F.size(toks).cast("long").alias("dl"))
-           .agg(F.count("*").alias("n"), F.sum("dl").alias("t"))
-           .collect())
-    (spark.createDataFrame(
-        [(int(s["n"]), int(s["t"] or 0), num_buckets)],
-        "n_docs long, total_len long, num_buckets int")
-     .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+    post, dl = _postings_parts(docs, id_col, text_col, num_buckets)
+    _write_layout(post, dl, path, 0, 0, num_buckets, "overwrite")
 
 
 def read_inverted_meta(spark: SparkSession,
@@ -119,20 +131,9 @@ def append_to_inverted_index(new_docs: DataFrame, path: str,
     out of scope for the layout kernel."""
     spark = new_docs.sparkSession
     n_docs, total_len, num_buckets = read_inverted_meta(spark, path)
-    post = _postings(new_docs, id_col, text_col, num_buckets)
-    (post.repartition(F.col("_tb"))
-     .sortWithinPartitions("_tb", "term")
-     .write.mode("append").partitionBy("_tb")
-     .parquet(f"{path}/postings"))
-    toks = TX.tokens(text_col)
-    [s] = (new_docs.select(F.size(toks).cast("long").alias("dl"))
-           .agg(F.count("*").alias("n"), F.sum("dl").alias("t"))
-           .collect())
-    (spark.createDataFrame(
-        [(n_docs + int(s["n"]), total_len + int(s["t"] or 0),
-          num_buckets)],
-        "n_docs long, total_len long, num_buckets int")
-     .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+    post, dl = _postings_parts(new_docs, id_col, text_col, num_buckets)
+    _write_layout(post, dl, path, n_docs, total_len, num_buckets,
+                  "append")
 
 
 def _pruned_scan(spark: SparkSession, path: str, terms: list[str],
@@ -154,17 +155,12 @@ def _score_postings(scan: DataFrame, n_docs: int, total_len: int,
                     k: int, k1: float, b: float,
                     id_col: str) -> DataFrame:
     """The ``retrieval.bm25_topk`` scoring tail over an already-pruned
-    posting frame: broadcast df, fixed per-term scalar tree rounded to
-    micro-units, integer per-doc sum, TakeOrdered top-k."""
+    posting frame: broadcast df, the SHARED ``retrieval.bm25_s6``
+    micro-unit scalar tree, integer per-doc sum, TakeOrdered top-k."""
+    from rgd_rnaseq_workflows_spark.operators.retrieval import bm25_s6
     df_ = scan.groupBy("term").agg(F.count("*").alias("df"))
     sc = scan.join(F.broadcast(df_), "term")
-    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
-    norm = (F.col("dl") * F.lit(n_docs)).cast("double") \
-        / F.lit(total_len)
-    term_score = (idf * F.col("tf") * (k1 + 1.0)
-                  / (F.col("tf") + k1 * (1.0 - b + b * norm)))
-    s6 = F.round(term_score * 1e6).cast("long")
+    s6 = bm25_s6(n_docs, total_len, k1, b)
     return (sc.groupBy(id_col)
             .agg(F.sum(s6).alias("_s6"),
                  F.count("*").alias("n_terms_hit"))
@@ -205,13 +201,23 @@ def bm25_index_topk_batch(spark: SparkSession, queries: DataFrame,
     top-k ranks per query. Returns (qid, doc_id, n_terms_hit, bm25,
     rank) — per-query rank equal to running :func:`bm25_index_topk`
     per query (test-pinned)."""
+    from rgd_rnaseq_workflows_spark.operators.retrieval import bm25_s6
     from rgd_rnaseq_workflows_spark.operators.similarity import (
         _grouped_topk)
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
     n_docs, total_len, num_buckets = read_inverted_meta(spark, path)
-    qterms = (queries.select(F.col(qid_col).alias("qid"),
-                             F.explode(TX.tokens(query_col))
-                             .alias("term"))
-              .distinct())
+    # \s+ split == the single-query probe's Python str.split(): both
+    # APIs must parse 'foo\tbar' into the same term set or batch ==
+    # per-query parity silently breaks on non-space whitespace.
+    # checkpoint: the queries-scale frame feeds both the term-list
+    # collect and the scored join — truncate so the explode+distinct
+    # runs once, not per consumer
+    qterms = checkpoint_df(
+        (queries.select(F.col(qid_col).alias("qid"),
+                        F.explode(F.split(F.col(query_col),
+                                          r"\s+")).alias("term"))
+         .filter(F.col("term") != "")
+         .distinct()), eager=False)
     terms = sorted({r["term"] for r in
                     qterms.select("term").distinct().collect()})
     if not terms or total_len == 0:
@@ -230,13 +236,7 @@ def bm25_index_topk_batch(spark: SparkSession, queries: DataFrame,
     df_ = scan.groupBy("term").agg(F.count("*").alias("df"))
     sc = (qterms.join(scan, "term")
           .join(F.broadcast(df_), "term"))
-    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
-    norm = (F.col("dl") * F.lit(n_docs)).cast("double") \
-        / F.lit(total_len)
-    term_score = (idf * F.col("tf") * (k1 + 1.0)
-                  / (F.col("tf") + k1 * (1.0 - b + b * norm)))
-    s6 = F.round(term_score * 1e6).cast("long")
+    s6 = bm25_s6(n_docs, total_len, k1, b)
     per_doc = (sc.groupBy("qid", id_col)
                .agg(F.sum(s6).alias("_s6"),
                     F.count("*").alias("n_terms_hit")))

@@ -151,8 +151,20 @@ def append_to_ivf_index(emb: DataFrame, path: str,
     rewrites existing files."""
     spark = emb.sparkSession
     asg = assign_by_centroids(spark, path, emb, id_col, vec_col)
-    (emb.join(asg, id_col)
-     .withColumn("_pt", F.col("assigned_label"))
+    # left join + raise_error: an empty/NULL embedding yields no
+    # posexplode rows and hence no assignment — fail loudly instead of
+    # silently dropping the vector from the index (the fail-loud
+    # contract of cap_tokens_per_key/attribution)
+    guard = F.when(
+        F.col("assigned_label").isNull(),
+        F.raise_error(F.concat(
+            F.lit("append_to_ivf_index: vector "),
+            F.col(id_col).cast("string"),
+            F.lit(" received no centroid assignment (empty or NULL "
+                  "embedding) — refusing to silently drop it")))) \
+        .otherwise(F.col("assigned_label"))
+    (emb.join(asg, id_col, "left")
+     .withColumn("_pt", guard)
      .drop("assigned_label")
      .repartition(F.col("_pt"))
      .write.mode("append").partitionBy("_pt")
@@ -181,13 +193,18 @@ def ivf_index_topk_batch(spark: SparkSession, queries: DataFrame,
           .select("qid", (F.col("_d0") + 1).alias("d"),
                   F.round(F.col("_x") * CENT_SCALE).cast("long")
                   .alias("qx")))
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
     w = Window.partitionBy("qid").orderBy(F.desc("_dot"), "label")
-    qlabels = (qe.join(cents, "d")
-               .groupBy("qid", "label")
-               .agg(F.sum(F.col("c") * F.col("qx")).alias("_dot"))
-               .withColumn("_rn", F.row_number().over(w))
-               .filter(F.col("_rn") <= nprobe)
-               .select("qid", "label"))
+    # checkpoint: the queries×nprobe frame feeds both the directory
+    # IN-list collect and the scored join — truncate so the centroid
+    # join + ranking window runs once, not per consumer
+    qlabels = checkpoint_df(
+        (qe.join(cents, "d")
+         .groupBy("qid", "label")
+         .agg(F.sum(F.col("c") * F.col("qx")).alias("_dot"))
+         .withColumn("_rn", F.row_number().over(w))
+         .filter(F.col("_rn") <= nprobe)
+         .select("qid", "label")), eager=False)
     # the probed-directory union is driver metadata (≤ n_queries × nprobe
     # ints) — collecting it is what turns the scan into an IN-list the
     # reader prunes directories with

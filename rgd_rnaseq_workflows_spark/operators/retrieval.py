@@ -32,6 +32,26 @@ from pyspark.sql import functions as F
 from rgd_rnaseq_workflows_spark.functions import text as TX
 
 
+def bm25_s6(n_docs, total_len, k1: float = 1.2,
+            b: float = 0.75):
+    """The ONE definition of the per-posting micro-unit BM25 score —
+    shared by the in-query path and every persisted-index probe
+    (single + batch), so probe == in-query equality is structural,
+    not three hand-synced copies of the expression tree. Expects
+    columns ``tf``, ``df``, ``dl`` in scope; ``n_docs``/``total_len``
+    may be Columns (in-query) or Python ints (index meta)."""
+    n_docs = F.lit(n_docs) if isinstance(n_docs, int) else n_docs
+    total_len = F.lit(total_len) if isinstance(total_len, int) \
+        else total_len
+    idf = F.log(F.lit(1.0) + (n_docs - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    # dl·N and Σdl are exact ints; ONE division yields the length norm
+    norm = (F.col("dl") * n_docs).cast("double") / total_len
+    term_score = (idf * F.col("tf") * (k1 + 1.0)
+                  / (F.col("tf") + k1 * (1.0 - b + b * norm)))
+    return F.round(term_score * 1e6).cast("long")
+
+
 def bm25_topk(docs: DataFrame, query: str, k: int = 10,
               k1: float = 1.2, b: float = 0.75,
               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -51,14 +71,7 @@ def bm25_topk(docs: DataFrame, query: str, k: int = 10,
     sc = (tf.join(F.broadcast(df_), "term")
           .join(dl, id_col)
           .crossJoin(F.broadcast(stats)))
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
-    # dl·N and Σdl are exact ints; ONE division yields the length norm
-    norm = (F.col("dl") * F.col("n_docs")).cast("double") \
-        / F.col("total_len")
-    term_score = (idf * F.col("tf") * (k1 + 1.0)
-                  / (F.col("tf") + k1 * (1.0 - b + b * norm)))
-    s6 = F.round(term_score * 1e6).cast("long")
+    s6 = bm25_s6(F.col("n_docs"), F.col("total_len"), k1, b)
     return (sc.groupBy(id_col)
             .agg(F.sum(s6).alias("_s6"),
                  F.count("*").alias("n_terms_hit"))

@@ -738,8 +738,17 @@ def waterfill_from_supply(supply: DataFrame, budget_pct: int = 60,
                          "no clipping - the allocation is the supply)")
     from pyspark.sql import Window
     cols = supply.columns
+    # negative supply would break the sorted-prefix level-search proof
+    # (s_j <= L_j < s_{j+1} assumes a monotone cumulative sum) and can
+    # make the valid-level predicate match more than one row — fail
+    # loudly (the cap_tokens_per_key negative-weight contract)
+    s_raw = F.col(cols[1]).cast("long")
+    s_guard = F.when(s_raw < 0, F.raise_error(F.concat(
+        F.lit("waterfill_from_supply: negative supply for group "),
+        F.col(cols[0]).cast("string"),
+        F.lit(" — token supplies must be >= 0")))).otherwise(s_raw)
     sup = supply.select(F.col(cols[0]).alias("_g"),
-                        F.col(cols[1]).cast("long").alias("_s"))
+                        s_guard.alias("_s"))
     w_ord = Window.orderBy("_s", "_g")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy()

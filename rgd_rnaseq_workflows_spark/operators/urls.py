@@ -58,20 +58,28 @@ def with_canonical_url(df: DataFrame, url_col: str = "url",
     deterministically (the whole string is read as a scheme) and the
     DuckDB twin agrees, but the result is not meaningful — filter
     non-absolute rows upstream if the source is dirty."""
-    nofrag = F.split_part(F.col(url_col), F.lit("#"), F.lit(1))
-    d = (df.withColumn("_scheme", F.lower(
-             F.split_part(nofrag, F.lit("://"), F.lit(1))))
-         .withColumn("_rest", F.split_part(nofrag, F.lit("://"),
-                                           F.lit(2))))
+    # split_part is only safe for the FIRST piece; every "rest of the
+    # string" extraction is position-based (substring past the first
+    # delimiter) so a second '://' or '?' deeper in the URL — redirect
+    # targets like /r?to=https://x.com — is preserved verbatim rather
+    # than truncated (which would merge genuinely different resources)
+    d = (df.withColumn("_nofrag", F.split_part(F.col(url_col),
+                                               F.lit("#"), F.lit(1))))
+    d = (d.withColumn("_scheme0", F.split_part(F.col("_nofrag"),
+                                               F.lit("://"), F.lit(1)))
+         .withColumn("_rest", F.expr(
+             "substring(_nofrag, length(_scheme0) + 4)"))
+         .withColumn("_scheme", F.lower(F.col("_scheme0"))))
     d = (d.withColumn("_hp", F.lower(
              F.split_part(F.col("_rest"), F.lit("/"), F.lit(1))))
          .withColumn("_pathq", F.expr(
              "substring(_rest, length(_hp) + 1)")))
-    d = (d.withColumn("_host", F.regexp_replace(
-             F.split_part(F.col("_hp"), F.lit(":"), F.lit(1)),
-             "^www\\.", ""))
-         .withColumn("_port", F.split_part(F.col("_hp"), F.lit(":"),
-                                           F.lit(2))))
+    d = (d.withColumn("_host0", F.split_part(F.col("_hp"), F.lit(":"),
+                                             F.lit(1)))
+         .withColumn("_host", F.regexp_replace(F.col("_host0"),
+                                               "^www\\.", ""))
+         .withColumn("_port", F.expr(
+             "substring(_hp, length(_host0) + 2)")))
     default_port = (
         (F.col("_port") == "")
         | ((F.col("_scheme") == "http") & (F.col("_port") == "80"))
@@ -81,8 +89,8 @@ def with_canonical_url(df: DataFrame, url_col: str = "url",
         F.concat(F.col("_host"), F.lit(":"), F.col("_port"))))
     d = (d.withColumn("_path", F.split_part(F.col("_pathq"), F.lit("?"),
                                             F.lit(1)))
-         .withColumn("_q", F.split_part(F.col("_pathq"), F.lit("?"),
-                                        F.lit(2))))
+         .withColumn("_q", F.expr(
+             "substring(_pathq, length(_path) + 2)")))
     d = d.withColumn("_pathc", F.expr(
         "case when trim(TRAILING '/' FROM _path) = '' then '/' "
         "else trim(TRAILING '/' FROM _path) end"))
@@ -96,8 +104,9 @@ def with_canonical_url(df: DataFrame, url_col: str = "url",
         F.when(F.col("_qc") == "", F.lit(""))
         .otherwise(F.concat(F.lit("?"), F.col("_qc"))))
     return (d.withColumn(out_col, canon)
-            .drop("_scheme", "_rest", "_hp", "_pathq", "_host", "_port",
-                  "_hostout", "_path", "_q", "_pathc", "_qc"))
+            .drop("_nofrag", "_scheme0", "_scheme", "_rest", "_hp",
+                  "_host0", "_pathq", "_host", "_port", "_hostout",
+                  "_path", "_q", "_pathc", "_qc"))
 
 
 def canonical_url_sql(table: str, url_expr: str = "url",
@@ -128,21 +137,30 @@ FROM (
                 THEN host
                 ELSE host || ':' || port END AS hostout,
            split_part(pathq, '?', 1) AS path,
-           split_part(pathq, '?', 2) AS q
+           -- position-based: later '?'s remain part of the query
+           substring(pathq, length(split_part(pathq, '?', 1)) + 2) AS q
     FROM (
       SELECT {id_cols}, scheme,
              regexp_replace(split_part(hp, ':', 1), '^www\\.', '')
                AS host,
-             split_part(hp, ':', 2) AS port,
+             -- position-based: a second ':' stays in the port string
+             substring(hp, length(split_part(hp, ':', 1)) + 2) AS port,
              substring(rest, length(hp) + 1) AS pathq
       FROM (
         SELECT {id_cols},
-               lower(split_part(nofrag, '://', 1)) AS scheme,
-               split_part(nofrag, '://', 2) AS rest,
-               lower(split_part(split_part(nofrag, '://', 2), '/', 1))
-                 AS hp
-        FROM (SELECT {id_cols}, split_part({url_expr}, '#', 1)
-                AS nofrag FROM {table})))))
+               lower(scheme0) AS scheme, rest,
+               lower(split_part(rest, '/', 1)) AS hp
+        FROM (
+          -- position-based rest: a second '://' (redirect target in a
+          -- query param) is preserved, never truncated
+          SELECT {id_cols}, scheme0,
+                 substring(nofrag, length(scheme0) + 4) AS rest
+          FROM (
+            SELECT {id_cols},
+                   split_part({url_expr}, '#', 1) AS nofrag,
+                   split_part(split_part({url_expr}, '#', 1), '://', 1)
+                     AS scheme0
+            FROM {table}))))))
 """
 
 

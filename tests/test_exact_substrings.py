@@ -298,3 +298,25 @@ def test_contamination_index_probe_equals_inquery(spark, tmp_path):
             substring_contamination(docs, bench, window=5).collect()]
     assert got == want
     assert {d for d, _, _ in got} == {10, 12}   # doc 11 clean
+
+
+def test_calibration_all_docs_shorter_than_window(spark):
+    """Candidate windows longer than every document: the row is all
+    exact ZEROS (not NULLs) on both engines — the cross-engine
+    integer contract's empty edge."""
+    import duckdb
+
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        exact_substring_calibration, exact_substring_calibration_sql)
+    docs = spark.createDataFrame([(1, "a b c"), (2, "d e")],
+                                 ["doc_id", "text"])
+    got = sorted(tuple(r) for r in
+                 exact_substring_calibration(docs, (16,)).collect())
+    assert got == [(16, 0, 0, 0, 0)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    [(1, "a b c"), (2, "d e")])
+    exp = sorted(tuple(r) for r in con.execute(
+        exact_substring_calibration_sql("documents", (16,))).fetchall())
+    assert got == exp

@@ -163,3 +163,17 @@ def test_batch_empty_query_set_keeps_real_schema(spark, tmp_path):
     assert out.count() == 0
     assert [f.dataType.simpleString() for f in out.schema.fields] == \
         ["string", "bigint", "bigint", "double", "int"]
+
+
+def test_batch_and_single_agree_on_tab_whitespace(spark, tmp_path):
+    rows, docs = _corpus(spark, n=30)
+    path = str(tmp_path / "inv6")
+    write_inverted_index(docs, path, num_buckets=4)
+    q = "w1\tw7\n w3"
+    qdf = spark.createDataFrame([(1, q)], ["qid", "query"])
+    got = [(r["doc_id"], r["bm25"]) for r in
+           bm25_index_topk_batch(spark, qdf, path, k=6)
+           .orderBy("rank").collect()]
+    want = [(r["doc_id"], r["bm25"]) for r in
+            bm25_index_topk(spark, path, q, k=6).collect()]
+    assert got == want and got

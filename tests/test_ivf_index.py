@@ -234,3 +234,22 @@ def test_batch_topk_equals_per_query_probe(spark, tmp_path):
             ivf_index_topk(spark, path, [float(x) for x in vec],
                            k=5, nprobe=2).collect())]
         assert sorted(got[qid]) == want, f"qid {qid}"
+
+
+def test_append_raises_on_unassignable_vector(spark, tmp_path):
+    """An empty-embedding delta row cannot be assigned to a list; the
+    append must fail loudly, never silently drop the vector."""
+    import pytest
+
+    from rgd_rnaseq_workflows_spark.operators.ivf_index import (
+        append_to_ivf_index, write_ivf_index)
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0], i % 3) for i in range(9)],
+        "vec_id long, embedding array<float>, label int")
+    path = str(tmp_path / "ivf_guard")
+    write_ivf_index(emb, path)
+    bad = spark.createDataFrame(
+        [(100, [2.0, 1.0]), (101, [])],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="no centroid assignment"):
+        append_to_ivf_index(bad, path)

@@ -593,3 +593,14 @@ def test_waterfill_zero_supply_short_circuits(spark):
     exp = sorted(tuple(r) for r in con.execute(
         token_waterfill_sql("documents", 60)).fetchall())
     assert got == exp
+
+
+def test_waterfill_raises_on_negative_supply(spark):
+    import pytest
+
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        waterfill_from_supply)
+    sup = spark.createDataFrame([("a", -5), ("b", 5)],
+                                ["source", "tokens"])
+    with pytest.raises(Exception, match="negative supply"):
+        waterfill_from_supply(sup, 60).collect()

@@ -39,6 +39,11 @@ CASES = [
     # www kept when mid-host, stripped only as prefix
     ("https://www.wwwish.com/a", "https://wwwish.com/a"),
     ("https://notwww.com/a", "https://notwww.com/a"),
+    # a second '://' (redirect target) or '?' must be PRESERVED —
+    # truncating would merge genuinely different resources
+    ("https://a.com/r?to=https://x.com", "https://a.com/r?to=https://x.com"),
+    ("https://a.com/r?to=https://y.com", "https://a.com/r?to=https://y.com"),
+    ("https://a.com/p?a=1?b=2", "https://a.com/p?a=1?b=2"),
 ]
 
 
