@@ -1645,62 +1645,61 @@ def text_zipf_head_stats(spark, sf_dir):
 # prior round are surfaced first so every registry entry accumulates a
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
-    # round-9 window refreshed at close (head is exactly
-    # tools/rotation_check.py --plan after the r9 registry additions):
-    # never-driver-stamped first — the 7 r8 judge-verified rows plus the
-    # 7 new r9 queries (exact-substring family, KN perplexity, URL
-    # dedup, frontier cap, host splits) — then the age-deadline rows in
-    # registry order.
-    "dedup_cdc_cross_source",
-    "dedup_minhash_calibration",
-    "ann_ivf_probe_sweep",
-    "sample_token_waterfill",
-    "sample_token_budget_cap",
-    "text_vocab_coverage",
-    "profile_embedding_health",
-    "quality_kn_perplexity",
-    "dedup_exact_substrings",
-    "dedup_exact_substr_calibration",
-    "contamination_substring",
-    "dedup_url_canonical",
-    "crawl_frontier_cap",
-    "split_host_assign",
-    "corpus_snapshot_diff",
-    "split_leakage_report",
-    "quality_bigram_lm",
-    "win3_running_total",
-    "win4_lead_lag",
-    "corpus_full_curation",
-    "corpus_training_mix",
-    "stateful_dedup_kernel",
-    "ann_lsh_topk",
-    "simhash_near_pairs_q",
-    "multimodal_phash_dedup",
-    "multimodal_image_features",
-    "grouping_sets_agg",
-    "cube_aggregate",
-    "multimodal_frame_plan",
-    "observe_metrics",
-    "scalar_cleanup",
-    "q1_pricing_summary",
-    "jn3_merge_join",
-    "events_funnel",
-    "events_funnel_windowed",
-    "events_session_funnel",
-    "events_cohort_retention",
-    "dedup_cross_corpus",
-    "ann_margin_alignment",
-    "ann_margin_ivf",
-    "tokenizer_bpe_merges",
-    "quality_length_outliers",
-    "text_pmi_collocations",
-    "text_zipf_head_stats",
-    "multimodal_audio_features",
-    "sketch_hll_incremental",
-    "sketch_hll_set_ops",
-    "sketch_cms_incremental",
-    "graph_triangle_census",
-    "sketch_log2q_by_group",
+    # round-10 window (exactly tools/rotation_check.py --plan at the r9
+    # close): the 31 r6-aged rows that would breach MAX_AGE after r10
+    # lead in oldest-evidence-first order, then the next-oldest stamped
+    # rows fill the 50 slots.  New r10 queries are PREPENDED above this
+    # comment as they land (never-stamped queries must lead the window).
+    "sketch_cms_by_group",
+    "quality_boilerplate_ngrams",
+    "sample_epoch_mix",
+    "winnow_cross_containment",
+    "winnow_containment_keepers",
+    "fuzzy_match_part_names",
+    "agg_histogram_quantiles",
+    "table_profile_stats",
+    "events_scd2_history",
+    "embedding_centroid_drift",
+    "layout_zorder_stats",
+    "sample_epoch_budget",
+    "sample_token_budget",
+    "quality_classifier_score",
+    "corpus_token_drift",
+    "corpus_drift_terms",
+    "quality_oov_rate",
+    "graph_centrality_keepers",
+    "contamination_source_matrix",
+    "tokenizer_fertility_by_lang",
+    "events_gapfill_locf",
+    "events_rate_anomaly",
+    "profile_fd_audit",
+    "split_cluster_assign",
+    "embedding_pca_scatter",
+    "text_textrank_keywords",
+    "events_transition_matrix",
+    "winnow_repeated_spans",
+    "sample_duplicate_downweight",
+    "events_rfm_segments",
+    "profile_k_anonymity",
+    "agg7_binned_rate",
+    "agg8_ratio_classify",
+    "aggp1_pivot_matrix",
+    "srt_topk_global",
+    "src7_json_extract",
+    "stream_window_agg",
+    "stream_sessionize",
+    "stream_interval_join",
+    "dedup_exact_stats",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_keepers",
+    "text_quality_features",
+    "text_lang_id",
+    "text_token_stats",
+    "text_fingerprint",
+    "ann_cosine_topk",
+    "ann_embedding_neardup",
 )
 
 
