@@ -70,10 +70,21 @@ def with_canonical_url(df: DataFrame, url_col: str = "url",
          .withColumn("_rest", F.expr(
              "substring(_nofrag, length(_scheme0) + 4)"))
          .withColumn("_scheme", F.lower(F.col("_scheme0"))))
-    d = (d.withColumn("_hp", F.lower(
-             F.split_part(F.col("_rest"), F.lit("/"), F.lit(1))))
+    # the authority ends at the first '/' OR '?' — a bare host?query
+    # (https://example.com?q=Paris) has an empty path and a real query,
+    # so the query must NOT fold into the lowercased host. Offsets are
+    # taken on the PRE-lowercase string (Unicode lowercasing can change
+    # length, e.g. U+0130) and lowercasing is applied afterwards.
+    # least() skips NULLs identically in Spark and DuckDB.
+    d = (d.withColumn("_hpend", F.expr(
+             "least(nullif(instr(_rest, '/'), 0), "
+             "nullif(instr(_rest, '?'), 0))"))
+         .withColumn("_hp", F.lower(F.expr(
+             "case when _hpend is null then _rest "
+             "else substring(_rest, 1, _hpend - 1) end")))
          .withColumn("_pathq", F.expr(
-             "substring(_rest, length(_hp) + 1)")))
+             "case when _hpend is null then '' "
+             "else substring(_rest, _hpend) end")))
     d = (d.withColumn("_host0", F.split_part(F.col("_hp"), F.lit(":"),
                                              F.lit(1)))
          .withColumn("_host", F.regexp_replace(F.col("_host0"),
@@ -104,9 +115,9 @@ def with_canonical_url(df: DataFrame, url_col: str = "url",
         F.when(F.col("_qc") == "", F.lit(""))
         .otherwise(F.concat(F.lit("?"), F.col("_qc"))))
     return (d.withColumn(out_col, canon)
-            .drop("_nofrag", "_scheme0", "_scheme", "_rest", "_hp",
-                  "_host0", "_pathq", "_host", "_port", "_hostout",
-                  "_path", "_q", "_pathc", "_qc"))
+            .drop("_nofrag", "_scheme0", "_scheme", "_rest", "_hpend",
+                  "_hp", "_host0", "_pathq", "_host", "_port",
+                  "_hostout", "_path", "_q", "_pathc", "_qc"))
 
 
 def canonical_url_sql(table: str, url_expr: str = "url",
@@ -145,11 +156,20 @@ FROM (
                AS host,
              -- position-based: a second ':' stays in the port string
              substring(hp, length(split_part(hp, ':', 1)) + 2) AS port,
-             substring(rest, length(hp) + 1) AS pathq
+             pathq
       FROM (
+        -- authority ends at the first '/' OR '?' (bare host?query has
+        -- an empty path); offsets taken pre-lowercase, lowered after
         SELECT {id_cols},
-               lower(scheme0) AS scheme, rest,
-               lower(split_part(rest, '/', 1)) AS hp
+               lower(scheme0) AS scheme,
+               lower(CASE WHEN hpend IS NULL THEN rest
+                          ELSE substring(rest, 1, hpend - 1) END) AS hp,
+               CASE WHEN hpend IS NULL THEN ''
+                    ELSE substring(rest, hpend) END AS pathq
+        FROM (
+        SELECT {id_cols}, scheme0, rest,
+               least(nullif(instr(rest, '/'), 0),
+                     nullif(instr(rest, '?'), 0)) AS hpend
         FROM (
           -- position-based rest: a second '://' (redirect target in a
           -- query param) is preserved, never truncated
@@ -160,7 +180,7 @@ FROM (
                    split_part({url_expr}, '#', 1) AS nofrag,
                    split_part(split_part({url_expr}, '#', 1), '://', 1)
                      AS scheme0
-            FROM {table}))))))
+            FROM {table})))))))
 """
 
 

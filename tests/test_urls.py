@@ -44,6 +44,15 @@ CASES = [
     ("https://a.com/r?to=https://x.com", "https://a.com/r?to=https://x.com"),
     ("https://a.com/r?to=https://y.com", "https://a.com/r?to=https://y.com"),
     ("https://a.com/p?a=1?b=2", "https://a.com/p?a=1?b=2"),
+    # bare host + query, NO path: the query must NOT fold into the
+    # lowercased host — case-distinct queries stay distinct, utm params
+    # are stripped and the rest sorted, path normalizes to '/'
+    ("https://example.com?q=Paris", "https://example.com/?q=Paris"),
+    ("https://Example.com?q=paris", "https://example.com/?q=paris"),
+    ("https://example.com?utm_source=x&b=2&a=1",
+     "https://example.com/?a=1&b=2"),
+    ("https://example.com:443?a=1", "https://example.com/?a=1"),
+    ("https://www.example.com?a=1#frag", "https://example.com/?a=1"),
 ]
 
 
