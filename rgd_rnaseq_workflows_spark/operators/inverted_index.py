@@ -9,18 +9,25 @@ and amortizes them across every query, contamination hunt, and targeted
 curation pull. Persisted artifacts:
 
 - the posting table ``(term, doc_id, tf, dl)`` written
-  ``partitionBy(_tb)`` where ``_tb = pmod(xxhash64(term), num_buckets)``
-  and ``sortWithinPartitions(_tb, term)`` — a probe for q query terms
-  lists only their term-hash bucket DIRECTORIES, and inside each
-  bucket's files the rows are term-ordered so the pushed term IN-list
-  prunes at the parquet row-group level (min/max footers over a sorted
-  column — the ``lsh_index`` band_hash contract). ``dl`` is denormalized
-  into the posting row (the Lucene "norms" statistic) so scoring needs
-  no doc-length side join;
-- a 1-row ``meta`` parquet ``(n_docs, total_len, num_buckets)`` — the
-  two corpus-level BM25 statistics (N and avgdl = total_len/N) plus the
-  bucketing parameter, so probes are self-describing (probing with a
-  mismatched bucket count would silently scan the wrong directories).
+  ``partitionBy(_epoch, _tb)`` where ``_tb = pmod(xxhash64(term),
+  num_buckets)`` and sorted ``(_tb, term)`` within partitions — a
+  probe for q query terms lists only their term-hash bucket
+  DIRECTORIES, and inside each bucket's files the rows are
+  term-ordered so the pushed term IN-list prunes at the parquet
+  row-group level (min/max footers over a sorted column — the
+  ``lsh_index`` band_hash contract). ``dl`` is denormalized into the
+  posting row (the Lucene "norms" statistic) so scoring needs no
+  doc-length side join. The leading ``_epoch`` level is the
+  exactly-once unit: each build/append/streaming micro-batch owns one
+  epoch directory, retried via dynamic partition overwrite (see
+  ``index_ledger``);
+- a 1-row ``meta`` parquet ``(num_buckets)`` — the FROZEN bucketing
+  parameter, so probes are self-describing (probing with a mismatched
+  bucket count would silently scan the wrong directories);
+- a ``ledger`` parquet (one row per committed epoch) carrying the
+  ADDITIVE corpus statistics ``(n_docs, total_len)`` — N and
+  avgdl = Σtotal_len/ΣN are ledger sums, so a replayed ingest epoch
+  can no-op instead of double-counting them.
 
 Per-term ``df`` is NOT persisted: the pruned scan already holds every
 posting row of each query term, so ``df = count(*) per term`` over that
@@ -78,62 +85,90 @@ def _postings_parts(docs: DataFrame, id_col: str, text_col: str,
 
 
 def _write_layout(post: DataFrame, dl: DataFrame, path: str,
-                  n_docs0: int, total_len0: int,
-                  num_buckets: int, mode: str) -> None:
+                  epoch_key: str, base: bool) -> None:
+    """One epoch's postings + its ledger commit row, in that order
+    (the ledger row is the commit marker — see ``index_ledger``)."""
+    from rgd_rnaseq_workflows_spark.operators.index_ledger import (
+        clear_dir, commit_ledger_row)
+    if base:
+        clear_dir(post.sparkSession, f"{path}/postings")
     # sort by (_tb, term), not term alone: the file writer requires its
     # input ordered by the partition columns and would otherwise insert
     # its own Sort(_tb), destroying the term order the footer pruning
-    # relies on (the lsh_index band_hash lesson)
+    # relies on (the lsh_index band_hash lesson). The epoch is the
+    # TARGET DIRECTORY, never a constant column — the optimizer would
+    # eliminate a foldable sort key and re-trigger that writer sort.
+    # mode("overwrite") on the epoch dir = a retried epoch heals its
+    # own partial files instead of appending a second copy.
     (post.repartition(F.col("_tb"))
      .sortWithinPartitions("_tb", "term")
-     .write.mode(mode).partitionBy("_tb")
-     .parquet(f"{path}/postings"))
-    spark = post.sparkSession
-    [s] = (dl.agg(F.count("*").alias("n"), F.sum("dl").alias("t"))
-           .collect())
-    (spark.createDataFrame(
-        [(n_docs0 + int(s["n"]), total_len0 + int(s["t"] or 0),
-          num_buckets)],
-        "n_docs long, total_len long, num_buckets int")
-     .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+     .write.mode("overwrite").partitionBy("_tb")
+     .parquet(f"{path}/postings/_epoch={epoch_key}"))
+    commit_ledger_row(
+        dl.agg(F.count("*").cast("long").alias("n_docs"),
+               F.coalesce(F.sum("dl"), F.lit(0)).cast("long")
+               .alias("total_len")),
+        path, epoch_key, base=base)
 
 
 def write_inverted_index(docs: DataFrame, path: str,
                          text_col: str = "text", id_col: str = "doc_id",
                          num_buckets: int = 32) -> None:
-    """Persist the posting-list layout under ``{path}/postings`` plus
-    the corpus statistics under ``{path}/meta``."""
+    """Persist the posting-list layout under ``{path}/postings``
+    (epoch ``base``), the frozen bucketing parameter under
+    ``{path}/meta``, and the base epoch's corpus statistics under
+    ``{path}/ledger``."""
     post, dl = _postings_parts(docs, id_col, text_col, num_buckets)
-    _write_layout(post, dl, path, 0, 0, num_buckets, "overwrite")
+    spark = docs.sparkSession
+    (spark.createDataFrame([(num_buckets,)], "num_buckets int")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+    from rgd_rnaseq_workflows_spark.operators.index_ledger import (
+        BASE_EPOCH)
+    _write_layout(post, dl, path, BASE_EPOCH, base=True)
 
 
 def read_inverted_meta(spark: SparkSession,
                        path: str) -> tuple[int, int, int]:
+    """(n_docs, total_len, num_buckets): the additive statistics are
+    the exact sum over committed ledger epochs (never double-counted —
+    an uncommitted epoch's partial postings are invisible here, and
+    its retry replaces them); num_buckets is the frozen meta param."""
+    from rgd_rnaseq_workflows_spark.operators.index_ledger import (
+        ledger_sum)
     [r] = spark.read.parquet(f"{path}/meta").collect()
-    return r["n_docs"], r["total_len"], r["num_buckets"]
+    n_docs, total_len = ledger_sum(spark, path, ["n_docs", "total_len"])
+    return n_docs, total_len, r["num_buckets"]
 
 
 def append_to_inverted_index(new_docs: DataFrame, path: str,
                              text_col: str = "text",
-                             id_col: str = "doc_id") -> None:
-    """Incremental index maintenance: a delta batch's postings append
-    into their term-hash bucket directories (existing files are never
-    rewritten) and the 1-row meta is re-derived as old + delta. The
-    probe's df/N/avgdl stay exact because df is computed from the
-    pruned scan (which now includes the appends) and N/Σdl live in the
-    meta — probing after an append equals rebuilding from scratch
-    (test-pinned).
+                             id_col: str = "doc_id",
+                             epoch_key: str | None = None) -> bool:
+    """Incremental index maintenance, exactly-once per ``epoch_key``:
+    a delta batch's postings land under their own ``_epoch`` directory
+    (existing epochs are never touched) and the epoch's N/Σdl land in
+    the ledger as the commit marker. A replayed epoch key is a no-op
+    (returns False); a retry after a crash between the two writes
+    dynamically overwrites the same partitions and then commits — so
+    df/tf/N/avgdl can never double-count (test-pinned by calling the
+    append twice and pinning probe equality). Probes stay exact
+    because df is computed from the pruned scan and N/Σdl from the
+    ledger sum.
 
-    Not transactional: a crash between the postings append and the
-    meta rewrite leaves meta one delta behind (scores drift slightly
-    until the append is retried); a production deployment wraps the
-    two writes in a manifest commit (the lakehouse table-format move),
-    out of scope for the layout kernel."""
+    ``epoch_key=None`` mints a fresh ``batch-N`` key (plain append
+    semantics for ad-hoc CLI use — pass an explicit key to make a
+    specific append retry-safe, as the streaming sink does)."""
+    from rgd_rnaseq_workflows_spark.operators.index_ledger import (
+        ledger_keys, next_batch_key)
     spark = new_docs.sparkSession
-    n_docs, total_len, num_buckets = read_inverted_meta(spark, path)
+    if epoch_key is None:
+        epoch_key = next_batch_key(spark, path)
+    elif epoch_key in ledger_keys(spark, path):
+        return False
+    _, _, num_buckets = read_inverted_meta(spark, path)
     post, dl = _postings_parts(new_docs, id_col, text_col, num_buckets)
-    _write_layout(post, dl, path, n_docs, total_len, num_buckets,
-                  "append")
+    _write_layout(post, dl, path, epoch_key, base=False)
+    return True
 
 
 def _pruned_scan(spark: SparkSession, path: str, terms: list[str],

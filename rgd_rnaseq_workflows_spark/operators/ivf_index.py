@@ -5,10 +5,13 @@ The in-query IVF path (``registry.ann_ivf_topk``,
 per query; a production deployment builds the index ONCE and amortizes
 it across every query. This module persists exactly two artifacts:
 
-- the vector table written ``partitionBy(cluster)`` — one directory per
-  cluster, so a probe that touches ``nprobe`` of ``k`` clusters reads
-  ``nprobe/k`` of the lake via DIRECTORY pruning (coarser and cheaper
-  than footer min/max pruning: the files are never even listed);
+- the vector table written ``partitionBy(_epoch, cluster)`` — one
+  directory per cluster within each ingest epoch, so a probe that
+  touches ``nprobe`` of ``k`` clusters reads ``nprobe/k`` of the lake
+  via DIRECTORY pruning (coarser and cheaper than footer min/max
+  pruning: the files are never even listed). The leading ``_epoch``
+  level plus the ``ledger`` commit table make every append
+  exactly-once retryable (the ``index_ledger`` contract);
 - a ``centroids`` parquet of EXACT integer centroid component sums (the
   ``ann_ivf_topk`` probe rule — ``sum(round(x·1e7))`` per dimension), so
   query-time label ranking reads a k×dims metadata table, never vectors.
@@ -49,20 +52,41 @@ def centroid_components(emb: DataFrame, label_col: str = "label",
     return e.groupBy("label", "d").agg(F.sum("_xi").alias("c"))
 
 
+def _write_vectors(emb_pt: DataFrame, path: str, epoch_key: str,
+                   base: bool) -> None:
+    """One epoch's cluster-partitioned vectors + its ledger commit row
+    (the exactly-once discipline of ``index_ledger``). ``emb_pt``
+    carries the ``_pt`` cluster column."""
+    from rgd_rnaseq_workflows_spark.operators.index_ledger import (
+        clear_dir, commit_ledger_row)
+    if base:
+        clear_dir(emb_pt.sparkSession, f"{path}/vectors")
+    # the epoch is the TARGET DIRECTORY, never a constant column (the
+    # index_ledger sort-preservation rule); mode("overwrite") on the
+    # epoch dir = a retried epoch heals its own partial files
+    (emb_pt.repartition(F.col("_pt"))
+     .write.mode("overwrite").partitionBy("_pt")
+     .parquet(f"{path}/vectors/_epoch={epoch_key}"))
+    commit_ledger_row(
+        emb_pt.agg(F.count("*").cast("long").alias("n_vectors")),
+        path, epoch_key, base=base)
+
+
 def write_ivf_index(emb: DataFrame, path: str, label_col: str = "label",
                     vec_col: str = "embedding") -> None:
     """Persist the IVF layout: vectors under ``{path}/vectors``
-    partitioned by cluster directory (one repartition-on-label write —
-    balanced, and every cluster's rows are co-located for the probe
-    scan), centroid components under ``{path}/centroids``."""
+    partitioned by (epoch, cluster) directory (one repartition-on-label
+    write — balanced, and every cluster's rows are co-located for the
+    probe scan), centroid components under ``{path}/centroids``, and
+    the base epoch's vector count under ``{path}/ledger``."""
+    from rgd_rnaseq_workflows_spark.operators.index_ledger import (
+        BASE_EPOCH)
     # Drop the source label column from the data files: its value is
     # fully preserved in the _pt partition directory, and keeping both
     # would make probe_scan's _pt->label rename produce an AMBIGUOUS
     # duplicate 'label' column when label_col='label' (ADVICE r8).
-    (emb.withColumn("_pt", F.col(label_col)).drop(label_col)
-     .repartition(F.col("_pt"))
-     .write.mode("overwrite").partitionBy("_pt")
-     .parquet(f"{path}/vectors"))
+    _write_vectors(emb.withColumn("_pt", F.col(label_col))
+                   .drop(label_col), path, BASE_EPOCH, base=True)
     (centroid_components(emb, label_col, vec_col)
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
 
@@ -90,7 +114,8 @@ def probe_scan(spark: SparkSession, path: str,
     in the plan; unprobed files are never listed)."""
     return (spark.read.parquet(f"{path}/vectors")
             .filter(F.col("_pt").isin([int(x) for x in labels]))
-            .withColumnRenamed("_pt", "label"))
+            .withColumnRenamed("_pt", "label")
+            .drop("_epoch"))
 
 
 def ivf_index_topk(spark: SparkSession, path: str,
@@ -141,15 +166,28 @@ def assign_by_centroids(spark: SparkSession, path: str,
 
 def append_to_ivf_index(emb: DataFrame, path: str,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> None:
+                        vec_col: str = "embedding",
+                        epoch_key: str | None = None) -> bool:
     """Incremental index maintenance: append a delta batch WITHOUT
     re-fitting — the coarse quantizer stays FROZEN (standard IVF
     contract: lists grow, centroids do not move; rebuild when drift
     reports say so). Each new vector is assigned by
-    :func:`assign_by_centroids` and appended into its cluster
-    directory; probes immediately see it, and the append never
-    rewrites existing files."""
+    :func:`assign_by_centroids` and lands in its own epoch directory
+    under the assigned cluster; probes immediately see it, and the
+    append never rewrites other epochs' files.
+
+    Exactly-once per ``epoch_key`` (the ``index_ledger`` contract): a
+    replayed key is a no-op (returns False) and a crash-retry
+    dynamically overwrites its own partitions, so a retried streaming
+    micro-batch can never duplicate vectors in probe results.
+    ``epoch_key=None`` mints a fresh ``batch-N`` key."""
+    from rgd_rnaseq_workflows_spark.operators.index_ledger import (
+        ledger_keys, next_batch_key)
     spark = emb.sparkSession
+    if epoch_key is None:
+        epoch_key = next_batch_key(spark, path)
+    elif epoch_key in ledger_keys(spark, path):
+        return False
     asg = assign_by_centroids(spark, path, emb, id_col, vec_col)
     # left join + raise_error: an empty/NULL embedding yields no
     # posexplode rows and hence no assignment — fail loudly instead of
@@ -163,12 +201,11 @@ def append_to_ivf_index(emb: DataFrame, path: str,
             F.lit(" received no centroid assignment (empty or NULL "
                   "embedding) — refusing to silently drop it")))) \
         .otherwise(F.col("assigned_label"))
-    (emb.join(asg, id_col, "left")
-     .withColumn("_pt", guard)
-     .drop("assigned_label")
-     .repartition(F.col("_pt"))
-     .write.mode("append").partitionBy("_pt")
-     .parquet(f"{path}/vectors"))
+    _write_vectors(emb.join(asg, id_col, "left")
+                   .withColumn("_pt", guard)
+                   .drop("assigned_label"),
+                   path, epoch_key, base=False)
+    return True
 
 
 def ivf_index_topk_batch(spark: SparkSession, queries: DataFrame,

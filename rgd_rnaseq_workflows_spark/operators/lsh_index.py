@@ -9,11 +9,14 @@ it across every delta batch and every interactive "is this document
 already in the corpus?" probe. This module persists one artifact:
 
 - the banded signature table (doc_id, band_hash) written
-  ``partitionBy(band_idx)`` and ``sortWithinPartitions(band_hash)`` —
-  one directory per band, and inside each band's files the rows are
-  band_hash-ordered, so a probe's ``band_hash`` predicates prune at
-  the parquet ROW-GROUP level (min/max footers over a sorted column —
-  the ``write_zordered`` contract, one-dimensional case);
+  ``partitionBy(_epoch, band_idx)`` and band_hash-sorted within
+  partitions — one directory per band within each ingest epoch, and
+  inside each band's files the rows are band_hash-ordered, so a
+  probe's ``band_hash`` predicates prune at the parquet ROW-GROUP
+  level (min/max footers over a sorted column — the ``write_zordered``
+  contract, one-dimensional case). The ``_epoch`` level plus the
+  ``ledger`` commit table make every append exactly-once retryable
+  (the ``index_ledger`` contract);
 - a 1-row ``meta`` parquet (num_hashes, band_size, shingle_n) so
   probes are self-describing — a probe with mismatched parameters
   would silently return garbage candidates otherwise.
@@ -51,25 +54,45 @@ from rgd_rnaseq_workflows_spark.operators.dedup import (
     lsh_bands, minhash_signatures)
 
 
+def _write_bands(bands: DataFrame, path: str, epoch_key: str,
+                 base: bool) -> None:
+    """One epoch's band-partitioned signatures + its ledger commit row
+    (the exactly-once discipline of ``index_ledger``)."""
+    from rgd_rnaseq_workflows_spark.operators.index_ledger import (
+        clear_dir, commit_ledger_row)
+    if base:
+        clear_dir(bands.sparkSession, f"{path}/bands")
+    # sort by (band_idx, band_hash), not band_hash alone: the file
+    # writer requires its input ordered by the partition columns and
+    # would otherwise insert its own Sort(band_idx), destroying the
+    # band_hash order the footer pruning relies on. The epoch is the
+    # TARGET DIRECTORY, never a constant column (the index_ledger
+    # sort-preservation rule); mode("overwrite") on the epoch dir = a
+    # retried epoch heals its own partial files.
+    (bands.repartition(F.col("band_idx"))
+     .sortWithinPartitions("band_idx", "band_hash")
+     .write.mode("overwrite").partitionBy("band_idx")
+     .parquet(f"{path}/bands/_epoch={epoch_key}"))
+    commit_ledger_row(
+        bands.agg(F.count("*").cast("long").alias("n_rows")),
+        path, epoch_key, base=base)
+
+
 def write_lsh_index(docs: DataFrame, path: str, text_col: str = "text",
                     id_col: str = "doc_id", num_hashes: int = 8,
                     band_size: int = 2, shingle_n: int = 3) -> None:
-    """Persist the banded-signature layout under ``{path}/bands`` plus
-    the parameter row under ``{path}/meta``."""
+    """Persist the banded-signature layout under ``{path}/bands``
+    (epoch ``base``), the parameter row under ``{path}/meta``, and the
+    base epoch's commit row under ``{path}/ledger``."""
+    from rgd_rnaseq_workflows_spark.operators.index_ledger import (
+        BASE_EPOCH)
     if num_hashes % band_size:
         raise ValueError("band_size must divide num_hashes")
     sigs = minhash_signatures(docs, text_col, id_col,
                               num_hashes=num_hashes, shingle_n=shingle_n)
     bands = lsh_bands(sigs, id_col, num_hashes=num_hashes,
                       band_size=band_size)
-    # sort by (band_idx, band_hash), not band_hash alone: the file
-    # writer requires its input ordered by the partition columns and
-    # would otherwise insert its own Sort(band_idx), destroying the
-    # band_hash order the footer pruning relies on
-    (bands.repartition(F.col("band_idx"))
-     .sortWithinPartitions("band_idx", "band_hash")
-     .write.mode("overwrite").partitionBy("band_idx")
-     .parquet(f"{path}/bands"))
+    _write_bands(bands, path, BASE_EPOCH, base=True)
     spark = docs.sparkSession
     (spark.createDataFrame(
         [(num_hashes, band_size, shingle_n)],
@@ -79,28 +102,39 @@ def write_lsh_index(docs: DataFrame, path: str, text_col: str = "text",
 
 def append_to_lsh_index(new_docs: DataFrame, path: str,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> None:
+                        id_col: str = "doc_id",
+                        epoch_key: str | None = None) -> bool:
     """Incremental index maintenance: a delta batch's banded signatures
-    append into their band directories (existing files are never
-    rewritten — the ``append_to_ivf_index`` contract). The signature
-    parameters are read from the index's own meta, so an append can
-    never silently mix hash families; probes see the appended docs
-    immediately and equal a from-scratch rebuild (test-pinned).
+    land in their own epoch directory under each band (other epochs'
+    files are never rewritten). The signature parameters are read from
+    the index's own meta, so an append can never silently mix hash
+    families; probes see the appended docs immediately and equal a
+    from-scratch rebuild (test-pinned).
+
+    Exactly-once per ``epoch_key`` (the ``index_ledger`` contract): a
+    replayed key is a no-op (returns False), a crash-retry dynamically
+    overwrites its own partitions — so a retried streaming micro-batch
+    never duplicates signature rows. ``epoch_key=None`` mints a fresh
+    ``batch-N`` key.
 
     Appended files are band_hash-sorted WITHIN themselves, so footer
-    pruning still skips row groups per file; a periodic rebuild
+    pruning still skips row groups per file; ``optimize_index``
     restores the single-sorted-run layout if append churn fragments
     it (the standard LSM-ish compaction trade)."""
+    from rgd_rnaseq_workflows_spark.operators.index_ledger import (
+        ledger_keys, next_batch_key)
     spark = new_docs.sparkSession
+    if epoch_key is None:
+        epoch_key = next_batch_key(spark, path)
+    elif epoch_key in ledger_keys(spark, path):
+        return False
     num_hashes, band_size, shingle_n = read_lsh_meta(spark, path)
     sigs = minhash_signatures(new_docs, text_col, id_col,
                               num_hashes=num_hashes, shingle_n=shingle_n)
     bands = lsh_bands(sigs, id_col, num_hashes=num_hashes,
                       band_size=band_size)
-    (bands.repartition(F.col("band_idx"))
-     .sortWithinPartitions("band_idx", "band_hash")
-     .write.mode("append").partitionBy("band_idx")
-     .parquet(f"{path}/bands"))
+    _write_bands(bands, path, epoch_key, base=False)
+    return True
 
 
 def read_lsh_meta(spark: SparkSession, path: str) -> tuple[int, int, int]:

@@ -204,6 +204,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "delta) instead of rebuilding")
     p.add_argument("--bm25-buckets", type=int, default=32,
                    help="term-hash directory fan-out for --bm25-index")
+    p.add_argument("--epoch-key", default=None, metavar="KEY",
+                   help="with --ann-append/--bm25-append: commit the "
+                        "append under this ledger epoch key, making "
+                        "the run retry-safe (a replayed key is a "
+                        "no-op; default mints a fresh batch-N key)")
     return p
 
 
@@ -479,7 +484,8 @@ def run(args: argparse.Namespace) -> int:
                 append_to_ivf_index)
             with _stage("IVF index append (frozen quantizer)"):
                 append_to_ivf_index(spark.read.parquet(args.embeddings),
-                                    args.ann_index)
+                                    args.ann_index,
+                                    epoch_key=args.epoch_key)
         else:
             from rgd_rnaseq_workflows_spark.operators.clustering import (
                 kmeans_fit)
@@ -507,8 +513,10 @@ def run(args: argparse.Namespace) -> int:
         if args.bm25_append:
             from rgd_rnaseq_workflows_spark.operators.inverted_index \
                 import append_to_inverted_index
-            with _stage("BM25 index append (postings + meta delta)"):
-                append_to_inverted_index(final, args.bm25_index)
+            with _stage("BM25 index append (postings + ledger "
+                        "delta)"):
+                append_to_inverted_index(final, args.bm25_index,
+                                         epoch_key=args.epoch_key)
         else:
             from rgd_rnaseq_workflows_spark.operators.inverted_index \
                 import write_inverted_index
@@ -610,8 +618,37 @@ def run_bm25_probe(args: argparse.Namespace) -> int:
     return 0
 
 
+def build_optimize_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rgd_rnaseq_workflows_spark.run_corpus optimize-index",
+        description="compact a persisted index: collapse append/"
+                    "streaming epoch churn into the fresh-build "
+                    "layout (one sorted run per partition directory), "
+                    "published atomically via tmp+rename. Probe "
+                    "results are unchanged; file count drops")
+    p.add_argument("--index", required=True,
+                   help="index root (the --ann-index / --lsh-index / "
+                        "--bm25-index path)")
+    p.add_argument("--kind", required=True,
+                   choices=["bm25", "ivf", "lsh"])
+    return p
+
+
+def run_optimize(args: argparse.Namespace) -> int:
+    from rgd_rnaseq_workflows_spark.operators.index_maintenance import (
+        optimize_index)
+    spark = get_spark("index-optimize")
+    with _stage(f"index compaction ({args.kind})"):
+        stats = optimize_index(spark, args.index, args.kind)
+        print(f"{stats['kind']}: {stats['files_before']} -> "
+              f"{stats['files_after']} data files")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "optimize-index":
+        return run_optimize(build_optimize_parser().parse_args(argv[1:]))
     if argv and argv[0] == "probe-ann":
         return run_probe(build_probe_parser().parse_args(argv[1:]))
     if argv and argv[0] == "probe-lsh":

@@ -331,7 +331,8 @@ def stream_bigram_counts(doc_stream: DataFrame,
     return bigram_counts(doc_stream, text_col)
 
 
-def stream_index_ingest(stream: DataFrame, path: str, kind: str):
+def stream_index_ingest(stream: DataFrame, path: str, kind: str,
+                        stream_id: str = "stream"):
     """Streaming maintenance for the persisted index family: each
     micro-batch appends into the layout through the SAME incremental
     path the batch CLI uses (``append_to_ivf_index`` /
@@ -343,13 +344,19 @@ def stream_index_ingest(stream: DataFrame, path: str, kind: str):
     Returns the ``DataStreamWriter`` (caller picks trigger/checkpoint
     and calls ``start()``).
 
-    Delivery note: ``foreachBatch`` is at-least-once — a batch retried
-    after a sink failure would append its rows twice. The IVF/LSH
-    probe paths tolerate duplicate rows (candidate sets are DISTINCT;
-    cosine top-k of a duplicated vector keeps rank order), but BM25
-    df/tf would double-count; production bm25 ingest should write
-    per-epoch subdirectories or carry epoch_id for reconciliation —
-    the standard exactly-once ledger, out of scope for the kernel."""
+    Delivery: EXACTLY-ONCE. ``foreachBatch`` is at-least-once, so each
+    micro-batch is committed as the epoch ``{stream_id}-{epoch_id}``
+    under the ``index_ledger`` contract: a replayed epoch no-ops
+    against the ledger, and a crash between the data write and the
+    ledger commit heals by dynamic partition overwrite on retry — BM25
+    df/tf/N/Σdl never double-count, IVF/LSH never hold duplicate rows
+    (pinned by the double-append tests in the index suites).
+
+    ``stream_id`` must be unique per streaming-query LINEAGE: Spark's
+    epoch_id restarts at 0 under a FRESH checkpoint directory, and a
+    reused (stream_id, epoch_id) key would silently no-op real data —
+    pass a new stream_id whenever you point a new checkpoint at an
+    existing index."""
     from rgd_rnaseq_workflows_spark.operators.inverted_index import (
         append_to_inverted_index)
     from rgd_rnaseq_workflows_spark.operators.ivf_index import (
@@ -367,7 +374,7 @@ def stream_index_ingest(stream: DataFrame, path: str, kind: str):
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        fn(batch_df, path)
+        fn(batch_df, path, epoch_key=f"{stream_id}-{epoch_id:06d}")
 
     return stream.writeStream.foreachBatch(_sink)
 

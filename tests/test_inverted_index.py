@@ -28,8 +28,8 @@ def test_layout_and_meta(spark, tmp_path):
     rows, docs = _corpus(spark)
     path = str(tmp_path / "inv")
     write_inverted_index(docs, path, num_buckets=8)
-    dirs = [d for d in os.listdir(f"{path}/postings")
-            if d.startswith("_tb=")]
+    dirs = [os.path.basename(d) for d in
+            glob.glob(f"{path}/postings/_epoch=*/_tb=*")]
     assert dirs and all(int(d.split("=")[1]) in range(8) for d in dirs)
     n_docs, total_len, nb = read_inverted_meta(spark, path)
     assert n_docs == len(rows)
@@ -37,7 +37,7 @@ def test_layout_and_meta(spark, tmp_path):
     assert nb == 8
     # inside a bucket directory the rows are term-sorted (footer
     # min/max pruning over the probe's term IN-list relies on this)
-    some = glob.glob(f"{path}/postings/_tb=*/*.parquet")[:3]
+    some = glob.glob(f"{path}/postings/_epoch=*/_tb=*/*.parquet")[:3]
     for f in some:
         ts = [r["term"] for r in
               spark.read.parquet(f).select("term").collect()]
@@ -81,9 +81,9 @@ def test_append_equals_rebuild_and_never_rewrites(spark, tmp_path):
     p_inc = str(tmp_path / "inc")
     p_full = str(tmp_path / "full")
     write_inverted_index(docs, p_inc, num_buckets=8)
-    before = set(glob.glob(f"{p_inc}/postings/_tb=*/*.parquet"))
+    before = set(glob.glob(f"{p_inc}/postings/_epoch=*/_tb=*/*.parquet"))
     append_to_inverted_index(delta, p_inc)
-    after = set(glob.glob(f"{p_inc}/postings/_tb=*/*.parquet"))
+    after = set(glob.glob(f"{p_inc}/postings/_epoch=*/_tb=*/*.parquet"))
     assert before <= after and len(after) > len(before)
     write_inverted_index(docs.unionByName(delta), p_full, num_buckets=8)
     q = "w1 w2 w50"
@@ -135,8 +135,7 @@ def test_bm25_index_cli_build_and_probe(spark, tmp_path):
                           "--min-tokens", "3", "--threshold", "0.99",
                           "--bm25-index", idx, "--bm25-buckets", "4"])
     assert rc == 0
-    assert any(d.startswith("_tb=") for d in
-               os.listdir(f"{idx}/postings"))
+    assert _glob.glob(f"{idx}/postings/_epoch=*/_tb=*")
 
     probe_out = str(tmp_path / "probe_out")
     rc = run_corpus.main(["probe-bm25", "--index", idx,

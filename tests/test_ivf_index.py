@@ -27,7 +27,7 @@ def test_probe_scan_prunes_directories(spark, tmp_path):
     path = str(tmp_path / "ivf")
     write_ivf_index(emb, path)
     # one directory per cluster on disk
-    dirs = sorted(glob.glob(f"{path}/vectors/_pt=*"))
+    dirs = sorted(glob.glob(f"{path}/vectors/_epoch=*/_pt=*"))
     assert len(dirs) == 8
     probed = probe_scan(spark, path, [1, 5])
     plan = probed._jdf.queryExecution().executedPlan().toString()
@@ -129,8 +129,9 @@ def test_ann_index_cli_build_and_probe(spark, tmp_path):
                           "--ann-index", idx, "--ann-clusters", "6"])
     assert rc == 0
     # the persisted layout: one directory per non-empty cluster
-    dirs = sorted(os.listdir(f"{idx}/vectors"))
-    pts = [d for d in dirs if d.startswith("_pt=")]
+    import glob as _g
+    pts = [os.path.basename(d) for d in
+           sorted(_g.glob(f"{idx}/vectors/_epoch=*/_pt=*"))]
     assert pts and len(pts) <= 6
 
     # probe subcommand: TSV out, equals the brute-force rule over the
@@ -176,7 +177,7 @@ def test_append_to_index_frozen_centroids(spark, tmp_path):
     rows, emb = _emb(spark, n=160, dims=8, k=4, seed=31)
     path = str(tmp_path / "ivf_app")
     write_ivf_index(emb, path)
-    before_files = set(glob.glob(f"{path}/vectors/_pt=*/*.parquet"))
+    before_files = set(glob.glob(f"{path}/vectors/_epoch=*/_pt=*/*.parquet"))
     cents_before = sorted(tuple(r) for r in
                           spark.read.parquet(f"{path}/centroids")
                           .collect())
@@ -205,7 +206,7 @@ def test_append_to_index_frozen_centroids(spark, tmp_path):
 
     # append-only: no pre-existing file rewritten, centroids frozen
     assert before_files <= set(
-        glob.glob(f"{path}/vectors/_pt=*/*.parquet"))
+        glob.glob(f"{path}/vectors/_epoch=*/_pt=*/*.parquet"))
     cents_after = sorted(tuple(r) for r in
                          spark.read.parquet(f"{path}/centroids")
                          .collect())

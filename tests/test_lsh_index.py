@@ -34,13 +34,13 @@ def test_layout_and_meta(spark, tmp_path):
     rows, docs = _corpus(spark)
     path = str(tmp_path / "lsh")
     write_lsh_index(docs, path, num_hashes=8, band_size=2)
-    dirs = sorted(os.listdir(f"{path}/bands"))
-    assert [d for d in dirs if d.startswith("band_idx=")] == \
-        [f"band_idx={b}" for b in range(4)]
+    dirs = sorted(os.path.basename(d) for d in
+                  glob.glob(f"{path}/bands/_epoch=*/band_idx=*"))
+    assert dirs == [f"band_idx={b}" for b in range(4)]
     assert read_lsh_meta(spark, path) == (8, 2, 3)
     # inside a band directory the rows are band_hash-sorted (footer
     # min/max pruning over the probe predicate relies on this)
-    for f in glob.glob(f"{path}/bands/band_idx=0/*.parquet"):
+    for f in glob.glob(f"{path}/bands/_epoch=*/band_idx=0/*.parquet"):
         hs = [r["band_hash"] for r in
               spark.read.parquet(f).select("band_hash").collect()]
         assert hs == sorted(hs)
@@ -136,8 +136,8 @@ def test_lsh_index_cli_build_and_probe(spark, tmp_path):
                           "--lsh-index", idx])
     assert rc == 0
     import os
-    assert any(d.startswith("band_idx=")
-               for d in os.listdir(f"{idx}/bands"))
+    import glob as _g
+    assert _g.glob(f"{idx}/bands/_epoch=*/band_idx=*")
 
     probe_out = str(tmp_path / "probe_out")
     rc = run_corpus.main(["probe-lsh", "--index", idx,
@@ -168,9 +168,9 @@ def test_append_equals_rebuild_and_never_rewrites(spark, tmp_path):
     p_inc = str(tmp_path / "lsh_inc")
     p_full = str(tmp_path / "lsh_full")
     write_lsh_index(docs, p_inc, num_hashes=8, band_size=2)
-    before = set(glob.glob(f"{p_inc}/bands/band_idx=*/*.parquet"))
+    before = set(glob.glob(f"{p_inc}/bands/_epoch=*/band_idx=*/*.parquet"))
     append_to_lsh_index(delta, p_inc)
-    after = set(glob.glob(f"{p_inc}/bands/band_idx=*/*.parquet"))
+    after = set(glob.glob(f"{p_inc}/bands/_epoch=*/band_idx=*/*.parquet"))
     assert before <= after and len(after) > len(before)
 
     write_lsh_index(docs.unionByName(delta), p_full,
