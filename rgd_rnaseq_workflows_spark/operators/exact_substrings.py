@@ -196,18 +196,21 @@ def duplicate_spans_from_counts(docs: DataFrame, counts: DataFrame,
     return _merge_ranges(rng)
 
 
-def _merge_ranges(rng: DataFrame) -> DataFrame:
-    """Gaps-and-islands merge of (doc_id, _s, _e) half-open ranges."""
+def _merge_ranges(rng: DataFrame,
+                  keys: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Gaps-and-islands merge of (*keys, _s, _e) half-open ranges —
+    per document by default; the calibration path merges per
+    (doc, window) in one pass."""
     from pyspark.sql import Window
-    w_prev = (Window.partitionBy("doc_id").orderBy("_s", "_e")
+    w_prev = (Window.partitionBy(*keys).orderBy("_s", "_e")
               .rowsBetween(Window.unboundedPreceding, -1))
-    w_cum = (Window.partitionBy("doc_id").orderBy("_s", "_e")
+    w_cum = (Window.partitionBy(*keys).orderBy("_s", "_e")
              .rowsBetween(Window.unboundedPreceding, 0))
     isl = (rng.withColumn(
         "_new", (F.col("_s") > F.coalesce(F.max("_e").over(w_prev),
                                           F.lit(-1))).cast("int"))
         .withColumn("_g", F.sum("_new").over(w_cum)))
-    return (isl.groupBy("doc_id", "_g")
+    return (isl.groupBy(*keys, "_g")
             .agg(F.min("_s").alias("span_start"),
                  F.max("_e").alias("span_end"))
             .drop("_g"))
@@ -339,6 +342,52 @@ ORDER BY doc_id
 """
 
 
+def multi_window_fingerprints(docs: DataFrame, windows: tuple[int, ...],
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, fp_<w1>, …, fp_<wm>): every candidate window's
+    fingerprint stream from ONE ladder pass over the corpus. The KMR
+    doubling chain for the LARGEST window passes through every
+    power-of-two level, so smaller power-of-two windows are harvested
+    as intermediate columns for free; a non-power-of-two window costs
+    exactly one extra overlapped ``zip_with`` branched off its floor
+    power-of-two level. Each ``fp_<w>`` column, filtered non-NULL,
+    equals :func:`window_fingerprints` at that L (test-pinned) — the
+    corpus is tokenized and laddered ONCE instead of once per L."""
+    ws = sorted(set(int(x) for x in windows))
+    if ws[0] < 1:
+        raise ValueError("window must be >= 1")
+    toks = TX.tokens(F.col(text_col))
+    # one projection per level (the window_fingerprints double-eval
+    # rule); _h<L> holds the level whose windows span L tokens
+    lvl = docs.select(F.col(id_col).alias("doc_id"),
+                      F.transform(toks, lambda t: md5_long(t))
+                      .alias("_h1"))
+    cur = 1
+    while 2 * cur <= ws[-1]:
+        lvl = lvl.withColumn(
+            f"_h{2 * cur}",
+            F.zip_with(F.col(f"_h{cur}"),
+                       F.slice(F.col(f"_h{cur}"), cur + 1, _BIG),
+                       lambda a, b: _combine(a, b)))
+        cur *= 2
+    for w in ws:
+        k = 1 << (w.bit_length() - 1)   # floor power of two
+        if k != w:                      # one overlapped combine
+            lvl = lvl.withColumn(
+                f"_h{w}",
+                F.zip_with(F.col(f"_h{k}"),
+                           F.slice(F.col(f"_h{k}"), (w - k) + 1, _BIG),
+                           lambda a, b: _combine(a, b)))
+    zipped = F.arrays_zip(
+        *[F.col(f"_h{w}").alias(f"fp_{w}") for w in ws])
+    return (lvl.select("doc_id",
+                       F.posexplode_outer(zipped).alias("pos", "_fps"))
+            .select("doc_id", "pos",
+                    *[F.col(f"_fps.fp_{w}").alias(f"fp_{w}")
+                      for w in ws]))
+
+
 def exact_substring_calibration(docs: DataFrame,
                                 windows: tuple[int, ...] = (4, 8, 16),
                                 id_col: str = "doc_id",
@@ -352,29 +401,88 @@ def exact_substring_calibration(docs: DataFrame,
     boilerplate — this quantifies the trade on REAL data BEFORE a
     100 TB dedup commits to the parameter.
 
-    Scale shape: one fingerprint ladder + one fp shuffle per candidate
-    L (calibration is an offline pass; the occurrence frame is
-    checkpointed so the dup-mass branch does not recompute the
-    ladder). All-exact integers; |windows| rows out."""
+    Scale shape: ONE fingerprint ladder for all candidate Ls (the
+    :func:`multi_window_fingerprints` harvest — power-of-two
+    candidates are intermediate levels of the largest L's chain), its
+    exploded stream checkpointed once and stacked into (w, fp) rows.
+    ONE map-side-combined groupBy on (w, fp) builds every L's
+    count/keeper table (fingerprint-scale out), the three headline
+    stats fold from that table alone, and only the removal mass joins
+    back — against the 2+-count subset, which AQE broadcasts when
+    small; the span merge runs per (doc, w) in one window pass over
+    the duplicate-scale range set. All-exact integers; |windows| rows
+    out (candidate Ls longer than every document report exact
+    zeros)."""
+    from pyspark.sql import Window
     from rgd_rnaseq_workflows_spark.session import checkpoint_df
-    out = None
-    for w in sorted(set(int(x) for x in windows)):
-        occ2 = checkpoint_df(
-            _counted_occurrences(docs, w, id_col, text_col))
-        stats = occ2.agg(
-            F.lit(w).cast("long").alias("window"),
-            F.count("*").cast("long").alias("n_windows"),
-            F.coalesce(F.sum((F.col("_c") >= 2).cast("long")),
-                       F.lit(0)).cast("long")
-            .alias("n_dup_occurrences"),
-            F.count_distinct(F.when(F.col("_c") >= 2, F.col("fp")))
-            .cast("long").alias("n_dup_sequences"))
-        removed = _merge_ranges(_removal_ranges(occ2, w)).agg(
-            F.coalesce(F.sum(F.col("span_end") - F.col("span_start")),
-                       F.lit(0)).cast("long").alias("removed_tokens"))
-        row = stats.crossJoin(F.broadcast(removed))
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("window")
+    ws = sorted(set(int(x) for x in windows))
+    occ = checkpoint_df(
+        multi_window_fingerprints(docs, tuple(ws), id_col, text_col))
+
+    def stacked():
+        return (occ.select(
+            "doc_id", "pos",
+            F.explode(F.array(*[
+                F.struct(F.lit(w).cast("long").alias("w"),
+                         F.col(f"fp_{w}").alias("fp")) for w in ws]))
+            .alias("_wf"))
+            .select("doc_id", "pos", F.col("_wf.w").alias("w"),
+                    F.col("_wf.fp").alias("fp"))
+            .filter(F.col("fp").isNotNull()))
+
+    # the ONE corpus-scale shuffle carries only (w, fp, partial count)
+    # — no keeper struct, no positions; its output is already filtered
+    # to the duplicate fingerprints (dup-scale)
+    dup = checkpoint_df(
+        stacked().groupBy("w", "fp")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 2), eager=False)
+    dupstats = (dup.groupBy("w")
+                .agg(F.sum("_c").cast("long")
+                     .alias("n_dup_occurrences"),
+                     F.count("*").cast("long")
+                     .alias("n_dup_sequences")))
+    # n_windows needs no count table at all: a doc of n tokens has
+    # exactly max(0, n - w + 1) full windows — one codegen scan
+    tc = TX.token_count(F.col(text_col))
+    nwin = (docs.select(F.explode(F.array(*[
+        F.struct(F.lit(w).cast("long").alias("w"),
+                 F.greatest(tc - F.lit(w) + 1, F.lit(0)).cast("long")
+                 .alias("k")) for w in ws])).alias("_x"))
+        .groupBy(F.col("_x.w").alias("w"))
+        .agg(F.sum("_x.k").cast("long").alias("n_windows")))
+    # keeper rank + ranges only over the duplicate OCCURRENCES (the
+    # checkpointed occ re-read joins the dup-fp subset, which AQE
+    # broadcasts when small); the span merge runs per (doc, w)
+    dup_occ = stacked().join(dup.select("w", "fp"), ["w", "fp"])
+    w_fp = Window.partitionBy("w", "fp")
+    rng = (dup_occ.withColumn(
+        "_keep", F.min(F.struct("doc_id", "pos")).over(w_fp))
+        .filter((F.col("doc_id") != F.col("_keep.doc_id"))
+                | (F.col("pos") != F.col("_keep.pos")))
+        .select("doc_id", "w", F.col("pos").alias("_s"),
+                (F.col("pos") + F.col("w")).alias("_e")))
+    removed = (_merge_ranges(rng, keys=("doc_id", "w"))
+               .groupBy("w")
+               .agg(F.sum(F.col("span_end") - F.col("span_start"))
+                    .cast("long").alias("removed_tokens")))
+    # a literal windows frame guarantees one row per candidate even
+    # when no document is long enough (exact zeros, not missing rows)
+    wdf = docs.sparkSession.createDataFrame(
+        [(w,) for w in ws], "window long")
+    out = wdf
+    for side in (nwin, dupstats, removed):
+        out = out.join(side, out["window"] == side["w"], "left").drop("w")
+    return (out.select("window",
+                       F.coalesce("n_windows", F.lit(0))
+                       .cast("long").alias("n_windows"),
+                       F.coalesce("n_dup_occurrences", F.lit(0))
+                       .cast("long").alias("n_dup_occurrences"),
+                       F.coalesce("n_dup_sequences", F.lit(0))
+                       .cast("long").alias("n_dup_sequences"),
+                       F.coalesce("removed_tokens", F.lit(0))
+                       .cast("long").alias("removed_tokens"))
+            .orderBy("window"))
 
 
 def exact_substring_calibration_sql(

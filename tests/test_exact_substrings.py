@@ -320,3 +320,30 @@ def test_calibration_all_docs_shorter_than_window(spark):
     exp = sorted(tuple(r) for r in con.execute(
         exact_substring_calibration_sql("documents", (16,))).fetchall())
     assert got == exp
+
+
+def test_multi_window_harvest_equals_per_window_ladders(spark):
+    """The one-pass harvest: each fp_<w> column of
+    multi_window_fingerprints, filtered non-NULL, equals the
+    standalone per-L ladder — power-of-two harvest levels AND the
+    overlapped-combine branch for non-powers-of-two."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        multi_window_fingerprints, window_fingerprints)
+    rng = random.Random(7)
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice("a b c d".split())
+                      for _ in range(rng.randint(0, 25))))
+         for i in range(30)], "doc_id long, text string")
+    for ws in [(4, 8, 16), (3, 5, 12), (1, 2, 7)]:
+        multi = multi_window_fingerprints(docs, ws)
+        for w in ws:
+            got = sorted(tuple(r) for r in
+                         multi.filter(F.col(f"fp_{w}").isNotNull())
+                         .select("doc_id", "pos", f"fp_{w}").collect())
+            want = sorted(tuple(r) for r in
+                          window_fingerprints(docs, w).collect())
+            assert got == want, (ws, w)
