@@ -577,6 +577,24 @@ ORDER BY doc_id
 
 # --- persisted decontamination index ------------------------------------------
 
+def _write_contam_epoch(bench: DataFrame, path: str, window: int,
+                        id_col: str, text_col: str, epoch_key: str,
+                        base: bool) -> None:
+    """One epoch's distinct (bench_id, fp) table + its ledger commit
+    row (the ``index_ledger`` exactly-once discipline)."""
+    from rgd_rnaseq_workflows_spark.operators.index_ledger import (
+        clear_dir, commit_ledger_row)
+    if base:
+        clear_dir(bench.sparkSession, f"{path}/fingerprints")
+    fps = (window_fingerprints(bench, window, id_col, text_col)
+           .select(F.col("doc_id").alias("bench_id"), "fp").distinct())
+    (fps.write.mode("overwrite")
+     .parquet(f"{path}/fingerprints/_epoch={epoch_key}"))
+    commit_ledger_row(
+        fps.agg(F.count("*").cast("long").alias("n_fingerprints")),
+        path, epoch_key, base=base)
+
+
 def write_contamination_index(bench: DataFrame, path: str, window: int,
                               id_col: str = "doc_id",
                               text_col: str = "text") -> None:
@@ -587,13 +605,46 @@ def write_contamination_index(bench: DataFrame, path: str, window: int,
     pays only its own fingerprints. The table is eval-scale (it
     broadcasts at probe time); meta makes probes self-describing — a
     probe laddering the corpus at a different window would silently
-    miss every hit otherwise."""
+    miss every hit otherwise. Layout follows the index-triad epoch
+    discipline (``index_ledger``): the base build is epoch ``base``,
+    :func:`append_to_contamination_index` adds eval-suite deltas."""
+    from rgd_rnaseq_workflows_spark.operators.index_ledger import (
+        BASE_EPOCH)
     spark = bench.sparkSession
-    (window_fingerprints(bench, window, id_col, text_col)
-     .select(F.col("doc_id").alias("bench_id"), "fp").distinct()
-     .write.mode("overwrite").parquet(f"{path}/fingerprints"))
     (spark.createDataFrame([(window,)], "window int")
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+    _write_contam_epoch(bench, path, window, id_col, text_col,
+                        BASE_EPOCH, base=True)
+
+
+def append_to_contamination_index(new_bench: DataFrame, path: str,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  epoch_key: str | None = None) -> bool:
+    """Incremental eval-suite maintenance: a new benchmark's window
+    fingerprints land in their own epoch directory, laddered at the
+    INDEX'S OWN frozen window (the ``append_to_lsh_index`` frozen-
+    params contract — appending at a different L would poison every
+    probe). Probes see appended benchmarks immediately and equal a
+    from-scratch rebuild over the union (test-pinned); per-epoch
+    (bench_id, fp) rows are distinct within an epoch, and the probe's
+    ``count_distinct`` aggregates make cross-epoch re-registration of
+    the same benchmark harmless.
+
+    Exactly-once per ``epoch_key`` (the ``index_ledger`` contract):
+    a replayed key is a no-op (returns False); ``epoch_key=None``
+    mints a fresh ``batch-N`` key."""
+    from rgd_rnaseq_workflows_spark.operators.index_ledger import (
+        ledger_keys, next_batch_key)
+    spark = new_bench.sparkSession
+    if epoch_key is None:
+        epoch_key = next_batch_key(spark, path)
+    elif epoch_key in ledger_keys(spark, path):
+        return False
+    [r] = spark.read.parquet(f"{path}/meta").collect()
+    _write_contam_epoch(new_bench, path, int(r["window"]), id_col,
+                        text_col, epoch_key, base=False)
+    return True
 
 
 def probe_contamination_index(spark, path: str, docs: DataFrame,

@@ -205,10 +205,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bm25-buckets", type=int, default=32,
                    help="term-hash directory fan-out for --bm25-index")
     p.add_argument("--epoch-key", default=None, metavar="KEY",
-                   help="with --ann-append/--bm25-append: commit the "
-                        "append under this ledger epoch key, making "
-                        "the run retry-safe (a replayed key is a "
-                        "no-op; default mints a fresh batch-N key)")
+                   help="with --ann-append/--bm25-append/"
+                        "--contam-append: commit the append under "
+                        "this ledger epoch key, making the run "
+                        "retry-safe (a replayed key is a no-op; "
+                        "default mints a fresh batch-N key)")
+    p.add_argument("--contam-index", default=None, metavar="PATH",
+                   help="persist the --benchmark eval suite's "
+                        "exact-substring fingerprint index under PATH "
+                        "(decontamination-as-a-service: ladder the "
+                        "evals once, probe every corpus delta with "
+                        "probe-contam)")
+    p.add_argument("--contam-append", action="store_true",
+                   help="with --contam-index: append --benchmark "
+                        "into the EXISTING index at its frozen "
+                        "window instead of rebuilding")
+    p.add_argument("--contam-window", type=int, default=8,
+                   help="window length (tokens) for --contam-index "
+                        "builds (frozen into the index meta)")
     return p
 
 
@@ -524,6 +538,23 @@ def run(args: argparse.Namespace) -> int:
                         "write)"):
                 write_inverted_index(final, args.bm25_index,
                                      num_buckets=args.bm25_buckets)
+    if args.contam_index:
+        if not args.benchmark:
+            raise SystemExit("--contam-index requires --benchmark")
+        bench = spark.read.parquet(args.benchmark)
+        if args.contam_append:
+            from rgd_rnaseq_workflows_spark.operators.exact_substrings \
+                import append_to_contamination_index
+            with _stage("contamination index append (frozen window)"):
+                append_to_contamination_index(bench, args.contam_index,
+                                              epoch_key=args.epoch_key)
+        else:
+            from rgd_rnaseq_workflows_spark.operators.exact_substrings \
+                import write_contamination_index
+            with _stage("contamination index build (eval fingerprint "
+                        "ladder)"):
+                write_contamination_index(bench, args.contam_index,
+                                          window=args.contam_window)
     return 0
 
 
@@ -645,10 +676,46 @@ def run_optimize(args: argparse.Namespace) -> int:
     return 0
 
 
+def build_contam_probe_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rgd_rnaseq_workflows_spark.run_corpus probe-contam",
+        description="probe a corpus delta against a persisted "
+                    "eval-fingerprint index: per contaminated doc, "
+                    "hit positions + distinct benchmarks touched. "
+                    "The delta is laddered at the index's frozen "
+                    "window; the eval table broadcasts")
+    p.add_argument("--index", required=True,
+                   help="layout written by --contam-index")
+    p.add_argument("--docs", required=True,
+                   help="documents parquet to screen")
+    p.add_argument("--out", default=None, metavar="DIR",
+                   help="write the report as TSV (default: stdout)")
+    return p
+
+
+def run_contam_probe(args: argparse.Namespace) -> int:
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        probe_contamination_index)
+    spark = get_spark("contam-probe")
+    with _stage("contamination probe (delta ladder + broadcast join)"):
+        rep = probe_contamination_index(
+            spark, args.index, spark.read.parquet(args.docs))
+        if args.out:
+            write_tsv(rep, args.out, single_file=True)
+        else:
+            for r in rep.collect():
+                print(f"{r['doc_id']}\t{r['n_hit_positions']}\t"
+                      f"{r['n_bench_docs']}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "optimize-index":
         return run_optimize(build_optimize_parser().parse_args(argv[1:]))
+    if argv and argv[0] == "probe-contam":
+        return run_contam_probe(
+            build_contam_probe_parser().parse_args(argv[1:]))
     if argv and argv[0] == "probe-ann":
         return run_probe(build_probe_parser().parse_args(argv[1:]))
     if argv and argv[0] == "probe-lsh":

@@ -347,3 +347,93 @@ def test_multi_window_harvest_equals_per_window_ladders(spark):
             want = sorted(tuple(r) for r in
                           window_fingerprints(docs, w).collect())
             assert got == want, (ws, w)
+
+
+def test_contamination_index_append_equals_rebuild(spark, tmp_path):
+    """Eval suites grow: appending a new benchmark at the index's
+    FROZEN window equals rebuilding over the union, probes see the
+    appended suite immediately, and a replayed epoch key no-ops."""
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        append_to_contamination_index, probe_contamination_index,
+        write_contamination_index)
+
+    bench1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    bench2 = spark.createDataFrame(
+        [(2, "pack my box with five dozen liquor jugs")],
+        ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(10, "intro text then the quick brown fox jumps over it"),
+         (11, "totally clean document with original words only"),
+         (12, "pack my box with five dozen liquor jugs verbatim")],
+        ["doc_id", "text"])
+    p_inc = str(tmp_path / "inc")
+    p_full = str(tmp_path / "full")
+    write_contamination_index(bench1, p_inc, window=5)
+    assert append_to_contamination_index(bench2, p_inc,
+                                         epoch_key="e1") is True
+    write_contamination_index(bench1.unionByName(bench2), p_full,
+                              window=5)
+    got = [tuple(r) for r in
+           probe_contamination_index(spark, p_inc, docs).collect()]
+    want = [tuple(r) for r in
+            probe_contamination_index(spark, p_full, docs).collect()]
+    assert got == want
+    assert {d for d, _, _ in got} == {10, 12}
+    # replayed epoch key = no-op; probe unchanged
+    assert append_to_contamination_index(bench2, p_inc,
+                                         epoch_key="e1") is False
+    assert [tuple(r) for r in
+            probe_contamination_index(spark, p_inc, docs).collect()] \
+        == got
+
+
+def test_contamination_index_cli(spark, tmp_path):
+    """e2e: --contam-index builds from --benchmark, --contam-append
+    extends it, probe-contam screens a delta through the CLI."""
+    import glob as _glob
+
+    from rgd_rnaseq_workflows_spark import run_corpus
+
+    filler = ("the and of to in is it a for on " +
+              " ".join(f"pad{i}" for i in range(10)))
+    bench1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    bench2 = spark.createDataFrame(
+        [(2, "pack my box with five dozen liquor jugs")],
+        ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(10, "en", "web",
+          "intro the quick brown fox jumps over it " + filler),
+         (11, "en", "web", "clean original words only " + filler),
+         (12, "en", "web",
+          "pack my box with five dozen liquor jugs here " + filler)],
+        ["doc_id", "lang", "source", "text"])
+    src = str(tmp_path / "docs.parquet")
+    b1 = str(tmp_path / "bench1.parquet")
+    b2 = str(tmp_path / "bench2.parquet")
+    docs.write.parquet(src)
+    bench1.write.parquet(b1)
+    bench2.write.parquet(b2)
+    idx = str(tmp_path / "contam_idx")
+    out = str(tmp_path / "corpus_out")
+    rc = run_corpus.main(["--docs", src, "--out", out,
+                          "--min-tokens", "3", "--threshold", "0.99",
+                          "--benchmark", b1,
+                          "--contam-index", idx, "--contam-window", "5"])
+    assert rc == 0
+    rc = run_corpus.main(["--docs", src, "--out", out,
+                          "--min-tokens", "3", "--threshold", "0.99",
+                          "--benchmark", b2,
+                          "--contam-index", idx, "--contam-append"])
+    assert rc == 0
+    probe_out = str(tmp_path / "probe_out")
+    rc = run_corpus.main(["probe-contam", "--index", idx,
+                          "--docs", src, "--out", probe_out])
+    assert rc == 0
+    [tsv] = _glob.glob(f"{probe_out}/part*.csv")
+    lines = open(tsv).read().strip().split("\n")
+    hit_ids = {int(ln.split("\t")[0]) for ln in lines[1:]}
+    assert hit_ids == {10, 12}
