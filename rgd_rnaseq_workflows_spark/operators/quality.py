@@ -440,6 +440,28 @@ def kn_nll_table(lm: DataFrame) -> DataFrame:
                     .alias("nll6")))
 
 
+def _kn_fold(joined: DataFrame, id_col: str,
+             weight) -> DataFrame:
+    """The ONE definition of the per-document KN fold: aggregate
+    (id, nll6)-joined rows — weighted per distinct bigram (batch) or
+    per occurrence (streaming, weight 1) — into the
+    (n_bigrams, n_oov, nll_micro, ppl) report."""
+    return (joined.groupBy("id")
+            .agg(F.sum(F.when(F.col("nll6").isNotNull(), weight)
+                       .otherwise(0)).alias("n_bigrams"),
+                 F.sum(F.when(F.col("nll6").isNull(), weight)
+                       .otherwise(0)).alias("n_oov"),
+                 F.sum(weight * F.coalesce(F.col("nll6"), F.lit(0)))
+                 .alias("nll_micro"))
+            .select(F.col("id").alias(id_col), "n_bigrams", "n_oov",
+                    "nll_micro",
+                    F.when(F.col("n_bigrams") == 0, F.lit(None))
+                    .otherwise(
+                        F.round(F.exp(F.col("nll_micro").cast("double")
+                                      / 1e6 / F.col("n_bigrams")), 4))
+                    .alias("ppl")))
+
+
 def kn_score(docs: DataFrame, nll_table: DataFrame,
              id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
@@ -452,22 +474,23 @@ def kn_score(docs: DataFrame, nll_table: DataFrame,
     b = docs.select(F.col(id_col).alias("id"),
                     F.explode(TX.shingles_all(text_col, 2)).alias("bg"))
     tf = b.groupBy("id", "bg").agg(F.count("*").alias("cnt"))
-    return (tf.join(nll_table, "bg", "left")
-            .groupBy("id")
-            .agg(F.sum(F.when(F.col("nll6").isNotNull(), F.col("cnt"))
-                       .otherwise(0)).alias("n_bigrams"),
-                 F.sum(F.when(F.col("nll6").isNull(), F.col("cnt"))
-                       .otherwise(0)).alias("n_oov"),
-                 F.sum(F.col("cnt") * F.coalesce(F.col("nll6"),
-                                                 F.lit(0)))
-                 .alias("nll_micro"))
-            .select(F.col("id").alias(id_col), "n_bigrams", "n_oov",
-                    "nll_micro",
-                    F.when(F.col("n_bigrams") == 0, F.lit(None))
-                    .otherwise(
-                        F.round(F.exp(F.col("nll_micro").cast("double")
-                                      / 1e6 / F.col("n_bigrams")), 4))
-                    .alias("ppl")))
+    return _kn_fold(tf.join(nll_table, "bg", "left"), id_col,
+                    F.col("cnt"))
+
+
+def kn_score_occurrences(docs: DataFrame, nll_table: DataFrame,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """:func:`kn_score` as a SINGLE aggregation: each bigram
+    OCCURRENCE joins the LM directly (no per-(doc, bigram) pre-count),
+    weight 1 in the shared fold — exactly the batch scores
+    (test-pinned), in the one-stateful-operator shape Structured
+    Streaming requires (a stateless stream-static join followed by one
+    streaming aggregation; the batch form's tf pre-count would be a
+    second chained aggregation, which streaming forbids)."""
+    b = docs.select(F.col(id_col).alias("id"),
+                    F.explode(TX.shingles_all(text_col, 2)).alias("bg"))
+    return _kn_fold(b.join(nll_table, "bg", "left"), id_col, F.lit(1))
 
 
 def kn_lm_report_sql(table: str = "documents", id_col: str = "doc_id",

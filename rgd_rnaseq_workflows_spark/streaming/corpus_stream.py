@@ -331,6 +331,28 @@ def stream_bigram_counts(doc_stream: DataFrame,
     return bigram_counts(doc_stream, text_col)
 
 
+def stream_kn_score(doc_stream: DataFrame, nll_table: DataFrame,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Streaming KN quality gate — the OTHER half of the Kneser-Ney
+    pair: :func:`stream_bigram_counts` maintains the LM from the lake;
+    this scores a LIVE ingest stream against a FROZEN (bg, nll6) table
+    (the CCNet deployment shape: perplexity-gate documents as they
+    arrive, against the reference LM, without touching the lake).
+
+    Shape: the frozen LM joins as a STATIC frame (stream-static joins
+    are stateless), and ``quality.kn_score_occurrences`` folds the
+    per-document report in ONE streaming aggregation (the batch form's
+    per-(doc, bigram) pre-count would be a second chained aggregation,
+    which streaming forbids — the occurrence-weighted fold is
+    bit-identical, test-pinned). State is one row per in-flight
+    document id; ppl/n_oov equal the batch ``kn_score`` over the same
+    rows (test-pinned under out-of-order micro-batches)."""
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        kn_score_occurrences)
+    return kn_score_occurrences(doc_stream, nll_table, id_col, text_col)
+
+
 def stream_index_ingest(stream: DataFrame, path: str, kind: str,
                         stream_id: str = "stream"):
     """Streaming maintenance for the persisted index family: each

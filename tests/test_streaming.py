@@ -693,3 +693,50 @@ def test_stream_index_ingest_bm25_and_ivf(spark, tmp_out):
                ivf_index_topk(spark, eidx, [2.0, 1.0], k=6,
                               nprobe=4).collect()}
     assert {202}.issubset(got_ids)            # streamed vector found
+
+
+def test_stream_kn_score_against_frozen_lm_equals_batch(spark, tmp_out):
+    """The production quality-gate shape: documents STREAM IN and are
+    scored against a FROZEN reference LM — per-doc ppl/n_oov from the
+    one-aggregation streaming fold equal the batch kn_score over the
+    same rows, across out-of-order micro-batches, including OOV
+    bigrams (the stream's vocabulary exceeds the LM's)."""
+    import os
+
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        bigram_counts, kn_nll_table, kn_score)
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        stream_kn_score)
+
+    schema = "doc_id long, text string"
+    ref = spark.createDataFrame(
+        [(100, "a b a b c"), (101, "b c a b")], schema)
+    nll = kn_nll_table(bigram_counts(ref))
+    nll.cache().count()          # the frozen LM — a static frame
+
+    b1 = [(1, "a b a b"), (2, "a b z q")]      # doc 2: OOV bigrams
+    b2 = [(3, "c a b"), (4, "q q q"), (5, "")]  # 4: all-OOV, 5: empty
+    src = os.path.join(tmp_out, "knscore_src")
+    os.makedirs(src)
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stream_kn_score(stream, nll)
+         .writeStream.format("memory").queryName("kn_scores")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in
+                     spark.sql("SELECT * FROM kn_scores").collect())
+    finally:
+        q.stop()
+
+    both = spark.createDataFrame(b1 + b2, schema)
+    want = sorted(tuple(r) for r in kn_score(both, nll).collect())
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[2][2] > 0                     # n_oov counted
+    assert by_id[4][1] == 0 and by_id[4][4] is None  # all-OOV: no ppl
