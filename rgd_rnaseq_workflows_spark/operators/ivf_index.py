@@ -208,6 +208,37 @@ def append_to_ivf_index(emb: DataFrame, path: str,
     return True
 
 
+def probe_labels_batch(spark: SparkSession, queries: DataFrame,
+                       path: str, nprobe: int = 2,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """(qid, label) — each query vector's top-``nprobe`` lists under
+    the index's OWN ranking rule (exact integer centroid dot DESC,
+    label ASC; the distributed form of :func:`probe_labels`), ranked
+    against the broadcast centroid table and lineage-truncated so both
+    consumers (the directory IN-list collect and the scored join) read
+    it once. The shared front half of :func:`ivf_index_topk_batch` and
+    the margin-alignment index route."""
+    from pyspark.sql import Window
+
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    qe = (queries.select(F.col(id_col).alias("qid"),
+                         F.posexplode(_as_double(vec_col))
+                         .alias("_d0", "_x"))
+          .select("qid", (F.col("_d0") + 1).alias("d"),
+                  F.round(F.col("_x") * CENT_SCALE).cast("long")
+                  .alias("qx")))
+    w = Window.partitionBy("qid").orderBy(F.desc("_dot"), "label")
+    return checkpoint_df(
+        (qe.join(cents, "d")
+         .groupBy("qid", "label")
+         .agg(F.sum(F.col("c") * F.col("qx")).alias("_dot"))
+         .withColumn("_rn", F.row_number().over(w))
+         .filter(F.col("_rn") <= nprobe)
+         .select("qid", "label")), eager=False)
+
+
 def ivf_index_topk_batch(spark: SparkSession, queries: DataFrame,
                          path: str, k: int = 10, nprobe: int = 2,
                          id_col: str = "vec_id",
@@ -219,29 +250,12 @@ def ivf_index_topk_batch(spark: SparkSession, queries: DataFrame,
     to its own probed lists, exact cosine, and the house two-phase
     grouped top-k. Returns (qid, vec_id, rn) — per-query rank, equal
     to running :func:`ivf_index_topk` per query (test-pinned)."""
-    from pyspark.sql import Window
-
     from rgd_rnaseq_workflows_spark.operators.similarity import (
         _grouped_topk, cosine_kernel)
-    cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
     qv = queries.select(F.col(qid_col).alias("qid"),
                         _as_double(vec_col).alias("_qv"))
-    qe = (qv.select("qid", F.posexplode("_qv").alias("_d0", "_x"))
-          .select("qid", (F.col("_d0") + 1).alias("d"),
-                  F.round(F.col("_x") * CENT_SCALE).cast("long")
-                  .alias("qx")))
-    from rgd_rnaseq_workflows_spark.session import checkpoint_df
-    w = Window.partitionBy("qid").orderBy(F.desc("_dot"), "label")
-    # checkpoint: the queries×nprobe frame feeds both the directory
-    # IN-list collect and the scored join — truncate so the centroid
-    # join + ranking window runs once, not per consumer
-    qlabels = checkpoint_df(
-        (qe.join(cents, "d")
-         .groupBy("qid", "label")
-         .agg(F.sum(F.col("c") * F.col("qx")).alias("_dot"))
-         .withColumn("_rn", F.row_number().over(w))
-         .filter(F.col("_rn") <= nprobe)
-         .select("qid", "label")), eager=False)
+    qlabels = probe_labels_batch(spark, queries, path, nprobe,
+                                 id_col=qid_col, vec_col=vec_col)
     # the probed-directory union is driver metadata (≤ n_queries × nprobe
     # ints) — collecting it is what turns the scan into an IN-list the
     # reader prunes directories with

@@ -429,6 +429,46 @@ def margin_alignment_ivf(left: DataFrame, right: DataFrame,
                             block_col="blk")
 
 
+def margin_alignment_from_index(spark, path: str, left: DataFrame,
+                                nprobe: int = 2, k: int = 4,
+                                min_margin_ppm: int = 1_000_000,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> DataFrame:
+    """:func:`margin_alignment` against a PERSISTED IVF index
+    (``operators.ivf_index``) — the production alignment shape: the
+    lake side is clustered, partitioned, and centroid-summarized ONCE
+    (``run_corpus --ann-index``); every alignment batch then pays only
+    its own coarse ranking plus a DIRECTORY-PRUNED scan of the probed
+    lists. Nothing re-fits, nothing re-clusters, and unprobed lists are
+    never even listed — vs :func:`margin_alignment_ivf`, which runs the
+    k-means fit + full lake assignment inside every query.
+
+    Coarse rule: the INDEX'S OWN ranking (exact integer centroid dot
+    DESC, label ASC — ``ivf_index.probe_labels_batch``), so a batch
+    lands on exactly the lists a probe for each vector would scan;
+    note this is the dot rule every ivf_index probe uses, not
+    ``margin_alignment_ivf``'s k-means distance rule, so probed lists
+    can differ between the two forms (documented trade; equality with
+    an unpruned reference under the same rule is test-pinned). Margin
+    fold, exact-integer margins, and tie-breaks are byte-identical to
+    :func:`margin_alignment` (shared code path)."""
+    from rgd_rnaseq_workflows_spark.operators.ivf_index import (
+        probe_labels_batch, probe_scan)
+    qlabels = probe_labels_batch(spark, left, path, nprobe,
+                                 id_col=id_col, vec_col=vec_col)
+    l_blk = (left.join(qlabels.withColumnRenamed("qid", id_col),
+                       id_col)
+             .withColumnRenamed("label", "blk"))
+    labels = [r["label"] for r in
+              qlabels.select("label").distinct().collect()]
+    r_blk = probe_scan(spark, path, labels) \
+        .withColumnRenamed("label", "blk")
+    return margin_alignment(l_blk, r_blk, k=k,
+                            min_margin_ppm=min_margin_ppm,
+                            id_col=id_col, vec_col=vec_col,
+                            block_col="blk")
+
+
 def margin_alignment_ivf_sql(left_src: str, right_src: str,
                              kc: int = 10, nprobe: int = 2,
                              iters: int = 2, k: int = 4,

@@ -254,3 +254,45 @@ def test_append_raises_on_unassignable_vector(spark, tmp_path):
         "vec_id long, embedding array<float>")
     with pytest.raises(Exception, match="no centroid assignment"):
         append_to_ivf_index(bad, path)
+
+
+def test_margin_from_index_equals_unpruned_reference(spark, tmp_path):
+    """The index-routed margin alignment: probed-list directory pruning
+    changes NOTHING about the kept set (the unpruned full-scan join
+    under the same coarse rule is identical), and the scan carries
+    PartitionFilters. The lake side never re-fits."""
+    import random
+
+    from rgd_rnaseq_workflows_spark.operators.clustering import kmeans_fit
+    from rgd_rnaseq_workflows_spark.operators.ivf_index import (
+        probe_labels_batch, write_ivf_index)
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        margin_alignment, margin_alignment_from_index)
+
+    rng = random.Random(3)
+    lake = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)])
+         for i in range(120)], "vec_id long, embedding array<float>")
+    batch = spark.createDataFrame(
+        [(1000 + i, [rng.uniform(-1, 1) for _ in range(8)])
+         for i in range(20)], "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf_margin")
+    assigned, _ = kmeans_fit(lake, k=6, iters=2, persist=False)
+    write_ivf_index(assigned, path, label_col="cluster")
+
+    got = margin_alignment_from_index(
+        spark, path, batch, nprobe=2, k=4, min_margin_ppm=1_000_000)
+    # unpruned reference under the SAME coarse rule: every list joins,
+    # unprobed lists simply never match the batch's blk values
+    qlabels = probe_labels_batch(spark, batch, path, nprobe=2)
+    l_blk = (batch.join(qlabels.withColumnRenamed("qid", "vec_id"),
+                        "vec_id").withColumnRenamed("label", "blk"))
+    r_blk = (spark.read.parquet(f"{path}/vectors")
+             .withColumnRenamed("_pt", "blk").drop("_epoch"))
+    want = margin_alignment(l_blk, r_blk, k=4,
+                            min_margin_ppm=1_000_000, block_col="blk")
+    assert sorted(tuple(r) for r in got.collect()) == \
+        sorted(tuple(r) for r in want.collect())
+    assert got.count() > 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

@@ -71,12 +71,47 @@ def time_queries(spark, path: str, kc: int) -> dict[str, float]:
     return out
 
 
+def time_index_probe(spark, path: str, kc: int,
+                     batch) -> tuple[float, float]:
+    """(build_s, probe_s) for the INDEX-ROUTED margin shape: the lake
+    side is fit + partitioned + centroid-summarized once (amortized —
+    the ivf/lsh/bm25 probe-row convention), then a FIXED-SIZE alignment
+    batch pays only its coarse ranking + the pruned scan of its probed
+    lists. This is the production margin query: delta batches against
+    an indexed lake, not corpus × corpus."""
+    import shutil
+    import tempfile
+
+    from rgd_rnaseq_workflows_spark.operators.clustering import kmeans_fit
+    from rgd_rnaseq_workflows_spark.operators.ivf_index import (
+        write_ivf_index)
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        margin_alignment_from_index)
+    lake = _emb(spark, path).filter(F.col("label") % 2 == 1)
+    idx = tempfile.mkdtemp(prefix="margin_idx_")
+    shutil.rmtree(idx)
+    t0 = time.time()
+    assigned, _ = kmeans_fit(lake, k=kc, iters=2, persist=False)
+    write_ivf_index(assigned, idx, label_col="cluster")
+    build = round(time.time() - t0, 2)
+    t0 = time.time()
+    (margin_alignment_from_index(spark, idx, batch, nprobe=2, k=4,
+                                 min_margin_ppm=1_200_000)
+     .write.format("noop").mode("overwrite").save())
+    probe = round(time.time() - t0, 2)
+    shutil.rmtree(idx, ignore_errors=True)
+    return build, probe
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--rep", type=int, default=100)
     ap.add_argument("--out", default="/tmp/margin_scale")
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--index-probe", action="store_true",
+                    help="also measure the index-routed margin probe "
+                         "(fixed-size batch vs 1x/Nx indexed lake)")
     args = ap.parse_args()
 
     base = os.path.join(args.out, "emb_1x.parquet")
@@ -98,6 +133,17 @@ def main() -> None:
     for name in t1:
         alpha = math.log(tn[name] / t1[name]) / math.log(args.rep)
         print(f"| {name} | {t1[name]} | {tn[name]} | {alpha:.2f} |")
+    if args.index_probe:
+        batch = (_emb(spark, base).filter(F.col("label") % 2 == 0)
+                 .select("vec_id", "embedding"))
+        batch.cache().count()       # the FIXED delta batch, both scales
+        time_index_probe(spark, base, 8, batch)        # warm
+        b1, p1 = time_index_probe(spark, base, 8, batch)
+        bn, pn = time_index_probe(spark, big, 8 * args.rep, batch)
+        alpha = math.log(pn / p1) / math.log(args.rep)
+        print(f"| margin_from_index probe (fixed batch) "
+              f"| {p1} | {pn} | {alpha:.2f} |")
+        print(f"  (index build, amortized: {b1} s -> {bn} s)")
 
 
 if __name__ == "__main__":
