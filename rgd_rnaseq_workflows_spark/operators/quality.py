@@ -1215,3 +1215,59 @@ SELECT CAST(vocab_size AS BIGINT) AS vocab_size, n_terms,
 FROM arms CROSS JOIN totals
 ORDER BY vocab_size
 """
+
+
+def ngram_novelty_report(docs: DataFrame, n: int = 3,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Per-document n-gram novelty against everything that arrived
+    BEFORE it (doc_id = ingestion order): what fraction of the
+    document's n-gram occurrences use a gram first seen in an earlier
+    document. The memorization/freshness profile of a crawl — a
+    novelty collapse flags a feed re-crawling itself (dedup's leading
+    indicator), and per-slice novelty ranks sources by how much NEW
+    text they actually contribute.
+
+    novelty_micro = (n_grams − n_seen_before)·10⁶ div n_grams — exact
+    integer division, engine-identical. Documents shorter than ``n``
+    tokens have no grams and drop (documented; they carry no signal).
+
+    Scale shape: one explode + ONE map-side-combined groupBy(gram)
+    for the global first-doc table, one equi-join back, one per-doc
+    aggregation — the ngram_coverage_report shuffle budget; no windows
+    over the corpus, no self-join."""
+    g = docs.select(F.col(id_col).alias("id"),
+                    F.explode(TX.shingles_all(text_col, n)).alias("g"))
+    first = g.groupBy("g").agg(F.min("id").alias("_first"))
+    return (g.join(first, "g")
+            .groupBy("id")
+            .agg(F.count("*").cast("long").alias("n_grams"),
+                 F.sum((F.col("_first") < F.col("id")).cast("long"))
+                 .cast("long").alias("n_seen_before"))
+            .select(F.col("id").alias(id_col), "n_grams",
+                    "n_seen_before",
+                    F.expr("(n_grams - n_seen_before) * 1000000 "
+                           "div n_grams").cast("long")
+                    .alias("novelty_micro"))
+            .orderBy(id_col))
+
+
+def ngram_novelty_report_sql(table: str = "documents", n: int = 3,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> str:
+    """DuckDB twin of :func:`ngram_novelty_report`."""
+    sh = TX.shingles_all_sql(text_col, n)
+    return f"""
+WITH g AS (
+  SELECT {id_col} AS id, unnest({sh}) AS g FROM {table}),
+first AS (SELECT g, min(id) AS f FROM g GROUP BY g),
+per AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(coalesce(sum(CAST(f < id AS BIGINT)), 0) AS BIGINT)
+           AS n_seen_before
+  FROM g JOIN first USING (g) GROUP BY id)
+SELECT id AS {id_col}, n_grams, n_seen_before,
+       CAST((n_grams - n_seen_before) * 1000000 // n_grams AS BIGINT)
+         AS novelty_micro
+FROM per ORDER BY {id_col}
+"""

@@ -113,3 +113,87 @@ SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_terms_hit,
 FROM sc GROUP BY {id_col}
 ORDER BY sum(s6) DESC, {id_col} LIMIT {k}
 """
+
+
+def rrf_fusion(docs: DataFrame, emb: DataFrame, query_text: str,
+               query_id: int, k: int = 10, k0: int = 60,
+               n_candidates: int = 20, id_col: str = "doc_id",
+               vec_id_col: str = "vec_id",
+               text_col: str = "text") -> DataFrame:
+    """Hybrid retrieval: the BM25 lexical rank list and the exact-
+    cosine dense rank list fused by Reciprocal Rank Fusion (Cormack,
+    Clarke & Buettcher 2009) — the standard zero-tuning hybrid that
+    outperforms either list alone because rank positions, unlike raw
+    scores, are comparable across scoring functions.
+
+    Each list contributes ``1e6 div (k0 + rank)`` micro-points (exact
+    integer division — no float accumulation, so the DuckDB twin
+    reproduces the fused order bit-for-bit); documents in only one
+    list score that list alone (full outer join). Returns
+    (doc_id, lex_rank, dense_rank, rrf_micro), fused desc / id asc,
+    top ``k`` of the two ``n_candidates``-deep lists.
+
+    Scale shape: both rank lists are already top-n_candidates
+    (TakeOrdered per list — no corpus sort); ranking and fusion run on
+    2·n_candidates rows of driver-adjacent metadata."""
+    from pyspark.sql import Window
+
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        brute_force_topk, query_vector)
+    lex = bm25_topk(docs, query_text, k=n_candidates, id_col=id_col,
+                    text_col=text_col)
+    dense = brute_force_topk(emb, query_vector(emb, query_id,
+                                               id_col=vec_id_col),
+                             k=n_candidates, id_col=vec_id_col)
+    # rank within each candidate list (candidate frames are tiny —
+    # the single-partition window is metadata-scale by construction)
+    w_lex = Window.orderBy(F.desc("bm25"), id_col)
+    w_den = Window.orderBy(F.desc("cosine_sim"), vec_id_col)
+    lr = lex.select(F.col(id_col).alias("_id"),
+                    F.row_number().over(w_lex).alias("lex_rank"))
+    dr = dense.select(F.col(vec_id_col).alias("_id"),
+                      F.row_number().over(w_den).alias("dense_rank"))
+    pts = (F.coalesce(F.expr(f"1000000 div ({k0} + lex_rank)"), F.lit(0))
+           + F.coalesce(F.expr(f"1000000 div ({k0} + dense_rank)"),
+                        F.lit(0)))
+    return (lr.join(dr, "_id", "full_outer")
+            .select(F.col("_id").alias(id_col), "lex_rank", "dense_rank",
+                    pts.cast("long").alias("rrf_micro"))
+            .orderBy(F.desc("rrf_micro"), id_col).limit(k))
+
+
+def rrf_fusion_sql(docs_table: str, emb_table: str, query_text: str,
+                   query_id: int, k: int = 10, k0: int = 60,
+                   n_candidates: int = 20, id_col: str = "doc_id",
+                   vec_id_col: str = "vec_id",
+                   text_col: str = "text") -> str:
+    """DuckDB twin of :func:`rrf_fusion` — the bm25_topk twin and the
+    brute-force cosine list re-ranked and fused with the identical
+    integer-division point rule."""
+    lex = bm25_topk_sql(docs_table, query_text, k=n_candidates,
+                        id_col=id_col, text_col=text_col)
+    return f"""
+WITH lex AS ({lex}),
+lr AS (
+  SELECT {id_col} AS _id, CAST(row_number() OVER (
+    ORDER BY bm25 DESC, {id_col}) AS INTEGER) AS lex_rank
+  FROM lex),
+dense AS (
+  SELECT {vec_id_col},
+         round(list_cosine_similarity(
+           CAST(embedding AS DOUBLE[]),
+           (SELECT CAST(embedding AS DOUBLE[]) FROM {emb_table}
+            WHERE {vec_id_col} = {query_id})), 6) AS cosine_sim
+  FROM {emb_table}
+  ORDER BY cosine_sim DESC, {vec_id_col} LIMIT {n_candidates}),
+dr AS (
+  SELECT {vec_id_col} AS _id, CAST(row_number() OVER (
+    ORDER BY cosine_sim DESC, {vec_id_col}) AS INTEGER) AS dense_rank
+  FROM dense)
+SELECT coalesce(lr._id, dr._id) AS {id_col}, lex_rank, dense_rank,
+       CAST(coalesce(1000000 // ({k0} + lex_rank), 0)
+            + coalesce(1000000 // ({k0} + dense_rank), 0) AS BIGINT)
+         AS rrf_micro
+FROM lr FULL JOIN dr ON lr._id = dr._id
+ORDER BY rrf_micro DESC, {id_col} LIMIT {k}
+"""

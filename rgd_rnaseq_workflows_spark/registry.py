@@ -1645,6 +1645,9 @@ def text_zipf_head_stats(spark, sf_dir):
 # prior round are surfaced first so every registry entry accumulates a
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
+    # new r10 queries (never-stamped lead the window):
+    "retrieval_rrf_fusion",
+    "text_ngram_novelty",
     # round-10 window (exactly tools/rotation_check.py --plan at the r9
     # close): the 31 r6-aged rows that would breach MAX_AGE after r10
     # lead in oldest-evidence-first order, then the next-oldest stamped
@@ -4663,3 +4666,48 @@ def split_host_assign(spark, sf_dir):
     return (c.withColumn("split", split_assign(F.col("host"), seed=13))
             .groupBy("host", "split")
             .agg(F.count("*").alias("n_docs")))
+
+
+# =============================================================================
+# Batch r10 — hybrid retrieval fusion + crawl novelty profiling
+# =============================================================================
+
+_RRF_QUERY = "w1 w7 w42"
+
+
+def _rrf_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.retrieval import (
+        rrf_fusion_sql)
+    return rrf_fusion_sql("documents", "embeddings", _RRF_QUERY,
+                          query_id=0, k=10, n_candidates=20)
+
+
+@q("retrieval_rrf_fusion", ("RETR-RRF",), oracle=_rrf_oracle(),
+   note="hybrid retrieval: BM25 lexical top-20 + exact-cosine dense "
+        "top-20 fused by Reciprocal Rank Fusion (Cormack 2009) - rank "
+        "positions are comparable across scorers where raw scores are "
+        "not; 1e6 div (60+rank) micro-points, exact integer fusion, "
+        "both lists TakeOrdered (no corpus sort)")
+def retrieval_rrf_fusion(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.retrieval import rrf_fusion
+    return rrf_fusion(_t(spark, sf_dir, "documents"),
+                      _t(spark, sf_dir, "embeddings"),
+                      _RRF_QUERY, query_id=0, k=10, n_candidates=20)
+
+
+def _novelty_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        ngram_novelty_report_sql)
+    return ngram_novelty_report_sql("documents", n=3)
+
+
+@q("text_ngram_novelty", ("TXT-NOVELTY",),
+   oracle=_novelty_oracle(),
+   note="per-document 3-gram novelty vs everything ingested before it "
+        "(gram's global first doc via ONE map-side-combined groupBy + "
+        "join back - no corpus window/self-join); novelty collapse = "
+        "a feed re-crawling itself, dedup's leading indicator")
+def text_ngram_novelty(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        ngram_novelty_report)
+    return ngram_novelty_report(_t(spark, sf_dir, "documents"), n=3)
