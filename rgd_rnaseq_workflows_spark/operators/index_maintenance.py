@@ -44,11 +44,14 @@ from pyspark.sql import functions as F
 from rgd_rnaseq_workflows_spark.operators.index_ledger import (
     COMPACTED_EPOCH)
 
-# kind -> (data subdir, partition column, within-partition sort tail)
+# kind -> (data subdir, partition column, within-partition sort tail);
+# contam is the unpartitioned member (eval-scale fingerprint table —
+# compaction coalesces its epoch files into one sorted run)
 _LAYOUTS = {
     "bm25": ("postings", "_tb", ["term"]),
     "ivf": ("vectors", "_pt", []),
     "lsh": ("bands", "band_idx", ["band_hash"]),
+    "contam": ("fingerprints", None, ["fp"]),
 }
 
 
@@ -92,11 +95,16 @@ def optimize_index(spark: SparkSession, path: str, kind: str) -> dict:
     # directory, never a constant sort column — the index_ledger
     # sort-preservation rule); the ledger (untouched) keeps the
     # historical keys so replays still no-op
-    (df.drop("_epoch")
-     .repartition(F.col(part))
-     .sortWithinPartitions(part, *sort_tail)
-     .write.mode("overwrite").partitionBy(part)
-     .parquet(f"{tmp}/_epoch={COMPACTED_EPOCH}"))
+    w = df.drop("_epoch")
+    if part is None:        # unpartitioned layout (eval-scale table)
+        (w.coalesce(1).sortWithinPartitions(*sort_tail)
+         .write.mode("overwrite")
+         .parquet(f"{tmp}/_epoch={COMPACTED_EPOCH}"))
+    else:
+        (w.repartition(F.col(part))
+         .sortWithinPartitions(part, *sort_tail)
+         .write.mode("overwrite").partitionBy(part)
+         .parquet(f"{tmp}/_epoch={COMPACTED_EPOCH}"))
 
     fs, oldp, _ = _hadoop(spark, old)
     if fs.exists(oldp):         # leftover from a crashed prior run

@@ -661,7 +661,7 @@ def build_optimize_parser() -> argparse.ArgumentParser:
                    help="index root (the --ann-index / --lsh-index / "
                         "--bm25-index path)")
     p.add_argument("--kind", required=True,
-                   choices=["bm25", "ivf", "lsh"])
+                   choices=["bm25", "ivf", "lsh", "contam"])
     return p
 
 

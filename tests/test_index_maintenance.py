@@ -238,3 +238,34 @@ def test_optimize_index_cli(spark, tmp_path):
     assert _bm25_probe(spark, path) == before
     assert glob.glob(f"{path}/postings/_epoch=*") == \
         [f"{path}/postings/_epoch=compacted"]
+
+
+def test_optimize_contam_pins_probe(spark, tmp_path):
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        append_to_contamination_index, probe_contamination_index,
+        write_contamination_index)
+    path = str(tmp_path / "contam")
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    b2 = spark.createDataFrame(
+        [(2, "pack my box with five dozen liquor jugs")],
+        ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(10, "intro text then the quick brown fox jumps over it"),
+         (12, "pack my box with five dozen liquor jugs verbatim")],
+        ["doc_id", "text"])
+    write_contamination_index(b1, path, window=5)
+    append_to_contamination_index(b2, path, epoch_key="e1")
+    before = [tuple(r) for r in
+              probe_contamination_index(spark, path, docs).collect()]
+    stats = optimize_index(spark, path, "contam")
+    assert stats["files_after"] <= stats["files_before"]
+    assert glob.glob(f"{path}/fingerprints/_epoch=*") == \
+        [f"{path}/fingerprints/_epoch=compacted"]
+    assert [tuple(r) for r in
+            probe_contamination_index(spark, path, docs).collect()] \
+        == before
+    # ledger survived: pre-compaction epoch replay still no-ops
+    assert append_to_contamination_index(b2, path,
+                                         epoch_key="e1") is False
