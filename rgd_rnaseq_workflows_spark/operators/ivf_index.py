@@ -52,6 +52,19 @@ def centroid_components(emb: DataFrame, label_col: str = "label",
     return e.groupBy("label", "d").agg(F.sum("_xi").alias("c"))
 
 
+def _reject_reserved(frame: DataFrame) -> None:
+    """The data files must not carry '_pt' or '_epoch' columns — they
+    would collide with the partition directories and corrupt every
+    read. Reject at write time (fail-loud contract). A stored 'label'
+    column is allowed: the probe view shadows it (see probe_scan)."""
+    clash = {"_pt", "_epoch"} & set(frame.columns)
+    if clash:
+        raise ValueError(
+            f"ivf_index: input carries reserved column(s) {sorted(clash)}"
+            " — drop or rename them before indexing (they collide with"
+            " the layout's partition directories)")
+
+
 def _write_vectors(emb_pt: DataFrame, path: str, epoch_key: str,
                    base: bool) -> None:
     """One epoch's cluster-partitioned vectors + its ledger commit row
@@ -85,6 +98,7 @@ def write_ivf_index(emb: DataFrame, path: str, label_col: str = "label",
     # fully preserved in the _pt partition directory, and keeping both
     # would make probe_scan's _pt->label rename produce an AMBIGUOUS
     # duplicate 'label' column when label_col='label' (ADVICE r8).
+    _reject_reserved(emb.drop(label_col))
     _write_vectors(emb.withColumn("_pt", F.col(label_col))
                    .drop(label_col), path, BASE_EPOCH, base=True)
     (centroid_components(emb, label_col, vec_col)
@@ -111,11 +125,16 @@ def probe_scan(spark: SparkSession, path: str,
                labels: list[int]) -> DataFrame:
     """The pruned probe read: an IN-list on the partition column, so
     only the probed cluster DIRECTORIES are scanned (PartitionFilters
-    in the plan; unprobed files are never listed)."""
-    return (spark.read.parquet(f"{path}/vectors")
-            .filter(F.col("_pt").isin([int(x) for x in labels]))
-            .withColumnRenamed("_pt", "label")
-            .drop("_epoch"))
+    in the plan; unprobed files are never listed). The probe view
+    surfaces the CLUSTER as ``label``; a stored data column of that
+    name (e.g. a source frame's own label, preserved in the files) is
+    shadowed here — it would otherwise make every downstream reference
+    AMBIGUOUS."""
+    df = (spark.read.parquet(f"{path}/vectors")
+          .filter(F.col("_pt").isin([int(x) for x in labels])))
+    if "label" in df.columns:
+        df = df.drop("label")
+    return df.withColumnRenamed("_pt", "label").drop("_epoch")
 
 
 def ivf_index_topk(spark: SparkSession, path: str,
@@ -183,6 +202,7 @@ def append_to_ivf_index(emb: DataFrame, path: str,
     ``epoch_key=None`` mints a fresh ``batch-N`` key."""
     from rgd_rnaseq_workflows_spark.operators.index_ledger import (
         ledger_keys, next_batch_key)
+    _reject_reserved(emb)
     spark = emb.sparkSession
     if epoch_key is None:
         epoch_key = next_batch_key(spark, path)

@@ -456,8 +456,10 @@ def margin_alignment_from_index(spark, path: str, left: DataFrame,
         probe_labels_batch, probe_scan)
     qlabels = probe_labels_batch(spark, left, path, nprobe,
                                  id_col=id_col, vec_col=vec_col)
-    l_blk = (left.join(qlabels.withColumnRenamed("qid", id_col),
-                       id_col)
+    # project left to the used columns first: a caller-side 'label'
+    # column would collide with the probe assignment's
+    l_blk = (left.select(id_col, vec_col)
+             .join(qlabels.withColumnRenamed("qid", id_col), id_col)
              .withColumnRenamed("label", "blk"))
     labels = [r["label"] for r in
               qlabels.select("label").distinct().collect()]
