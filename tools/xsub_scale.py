@@ -61,6 +61,16 @@ def wall(spark, path: str, window: int) -> float:
     return round(time.time() - t0, 2)
 
 
+def calib_wall(spark, path: str) -> float:
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        exact_substring_calibration)
+    docs = spark.read.parquet(path).select("doc_id", "text")
+    t0 = time.time()
+    (exact_substring_calibration(docs, (4, 8, 16))
+     .write.format("noop").mode("overwrite").save())
+    return round(time.time() - t0, 2)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -68,6 +78,8 @@ def main() -> None:
     ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--out", default="/tmp/xsub_scale")
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--calibration", action="store_true",
+                    help="also sweep the one-ladder calibration report")
     args = ap.parse_args()
 
     base = os.path.join(args.out, "docs_1x.parquet")
@@ -88,6 +100,13 @@ def main() -> None:
     print("|---|---|---|---|")
     print(f"| dedup_exact_substrings (L={args.window}) "
           f"| {t1} | {tn} | {alpha:.2f} |")
+    if args.calibration:
+        calib_wall(spark, base)
+        c1 = calib_wall(spark, base)
+        cn = calib_wall(spark, big)
+        ca = math.log(cn / c1) / math.log(args.rep)
+        print(f"| dedup_exact_substr_calibration (one-ladder) "
+              f"| {c1} | {cn} | {ca:.2f} |")
 
 
 if __name__ == "__main__":
