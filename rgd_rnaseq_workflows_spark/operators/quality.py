@@ -1271,3 +1271,86 @@ SELECT id AS {id_col}, n_grams, n_seen_before,
          AS novelty_micro
 FROM per ORDER BY {id_col}
 """
+
+
+def ccnet_perplexity_buckets(docs: DataFrame, n_buckets: int = 3,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """The CCNet head/middle/tail partition (Wenzek et al. 2020):
+    rank every document by its Kneser-Ney perplexity under the
+    corpus-trained LM and cut the ranking into ``n_buckets`` equal
+    rank slices — head (lowest perplexity = most LM-like) is what
+    CCNet keeps for LM training, tail is the junk candidate pile.
+
+    Exactness: the ranking key is the exact integer per-bigram
+    micro-nat ``nll_micro·10⁶ div n_bigrams`` (ties broken by doc id),
+    the bucket is ``(rank−1)·n_buckets div n_docs``, and the per-bucket
+    mean NLL is an exact integer division — no float ordering anywhere,
+    so both engines cut identical buckets. Documents with no bigrams
+    carry no perplexity and are excluded (the kn_score contract).
+
+    Scale shape: the per-doc report is the ``kn_lm_report`` lineage;
+    the global rank is ONE range-partitioned sort of the doc-scale
+    report (Spark's orderBy window — sampled range exchange), and the
+    bucket fold is a |buckets|-row aggregation."""
+    from pyspark.sql import Window
+    rep = (kn_lm_report(docs, id_col, text_col)
+           .filter(F.col("n_bigrams") > 0)
+           .withColumn("_key", F.expr(
+               "nll_micro * 1000000 div n_bigrams")))
+    w = Window.orderBy("_key", id_col)
+    n = F.count("*").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    ranked = (rep.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_n", n)
+              .withColumn("bucket", F.expr(
+                  f"(_rn - 1) * {n_buckets} div _n").cast("int")))
+    label = (F.when(F.col("bucket") == 0, F.lit("head"))
+             .when(F.col("bucket") == n_buckets - 1, F.lit("tail"))
+             .otherwise(F.lit("middle")))
+    return (ranked.groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+                 F.min("_key").cast("long").alias("min_nll_micro"),
+                 F.max("_key").cast("long").alias("max_nll_micro"),
+                 F.expr("sum(nll_micro) * 1000000 div sum(n_bigrams)")
+                 .cast("long").alias("mean_nll_micro"))
+            .withColumn("band", label)
+            .select("bucket", "band", "n_docs", "n_bigrams",
+                    "min_nll_micro", "max_nll_micro", "mean_nll_micro")
+            .orderBy("bucket"))
+
+
+def ccnet_perplexity_buckets_sql(table: str = "documents",
+                                 n_buckets: int = 3,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> str:
+    """DuckDB twin of :func:`ccnet_perplexity_buckets`."""
+    rep = kn_lm_report_sql(table, id_col, text_col)
+    return f"""
+WITH rep AS ({rep}),
+keyed AS (
+  SELECT {id_col} AS id, n_bigrams, nll_micro,
+         nll_micro * 1000000 // n_bigrams AS key
+  FROM rep WHERE n_bigrams > 0),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY key, id) AS rn,
+         count(*) OVER () AS n
+  FROM keyed),
+bk AS (
+  SELECT CAST((rn - 1) * {n_buckets} // n AS INTEGER) AS bucket, *
+  FROM ranked)
+SELECT bucket,
+       CASE WHEN bucket = 0 THEN 'head'
+            WHEN bucket = {n_buckets - 1} THEN 'tail'
+            ELSE 'middle' END AS band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       CAST(min(key) AS BIGINT) AS min_nll_micro,
+       CAST(max(key) AS BIGINT) AS max_nll_micro,
+       CAST(sum(nll_micro) * 1000000 // sum(n_bigrams) AS BIGINT)
+         AS mean_nll_micro
+FROM bk GROUP BY bucket
+ORDER BY bucket
+"""

@@ -1648,6 +1648,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     # new r10 queries (never-stamped lead the window):
     "retrieval_rrf_fusion",
     "text_ngram_novelty",
+    "quality_ccnet_buckets",
     # round-10 window (exactly tools/rotation_check.py --plan at the r9
     # close): the 31 r6-aged rows that would breach MAX_AGE after r10
     # lead in oldest-evidence-first order, then the next-oldest stamped
@@ -4711,3 +4712,22 @@ def text_ngram_novelty(spark, sf_dir):
     from rgd_rnaseq_workflows_spark.operators.quality import (
         ngram_novelty_report)
     return ngram_novelty_report(_t(spark, sf_dir, "documents"), n=3)
+
+
+def _ccnet_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        ccnet_perplexity_buckets_sql)
+    return ccnet_perplexity_buckets_sql("documents", n_buckets=3)
+
+
+@q("quality_ccnet_buckets", ("Q-CCNET",), oracle=_ccnet_oracle(),
+   note="the CCNet head/middle/tail partition (Wenzek 2020): rank "
+        "every doc by exact-integer per-bigram KN micro-nats, cut "
+        "equal rank slices - head is the LM-training keep set; one "
+        "range-partitioned sort of the doc-scale report, no float "
+        "ordering anywhere so both engines cut identical buckets")
+def quality_ccnet_buckets(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        ccnet_perplexity_buckets)
+    return ccnet_perplexity_buckets(_t(spark, sf_dir, "documents"),
+                                    n_buckets=3)
