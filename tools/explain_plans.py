@@ -378,6 +378,24 @@ SHOWCASE = {
         "(projection) → two-phase per-host cap — the hot-domain "
         "window is salted 8 ways in phase 1, so no single task ever "
         "ranks a whole domain; phase 2 ranks ≤ cap·salts survivors.",
+    "dedup_exact_substr_calibration": "window-length adequacy in ONE "
+        "corpus pass: every candidate L harvested from one KMR ladder "
+        "(power-of-two Ls are its intermediate levels), one NARROW "
+        "(w, fp, count) map-side-combined shuffle emits only the "
+        "duplicate subset; keeper rank + span merge ride "
+        "duplicate-scale rows; n_windows folds from token counts.",
+    "retrieval_rrf_fusion": "hybrid BM25+dense fusion: both candidate "
+        "lists are TakeOrdered top-20 (no corpus sort), ranks + RRF "
+        "integer points computed on 40 metadata rows; the corpus is "
+        "scanned once per modality.",
+    "text_ngram_novelty": "crawl-freshness profile: one explode, ONE "
+        "map-side-combined groupBy(gram) for the global first-doc "
+        "table, one equi-join back, one per-doc agg — no corpus "
+        "window, no self-join.",
+    "quality_ccnet_buckets": "CCNet head/middle/tail: the kn_lm_report "
+        "lineage to a doc-scale report, ONE global rank on the exact "
+        "integer per-bigram key (range-partitioned sort at scale), "
+        "3-row bucket fold.",
 }
 
 
