@@ -709,6 +709,46 @@ def run_contam_probe(args: argparse.Namespace) -> int:
     return 0
 
 
+def build_margin_probe_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rgd_rnaseq_workflows_spark.run_corpus probe-margin",
+        description="margin-alignment of a vector batch against a "
+                    "persisted IVF lake index (--ann-index): coarse "
+                    "rank by the index's centroid table, directory-"
+                    "pruned scan of the probed lists, Artetxe-Schwenk "
+                    "margin gate — no re-fit, no lake re-assignment")
+    p.add_argument("--index", required=True,
+                   help="IVF layout written by --ann-index")
+    p.add_argument("--embeddings", required=True,
+                   help="batch parquet (vec_id, embedding) to align")
+    p.add_argument("--nprobe", type=int, default=2)
+    p.add_argument("--k", type=int, default=4,
+                   help="margin neighborhood size")
+    p.add_argument("--min-margin-ppm", type=int, default=1_000_000)
+    p.add_argument("--out", default=None, metavar="DIR",
+                   help="write (id_left, id_right, cosine_sim, "
+                        "margin6) as TSV (default: stdout)")
+    return p
+
+
+def run_margin_probe(args: argparse.Namespace) -> int:
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        margin_alignment_from_index)
+    spark = get_spark("margin-probe")
+    with _stage(f"margin probe (nprobe={args.nprobe}, k={args.k})"):
+        rep = margin_alignment_from_index(
+            spark, args.index, spark.read.parquet(args.embeddings),
+            nprobe=args.nprobe, k=args.k,
+            min_margin_ppm=args.min_margin_ppm)
+        if args.out:
+            write_tsv(rep, args.out, single_file=True)
+        else:
+            for r in rep.collect():
+                print(f"{r['id_left']}\t{r['id_right']}\t"
+                      f"{r['cosine_sim']}\t{r['margin6']}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "optimize-index":
@@ -716,6 +756,9 @@ def main(argv: list[str] | None = None) -> int:
     if argv and argv[0] == "probe-contam":
         return run_contam_probe(
             build_contam_probe_parser().parse_args(argv[1:]))
+    if argv and argv[0] == "probe-margin":
+        return run_margin_probe(
+            build_margin_probe_parser().parse_args(argv[1:]))
     if argv and argv[0] == "probe-ann":
         return run_probe(build_probe_parser().parse_args(argv[1:]))
     if argv and argv[0] == "probe-lsh":

@@ -296,3 +296,42 @@ def test_margin_from_index_equals_unpruned_reference(spark, tmp_path):
     assert got.count() > 0
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_probe_margin_cli(spark, tmp_path):
+    """e2e: probe-margin aligns a batch parquet against a persisted
+    lake index through the CLI and writes the kept pairs as TSV."""
+    import glob as _g
+    import random
+
+    from rgd_rnaseq_workflows_spark import run_corpus
+    from rgd_rnaseq_workflows_spark.operators.clustering import kmeans_fit
+    from rgd_rnaseq_workflows_spark.operators.ivf_index import (
+        write_ivf_index)
+
+    rng = random.Random(9)
+    lake = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)])
+         for i in range(80)], "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "lake_idx")
+    assigned, _ = kmeans_fit(lake, k=4, iters=2, persist=False)
+    write_ivf_index(assigned, idx, label_col="cluster")
+    batch = str(tmp_path / "batch.parquet")
+    # include an exact copy of a lake vector: its top-1 cosine is 1.0
+    # and the margin gate keeps it
+    [row] = lake.filter("vec_id = 7").collect()
+    spark.createDataFrame(
+        [(5007, row["embedding"])] +
+        [(5100 + i, [rng.uniform(-1, 1) for _ in range(8)])
+         for i in range(10)],
+        "vec_id long, embedding array<float>").write.parquet(batch)
+    out = str(tmp_path / "margin_out")
+    rc = run_corpus.main(["probe-margin", "--index", idx,
+                          "--embeddings", batch, "--nprobe", "2",
+                          "--k", "4", "--min-margin-ppm", "1200000",
+                          "--out", out])
+    assert rc == 0
+    [tsv] = _g.glob(f"{out}/part*.csv")
+    lines = open(tsv).read().strip().split("\n")
+    kept = {tuple(ln.split("\t")[:2]) for ln in lines[1:]}
+    assert ("5007", "7") in kept
