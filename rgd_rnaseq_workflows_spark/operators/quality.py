@@ -1232,10 +1232,12 @@ def ngram_novelty_report(docs: DataFrame, n: int = 3,
     integer division, engine-identical. Documents shorter than ``n``
     tokens have no grams and drop (documented; they carry no signal).
 
-    Scale shape: one explode + ONE map-side-combined groupBy(gram)
-    for the global first-doc table, one equi-join back, one per-doc
-    aggregation — the ngram_coverage_report shuffle budget; no windows
-    over the corpus, no self-join."""
+    Scale shape: ONE map-side-combined groupBy(gram) for the global
+    first-doc table, one equi-join back (vocabulary-scale build side —
+    broadcast at small scale, SMJ beyond), one per-doc aggregation; no
+    windows over the corpus, no self-join. The gram explode runs once
+    per branch (two codegen corpus scans) — cheaper than materializing
+    the token-scale exploded stream."""
     g = docs.select(F.col(id_col).alias("id"),
                     F.explode(TX.shingles_all(text_col, n)).alias("g"))
     first = g.groupBy("g").agg(F.min("id").alias("_first"))

@@ -388,10 +388,11 @@ SHOWCASE = {
         "lists are TakeOrdered top-20 (no corpus sort), ranks + RRF "
         "integer points computed on 40 metadata rows; the corpus is "
         "scanned once per modality.",
-    "text_ngram_novelty": "crawl-freshness profile: one explode, ONE "
-        "map-side-combined groupBy(gram) for the global first-doc "
-        "table, one equi-join back, one per-doc agg — no corpus "
-        "window, no self-join.",
+    "text_ngram_novelty": "crawl-freshness profile: ONE map-side-"
+        "combined groupBy(gram) builds the global first-doc table, "
+        "one equi-join back, one per-doc agg — no corpus window, no "
+        "self-join; the codegen gram explode re-runs per branch "
+        "(cheaper than materializing the token-scale stream).",
     "quality_ccnet_buckets": "CCNet head/middle/tail: the kn_lm_report "
         "lineage to a doc-scale report, ONE global rank on the exact "
         "integer per-bigram key (range-partitioned sort at scale), "
