@@ -1649,6 +1649,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "retrieval_rrf_fusion",
     "text_ngram_novelty",
     "quality_ccnet_buckets",
+    "text_langid_confusion",
     # round-10 window (exactly tools/rotation_check.py --plan at the r9
     # close): the 31 r6-aged rows that would breach MAX_AGE after r10
     # lead in oldest-evidence-first order, then the next-oldest stamped
@@ -4731,3 +4732,22 @@ def quality_ccnet_buckets(spark, sf_dir):
         ccnet_perplexity_buckets)
     return ccnet_perplexity_buckets(_t(spark, sf_dir, "documents"),
                                     n_buckets=3)
+
+
+@q("text_langid_confusion", ("TXT-LANGID-CM",), oracle=f"""
+SELECT lang AS labeled, {TX.lang_id_sql('text')} AS predicted,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang, predicted
+ORDER BY labeled, predicted
+""", note="language-ID eval: labeled-vs-predicted confusion matrix of "
+          "the stopword-vote classifier over the corpus - ONE "
+          "map-side-combined groupBy on (label, prediction); the "
+          "diagonal mass is the classifier's accuracy audit, the "
+          "off-diagonal cells say WHICH languages leak into which")
+def text_langid_confusion(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .groupBy(F.col("lang").alias("labeled"),
+                     TX.lang_id("text").alias("predicted"))
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("labeled", "predicted"))

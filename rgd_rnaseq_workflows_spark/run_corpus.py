@@ -709,6 +709,40 @@ def run_contam_probe(args: argparse.Namespace) -> int:
     return 0
 
 
+def build_describe_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rgd_rnaseq_workflows_spark.run_corpus describe-index",
+        description="operational view of a persisted index: frozen "
+                    "meta params, committed ledger epochs with their "
+                    "additive stats, and the data-file count (the "
+                    "compaction trigger signal)")
+    p.add_argument("--index", required=True)
+    p.add_argument("--kind", required=True,
+                   choices=["bm25", "ivf", "lsh", "contam"])
+    return p
+
+
+def run_describe(args: argparse.Namespace) -> int:
+    from rgd_rnaseq_workflows_spark.operators.index_maintenance import (
+        _LAYOUTS, _count_data_files)
+    spark = get_spark("index-describe")
+    sub, _, _ = _LAYOUTS[args.kind]
+    try:
+        for r in spark.read.parquet(f"{args.index}/meta").collect():
+            print("meta:", r.asDict())
+    except Exception:
+        print("meta: (none — this kind keeps params elsewhere)")
+    led = (spark.read.parquet(f"{args.index}/ledger")
+           .orderBy("_epoch").collect())
+    for r in led:
+        d = r.asDict()
+        print(f"epoch {d.pop('_epoch')}: {d}")
+    n = _count_data_files(spark, f"{args.index}/{sub}")
+    print(f"{len(led)} committed epoch(s), {n} data file(s) under "
+          f"{sub}/ — run optimize-index when epochs pile up")
+    return 0
+
+
 def build_margin_probe_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="rgd_rnaseq_workflows_spark.run_corpus probe-margin",
@@ -759,6 +793,8 @@ def main(argv: list[str] | None = None) -> int:
     if argv and argv[0] == "probe-margin":
         return run_margin_probe(
             build_margin_probe_parser().parse_args(argv[1:]))
+    if argv and argv[0] == "describe-index":
+        return run_describe(build_describe_parser().parse_args(argv[1:]))
     if argv and argv[0] == "probe-ann":
         return run_probe(build_probe_parser().parse_args(argv[1:]))
     if argv and argv[0] == "probe-lsh":

@@ -331,6 +331,37 @@ def stream_bigram_counts(doc_stream: DataFrame,
     return bigram_counts(doc_stream, text_col)
 
 
+def stream_contamination_screen(doc_stream: DataFrame, spark,
+                                index_path: str,
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """Streaming ingest gate against a persisted eval-fingerprint
+    index (``exact_substrings.write_contamination_index``): per
+    streamed document, how many of its window positions are verbatim
+    benchmark text — the exact-substring decontamination rule applied
+    AS DOCUMENTS ARRIVE, before they ever reach the lake.
+
+    Shape: the document ladder is a stateless projection+explode at
+    the index's frozen window; the join side is the DISTINCT
+    fingerprint set (fp only — each document position matches at most
+    once, so ``count(*)`` IS ``n_hit_positions`` and the fold needs
+    exactly ONE streaming aggregation; per-benchmark attribution
+    needs a distinct aggregation streams can't chain — that stays the
+    batch report's job, ``probe_contamination_index``). State is one
+    row per in-flight contaminated doc; equals the batch probe's
+    n_hit_positions over the same rows (test-pinned)."""
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        window_fingerprints)
+    [r] = spark.read.parquet(f"{index_path}/meta").collect()
+    bfp = (spark.read.parquet(f"{index_path}/fingerprints")
+           .select("fp").distinct())
+    dfp = window_fingerprints(doc_stream, int(r["window"]), id_col,
+                              text_col)
+    return (dfp.join(bfp, "fp")
+            .groupBy(F.col("doc_id").alias(id_col))
+            .agg(F.count("*").cast("long").alias("n_hit_positions")))
+
+
 def stream_kn_score(doc_stream: DataFrame, nll_table: DataFrame,
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

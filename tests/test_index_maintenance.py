@@ -269,3 +269,15 @@ def test_optimize_contam_pins_probe(spark, tmp_path):
     # ledger survived: pre-compaction epoch replay still no-ops
     assert append_to_contamination_index(b2, path,
                                          epoch_key="e1") is False
+
+
+def test_describe_index_cli(spark, tmp_path, capsys):
+    from rgd_rnaseq_workflows_spark import run_corpus
+    path = str(tmp_path / "inv")
+    _churn_bm25(spark, path)
+    rc = run_corpus.main(["describe-index", "--index", path,
+                          "--kind", "bm25"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "num_buckets" in out and "epoch base" in out
+    assert "4 committed epoch(s)" in out

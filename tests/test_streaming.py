@@ -740,3 +740,51 @@ def test_stream_kn_score_against_frozen_lm_equals_batch(spark, tmp_out):
     by_id = {r[0]: r for r in got}
     assert by_id[2][2] > 0                     # n_oov counted
     assert by_id[4][1] == 0 and by_id[4][4] is None  # all-OOV: no ppl
+
+
+def test_stream_contamination_screen_equals_batch_probe(spark, tmp_out):
+    """The streaming decontamination ingest gate: per-doc verbatim-
+    window hit counts against a persisted eval-fingerprint index equal
+    the batch probe's n_hit_positions, across micro-batches."""
+    import os
+
+    from rgd_rnaseq_workflows_spark.operators.exact_substrings import (
+        probe_contamination_index, write_contamination_index)
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        stream_contamination_screen)
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs")],
+        ["doc_id", "text"])
+    idx = os.path.join(tmp_out, "contam_idx")
+    write_contamination_index(bench, idx, window=5)
+
+    schema = "doc_id long, text string"
+    b1 = [(10, "intro text then the quick brown fox jumps over it"),
+          (11, "totally clean document with original words only")]
+    b2 = [(12, "pack my box with five dozen liquor jugs verbatim"),
+          (13, "")]
+    src = os.path.join(tmp_out, "contam_src")
+    os.makedirs(src)
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stream_contamination_screen(stream, spark, idx)
+         .writeStream.format("memory").queryName("contam_hits")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in
+                     spark.sql("SELECT * FROM contam_hits").collect())
+    finally:
+        q.stop()
+
+    both = spark.createDataFrame(b1 + b2, schema)
+    want = sorted((r["doc_id"], r["n_hit_positions"]) for r in
+                  probe_contamination_index(spark, idx, both).collect())
+    assert got == want
+    assert {d for d, _ in got} == {10, 12}   # clean/empty docs absent
