@@ -624,3 +624,68 @@ SELECT CAST(count(*) AS BIGINT) AS n_vecs,
        round(max(CASE WHEN {healthy} THEN {norm} END), 6) AS max_norm6
 FROM {table}
 """
+
+
+def key_skew_report(df: DataFrame, key_col: str,
+                    top_k: int = 10) -> DataFrame:
+    """Shuffle-skew pre-flight: before keying a 100 TB join or
+    aggregation on a column, measure how concentrated it is — the
+    decision input for salting (``operators.skew``) and AQE skew-join
+    sizing. Per top-``top_k`` key (NULL keys included — they funnel to
+    one partition too): row count, exact ppm share of the table, the
+    running cumulative share, and the key's multiple of the MEAN key
+    load (``hot_x_mean_ppm`` ≥ a few million ⇒ one task drags the
+    stage; the classic salting trigger).
+
+    Exactness: shares are exact integer divisions over exact counts —
+    both engines rank and report identical rows (count-desc, key-asc
+    tiebreak). One map-side-combined groupBy + a top_k-row window."""
+    from pyspark.sql import Window
+    kc = F.col(key_col).cast("string").alias("key")
+    cnt = (df.select(kc).groupBy("key")
+           .agg(F.count("*").alias("n_rows")))
+    tot = cnt.agg(F.sum("n_rows").alias("_t"),
+                  F.count("*").alias("_k"))
+    w = Window.orderBy(F.desc("n_rows"), F.asc_nulls_first("key"))
+    wc = (Window.orderBy(F.desc("n_rows"), F.asc_nulls_first("key"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (cnt.crossJoin(F.broadcast(tot))
+            .withColumn("rank", F.row_number().over(w))
+            .withColumn("_cum", F.sum("n_rows").over(wc))
+            .filter(F.col("rank") <= top_k)
+            .select("rank", "key",
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.expr("n_rows * 1000000 div _t").cast("long")
+                    .alias("share_ppm"),
+                    F.expr("_cum * 1000000 div _t").cast("long")
+                    .alias("cum_share_ppm"),
+                    F.expr("n_rows * _k * 1000000 div _t").cast("long")
+                    .alias("hot_x_mean_ppm"))
+            .orderBy("rank"))
+
+
+def key_skew_report_sql(table: str, key_expr: str,
+                        top_k: int = 10) -> str:
+    """DuckDB twin of :func:`key_skew_report`."""
+    return f"""
+WITH cnt AS (
+  SELECT CAST({key_expr} AS VARCHAR) AS key,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM {table} GROUP BY 1),
+tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS k FROM cnt),
+ranked AS (
+  SELECT *, row_number() OVER (
+      ORDER BY n_rows DESC, key ASC NULLS FIRST) AS rank,
+         sum(n_rows) OVER (
+      ORDER BY n_rows DESC, key ASC NULLS FIRST
+      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM cnt)
+SELECT rank, key, n_rows,
+       CAST(n_rows * 1000000 // t AS BIGINT) AS share_ppm,
+       CAST(cum * 1000000 // t AS BIGINT) AS cum_share_ppm,
+       CAST(n_rows * k * 1000000 // t AS BIGINT) AS hot_x_mean_ppm
+FROM ranked, tot
+WHERE rank <= {top_k}
+ORDER BY rank
+"""

@@ -1275,6 +1275,43 @@ FROM per ORDER BY {id_col}
 """
 
 
+def _ccnet_ranked(docs: DataFrame, n_buckets: int, id_col: str,
+                  text_col: str) -> DataFrame:
+    """The shared ranked frame: per scoreable doc, the exact integer
+    per-bigram key, its global rank, and its bucket index."""
+    from pyspark.sql import Window
+    rep = (kn_lm_report(docs, id_col, text_col)
+           .filter(F.col("n_bigrams") > 0)
+           .withColumn("_key", F.expr(
+               "nll_micro * 1000000 div n_bigrams")))
+    w = Window.orderBy("_key", id_col)
+    n = F.count("*").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    return (rep.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", n)
+            .withColumn("bucket", F.expr(
+                f"(_rn - 1) * {n_buckets} div _n").cast("int")))
+
+
+def _ccnet_band(n_buckets: int):
+    return (F.when(F.col("bucket") == 0, F.lit("head"))
+            .when(F.col("bucket") == n_buckets - 1, F.lit("tail"))
+            .otherwise(F.lit("middle")))
+
+
+def ccnet_band_assign(docs: DataFrame, n_buckets: int = 3,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document CCNet band membership — (doc_id, bucket, band):
+    the filtering form of :func:`ccnet_perplexity_buckets` (join it
+    back and keep band = 'head' for the CCNet training slice).
+    Documents with no bigrams carry no band and are absent."""
+    return (_ccnet_ranked(docs, n_buckets, id_col, text_col)
+            .select(id_col, "bucket",
+                    _ccnet_band(n_buckets).alias("band")))
+
+
 def ccnet_perplexity_buckets(docs: DataFrame, n_buckets: int = 3,
                              id_col: str = "doc_id",
                              text_col: str = "text") -> DataFrame:
@@ -1295,22 +1332,8 @@ def ccnet_perplexity_buckets(docs: DataFrame, n_buckets: int = 3,
     the global rank is ONE range-partitioned sort of the doc-scale
     report (Spark's orderBy window — sampled range exchange), and the
     bucket fold is a |buckets|-row aggregation."""
-    from pyspark.sql import Window
-    rep = (kn_lm_report(docs, id_col, text_col)
-           .filter(F.col("n_bigrams") > 0)
-           .withColumn("_key", F.expr(
-               "nll_micro * 1000000 div n_bigrams")))
-    w = Window.orderBy("_key", id_col)
-    n = F.count("*").over(
-        Window.rowsBetween(Window.unboundedPreceding,
-                           Window.unboundedFollowing))
-    ranked = (rep.withColumn("_rn", F.row_number().over(w))
-              .withColumn("_n", n)
-              .withColumn("bucket", F.expr(
-                  f"(_rn - 1) * {n_buckets} div _n").cast("int")))
-    label = (F.when(F.col("bucket") == 0, F.lit("head"))
-             .when(F.col("bucket") == n_buckets - 1, F.lit("tail"))
-             .otherwise(F.lit("middle")))
+    ranked = _ccnet_ranked(docs, n_buckets, id_col, text_col)
+    label = _ccnet_band(n_buckets)
     return (ranked.groupBy("bucket")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("n_bigrams").cast("long").alias("n_bigrams"),

@@ -1650,6 +1650,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "text_ngram_novelty",
     "quality_ccnet_buckets",
     "text_langid_confusion",
+    "profile_key_skew",
     # round-10 window (exactly tools/rotation_check.py --plan at the r9
     # close): the 31 r6-aged rows that would breach MAX_AGE after r10
     # lead in oldest-evidence-first order, then the next-oldest stamped
@@ -4751,3 +4752,22 @@ def text_langid_confusion(spark, sf_dir):
                      TX.lang_id("text").alias("predicted"))
             .agg(F.count("*").alias("n_docs"))
             .orderBy("labeled", "predicted"))
+
+
+def _skew_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        key_skew_report_sql)
+    return key_skew_report_sql("lineitem", "l_suppkey", top_k=10)
+
+
+@q("profile_key_skew", ("PROF-SKEW",), oracle=_skew_oracle(),
+   note="shuffle-skew pre-flight: exact top-k key concentration of a "
+        "join/agg key (ppm share, cumulative share, multiple of the "
+        "mean key load) - the decision input for salting and AQE "
+        "skew-join sizing BEFORE committing a 100 TB shuffle; one "
+        "map-side-combined groupBy + a top-k window")
+def profile_key_skew(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        key_skew_report)
+    return key_skew_report(_t(spark, sf_dir, "lineitem"), "l_suppkey",
+                           top_k=10)

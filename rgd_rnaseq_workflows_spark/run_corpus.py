@@ -223,6 +223,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--contam-window", type=int, default=8,
                    help="window length (tokens) for --contam-index "
                         "builds (frozen into the index meta)")
+    p.add_argument("--ccnet-keep", default=None, metavar="BANDS",
+                   help="CCNet perplexity gate: keep only the curated "
+                        "docs in these comma-separated KN-perplexity "
+                        "bands (head,middle,tail; Wenzek 2020 keeps "
+                        "'head'); docs too short to score are dropped")
     return p
 
 
@@ -317,6 +322,19 @@ def run(args: argparse.Namespace) -> int:
         bench = spark.read.parquet(args.benchmark)
         curated = decontaminate(curated, bench, shingle_n=args.contam_n,
                                 min_shared=args.min_shared)
+    if args.ccnet_keep:
+        import pyspark.sql.functions as F
+        from rgd_rnaseq_workflows_spark.operators.quality import (
+            ccnet_band_assign)
+        bands = {b.strip() for b in args.ccnet_keep.split(",") if b.strip()}
+        bad = bands - {"head", "middle", "tail"}
+        if bad:
+            raise SystemExit(f"--ccnet-keep: unknown band(s) {sorted(bad)}")
+        with _stage(f"CCNet perplexity gate (keep {sorted(bands)})"):
+            keep = (ccnet_band_assign(curated, n_buckets=3)
+                    .filter(F.col("band").isin(sorted(bands)))
+                    .select("doc_id"))
+            curated = curated.join(keep, "doc_id", "left_semi")
     if args.cdc_containment is not None:
         import pyspark.sql.functions as F
         from rgd_rnaseq_workflows_spark.operators.chunking import (

@@ -537,3 +537,68 @@ class TestKneserNeyLM:
         exp = sorted(tuple(r) for r in
                      con.execute(kn_lm_report_sql()).fetchall())
         assert got == exp
+
+
+def test_ccnet_band_assign_partitions_scoreable_docs(spark):
+    """Band assignment: every scoreable doc lands in exactly one band,
+    band sizes match the bucket report, and heads have the lowest
+    per-bigram NLL keys."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        ccnet_band_assign, ccnet_perplexity_buckets, kn_lm_report)
+    rng = random.Random(11)
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice("a b c d e".split())
+                      for _ in range(rng.randint(2, 30))))
+         for i in range(60)] + [(999, "x")],   # 1-token doc: the house
+        # shingles_all semantics yield one whole-text gram, so it
+        # scores and bands like everything else
+        "doc_id long, text string")
+    asg = ccnet_band_assign(docs, n_buckets=3).collect()
+    assert len(asg) == 61 and all(r["band"] in
+                                  ("head", "middle", "tail") for r in asg)
+    sizes = {r["bucket"]: 0 for r in asg}
+    for r in asg:
+        sizes[r["bucket"]] += 1
+    rep = {r["bucket"]: r["n_docs"] for r in
+           ccnet_perplexity_buckets(docs, n_buckets=3).collect()}
+    assert sizes == rep
+    # heads strictly precede tails on the exact ranking key
+    keys = {r["doc_id"]: r for r in kn_lm_report(docs).collect()}
+    def key(i):
+        k = keys[i]
+        return k["nll_micro"] * 1_000_000 // k["n_bigrams"]
+    head = [key(r["doc_id"]) for r in asg if r["band"] == "head"]
+    tail = [key(r["doc_id"]) for r in asg if r["band"] == "tail"]
+    assert max(head) <= min(tail)
+
+
+def test_corpus_cli_ccnet_gate(spark, tmp_path):
+    """e2e: --ccnet-keep head keeps only the head band of the curated
+    corpus."""
+    import random
+
+    from rgd_rnaseq_workflows_spark import run_corpus
+
+    rng = random.Random(13)
+    stop = "the and of to in is it a for on"
+    rows = [(i, "en", "web",
+             stop + " " + " ".join(rng.choice(["alpha", "beta", "gamma",
+                                               "delta"])
+                                   for _ in range(30)))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "source",
+                                        "text"])
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "corpus_out")
+    rc = run_corpus.main(["--docs", src, "--out", out,
+                          "--min-tokens", "3", "--threshold", "0.99",
+                          "--ccnet-keep", "head"])
+    assert rc == 0
+    kept = spark.read.parquet(f"{out}/curated")
+    n = kept.count()
+    assert 0 < n <= len(rows) // 2   # head of 3 bands ≈ a third
