@@ -753,3 +753,117 @@ def stream_top_paths(event_stream: DataFrame, n: int = 3,
             .applyInPandasWithState(
                 _paths_fn(ms, n, cap_per_user), PATHS_OUT_SCHEMA,
                 SCD2_STATE_SCHEMA, "update", timeout))
+
+
+# ---------------------------------------------------------------------------
+# streaming crawl-frontier rate limiter (fixed event-time windows)
+# ---------------------------------------------------------------------------
+
+RATE_OUT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("win", T.LongType()),
+])
+RATE_STATE_SCHEMA = T.StructType([
+    T.StructField("admitted", T.LongType()),
+])
+
+
+def _rate_limit_fn(cap: int, ttl_ms: int):
+    def admit(key, rows: Iterable[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        host, win = key[0], int(key[1])   # numpy scalars break the
+        n = int(state.get[0]) if state.exists else 0  # state JSON codec
+        for pdf in rows:
+            if n >= cap:
+                break
+            # deterministic admission inside a micro-batch: event time
+            # then doc id (across micro-batches it is arrival order —
+            # the crawl semantics: politeness governs when you ACT)
+            pdf = pdf.sort_values(["ts", "doc_id"])
+            take = pdf.iloc[: cap - n]
+            n += len(take)
+            if len(take):
+                yield pd.DataFrame({"doc_id": take["doc_id"],
+                                    "host": host, "win": win})
+        state.update((n,))
+        # evict once the watermark passes the window's end
+        state.setTimeoutTimestamp((win + 1) * ttl_ms)
+    return admit
+
+
+def stream_host_rate_limit(url_stream: DataFrame, cap: int = 5,
+                           window: str = "10 minutes",
+                           ts_col: str = "ts",
+                           url_col: str = "url") -> DataFrame:
+    """Streaming crawl-frontier politeness: admit at most ``cap``
+    fetches per CANONICAL HOST per fixed event-time window — the
+    incremental twin of the batch ``crawl_frontier_cap`` discipline,
+    enforced AS URLS ARRIVE instead of on a frontier snapshot.
+
+    Shape: canonicalization is the same stateless ``urls`` projection;
+    the key is (host, floor(ts / window)) so each key's state is ONE
+    counter long (O(1) serialization — the stream_dedup state rule),
+    admission within a micro-batch is deterministic ((ts, doc_id)
+    order; across micro-batches it is arrival order — politeness
+    governs when you act, so replaying late data does not retract an
+    admission), and every key times out once the watermark passes its
+    window end (state is window-bounded, not host-bounded).
+
+    Equals the batch fixed-window cap over the same rows when arrival
+    order matches event order (test-pinned); under disorder the stream
+    admits earlier-arriving rows — the documented trade."""
+    from rgd_rnaseq_workflows_spark.operators.urls import (
+        with_canonical_url)
+    num, unit = window.split()
+    ttl_ms = int(float(num) * {"second": 1000, "seconds": 1000,
+                               "minute": 60_000, "minutes": 60_000,
+                               "hour": 3_600_000,
+                               "hours": 3_600_000}[unit])
+    c = (with_canonical_url(url_stream, url_col)
+         .withColumn("host", F.split_part(
+             F.split_part(F.col("canonical_url"), F.lit("://"),
+                          F.lit(2)), F.lit("/"), F.lit(1)))
+         .withColumn("ts", F.col(ts_col))
+         .withWatermark("ts", window)
+         .withColumn("win", (F.unix_millis("ts") / F.lit(ttl_ms))
+                     .cast("long"))
+         .select("doc_id", "host", "win", "ts"))
+    return (c.groupBy("host", "win")
+            .applyInPandasWithState(
+                _rate_limit_fn(cap, ttl_ms), RATE_OUT_SCHEMA,
+                RATE_STATE_SCHEMA, "append",
+                GroupStateTimeout.EventTimeTimeout))
+
+
+def batch_window_cap_kernel(urls: DataFrame, cap: int = 5,
+                            window: str = "10 minutes",
+                            ts_col: str = "ts",
+                            url_col: str = "url") -> DataFrame:
+    """The batch twin: per (canonical host, fixed event-time window),
+    keep the ``cap`` earliest rows by (ts, doc_id). Window-rank form
+    (test scale); at corpus scale the two-phase salted prefix-sum cap
+    (``sampling.cap_tokens_per_key`` shape) replaces the single
+    window."""
+    from pyspark.sql import Window
+    from rgd_rnaseq_workflows_spark.operators.urls import (
+        with_canonical_url)
+    num, unit = window.split()
+    ttl_ms = int(float(num) * {"second": 1000, "seconds": 1000,
+                               "minute": 60_000, "minutes": 60_000,
+                               "hour": 3_600_000,
+                               "hours": 3_600_000}[unit])
+    c = (with_canonical_url(urls, url_col)
+         .withColumn("host", F.split_part(
+             F.split_part(F.col("canonical_url"), F.lit("://"),
+                          F.lit(2)), F.lit("/"), F.lit(1)))
+         .withColumn("win", (F.unix_millis(F.col(ts_col))
+                             / F.lit(ttl_ms)).cast("long")))
+    w = Window.partitionBy("host", "win").orderBy(F.col(ts_col),
+                                                  "doc_id")
+    return (c.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap)
+            .select("doc_id", "host", "win"))

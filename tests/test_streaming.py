@@ -788,3 +788,55 @@ def test_stream_contamination_screen_equals_batch_probe(spark, tmp_out):
                   probe_contamination_index(spark, idx, both).collect())
     assert got == want
     assert {d for d, _ in got} == {10, 12}   # clean/empty docs absent
+
+
+def test_stream_host_rate_limit_equals_batch_window_cap(spark, tmp_out):
+    """Streaming politeness: per (canonical host, event-time window)
+    at most `cap` admissions; equals the batch fixed-window cap when
+    arrival order matches event order, and a capped host is re-admitted
+    in the NEXT window."""
+    import datetime as dt
+    import os
+
+    from rgd_rnaseq_workflows_spark.streaming.stateful import (
+        batch_window_cap_kernel, stream_host_rate_limit)
+
+    def t(minute, sec=0):
+        return dt.datetime(2026, 1, 1, 0, minute, sec)
+
+    schema = "doc_id long, url string, ts timestamp"
+    mk = lambda i, host, ts: (i, f"https://{host}/p/{i}", ts)
+    # window = 10 min; hot.com floods window 0 (7 urls, cap 3),
+    # cool.org stays under; hot.com returns in window 1
+    b1 = [mk(i, "hot.com", t(1, i)) for i in range(5)] + \
+         [mk(100, "cool.org", t(2)), mk(101, "cool.org", t(3))]
+    b2 = [mk(5, "hot.com", t(4)), mk(6, "hot.com", t(5)),
+          mk(200, "hot.com", t(12)), mk(201, "hot.com", t(13))]
+    src = os.path.join(tmp_out, "rate_src")
+    os.makedirs(src)
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stream_host_rate_limit(stream, cap=3, window="10 minutes")
+         .writeStream.format("memory").queryName("admitted")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in
+                     spark.sql("SELECT * FROM admitted").collect())
+    finally:
+        q.stop()
+
+    both = spark.createDataFrame(b1 + b2, schema)
+    want = sorted(tuple(r) for r in
+                  batch_window_cap_kernel(both, cap=3,
+                                          window="10 minutes").collect())
+    assert got == want
+    hot0 = [d for d, h, w in got if h == "hot.com" and
+            w == min(w for _, h2, w in got if h2 == "hot.com")]
+    assert len(hot0) == 3 and hot0 == [0, 1, 2]   # earliest 3 admitted
+    assert any(d in (200, 201) for d, h, _ in got if h == "hot.com")
+    assert {d for d, h, _ in got if h == "cool.org"} == {100, 101}
