@@ -355,6 +355,8 @@ def multi_window_fingerprints(docs: DataFrame, windows: tuple[int, ...],
     equals :func:`window_fingerprints` at that L (test-pinned) — the
     corpus is tokenized and laddered ONCE instead of once per L."""
     ws = sorted(set(int(x) for x in windows))
+    if not ws:
+        raise ValueError("windows must be non-empty")
     if ws[0] < 1:
         raise ValueError("window must be >= 1")
     toks = TX.tokens(F.col(text_col))

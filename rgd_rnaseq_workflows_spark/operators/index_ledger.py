@@ -76,7 +76,14 @@ def ledger_sum(spark: SparkSession, path: str,
                cols: list[str]) -> list[int]:
     """Exact additive corpus statistics: the sum of each named ledger
     column over every committed epoch (0 for an empty ledger)."""
-    led = spark.read.parquet(f"{path}/ledger")
+    from pyspark.errors import AnalysisException
+    try:
+        led = spark.read.parquet(f"{path}/ledger")
+    except AnalysisException as e:
+        raise ValueError(
+            f"{path}: no ledger — this index predates the epoch-ledger "
+            "layout (or the path is not an index root); rebuild it with "
+            "the current writer") from e
     [r] = led.agg(*[F.sum(c).alias(c) for c in cols]).collect()
     return [int(r[c] or 0) for c in cols]
 
@@ -85,7 +92,13 @@ def next_batch_key(spark: SparkSession, path: str) -> str:
     """Auto key for an ad-hoc batch append: one past the highest
     committed ``batch-N``. Distinct calls get distinct keys, so plain
     CLI appends keep append semantics; pass an explicit ``epoch_key``
-    to make a specific append retry-safe."""
+    to make a specific append retry-safe.
+
+    SINGLE-WRITER contract (the compaction/maintenance-window rule):
+    two writers minting auto keys concurrently would both read the
+    same ledger high-water mark and the second epoch-dir overwrite
+    would silently replace the first — concurrent appenders must pass
+    explicit, distinct epoch keys."""
     nums = [int(m.group(1)) for k in ledger_keys(spark, path)
             if (m := _BATCH_RE.match(k))]
     return f"batch-{(max(nums) + 1) if nums else 1:06d}"

@@ -659,7 +659,10 @@ def key_skew_report(df: DataFrame, key_col: str,
                     .alias("share_ppm"),
                     F.expr("_cum * 1000000 div _t").cast("long")
                     .alias("cum_share_ppm"),
-                    F.expr("n_rows * _k * 1000000 div _t").cast("long")
+                    # DECIMAL(38,0) intermediate: n_rows·k·1e6 can
+                    # overflow BIGINT on a 100 TB table's hottest key
+                    F.expr("CAST(floor(CAST(n_rows AS DECIMAL(38,0)) "
+                           "* _k * 1000000 / _t) AS BIGINT)")
                     .alias("hot_x_mean_ppm"))
             .orderBy("rank"))
 
@@ -684,7 +687,8 @@ ranked AS (
 SELECT rank, key, n_rows,
        CAST(n_rows * 1000000 // t AS BIGINT) AS share_ppm,
        CAST(cum * 1000000 // t AS BIGINT) AS cum_share_ppm,
-       CAST(n_rows * k * 1000000 // t AS BIGINT) AS hot_x_mean_ppm
+       CAST(CAST(n_rows AS HUGEINT) * k * 1000000 // t AS BIGINT)
+         AS hot_x_mean_ppm
 FROM ranked, tot
 WHERE rank <= {top_k}
 ORDER BY rank
