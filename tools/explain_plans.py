@@ -397,6 +397,14 @@ SHOWCASE = {
         "lineage to a doc-scale report, ONE global rank on the exact "
         "integer per-bigram key (range-partitioned sort at scale), "
         "3-row bucket fold.",
+    "profile_key_skew": "shuffle-skew pre-flight: ONE map-side-"
+        "combined groupBy on the candidate key, a top-k window over "
+        "the key-scale count table, DECIMAL(38,0) intermediates so "
+        "the hottest key of a 100 TB table cannot overflow the "
+        "mean-multiple.",
+    "text_langid_confusion": "classifier audit: label and prediction "
+        "are both scan-stage expressions, ONE map-side-combined "
+        "groupBy on the (label, prediction) pair — |langs|² rows out.",
 }
 
 
