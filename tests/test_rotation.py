@@ -35,3 +35,18 @@ def test_check_flags_buried_newcomer():
     latest = {n: 6 for n in ordered if n != "q5"}  # q5 never stamped, pos 5
     problems = rotation_check.check(ordered, latest, max_round=6, window=8)
     assert any("q5" in p for p in problems)
+
+
+def test_record_first_names_exist_and_oracles_are_total():
+    """_RECORD_FIRST typos are silently dropped by _ordered_names —
+    pin that every priority name resolves, and that every registered
+    query carries an oracle (rows-only entries would need an explicit
+    exemption here)."""
+    from rgd_rnaseq_workflows_spark.registry import (
+        _RECORD_FIRST, REGISTRY, oracle_sql, queries)
+    missing = [n for n in _RECORD_FIRST if n not in REGISTRY]
+    assert not missing, f"_RECORD_FIRST names not in REGISTRY: {missing}"
+    assert len(set(_RECORD_FIRST)) == len(_RECORD_FIRST)
+    q, o = queries(), oracle_sql()
+    assert set(o) == set(q)
+    assert all(isinstance(s, str) and s.strip() for s in o.values())
