@@ -1645,67 +1645,61 @@ def text_zipf_head_stats(spark, sf_dir):
 # prior round are surfaced first so every registry entry accumulates a
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
-    # new r10 queries (never-stamped lead the window):
-    "retrieval_rrf_fusion",
-    "text_ngram_novelty",
-    "quality_ccnet_buckets",
-    "text_langid_confusion",
-    "profile_key_skew",
-    # round-10 window (exactly tools/rotation_check.py --plan at the r9
-    # close): the 31 r6-aged rows that would breach MAX_AGE after r10
+    # round-11 window (exactly tools/rotation_check.py --plan at the r10
+    # close): the 36 r7-aged rows that would breach MAX_AGE after r11
     # lead in oldest-evidence-first order, then the next-oldest stamped
-    # rows fill the 50 slots.  New r10 queries are PREPENDED above this
-    # comment as they land (never-stamped queries must lead the window).
-    "sketch_cms_by_group",
-    "quality_boilerplate_ngrams",
-    "sample_epoch_mix",
-    "winnow_cross_containment",
-    "winnow_containment_keepers",
-    "fuzzy_match_part_names",
-    "agg_histogram_quantiles",
-    "table_profile_stats",
-    "events_scd2_history",
-    "embedding_centroid_drift",
-    "layout_zorder_stats",
-    "sample_epoch_budget",
-    "sample_token_budget",
-    "quality_classifier_score",
-    "corpus_token_drift",
-    "corpus_drift_terms",
-    "quality_oov_rate",
-    "graph_centrality_keepers",
-    "contamination_source_matrix",
-    "tokenizer_fertility_by_lang",
-    "events_gapfill_locf",
-    "events_rate_anomaly",
-    "profile_fd_audit",
-    "split_cluster_assign",
-    "embedding_pca_scatter",
-    "text_textrank_keywords",
-    "events_transition_matrix",
-    "winnow_repeated_spans",
-    "sample_duplicate_downweight",
-    "events_rfm_segments",
-    "profile_k_anonymity",
-    "agg7_binned_rate",
-    "agg8_ratio_classify",
-    "aggp1_pivot_matrix",
-    "srt_topk_global",
-    "src7_json_extract",
-    "stream_window_agg",
-    "stream_sessionize",
-    "stream_interval_join",
-    "dedup_exact_stats",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_keepers",
-    "text_quality_features",
+    # rows fill the 50 slots.  New r11 queries are PREPENDED here as
+    # they land (never-stamped queries must lead the window).
     "text_lang_id",
     "text_token_stats",
     "text_fingerprint",
     "ann_cosine_topk",
     "ann_embedding_neardup",
+    "asof_join_events",
+    "range_join_dim",
+    "rollup_aggregate",
+    "agg_percentiles",
+    "agg_percentiles_approx",
+    "text_bpe_tokens",
+    "ann_ivf_topk",
+    "corpus_curation",
+    "skew_salted_agg",
+    "text_bm25_topk",
+    "quality_lm_buckets",
+    "sketch_hll_distinct",
+    "dsir_importance",
+    "dedup_passages",
+    "embedding_random_projection",
+    "bloom_semi_join",
+    "sketch_hll_by_group",
+    "dedup_passage_rewrite",
+    "tokenizer_bpe_encode",
+    "sketch_cms_heavy_hitters",
+    "snapshot_apply_merge",
+    "graph_pagerank_neardup",
+    "sketch_log2_quantiles",
+    "rag_chunk_documents",
+    "winnow_partial_overlap",
+    "sample_pps_systematic",
+    "graph_kcore_filter",
+    "linkage_golden_records",
+    "quality_quantile_norm",
+    "split_semantic_leakage",
+    "profile_expectations",
+    "prj3_computed_projection",
+    "fil4_threshold_status",
+    "fil6_regex_predicates",
+    "fil8_in_list_slice",
+    "f13_case_buckets",
+    "jn1_semi_join",
+    "set3_anti_join",
+    "jn2_broadcast_annotate",
+    "jn5_lookup_default",
+    "jn6_outer_validation",
+    "agg1_count_distinct",
+    "agg2_collect_sorted_list",
+    "agg3_first_per_group",
+    "agg4_dedup_keep_first",
 )
 
 
