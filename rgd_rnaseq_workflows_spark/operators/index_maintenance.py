@@ -88,6 +88,15 @@ def optimize_index(spark: SparkSession, path: str, kind: str) -> dict:
     data = f"{path}/{sub}"
     tmp = f"{data}__compact_tmp"
     old = f"{data}__predecessor"
+    # self-healing rollback: a crash between the two renames below
+    # leaves the full data under __predecessor and NO live directory —
+    # without this, every probe fails path-not-found and a retried
+    # optimize_index dies in _count_data_files, so recovery would be a
+    # manual rename. Roll the predecessor back before compacting.
+    fs0, datap, jvm0 = _hadoop(spark, data)
+    oldp0 = jvm0.org.apache.hadoop.fs.Path(old)
+    if fs0.exists(oldp0) and not fs0.exists(datap):
+        _rename(spark, old, data)
     files_before = _count_data_files(spark, data)
 
     df: DataFrame = spark.read.parquet(data)

@@ -639,17 +639,35 @@ def key_skew_report(df: DataFrame, key_col: str,
 
     Exactness: shares are exact integer divisions over exact counts —
     both engines rank and report identical rows (count-desc, key-asc
-    tiebreak). One map-side-combined groupBy + a top_k-row window."""
+    tiebreak). One map-side-combined groupBy + a candidate-scale rank.
+
+    Scale shape (two-phase top-k): the keys one pre-flights before a
+    100 TB shuffle (URLs, doc ids) have BILLIONS of distinct values,
+    so the distinct-count table must never funnel through one global
+    window. Phase 1 keeps each partition's local top-``top_k`` under
+    the same total order (a global top-k row is necessarily in its own
+    partition's top-k, so this prunes without loss — and it holds for
+    ANY placement of the count rows, so no checkpoint is needed).
+    Phase 2 ranks and cumulative-sums the ≤ partitions·top_k survivors
+    — a metadata-scale window (the rank-1..k cumulative sum reads only
+    rows 1..k, all of which survive phase 1). Totals come from the
+    aggregate, not a window."""
     from pyspark.sql import Window
     kc = F.col(key_col).cast("string").alias("key")
     cnt = (df.select(kc).groupBy("key")
            .agg(F.count("*").alias("n_rows")))
     tot = cnt.agg(F.sum("n_rows").alias("_t"),
                   F.count("*").alias("_k"))
+    cand_w = (Window.partitionBy("_pid")
+              .orderBy(F.desc("n_rows"), F.asc_nulls_first("key")))
+    cand = (cnt.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_prn", F.row_number().over(cand_w))
+            .filter(F.col("_prn") <= top_k)
+            .drop("_pid", "_prn"))
     w = Window.orderBy(F.desc("n_rows"), F.asc_nulls_first("key"))
     wc = (Window.orderBy(F.desc("n_rows"), F.asc_nulls_first("key"))
           .rowsBetween(Window.unboundedPreceding, 0))
-    return (cnt.crossJoin(F.broadcast(tot))
+    return (cand.crossJoin(F.broadcast(tot))
             .withColumn("rank", F.row_number().over(w))
             .withColumn("_cum", F.sum("n_rows").over(wc))
             .filter(F.col("rank") <= top_k)

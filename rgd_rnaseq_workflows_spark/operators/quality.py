@@ -1278,20 +1278,27 @@ FROM per ORDER BY {id_col}
 def _ccnet_ranked(docs: DataFrame, n_buckets: int, id_col: str,
                   text_col: str) -> DataFrame:
     """The shared ranked frame: per scoreable doc, the exact integer
-    per-bigram key, its global rank, and its bucket index."""
-    from pyspark.sql import Window
+    per-bigram key, its global rank, and its bucket index.
+
+    The rank is the distributed two-phase
+    :func:`~rgd_rnaseq_workflows_spark.operators.exact_quantiles.
+    global_ranks` (range shuffle + per-partition ``row_number`` +
+    broadcast offsets) — NEVER a partition-less ``row_number`` window:
+    this frame feeds the ``--ccnet-keep`` corpus gate, so it is
+    doc-scale at 100 TB and a single-task global sort would be the
+    hard bottleneck of the whole curation run. The order
+    ``(_key, id)`` is total (doc ids are unique), so the two-phase
+    rank is exact and engine-identical."""
+    from rgd_rnaseq_workflows_spark.operators.exact_quantiles import (
+        global_ranks)
     rep = (kn_lm_report(docs, id_col, text_col)
            .filter(F.col("n_bigrams") > 0)
            .withColumn("_key", F.expr(
                "nll_micro * 1000000 div n_bigrams")))
-    w = Window.orderBy("_key", id_col)
-    n = F.count("*").over(
-        Window.rowsBetween(Window.unboundedPreceding,
-                           Window.unboundedFollowing))
-    return (rep.withColumn("_rn", F.row_number().over(w))
-            .withColumn("_n", n)
-            .withColumn("bucket", F.expr(
-                f"(_rn - 1) * {n_buckets} div _n").cast("int")))
+    ranked = global_ranks(rep, [F.col("_key"), F.col(id_col)],
+                          rank_col="_grank", total_col="_n")
+    return ranked.withColumn("bucket", F.expr(
+        f"(_grank - 1) * {n_buckets} div _n").cast("int"))
 
 
 def _ccnet_band(n_buckets: int):
@@ -1329,9 +1336,10 @@ def ccnet_perplexity_buckets(docs: DataFrame, n_buckets: int = 3,
     carry no perplexity and are excluded (the kn_score contract).
 
     Scale shape: the per-doc report is the ``kn_lm_report`` lineage;
-    the global rank is ONE range-partitioned sort of the doc-scale
-    report (Spark's orderBy window — sampled range exchange), and the
-    bucket fold is a |buckets|-row aggregation."""
+    the global rank is the two-phase distributed rank (one sampled
+    range shuffle, per-partition ``row_number``, broadcast
+    partition-count-scale offsets — no single-task WindowExec), and
+    the bucket fold is a |buckets|-row aggregation."""
     ranked = _ccnet_ranked(docs, n_buckets, id_col, text_col)
     label = _ccnet_band(n_buckets)
     return (ranked.groupBy("bucket")

@@ -281,3 +281,22 @@ def test_describe_index_cli(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "num_buckets" in out and "epoch base" in out
     assert "4 committed epoch(s)" in out
+
+
+def test_optimize_crash_between_renames_self_heals(spark, tmp_path):
+    """ADVICE r10: a crash BETWEEN optimize_index's two renames leaves
+    the full data under ``__predecessor`` and no live directory — a
+    retried optimize_index must roll it back and complete (probe
+    results pinned), not die path-not-found."""
+    import os
+    path = str(tmp_path / "inv")
+    _churn_bm25(spark, path)
+    before = _bm25_probe(spark, path)
+    # simulate the crash window: data renamed away, tmp never promoted
+    os.rename(f"{path}/postings", f"{path}/postings__predecessor")
+    stats = optimize_index(spark, path, "bm25")
+    assert stats["files_after"] <= stats["files_before"]
+    assert _bm25_probe(spark, path) == before
+    assert glob.glob(f"{path}/postings/_epoch=*") == \
+        [f"{path}/postings/_epoch=compacted"]
+    assert not os.path.exists(f"{path}/postings__predecessor")
