@@ -98,10 +98,36 @@ def next_batch_key(spark: SparkSession, path: str) -> str:
     two writers minting auto keys concurrently would both read the
     same ledger high-water mark and the second epoch-dir overwrite
     would silently replace the first — concurrent appenders must pass
-    explicit, distinct epoch keys."""
+    explicit, distinct epoch keys. The appenders back this contract
+    with :func:`assert_unclaimed_epoch_dir`, which detects the
+    collision at write time instead of trusting the docstring."""
     nums = [int(m.group(1)) for k in ledger_keys(spark, path)
             if (m := _BATCH_RE.match(k))]
     return f"batch-{(max(nums) + 1) if nums else 1:06d}"
+
+
+def assert_unclaimed_epoch_dir(spark: SparkSession, data_root: str,
+                               epoch_key: str) -> None:
+    """Loud collision check for a FRESHLY MINTED auto key: if the
+    epoch's data directory already exists, another writer minted the
+    same ``batch-N`` (read-modify-write race on the ledger high-water
+    mark) and has started writing — or a prior auto append crashed
+    between its data write and its ledger commit. Overwriting would
+    silently replace that writer's data while the ledger shows one
+    commit, so refuse instead; a crashed append is healed by retrying
+    with the EXPLICIT key (the explicit path overwrites its own
+    partials idempotently)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{data_root}/_epoch={epoch_key}")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        raise RuntimeError(
+            f"{data_root}: epoch directory for freshly minted key "
+            f"{epoch_key!r} already exists — a concurrent auto-key "
+            "appender or a crashed prior append owns it; pass an "
+            f"explicit epoch_key (retry the crashed append with "
+            f"epoch_key={epoch_key!r} to heal it, or pick a distinct "
+            "key for new data)")
 
 
 def commit_ledger_row(stats: DataFrame, path: str,

@@ -159,10 +159,11 @@ def append_to_inverted_index(new_docs: DataFrame, path: str,
     semantics for ad-hoc CLI use — pass an explicit key to make a
     specific append retry-safe, as the streaming sink does)."""
     from rgd_rnaseq_workflows_spark.operators.index_ledger import (
-        ledger_keys, next_batch_key)
+        assert_unclaimed_epoch_dir, ledger_keys, next_batch_key)
     spark = new_docs.sparkSession
     if epoch_key is None:
         epoch_key = next_batch_key(spark, path)
+        assert_unclaimed_epoch_dir(spark, f"{path}/postings", epoch_key)
     elif epoch_key in ledger_keys(spark, path):
         return False
     _, _, num_buckets = read_inverted_meta(spark, path)

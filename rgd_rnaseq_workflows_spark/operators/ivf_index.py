@@ -201,11 +201,12 @@ def append_to_ivf_index(emb: DataFrame, path: str,
     micro-batch can never duplicate vectors in probe results.
     ``epoch_key=None`` mints a fresh ``batch-N`` key."""
     from rgd_rnaseq_workflows_spark.operators.index_ledger import (
-        ledger_keys, next_batch_key)
+        assert_unclaimed_epoch_dir, ledger_keys, next_batch_key)
     _reject_reserved(emb)
     spark = emb.sparkSession
     if epoch_key is None:
         epoch_key = next_batch_key(spark, path)
+        assert_unclaimed_epoch_dir(spark, f"{path}/vectors", epoch_key)
     elif epoch_key in ledger_keys(spark, path):
         return False
     asg = assign_by_centroids(spark, path, emb, id_col, vec_col)

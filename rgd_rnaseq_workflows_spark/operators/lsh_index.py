@@ -122,10 +122,11 @@ def append_to_lsh_index(new_docs: DataFrame, path: str,
     restores the single-sorted-run layout if append churn fragments
     it (the standard LSM-ish compaction trade)."""
     from rgd_rnaseq_workflows_spark.operators.index_ledger import (
-        ledger_keys, next_batch_key)
+        assert_unclaimed_epoch_dir, ledger_keys, next_batch_key)
     spark = new_docs.sparkSession
     if epoch_key is None:
         epoch_key = next_batch_key(spark, path)
+        assert_unclaimed_epoch_dir(spark, f"{path}/bands", epoch_key)
     elif epoch_key in ledger_keys(spark, path):
         return False
     num_hashes, band_size, shingle_n = read_lsh_meta(spark, path)

@@ -72,6 +72,17 @@ class Orchestrator:
         with open(self._marker(project, stage), "w") as f:
             f.write(str(time.time()))
 
+    def clear(self, project: str, stage: str) -> None:
+        """Force a stage to re-run on the next ``run_project`` by
+        removing its skip marker (the reference's regen utilities work
+        exactly this way: delete the ``.stepN_complete`` file, re-run
+        the controller — ``sex_json_regen_v2.sh`` re-executes the
+        conflict report + track JSON + session steps independently)."""
+        try:
+            os.remove(self._marker(project, stage))
+        except FileNotFoundError:
+            pass
+
     # --- single project -------------------------------------------------
     def run_project(self, run: ProjectRun) -> bool:
         """Run stages in order; skip marked ones; stop on critical failure."""

@@ -91,11 +91,32 @@ def build_parser() -> argparse.ArgumentParser:
                         "differs from --layout are excluded up front (the "
                         "reference's exit-2 contract, "
                         "SRA2QC_production.sh:227-247)")
+    p.add_argument("--regen-sex-json", action="store_true",
+                   help="regenerate the sex/conflict report, per-sample "
+                        "track JSONs and the session document from an "
+                        "already-completed run (the reference's "
+                        "sex_json_regen_v2.sh utility: pass the CORRECTED "
+                        "accession list after a manual sex fix; completed "
+                        "upstream stages are reused via their markers)")
     return p
 
 
 def run(args: argparse.Namespace) -> int:
     spark = get_spark(f"rnaseq-{args.project}")
+    try:
+        return _run(spark, args)
+    finally:
+        # the pipeline caches its stage handles (unique/qc/passed/expr/
+        # sex/tx); Spark's CacheManager keys cached plans by LOGICAL
+        # PLAN, so a second run() in the same session (--regen-sex-json
+        # after a manual acclist correction, or test suites) would
+        # silently resolve the re-read input to the PREVIOUS run's
+        # materialized rows. The CLI owns its session, so dropping all
+        # cache entries on exit is safe and makes re-runs read disk.
+        spark.catalog.clearCache()
+
+
+def _run(spark, args: argparse.Namespace) -> int:
     out = args.out.rstrip("/")
 
     acclist = read_tsv(spark, args.acclist, ACCLIST)
@@ -245,9 +266,15 @@ def run(args: argparse.Namespace) -> int:
         docs = rows.select(
             "geo_accession", "unique_name",
             F.to_json(track_document(args.project)).alias("doc")).collect()
+        import glob as _glob
         for r in docs:                      # per-project: a handful of rows
             d = f"{out}/tracks/{r['geo_accession']}"
             _os.makedirs(d, exist_ok=True)
+            # the filename embeds unique_name (tissue_strain_SEX_geo):
+            # a regen after a sex correction mints a NEW name, so stale
+            # docs must go or the session builder would pick up both
+            for stale in _glob.glob(f"{d}/RNAseq_*.json"):
+                _os.remove(stale)
             with open(f"{d}/RNAseq_{r['unique_name']}.json", "w") as f:
                 f.write(r["doc"])
         session = build_session(spark, args.project, f"{out}/tracks")
@@ -354,6 +381,24 @@ def run(args: argparse.Namespace) -> int:
     if args.qc_scan_root:
         stages.append(Stage("multiqc", stage_multiqc, critical=False))
     orch = Orchestrator(f"{out}/.markers")
+    if args.regen_sex_json:
+        # sex_json_regen_v2.sh:303-310,225-290,355-388 — re-run exactly
+        # the conflict-report + track-JSON + session steps against the
+        # (hand-corrected) accession list; everything upstream is reused
+        # through its completion marker. The utility needs the sex
+        # inputs, so missing idxstats is a loud error here even though
+        # the stage itself is non-critical in a full run.
+        if not args.idxstats:
+            raise SystemExit(
+                "--regen-sex-json requires --idxstats (the regenerated "
+                "conflict report recomputes sex from idxstats)")
+        # "pass" re-runs too (it reuses the QC artifact, so it is one
+        # semi-join): the corrected Sex column must flow from the new
+        # accession list into Unique_AccList_PASS, which is where the
+        # sex stage's InputSex and the tracks' unique_name come from.
+        # QC and matrices stay marker-skipped, like the reference.
+        for st in ("pass", "sex", "tracks"):
+            orch.clear(args.project, st)
     run_ = ProjectRun(args.project, unique.count(), stages)
     ok = orch.run_project(run_)
     for entry in orch.log:

@@ -385,7 +385,7 @@ def stream_kn_score(doc_stream: DataFrame, nll_table: DataFrame,
 
 
 def stream_index_ingest(stream: DataFrame, path: str, kind: str,
-                        stream_id: str = "stream"):
+                        stream_id: str):
     """Streaming maintenance for the persisted index family: each
     micro-batch appends into the layout through the SAME incremental
     path the batch CLI uses (``append_to_ivf_index`` /
@@ -405,11 +405,16 @@ def stream_index_ingest(stream: DataFrame, path: str, kind: str,
     df/tf/N/Σdl never double-count, IVF/LSH never hold duplicate rows
     (pinned by the double-append tests in the index suites).
 
-    ``stream_id`` must be unique per streaming-query LINEAGE: Spark's
-    epoch_id restarts at 0 under a FRESH checkpoint directory, and a
-    reused (stream_id, epoch_id) key would silently no-op real data —
-    pass a new stream_id whenever you point a new checkpoint at an
-    existing index."""
+    ``stream_id`` is REQUIRED and must be unique per streaming-query
+    LINEAGE: Spark's epoch_id restarts at 0 under a FRESH checkpoint
+    directory, and a reused (stream_id, epoch_id) key would silently
+    no-op real data — pass a new stream_id whenever you point a new
+    checkpoint at an existing index. The sink also fails loudly on the
+    fresh-checkpoint signature: a legitimate foreachBatch replay only
+    re-delivers the LATEST epoch_id the checkpoint saw, so an incoming
+    key that is already committed but is NOT this stream's highest
+    committed epoch can only mean a second query (or a restarted-from-
+    scratch checkpoint) is reusing the stream_id."""
     from rgd_rnaseq_workflows_spark.operators.inverted_index import (
         append_to_inverted_index)
     from rgd_rnaseq_workflows_spark.operators.ivf_index import (
@@ -427,7 +432,20 @@ def stream_index_ingest(stream: DataFrame, path: str, kind: str,
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        fn(batch_df, path, epoch_key=f"{stream_id}-{epoch_id:06d}")
+        from rgd_rnaseq_workflows_spark.operators.index_ledger import (
+            ledger_keys)
+        key = f"{stream_id}-{epoch_id:06d}"
+        mine = sorted(k for k in ledger_keys(batch_df.sparkSession, path)
+                      if k.startswith(f"{stream_id}-"))
+        if mine and key in mine and key != mine[-1]:
+            raise RuntimeError(
+                f"stream_index_ingest: epoch key {key!r} is already "
+                f"committed but is not stream {stream_id!r}'s latest "
+                f"({mine[-1]!r}) — a fresh checkpoint or a second query "
+                "is reusing this stream_id against the same index; "
+                "pass a new stream_id (silently no-oping would drop "
+                "this batch's data)")
+        fn(batch_df, path, epoch_key=key)
 
     return stream.writeStream.foreachBatch(_sink)
 

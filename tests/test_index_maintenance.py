@@ -300,3 +300,27 @@ def test_optimize_crash_between_renames_self_heals(spark, tmp_path):
     assert glob.glob(f"{path}/postings/_epoch=*") == \
         [f"{path}/postings/_epoch=compacted"]
     assert not os.path.exists(f"{path}/postings__predecessor")
+
+
+def test_auto_key_collision_with_orphan_epoch_dir_is_loud(
+        spark, tmp_path):
+    """ADVICE r10: two concurrent auto-key appenders mint the same
+    batch-N (ledger read-modify-write race) — the second must FAIL at
+    write time instead of silently overwriting the first's epoch data.
+    Simulated via the equivalent on-disk state: the epoch directory
+    exists but its ledger row does not."""
+    import os
+
+    import pytest
+
+    path = str(tmp_path / "inv")
+    write_inverted_index(_docs(spark, range(10)), path, num_buckets=4)
+    nxt = next_batch_key(spark, path)
+    os.makedirs(f"{path}/postings/_epoch={nxt}")
+    with pytest.raises(RuntimeError, match="already exists"):
+        append_to_inverted_index(_docs(spark, range(50, 55)), path)
+    # healing: the EXPLICIT key overwrites the orphan idempotently
+    assert append_to_inverted_index(_docs(spark, range(50, 55)), path,
+                                    epoch_key=nxt) is True
+    assert append_to_inverted_index(_docs(spark, range(50, 55)), path,
+                                    epoch_key=nxt) is False

@@ -264,3 +264,58 @@ def test_cli_coverage_stage_uses_shared_genome_sizes(spark, tmp_out):
     assert {sz for _, sz in sizes["chr1"]} == {248956422}
     assert len(sizes["chr1"]) == 2
     assert {sz for _, sz in sizes["chr2"]} == {242193529}
+
+
+def test_cli_regen_sex_json_after_manual_correction(spark, tmp_out):
+    """sex_json_regen_v2.sh twin: after a manual sex correction in the
+    accession list, --regen-sex-json re-runs EXACTLY the conflict
+    report + per-sample track JSONs + session (markers cleared), reuses
+    everything upstream via its markers, and the regenerated artifacts
+    reflect the corrected sex."""
+    import json
+    import pytest
+
+    _fixtures(tmp_out)
+    out = f"{tmp_out}/out_regen"
+    assert run_pipeline.main(_argv(tmp_out, out)) == 0
+    tpm_before = _read_single(f"{out}/GeneMat_TPM/part*.csv")
+    qc_mtime = os.path.getmtime(
+        glob.glob(f"{out}/STAR_Align_sum/part*.csv")[0])
+
+    # the manual correction: GSM1 was mislabeled M, the curator fixes
+    # the accession list to F (the reference's use case verbatim)
+    with open(f"{tmp_out}/AccList.txt") as f:
+        acc = f.read()
+    with open(f"{tmp_out}/AccList.txt", "w") as f:
+        f.write(acc.replace("SRR0\tGSM1\tLiver\tBN\tM",
+                            "SRR0\tGSM1\tLiver\tBN\tF"))
+
+    assert run_pipeline.main(
+        _argv(tmp_out, out) + ["--regen-sex-json"]) == 0
+
+    # the conflict report reflects the corrected input sex: GSM1's
+    # idxstats say male (X/Y reads 2000/1000 → ratio 2), input now F
+    sex = _read_single(f"{out}/sex_result/part*.csv")
+    [gsm1] = [line for line in sex if line.startswith("GSM1")]
+    assert "\tF\t" in gsm1 and "\tM" in gsm1    # InputSex=F, ComputedSex=M
+    rep = _read_single(f"{out}/ConflictedSampleReport/part*.csv")
+    assert any("GSM1" in line for line in rep)
+
+    # the track metadata regenerated off the corrected unique_name
+    tracks = sorted(glob.glob(f"{out}/tracks/*/RNAseq_*.json"))
+    assert any("Liver_BN_F_GSM1" in t for t in tracks)
+    session = json.load(open(f"{out}/session.json"))
+    assert len(session["session"]["sessionTracks"]) == 2
+
+    # upstream stages were NOT re-run (markers honored): QC artifact
+    # untouched, matrix identical
+    assert os.path.getmtime(
+        glob.glob(f"{out}/STAR_Align_sum/part*.csv")[0]) == qc_mtime
+    assert _read_single(f"{out}/GeneMat_TPM/part*.csv") == tpm_before
+
+    # fail-loud contract: regen without the sex inputs is an error
+    argv_noidx = [a for i, a in enumerate(_argv(tmp_out, out))
+                  if a != "--idxstats"
+                  and (i == 0 or _argv(tmp_out, out)[i - 1] != "--idxstats")]
+    with pytest.raises(SystemExit):
+        run_pipeline.main(argv_noidx + ["--regen-sex-json"])

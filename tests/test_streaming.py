@@ -5,6 +5,8 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+import pytest
+
 from rgd_rnaseq_workflows_spark.streaming.events_stream import (
     EVENTS_SCHEMA, session_window_counts, sessionize, stream_windowed_counts,
     windowed_counts)
@@ -646,7 +648,7 @@ def test_stream_index_ingest_bm25_and_ivf(spark, tmp_out):
     spark.createDataFrame(delta[:2], schema).coalesce(1) \
         .write.mode("append").parquet(src)
     stream = spark.readStream.schema(schema).parquet(src)
-    q = stream_index_ingest(stream, idx, "bm25") \
+    q = stream_index_ingest(stream, idx, "bm25", "inv-s1") \
         .option("checkpointLocation",
                 os.path.join(tmp_out, "inv_ckpt")).start()
     try:
@@ -682,7 +684,7 @@ def test_stream_index_ingest_bm25_and_ivf(spark, tmp_out):
         .write.mode("append").parquet(esrc)
     estream = spark.readStream.schema(eschema).parquet(esrc) \
         .drop("label")           # appends are assigned by the index
-    eq = stream_index_ingest(estream, eidx, "ivf") \
+    eq = stream_index_ingest(estream, eidx, "ivf", "ivf-s1") \
         .option("checkpointLocation",
                 os.path.join(tmp_out, "ivf_ckpt")).start()
     try:
@@ -840,3 +842,45 @@ def test_stream_host_rate_limit_equals_batch_window_cap(spark, tmp_out):
     assert len(hot0) == 3 and hot0 == [0, 1, 2]   # earliest 3 admitted
     assert any(d in (200, 201) for d, h, _ in got if h == "hot.com")
     assert {d for d, h, _ in got if h == "cool.org"} == {100, 101}
+
+
+def test_stream_index_ingest_fresh_checkpoint_collision_is_loud(
+        spark, tmp_out):
+    """ADVICE r10: a restarted-from-scratch checkpoint (or a second
+    query) reusing a stream_id mints epoch keys that collide with
+    already-committed ones — the sink must FAIL, not silently no-op
+    the batch's data."""
+    import os
+
+    from pyspark.errors import StreamingQueryException
+
+    from rgd_rnaseq_workflows_spark.operators.inverted_index import (
+        append_to_inverted_index, write_inverted_index)
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        stream_index_ingest)
+
+    schema = "doc_id long, text string"
+    idx = os.path.join(tmp_out, "inv_collide")
+    write_inverted_index(
+        spark.createDataFrame([(i, f"w{i} common") for i in range(6)],
+                              schema), idx, num_buckets=4)
+    # a prior run of stream id "s1" committed epochs 0 and 1
+    for e in (0, 1):
+        append_to_inverted_index(
+            spark.createDataFrame([(50 + e, "common prior")], schema),
+            idx, epoch_key=f"s1-{e:06d}")
+
+    src = os.path.join(tmp_out, "inv_collide_src")
+    os.makedirs(src)
+    spark.createDataFrame([(100, "common fresh")], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_index_ingest(stream, idx, "bm25", "s1") \
+        .option("checkpointLocation",
+                os.path.join(tmp_out, "inv_collide_ckpt")).start()
+    try:
+        with pytest.raises(StreamingQueryException,
+                           match="reusing this stream_id"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
