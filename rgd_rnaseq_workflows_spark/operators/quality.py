@@ -1387,3 +1387,121 @@ SELECT bucket,
 FROM bk GROUP BY bucket
 ORDER BY bucket
 """
+
+
+def ccnet_keep_threshold(docs: DataFrame, n_buckets: int = 3,
+                         keep_buckets: int = 1, id_col: str = "doc_id",
+                         text_col: str = "text") -> int:
+    """The FROZEN CCNet keep cut-point: the maximum exact integer
+    per-bigram micro-nat key among the kept (lowest-perplexity)
+    ``keep_buckets`` rank buckets of the reference corpus. This is the
+    artifact a deployment freezes next to the ``(bg, nll6)`` LM table:
+    a STREAM cannot compute a global rank, so the ingest gate compares
+    each arriving document's key against this batch-derived constant
+    (:func:`ccnet_keep_gate` / ``corpus_stream.stream_ccnet_keep``).
+    Driver metadata — one long from a 1-row aggregate."""
+    if not 0 < keep_buckets <= n_buckets:
+        raise ValueError(f"keep_buckets {keep_buckets} must be in "
+                         f"(0, {n_buckets}]")
+    ranked = _ccnet_ranked(docs, n_buckets, id_col, text_col)
+    [r] = (ranked.filter(F.col("bucket") < keep_buckets)
+           .agg(F.max("_key").alias("k")).collect())
+    if r["k"] is None:
+        raise ValueError("ccnet_keep_threshold: reference corpus has "
+                         "no scoreable documents")
+    return int(r["k"])
+
+
+def ccnet_keep_gate(docs: DataFrame, nll_table: DataFrame,
+                    max_key_micro: int, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Apply the frozen CCNet keep rule to a document frame — batch OR
+    streaming (the deployment shape Wenzek et al. 2020 describe: gate
+    documents as they arrive, against the reference LM, without
+    touching the lake). Scores with the occurrence-weighted
+    single-aggregation KN fold (:func:`kn_score_occurrences` — the one
+    streaming-legal shape: stateless stream-static LM join + ONE
+    streaming aggregation, filtered post-aggregation), derives each
+    document's exact integer per-bigram key, and keeps keys at or
+    below the frozen cut-point. Documents with no in-LM bigrams carry
+    no perplexity and are dropped (the band-assign contract); ties at
+    the cut are kept on both engines (<=, exact integers)."""
+    scored = kn_score_occurrences(docs, nll_table, id_col, text_col)
+    return (scored.filter(F.col("n_bigrams") > 0)
+            .withColumn("key_micro",
+                        F.expr("nll_micro * 1000000 div n_bigrams")
+                        .cast("long"))
+            .filter(F.col("key_micro") <= F.lit(int(max_key_micro)))
+            .select(id_col, "n_bigrams", "n_oov", "nll_micro",
+                    "key_micro"))
+
+
+def ccnet_keep_gate_sql(lm_where: str, probe_where: str,
+                        n_buckets: int = 3, keep_buckets: int = 1,
+                        table: str = "documents",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """DuckDB twin of the full frozen-gate deployment: train the KN LM
+    on the ``lm_where`` slice, self-score it to derive the keep
+    cut-point (the batch CCNet ranking), then score the
+    ``probe_where`` slice against the FROZEN LM and keep documents at
+    or below the cut."""
+    sh = TX.shingles_all_sql(text_col, 2)
+    d = KN_DISCOUNT
+    return f"""
+WITH b AS (
+  SELECT id, coalesce(bg, '') AS bg FROM (
+    SELECT {id_col} AS id, unnest({sh}) AS bg
+    FROM {table} WHERE {lm_where})),
+lm AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c12,
+         string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[-1] AS w2
+  FROM b GROUP BY bg),
+ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n1p_fwd
+        FROM lm GROUP BY w1),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_rev
+         FROM lm GROUP BY w2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM lm),
+scored AS (
+  SELECT bg, CAST(round(-ln(
+           (c12 - {d}) / c1
+           + {d} * n1p_fwd / c1 * n1p_rev / n_types) * 1e6) AS BIGINT)
+           AS nll6
+  FROM lm JOIN ctx USING (w1) JOIN cont USING (w2), tot),
+reftf AS (SELECT id, bg, CAST(count(*) AS BIGINT) AS cnt
+          FROM b GROUP BY id, bg),
+refper AS (
+  SELECT id,
+         CAST(sum(CASE WHEN nll6 IS NOT NULL THEN cnt ELSE 0 END)
+           AS BIGINT) AS n_bigrams,
+         CAST(sum(cnt * coalesce(nll6, 0)) AS BIGINT) AS nll_micro
+  FROM reftf LEFT JOIN scored USING (bg) GROUP BY id),
+keyed AS (SELECT id, nll_micro * 1000000 // n_bigrams AS key
+          FROM refper WHERE n_bigrams > 0),
+ranked AS (SELECT id, key, row_number() OVER (ORDER BY key, id) AS rn,
+                  count(*) OVER () AS n
+           FROM keyed),
+cut AS (SELECT CAST(max(key) AS BIGINT) AS max_key FROM ranked
+        WHERE (rn - 1) * {n_buckets} // n < {keep_buckets}),
+bp AS (
+  SELECT id, coalesce(bg, '') AS bg FROM (
+    SELECT {id_col} AS id, unnest({sh}) AS bg
+    FROM {table} WHERE {probe_where})),
+ptf AS (SELECT id, bg, CAST(count(*) AS BIGINT) AS cnt
+        FROM bp GROUP BY id, bg),
+pper AS (
+  SELECT id,
+         CAST(sum(CASE WHEN nll6 IS NOT NULL THEN cnt ELSE 0 END)
+           AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN nll6 IS NULL THEN cnt ELSE 0 END)
+           AS BIGINT) AS n_oov,
+         CAST(sum(cnt * coalesce(nll6, 0)) AS BIGINT) AS nll_micro
+  FROM ptf LEFT JOIN scored USING (bg) GROUP BY id)
+SELECT id AS {id_col}, n_bigrams, n_oov, nll_micro,
+       CAST(nll_micro * 1000000 // n_bigrams AS BIGINT) AS key_micro
+FROM pper, cut
+WHERE n_bigrams > 0
+  AND nll_micro * 1000000 // n_bigrams <= cut.max_key
+"""

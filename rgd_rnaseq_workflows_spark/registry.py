@@ -1645,6 +1645,8 @@ def text_zipf_head_stats(spark, sf_dir):
 # prior round are surfaced first so every registry entry accumulates a
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
+    # new r11 queries (never-stamped lead the window):
+    "stream_ccnet_keep",
     # round-11 window (exactly tools/rotation_check.py --plan at the r10
     # close): the 36 r7-aged rows that would breach MAX_AGE after r11
     # lead in oldest-evidence-first order, then the next-oldest stamped
@@ -4765,3 +4767,35 @@ def profile_key_skew(spark, sf_dir):
         key_skew_report)
     return key_skew_report(_t(spark, sf_dir, "lineitem"), "l_suppkey",
                            top_k=10)
+
+
+def _ccnet_keep_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        ccnet_keep_gate_sql)
+    return ccnet_keep_gate_sql("source = 'src0'", "source <> 'src0'",
+                               n_buckets=3, keep_buckets=1)
+
+
+@q("stream_ccnet_keep", ("STREAM-CCNET",), oracle=_ccnet_keep_oracle(),
+   note="streaming CCNet keep gate: a stream cannot compute the batch "
+        "head/middle/tail GLOBAL RANK, so the (bg, nll6) KN table and "
+        "the keep cut-point are FROZEN from a batch run over the "
+        "reference slice and each arriving doc is a pure per-document "
+        "decision (frozen-LM stream-static join + one streaming "
+        "aggregation + an exact integer comparison) - batch twin of "
+        "streaming/corpus_stream.stream_ccnet_keep, stream==batch "
+        "kept set pinned in tests/test_streaming.py")
+def stream_ccnet_keep(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        bigram_counts, ccnet_keep_gate, ccnet_keep_threshold,
+        kn_nll_table)
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source") == "src0")
+    probe = d.filter(F.col("source") != "src0")
+    # the frozen artifacts a deployment persists next to the index:
+    # the LM table (checkpointed - the threshold collect and the gate
+    # both read it) and the driver-side cut-point long
+    nll = checkpoint_df(kn_nll_table(bigram_counts(ref)))
+    cut = ccnet_keep_threshold(ref, n_buckets=3, keep_buckets=1)
+    return ccnet_keep_gate(probe, nll, cut)

@@ -384,6 +384,29 @@ def stream_kn_score(doc_stream: DataFrame, nll_table: DataFrame,
     return kn_score_occurrences(doc_stream, nll_table, id_col, text_col)
 
 
+def stream_ccnet_keep(doc_stream: DataFrame, nll_table: DataFrame,
+                      max_key_micro: int, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Streaming CCNet keep gate — the ``--ccnet-keep`` curation rule
+    applied AS DOCUMENTS ARRIVE: a stream cannot compute the batch
+    head/middle/tail GLOBAL RANK, so both artifacts are FROZEN from a
+    batch run over the reference corpus — the ``(bg, nll6)`` KN table
+    (``stream_kn_score``'s frozen-LM pattern) and the keep cut-point
+    (``quality.ccnet_keep_threshold``, the max exact integer
+    per-bigram key of the kept rank buckets). The gate is then a pure
+    per-document decision: stateless stream-static LM join, ONE
+    streaming aggregation (the occurrence-weighted KN fold), a
+    post-aggregation integer comparison. Run in update/complete mode.
+
+    Kept set equals the batch gate over the same rows (test-pinned
+    under out-of-order micro-batches): exact integers everywhere, so
+    stream and batch cannot disagree at the cut."""
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        ccnet_keep_gate)
+    return ccnet_keep_gate(doc_stream, nll_table, max_key_micro,
+                           id_col, text_col)
+
+
 def stream_index_ingest(stream: DataFrame, path: str, kind: str,
                         stream_id: str):
     """Streaming maintenance for the persisted index family: each

@@ -884,3 +884,64 @@ def test_stream_index_ingest_fresh_checkpoint_collision_is_loud(
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_stream_ccnet_keep_equals_batch_kept_set(spark, tmp_out):
+    """r11 (VERDICT r10 item 8): the --ccnet-keep ingest gate. The keep
+    cut-point and the LM are FROZEN from a batch CCNet run over the
+    reference corpus; documents streaming in across out-of-order
+    micro-batches are kept iff their exact integer per-bigram key is at
+    or below the cut — the kept set equals the batch gate over the same
+    rows, and the cut equals the batch head bucket's max key."""
+    import os
+
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        bigram_counts, ccnet_band_assign, ccnet_keep_gate,
+        ccnet_keep_threshold, kn_nll_table)
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        stream_ccnet_keep)
+
+    schema = "doc_id long, text string"
+    # reference corpus with a spread of LM-likeness: repetitive
+    # low-perplexity docs and noisier ones
+    ref = spark.createDataFrame(
+        [(100, "a b a b a b a b"), (101, "a b a b c d"),
+         (102, "c d e f g h"), (103, "x y z w v u"),
+         (104, "a b c d a b"), (105, "e f x y c d")], schema)
+    nll = kn_nll_table(bigram_counts(ref))
+    nll.cache().count()                     # the frozen LM
+    cut = ccnet_keep_threshold(ref, n_buckets=3, keep_buckets=1)
+
+    # sanity: the frozen cut IS the batch head bucket's max key
+    bands = {r["doc_id"]: r["band"]
+             for r in ccnet_band_assign(ref, n_buckets=3).collect()}
+    assert set(bands.values()) == {"head", "middle", "tail"}
+
+    b1 = [(1, "a b a b a b"), (2, "x y z q")]     # 1 LM-like, 2 noisy
+    b2 = [(3, "a b a b c d a b"), (4, "q q q"),   # 4: all-OOV
+          (5, ""), (6, "c d e f")]                # 5: empty
+    src = os.path.join(tmp_out, "ccnet_keep_src")
+    os.makedirs(src)
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stream_ccnet_keep(stream, nll, cut)
+         .writeStream.format("memory").queryName("ccnet_kept")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in
+                     spark.sql("SELECT * FROM ccnet_kept").collect())
+    finally:
+        q.stop()
+
+    both = spark.createDataFrame(b1 + b2, schema)
+    want = sorted(tuple(r) for r in
+                  ccnet_keep_gate(both, nll, cut).collect())
+    assert got == want
+    kept_ids = {r[0] for r in got}
+    assert 1 in kept_ids                     # the LM-like doc survives
+    assert 4 not in kept_ids and 5 not in kept_ids   # unscoreable drop
