@@ -66,13 +66,22 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     min-label propagation, all state distributed. ``driver_gate=0``
     forces the distributed path (tests pin it directly).
     """
+    # lazy checkpoint + ONE probing action (r11): the old shape ran
+    # THREE driver actions before any labeling — eager checkpoint job,
+    # gate limit-count, edge collect. The probe collect below serves as
+    # gate test AND edge list in the common small-graph case; its job
+    # also materializes the lazy checkpoint blocks the distributed path
+    # iterates over (recomputes of un-materialized reduce partitions
+    # read the persisted shuffle files, not the upstream lineage).
     adj = (edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
            .union(edges.select(F.col(id_b).alias("src"),
                                F.col(id_a).alias("dst")))
            .distinct()
-           .transform(checkpoint_df))
-    if driver_gate > 0 and adj.limit(driver_gate + 1).count() <= driver_gate:
-        pairs = [(r["src"], r["dst"]) for r in adj.collect()]
+           .transform(checkpoint_df, eager=False))
+    probe = (adj.limit(driver_gate + 1).collect()
+             if driver_gate > 0 else None)
+    if probe is not None and len(probe) <= driver_gate:
+        pairs = [(r["src"], r["dst"]) for r in probe]
         parent: dict = {}
 
         def find(x):

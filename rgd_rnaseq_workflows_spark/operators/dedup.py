@@ -372,11 +372,23 @@ def cross_corpus_minhash_pairs(new: DataFrame, old: DataFrame,
 
 # --- n-gram Jaccard with key blocking -------------------------------------------
 
+def hashed_shingles(text_col: str = "text", n: int = 1):
+    """The PPJoin token set as a COLUMN expression: sorted 60-bit
+    md5-long hashes of the word n-gram shingles. Exposed so a pipeline
+    can materialize it ONCE on its shared survivor frame (the
+    one-token-frame curation contract, ``plans.corpus``) and hand it to
+    :func:`ngram_jaccard_pairs` via ``hashed_col`` instead of paying a
+    second derivation + checkpoint round."""
+    return F.array_sort(F.transform(shingles(text_col, n),
+                                    lambda s: md5_long(s)))
+
+
 def ngram_jaccard_pairs(df: DataFrame, block_col: str,
                         text_col: str = "text", id_col: str = "doc_id",
                         shingle_n: int = 1,
                         threshold: float = 0.5,
-                        broadcast_verify: bool | None = None) -> DataFrame:
+                        broadcast_verify: bool | None = None,
+                        hashed_col: str | None = None) -> DataFrame:
     """Blocked n-gram Jaccard: compare only docs sharing ``block_col``
     (at scale the block is a cheap partition key — source, language, LSH
     bucket), then exact set Jaccard.
@@ -411,14 +423,24 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
     Output is provably identical to the naive blocked all-pairs version —
     the DuckDB oracle runs that naive form, so the pruning logic itself is
     cross-checked.
+
+    ``hashed_col``: a pre-computed :func:`hashed_shingles` array column
+    on ``df``. When given, the four consumer subtrees project straight
+    off ``df`` — the caller has already materialized the frame (the
+    shared-token-frame contract: ``plans.corpus`` checkpoints ONE
+    survivor frame carrying text + token stats + hashed shingles, so
+    the chain pays one materialization round, not two).
     """
-    hashed = (df.select(F.col(id_col), F.col(block_col).alias("_blk"),
-                        shingles(text_col, shingle_n).alias("sh"))
-              .select(F.col(id_col), "_blk",
-                      F.array_sort(F.transform(
-                          "sh", lambda s: md5_long(s))).alias("hs"))
-              .withColumn("sz", F.size("hs"))
-              .transform(checkpoint_df, eager=False))
+    if hashed_col is not None:
+        hashed = (df.select(F.col(id_col), F.col(block_col).alias("_blk"),
+                            F.col(hashed_col).alias("hs"))
+                  .withColumn("sz", F.size("hs")))
+    else:
+        hashed = (df.select(F.col(id_col), F.col(block_col).alias("_blk"),
+                            hashed_shingles(text_col, shingle_n)
+                            .alias("hs"))
+                  .withColumn("sz", F.size("hs"))
+                  .transform(checkpoint_df, eager=False))
     exploded = hashed.select(F.col(id_col), "_blk", "sz",
                              F.explode("hs").alias("tok"))
     freq = exploded.groupBy("_blk", "tok").agg(F.count("*").alias("df"))

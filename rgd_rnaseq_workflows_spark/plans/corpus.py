@@ -31,7 +31,7 @@ from rgd_rnaseq_workflows_spark.functions import text as TX
 from rgd_rnaseq_workflows_spark.session import checkpoint_df
 from rgd_rnaseq_workflows_spark.operators.components import connected_components
 from rgd_rnaseq_workflows_spark.operators.dedup import (
-    exact_dedup, ngram_jaccard_pairs)
+    exact_dedup, hashed_shingles, ngram_jaccard_pairs)
 
 
 def curate_corpus_graph(docs: DataFrame, min_tokens: int = 20,
@@ -51,17 +51,28 @@ def curate_corpus_graph(docs: DataFrame, min_tokens: int = 20,
     kept = (feats.filter((F.col("n_tokens") >= min_tokens)
                          & (F.col("lang_pred") == F.col("lang")))
             .drop("lang_pred"))
-    # materialize the deduped survivor set once: it feeds the near-dup
-    # pair generator AND the final keeper anti-join, and its lineage
-    # (lang-ID stopword scoring + a dedup window) is the expensive part
-    uniq = exact_dedup(kept, text_col="text",
-                       id_col="doc_id").transform(checkpoint_df, eager=False)
+    # ONE shared token frame (r11): the deduped survivor set carries
+    # its PPJoin shingle hashes and is materialized ONCE — it feeds the
+    # near-dup pair generator (which skips its own derivation +
+    # checkpoint round via hashed_col), the verify-join set table, AND
+    # the final keeper anti-join. Shingles are computed post-dedup
+    # (survivors only), and the expensive lineage (lang-ID stopword
+    # scoring, dedup window, shingle hashing) runs exactly once.
+    uniq = (exact_dedup(kept, text_col="text", id_col="doc_id")
+            .withColumn("_hs", hashed_shingles("text", shingle_n))
+            .transform(checkpoint_df, eager=False))
+    # lazy: the only in-chain consumer is connected_components' adjacency
+    # build (which checkpoints eagerly itself) — an eager checkpoint here
+    # would add a whole extra materialization action; callers that also
+    # analyse the returned pair frame read the same materialized blocks
     pairs = checkpoint_df(ngram_jaccard_pairs(
-        uniq, block_col="lang", shingle_n=shingle_n, threshold=threshold))
+        uniq, block_col="lang", shingle_n=shingle_n, threshold=threshold,
+        hashed_col="_hs"), eager=False)
     comps = connected_components(pairs)
     non_keepers = (comps.filter(F.col("comp") != F.col("id"))
                    .select(F.col("id").alias("doc_id")))
-    return uniq.join(non_keepers, "doc_id", "left_anti"), pairs
+    return (uniq.drop("_hs").join(non_keepers, "doc_id", "left_anti"),
+            pairs)
 
 
 def curate_corpus(docs: DataFrame, min_tokens: int = 20,

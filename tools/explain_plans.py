@@ -51,11 +51,14 @@ SHOWCASE = {
     "contamination_ngram": "benchmark shingles broadcast; corpus shingles "
         "explode in the scan stage and both per-doc counts come from ONE "
         "partial-agged pass (the shingle regex runs once per document).",
-    "corpus_training_mix": "seven operator families, one lineage; the "
-        "sort-merge joins all belong to the PPJoin candidate stage "
-        "(prefix-bucketed big×big, by design) and the checkpoint-truncated "
-        "component loop — the post-curation steps add only broadcast joins "
-        "(decontamination) and a filter (mix gate).",
+    "corpus_training_mix": "seven operator families, ONE shared token "
+        "frame (r11): the checkpointed survivor frame carries text + "
+        "token stats + PPJoin shingle hashes, so the pair generator "
+        "skips its own derivation + checkpoint round; the sort-merge "
+        "joins all belong to the PPJoin candidate stage "
+        "(prefix-bucketed big×big, by design) — the post-curation "
+        "steps add only broadcast joins (decontamination) and a "
+        "filter (mix gate).",
     "sample_temperature_mix": "temperature-resampled mix: the per-stratum "
         "rates come from a metadata-scale agg (k rows) broadcast back — the "
         "corpus side is scan → broadcast join → md5-bucket filter, never "
