@@ -55,7 +55,13 @@ def pagerank(pairs: DataFrame, iters: int = 3, damping_pct: int = 85,
     deg = edges.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
     edges = checkpoint_df(edges.join(deg, "u"))
     teleport = (100 - damping_pct) * RANK_SCALE // 100
-    ranks = deg.select("u", F.lit(RANK_SCALE).cast("long").alias("r"))
+    # ranks init off the CHECKPOINTED frame: deriving it from `deg`
+    # would re-run the caller's whole pair GENERATION a second time
+    # (deg's lineage is the pre-checkpoint edge list — measured as the
+    # bulk of graph_pagerank_neardup's wall, pair gen replayed once
+    # for the iterations and once for the init)
+    ranks = (edges.groupBy("u").agg(F.count("*"))
+             .select("u", F.lit(RANK_SCALE).cast("long").alias("r")))
     for t in range(1, iters + 1):
         contrib = (edges.join(ranks, "u")
                    .select(F.col("v").alias("u"),
@@ -292,7 +298,10 @@ def k_core(pairs: DataFrame, k: int = 2, src: str = "id_a",
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    edges = checkpoint_df(_sym_edges(pairs, src, dst).distinct())
+    # lazy + count: the count action materializes the checkpoint blocks
+    # itself — eager would run a separate materialization job per round
+    edges = checkpoint_df(_sym_edges(pairs, src, dst).distinct(),
+                          eager=False)
     n_prev = edges.count()
     if n_prev == 0:
         return edges.select(F.col("u").alias("id"),
@@ -303,7 +312,7 @@ def k_core(pairs: DataFrame, k: int = 2, src: str = "id_a",
         edges = checkpoint_df(
             edges.join(keep, "u")
             .join(keep.withColumnRenamed("u", "v"), "v")
-            .select("u", "v"))
+            .select("u", "v"), eager=False)
         n_cur = edges.count()
         if n_cur == n_prev:
             break
