@@ -281,17 +281,20 @@ def stream_correlation_moments(doc_stream: DataFrame,
                                cols: list[tuple[str, int]]) -> DataFrame:
     """Streaming twin of ``profile.correlation_report`` — the one-pass
     exact moment design is streamable BY CONSTRUCTION: the identical
-    decimal(38,0) fixed-point aggregates (Σx, Σx², Σxy per pair,
-    pairwise NULL deletion) run under a Structured Streaming
-    aggregation whose state is ONE row of sufficient statistics.
-    Read the sink's latest row any time and fold it with
+    exact fixed-point limb-sum aggregates (Σx, Σx², Σxy per pair as
+    long limb sums, pairwise NULL deletion) run under a Structured
+    Streaming aggregation whose state is ONE row of sufficient
+    statistics — limb sums are plain long adds, so they merge across
+    micro-batches exactly like the batch partials. Read the sink's
+    latest row any time and fold it with
     ``profile.correlations_from_moments`` — the live correlation
     matrix equals the batch report over the same rows (test-pinned),
     without re-reading the corpus. The stream_expectations /
     HLL-register pattern."""
     from rgd_rnaseq_workflows_spark.operators.profile import (
-        correlation_moment_aggs)
-    return doc_stream.agg(*correlation_moment_aggs(cols))
+        correlation_moment_aggs, correlation_moment_inputs)
+    return (doc_stream.select(*correlation_moment_inputs(cols))
+            .agg(*correlation_moment_aggs(cols)))
 
 
 def stream_fingerprint_counts(doc_stream: DataFrame, window: int,
