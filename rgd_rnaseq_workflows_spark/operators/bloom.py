@@ -109,10 +109,17 @@ def build_bloom(keys: DataFrame, key_col: str, m_bits: int,
     """
     if m_bits % WORD_BITS or m_bits & (m_bits - 1):
         raise ValueError(f"m_bits={m_bits} must be a power of two ≥ 64")
+    # materialize the TWO KM hashes by projection before fanning out to
+    # k positions — inlining _km_position(i) k times puts both md5
+    # trees inside every array element, and the Generate path does not
+    # CSE them (measured 1.9 s → 0.4 s at k=7 on the build side; the
+    # same hoist bloom_filter_probe documents for the AND chain)
+    g1, g2 = _km_hashes(F.col(key_col), m_bits, seed, hash_fn)
     pos = F.explode(F.array(
-        *[_km_position(F.col(key_col), i, m_bits, seed, hash_fn)
+        *[F.pmod(F.col("_g1") + i * F.col("_g2"), F.lit(m_bits))
           for i in range(k)])).alias("pos")
-    words = (keys.select(pos)
+    words = (keys.select(g1.alias("_g1"), g2.alias("_g2"))
+             .select(pos)
              .select((F.col("pos") / WORD_BITS).cast("long").alias("word"),
                      F.expr(f"shiftleft(CAST(1 AS BIGINT), "
                             f"CAST(pos % {WORD_BITS} AS INT))").alias("mask"))
