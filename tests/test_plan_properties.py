@@ -452,3 +452,30 @@ def test_no_doc_scale_partitionless_windows(spark, name):
     for spec in pl:
         assert first(spec).split("#")[0].strip() == "_pid", \
             f"{name}: doc-scale partition-less window: {spec[:120]}"
+
+
+def test_pagerank_final_plan_reads_only_checkpoints(spark):
+    """r11: pagerank's ranks init must derive from the CHECKPOINTED
+    edge frame — the r10 form re-ran the caller's entire pair
+    generation a second time for the init branch. Pin: the final plan
+    reads ExistingRDD blocks only — zero source scans, zero shingle
+    explodes."""
+    plan = _plan(spark, "graph_pagerank_neardup")
+    assert "ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_curation_mix_single_shared_token_frame(spark):
+    """r11: the curation chain materializes ONE survivor frame
+    (text + token stats + PPJoin shingle hashes) — the pair generator
+    must not re-derive shingles from text (no regexp shingle scan in
+    the post-checkpoint plan) and the corpus parquet is scanned only
+    in the pre-checkpoint lineage."""
+    plan = _plan(spark, "corpus_training_mix")
+    # the final plan's only corpus scans belong to the contamination
+    # stage (benchmark slice + decontamination re-scan); the curation
+    # chain itself rides ExistingRDD checkpoint blocks
+    assert "ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
