@@ -616,3 +616,50 @@ def test_cdc_chunks_partition_every_document(spark, docs):
         s = f"s{i % 2}"
         want[s] = want.get(s, 0) + len(toks)
     assert got == want
+
+
+@given(st.lists(st.integers(min_value=-(2**62) + 1, max_value=2**62 - 1),
+                min_size=1, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_limb_split_identity_over_longs(xs):
+    """r11 correlation limb sums: the three-limb truncating-div split
+    x = l2*2^42 + l1*2^21 + l0 must recombine to the exact sum for ANY
+    signed 62-bit values (products of |fixed-point| < 2^31 inputs).
+    Pure-Python twin of the Spark expressions (same truncating div/%
+    semantics as Spark's `div`/`%` on BIGINT)."""
+    B = 21
+
+    def tdiv(a, b):     # truncate-toward-zero division (Spark div)
+        q = abs(a) // b
+        return -q if a < 0 else q
+
+    def tmod(a, b):     # dividend-sign modulo (Spark %)
+        return a - tdiv(a, b) * b
+
+    l0 = sum(tmod(x, 1 << B) for x in xs)
+    l1 = sum(tmod(tdiv(x, 1 << B), 1 << B) for x in xs)
+    l2 = sum(tdiv(x, 1 << (2 * B)) for x in xs)
+    assert l2 * (1 << (2 * B)) + l1 * (1 << B) + l0 == sum(xs)
+    # every limb magnitude bounded so the LONG sums cannot overflow
+    # before ~4.4e12 rows
+    for x in xs:
+        assert abs(tmod(x, 1 << B)) < (1 << B)
+        assert abs(tmod(tdiv(x, 1 << B), 1 << B)) < (1 << B)
+        assert abs(tdiv(x, 1 << (2 * B))) < (1 << B)
+
+
+def test_limb_split_matches_spark_semantics(spark):
+    """The Spark `%`/`div` expressions used by correlation_moment_aggs
+    agree with the Python twin above on a signed boundary grid —
+    pinning that Spark's BIGINT div/% truncate toward zero / follow the
+    dividend sign (the identity's preconditions)."""
+    B = 21
+    vals = [0, 1, -1, (1 << B) - 1, 1 << B, -(1 << B), (1 << 42) + 12345,
+            -(1 << 42) - 12345, (1 << 61), -(1 << 61), 999999999999]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    rows = df.selectExpr(
+        f"x", f"x % {1 << B} AS l0",
+        f"(x div {1 << B}) % {1 << B} AS l1",
+        f"x div {1 << (2 * B)} AS l2").collect()
+    for r in rows:
+        assert r.l2 * (1 << (2 * B)) + r.l1 * (1 << B) + r.l0 == r.x
