@@ -383,3 +383,111 @@ SELECT {bycols}CAST(count(*) AS BIGINT) AS n_tokens,
 FROM probe p LEFT JOIN vocab v USING (t)
 {bygrp}
 """
+
+
+def ks_drift_report(old: DataFrame, new: DataFrame, value,
+                    value_alias: str = "v") -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift test between two
+    corpus snapshots over an integer statistic (token count, char
+    length, quality score) — the distribution-shift gate a crawl
+    refresh runs before mixing a new snapshot into training data: TV
+    drift (``token_drift_report``) sees vocabulary moves, this sees
+    SHAPE moves (a new boilerplate stripper shifting every document 40
+    tokens shorter changes no vocabulary mass ranking but jumps the KS
+    statistic immediately).
+
+    Exactness (the engine's no-float-ordering discipline): the KS
+    statistic is reported as the exact integer numerator
+    ``ks_num = max_v |F_old(v)·n_new − F_new(v)·n_old|`` (cumulative
+    counts cross-multiplied — never a float CDF), its ppm form
+    ``ks_num·10⁶ div (n_old·n_new)`` in decimal(38,0) (the count
+    product overflows BIGINT past ~3e9 docs/side), and the smallest
+    value attaining the maximum. Both engines produce identical rows
+    by construction.
+
+    Scale shape: each snapshot folds map-side into a (value, count)
+    histogram — the only corpus-scale work; the full-outer histogram
+    join, cumulative windows and the max fold all ride DOMAIN-scale
+    rows (distinct values of a bounded integer statistic — the
+    ``quality_length_outliers`` exact-histogram precedent), so the
+    partition-less cumulative window is a documented domain-scale
+    frame, never a corpus sort."""
+    v = value if not isinstance(value, str) else F.expr(value)
+    ho = (old.select(v.cast("long").alias(value_alias))
+          .groupBy(value_alias).agg(F.count("*").alias("_co")))
+    hn = (new.select(v.cast("long").alias(value_alias))
+          .groupBy(value_alias).agg(F.count("*").alias("_cn")))
+    return ks_drift_from_histograms(ho, hn, value_alias)
+
+
+def ks_drift_from_histograms(ho: DataFrame, hn: DataFrame,
+                             value_alias: str = "v") -> DataFrame:
+    """The KS fold over two (value, count) histograms — factored out
+    because the histogram is the MERGEABLE sufficient statistic: a
+    Structured Streaming aggregation maintains each side's histogram
+    incrementally (the ``stream_token_counts`` /
+    ``stream_correlation_moments`` pattern) and this fold prices the
+    drift gate on demand from the sink, domain-scale only."""
+    from pyspark.sql import Window
+    j = (ho.join(hn, value_alias, "full_outer")
+         .select(value_alias,
+                 F.coalesce("_co", F.lit(0)).alias("_co"),
+                 F.coalesce("_cn", F.lit(0)).alias("_cn")))
+    w = Window.orderBy(value_alias).rowsBetween(
+        Window.unboundedPreceding, 0)
+    dec = "decimal(38,0)"
+    cum = (j.withColumn("_fo", F.sum("_co").over(w))
+           .withColumn("_fn", F.sum("_cn").over(w)))
+    tot = j.agg(F.sum("_co").cast("long").alias("n_old"),
+                F.sum("_cn").cast("long").alias("n_new"))
+    d = (cum.crossJoin(F.broadcast(tot))
+         .withColumn("_d", F.expr(
+             f"abs(CAST(_fo AS {dec}) * n_new "
+             f"- CAST(_fn AS {dec}) * n_old)")))
+    mx = d.agg(F.max("_d").alias("_mx"))
+    return (d.join(F.broadcast(mx), F.col("_d") == F.col("_mx"))
+            .groupBy("n_old", "n_new")
+            .agg(F.min(value_alias).cast("long").alias("at_value"),
+                 F.max("_d").alias("_ks"))
+            .select("n_old", "n_new",
+                    # exact integer, reported as STRING: it exceeds
+                    # BIGINT past ~3e9 docs/side and pandas maps wide
+                    # decimals to float — digits are engine-identical
+                    F.col("_ks").cast(dec).cast("string")
+                    .alias("ks_num"),
+                    F.expr(f"CAST(_ks * 1000000 "
+                           f"div (CAST(n_old AS {dec}) * n_new) "
+                           f"AS BIGINT)").alias("ks_ppm"),
+                    "at_value"))
+
+
+def ks_drift_sql(old_src: str, new_src: str, value_expr: str) -> str:
+    """DuckDB twin of :func:`ks_drift_report`."""
+    return f"""
+WITH ho AS (SELECT CAST({value_expr} AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS co
+            FROM ({old_src}) GROUP BY 1),
+hn AS (SELECT CAST({value_expr} AS BIGINT) AS v,
+              CAST(count(*) AS BIGINT) AS cn
+       FROM ({new_src}) GROUP BY 1),
+j AS (SELECT coalesce(ho.v, hn.v) AS v,
+             coalesce(co, 0) AS co, coalesce(cn, 0) AS cn
+      FROM ho FULL OUTER JOIN hn ON ho.v = hn.v),
+tot AS (SELECT CAST(sum(co) AS BIGINT) AS n_old,
+               CAST(sum(cn) AS BIGINT) AS n_new FROM j),
+cum AS (SELECT v,
+               sum(co) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fo,
+               sum(cn) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fn
+        FROM j),
+d AS (SELECT v, abs(CAST(fo AS HUGEINT) * n_new
+                    - CAST(fn AS HUGEINT) * n_old) AS dd
+      FROM cum, tot),
+mx AS (SELECT max(dd) AS mxd FROM d)
+SELECT n_old, n_new,
+       CAST(CAST(mxd AS DECIMAL(38,0)) AS VARCHAR) AS ks_num,
+       CAST(mxd * 1000000 // (CAST(n_old AS HUGEINT) * n_new)
+            AS BIGINT) AS ks_ppm,
+       CAST((SELECT min(v) FROM d WHERE dd = (SELECT mxd FROM mx))
+            AS BIGINT) AS at_value
+FROM tot, mx
+"""

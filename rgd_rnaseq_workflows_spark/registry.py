@@ -1647,6 +1647,7 @@ def text_zipf_head_stats(spark, sf_dir):
 _RECORD_FIRST: tuple[str, ...] = (
     # new r11 queries (never-stamped lead the window):
     "stream_ccnet_keep",
+    "corpus_length_ks_drift",
     # round-11 window (exactly tools/rotation_check.py --plan at the r10
     # close): the 36 r7-aged rows that would breach MAX_AGE after r11
     # lead in oldest-evidence-first order, then the next-oldest stamped
@@ -4799,3 +4800,30 @@ def stream_ccnet_keep(spark, sf_dir):
     nll = checkpoint_df(kn_nll_table(bigram_counts(ref)))
     cut = ccnet_keep_threshold(ref, n_buckets=3, keep_buckets=1)
     return ccnet_keep_gate(probe, nll, cut)
+
+
+def _ks_drift_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.functions.text import token_count_sql
+    from rgd_rnaseq_workflows_spark.operators.snapshot import ks_drift_sql
+    return ks_drift_sql(
+        "SELECT text FROM documents WHERE source = 'src0'",
+        "SELECT text FROM documents WHERE source <> 'src0'",
+        token_count_sql("text"))
+
+
+@q("corpus_length_ks_drift", ("DRIFT-KS",), oracle=_ks_drift_oracle(),
+   note="exact two-sample Kolmogorov-Smirnov drift over the token-"
+        "length distribution between two corpus snapshots: TV drift "
+        "sees vocabulary moves, KS sees SHAPE moves (a boilerplate-"
+        "stripper change shifts every doc shorter without moving "
+        "vocabulary rank). Integer cross-multiplied CDFs - never a "
+        "float CDF - so both engines report the identical statistic; "
+        "corpus folds map-side into domain-scale histograms")
+def corpus_length_ks_drift(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.functions import text as TX
+    from rgd_rnaseq_workflows_spark.operators.snapshot import (
+        ks_drift_report)
+    d = _t(spark, sf_dir, "documents")
+    return ks_drift_report(d.filter(F.col("source") == "src0"),
+                           d.filter(F.col("source") != "src0"),
+                           TX.token_count("text"))

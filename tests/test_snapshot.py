@@ -136,3 +136,69 @@ def test_oov_sql_twin_matches_on_empty_probe():
     n_tokens, n_oov, rate = con.execute(
         oov_rate_sql("probe_t", "ref_t")).fetchone()
     assert (n_tokens, n_oov, rate) == (0, 0, None)
+
+
+def test_ks_drift_known_answer(spark):
+    """Hand-computed two-sample KS: old = [1,1,2,3], new = [2,3,3,4].
+    CDF numerators (x n_old*n_new = 16): at v=1 |2*4-0*4|=8, v=2
+    |3*4-1*4|=8, v=3 |4*4-3*4|=4, v=4 0 -> ks_num=8 at v=1 (smallest
+    attaining), ks_ppm = 8*1e6 // 16 = 500000 (D = 0.5)."""
+    from rgd_rnaseq_workflows_spark.operators.snapshot import (
+        ks_drift_report)
+    old = spark.createDataFrame([(1,), (1,), (2,), (3,)], "x long")
+    new = spark.createDataFrame([(2,), (3,), (3,), (4,)], "x long")
+    [r] = ks_drift_report(old, new, "x").collect()
+    assert (r.n_old, r.n_new) == (4, 4)
+    assert r.ks_num == "8" and r.ks_ppm == 500000 and r.at_value == 1
+
+
+def test_ks_drift_identical_distributions_zero(spark):
+    from rgd_rnaseq_workflows_spark.operators.snapshot import (
+        ks_drift_report)
+    d = spark.createDataFrame([(i % 5,) for i in range(50)], "x long")
+    [r] = ks_drift_report(d, d, "x").collect()
+    assert r.ks_num == "0" and r.ks_ppm == 0
+
+
+def test_ks_drift_streaming_histograms_equal_batch(spark, tmp_out):
+    """The histogram is the mergeable sufficient statistic: streaming
+    per-side histograms folded by ks_drift_from_histograms equal the
+    batch report over the same rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rgd_rnaseq_workflows_spark.operators.snapshot import (
+        ks_drift_from_histograms, ks_drift_report)
+
+    rows_old = [(i % 7 + 1,) for i in range(40)]
+    rows_new = [(i % 9 + 2,) for i in range(35)]
+    old = spark.createDataFrame(rows_old, "x long")
+    new = spark.createDataFrame(rows_new, "x long")
+    want = [tuple(r) for r in ks_drift_report(old, new, "x").collect()]
+
+    outs = {}
+    for side, rows in (("old", rows_old), ("new", rows_new)):
+        src = os.path.join(tmp_out, f"ks_{side}_src")
+        os.makedirs(src)
+        spark.createDataFrame(rows[:20], "x long").coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = spark.readStream.schema("x long").parquet(src)
+        hist = (stream.groupBy(F.col("x").cast("long").alias("v"))
+                .agg(F.count("*").alias(f"_c{side[0]}")))
+        q = (hist.writeStream.format("memory")
+             .queryName(f"ks_hist_{side}").outputMode("complete")
+             .start())
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(rows[20:], "x long").coalesce(1) \
+                .write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        outs[side] = spark.sql(f"SELECT * FROM ks_hist_{side}") \
+            .withColumnRenamed(f"_c{side[0]}",
+                               "_co" if side == "old" else "_cn")
+    got = [tuple(r) for r in
+           ks_drift_from_histograms(outs["old"], outs["new"]).collect()]
+    assert got == want
