@@ -636,6 +636,107 @@ FROM _sc
 """
 
 
+def classifier_calibration(docs: DataFrame, weights: DataFrame,
+                           n_buckets: int, truth, n_bins: int = 10,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           seed: int = 5) -> DataFrame:
+    """Reliability diagram for the hashed linear quality classifier —
+    the eval a corpus-filter deployment runs BEFORE trusting a score
+    threshold at 100 TB: bin documents by their exact integer
+    per-token logit and report each bin's observed positive rate
+    against a caller-supplied boolean ``truth`` column expression
+    (e.g. lang-ID agreement, a held-out label column). A calibrated
+    classifier shows the positive rate rising monotonically with the
+    bin; a flat diagram means the threshold is cutting noise.
+
+    Exactness: the bin key is ``(logit_micro + 10⁶)·n_bins div
+    (2·10⁶ + 1)`` of the exact integer micro-logit
+    ``Σw·10⁶ div (n_tokens·W_SCALE)`` (|logit_micro| ≤ 10⁶ by the
+    weight range, so the bin index is total and engine-identical);
+    rates and means are exact integer divisions.
+
+    Scale shape: same single-shuffle inference as
+    :func:`hashed_linear_score` (token explode → broadcast weight
+    probe → ONE groupBy(doc) carrying the row-local truth flag in the
+    key), then a |bins|-row fold — the corpus is never reshuffled."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins {n_bins} must be >= 1")
+    t = truth if not isinstance(truth, str) else F.expr(truth)
+    toks = (docs.select(F.col(id_col), t.alias("_truth"),
+                        F.explode(TX.tokens(text_col)).alias("_tok"))
+            .select(id_col, "_truth",
+                    F.pmod(md5_long(F.col("_tok"), seed=seed),
+                           F.lit(n_buckets)).alias("bucket")))
+    w = weights.select(F.col("bucket"), F.col("w").cast("long"))
+    scored = (toks.join(F.broadcast(w), "bucket", "left")
+              .groupBy(id_col, "_truth")
+              .agg(F.sum(F.coalesce("w", F.lit(0))).alias("_sw"),
+                   F.count("*").alias("_nt"))
+              .withColumn("_lm", F.expr(
+                  f"_sw * 1000000 div (_nt * {W_SCALE})"))
+              .withColumn("bin", F.least(
+                  F.lit(n_bins - 1),
+                  F.expr(f"CAST((_lm + 1000000) * {n_bins} "
+                         f"div 2000001 AS INT)")).cast("int")))
+    return (scored.groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.col("_truth").cast("long")).cast("long")
+                 .alias("n_pos"),
+                 F.expr("sum(_lm) div count(*)").cast("long")
+                 .alias("mean_logit_micro"))
+            .withColumn("pos_rate_ppm",
+                        F.expr("n_pos * 1000000 div n_docs")
+                        .cast("long"))
+            .select("bin", "n_docs", "n_pos", "pos_rate_ppm",
+                    "mean_logit_micro")
+            .orderBy("bin"))
+
+
+def classifier_calibration_sql(truth_expr: str,
+                               table: str = "documents",
+                               n_buckets: int = 1 << 12,
+                               n_bins: int = 10,
+                               id_col: str = "doc_id",
+                               text_col: str = "text", seed: int = 5,
+                               weight_seed: int = 23) -> str:
+    """DuckDB twin of :func:`classifier_calibration` over
+    :func:`pseudo_weights`."""
+    toks = TX.tokens_sql(text_col)
+    h = md5_long_sql("_tok", seed=seed)
+    hw = md5_long_sql("CAST(i AS VARCHAR)", seed=weight_seed)
+    return f"""
+WITH _w AS MATERIALIZED (
+  SELECT CAST(i AS INTEGER) AS bucket,
+         CAST({hw} % {2 * W_SCALE + 1} - {W_SCALE} AS BIGINT) AS w
+  FROM range({n_buckets}) r(i)),
+_tk AS MATERIALIZED (
+  SELECT {id_col}, _truth, CAST({h} % {n_buckets} AS INTEGER) AS bucket
+  FROM (SELECT {id_col}, ({truth_expr}) AS _truth,
+               unnest({toks}) AS _tok FROM {table})),
+_sc AS (
+  SELECT t.{id_col}, _truth,
+         CAST(sum(coalesce(w.w, 0)) AS BIGINT) AS _sw,
+         CAST(count(*) AS BIGINT) AS _nt
+  FROM _tk t LEFT JOIN _w w USING (bucket)
+  GROUP BY t.{id_col}, _truth),
+_b AS (
+  SELECT _truth, _sw * 1000000 // (_nt * {W_SCALE}) AS _lm,
+         least({n_bins - 1},
+               CAST(((_sw * 1000000 // (_nt * {W_SCALE})) + 1000000)
+                    * {n_bins} // 2000001 AS INTEGER)) AS bin
+  FROM _sc)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(CAST(_truth AS BIGINT)), 0) AS BIGINT)
+         AS n_pos,
+       CAST(coalesce(sum(CAST(_truth AS BIGINT)), 0) * 1000000
+            // count(*) AS BIGINT) AS pos_rate_ppm,
+       CAST(sum(_lm) // count(*) AS BIGINT) AS mean_logit_micro
+FROM _b GROUP BY bin
+ORDER BY bin
+"""
+
+
 # --- corpus-shape diagnostics (Zipf head mass / Heaps type counts) -----------
 
 def term_head_report(docs: DataFrame, by: str = "source", top_k: int = 10,

@@ -1648,6 +1648,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     # new r11 queries (never-stamped lead the window):
     "stream_ccnet_keep",
     "corpus_length_ks_drift",
+    "quality_classifier_calibration",
     # round-11 window (exactly tools/rotation_check.py --plan at the r10
     # close): the 36 r7-aged rows that would breach MAX_AGE after r11
     # lead in oldest-evidence-first order, then the next-oldest stamped
@@ -4827,3 +4828,30 @@ def corpus_length_ks_drift(spark, sf_dir):
     return ks_drift_report(d.filter(F.col("source") == "src0"),
                            d.filter(F.col("source") != "src0"),
                            TX.token_count("text"))
+
+
+def _calibration_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        classifier_calibration_sql)
+    return classifier_calibration_sql(
+        f"{TX.lang_id_sql('text')} = lang", n_buckets=1 << 12,
+        n_bins=10)
+
+
+@q("quality_classifier_calibration", ("QUALITY-CALIB",),
+   oracle=_calibration_oracle(),
+   note="reliability diagram for the hashed linear quality classifier "
+        "(the eval a corpus filter runs before trusting a threshold at "
+        "100 TB): documents binned by exact integer micro-logit, per "
+        "bin the observed positive rate against lang-ID agreement as "
+        "ground truth - exact integer bins/rates so both engines "
+        "report identical rows; same single-shuffle inference plan, "
+        "|bins|-row fold")
+def quality_classifier_calibration(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        classifier_calibration, pseudo_weights)
+    d = _t(spark, sf_dir, "documents")
+    w = pseudo_weights(d.sparkSession, 1 << 12)
+    return classifier_calibration(
+        d, w, n_buckets=1 << 12,
+        truth=TX.lang_id("text") == F.col("lang"), n_bins=10)

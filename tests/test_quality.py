@@ -602,3 +602,35 @@ def test_corpus_cli_ccnet_gate(spark, tmp_path):
     kept = spark.read.parquet(f"{out}/curated")
     n = kept.count()
     assert 0 < n <= len(rows) // 2   # head of 3 bands ≈ a third
+
+
+def test_classifier_calibration_bins_and_rates(spark):
+    """Hand-checkable calibration: truth = (score >= 0) itself gives a
+    perfectly calibrated diagram — every bin at or above the midpoint
+    has pos_rate 1e6, every bin below has 0; bin edges from the exact
+    micro-logit."""
+    from pyspark.sql import functions as F
+
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        classifier_calibration, hashed_linear_score, pseudo_weights)
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i % 7} tok{(i * 3) % 11}") for i in range(60)],
+        "doc_id long, text string")
+    w = pseudo_weights(spark, 256)
+    scores = {r["doc_id"]: r["label"] for r in
+              hashed_linear_score(docs, w, n_buckets=256).collect()}
+    keep_ids = {i for i, lab in scores.items() if lab == "keep"}
+    truth = F.col("doc_id").isin(*keep_ids) if keep_ids else F.lit(False)
+    rep = classifier_calibration(docs, w, n_buckets=256, truth=truth,
+                                 n_bins=8).collect()
+    assert sum(r["n_docs"] for r in rep) == 60
+    for r in rep:
+        assert 0 <= r["bin"] < 8
+        # sign-aligned truth: bins are pure (all keep or all drop)
+        # except the bin straddling logit 0 can only be pure too,
+        # because truth IS the sign of the same exact integer
+        assert r["pos_rate_ppm"] in (0, 1000000) or (
+            r["mean_logit_micro"] != 0)
+        if r["mean_logit_micro"] > 125000:    # strictly above bin mid
+            assert r["pos_rate_ppm"] == 1000000
