@@ -663,7 +663,14 @@ def classifier_calibration(docs: DataFrame, weights: DataFrame,
     if n_bins < 1:
         raise ValueError(f"n_bins {n_bins} must be >= 1")
     t = truth if not isinstance(truth, str) else F.expr(truth)
-    toks = (docs.select(F.col(id_col), t.alias("_truth"),
+    # the truth expression MUST be projected BEFORE the explode: a
+    # select that carries a computed sibling next to a generator
+    # re-evaluates the sibling once per exploded OUTPUT row (measured
+    # 20 s vs 0.6 s at sf0.1 for a lang-ID truth — ~50 tokens/doc ×
+    # 8 regex scans), while a child projection runs it once per doc
+    base = docs.select(F.col(id_col), t.alias("_truth"),
+                       F.col(text_col))
+    toks = (base.select(id_col, "_truth",
                         F.explode(TX.tokens(text_col)).alias("_tok"))
             .select(id_col, "_truth",
                     F.pmod(md5_long(F.col("_tok"), seed=seed),
