@@ -335,8 +335,11 @@ SHOWCASE = {
         "per-user fold with the cap_per_user bot guard, per-user "
         "array n-gramming, path-vocabulary counts, TakeOrdered.",
     "profile_correlations": "correlation matrix: ALL pairs' exact "
-        "decimal(38,0) moments in one map-side-combined pass — no "
-        "joins, no windows; |cols|^2/2 metadata rows.",
+        "moments in one map-side-combined pass as LIMB-SPLIT long "
+        "sums (decimal only on the 1-row recombine; r11 — decimal "
+        "sums were 12× the row cost) over a pre-projected input "
+        "(HashAggregate has no cross-aggregate CSE) — no joins, no "
+        "windows; |cols|^2/2 metadata rows.",
     "profile_fk_candidates": "FK audit: distinct-collapse both sides "
         "first, then a value-set-scale LeftSemi per relation — never "
         "a row-level table join.",
@@ -411,6 +414,20 @@ SHOWCASE = {
     "text_langid_confusion": "classifier audit: label and prediction "
         "are both scan-stage expressions, ONE map-side-combined "
         "groupBy on the (label, prediction) pair — |langs|² rows out.",
+    "stream_ccnet_keep": "frozen-cut CCNet ingest gate: the reference "
+        "slice trains the LM + self-scores for the cut (two-phase "
+        "rank, driver-metadata cut-point); the probe slice is one "
+        "stream-legal lineage — static LM join, ONE aggregation, an "
+        "integer compare. 100× α=0.48.",
+    "corpus_length_ks_drift": "exact two-sample KS: two map-side "
+        "histograms are the only corpus work; join/cumsum/max fold "
+        "ride domain-scale rows; integer cross-multiplied CDFs. "
+        "100× α=0.29.",
+    "quality_classifier_calibration": "reliability diagram: per-doc "
+        "truth PROJECTED BEFORE the token explode (a computed sibling "
+        "next to a generator re-evaluates per OUTPUT row — the r11 "
+        "trap, 30× on this stage), broadcast weight probe, ONE "
+        "groupBy(doc, truth), |bins|-row fold. 100× α=0.51.",
 }
 
 
