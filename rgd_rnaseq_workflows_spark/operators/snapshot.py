@@ -444,21 +444,26 @@ def ks_drift_from_histograms(ho: DataFrame, hn: DataFrame,
          .withColumn("_d", F.expr(
              f"abs(CAST(_fo AS {dec}) * n_new "
              f"- CAST(_fn AS {dec}) * n_old)")))
-    mx = d.agg(F.max("_d").alias("_mx"))
-    return (d.join(F.broadcast(mx), F.col("_d") == F.col("_mx"))
-            .groupBy("n_old", "n_new")
-            .agg(F.min(value_alias).cast("long").alias("at_value"),
-                 F.max("_d").alias("_ks"))
+    # max + argmax in ONE aggregation: the lexicographic struct max
+    # picks the largest _d and, among ties, the largest -v = smallest
+    # v — no self-join against a max frame, the diff lineage is
+    # consumed once (values are longs; -v is total for any real
+    # statistic domain)
+    return (d.agg(F.max("n_old").alias("n_old"),
+                  F.max("n_new").alias("n_new"),
+                  F.max(F.struct(F.col("_d").alias("d"),
+                                 (-F.col(value_alias)).alias("nv")))
+                  .alias("_m"))
             .select("n_old", "n_new",
                     # exact integer, reported as STRING: it exceeds
                     # BIGINT past ~3e9 docs/side and pandas maps wide
                     # decimals to float — digits are engine-identical
-                    F.col("_ks").cast(dec).cast("string")
+                    F.col("_m.d").cast(dec).cast("string")
                     .alias("ks_num"),
-                    F.expr(f"CAST(_ks * 1000000 "
+                    F.expr(f"CAST(_m.d * 1000000 "
                            f"div (CAST(n_old AS {dec}) * n_new) "
                            f"AS BIGINT)").alias("ks_ppm"),
-                    "at_value"))
+                    (-F.col("_m.nv")).cast("long").alias("at_value")))
 
 
 def ks_drift_sql(old_src: str, new_src: str, value_expr: str) -> str:
