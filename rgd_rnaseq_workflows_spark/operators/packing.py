@@ -125,3 +125,107 @@ SELECT chunk_id, count(*) AS n_docs,
        min(id) AS first_doc, max(id) AS last_doc
 FROM placed GROUP BY chunk_id
 """
+
+
+def shard_fingerprints(docs: DataFrame, n_shards: int = 16,
+                       seed: int = 11, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-shard content fingerprint table — what a snapshot publishes
+    next to its shards so the NEXT release can re-publish only dirty
+    ones: (shard, n_docs, n_tokens, xor_a, xor_b) where the xors fold
+    md5(id:text) under two independent seeds. XOR is order-free, so
+    the fingerprint is partition-order-independent; an identical-pair
+    insertion cancels in any XOR, which is why ``n_docs`` rides along
+    (count catches cardinality moves, the two 60-bit xors catch
+    content moves — a collision needs a simultaneous 120-bit accident
+    at equal counts). One map-side-combined aggregation; k rows out."""
+    sid = F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                   F.col(text_col))
+    return (docs.select(
+        F.pmod(HX.md5_long(F.col(id_col).cast("string"), seed=seed),
+               F.lit(n_shards)).cast("int").alias("shard"),
+        TX.token_count(text_col).alias("_nt"),
+        HX.md5_long(sid, seed=1).alias("_ha"),
+        HX.md5_long(sid, seed=2).alias("_hb"))
+        .groupBy("shard")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("_nt").cast("long").alias("n_tokens"),
+             F.expr("bit_xor(_ha)").cast("long").alias("xor_a"),
+             F.expr("bit_xor(_hb)").cast("long").alias("xor_b")))
+
+
+def shard_manifest_diff(old: DataFrame, new: DataFrame,
+                        n_shards: int = 16, seed: int = 11,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Which shards must be re-published between two corpus versions:
+    full-outer join of the two snapshot fingerprint tables on the
+    shard key → per shard, old/new doc counts, the token delta, and a
+    CHANGED/UNCHANGED/NEW/GONE status. At 100 TB this is the
+    difference between rewriting every shard and rewriting the three
+    a crawl refresh actually touched — both fingerprint scans are one
+    map-side aggregation each and the diff is k rows."""
+    fo = shard_fingerprints(old, n_shards, seed, id_col, text_col)
+    fn = shard_fingerprints(new, n_shards, seed, id_col, text_col)
+    o = fo.select(F.col("shard"),
+                  F.col("n_docs").alias("old_docs"),
+                  F.col("n_tokens").alias("_ot"),
+                  F.col("xor_a").alias("_oa"), F.col("xor_b").alias("_ob"))
+    n = fn.select(F.col("shard"),
+                  F.col("n_docs").alias("new_docs"),
+                  F.col("n_tokens").alias("_nt"),
+                  F.col("xor_a").alias("_na"), F.col("xor_b").alias("_nb"))
+    j = o.join(n, "shard", "full_outer")
+    status = (F.when(F.col("old_docs").isNull(), F.lit("NEW"))
+              .when(F.col("new_docs").isNull(), F.lit("GONE"))
+              .when((F.col("old_docs") == F.col("new_docs"))
+                    & (F.col("_oa") == F.col("_na"))
+                    & (F.col("_ob") == F.col("_nb")),
+                    F.lit("UNCHANGED"))
+              .otherwise(F.lit("CHANGED")))
+    return (j.select("shard", status.alias("status"),
+                     F.coalesce("old_docs", F.lit(0)).cast("long")
+                     .alias("old_docs"),
+                     F.coalesce("new_docs", F.lit(0)).cast("long")
+                     .alias("new_docs"),
+                     (F.coalesce("_nt", F.lit(0))
+                      - F.coalesce("_ot", F.lit(0))).cast("long")
+                     .alias("d_tokens"))
+            .orderBy("shard"))
+
+
+def shard_manifest_diff_sql(old_src: str, new_src: str,
+                            n_shards: int = 16, seed: int = 11,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    """DuckDB twin of :func:`shard_manifest_diff`."""
+    def fp(src: str) -> str:
+        h = HX.md5_long_sql(f"CAST({id_col} AS VARCHAR)", seed=seed)
+        ha = HX.md5_long_sql(
+            f"CAST({id_col} AS VARCHAR) || ':' || {text_col}", seed=1)
+        hb = HX.md5_long_sql(
+            f"CAST({id_col} AS VARCHAR) || ':' || {text_col}", seed=2)
+        nt = TX.token_count_sql(text_col)
+        return f"""
+  SELECT CAST({h} % {n_shards} AS INTEGER) AS shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({nt}) AS BIGINT) AS n_tokens,
+         CAST(bit_xor(CAST({ha} AS BIGINT)) AS BIGINT) AS xor_a,
+         CAST(bit_xor(CAST({hb} AS BIGINT)) AS BIGINT) AS xor_b
+  FROM ({src}) GROUP BY 1"""
+    return f"""
+WITH fo AS ({fp(old_src)}),
+fn AS ({fp(new_src)})
+SELECT coalesce(fo.shard, fn.shard) AS shard,
+       CASE WHEN fo.shard IS NULL THEN 'NEW'
+            WHEN fn.shard IS NULL THEN 'GONE'
+            WHEN fo.n_docs = fn.n_docs AND fo.xor_a = fn.xor_a
+                 AND fo.xor_b = fn.xor_b THEN 'UNCHANGED'
+            ELSE 'CHANGED' END AS status,
+       CAST(coalesce(fo.n_docs, 0) AS BIGINT) AS old_docs,
+       CAST(coalesce(fn.n_docs, 0) AS BIGINT) AS new_docs,
+       CAST(coalesce(fn.n_tokens, 0) - coalesce(fo.n_tokens, 0)
+            AS BIGINT) AS d_tokens
+FROM fo FULL OUTER JOIN fn ON fo.shard = fn.shard
+ORDER BY shard
+"""

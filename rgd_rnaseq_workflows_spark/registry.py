@@ -1649,6 +1649,7 @@ _RECORD_FIRST: tuple[str, ...] = (
     "stream_ccnet_keep",
     "corpus_length_ks_drift",
     "quality_classifier_calibration",
+    "corpus_shard_diff",
     # round-11 window (exactly tools/rotation_check.py --plan at the r10
     # close): the 36 r7-aged rows that would breach MAX_AGE after r11
     # lead in oldest-evidence-first order, then the next-oldest stamped
@@ -4855,3 +4856,33 @@ def quality_classifier_calibration(spark, sf_dir):
     return classifier_calibration(
         d, w, n_buckets=1 << 12,
         truth=TX.lang_id("text") == F.col("lang"), n_bins=10)
+
+
+def _shard_diff_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.packing import (
+        shard_manifest_diff_sql)
+    return shard_manifest_diff_sql(
+        "SELECT doc_id, text FROM documents",
+        "SELECT doc_id, CASE WHEN doc_id % 97 = 0 "
+        "THEN text || ' edited' ELSE text END AS text "
+        "FROM documents WHERE doc_id % 101 <> 0",
+        n_shards=16, seed=11)
+
+
+@q("corpus_shard_diff", ("SHARD-DIFF",), oracle=_shard_diff_oracle(),
+   note="selective re-publish decision between two corpus versions: "
+        "per-shard order-free content fingerprints (count + two-seed "
+        "md5 XOR folds - one map-side aggregation per snapshot) "
+        "full-outer joined on the shard key; at 100 TB this rewrites "
+        "the three shards a crawl refresh touched instead of all of "
+        "them. Simulated edit/delete churn in both engines")
+def corpus_shard_diff(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.packing import (
+        shard_manifest_diff)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (d.filter(F.col("doc_id") % 101 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 97 == 0,
+                          F.concat(F.col("text"), F.lit(" edited")))
+                   .otherwise(F.col("text")).alias("text")))
+    return shard_manifest_diff(d, new, n_shards=16, seed=11)

@@ -33,3 +33,47 @@ def test_bucket_width_invariance(spark, docs_df, width):
     base = sorted(pack_chunks(docs_df, ctx=4, bucket_width=10**6).collect())
     got = sorted(pack_chunks(docs_df, ctx=4, bucket_width=width).collect())
     assert got == base
+
+
+def test_shard_manifest_diff_statuses(spark):
+    """Known-churn diff: an edited doc flips its shard to CHANGED, a
+    deleted doc flips count (CHANGED), untouched shards are UNCHANGED;
+    an emptied shard reads GONE, a fresh one NEW."""
+    from pyspark.sql import functions as F
+
+    from rgd_rnaseq_workflows_spark.operators.packing import (
+        shard_fingerprints, shard_manifest_diff)
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body text") for i in range(200)],
+        "doc_id long, text string")
+    # find one doc per shard so churn is targeted, not accidental
+    fp = {r["shard"]: r for r in
+          shard_fingerprints(docs, n_shards=8).collect()}
+    assert len(fp) == 8
+    # edit the docs of shard s_edit; delete all docs of shard s_gone
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long
+    with_shard = docs.withColumn(
+        "shard", F.pmod(md5_long(F.col("doc_id").cast("string"),
+                                 seed=11), F.lit(8)).cast("int"))
+    s_edit, s_gone = 0, 1
+    new = (with_shard.filter(F.col("shard") != s_gone)
+           .select("doc_id",
+                   F.when(F.col("shard") == s_edit,
+                          F.concat("text", F.lit(" v2")))
+                   .otherwise(F.col("text")).alias("text")))
+    rep = {r["shard"]: r for r in
+           shard_manifest_diff(docs, new, n_shards=8).collect()}
+    assert rep[s_edit]["status"] == "CHANGED"
+    assert rep[s_edit]["old_docs"] == rep[s_edit]["new_docs"]
+    assert rep[s_gone]["status"] == "GONE" and rep[s_gone]["new_docs"] == 0
+    for s in range(2, 8):
+        assert rep[s]["status"] == "UNCHANGED" and rep[s]["d_tokens"] == 0
+    # NEW: a shard appearing only in the new snapshot
+    extra = spark.createDataFrame([(10_000 + i, "fresh doc")
+                                   for i in range(50)],
+                                  "doc_id long, text string")
+    rep2 = {r["shard"]: r["status"] for r in
+            shard_manifest_diff(
+                docs.filter(F.lit(False)), extra, n_shards=8).collect()}
+    assert set(rep2.values()) == {"NEW"}
