@@ -128,6 +128,23 @@ def assert_unclaimed_epoch_dir(spark: SparkSession, data_root: str,
             f"explicit epoch_key (retry the crashed append with "
             f"epoch_key={epoch_key!r} to heal it, or pick a distinct "
             "key for new data)")
+    # the exists() probe alone is check-then-write: two minters can
+    # both pass it before either write task creates the epoch dir.
+    # FileSystem.create(..., overwrite=false) is the atomic claim —
+    # exactly one concurrent minter wins the marker; the loser raises
+    # here instead of silently overwriting the winner's data. The
+    # marker persists (a crashed claim blocks only this exact key,
+    # which is the desired heal-with-explicit-key behavior).
+    claim = jvm.org.apache.hadoop.fs.Path(
+        f"{data_root}__claims/{epoch_key}.claim")
+    try:
+        out = fs.create(claim, False)
+        out.close()
+    except Exception as e:  # noqa: BLE001 — FS-specific AlreadyExists
+        raise RuntimeError(
+            f"{data_root}: epoch key {epoch_key!r} is already CLAIMED "
+            "by a concurrent auto-key appender (or a crashed claim) — "
+            "pass an explicit, distinct epoch_key") from e
 
 
 def commit_ledger_row(stats: DataFrame, path: str,

@@ -688,8 +688,11 @@ def classifier_calibration(docs: DataFrame, weights: DataFrame,
                          f"div 2000001 AS INT)")).cast("int")))
     return (scored.groupBy("bin")
             .agg(F.count("*").cast("long").alias("n_docs"),
-                 F.sum(F.col("_truth").cast("long")).cast("long")
-                 .alias("n_pos"),
+                 # coalesce: a bin whose truths are ALL NULL (missing
+                 # labels) must report 0 positives like the SQL twin,
+                 # not a NULL that hash-mismatches the oracle
+                 F.coalesce(F.sum(F.col("_truth").cast("long")),
+                            F.lit(0)).cast("long").alias("n_pos"),
                  F.expr("sum(_lm) div count(*)").cast("long")
                  .alias("mean_logit_micro"))
             .withColumn("pos_rate_ppm",
@@ -1384,7 +1387,8 @@ FROM per ORDER BY {id_col}
 
 
 def _ccnet_ranked(docs: DataFrame, n_buckets: int, id_col: str,
-                  text_col: str) -> DataFrame:
+                  text_col: str, nll_table: DataFrame | None = None
+                  ) -> DataFrame:
     """The shared ranked frame: per scoreable doc, the exact integer
     per-bigram key, its global rank, and its bucket index.
 
@@ -1396,11 +1400,22 @@ def _ccnet_ranked(docs: DataFrame, n_buckets: int, id_col: str,
     doc-scale at 100 TB and a single-task global sort would be the
     hard bottleneck of the whole curation run. The order
     ``(_key, id)`` is total (doc ids are unique), so the two-phase
-    rank is exact and engine-identical."""
+    rank is exact and engine-identical.
+
+    ``nll_table``: a pre-built (bg, nll6) table TRAINED ON ``docs``
+    (e.g. the checkpointed frozen LM a deployment persists next to
+    the cut-point). When given, scoring rides
+    :func:`kn_score_occurrences` against it instead of re-deriving
+    the whole LM through :func:`kn_lm_report` — the occurrence fold is
+    test-pinned identical to the self-trained report, so the keys and
+    buckets cannot differ, and the reference corpus is scored without
+    a second corpus-scale LM build."""
     from rgd_rnaseq_workflows_spark.operators.exact_quantiles import (
         global_ranks)
-    rep = (kn_lm_report(docs, id_col, text_col)
-           .filter(F.col("n_bigrams") > 0)
+    rep0 = (kn_lm_report(docs, id_col, text_col) if nll_table is None
+            else kn_score_occurrences(docs, nll_table, id_col,
+                                      text_col))
+    rep = (rep0.filter(F.col("n_bigrams") > 0)
            .withColumn("_key", F.expr(
                "nll_micro * 1000000 div n_bigrams")))
     ranked = global_ranks(rep, [F.col("_key"), F.col(id_col)],
@@ -1499,7 +1514,8 @@ ORDER BY bucket
 
 def ccnet_keep_threshold(docs: DataFrame, n_buckets: int = 3,
                          keep_buckets: int = 1, id_col: str = "doc_id",
-                         text_col: str = "text") -> int:
+                         text_col: str = "text",
+                         nll_table: DataFrame | None = None) -> int:
     """The FROZEN CCNet keep cut-point: the maximum exact integer
     per-bigram micro-nat key among the kept (lowest-perplexity)
     ``keep_buckets`` rank buckets of the reference corpus. This is the
@@ -1511,7 +1527,8 @@ def ccnet_keep_threshold(docs: DataFrame, n_buckets: int = 3,
     if not 0 < keep_buckets <= n_buckets:
         raise ValueError(f"keep_buckets {keep_buckets} must be in "
                          f"(0, {n_buckets}]")
-    ranked = _ccnet_ranked(docs, n_buckets, id_col, text_col)
+    ranked = _ccnet_ranked(docs, n_buckets, id_col, text_col,
+                           nll_table=nll_table)
     [r] = (ranked.filter(F.col("bucket") < keep_buckets)
            .agg(F.max("_key").alias("k")).collect())
     if r["k"] is None:

@@ -413,9 +413,17 @@ def ks_drift_report(old: DataFrame, new: DataFrame, value,
     partition-less cumulative window is a documented domain-scale
     frame, never a corpus sort."""
     v = value if not isinstance(value, str) else F.expr(value)
+    # NULL contract (the quantile_norm pin): rows whose statistic is
+    # NULL carry no CDF position and are EXCLUDED on both engines —
+    # without the filter the NULL histogram keys don't equi-match in
+    # the full-outer join and the cumulative windows order them at
+    # OPPOSITE ends (Spark NULLS FIRST, DuckDB NULLS LAST), silently
+    # skewing ks_num
     ho = (old.select(v.cast("long").alias(value_alias))
+          .filter(F.col(value_alias).isNotNull())
           .groupBy(value_alias).agg(F.count("*").alias("_co")))
     hn = (new.select(v.cast("long").alias(value_alias))
+          .filter(F.col(value_alias).isNotNull())
           .groupBy(value_alias).agg(F.count("*").alias("_cn")))
     return ks_drift_from_histograms(ho, hn, value_alias)
 
@@ -471,10 +479,10 @@ def ks_drift_sql(old_src: str, new_src: str, value_expr: str) -> str:
     return f"""
 WITH ho AS (SELECT CAST({value_expr} AS BIGINT) AS v,
                    CAST(count(*) AS BIGINT) AS co
-            FROM ({old_src}) GROUP BY 1),
+            FROM ({old_src}) WHERE {value_expr} IS NOT NULL GROUP BY 1),
 hn AS (SELECT CAST({value_expr} AS BIGINT) AS v,
               CAST(count(*) AS BIGINT) AS cn
-       FROM ({new_src}) GROUP BY 1),
+       FROM ({new_src}) WHERE {value_expr} IS NOT NULL GROUP BY 1),
 j AS (SELECT coalesce(ho.v, hn.v) AS v,
              coalesce(co, 0) AS co, coalesce(cn, 0) AS cn
       FROM ho FULL OUTER JOIN hn ON ho.v = hn.v),

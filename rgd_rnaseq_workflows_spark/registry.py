@@ -4800,7 +4800,8 @@ def stream_ccnet_keep(spark, sf_dir):
     # the LM table (checkpointed - the threshold collect and the gate
     # both read it) and the driver-side cut-point long
     nll = checkpoint_df(kn_nll_table(bigram_counts(ref)))
-    cut = ccnet_keep_threshold(ref, n_buckets=3, keep_buckets=1)
+    cut = ccnet_keep_threshold(ref, n_buckets=3, keep_buckets=1,
+                               nll_table=nll)
     return ccnet_keep_gate(probe, nll, cut)
 
 

@@ -455,22 +455,31 @@ def stream_index_ingest(stream: DataFrame, path: str, kind: str,
                          f"one of {sorted(appenders)}")
     fn = appenders[kind]
 
+    import re as _re
+    # exact key shape: {stream_id}-{digits}. The suffix is compared
+    # NUMERICALLY — zero-padded keys sort lexicographically wrong past
+    # 999999 ('s-1000000' < 's-999999'), and a bare startswith prefix
+    # would also claim a DIFFERENT stream whose id extends this one
+    # ('a' matching 'a-b-000001')
+    epoch_re = _re.compile(_re.escape(stream_id) + r"-(\d+)$")
+
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         from rgd_rnaseq_workflows_spark.operators.index_ledger import (
             ledger_keys)
         key = f"{stream_id}-{epoch_id:06d}"
-        mine = sorted(k for k in ledger_keys(batch_df.sparkSession, path)
-                      if k.startswith(f"{stream_id}-"))
-        if mine and key in mine and key != mine[-1]:
+        mine = {int(m.group(1))
+                for k in ledger_keys(batch_df.sparkSession, path)
+                if (m := epoch_re.match(k))}
+        if mine and epoch_id in mine and epoch_id != max(mine):
             raise RuntimeError(
                 f"stream_index_ingest: epoch key {key!r} is already "
                 f"committed but is not stream {stream_id!r}'s latest "
-                f"({mine[-1]!r}) — a fresh checkpoint or a second query "
-                "is reusing this stream_id against the same index; "
-                "pass a new stream_id (silently no-oping would drop "
-                "this batch's data)")
+                f"(epoch {max(mine)}) — a fresh checkpoint or a second "
+                "query is reusing this stream_id against the same "
+                "index; pass a new stream_id (silently no-oping would "
+                "drop this batch's data)")
         fn(batch_df, path, epoch_key=key)
 
     return stream.writeStream.foreachBatch(_sink)

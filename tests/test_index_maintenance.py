@@ -324,3 +324,25 @@ def test_auto_key_collision_with_orphan_epoch_dir_is_loud(
                                     epoch_key=nxt) is True
     assert append_to_inverted_index(_docs(spark, range(50, 55)), path,
                                     epoch_key=nxt) is False
+
+
+def test_auto_key_claim_marker_blocks_second_minter(spark, tmp_path):
+    """The atomic claim (review r11): an existing claim marker for the
+    next auto key — the state a concurrent minter that won the
+    FileSystem.create race leaves — makes the second auto appender
+    fail loudly even though the epoch data directory does not exist
+    yet (the pure check-then-write window)."""
+    import os
+
+    import pytest
+
+    path = str(tmp_path / "inv")
+    write_inverted_index(_docs(spark, range(8)), path, num_buckets=4)
+    nxt = next_batch_key(spark, path)
+    os.makedirs(f"{path}/postings__claims", exist_ok=True)
+    open(f"{path}/postings__claims/{nxt}.claim", "w").close()
+    with pytest.raises(RuntimeError, match="CLAIMED"):
+        append_to_inverted_index(_docs(spark, range(50, 53)), path)
+    # explicit keys bypass the claim path entirely
+    assert append_to_inverted_index(_docs(spark, range(50, 53)), path,
+                                    epoch_key=nxt) is True

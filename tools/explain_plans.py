@@ -476,12 +476,17 @@ def partitionless_window_specs(plan: str) -> list[str]:
 
     Detection: a spec's argument list is partition columns (bare
     expressions), then order columns (``expr ASC/DESC NULLS ...``),
-    then the frame — so a spec whose FIRST argument already carries a
-    sort direction has an empty partition clause."""
+    then the frame — so a spec is partition-less when its FIRST
+    argument already carries a sort direction, OR when it is the bare
+    frame itself (an unordered, unpartitioned
+    ``count(*) over (rows between unbounded...)`` — the exact shape
+    the r10 `_ccnet_ranked` total used — has NEITHER clause and
+    previously slipped past the direction check)."""
     out = []
     for args in window_specs(plan):
         first = _first_arg(args)
-        if " ASC" in first or " DESC" in first:
+        if (" ASC" in first or " DESC" in first
+                or first.strip().startswith("specifiedwindowframe(")):
             out.append(args)
     return out
 
