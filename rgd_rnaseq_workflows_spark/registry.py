@@ -4887,3 +4887,57 @@ def corpus_shard_diff(spark, sf_dir):
                           F.concat(F.col("text"), F.lit(" edited")))
                    .otherwise(F.col("text")).alias("text")))
     return shard_manifest_diff(d, new, n_shards=16, seed=11)
+
+
+# =============================================================================
+# Batch 12 (round 11 continuation) — skyline / conversations / isotropy
+# =============================================================================
+
+def _skyline_feat_sql() -> str:
+    toks = TX.tokens_sql("text")
+    return (
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct, "
+        "CAST(any_value(n_chars) AS BIGINT) AS n_chars, "
+        "CAST(max(cnt) AS BIGINT) AS max_rep FROM ("
+        "SELECT doc_id, n_chars, tok, count(*) AS cnt "
+        f"FROM documents, unnest({toks}) AS t(tok) "
+        "GROUP BY doc_id, n_chars, tok) GROUP BY doc_id")
+
+
+def _skyline_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.skyline import (
+        pareto_skyline_sql)
+    inner = pareto_skyline_sql(
+        _skyline_feat_sql(),
+        {"n_distinct": "max", "n_chars": "min", "max_rep": "min"},
+        id_col="doc_id")
+    return f"SELECT * FROM ({inner}) ORDER BY doc_id"
+
+
+@q("profile_pareto_skyline", ("SKYLINE",), oracle=_skyline_oracle(),
+   note="multi-criteria corpus selection frontier: docs no other doc "
+        "beats on ALL of (vocabulary richness max, length min, "
+        "repetitiveness min) at once - the skyline operator (Borzsonyi "
+        "2001) Spark lacks; grid-pruned distributed form: cell stats "
+        "collapse to <= bins^d metadata, driver prunes cells whose "
+        "whole extent is dominated, the point-level verify is an EQUI "
+        "join on candidate-cell id (never a BNL/cartesian) + one "
+        "anti-join - the naive NOT EXISTS twin proves the prune exact")
+def profile_pareto_skyline(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.skyline import (
+        pareto_skyline)
+    d = _t(spark, sf_dir, "documents")
+    tf = (d.select("doc_id", "n_chars",
+                   F.explode(TX.tokens("text")).alias("tok"))
+          .groupBy("doc_id", "n_chars", "tok")
+          .agg(F.count("*").alias("cnt")))
+    feat = (tf.groupBy("doc_id", "n_chars")
+            .agg(F.count("*").cast("long").alias("n_distinct"),
+                 F.max("cnt").cast("long").alias("max_rep"))
+            .select("doc_id", "n_distinct",
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    "max_rep"))
+    sky = pareto_skyline(
+        feat, {"n_distinct": "max", "n_chars": "min", "max_rep": "min"},
+        id_col="doc_id")
+    return sky.orderBy("doc_id")
