@@ -4941,3 +4941,44 @@ def profile_pareto_skyline(spark, sf_dir):
         feat, {"n_distinct": "max", "n_chars": "min", "max_rep": "min"},
         id_col="doc_id")
     return sky.orderBy("doc_id")
+
+
+def _sft_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.conversations import (
+        assemble_conversations_sql)
+    src = ("SELECT user_id, epoch_us(ts) AS us, event_id, "
+           "CASE WHEN event_type IN ('click', 'view') THEN 'user' "
+           "ELSE 'assistant' END AS role, "
+           "event_type || ' v' || CAST(round(value * 100) AS BIGINT) "
+           "|| ' k' || json_extract_string(props, '$.k') AS content "
+           "FROM events")
+    return assemble_conversations_sql(
+        src, conv_col="user_id", order_sql="us, event_id",
+        role_col="role", content_col="content")
+
+
+@q("sft_assemble_conversations", ("SFT-ASSEMBLE",), oracle=_sft_oracle(),
+   note="SFT data prep: flat per-utterance logs reassembled into chat-"
+        "template strings with trainer invariants enforced - ordered "
+        "turns, consecutive same-role runs merged (gaps-and-islands), "
+        "trim to complete user->assistant exchanges, per-conversation "
+        "token accounting for downstream packing; everything keyed by "
+        "conversation id (one window pass + two key-local aggs, no "
+        "joins, per-entity state only) and the rendered template is "
+        "value-hashed byte-for-byte against the DuckDB twin")
+def sft_assemble_conversations(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.conversations import (
+        assemble_conversations)
+    e = _events(spark, sf_dir)
+    src = e.select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id",
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .otherwise("assistant").alias("role"),
+        F.concat(F.col("event_type"), F.lit(" v"),
+                 F.round(F.col("value") * 100).cast("long"),
+                 F.lit(" k"),
+                 F.get_json_object("props", "$.k")).alias("content"))
+    out = assemble_conversations(
+        src, conv_col="user_id", order_cols=["us", "event_id"],
+        role_col="role", content_col="content")
+    return out.orderBy("user_id")
