@@ -174,3 +174,86 @@ def pca_project(vecs: DataFrame, model: PCAModel,
         return pd.Series(list(P))
 
     return vecs.withColumn(out_col, proj(F.col(vec_col)))
+
+
+def isotropy_report(vecs: DataFrame, vec_col: str = "embedding",
+                    dims: int = 64) -> DataFrame:
+    """Embedding-space isotropy diagnostics from exact sufficient
+    statistics — the "is this encoder collapsing?" gate an ANN /
+    semdedup build should run before trusting cosine geometry at
+    100 TB. Anisotropic spaces (all vectors crowded in a narrow cone,
+    or energy piled on a few rogue dimensions) silently wreck cosine
+    thresholds; the two standard symptoms are measured exactly:
+
+    - ``avg_cos_bp`` — the Ethayarajh-style mean pairwise similarity
+      proxy: Σ_{p≠q} <v_p, v_q> equals ‖Σv‖² − Σ‖v‖², so the all-pairs
+      average needs only the per-dim fix-point SUM vector and the total
+      squared norm — O(d) mergeable integers, no pair join ever;
+    - ``max/min_dim_energy_bp`` — per-dimension second-moment share,
+      the dimension-collapse detector (one rogue dim hoarding energy,
+      or dead dims contributing none).
+
+    Scale shape: ONE corpus pass — posexplode to (dim, fix-point
+    value), a map-side-combined per-dim aggregation (d rows), then a
+    d-row fold to a single metadata row; everything JVM-side, all
+    integers until three final divisions. int64 headroom: per-dim
+    ``Σ xi`` caps at SCALE·n and its square must hold — fine to ~9e5
+    rows per unit of SCALE² (1e8), i.e. ~3e10 unit-norm rows; past
+    that raise the three sum columns to DecimalType at these call
+    sites (the drift-monitor precedent).
+    """
+    xi = (vecs.select(F.posexplode(vec_col).alias("dim", "x"))
+          .select("dim", F.round(F.col("x").cast("double") * SCALE)
+                  .cast("long").alias("v")))
+    perdim = xi.groupBy("dim").agg(
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+        F.count("*").alias("c"))
+    fold = perdim.agg(
+        F.max("c").cast("long").alias("n"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("ns"),
+        F.sum("q").cast("long").alias("t"),
+        F.max("q").cast("long").alias("mq"),
+        F.min("q").cast("long").alias("mnq"))
+    den = (F.col("n") - 1) * F.col("t")
+    return fold.select(
+        F.col("n").alias("n_vecs"),
+        F.col("t").alias("sum_sq_norm"),
+        F.col("ns").alias("sq_norm_of_sum"),
+        F.when(den != 0,
+               F.lit(10000.0) * (F.col("ns") - F.col("t")) / den)
+        .alias("avg_cos_bp"),
+        F.when(F.col("t") != 0, F.lit(10000.0) * F.col("mq")
+               / F.col("t")).alias("max_dim_energy_bp"),
+        F.when(F.col("t") != 0, F.lit(10000.0) * F.col("mnq")
+               / F.col("t")).alias("min_dim_energy_bp"))
+
+
+def isotropy_report_sql(table: str, vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`isotropy_report` — identical fix-point
+    rounding and identical final float expressions over the same exact
+    integers."""
+    return f"""
+WITH xi AS (
+  SELECT CAST(i - 1 AS BIGINT) AS dim,
+         CAST(round(CAST({vec_col}[i] AS DOUBLE) * {SCALE}) AS BIGINT)
+           AS v
+  FROM {table}, unnest(range(1, len({vec_col}) + 1)) AS r(i)),
+perdim AS (
+  SELECT dim, CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS c
+  FROM xi GROUP BY dim),
+fold AS (
+  SELECT CAST(max(c) AS BIGINT) AS n, CAST(sum(s * s) AS BIGINT) AS ns,
+         CAST(sum(q) AS BIGINT) AS t, CAST(max(q) AS BIGINT) AS mq,
+         CAST(min(q) AS BIGINT) AS mnq
+  FROM perdim)
+SELECT n AS n_vecs, t AS sum_sq_norm, ns AS sq_norm_of_sum,
+       CASE WHEN (n - 1) * t <> 0
+            THEN 10000.0 * (ns - t) / ((n - 1) * t) END AS avg_cos_bp,
+       CASE WHEN t <> 0 THEN 10000.0 * mq / t END
+         AS max_dim_energy_bp,
+       CASE WHEN t <> 0 THEN 10000.0 * mnq / t END
+         AS min_dim_energy_bp
+FROM fold"""

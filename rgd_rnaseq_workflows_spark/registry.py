@@ -4982,3 +4982,22 @@ def sft_assemble_conversations(spark, sf_dir):
         src, conv_col="user_id", order_cols=["us", "event_id"],
         role_col="role", content_col="content")
     return out.orderBy("user_id")
+
+
+def _isotropy_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.pca import (
+        isotropy_report_sql)
+    return isotropy_report_sql("embeddings")
+
+
+@q("embedding_isotropy", ("EMB-ISOTROPY",), oracle=_isotropy_oracle(),
+   note="embedding-space isotropy gate before trusting cosine "
+        "geometry: mean pairwise similarity WITHOUT a pair join "
+        "(||sum v||^2 - sum||v||^2 identity over per-dim fix-point "
+        "sums) + per-dimension energy share (dimension-collapse "
+        "detector); one corpus pass to d mergeable integer rows, one "
+        "d-row fold, three final divisions - 1 metadata row out")
+def embedding_isotropy(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.pca import isotropy_report
+    e = _t(spark, sf_dir, "embeddings")
+    return isotropy_report(e, dims=64)

@@ -116,3 +116,55 @@ class TestProject:
         assert model.explained_var_ratio[0] > 0.99
         assert np.allclose(np.abs(model.components[0]),
                            1 / np.sqrt(6), atol=0.01)
+
+
+class TestIsotropy:
+    def test_matches_numpy_pairwise_identity(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.pca import (
+            isotropy_report)
+        X = _rand(30, 5, seed=9)
+        row = isotropy_report(_vecs(spark, X), dims=5).collect()[0]
+        XI = (np.floor(np.abs(X.astype(np.float64) * SCALE) + 0.5)
+              * np.sign(X)).astype(np.int64)
+        n = len(XI)
+        t = int((XI * XI).sum())
+        ns = int((XI.sum(axis=0) ** 2).sum())
+        assert row["n_vecs"] == n
+        assert row["sum_sq_norm"] == t
+        assert row["sq_norm_of_sum"] == ns
+        # brute-force all-pairs dot sum equals the identity
+        pair_sum = 0
+        for p in range(n):
+            for q_ in range(n):
+                if p != q_:
+                    pair_sum += int(XI[p] @ XI[q_])
+        assert ns - t == pair_sum
+        assert row["avg_cos_bp"] == pytest.approx(
+            10000.0 * pair_sum / ((n - 1) * t))
+
+    def test_degenerate_all_zero_yields_nulls(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.pca import (
+            isotropy_report)
+        X = np.zeros((3, 4), dtype=np.float32)
+        row = isotropy_report(_vecs(spark, X), dims=4).collect()[0]
+        assert row["sum_sq_norm"] == 0
+        assert row["avg_cos_bp"] is None
+        assert row["max_dim_energy_bp"] is None
+
+    def test_sql_twin_agrees(self, spark, tmp_path):
+        from rgd_rnaseq_workflows_spark.operators.pca import (
+            isotropy_report, isotropy_report_sql)
+        X = _rand(25, 4, seed=11)
+        df = _vecs(spark, X)
+        pq = str(tmp_path / "emb.parquet")
+        df.write.parquet(pq)
+        got = isotropy_report(df, dims=4).collect()[0].asDict()
+        con = duckdb.connect()
+        want = con.execute(isotropy_report_sql(
+            f"read_parquet('{pq}/*.parquet')")).df().iloc[0].to_dict()
+        assert got["n_vecs"] == want["n_vecs"]
+        assert got["sum_sq_norm"] == want["sum_sq_norm"]
+        assert got["sq_norm_of_sum"] == want["sq_norm_of_sum"]
+        assert got["avg_cos_bp"] == pytest.approx(want["avg_cos_bp"])
+        assert got["max_dim_energy_bp"] == pytest.approx(
+            want["max_dim_energy_bp"])
