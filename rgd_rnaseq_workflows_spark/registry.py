@@ -5001,3 +5001,25 @@ def embedding_isotropy(spark, sf_dir):
     from rgd_rnaseq_workflows_spark.operators.pca import isotropy_report
     e = _t(spark, sf_dir, "embeddings")
     return isotropy_report(e, dims=64)
+
+
+def _maxcover_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.selection import (
+        greedy_max_cover_sql)
+    return greedy_max_cover_sql("documents", k=10, shingle_n=2)
+
+
+@q("sample_greedy_maxcover", ("MAXCOVER",), oracle=_maxcover_oracle(),
+   note="submodular diversity selection: greedy max-cover over bigram "
+        "shingles (Nemhauser 1-1/e guarantee) - seed sets / eval "
+        "slices / 'show me what is in here' subsets; the shingle "
+        "table derives once (PPJoin 60-bit hash arrays, lineage "
+        "truncated), each of k rounds is one distributed "
+        "TakeOrdered(1) on size(array_except(hs, covered-literal)) - "
+        "k corpus passes, k one-row collects, zero joins; pick "
+        "sequence bit-reproduced by the k-level unrolled DuckDB twin")
+def sample_greedy_maxcover(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.selection import (
+        greedy_max_cover)
+    d = _t(spark, sf_dir, "documents")
+    return greedy_max_cover(d, k=10, shingle_n=2)
