@@ -123,3 +123,108 @@ def greedy_max_cover_sql(table: str, k: int, shingle_n: int = 2,
         f"CAST(sum(gain) OVER (ORDER BY rank) AS BIGINT) "
         f"AS covered_total FROM picks")
     return "\n".join(parts)
+
+
+def _dist2(vec_col, center: list[int]):
+    """Exact integer squared L2 between a fix-point long-array column
+    and a literal center (JVM array expressions; d·1 ops per row)."""
+    c = F.lit(center).cast("array<bigint>")
+    return F.aggregate(
+        F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def k_center_coreset(vecs: DataFrame, k: int, vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     scale: int = 10_000) -> DataFrame:
+    """Gonzalez farthest-first traversal: a k-point coreset whose
+    max-min radius is within 2× of the optimal k-center cover — the
+    standard geometric "spread" selection (active-learning seeds,
+    IVF/PQ training samples, outlier-inclusive eval panels), the
+    complement of :func:`greedy_max_cover`'s lexical spread.
+
+    Seed = lowest id (deterministic); each later round picks the point
+    FARTHEST from its nearest selected center, ties on ascending id.
+    Returns ``min(k, n)`` rows ``(rank, id, dist_sq)`` — ``dist_sq``
+    the pick's exact fix-point squared distance to the nearest earlier
+    center (NULL for the seed); the sequence doubles as the coverage-
+    radius decay curve.
+
+    Scale shape: vectors fix-point once (round(x·scale), exact long
+    arrays, lineage-truncated), then the classic incremental trick —
+    one ``least(mind, dist²-to-newest-center)`` column update + one
+    distributed TakeOrdered(1) per round, so each round costs d ops
+    per row against ONE broadcast center literal (never k·d), k rounds
+    total, k one-row collects, zero joins. int64 headroom:
+    d·(2·scale·‖x‖_∞)² per distance — ~2.6e10 for unit-norm d=64.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = vecs.sparkSession
+    xi = checkpoint_df(
+        vecs.select(
+            F.col(id_col).alias("id"),
+            F.transform(vec_col,
+                        lambda x: F.round(x.cast("double") * scale)
+                        .cast("long")).alias("v")),
+        eager=False)
+    seed_rows = xi.orderBy("id").limit(1).collect()
+    if not seed_rows:
+        return spark.createDataFrame(
+            [], f"rank long, {id_col} long, dist_sq long")
+    seed = seed_rows[0]
+    out: list[tuple] = [(1, seed["id"], None)]
+    cur = xi.filter(F.col("id") != seed["id"]).withColumn(
+        "mind", _dist2(F.col("v"), list(seed["v"])))
+    for rank in range(2, k + 1):
+        pick_rows = (cur.orderBy(F.desc("mind"), F.asc("id"))
+                     .limit(1).collect())
+        if not pick_rows:
+            break
+        p = pick_rows[0]
+        out.append((rank, p["id"], p["mind"]))
+        cur = checkpoint_df(
+            cur.filter(F.col("id") != p["id"]).withColumn(
+                "mind", F.least("mind", _dist2(F.col("v"),
+                                               list(p["v"])))),
+            eager=False)
+    return spark.createDataFrame(
+        out, f"rank long, {id_col} long, dist_sq long")
+
+
+def k_center_coreset_sql(table: str, k: int, vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         scale: int = 10_000) -> str:
+    """DuckDB twin of :func:`k_center_coreset` — the k rounds unrolled
+    as materialized chained CTEs over the same fix-point integers."""
+    def d2(a: str, b: str) -> str:
+        return (f"CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+                f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) "
+                f"AS BIGINT)")
+
+    parts = [
+        f"WITH xi AS MATERIALIZED (SELECT {id_col} AS id, "
+        f"list_transform(range(1, len({vec_col}) + 1), "
+        f"i -> CAST(round(CAST({vec_col}[i] AS DOUBLE) * {scale}) "
+        f"AS BIGINT)) AS v FROM {table}),",
+        "s1 AS MATERIALIZED (SELECT id, v FROM xi ORDER BY id LIMIT 1),",
+        f"m1 AS MATERIALIZED (SELECT x.id, x.v, {d2('x.v', 's.v')} "
+        "AS mind FROM xi x, s1 s WHERE x.id <> s.id),",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts += [
+            f"s{i} AS MATERIALIZED (SELECT id, v, mind FROM m{p} "
+            f"ORDER BY mind DESC, id LIMIT 1),",
+            f"m{i} AS MATERIALIZED (SELECT m.id, m.v, "
+            f"least(m.mind, {d2('m.v', 's.v')}) AS mind "
+            f"FROM m{p} m, s{i} s WHERE m.id <> s.id),",
+        ]
+    levels = " UNION ALL ".join(
+        [f"SELECT 1 AS rank, id, CAST(NULL AS BIGINT) AS dist_sq FROM s1"]
+        + [f"SELECT {j}, id, mind FROM s{j}" for j in range(2, k + 1)])
+    parts.append(
+        f"picks AS ({levels}) "
+        f"SELECT CAST(rank AS BIGINT) AS rank, id AS {id_col}, "
+        f"CAST(dist_sq AS BIGINT) AS dist_sq FROM picks")
+    return "\n".join(parts)

@@ -5023,3 +5023,25 @@ def sample_greedy_maxcover(spark, sf_dir):
         greedy_max_cover)
     d = _t(spark, sf_dir, "documents")
     return greedy_max_cover(d, k=10, shingle_n=2)
+
+
+def _kcenter_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.selection import (
+        k_center_coreset_sql)
+    return k_center_coreset_sql("embeddings", k=8)
+
+
+@q("sample_kcenter_coreset", ("KCENTER",), oracle=_kcenter_oracle(),
+   note="geometric coreset: Gonzalez farthest-first traversal over "
+        "fix-point integer embeddings (2-approx k-center cover) - "
+        "active-learning seeds / PQ training samples / outlier-"
+        "inclusive panels; incremental min-distance column (least "
+        "with dist^2 to the ONE new center per round - d ops/row, "
+        "never k*d) + one TakeOrdered(1) per round, exact integer "
+        "distances so the pick sequence and radius-decay curve are "
+        "bit-reproduced by the unrolled DuckDB twin")
+def sample_kcenter_coreset(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.selection import (
+        k_center_coreset)
+    e = _t(spark, sf_dir, "embeddings")
+    return k_center_coreset(e, k=8)

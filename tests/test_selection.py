@@ -71,3 +71,77 @@ def test_sql_twin_reproduces_pick_sequence(spark, tmp_path):
         greedy_max_cover_sql("documents", k=6, shingle_n=2))
         .fetchall()))
     assert got == want
+
+
+# --- k-center coreset ---------------------------------------------------------
+
+def _vecdf(spark, X):
+    rows = [(i, [float(v) for v in x]) for i, x in enumerate(X)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+
+
+def _brute_kcenter(X, k, scale=10_000):
+    XI = [[round(v * scale) for v in x] for x in X]
+
+    def d2(a, b):
+        return sum((p - q) * (p - q) for p, q in zip(a, b))
+
+    out = [(1, 0, None)]
+    centers = [0]
+    remaining = set(range(1, len(XI)))
+    mind = {i: d2(XI[i], XI[0]) for i in remaining}
+    for rank in range(2, k + 1):
+        if not remaining:
+            break
+        best = min(remaining, key=lambda i: (-mind[i], i))
+        out.append((rank, best, mind[best]))
+        remaining.discard(best)
+        for i in remaining:
+            mind[i] = min(mind[i], d2(XI[i], XI[best]))
+        centers.append(best)
+    return out
+
+
+def test_kcenter_matches_brute_force(spark):
+    from rgd_rnaseq_workflows_spark.operators.selection import (
+        k_center_coreset)
+    import random
+    rng = random.Random(21)
+    X = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(40)]
+    got = sorted(
+        (r["rank"], r["vec_id"], r["dist_sq"])
+        for r in k_center_coreset(_vecdf(spark, X), k=6).collect())
+    assert got == sorted(_brute_kcenter(X, 6))
+
+
+def test_kcenter_duplicates_and_small_n(spark):
+    from rgd_rnaseq_workflows_spark.operators.selection import (
+        k_center_coreset)
+    X = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    got = sorted(
+        (r["rank"], r["vec_id"], r["dist_sq"])
+        for r in k_center_coreset(_vecdf(spark, X), k=5).collect())
+    # seed=0; farthest is 2 (dist 2e8); duplicate 1 last at dist 0
+    assert got == [(1, 0, None), (2, 2, 2 * 10_000 ** 2), (3, 1, 0)]
+
+
+def test_kcenter_sql_twin_agrees(spark, tmp_path):
+    import duckdb
+    import random
+    from rgd_rnaseq_workflows_spark.operators.selection import (
+        k_center_coreset, k_center_coreset_sql)
+    rng = random.Random(5)
+    X = [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(30)]
+    df = _vecdf(spark, X)
+    got = sorted(
+        (r["rank"], r["vec_id"], r["dist_sq"])
+        for r in k_center_coreset(df, k=5).collect())
+    pq = str(tmp_path / "emb.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{pq}/*.parquet')")
+    want = sorted(map(tuple, con.execute(
+        k_center_coreset_sql("embeddings", k=5)).fetchall()))
+    assert got == want
