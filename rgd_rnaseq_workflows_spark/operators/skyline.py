@@ -73,9 +73,14 @@ def pareto_skyline(df: DataFrame, dims: dict[str, Direction],
     if not dims or bins < 1:
         raise ValueError("dims must be non-empty and bins >= 1")
     names = list(dims)
-    pts = df.select(id_col, *names,
-                    *[_signed(c, dims[c]).alias(f"_s_{k}")
-                      for k, c in enumerate(names)])
+    # checkpoint BEFORE the min/max pre-pass: the upstream lineage
+    # (often a tokenize/aggregate feature derivation) would otherwise
+    # run once for the grid bounds and again for the cell stats
+    pts = checkpoint_df(
+        df.select(id_col, *names,
+                  *[_signed(c, dims[c]).alias(f"_s_{k}")
+                    for k, c in enumerate(names)]),
+        eager=False)
     sc = [f"_s_{k}" for k in range(len(names))]
 
     row = pts.agg(*[m for c in sc
@@ -90,8 +95,9 @@ def pareto_skyline(df: DataFrame, dims: dict[str, Direction],
     for c in sc:
         coord = F.expr(f"({c} - {lo[c]}) div {width[c]}")
         cell = coord if cell is None else cell * bins + coord
-    pts = checkpoint_df(pts.withColumn("_cell", cell.cast("long")),
-                        eager=False)  # three consumers below
+    # cheap projection over the checkpointed frame; the three consumers
+    # below re-run only this projection, not the upstream derivation
+    pts = pts.withColumn("_cell", cell.cast("long"))
 
     stats = (pts.groupBy("_cell")
              .agg(*[m for c in sc
