@@ -428,6 +428,27 @@ SHOWCASE = {
         "next to a generator re-evaluates per OUTPUT row — the r11 "
         "trap, 30× on this stage), broadcast weight probe, ONE "
         "groupBy(doc, truth), |bins|-row fold. 100× α=0.51.",
+    "profile_pareto_skyline": "grid-pruned skyline: feature frame "
+        "checkpointed BEFORE the grid-bounds pre-pass (upstream "
+        "tokenize/agg runs once), cell stats fold to ≤ bins^d metadata, "
+        "driver prunes dominated cells, point verify is an EQUI join on "
+        "candidate-cell id + one anti-join — never a cartesian/BNL.",
+    "sft_assemble_conversations": "conversation assembly: one "
+        "conversation-partitioned window (gaps-and-islands turn ids), "
+        "two conversation-keyed aggregations, zero joins; per-entity "
+        "array state only, rendered template built by JVM array ops.",
+    "embedding_isotropy": "posexplode → map-side-combined per-dim "
+        "integer sums (d rows) → one d-row fold; mean pairwise cosine "
+        "via the norm-of-sum identity — no pair join at any scale; "
+        "1 metadata row out, JVM-only.",
+    "sample_greedy_maxcover": "submodular greedy: shingle table "
+        "derived once (lineage-truncated), each round ONE distributed "
+        "TakeOrdered(1) on size(array_except(hs, covered-literal)) — "
+        "k corpus passes, k one-row collects, zero joins.",
+    "sample_kcenter_coreset": "farthest-first traversal: fix-point "
+        "vectors checkpointed once; per round a least(mind, dist² to "
+        "the ONE new broadcast center) projection + TakeOrdered(1) — "
+        "d ops/row/round, never k·d; exact integer distances.",
 }
 
 
