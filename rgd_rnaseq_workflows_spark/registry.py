@@ -1645,16 +1645,20 @@ def text_zipf_head_stats(spark, sf_dir):
 # prior round are surfaced first so every registry entry accumulates a
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
-    # new r11 queries (never-stamped lead the window):
+    # round-11 window, regenerated mid-round from
+    # tools/rotation_check.py --plan after the batch-12 queries
+    # landed: the 9 never-stamped queries lead (4 early-r11 +
+    # 5 batch-12), then the stalest stamped rows fill the 50
+    # slots oldest-evidence-first.
     "stream_ccnet_keep",
     "corpus_length_ks_drift",
     "quality_classifier_calibration",
     "corpus_shard_diff",
-    # round-11 window (exactly tools/rotation_check.py --plan at the r10
-    # close): the 36 r7-aged rows that would breach MAX_AGE after r11
-    # lead in oldest-evidence-first order, then the next-oldest stamped
-    # rows fill the 50 slots.  New r11 queries are PREPENDED here as
-    # they land (never-stamped queries must lead the window).
+    "profile_pareto_skyline",
+    "sft_assemble_conversations",
+    "embedding_isotropy",
+    "sample_greedy_maxcover",
+    "sample_kcenter_coreset",
     "text_lang_id",
     "text_token_stats",
     "text_fingerprint",
@@ -1696,15 +1700,6 @@ _RECORD_FIRST: tuple[str, ...] = (
     "fil6_regex_predicates",
     "fil8_in_list_slice",
     "f13_case_buckets",
-    "jn1_semi_join",
-    "set3_anti_join",
-    "jn2_broadcast_annotate",
-    "jn5_lookup_default",
-    "jn6_outer_validation",
-    "agg1_count_distinct",
-    "agg2_collect_sorted_list",
-    "agg3_first_per_group",
-    "agg4_dedup_keep_first",
 )
 
 
