@@ -1130,3 +1130,109 @@ LEFT JOIN hits h ON h.qid = q.qid AND h.p = p.p
 LEFT JOIN mrr m ON m.qid = q.qid AND m.p = p.p
 ORDER BY query_id, nprobe
 """
+
+
+def hard_negative_report(emb: DataFrame, k: int = 5,
+                         margin_ppm: int = 50_000,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         label_col: str = "label",
+                         block_col: str | None = None) -> DataFrame:
+    """Hard-negative mining for contrastive / metric training: per
+    anchor, its top-k most-similar DIFFERENT-label vectors, each graded
+    against the anchor's nearest positive (FaceNet triplet taxonomy,
+    Schroff 2015): ``violation`` — negative at least as close as the
+    best positive (an active triplet); ``semi_hard`` — within
+    ``margin_ppm`` micro-cosine of it (the negatives one actually
+    trains on); ``easy`` otherwise; ``no_positive`` — anchor has no
+    same-label candidate in its block. Returns
+    (anchor_id, neg_id, rank, cosine_sim, pos_best_sim, status).
+
+    Cross-engine exactness: the margin_alignment discipline — Arrow
+    pair cosine rounded to 6, micro-cosine bigints, pure integer
+    comparisons; zero-norm (NaN) candidates drop on every path.
+
+    Scale: with ``block_col`` (LSH bucket / cluster id — the
+    ``embedding_near_dup`` discipline) candidates join EQUI on the
+    block; both window passes share ONE anchor-hash exchange (the
+    unordered positive-max and the ordered negative rank partition
+    identically), and per-anchor state is block-bounded. Without a
+    block the join is the exact cross product — the test/oracle shape,
+    not the 100 TB one.
+    """
+    from pyspark.sql import Window
+    blk = [block_col] if block_col else []
+    a = emb.select(*blk, F.col(id_col).alias("anchor_id"),
+                   F.col(label_col).alias("_la"),
+                   _as_double(vec_col).alias("_va"))
+    b = emb.select(*blk, F.col(id_col).alias("neg_id"),
+                   F.col(label_col).alias("_lb"),
+                   _as_double(vec_col).alias("_vb"))
+    joined = (a.join(b, blk) if blk else a.crossJoin(b)).filter(
+        F.col("anchor_id") != F.col("neg_id"))
+    cos6 = F.round(cosine_kernel()(F.col("_va"), F.col("_vb")), 6)
+    sc = (joined.select("anchor_id", "neg_id", "_la", "_lb",
+                        cos6.alias("_c"))
+          .filter(~F.isnan("_c"))
+          .withColumn("_ci",
+                      F.round(F.col("_c") * 1_000_000).cast("long")))
+    w_all = Window.partitionBy("anchor_id")
+    sc = sc.withColumn(
+        "_pb", F.max(F.when(F.col("_la") == F.col("_lb"),
+                            F.col("_ci"))).over(w_all))
+    w_rank = Window.partitionBy("anchor_id").orderBy(
+        F.desc("_ci"), F.asc("neg_id"))
+    out = (sc.filter(F.col("_la") != F.col("_lb"))
+           .withColumn("_rn", F.row_number().over(w_rank))
+           .filter(F.col("_rn") <= k))
+    status = (F.when(F.col("_pb").isNull(), "no_positive")
+              .when(F.col("_ci") >= F.col("_pb"), "violation")
+              .when(F.col("_ci") + margin_ppm >= F.col("_pb"),
+                    "semi_hard")
+              .otherwise("easy"))
+    return out.select(
+        "anchor_id", "neg_id", F.col("_rn").cast("long").alias("rank"),
+        F.round(F.col("_ci") / 1_000_000.0, 6).alias("cosine_sim"),
+        F.round(F.col("_pb") / 1_000_000.0, 6).alias("pos_best_sim"),
+        status.alias("status"))
+
+
+def hard_negative_report_sql(src: str, k: int = 5,
+                             margin_ppm: int = 50_000,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             label_col: str = "label",
+                             block_sql: str | None = None) -> str:
+    """DuckDB twin of :func:`hard_negative_report` — identical
+    micro-cosine integers, window shapes, and status thresholds.
+    ``block_sql`` is an expression over the source columns."""
+    bsel = f", {block_sql} AS blk" if block_sql else ""
+    jn = ("a.blk = b.blk AND a.id <> b.id" if block_sql
+          else "a.id <> b.id")
+    return f"""
+WITH e AS (SELECT {id_col} AS id, {label_col} AS label,
+                  CAST({vec_col} AS DOUBLE[]) AS v{bsel}
+           FROM {src}),
+sc AS MATERIALIZED (
+  SELECT anchor_id, neg_id, la, lb,
+         CAST(round(c * 1000000) AS BIGINT) AS ci
+  FROM (SELECT a.id AS anchor_id, b.id AS neg_id,
+               a.label AS la, b.label AS lb,
+               round(list_cosine_similarity(a.v, b.v), 6) AS c
+        FROM e a JOIN e b ON {jn})
+  WHERE NOT isnan(c)),
+pb AS (SELECT *, max(CASE WHEN la = lb THEN ci END)
+                 OVER (PARTITION BY anchor_id) AS pbest
+       FROM sc),
+rk AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY ci DESC, neg_id) AS rn
+       FROM pb WHERE la <> lb)
+SELECT anchor_id, neg_id, CAST(rn AS BIGINT) AS rank,
+       round(ci / 1000000.0, 6) AS cosine_sim,
+       round(pbest / 1000000.0, 6) AS pos_best_sim,
+       CASE WHEN pbest IS NULL THEN 'no_positive'
+            WHEN ci >= pbest THEN 'violation'
+            WHEN ci + {margin_ppm} >= pbest THEN 'semi_hard'
+            ELSE 'easy' END AS status
+FROM rk WHERE rn <= {k}
+"""

@@ -5040,3 +5040,27 @@ def sample_kcenter_coreset(spark, sf_dir):
         k_center_coreset)
     e = _t(spark, sf_dir, "embeddings")
     return k_center_coreset(e, k=8)
+
+
+def _hardneg_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        hard_negative_report_sql)
+    return hard_negative_report_sql(
+        "embeddings", k=5, margin_ppm=50_000, block_sql="label // 4")
+
+
+@q("ann_hard_negatives", ("ANN-HARDNEG",), oracle=_hardneg_oracle(),
+   note="contrastive-training hard-negative mining: per anchor the "
+        "top-k most-similar different-label vectors, graded against "
+        "the nearest positive (FaceNet taxonomy: violation / "
+        "semi_hard / easy / no_positive); micro-cosine integer "
+        "comparisons (margin_alignment discipline), candidates EQUI "
+        "on the block, BOTH window passes share one anchor-hash "
+        "exchange - per-anchor state block-bounded")
+def ann_hard_negatives(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        hard_negative_report)
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "blk", F.expr("label div 4"))
+    return hard_negative_report(e, k=5, margin_ppm=50_000,
+                                block_col="blk")

@@ -413,3 +413,64 @@ def test_ivf_probe_sweep_monotone_and_exact_at_full_probe(spark):
         ivf_probe_sweep_sql("embeddings", [0, 5], probes=[1, 2, 3],
                             k=5)).fetchall()}
     assert got == exp
+
+
+# --- hard-negative mining -----------------------------------------------------
+
+def _brute_hardneg(rows, k, margin_ppm):
+    out = []
+    for aid, av, al in rows:
+        cands = []
+        pos = []
+        for bid, bv, bl in rows:
+            if bid == aid:
+                continue
+            ci = round(round(_cos(av, bv), 6) * 1_000_000)
+            (pos if bl == al else cands).append((ci, bid))
+        pb = max(p[0] for p in pos) if pos else None
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (ci, bid) in enumerate(cands[:k], 1):
+            if pb is None:
+                st = "no_positive"
+            elif ci >= pb:
+                st = "violation"
+            elif ci + margin_ppm >= pb:
+                st = "semi_hard"
+            else:
+                st = "easy"
+            out.append((aid, bid, rank, ci / 1e6,
+                        None if pb is None else pb / 1e6, st))
+    return sorted(out)
+
+
+def test_hard_negatives_match_brute_force(spark):
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        hard_negative_report)
+    emb, rows = _emb(spark, n=40, d=6, seed=13)
+    got = sorted(
+        (r["anchor_id"], r["neg_id"], r["rank"], r["cosine_sim"],
+         r["pos_best_sim"], r["status"])
+        for r in hard_negative_report(emb, k=3,
+                                      margin_ppm=100_000).collect())
+    want = _brute_hardneg(rows, k=3, margin_ppm=100_000)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3] and g[5] == w[5]
+        assert g[3] == pytest.approx(w[3], abs=2e-6)
+        if w[4] is None:
+            assert g[4] is None
+        else:
+            assert g[4] == pytest.approx(w[4], abs=2e-6)
+
+
+def test_hard_negatives_no_positive_status(spark):
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        hard_negative_report)
+    rows = [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 1), (2, [0.0, 1.0], 1)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {(r["anchor_id"], r["neg_id"]): r["status"]
+           for r in hard_negative_report(emb, k=2).collect()}
+    # anchor 0 has no same-label partner → no_positive on all its rows
+    assert got[(0, 1)] == "no_positive" and got[(0, 2)] == "no_positive"
+    # anchor 1's positive is 2 (cos≈0.11); negative 0 (cos≈0.995) wins
+    assert got[(1, 0)] == "violation"
