@@ -1630,3 +1630,109 @@ FROM pper, cut
 WHERE n_bigrams > 0
   AND nll_micro * 1000000 // n_bigrams <= cut.max_key
 """
+
+
+def heaps_curve(docs: DataFrame, n_buckets: int = 10,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Heaps-law vocabulary-growth curve: the corpus in ingestion order
+    (ascending id) split into ``n_buckets`` equal-count slices, and per
+    slice the CUMULATIVE docs / token occurrences / distinct vocabulary
+    plus the slice's marginal novelty rate (new types per 10k new
+    tokens, integer basis points). The curve answers the "is more crawl
+    still buying new language?" question — a flattening tail means
+    additional data is repetition, the signal dedup/mixing decisions
+    key off; a kink localizes where a source switch changed the corpus.
+
+    Scale shape: doc ranks come from the distributed two-phase
+    ``global_ranks`` (range shuffle + frozen per-partition row_number —
+    never a single-task sort); the bucket id is pure integer arithmetic
+    on the rank; then ONE corpus-scale equi join (token explode ×
+    bucket table) and two aggregations — tokens-per-bucket (map-side
+    combined to ≤ n_buckets rows) and FIRST-OCCURRENCE bucket per type
+    (``min(bucket)`` — monotone in rank, so it equals the bucket of the
+    first occurrence) folding to vocabulary-scale then ≤ n_buckets
+    rows. The cumulative window runs on the n_buckets-row grid —
+    metadata scale by construction. Exact integers throughout; the
+    novelty rate is one bigint floor division.
+    """
+    from rgd_rnaseq_workflows_spark.operators.exact_quantiles import (
+        global_ranks)
+    spark = docs.sparkSession
+    ranked = global_ranks(docs.select(F.col(id_col).alias("_id")),
+                          [F.col("_id")])
+    buckets = ranked.select(
+        "_id",
+        F.expr(f"(_rank * {n_buckets} + _n - 1) div _n").alias("bucket"))
+    ex = docs.select(F.col(id_col).alias("_id"),
+                     F.explode(TX.tokens(text_col)).alias("tok"))
+    exb = ex.join(buckets, "_id").select("bucket", "tok")
+    tokcnt = exb.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("nt"))
+    voc = (exb.groupBy("tok").agg(F.min("bucket").alias("bucket"))
+           .groupBy("bucket").agg(F.count("*").cast("long").alias("nv")))
+    dc = buckets.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("nd"))
+    grid = spark.range(1, n_buckets + 1).select(
+        F.col("id").alias("bucket"))
+    j = (grid.join(dc, "bucket", "left")
+         .join(tokcnt, "bucket", "left")
+         .join(voc, "bucket", "left")
+         .select("bucket",
+                 F.coalesce("nd", F.lit(0)).alias("nd"),
+                 F.coalesce("nt", F.lit(0)).alias("nt"),
+                 F.coalesce("nv", F.lit(0)).alias("nv")))
+    from pyspark.sql import Window
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return j.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.sum("nd").over(w).cast("long").alias("cum_docs"),
+        F.sum("nt").over(w).cast("long").alias("cum_tokens"),
+        F.sum("nv").over(w).cast("long").alias("cum_vocab"),
+        F.when(F.col("nt") > 0, F.expr("(nv * 10000) div nt"))
+        .cast("long").alias("novelty_bp")).orderBy("bucket")
+
+
+def heaps_curve_sql(table: str = "documents", n_buckets: int = 10,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """DuckDB twin of :func:`heaps_curve` — naive single-node
+    row_number over the same total order, identical bucket arithmetic
+    and integer novelty division."""
+    toks = TX.tokens_sql(text_col)
+    k = n_buckets
+    return f"""
+WITH ranked AS (
+  SELECT {id_col} AS id, row_number() OVER (ORDER BY {id_col}) AS r,
+         count(*) OVER () AS n
+  FROM {table}),
+b AS MATERIALIZED (
+  SELECT id, (r * {k} + n - 1) // n AS bucket FROM ranked),
+ex AS (SELECT d.{id_col} AS id, t.tok
+       FROM {table} d, unnest({toks}) AS t(tok)),
+exb AS MATERIALIZED (
+  SELECT b.bucket, e.tok FROM ex e JOIN b ON e.id = b.id),
+tokcnt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nt
+           FROM exb GROUP BY bucket),
+voc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nv FROM (
+          SELECT tok, min(bucket) AS bucket FROM exb GROUP BY tok)
+        GROUP BY bucket),
+dc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nd
+       FROM b GROUP BY bucket),
+grid AS (SELECT i AS bucket FROM range(1, {k} + 1) r(i)),
+j AS (SELECT g.bucket, coalesce(d.nd, 0) AS nd,
+             coalesce(t.nt, 0) AS nt, coalesce(v.nv, 0) AS nv
+      FROM grid g LEFT JOIN dc d USING (bucket)
+      LEFT JOIN tokcnt t USING (bucket)
+      LEFT JOIN voc v USING (bucket))
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(sum(nd) OVER w AS BIGINT) AS cum_docs,
+       CAST(sum(nt) OVER w AS BIGINT) AS cum_tokens,
+       CAST(sum(nv) OVER w AS BIGINT) AS cum_vocab,
+       CASE WHEN nt > 0 THEN CAST((nv * 10000) // nt AS BIGINT) END
+         AS novelty_bp
+FROM j
+WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+ORDER BY bucket
+"""

@@ -5064,3 +5064,23 @@ def ann_hard_negatives(spark, sf_dir):
         "blk", F.expr("label div 4"))
     return hard_negative_report(e, k=5, margin_ppm=50_000,
                                 block_col="blk")
+
+
+def _heaps_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        heaps_curve_sql)
+    return heaps_curve_sql("documents", n_buckets=10)
+
+
+@q("text_heaps_curve", ("HEAPS-CURVE",), oracle=_heaps_oracle(),
+   note="Heaps-law vocabulary growth: corpus in ingestion order split "
+        "into 10 equal-count slices, cumulative docs/tokens/vocab per "
+        "slice + marginal novelty rate (new types per 10k tokens, "
+        "integer bp) - the 'is more crawl still buying new language' "
+        "curve; doc ranks via the distributed two-phase global_ranks "
+        "(never a single-task sort), first-occurrence bucket = "
+        "min(bucket) per type (monotone in rank), cumulative window "
+        "on the 10-row grid only")
+def text_heaps_curve(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import heaps_curve
+    return heaps_curve(_t(spark, sf_dir, "documents"), n_buckets=10)

@@ -634,3 +634,59 @@ def test_classifier_calibration_bins_and_rates(spark):
             r["mean_logit_micro"] != 0)
         if r["mean_logit_micro"] > 125000:    # strictly above bin mid
             assert r["pos_rate_ppm"] == 1000000
+
+
+# --- Heaps-law vocabulary growth ---------------------------------------------
+
+def _brute_heaps(texts, k):
+    n = len(texts)
+    buckets = [((r + 1) * k + n - 1) // n for r in range(n)]
+    seen, rows, cd = set(), {}, 0
+    for b in range(1, k + 1):
+        rows[b] = {"nd": 0, "nt": 0, "nv": 0}
+    for r, t in enumerate(texts):
+        b = buckets[r]
+        toks = [x for x in t.split() if x]
+        rows[b]["nd"] += 1
+        rows[b]["nt"] += len(toks)
+        for tok in toks:
+            if tok not in seen:
+                seen.add(tok)
+                rows[b]["nv"] += 1
+    out, cd, ct, cv = [], 0, 0, 0
+    for b in range(1, k + 1):
+        cd += rows[b]["nd"]; ct += rows[b]["nt"]; cv += rows[b]["nv"]
+        nb = (rows[b]["nv"] * 10000) // rows[b]["nt"] \
+            if rows[b]["nt"] > 0 else None
+        out.append((b, cd, ct, cv, nb))
+    return out
+
+
+def test_heaps_curve_matches_brute_force(spark):
+    from rgd_rnaseq_workflows_spark.operators.quality import heaps_curve
+    import random
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.randint(3, 12)))
+             for _ in range(23)]   # 23 docs: uneven bucket sizes
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = [(r["bucket"], r["cum_docs"], r["cum_tokens"],
+            r["cum_vocab"], r["novelty_bp"])
+           for r in heaps_curve(df, n_buckets=5).collect()]
+    assert got == _brute_heaps(texts, 5)
+
+
+def test_heaps_curve_monotone_and_total(spark):
+    from rgd_rnaseq_workflows_spark.operators.quality import heaps_curve
+    texts = ["a b c", "a b", "d e", "a", "f g h i"]
+    df = spark.createDataFrame(
+        [(i * 7, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    rows = heaps_curve(df, n_buckets=3).collect()
+    assert [r["bucket"] for r in rows] == [1, 2, 3]
+    assert rows[-1]["cum_docs"] == 5
+    assert rows[-1]["cum_vocab"] == 9    # a..i distinct
+    assert rows[-1]["cum_tokens"] == 12
+    cv = [r["cum_vocab"] for r in rows]
+    assert cv == sorted(cv)
