@@ -202,13 +202,29 @@ def isotropy_report(vecs: DataFrame, vec_col: str = "embedding",
     that raise the three sum columns to DecimalType at these call
     sites (the drift-monitor precedent).
     """
+    return isotropy_from_moments(isotropy_moments(vecs, vec_col))
+
+
+def isotropy_moments(vecs: DataFrame,
+                     vec_col: str = "embedding") -> DataFrame:
+    """The report's sufficient statistic: per-dim (s, q, c) fix-point
+    integer moments — d mergeable rows. Factored out because a
+    Structured Streaming aggregation maintains the identical rows
+    incrementally (``streaming.corpus_stream.stream_isotropy_moments``)
+    and :func:`isotropy_from_moments` folds the live report off the
+    sink — the embedding-health / correlation-moments pattern."""
     xi = (vecs.select(F.posexplode(vec_col).alias("dim", "x"))
           .select("dim", F.round(F.col("x").cast("double") * SCALE)
                   .cast("long").alias("v")))
-    perdim = xi.groupBy("dim").agg(
+    return xi.groupBy("dim").agg(
         F.sum("v").alias("s"),
         F.sum(F.col("v") * F.col("v")).alias("q"),
         F.count("*").alias("c"))
+
+
+def isotropy_from_moments(perdim: DataFrame) -> DataFrame:
+    """Fold the d-row moment table into the one-row isotropy report
+    (exact integers, three final divisions)."""
     fold = perdim.agg(
         F.max("c").cast("long").alias("n"),
         F.sum(F.col("s") * F.col("s")).cast("long").alias("ns"),

@@ -512,3 +512,18 @@ def stream_token_supply(doc_stream: DataFrame, by: str = "source",
             .groupBy(F.col(by))
             .agg(F.sum(TX.token_count(text_col)).cast("long")
                  .alias("supply_tokens")))
+
+
+def stream_isotropy_moments(emb_stream: DataFrame,
+                            vec_col: str = "embedding") -> DataFrame:
+    """Streaming twin of ``pca.isotropy_report``'s sufficient
+    statistic: the per-dim fix-point integer moments (s, q, c) are
+    plain sums/counts, so a Structured Streaming aggregation maintains
+    the d-row table incrementally and
+    ``pca.isotropy_from_moments`` folds the LIVE isotropy report off
+    the sink at any time — watch an embedding job's geometry collapse
+    WHILE it writes (cone-crowding or dimension starvation), before an
+    ANN build trusts the cosines. Stream==batch equality is
+    test-pinned; state is d rows regardless of corpus size."""
+    from rgd_rnaseq_workflows_spark.operators.pca import isotropy_moments
+    return isotropy_moments(emb_stream, vec_col)

@@ -945,3 +945,45 @@ def test_stream_ccnet_keep_equals_batch_kept_set(spark, tmp_out):
     kept_ids = {r[0] for r in got}
     assert 1 in kept_ids                     # the LM-like doc survives
     assert 4 not in kept_ids and 5 not in kept_ids   # unscoreable drop
+
+
+def test_stream_isotropy_equals_batch(spark, tmp_out):
+    """Per-dim isotropy moments maintained under a streaming
+    aggregation fold (via isotropy_from_moments) to the identical
+    one-row report the batch path computes — across two
+    micro-batches."""
+    import os
+    import random
+
+    from rgd_rnaseq_workflows_spark.operators.pca import (
+        isotropy_from_moments, isotropy_report)
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        stream_isotropy_moments)
+
+    rng = random.Random(29)
+    schema = "vec_id long, embedding array<double>"
+    mk = lambda lo, hi: [(i, [rng.uniform(-1, 1) for _ in range(4)])
+                         for i in range(lo, hi)]
+    b1, b2 = mk(0, 15), mk(15, 40)
+    src = os.path.join(tmp_out, "iso_src")
+    os.makedirs(src)
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stream_isotropy_moments(stream)
+         .writeStream.format("memory").queryName("iso_out")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        live = isotropy_from_moments(
+            spark.table("iso_out")).collect()[0]
+    finally:
+        q.stop()
+
+    batch = isotropy_report(
+        spark.createDataFrame(b1 + b2, schema), dims=4).collect()[0]
+    assert live.asDict() == batch.asDict()
