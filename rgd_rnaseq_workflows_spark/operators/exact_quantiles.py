@@ -148,3 +148,67 @@ cum AS (
   FROM hist h JOIN tot t USING (g))
 SELECT g AS {by}, CAST(max(n) AS BIGINT) AS n_rows, {picks}
 FROM cum GROUP BY g"""
+
+
+def weighted_group_quantiles(df: DataFrame, by: str, value_col: str,
+                             weight_col, percents: list[int]) -> DataFrame:
+    """Exact WEIGHTED lower quantiles per group: the smallest value v
+    whose cumulative weight reaches ⌈p·W/100⌉ — "the median TOKEN sits
+    in a document of length v", not "the median document has length v".
+    Training corpora are consumed token-weighted, so capacity/packing
+    decisions need this form; the unweighted :func:`group_quantiles` is
+    the degenerate weight≡1 case.
+
+    ``weight_col`` is a column name or Column of non-negative integers
+    (callers fix-point scale fractional weights first — exactness
+    contract). Same scale shape as the unweighted walk: one map-side-
+    combined fold to the (group, value) domain, a domain-scale
+    cumulative window (partitioned by group), integer targets —
+    zero-weight values participate in the domain but never satisfy a
+    target before a weighted one does at the same value (cum is
+    unchanged), so they cannot shift a pick.
+
+    Returns (by, total_w, p<q>…) with ``total_w`` the group's exact
+    weight mass.
+    """
+    _validate(percents)
+    v = F.col(value_col).cast("long")
+    wc = (F.col(weight_col) if isinstance(weight_col, str)
+          else weight_col).cast("long")
+    hist = (df.select(F.col(by).alias("g"), v.alias("v"),
+                      wc.alias("_w"))
+            .groupBy("g", "v").agg(F.sum("_w").alias("c")))
+    w = Window.partitionBy("g").orderBy("v")
+    tot = hist.groupBy("g").agg(F.sum("c").alias("_n"))
+    cum = (hist.join(F.broadcast(tot), "g")
+           .withColumn("_cum", F.sum("c").over(w)))
+    aggs = [F.max("_n").cast("long").alias("total_w")]
+    for p in percents:
+        target = F.expr(f"(_n * {p} + 99) div 100")
+        aggs.append(F.min(F.when(F.col("_cum") >= target, F.col("v")))
+                    .cast("long").alias(f"p{p}"))
+    return (cum.groupBy("g").agg(*aggs)
+            .withColumnRenamed("g", by))
+
+
+def weighted_group_quantiles_sql(table: str, by: str, value_col: str,
+                                 weight_sql: str,
+                                 percents: list[int]) -> str:
+    """DuckDB twin of :func:`weighted_group_quantiles` — identical
+    weighted histogram, cumulative walk and integer targets."""
+    _validate(percents)
+    picks = ", ".join(
+        f"CAST(min(CASE WHEN cum >= (n * {p} + 99) // 100 THEN v END) "
+        f"AS BIGINT) AS p{p}" for p in percents)
+    return f"""
+WITH hist AS (
+  SELECT {by} AS g, CAST({value_col} AS BIGINT) AS v,
+         CAST(sum(CAST({weight_sql} AS BIGINT)) AS BIGINT) AS c
+  FROM {table} GROUP BY 1, 2),
+tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY g),
+cum AS (
+  SELECT h.g, h.v, t.n,
+         sum(h.c) OVER (PARTITION BY h.g ORDER BY h.v) AS cum
+  FROM hist h JOIN tot t USING (g))
+SELECT g AS {by}, CAST(max(n) AS BIGINT) AS total_w, {picks}
+FROM cum GROUP BY g"""

@@ -5084,3 +5084,28 @@ def _heaps_oracle() -> str:
 def text_heaps_curve(spark, sf_dir):
     from rgd_rnaseq_workflows_spark.operators.quality import heaps_curve
     return heaps_curve(_t(spark, sf_dir, "documents"), n_buckets=10)
+
+
+def _wpctl_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.exact_quantiles import (
+        weighted_group_quantiles_sql)
+    return weighted_group_quantiles_sql(
+        "documents", by="source", value_col=TX.token_count_sql("text"),
+        weight_sql=TX.token_count_sql("text"), percents=[25, 50, 90])
+
+
+@q("agg_weighted_percentiles", ("WPCTL",), oracle=_wpctl_oracle(),
+   note="token-WEIGHTED length percentiles per source: the doc length "
+        "the median consumed TOKEN sits in (training corpora are read "
+        "token-weighted, so packing/capacity planning needs this, not "
+        "the doc-weighted median); exact integer weighted-histogram "
+        "walk - domain-scale cumulative window partitioned by group, "
+        "integer ceil targets, engine-identical picks")
+def agg_weighted_percentiles(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.exact_quantiles import (
+        weighted_group_quantiles)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", TX.token_count("text"))
+    return weighted_group_quantiles(
+        d, by="source", value_col="n_tokens", weight_col="n_tokens",
+        percents=[25, 50, 90]).orderBy("source")

@@ -112,3 +112,60 @@ def test_ntile_from_rank_rejects_bad_tiles():
         ntile_from_rank)
     with pytest.raises(ValueError):
         ntile_from_rank("r", "n", 0)
+
+
+# --- weighted quantiles -------------------------------------------------------
+
+def test_weighted_quantiles_match_brute_force(spark):
+    import random
+
+    from rgd_rnaseq_workflows_spark.operators.exact_quantiles import (
+        weighted_group_quantiles)
+    rng = random.Random(31)
+    rows = [("g" + str(i % 2), rng.randint(0, 15), rng.randint(0, 4))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, ["src", "v", "w"])
+    got = {r["src"]: r.asDict() for r in weighted_group_quantiles(
+        df, by="src", value_col="v", weight_col="w",
+        percents=[25, 50, 90]).collect()}
+
+    for g in ("g0", "g1"):
+        vw = sorted((v, w) for s, v, w in rows if s == g)
+        W = sum(w for _, w in vw)
+        assert got[g]["total_w"] == W
+        for p in (25, 50, 90):
+            target = (W * p + 99) // 100
+            cum, pick = 0, None
+            for v, w in vw:
+                cum += w
+                if cum >= target:
+                    pick = v
+                    break
+            assert got[g][f"p{p}"] == pick, (g, p)
+
+
+def test_weighted_quantiles_zero_weights_never_shift_picks(spark):
+    from rgd_rnaseq_workflows_spark.operators.exact_quantiles import (
+        weighted_group_quantiles)
+    # value 1 has weight 0 — the median must skip to value 2
+    rows = [("a", 0, 5), ("a", 1, 0), ("a", 2, 5)]
+    df = spark.createDataFrame(rows, ["src", "v", "w"])
+    r = weighted_group_quantiles(df, "src", "v", "w", [50]).collect()[0]
+    assert r["total_w"] == 10 and r["p50"] == 0
+    r = weighted_group_quantiles(
+        df, "src", "v", "w", [51]).collect()[0]
+    assert r["p51"] == 2
+
+
+def test_weighted_equals_unweighted_at_unit_weight(spark):
+    from pyspark.sql import functions as F
+
+    from rgd_rnaseq_workflows_spark.operators.exact_quantiles import (
+        group_quantiles, weighted_group_quantiles)
+    rows = [("a", v) for v in [3, 1, 4, 1, 5, 9, 2, 6]]
+    df = spark.createDataFrame(rows, ["src", "v"])
+    uw = group_quantiles(df, "src", "v", [50, 90]).collect()[0]
+    ww = weighted_group_quantiles(
+        df.withColumn("w", F.lit(1)), "src", "v", "w",
+        [50, 90]).collect()[0]
+    assert (uw["p50"], uw["p90"]) == (ww["p50"], ww["p90"])
