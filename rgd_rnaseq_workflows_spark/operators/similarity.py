@@ -1137,7 +1137,8 @@ def hard_negative_report(emb: DataFrame, k: int = 5,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          label_col: str = "label",
-                         block_col: str | None = None) -> DataFrame:
+                         block_col: str | None = None,
+                         candidates: DataFrame | None = None) -> DataFrame:
     """Hard-negative mining for contrastive / metric training: per
     anchor, its top-k most-similar DIFFERENT-label vectors, each graded
     against the anchor's nearest positive (FaceNet triplet taxonomy,
@@ -1158,16 +1159,24 @@ def hard_negative_report(emb: DataFrame, k: int = 5,
     unordered positive-max and the ordered negative rank partition
     identically), and per-anchor state is block-bounded. Without a
     block the join is the exact cross product — the test/oracle shape,
-    not the 100 TB one.
+    not the 100 TB one. A fixed-enum block (label groups) keeps blocks
+    growing WITH the corpus — the 100 TB form is
+    :func:`hard_negative_report_ivf`, whose block cardinality tracks N.
+
+    ``candidates``: an optional separate candidate frame (same id /
+    vec / label / block columns) — the IVF path passes anchors probing
+    ``nprobe`` lists against candidates living in exactly one list, so
+    a pair appears at most once.
     """
     from pyspark.sql import Window
     blk = [block_col] if block_col else []
+    cand = candidates if candidates is not None else emb
     a = emb.select(*blk, F.col(id_col).alias("anchor_id"),
                    F.col(label_col).alias("_la"),
                    _as_double(vec_col).alias("_va"))
-    b = emb.select(*blk, F.col(id_col).alias("neg_id"),
-                   F.col(label_col).alias("_lb"),
-                   _as_double(vec_col).alias("_vb"))
+    b = cand.select(*blk, F.col(id_col).alias("neg_id"),
+                    F.col(label_col).alias("_lb"),
+                    _as_double(vec_col).alias("_vb"))
     joined = (a.join(b, blk) if blk else a.crossJoin(b)).filter(
         F.col("anchor_id") != F.col("neg_id"))
     cos6 = F.round(cosine_kernel()(F.col("_va"), F.col("_vb")), 6)
@@ -1220,6 +1229,108 @@ sc AS MATERIALIZED (
                a.label AS la, b.label AS lb,
                round(list_cosine_similarity(a.v, b.v), 6) AS c
         FROM e a JOIN e b ON {jn})
+  WHERE NOT isnan(c)),
+pb AS (SELECT *, max(CASE WHEN la = lb THEN ci END)
+                 OVER (PARTITION BY anchor_id) AS pbest
+       FROM sc),
+rk AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY ci DESC, neg_id) AS rn
+       FROM pb WHERE la <> lb)
+SELECT anchor_id, neg_id, CAST(rn AS BIGINT) AS rank,
+       round(ci / 1000000.0, 6) AS cosine_sim,
+       round(pbest / 1000000.0, 6) AS pos_best_sim,
+       CASE WHEN pbest IS NULL THEN 'no_positive'
+            WHEN ci >= pbest THEN 'violation'
+            WHEN ci + {margin_ppm} >= pbest THEN 'semi_hard'
+            ELSE 'easy' END AS status
+FROM rk WHERE rn <= {k}
+"""
+
+
+def hard_negative_report_ivf(emb: DataFrame, kc: int = 8,
+                             nprobe: int = 2, iters: int = 2,
+                             k: int = 5, margin_ppm: int = 50_000,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             label_col: str = "label") -> DataFrame:
+    """:func:`hard_negative_report` with IVF blocking — the 100 TB form
+    whose block cardinality TRACKS the corpus (kc ∝ N/list-size, the
+    margin_alignment_ivf sizing rule) instead of a fixed label enum:
+    every candidate lives in exactly its nearest coarse list, every
+    anchor probes its ``nprobe`` nearest lists, so a pair appears at
+    most once and the negative pool follows the standard IVF
+    nprobe/kc recall trade. Candidate generation is the exact-int
+    centroid machinery of ``operators.clustering``, so the
+    unrolled-Lloyd SQL twin replays the same lists."""
+    from rgd_rnaseq_workflows_spark.operators.clustering import (
+        assign_topn_kernel, kmeans_fit)
+    assigned, cents = kmeans_fit(emb, k=kc, iters=iters,
+                                 id_col=id_col, vec_col=vec_col,
+                                 persist=False)
+    cand = assigned.withColumnRenamed("cluster", "blk")
+    anch = emb.withColumn(
+        "blk", F.explode(assign_topn_kernel(cents, nprobe)(F.col(vec_col))))
+    return hard_negative_report(anch, k=k, margin_ppm=margin_ppm,
+                                id_col=id_col, vec_col=vec_col,
+                                label_col=label_col, block_col="blk",
+                                candidates=cand)
+
+
+def hard_negative_report_ivf_sql(src: str, kc: int = 8, nprobe: int = 2,
+                                 iters: int = 2, k: int = 5,
+                                 margin_ppm: int = 50_000,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 label_col: str = "label") -> str:
+    """DuckDB twin of :func:`hard_negative_report_ivf`: the
+    unrolled-Lloyd coarse chain (``kmeans_assign_cte``), anchors
+    ranked against the SAME final centroids (top-``nprobe``), then the
+    hard-negative window chain over the list join."""
+    from rgd_rnaseq_workflows_spark.operators.clustering import (
+        SCALE, kmeans_assign_cte)
+    coarse = kmeans_assign_cte(k=kc, iters=iters, table=src,
+                               id_col=id_col, vec_col=vec_col,
+                               prefix="rv")
+    cent_cte = f"rvc{iters - 1}" if iters > 1 else "rvc0"
+    return f"""
+WITH {coarse},
+lfraw AS (
+  SELECT {id_col} AS vec_id, d, CAST(round(x * {SCALE}) AS BIGINT) AS xi
+  FROM (SELECT {id_col}, unnest(CAST({vec_col} AS DOUBLE[])) AS x,
+               generate_subscripts({vec_col}, 1) AS d FROM {src})),
+lfnrm AS (SELECT vec_id, CAST(sum(xi * xi) AS BIGINT) AS ss
+          FROM lfraw GROUP BY vec_id),
+lfpts AS (
+  SELECT r.vec_id, r.d,
+         CAST(round(CAST(r.xi AS DOUBLE) * {SCALE}
+              / sqrt(CAST(greatest(n.ss, 1) AS DOUBLE))) AS BIGINT) AS xi
+  FROM lfraw r JOIN lfnrm n USING (vec_id)),
+ld AS (
+  SELECT p.vec_id, c.c,
+         CAST(sum((p.xi * c.n - c.s) * (p.xi * c.n - c.s)) AS BIGINT)
+           AS num, c.n
+  FROM lfpts p JOIN {cent_cte} c USING (d)
+  GROUP BY p.vec_id, c.c, c.n),
+lblk AS (
+  SELECT vec_id AS anchor_id, c AS blk FROM (
+    SELECT vec_id, c, row_number() OVER (
+      PARTITION BY vec_id
+      ORDER BY CAST(num AS DOUBLE) / (n * n), c) AS rk
+    FROM ld)
+  WHERE rk <= {nprobe}),
+rblk AS (SELECT vec_id AS neg_id, c AS blk FROM rvaf),
+lv AS (SELECT {id_col} AS anchor_id, {label_col} AS la,
+              CAST({vec_col} AS DOUBLE[]) AS vl FROM {src}),
+rv AS (SELECT {id_col} AS neg_id, {label_col} AS lb,
+              CAST({vec_col} AS DOUBLE[]) AS vr FROM {src}),
+sc AS MATERIALIZED (
+  SELECT anchor_id, neg_id, la, lb,
+         CAST(round(c * 1000000) AS BIGINT) AS ci
+  FROM (SELECT b.anchor_id, rb.neg_id, lv.la, rv.lb,
+               round(list_cosine_similarity(vl, vr), 6) AS c
+        FROM lblk b JOIN rblk rb USING (blk)
+        JOIN lv USING (anchor_id) JOIN rv USING (neg_id)
+        WHERE b.anchor_id <> rb.neg_id)
   WHERE NOT isnan(c)),
 pb AS (SELECT *, max(CASE WHEN la = lb THEN ci END)
                  OVER (PARTITION BY anchor_id) AS pbest

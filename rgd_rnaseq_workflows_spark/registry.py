@@ -1645,11 +1645,10 @@ def text_zipf_head_stats(spark, sf_dir):
 # prior round are surfaced first so every registry entry accumulates a
 # recorded pass; the remaining order is registration (module) order.
 _RECORD_FIRST: tuple[str, ...] = (
-    # round-11 window, regenerated mid-round from
-    # tools/rotation_check.py --plan after the batch-12 queries
-    # landed: the 9 never-stamped queries lead (4 early-r11 +
-    # 5 batch-12), then the stalest stamped rows fill the 50
-    # slots oldest-evidence-first.
+    # round-11 window, regenerated from tools/rotation_check.py
+    # --plan after the batch-12 queries landed: the 12 never-
+    # stamped queries lead (4 early-r11 + 8 batch-12), then the
+    # stalest stamped rows fill the 50 slots oldest-first.
     "stream_ccnet_keep",
     "corpus_length_ks_drift",
     "quality_classifier_calibration",
@@ -1659,6 +1658,9 @@ _RECORD_FIRST: tuple[str, ...] = (
     "embedding_isotropy",
     "sample_greedy_maxcover",
     "sample_kcenter_coreset",
+    "ann_hard_negatives",
+    "text_heaps_curve",
+    "agg_weighted_percentiles",
     "text_lang_id",
     "text_token_stats",
     "text_fingerprint",
@@ -1697,9 +1699,6 @@ _RECORD_FIRST: tuple[str, ...] = (
     "profile_expectations",
     "prj3_computed_projection",
     "fil4_threshold_status",
-    "fil6_regex_predicates",
-    "fil8_in_list_slice",
-    "f13_case_buckets",
 )
 
 
@@ -5109,3 +5108,27 @@ def agg_weighted_percentiles(spark, sf_dir):
     return weighted_group_quantiles(
         d, by="source", value_col="n_tokens", weight_col="n_tokens",
         percents=[25, 50, 90]).orderBy("source")
+
+
+def _hardneg_ivf_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        hard_negative_report_ivf_sql)
+    return hard_negative_report_ivf_sql(
+        "embeddings", kc=8, nprobe=2, iters=2, k=5, margin_ppm=50_000)
+
+
+@q("ann_hard_negatives_ivf", ("ANN-HARDNEG-IVF",),
+   oracle=_hardneg_ivf_oracle(),
+   note="hard-negative mining with IVF blocking - the 100 TB form "
+        "whose block cardinality tracks the corpus (kc ∝ N/list "
+        "size) instead of a fixed label enum: candidates live in "
+        "exactly their nearest coarse list, anchors probe nprobe "
+        "lists, negative pool follows the IVF recall trade; exact-int "
+        "centroid machinery so the unrolled-Lloyd twin replays the "
+        "same lists")
+def ann_hard_negatives_ivf(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        hard_negative_report_ivf)
+    e = _t(spark, sf_dir, "embeddings")
+    return hard_negative_report_ivf(e, kc=8, nprobe=2, iters=2, k=5,
+                                    margin_ppm=50_000)

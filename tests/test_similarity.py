@@ -474,3 +474,31 @@ def test_hard_negatives_no_positive_status(spark):
     assert got[(0, 1)] == "no_positive" and got[(0, 2)] == "no_positive"
     # anchor 1's positive is 2 (cos≈0.11); negative 0 (cos≈0.995) wins
     assert got[(1, 0)] == "violation"
+
+
+def test_hard_negatives_ivf_full_probe_exact_and_partial_subset(spark):
+    """At nprobe == kc every anchor probes every list and candidates
+    live in exactly one list, so the IVF pool is the full pair set and
+    the report must equal the exact one; at nprobe < kc each surviving
+    pair keeps its exact cosine and status taxonomy."""
+    from rgd_rnaseq_workflows_spark.operators.similarity import (
+        hard_negative_report, hard_negative_report_ivf)
+    emb, rows = _emb(spark, n=30, d=5, seed=29)
+    cols = ["anchor_id", "neg_id", "rank", "cosine_sim", "status"]
+    exact = sorted(tuple(r[c] for c in cols)
+                   for r in hard_negative_report(
+                       emb, k=3, margin_ppm=100_000).collect())
+    full = sorted(tuple(r[c] for c in cols)
+                  for r in hard_negative_report_ivf(
+                      emb, kc=4, nprobe=4, iters=2, k=3,
+                      margin_ppm=100_000).collect())
+    assert full == exact
+    exact_cos = {(a, n): c for a, n, _, c, _ in exact}
+    part = hard_negative_report_ivf(emb, kc=4, nprobe=1, iters=2, k=3,
+                                    margin_ppm=100_000).collect()
+    assert 0 < len(part) <= len(exact)
+    for r in part:
+        key = (r["anchor_id"], r["neg_id"])
+        if key in exact_cos:  # rank/pos_best may differ on the pool
+            assert r["cosine_sim"] == pytest.approx(exact_cos[key],
+                                                    abs=2e-6)
