@@ -229,3 +229,87 @@ SELECT coalesce(fo.shard, fn.shard) AS shard,
 FROM fo FULL OUTER JOIN fn ON fo.shard = fn.shard
 ORDER BY shard
 """
+
+
+def _pow2_buckets(ctx: int) -> list[int]:
+    """The bucket boundaries 1, 2, 4, ... ctx (ctx must be a power of
+    two) — enumerated in Python and emitted as identical CASE chains
+    into both engines, so no engine ever computes a floating log2."""
+    if ctx < 1 or ctx & (ctx - 1):
+        raise ValueError(f"ctx {ctx} must be a positive power of two")
+    out, b = [], 1
+    while b <= ctx:
+        out.append(b)
+        b *= 2
+    return out
+
+
+def padding_report(docs: DataFrame, ctx: int = 512, batch_size: int = 16,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Length-bucketed batching efficiency: the padding-waste report a
+    training feeder reads before choosing between pow-2 length
+    bucketing and full sequence packing (:func:`pack_chunks`).
+
+    Every non-empty document is truncated to ``ctx`` tokens and
+    assigned the smallest power-of-two bucket that holds it; a batch
+    pads every member to the bucket width. Per bucket:
+    ``n_docs``, ``n_batches = ceil(n_docs / batch_size)``, the
+    effective (kept) tokens, padded tokens ``Σ (bucket − len)``,
+    truncated tokens, and ``pad_bp`` — the exact-integer basis-point
+    share of the batch tape that is padding. Bucket membership, the
+    ceil and the ratio are all integer arithmetic, so both engines cut
+    identical buckets.
+
+    Scale shape: one map-side-combined aggregation to ≤ log2(ctx)+1
+    rows — the corpus is scanned once and never shuffled (the group
+    key has ~10 values, so partial aggregation collapses everything
+    executor-side)."""
+    sizes = _pow2_buckets(ctx)
+    eff = F.least(F.col("n_tok"), F.lit(ctx))
+    bucket = F.lit(sizes[-1])
+    for b in reversed(sizes[:-1]):
+        bucket = F.when(F.col("eff") <= b, F.lit(b)).otherwise(bucket)
+    t = (docs.select(TX.token_count(text_col).alias("n_tok"))
+         .filter(F.col("n_tok") > 0)
+         .select(eff.alias("eff"),
+                 (F.col("n_tok") - eff).alias("trunc"))
+         .withColumn("bucket", bucket.cast("long")))
+    return (t.groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.expr(f"(count(*) + {batch_size - 1}) "
+                        f"div {batch_size}").cast("long")
+                 .alias("n_batches"),
+                 F.sum("eff").cast("long").alias("eff_tokens"),
+                 F.sum(F.col("bucket") - F.col("eff")).cast("long")
+                 .alias("pad_tokens"),
+                 F.sum("trunc").cast("long").alias("trunc_tokens"))
+            .withColumn("pad_bp", F.expr(
+                "10000 * pad_tokens div (pad_tokens + eff_tokens)")
+                .cast("long"))
+            .orderBy("bucket"))
+
+
+def padding_report_sql(table: str = "documents", ctx: int = 512,
+                       batch_size: int = 16, id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """DuckDB twin of :func:`padding_report` — the identical CASE
+    bucket chain and integer folds."""
+    sizes = _pow2_buckets(ctx)
+    n_tok = TX.token_count_sql(text_col)
+    chain = " ".join(f"WHEN eff <= {b} THEN {b}" for b in sizes[:-1])
+    return f"""
+WITH t AS (
+  SELECT least(n_tok, {ctx}) AS eff, n_tok - least(n_tok, {ctx}) AS trunc,
+         CAST(CASE {chain} ELSE {sizes[-1]} END AS BIGINT) AS bucket
+  FROM (SELECT {n_tok} AS n_tok FROM {table}) WHERE n_tok > 0)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST((count(*) + {batch_size - 1}) // {batch_size} AS BIGINT)
+         AS n_batches,
+       CAST(sum(eff) AS BIGINT) AS eff_tokens,
+       CAST(sum(bucket - eff) AS BIGINT) AS pad_tokens,
+       CAST(sum(trunc) AS BIGINT) AS trunc_tokens,
+       CAST(10000 * sum(bucket - eff)
+            // (sum(bucket - eff) + sum(eff)) AS BIGINT) AS pad_bp
+FROM t GROUP BY bucket ORDER BY bucket
+"""

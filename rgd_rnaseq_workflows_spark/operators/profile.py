@@ -208,6 +208,69 @@ SELECT CAST({k} AS BIGINT) AS k,
 FROM classes"""
 
 
+def l_diversity_report(df: DataFrame, quasi_cols: list[str],
+                       sensitive_col: str, l: int = 3) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the companion
+    k-anonymity misses: a large equivalence class whose SENSITIVE
+    attribute is uniform still leaks it (the homogeneity attack). Per
+    quasi-identifier class, count the DISTINCT sensitive values; report
+    one row: (l, n_rows, n_classes, n_weak_classes, n_risk_rows,
+    risk_bp, min_l) where a weak class has fewer than ``l`` distinct
+    sensitive values and risk_bp is the exact-integer basis-point share
+    of rows sitting in weak classes.
+
+    NULL is a sensitive value like any other (GROUP BY semantics,
+    identical cross-engine — matching :func:`k_anonymity_report`).
+
+    Scale shape: two map-side-combined aggregations — corpus rows
+    collapse to (quasi, sensitive) pairs on the first shuffle, pairs
+    collapse to class rows on the second, classes fold to ONE metadata
+    row; neither the rows nor the sensitive values ever fan out."""
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    pairs = (df.groupBy(*[F.col(c) for c in quasi_cols],
+                        F.col(sensitive_col).alias("_s"))
+             .agg(F.count("*").alias("c")))
+    classes = (pairs.groupBy(*[F.col(c) for c in quasi_cols])
+               .agg(F.sum("c").alias("n"),
+                    F.count("*").alias("nd")))
+    return classes.agg(
+        F.lit(l).cast("long").alias("l"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("nd") < l, 1).otherwise(0)).cast("long")
+        .alias("n_weak_classes"),
+        F.sum(F.when(F.col("nd") < l, F.col("n")).otherwise(F.lit(0)))
+        .cast("long").alias("n_risk_rows"),
+        F.expr(f"(10000 * sum(CASE WHEN nd < {l} THEN n ELSE 0 END)) "
+               f"div sum(n)").cast("long").alias("risk_bp"),
+        F.min("nd").cast("long").alias("min_l"))
+
+
+def l_diversity_sql(table: str, quasi_cols: list[str],
+                    sensitive_col: str, l: int = 3) -> str:
+    """DuckDB twin of :func:`l_diversity_report`."""
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    cols = ", ".join(quasi_cols)
+    return f"""
+WITH pairs AS (
+  SELECT {cols}, {sensitive_col} AS _s, count(*) AS c
+  FROM {table} GROUP BY {cols}, {sensitive_col}),
+classes AS (
+  SELECT sum(c) AS n, count(*) AS nd FROM pairs GROUP BY {cols})
+SELECT CAST({l} AS BIGINT) AS l,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN nd < {l} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_weak_classes,
+       CAST(sum(CASE WHEN nd < {l} THEN n ELSE 0 END) AS BIGINT)
+         AS n_risk_rows,
+       (10000 * CAST(sum(CASE WHEN nd < {l} THEN n ELSE 0 END)
+                     AS BIGINT)) // CAST(sum(n) AS BIGINT) AS risk_bp,
+       CAST(min(nd) AS BIGINT) AS min_l
+FROM classes"""
+
 
 # =============================================================================
 # Declarative data-expectations audit (the Deequ / Great Expectations shape)

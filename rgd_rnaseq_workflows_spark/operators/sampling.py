@@ -912,3 +912,98 @@ walked AS (
   FROM {src} s JOIN budgets b ON b.{key_col} = s.{key_col})
 SELECT {cols}, cum_tokens FROM walked WHERE cum_tokens <= _budget
 """
+
+
+def neyman_allocation(df: DataFrame, strata_col: str, value_col: str,
+                      n_total: int = 1000) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: given a survey
+    budget of ``n_total`` draws, allocate to each stratum
+    ``n_h ∝ N_h·σ_h`` (Neyman 1934) — the allocation that minimizes the
+    variance of the stratified mean estimator, the design step that
+    runs BEFORE :func:`stratified_hash_sample` decides per-stratum
+    rates. High-variance strata (diverse web text) get more budget
+    than uniform ones (boilerplate-heavy crawls) of the same size.
+
+    Exactness across engines: ``value_col`` must be integral, so the
+    un-normalized variance ``D_h = n_h·Σx² − (Σx)²`` is an EXACT
+    integer (decimal-38 sums — no float accumulation), and
+    ``N_h·σ_h = √D_h``. IEEE sqrt is correctly rounded (unlike ln), so
+    both engines produce the bit-identical double, floored to milli
+    units (``w_milli``). Seats are the largest-remainder method on the
+    integer weights: base ``n_total·w_h div W``, leftovers by
+    remainder rank (ties by stratum) — pure integer arithmetic, so the
+    allocation is engine-identical. Zero-variance strata weigh 0 (their
+    mean is known from any single draw — the Neyman limit).
+
+    Scale shape: one map-side-combined aggregation to |strata| rows;
+    the rank/remainder windows run on the strata frame (metadata
+    scale — documented single-partition allowlist), and the corpus is
+    read once and never shuffled."""
+    if n_total < 0:
+        raise ValueError(f"n_total {n_total} must be >= 0")
+    from pyspark.sql import Window
+    x = F.col(value_col).cast("decimal(38,0)")
+    st = (df.groupBy(F.col(strata_col).alias("stratum"))
+          .agg(F.count("*").cast("decimal(38,0)").alias("n"),
+               F.sum(x).alias("sx"),
+               F.sum(x * x).alias("sxx")))
+    d_h = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    st = st.withColumn(
+        "w_milli",
+        F.floor(F.sqrt(F.greatest(d_h, F.lit(0)).cast("double"))
+                * 1000).cast("long"))
+    tot = st.agg(F.sum("w_milli").cast("long").alias("_wt"))
+    seats = (st.crossJoin(F.broadcast(tot))
+             .withColumn("base", F.expr(
+                 f"CASE WHEN _wt = 0 THEN 0 "
+                 f"ELSE {n_total} * w_milli div _wt END").cast("long"))
+             .withColumn("rem", F.expr(
+                 f"CASE WHEN _wt = 0 THEN 0 "
+                 f"ELSE ({n_total} * w_milli) % _wt END").cast("long")))
+    w_rank = Window.orderBy(F.desc("rem"), F.asc("stratum"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    return (seats
+            .withColumn("_left", F.lit(n_total) - F.sum("base").over(w_all))
+            .withColumn("_rk", F.row_number().over(w_rank))
+            .select("stratum", F.col("n").cast("long").alias("n_rows"),
+                    "w_milli",
+                    (F.col("base") + F.when(
+                        (F.col("rem") > 0) & (F.col("_rk") <= F.col("_left")),
+                        1).otherwise(0)).cast("long").alias("alloc"))
+            .orderBy("stratum"))
+
+
+def neyman_allocation_sql(src: str, strata_col: str, value_col: str,
+                          n_total: int = 1000) -> str:
+    """DuckDB twin of :func:`neyman_allocation` — HUGEINT sums keep
+    ``D_h`` exact; the same milli-floor, base/remainder and
+    largest-remainder rank."""
+    return f"""
+WITH st AS (
+  SELECT {strata_col} AS stratum, count(*) AS n,
+         sum(CAST({value_col} AS HUGEINT)) AS sx,
+         sum(CAST({value_col} AS HUGEINT)
+             * CAST({value_col} AS HUGEINT)) AS sxx
+  FROM {src} GROUP BY {strata_col}),
+w AS (
+  SELECT stratum, n,
+         CAST(floor(sqrt(CAST(greatest(n * sxx - sx * sx, 0) AS DOUBLE))
+                    * 1000) AS BIGINT) AS w_milli
+  FROM st),
+seats AS (
+  SELECT *,
+         CAST(CASE WHEN sum(w_milli) OVER () = 0 THEN 0
+              ELSE {n_total} * w_milli // sum(w_milli) OVER ()
+              END AS BIGINT) AS base,
+         CAST(CASE WHEN sum(w_milli) OVER () = 0 THEN 0
+              ELSE ({n_total} * w_milli) % (sum(w_milli) OVER ())
+              END AS BIGINT) AS rem
+  FROM w)
+SELECT stratum, CAST(n AS BIGINT) AS n_rows, w_milli,
+       CAST(base + CASE WHEN rem > 0 AND
+              row_number() OVER (ORDER BY rem DESC, stratum)
+                <= {n_total} - sum(base) OVER ()
+            THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM seats ORDER BY stratum
+"""

@@ -5132,3 +5132,68 @@ def ann_hard_negatives_ivf(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return hard_negative_report_ivf(e, kc=8, nprobe=2, iters=2, k=5,
                                     margin_ppm=50_000)
+
+
+def _padding_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.packing import (
+        padding_report_sql)
+    return padding_report_sql("documents", ctx=64, batch_size=16)
+
+
+@q("pack_padding_report", ("PACK-PAD",), oracle=_padding_oracle(),
+   note="length-bucketed batching efficiency: every non-empty doc "
+        "truncated to ctx and assigned the smallest pow-2 bucket that "
+        "holds it, per-bucket batch counts and exact-integer padding "
+        "waste share - the report a training feeder reads before "
+        "choosing pow-2 bucketing vs full sequence packing; one "
+        "map-side-combined agg to ~log2(ctx) rows, corpus never "
+        "shuffled")
+def pack_padding_report(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.packing import padding_report
+    d = _t(spark, sf_dir, "documents")
+    return padding_report(d, ctx=64, batch_size=16)
+
+
+def _l_diversity_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.profile import l_diversity_sql
+    return l_diversity_sql(
+        "(SELECT lang, source, n_chars // 50 AS len_band FROM documents)",
+        ["lang", "source"], "len_band", l=3)
+
+
+@q("profile_l_diversity", ("PROF-LDIV",), oracle=_l_diversity_oracle(),
+   note="l-diversity audit (Machanavajjhala 2007) over the "
+        "(lang, source) quasi-identifier with the length band as the "
+        "sensitive attribute: classes with < l distinct sensitive "
+        "values and the exact basis-point share of rows exposed to the "
+        "homogeneity attack k-anonymity misses; two map-side-combined "
+        "aggs collapsing corpus -> pairs -> classes -> one metadata row")
+def profile_l_diversity(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        l_diversity_report)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "len_band", F.expr("n_chars div 50"))
+    return l_diversity_report(d, ["lang", "source"], "len_band", l=3)
+
+
+def _neyman_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        neyman_allocation_sql)
+    return neyman_allocation_sql("documents", "source", "n_chars",
+                                 n_total=200)
+
+
+@q("sample_neyman_allocation", ("SAMPLE-NEYMAN",),
+   oracle=_neyman_oracle(),
+   note="Neyman-optimal stratified allocation n_h ~ N_h*sigma_h from "
+        "exact decimal-38 moment sums (D_h = n*Sxx - Sx^2 is an exact "
+        "integer; IEEE sqrt is correctly rounded so both engines floor "
+        "the identical milli weight), seats by the integer largest-"
+        "remainder method - the design step before stratified_hash_"
+        "sample picks rates; one agg to |strata| rows, rank windows on "
+        "the metadata-scale strata frame only")
+def sample_neyman_allocation(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        neyman_allocation)
+    d = _t(spark, sf_dir, "documents")
+    return neyman_allocation(d, "source", "n_chars", n_total=200)

@@ -77,3 +77,32 @@ def test_shard_manifest_diff_statuses(spark):
             shard_manifest_diff(
                 docs.filter(F.lit(False)), extra, n_shards=8).collect()}
     assert set(rep2.values()) == {"NEW"}
+
+
+def test_padding_report_hand_computed(spark):
+    from rgd_rnaseq_workflows_spark.operators.packing import padding_report
+    # token lengths: 1, 2, 3, 5, 9, 20 (ctx=8 truncates 9 and 20 to 8)
+    rows = [(i, " ".join(["w"] * n))
+            for i, n in enumerate([1, 2, 3, 5, 9, 20])]
+    rows.append((9, "   "))  # empty after trim: excluded
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = {r["bucket"]: r for r in
+           padding_report(docs, ctx=8, batch_size=2).collect()}
+    assert set(rep) == {1, 2, 4, 8}
+    assert rep[1]["n_docs"] == 1 and rep[1]["pad_tokens"] == 0
+    assert rep[2]["n_docs"] == 1 and rep[2]["pad_tokens"] == 0
+    # len 3 -> bucket 4 pads 1
+    assert rep[4]["n_docs"] == 1 and rep[4]["pad_tokens"] == 1
+    # lens 5, 8, 8 in bucket 8: pads 3+0+0, truncs 1+12, 2 batches of 2
+    assert rep[8]["n_docs"] == 3 and rep[8]["n_batches"] == 2
+    assert rep[8]["eff_tokens"] == 21 and rep[8]["pad_tokens"] == 3
+    assert rep[8]["trunc_tokens"] == 13
+    assert rep[8]["pad_bp"] == 10000 * 3 // 24
+
+
+def test_padding_report_rejects_non_pow2_ctx(spark):
+    import pytest
+    from rgd_rnaseq_workflows_spark.operators.packing import padding_report
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        padding_report(docs, ctx=100)

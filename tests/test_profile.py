@@ -326,3 +326,19 @@ def test_embedding_health_report(spark):
     [exp] = con.execute(embedding_health_sql("embeddings",
                                              dims=2)).fetchall()
     assert tuple(r) == tuple(exp)
+
+
+def test_l_diversity_hand_computed(spark):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        l_diversity_report)
+    # class (a): sensitive {x, x, y} -> 2 distinct (weak at l=3, 3 rows)
+    # class (b): sensitive {x, y, z} -> 3 distinct (ok)
+    # class (c): sensitive {None, x}  -> 2 distinct incl. NULL (weak, 2)
+    rows = [("a", "x"), ("a", "x"), ("a", "y"),
+            ("b", "x"), ("b", "y"), ("b", "z"),
+            ("c", None), ("c", "x")]
+    df = spark.createDataFrame(rows, "qi string, s string")
+    r = l_diversity_report(df, ["qi"], "s", l=3).collect()[0]
+    assert r["n_rows"] == 8 and r["n_classes"] == 3
+    assert r["n_weak_classes"] == 2 and r["n_risk_rows"] == 5
+    assert r["risk_bp"] == 10000 * 5 // 8 and r["min_l"] == 2

@@ -604,3 +604,32 @@ def test_waterfill_raises_on_negative_supply(spark):
                                 ["source", "tokens"])
     with pytest.raises(Exception, match="negative supply"):
         waterfill_from_supply(sup, 60).collect()
+
+
+def test_neyman_allocation_hand_computed(spark):
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        neyman_allocation)
+    # stratum a: values 0, 10  -> D = 2*100 - 100 = 100, w = 10_000
+    # stratum b: values 0, 0, 30 -> D = 3*900 - 900 = 1800,
+    #   w = floor(sqrt(1800)*1000) = 42426
+    # stratum c: constant -> D = 0, w = 0
+    rows = [("a", 0), ("a", 10), ("b", 0), ("b", 0), ("b", 30),
+            ("c", 7), ("c", 7)]
+    df = spark.createDataFrame(rows, "src string, v long")
+    out = {r["stratum"]: r for r in
+           neyman_allocation(df, "src", "v", n_total=10).collect()}
+    assert out["a"]["w_milli"] == 10_000
+    assert out["b"]["w_milli"] == 42_426
+    assert out["c"]["w_milli"] == 0 and out["c"]["alloc"] == 0
+    # W = 52426; base_a = 100000 div 52426 = 1 (rem 47574),
+    # base_b = 424260 div 52426 = 8 (rem 4852); leftover = 1 -> a
+    assert out["a"]["alloc"] == 2 and out["b"]["alloc"] == 8
+    assert sum(r["alloc"] for r in out.values()) == 10
+
+
+def test_neyman_allocation_all_constant_gives_zero(spark):
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        neyman_allocation)
+    df = spark.createDataFrame([("a", 5), ("b", 5)], "src string, v long")
+    out = neyman_allocation(df, "src", "v", n_total=4).collect()
+    assert all(r["alloc"] == 0 and r["w_milli"] == 0 for r in out)
