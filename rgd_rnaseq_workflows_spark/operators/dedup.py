@@ -370,6 +370,81 @@ def cross_corpus_minhash_pairs(new: DataFrame, old: DataFrame,
             .select("id_new", "id_old", "jaccard"))
 
 
+def minhash_diversity_report(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             num_hashes: int = 8,
+                             shingle_n: int = 3) -> DataFrame:
+    """Corpus-level diversity from MinHash collision counts: the mean
+    pairwise Jaccard similarity ESTIMATOR, computed exactly without
+    materializing a single pair. Per slot h, two documents collide iff
+    their minimum permuted shingle agrees — an event with probability
+    J(a,b) — so the per-slot colliding-pair share ``Σ_v C(c_v, 2) /
+    C(n, 2)`` is an unbiased estimate of the corpus mean pairwise
+    Jaccard (higher = more redundant corpus, the dedup pre-flight
+    number). The per-slot spread across ``num_hashes`` independent
+    permutations is the estimator's own error bar.
+
+    All counts are exact integers; the share is integer basis points,
+    so both engines agree bit-for-bit. Returns one row per slot:
+    (slot, n_docs, n_distinct, colliding_pairs, mean_jaccard_bp).
+
+    Scale shape: signatures are the standard one-explode / one-groupBy
+    lineage (:func:`minhash_signatures`); the slot-value histogram
+    collapses map-side to ≤ k·|distinct| rows and the report is k rows
+    — NO pair is ever enumerated, unlike the LSH candidate path, which
+    is what makes this runnable as a pre-flight on the full corpus."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    slots = F.array(*[
+        F.struct(F.lit(i).alias("slot"), F.col(f"h{i}").alias("v"))
+        for i in range(num_hashes)])
+    hist = (sig.select(F.explode(slots).alias("s"))
+            .groupBy("s.slot", "s.v").agg(F.count("*").alias("c")))
+    return (hist.groupBy("slot")
+            .agg(F.sum("c").cast("long").alias("n_docs"),
+                 F.count("*").cast("long").alias("n_distinct"),
+                 F.sum(F.expr("c * (c - 1) div 2")).cast("long")
+                 .alias("colliding_pairs"))
+            .withColumn("mean_jaccard_bp", F.expr(
+                "CASE WHEN n_docs < 2 THEN 0 ELSE 10000 * "
+                "colliding_pairs div (n_docs * (n_docs - 1) div 2) END")
+                .cast("long"))
+            .select(F.col("slot").cast("int").alias("slot"), "n_docs",
+                    "n_distinct", "colliding_pairs", "mean_jaccard_bp")
+            .orderBy("slot"))
+
+
+def minhash_diversity_sql(table: str, text_col: str = "text",
+                          id_col: str = "doc_id", num_hashes: int = 8,
+                          shingle_n: int = 3) -> str:
+    """DuckDB twin of :func:`minhash_diversity_report` — identical hash
+    family, per-slot histogram and integer pair counts."""
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long_sql
+    from rgd_rnaseq_workflows_spark.functions.text import shingles_sql
+    sh_expr = shingles_sql(text_col, shingle_n)
+    base = f"(({md5_long_sql('s')}) % {1 << 30})"
+    mins = ",\n         ".join(
+        f"MIN(({base} * {a} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes)))
+    arms = " UNION ALL ".join(
+        f"SELECT {i} AS slot, h{i} AS v FROM sig"
+        for i in range(num_hashes))
+    return f"""
+WITH sh AS (SELECT {id_col}, unnest({sh_expr}) AS s FROM {table}),
+sig AS (SELECT {id_col}, {mins} FROM sh GROUP BY {id_col}),
+hist AS (
+  SELECT slot, v, count(*) AS c FROM ({arms}) GROUP BY slot, v)
+SELECT CAST(slot AS INTEGER) AS slot,
+       CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(c * (c - 1) // 2) AS BIGINT) AS colliding_pairs,
+       CAST(CASE WHEN sum(c) < 2 THEN 0 ELSE 10000 *
+              sum(c * (c - 1) // 2)
+              // (sum(c) * (sum(c) - 1) // 2) END AS BIGINT)
+         AS mean_jaccard_bp
+FROM hist GROUP BY slot ORDER BY slot
+"""
+
+
 # --- n-gram Jaccard with key blocking -------------------------------------------
 
 def hashed_shingles(text_col: str = "text", n: int = 1):

@@ -5197,3 +5197,21 @@ def sample_neyman_allocation(spark, sf_dir):
         neyman_allocation)
     d = _t(spark, sf_dir, "documents")
     return neyman_allocation(d, "source", "n_chars", n_total=200)
+
+
+def _minhash_diversity_oracle() -> str:
+    return DD.minhash_diversity_sql("documents", num_hashes=8,
+                                    shingle_n=3)
+
+
+@q("dedup_minhash_diversity", ("DEDUP-DIVERSITY",),
+   oracle=_minhash_diversity_oracle(),
+   note="corpus mean-pairwise-Jaccard estimator from per-slot minhash "
+        "collision counts (sum_v C(c,2) / C(n,2) per permutation slot, "
+        "exact integer basis points) - the dedup pre-flight redundancy "
+        "number computed WITHOUT enumerating a single pair: slot-value "
+        "histogram collapses map-side, report is num_hashes rows; the "
+        "per-slot spread is the estimator's own error bar")
+def dedup_minhash_diversity(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_diversity_report(d, num_hashes=8, shingle_n=3)
