@@ -445,6 +445,81 @@ FROM hist GROUP BY slot ORDER BY slot
 """
 
 
+def source_overlap_minhash(df: DataFrame, group_col: str = "source",
+                           text_col: str = "text",
+                           num_hashes: int = 16,
+                           shingle_n: int = 3) -> DataFrame:
+    """Pairwise SOURCE-level shingle-set overlap — the corpus-mixing
+    pre-flight that answers "which feeds are re-crawling each other?"
+    before any document-level dedup runs. Each group's shingle SET is
+    summarized by one MinHash signature (slot i = min permuted hash
+    over every shingle in every document of the group); for two groups
+    the share of agreeing slots is the standard unbiased estimate of
+    the Jaccard similarity of their shingle sets. Two sources with
+    high estimated Jaccard are near-mirror feeds — dedup them
+    cross-corpus (:func:`cross_corpus_minhash_pairs`) before burning
+    compute curating both.
+
+    All slot minima are exact integers from the shared md5-universal
+    hash family, so both engines compute identical signatures and the
+    agreement count is engine-exact. Returns one row per unordered
+    group pair (group_a < group_b): (group_a, group_b, n_agree,
+    jaccard_bp = 10000·n_agree div num_hashes).
+
+    Scale shape: ONE shingle explode + ONE map-side-combined
+    groupBy(group) with k partial mins — the corpus collapses to
+    |groups| signature rows; the pair join runs on that metadata-scale
+    frame (broadcast self-join), so no document pair and no shingle
+    pair is ever enumerated."""
+    base = F.pmod(md5_long(F.col("s")), F.lit(1 << 30))
+    sh = (df.select(F.col(group_col).alias("g"),
+                    F.explode(shingles(text_col, shingle_n)).alias("s"))
+          .select("g", base.alias("x")))
+    aggs = [F.min((F.col("x") * a + b) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_params(num_hashes))]
+    sig = sh.groupBy("g").agg(*aggs)
+    a, b = sig.alias("a"), sig.alias("b")
+    agree = sum(
+        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("long")
+        for i in range(num_hashes))
+    return (a.join(F.broadcast(b), F.col("a.g") < F.col("b.g"))
+            .select(F.col("a.g").alias("group_a"),
+                    F.col("b.g").alias("group_b"),
+                    agree.alias("n_agree"))
+            .withColumn("jaccard_bp", F.expr(
+                f"10000 * n_agree div {num_hashes}").cast("long"))
+            .orderBy("group_a", "group_b"))
+
+
+def source_overlap_minhash_sql(table: str, group_col: str = "source",
+                               text_col: str = "text",
+                               num_hashes: int = 16,
+                               shingle_n: int = 3) -> str:
+    """DuckDB twin of :func:`source_overlap_minhash` — identical hash
+    family, per-group slot minima, and slot-agreement count."""
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long_sql
+    from rgd_rnaseq_workflows_spark.functions.text import shingles_sql
+    sh_expr = shingles_sql(text_col, shingle_n)
+    base = f"(({md5_long_sql('s')}) % {1 << 30})"
+    mins = ",\n         ".join(
+        f"MIN(({base} * {a} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes)))
+    agree = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes))
+    return f"""
+WITH sh AS (SELECT {group_col} AS g, unnest({sh_expr}) AS s
+            FROM {table}),
+sig AS (SELECT g, {mins} FROM sh GROUP BY g)
+SELECT a.g AS group_a, b.g AS group_b,
+       CAST({agree} AS BIGINT) AS n_agree,
+       CAST((10000 * ({agree})) // {num_hashes} AS BIGINT)
+         AS jaccard_bp
+FROM sig a JOIN sig b ON a.g < b.g
+ORDER BY group_a, group_b
+"""
+
+
 # --- n-gram Jaccard with key blocking -------------------------------------------
 
 def hashed_shingles(text_col: str = "text", n: int = 1):

@@ -823,3 +823,187 @@ FROM ranked, tot
 WHERE rank <= {top_k}
 ORDER BY rank
 """
+
+def join_explosion_report(left: DataFrame, right: DataFrame,
+                          left_key: str, right_key: str,
+                          top_k: int = 10) -> DataFrame:
+    """Join-cardinality pre-flight: EXACTLY how many rows an inner
+    equi-join will emit — and which keys emit them — computed from the
+    two per-key count tables WITHOUT running the join. The output of
+    ``A ⋈ B`` on a key ``v`` is ``c_A(v)·c_B(v)``, so the predicted
+    total is the integer sum of per-key products over matching keys.
+    A many-to-many key (a hot user, a default URL, an empty string)
+    shows up as a huge product long before it OOMs a 100 TB shuffle —
+    this is the report to read before keying that join, alongside the
+    per-side :func:`key_skew_report`.
+
+    Per top-``top_k`` key by output contribution (count-desc,
+    key-asc): both sides' row counts, the exact output rows, its exact
+    ppm share of the predicted total, and the predicted total /
+    matched-key count repeated for context. NULL keys never match in
+    SQL join semantics and are excluded (standard inner-join reading).
+
+    Scale shape: one map-side-combined groupBy per side (key-scale
+    count tables), one equi-join of the COUNT TABLES (key-scale, never
+    row-scale), then the two-phase top-k (per-partition candidate cut
+    under the same total order — lossless for any placement — then a
+    rank over ≤ partitions·top_k survivors). Totals come from the
+    aggregate; no corpus-scale window anywhere."""
+    from pyspark.sql import Window
+    ca = (left.filter(F.col(left_key).isNotNull())
+          .select(F.col(left_key).cast("string").alias("key"))
+          .groupBy("key").agg(F.count("*").alias("ln")))
+    cb = (right.filter(F.col(right_key).isNotNull())
+          .select(F.col(right_key).cast("string").alias("key"))
+          .groupBy("key").agg(F.count("*").alias("rn")))
+    j = (ca.join(cb, "key")
+         .withColumn("out_rows", (F.col("ln") * F.col("rn"))
+                     .cast("long")))
+    tot = j.agg(F.sum("out_rows").cast("long").alias("_t"),
+                F.count("*").cast("long").alias("_k"))
+    order = [F.desc("out_rows"), F.asc("key")]
+    cand_w = Window.partitionBy("_pid").orderBy(*order)
+    cand = (j.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_prn", F.row_number().over(cand_w))
+            .filter(F.col("_prn") <= top_k)
+            .drop("_pid", "_prn"))
+    w = Window.orderBy(*order)
+    return (cand.crossJoin(F.broadcast(tot))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("rank", "key",
+                    F.col("ln").cast("long").alias("left_rows"),
+                    F.col("rn").cast("long").alias("right_rows"),
+                    "out_rows",
+                    F.expr("out_rows * 1000000 div _t").cast("long")
+                    .alias("share_ppm"),
+                    F.col("_t").alias("predicted_rows"),
+                    F.col("_k").alias("n_keys_matched"))
+            .orderBy("rank"))
+
+
+def join_explosion_sql(left_table: str, right_table: str,
+                       left_key: str, right_key: str,
+                       top_k: int = 10) -> str:
+    """DuckDB twin of :func:`join_explosion_report`."""
+    return f"""
+WITH ca AS (
+  SELECT CAST({left_key} AS VARCHAR) AS key,
+         CAST(count(*) AS BIGINT) AS ln
+  FROM {left_table} WHERE {left_key} IS NOT NULL GROUP BY 1),
+cb AS (
+  SELECT CAST({right_key} AS VARCHAR) AS key,
+         CAST(count(*) AS BIGINT) AS rn
+  FROM {right_table} WHERE {right_key} IS NOT NULL GROUP BY 1),
+j AS (
+  SELECT key, ln, rn, CAST(ln * rn AS BIGINT) AS out_rows
+  FROM ca JOIN cb USING (key)),
+tot AS (SELECT CAST(sum(out_rows) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS k FROM j),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY out_rows DESC, key) AS rank
+  FROM j)
+SELECT rank, key, ln AS left_rows, rn AS right_rows, out_rows,
+       CAST(out_rows * 1000000 // t AS BIGINT) AS share_ppm,
+       t AS predicted_rows, k AS n_keys_matched
+FROM ranked, tot
+WHERE rank <= {top_k}
+ORDER BY rank
+"""
+
+
+def mutual_information_report(df: DataFrame, x_col: str,
+                              y_col: str) -> DataFrame:
+    """Dependence profile of two categorical columns: exact-count
+    plug-in entropies H(X), H(Y), H(X,Y) and their mutual information
+    — the redundancy pre-flight before treating two metadata fields as
+    independent stratification keys (a high normalized MI between
+    e.g. ``lang`` and ``source`` means stratifying on both double-
+    counts the same structure) and the leakage check before using one
+    field to predict another.
+
+    Cross-engine exactness (the KN micro-nat discipline): every count
+    is an exact BIGINT; each entropy TERM ``round(1e6·c·ln(n/c)/n)``
+    is one fixed scalar expression tree over those integers rounded to
+    a micro-nat BIGINT; per-entropy totals are INTEGER sums of the
+    rounded terms (order-independent), and ``mi_micro = h_x + h_y −
+    h_xy`` is an integer identity. ``nmi_bp`` normalizes by the
+    entropy mean ``(h_x+h_y)/2`` with the slight-negative rounding
+    residue clamped at 0 — Spark's ``div`` truncates while DuckDB's
+    ``//`` floors, so negatives must never reach the division. Rows
+    with a NULL in either column are excluded (a NULL category is its
+    own upstream data-quality finding — :func:`table_profile` counts
+    them).
+
+    Scale shape: the corpus collapses to the (x, y) cell table in ONE
+    map-side-combined groupBy; margins are groupBys OF THE CELL TABLE,
+    the total is a 1-row broadcast, and every entropy fold runs at
+    cell/margin scale. One corpus pass, no corpus-scale join or
+    window."""
+    pairs = (df.filter(F.col(x_col).isNotNull()
+                       & F.col(y_col).isNotNull())
+             .select(F.col(x_col).cast("string").alias("x"),
+                     F.col(y_col).cast("string").alias("y"))
+             .groupBy("x", "y").agg(F.count("*").alias("c")))
+    cx = pairs.groupBy("x").agg(F.sum("c").alias("c"))
+    cy = pairs.groupBy("y").agg(F.sum("c").alias("c"))
+    tot = pairs.agg(F.sum("c").cast("long").alias("_n"))
+
+    def _h(counts: DataFrame, alias: str) -> DataFrame:
+        term = F.round(F.lit(1e6) * F.col("c")
+                       * F.log(F.col("_n").cast("double") / F.col("c"))
+                       / F.col("_n")).cast("long")
+        return (counts.crossJoin(F.broadcast(tot))
+                .agg(F.sum(term).cast("long").alias(alias),
+                     F.count("*").cast("long").alias(f"_k_{alias}")))
+
+    hx = _h(cx, "h_x_micro")
+    hy = _h(cy, "h_y_micro")
+    hxy = _h(pairs, "h_xy_micro")
+    return (tot.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+            .crossJoin(F.broadcast(hxy))
+            .select(F.col("_n").alias("n_rows"),
+                    F.col("_k_h_x_micro").alias("n_x"),
+                    F.col("_k_h_y_micro").alias("n_y"),
+                    F.col("_k_h_xy_micro").alias("n_cells"),
+                    "h_x_micro", "h_y_micro", "h_xy_micro",
+                    F.expr("h_x_micro + h_y_micro - h_xy_micro")
+                    .cast("long").alias("mi_micro"))
+            .withColumn("nmi_bp", F.expr(
+                "CASE WHEN h_x_micro + h_y_micro = 0 THEN 0 ELSE "
+                "20000 * greatest(mi_micro, 0) "
+                "div (h_x_micro + h_y_micro) END").cast("long")))
+
+
+def mutual_information_sql(table: str, x_expr: str, y_expr: str) -> str:
+    """DuckDB twin of :func:`mutual_information_report` — identical
+    per-term micro-nat rounding and integer folds."""
+    term = ("CAST(round(1e6 * c * ln(CAST(n AS DOUBLE) / c) / n) "
+            "AS BIGINT)")
+    return f"""
+WITH base AS (
+  SELECT CAST({x_expr} AS VARCHAR) AS x, CAST({y_expr} AS VARCHAR) AS y
+  FROM {table}
+  WHERE {x_expr} IS NOT NULL AND {y_expr} IS NOT NULL),
+pairs AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+          FROM base GROUP BY x, y),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pairs),
+hx AS (SELECT CAST(sum({term}) AS BIGINT) AS h,
+              CAST(count(*) AS BIGINT) AS k
+       FROM (SELECT x, CAST(sum(c) AS BIGINT) AS c
+             FROM pairs GROUP BY x), tot),
+hy AS (SELECT CAST(sum({term}) AS BIGINT) AS h,
+              CAST(count(*) AS BIGINT) AS k
+       FROM (SELECT y, CAST(sum(c) AS BIGINT) AS c
+             FROM pairs GROUP BY y), tot),
+hxy AS (SELECT CAST(sum({term}) AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS k
+        FROM pairs, tot)
+SELECT tot.n AS n_rows, hx.k AS n_x, hy.k AS n_y, hxy.k AS n_cells,
+       hx.h AS h_x_micro, hy.h AS h_y_micro, hxy.h AS h_xy_micro,
+       CAST(hx.h + hy.h - hxy.h AS BIGINT) AS mi_micro,
+       CAST(CASE WHEN hx.h + hy.h = 0 THEN 0 ELSE
+         (20000 * greatest(hx.h + hy.h - hxy.h, 0))
+         // (hx.h + hy.h) END AS BIGINT) AS nmi_bp
+FROM tot, hx, hy, hxy
+"""

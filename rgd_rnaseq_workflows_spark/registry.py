@@ -5215,3 +5215,73 @@ def _minhash_diversity_oracle() -> str:
 def dedup_minhash_diversity(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return DD.minhash_diversity_report(d, num_hashes=8, shingle_n=3)
+
+
+def _source_overlap_oracle() -> str:
+    return DD.source_overlap_minhash_sql("documents", num_hashes=16,
+                                         shingle_n=3)
+
+
+@q("dedup_source_overlap", ("DEDUP-SRC-OVERLAP",),
+   oracle=_source_overlap_oracle(),
+   note="pairwise source-level shingle-set Jaccard from per-source "
+        "minhash signatures (slot i = min permuted hash over ALL "
+        "shingles of the group, agreement share = unbiased Jaccard "
+        "estimate) - the which-feeds-mirror-each-other pre-flight: "
+        "corpus collapses to |sources| signature rows in one map-side "
+        "groupBy, pair join is a broadcast self-join on that metadata "
+        "frame; no document pair ever enumerated")
+def dedup_source_overlap(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.source_overlap_minhash(d, "source", num_hashes=16,
+                                     shingle_n=3)
+
+
+def _join_explosion_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        join_explosion_sql)
+    return join_explosion_sql(
+        "(SELECT * FROM events WHERE event_type = 'view')",
+        "(SELECT * FROM events WHERE event_type = 'click')",
+        "user_id", "user_id", top_k=10)
+
+
+@q("profile_join_explosion", ("PROF-JOINX",),
+   oracle=_join_explosion_oracle(),
+   note="join-cardinality pre-flight: exact inner-join output "
+        "prediction sum(c_a*c_b) from the two per-key count tables "
+        "plus the top-k contributing keys with exact ppm shares - the "
+        "report to read BEFORE keying a 100 TB many-to-many shuffle; "
+        "two map-side-combined per-side aggs, a key-scale count-table "
+        "join, and the two-phase lossless top-k (no corpus window)")
+def profile_join_explosion(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        join_explosion_report)
+    ev = _events(spark, sf_dir)
+    return join_explosion_report(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        "user_id", "user_id", top_k=10)
+
+
+def _mi_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        mutual_information_sql)
+    return mutual_information_sql("documents", "lang", "source")
+
+
+@q("profile_mutual_information", ("PROF-MI",), oracle=_mi_oracle(),
+   note="categorical dependence profile: exact-count plug-in "
+        "entropies H(X), H(Y), H(X,Y) as integer sums of per-term "
+        "rounded micro-nats (the KN discipline - one fixed scalar ln "
+        "tree per count, order-independent integer folds) and "
+        "mi = hx+hy-hxy as an integer identity, normalized-MI in bp "
+        "with the rounding residue clamped before the floor/trunc "
+        "division divergence - the stratification-redundancy "
+        "pre-flight; corpus -> cell table in one map-side groupBy, "
+        "margins/entropies at cell scale")
+def profile_mutual_information(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        mutual_information_report)
+    d = _t(spark, sf_dir, "documents")
+    return mutual_information_report(d, "lang", "source")

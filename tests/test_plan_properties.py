@@ -479,3 +479,38 @@ def test_curation_mix_single_shared_token_frame(spark):
     # chain itself rides ExistingRDD checkpoint blocks
     assert "ExistingRDD" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_join_explosion_two_phase_topk(spark):
+    """The join-cardinality pre-flight must not funnel a billion-key
+    count table through one task: phase 1 is a `_pid`-partitioned
+    candidate cut, and the only partition-less window rides the
+    ≤ P·top_k survivor pool (the key_skew discipline)."""
+    plan = _plan(spark, "profile_join_explosion")
+    _partitionless(plan)  # ensures tools/ is importable
+    import explain_plans as ep
+    specs = ep.window_specs(plan)
+    assert any(ep._first_arg(s).split("#")[0].strip() == "_pid"
+               for s in specs), "missing per-partition candidate phase"
+    assert "_prn" in plan
+    assert len(ep.partitionless_window_specs(plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_source_overlap_broadcast_pair_join(spark):
+    """The source-pair join runs on the |groups|-row signature frame —
+    broadcast, never a shuffle of shingles; the corpus collapses in one
+    map-side-combined aggregate below it."""
+    plan = _plan(spark, "dedup_source_overlap")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mutual_information_metadata_scale_folds(spark):
+    """Corpus collapses to the cell table once; entropies are
+    aggregates of the cell/margin tables with broadcast 1-row totals —
+    no window, no corpus-scale join."""
+    plan = _plan(spark, "profile_mutual_information")
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -342,3 +342,84 @@ def test_l_diversity_hand_computed(spark):
     assert r["n_rows"] == 8 and r["n_classes"] == 3
     assert r["n_weak_classes"] == 2 and r["n_risk_rows"] == 5
     assert r["risk_bp"] == 10000 * 5 // 8 and r["min_l"] == 2
+
+
+def test_join_explosion_hand_computed(spark):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        join_explosion_report)
+    # key 'a': 3x2=6, key 'b': 1x4=4, key 'c': left-only, NULL: excluded
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] + [("c",)] + [(None,)], "k string")
+    right = spark.createDataFrame(
+        [("a",)] * 2 + [("b",)] * 4 + [(None,)] * 5, "k string")
+    rows = join_explosion_report(left, right, "k", "k", top_k=5).collect()
+    assert [(r["rank"], r["key"], r["out_rows"]) for r in rows] == [
+        (1, "a", 6), (2, "b", 4)]
+    for r in rows:
+        assert r["predicted_rows"] == 10 and r["n_keys_matched"] == 2
+    assert rows[0]["share_ppm"] == 6 * 1000000 // 10
+    assert rows[0]["left_rows"] == 3 and rows[0]["right_rows"] == 2
+
+
+def test_join_explosion_sql_twin(spark):
+    import duckdb
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        join_explosion_report, join_explosion_sql)
+    rows = [(i % 13, i % 7) for i in range(500)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = sorted(tuple(r) for r in
+                 join_explosion_report(df, df, "a", "b",
+                                       top_k=5).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = sorted(tuple(r) for r in con.execute(
+        join_explosion_sql("t", "t", "a", "b", top_k=5)).fetchall())
+    assert got == exp
+
+
+def test_mutual_information_identical_and_independent(spark):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        mutual_information_report)
+    # identical columns: H(X)=H(Y)=H(XY) -> MI=H(X), NMI=10000
+    rows = [(c, c) for c in "aabbbbcc"]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = mutual_information_report(df, "x", "y").collect()[0]
+    assert r["h_x_micro"] == r["h_y_micro"] == r["h_xy_micro"]
+    assert r["mi_micro"] == r["h_x_micro"] and r["nmi_bp"] == 10000
+    assert r["n_rows"] == 8 and r["n_cells"] == 3
+    # exactly independent uniform 2x2: MI ~ 0 (rounding residue only),
+    # clamped NMI stays 0
+    rows2 = [(x, y) for x in "ab" for y in "cd" for _ in range(5)]
+    df2 = spark.createDataFrame(rows2, "x string, y string")
+    r2 = mutual_information_report(df2, "x", "y").collect()[0]
+    assert abs(r2["mi_micro"]) <= 2 and r2["nmi_bp"] == 0
+    # plug-in H for the uniform pair: ln(4) in micro-nats (per-term
+    # rounded): 4 * round(1e6 * 5 * ln(4) / 20)
+    import math
+    assert r2["h_xy_micro"] == 4 * round(1e6 * 5 * math.log(4) / 20)
+
+
+def test_mutual_information_null_rows_excluded(spark):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        mutual_information_report)
+    rows = [("a", "x"), ("a", None), (None, "x"), ("b", "y")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = mutual_information_report(df, "x", "y").collect()[0]
+    assert r["n_rows"] == 2 and r["n_cells"] == 2
+
+
+def test_source_overlap_minhash_identical_and_disjoint(spark):
+    from rgd_rnaseq_workflows_spark.operators.dedup import (
+        source_overlap_minhash)
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words nowhere near that sentence at all"
+    rows = ([("s1", same)] * 3 + [("s2", same)] * 2
+            + [("s3", other)] * 2)
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {(r["group_a"], r["group_b"]): r for r in
+           source_overlap_minhash(df, "source", "text",
+                                  num_hashes=16).collect()}
+    assert got[("s1", "s2")]["jaccard_bp"] == 10000  # identical sets
+    assert got[("s1", "s3")]["jaccard_bp"] < 5000    # disjoint shingles
+    assert len(got) == 3
