@@ -572,9 +572,10 @@ def hashed_linear_score(docs: DataFrame, weights: DataFrame,
     shape below (probe map-side, ONE groupBy(doc) with partial agg) is
     the right plan.
 
-    Training is out of scope here (a labeled set fits the driver;
-    scikit-style or the DSIR/bigram-LM operators produce weights) —
-    inference over 100 TB is the part that needs the engine.
+    Training: a hand-labeled set fits the driver (scikit-style), but
+    CCNet-style weak supervision at corpus scale does not —
+    :func:`hashed_logreg_train` trains these weights distributed with
+    an exact integer trajectory.
     """
     toks = (docs.select(F.col(id_col), F.explode(TX.tokens(text_col))
                         .alias("_tok"))
@@ -745,6 +746,191 @@ SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
 FROM _b GROUP BY bin
 ORDER BY bin
 """
+
+
+def hashed_logreg_train(docs: DataFrame, truth, n_buckets: int,
+                        epochs: int = 3, lr_num: int = 1,
+                        lr_den: int = 2, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        seed: int = 5) -> DataFrame:
+    """Distributed TRAINING for the hashed linear quality classifier —
+    full-batch logistic regression by gradient descent, every fold an
+    exact integer so both engines walk the identical weight
+    trajectory. This is the half :func:`hashed_linear_score` declares
+    out of scope when labels fit the driver; CCNet-style weak
+    supervision (wiki-vs-crawl targets over millions of documents)
+    does NOT fit a driver, and the trainer is the same two-shuffle
+    corpus shape as inference.
+
+    Exact-integer trajectory (the KN micro-nat discipline):
+    weights live in micro units (BIGINT). Per doc the margin
+    ``z = Σ w_j·c_j`` is an exact integer sum; ``p = 1/(1+exp(−z/10⁶))``
+    is one fixed scalar tree whose per-(doc,bucket) gradient term
+    ``round(10⁶·(round(p,9)−y)·c)`` rounds to an exact integer; the
+    per-bucket gradient is the INTEGER sum of those terms
+    (order-independent), and the update
+    ``w_j ← w_j − (lr_num·G_j) div (lr_den·n_docs)`` is a signed
+    integer division — Spark's ``div`` and DuckDB's ``//`` BOTH
+    truncate toward zero (verified), so the engines keep identical
+    weights after every epoch. The logistic loss uses the
+    overflow-safe softplus form ``ln(1+e^(−|z|)) + max(z,0) − y·z``,
+    per-doc rounded to micro-nats and integer-summed.
+
+    Per epoch ``e`` one report row scored with the PRE-update weights
+    ``w_{e−1}`` (so row 1 is the w=0 baseline: p=½ exactly,
+    loss = n·round(10⁶·ln 2)): (epoch, n_docs, n_pos, n_correct,
+    accuracy_bp, loss_micro); prediction is the exact integer sign
+    test ``z > 0``. Loss must fall monotonically for a sane lr — the
+    trainer's own convergence gate.
+
+    Scale shape: the (doc, y, bucket, c) feature table is built ONCE
+    (one explode + one map-side-combined groupBy) and checkpointed;
+    each epoch is one broadcast weight join + per-doc aggregation,
+    then one doc-keyed join back + per-bucket gradient aggregation —
+    two shuffles per epoch, corpus passes ``O(epochs)``. Weights and
+    gradients are bucket-scale metadata (≤ n_buckets rows): the ONLY
+    driver collects, exactly the k-means-centroid pattern.
+
+    ``truth`` is a Column expression evaluated per document (0/1)."""
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    spark = docs.sparkSession
+    # project the truth sibling BEFORE the explode (the r11
+    # generator-sibling lesson: a computed sibling next to a generator
+    # re-evaluates once per exploded OUTPUT row)
+    tk = (docs.select(F.col(id_col).alias("id"),
+                      truth.cast("int").alias("y"),
+                      F.col(text_col).alias("_txt"))
+          .select("id", "y", F.explode(TX.tokens("_txt")).alias("_tok"))
+          .select("id", "y",
+                  F.pmod(md5_long(F.col("_tok"), seed=seed),
+                         F.lit(n_buckets)).cast("int").alias("bucket"))
+          .groupBy("id", "y", "bucket")
+          .agg(F.count("*").cast("long").alias("c")))
+    tk = checkpoint_df(tk, eager=False)
+    w = {}          # bucket -> w_micro (sparse; absent = 0)
+    out = []
+    for epoch in range(1, epochs + 1):
+        if w:
+            wdf = spark.createDataFrame(
+                [(int(b), int(v)) for b, v in sorted(w.items())],
+                "bucket int, w long")
+            scored = tk.join(F.broadcast(wdf), "bucket", "left")
+        else:
+            scored = tk.withColumn("w", F.lit(None).cast("long"))
+        per_doc = (scored.groupBy("id", "y")
+                   .agg(F.sum(F.coalesce(F.col("w"), F.lit(0))
+                              * F.col("c")).cast("long").alias("z")))
+        zd = F.col("z").cast("double") / 1e6
+        loss_term = F.round(F.lit(1e6) * (
+            F.log(F.lit(1.0) + F.exp(-F.abs(zd)))
+            + F.greatest(zd, F.lit(0.0))
+            - F.col("y") * zd)).cast("long")
+        m = per_doc.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum(((F.col("z") > 0).cast("int") == F.col("y"))
+                  .cast("long")).cast("long").alias("n_correct"),
+            F.sum(loss_term).cast("long").alias("loss_micro")
+        ).collect()[0]
+        out.append((epoch, m["n_docs"], m["n_pos"], m["n_correct"],
+                    10000 * m["n_correct"] // m["n_docs"]
+                    if m["n_docs"] else 0, m["loss_micro"]))
+        if epoch == epochs:
+            break
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zd)), 9)
+        grads = (tk.join(per_doc.select("id", p.alias("p")), "id")
+                 .withColumn("_g", F.round(
+                     F.lit(1e6) * (F.col("p") - F.col("y"))
+                     * F.col("c")).cast("long"))
+                 .groupBy("bucket")
+                 .agg(F.sum("_g").cast("long").alias("g"))
+                 .collect())
+        n = int(m["n_docs"])
+        for r in grads:
+            b, g = int(r["bucket"]), int(r["g"])
+            step = (lr_num * g) // (lr_den * n)
+            if (lr_num * g) % (lr_den * n) != 0 and (lr_num * g) < 0:
+                step += 1          # mirror trunc-toward-zero division
+            w[b] = w.get(b, 0) - step
+            if w[b] == 0:
+                del w[b]
+    return spark.createDataFrame(
+        out, "epoch int, n_docs long, n_pos long, n_correct long, "
+             "accuracy_bp long, loss_micro long").orderBy("epoch")
+
+
+def hashed_logreg_train_sql(truth_expr: str, table: str = "documents",
+                            n_buckets: int = 1 << 9, epochs: int = 3,
+                            lr_num: int = 1, lr_den: int = 2,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            seed: int = 5) -> str:
+    """DuckDB twin of :func:`hashed_logreg_train` — the epoch loop
+    unrolled into CTE stages with the identical integer trajectory
+    (DuckDB ``//`` truncates toward zero exactly like Spark ``div``)."""
+    toks = TX.tokens_sql(text_col)
+    h = md5_long_sql("_tok", seed=seed)
+    parts = [f"""
+WITH _tk AS MATERIALIZED (
+  SELECT id, y, bucket, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT {id_col} AS id, CAST(_t AS INTEGER) AS y,
+           CAST({h} % {n_buckets} AS INTEGER) AS bucket
+    FROM (SELECT {id_col}, ({truth_expr}) AS _t, unnest({toks}) AS _tok
+          FROM {table}))
+  GROUP BY id, y, bucket),
+_n AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n FROM _tk)"""]
+    prev_w = None
+    metric_arms = []
+    for e in range(1, epochs + 1):
+        if prev_w is None:
+            parts.append(f""",
+_d{e} AS (SELECT id, y, CAST(0 AS BIGINT) AS z
+          FROM _tk GROUP BY id, y)""")
+        else:
+            parts.append(f""",
+_d{e} AS (
+  SELECT t.id, t.y,
+         CAST(sum(coalesce(w.w, 0) * t.c) AS BIGINT) AS z
+  FROM _tk t LEFT JOIN {prev_w} w USING (bucket)
+  GROUP BY t.id, t.y)""")
+        parts.append(f""",
+_m{e} AS (
+  SELECT {e} AS epoch, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN (CASE WHEN z > 0 THEN 1 ELSE 0 END) = y
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         CAST(sum(CAST(round(1e6 * (
+             ln(1 + exp(-abs(CAST(z AS DOUBLE) / 1e6)))
+             + greatest(CAST(z AS DOUBLE) / 1e6, 0)
+             - y * (CAST(z AS DOUBLE) / 1e6))) AS BIGINT))
+           AS BIGINT) AS loss_micro
+  FROM _d{e})""")
+        metric_arms.append(
+            f"SELECT epoch, n_docs, n_pos, n_correct, "
+            f"CAST(10000 * n_correct // n_docs AS BIGINT) "
+            f"AS accuracy_bp, loss_micro FROM _m{e}")
+        if e == epochs:
+            break
+        parts.append(f""",
+_g{e} AS (
+  SELECT t.bucket,
+         CAST(sum(CAST(round(1e6 * (
+             round(1 / (1 + exp(-CAST(d.z AS DOUBLE) / 1e6)), 9)
+             - t.y) * t.c) AS BIGINT)) AS BIGINT) AS g
+  FROM _tk t JOIN _d{e} d USING (id)
+  GROUP BY t.bucket),
+_w{e} AS (
+  SELECT g.bucket,
+         CAST({'coalesce(w.w, 0)' if prev_w else '0'}
+              - ({lr_num} * g.g) // ({lr_den} * n.n) AS BIGINT) AS w
+  FROM _g{e} g{f' LEFT JOIN {prev_w} w USING (bucket)' if prev_w
+               else ''}, _n n)""")
+        prev_w = f"_w{e}"
+    parts.append("\n" + "\nUNION ALL\n".join(metric_arms)
+                 + "\nORDER BY epoch")
+    return "".join(parts)
 
 
 # --- corpus-shape diagnostics (Zipf head mass / Heaps type counts) -----------

@@ -5285,3 +5285,31 @@ def profile_mutual_information(spark, sf_dir):
         mutual_information_report)
     d = _t(spark, sf_dir, "documents")
     return mutual_information_report(d, "lang", "source")
+
+
+def _logreg_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        hashed_logreg_train_sql)
+    return hashed_logreg_train_sql("n_chars > 150", "documents",
+                                   n_buckets=1 << 9, epochs=3,
+                                   lr_num=1, lr_den=16)
+
+
+@q("quality_classifier_train", ("QUALITY-TRAIN",),
+   oracle=_logreg_oracle(),
+   note="distributed full-batch logistic-regression TRAINING for the "
+        "hashed linear quality classifier: exact integer weight "
+        "trajectory (micro-unit weights, per-term-rounded gradient "
+        "folds, trunc-toward-zero update division verified identical "
+        "on both engines), overflow-safe softplus loss; one "
+        "checkpointed (doc,y,bucket,c) feature table then two "
+        "shuffles per epoch, weights/gradients are bucket-scale "
+        "metadata collects (the k-means-centroid pattern); per-epoch "
+        "report row scored with pre-update weights - loss must fall")
+def quality_classifier_train(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        hashed_logreg_train)
+    d = _t(spark, sf_dir, "documents")
+    return hashed_logreg_train(d, F.col("n_chars") > 150,
+                               n_buckets=1 << 9, epochs=3,
+                               lr_num=1, lr_den=16)

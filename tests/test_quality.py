@@ -690,3 +690,61 @@ def test_heaps_curve_monotone_and_total(spark):
     assert rows[-1]["cum_tokens"] == 12
     cv = [r["cum_vocab"] for r in rows]
     assert cv == sorted(cv)
+
+
+def test_logreg_train_first_epoch_exact(spark):
+    """Epoch 1 scores with w=0: p=1/2 exactly, every doc predicts 0,
+    loss = n_docs * round(1e6*ln 2) — closed-form integer baseline."""
+    import math
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        hashed_logreg_train)
+    rows = [(1, "aa bb cc", 1), (2, "aa bb", 0), (3, "dd ee ff gg", 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    out = hashed_logreg_train(df, F.col("y") == 1, n_buckets=64,
+                              epochs=2, lr_num=1,
+                              lr_den=16).collect()
+    e1 = out[0]
+    assert e1["n_docs"] == 3 and e1["n_pos"] == 2
+    assert e1["n_correct"] == 1          # z=0 -> predict 0; one y=0 doc
+    assert e1["loss_micro"] == 3 * round(1e6 * math.log(2))
+
+
+def test_logreg_train_learns_separable(spark):
+    """A linearly separable vocabulary split must reach 100% accuracy
+    with monotonically falling loss."""
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        hashed_logreg_train)
+    pos = [(i, "good great fine nice", 1) for i in range(20)]
+    neg = [(100 + i, "bad awful spam junk", 0) for i in range(20)]
+    df = spark.createDataFrame(pos + neg,
+                               "doc_id long, text string, y int")
+    out = hashed_logreg_train(df, F.col("y") == 1, n_buckets=64,
+                              epochs=5, lr_num=1, lr_den=4).collect()
+    losses = [r["loss_micro"] for r in out]
+    assert losses == sorted(losses, reverse=True), losses
+    assert out[-1]["accuracy_bp"] == 10000
+
+
+def test_logreg_train_matches_duckdb_twin(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        hashed_logreg_train, hashed_logreg_train_sql)
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)),
+             150 + (i % 60)) for i in range(80)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, n_chars long")
+    got = [tuple(r) for r in
+           hashed_logreg_train(df, F.col("n_chars") > 180, 128,
+                               epochs=4, lr_num=1,
+                               lr_den=16).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR, "
+                "n_chars BIGINT)")
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?)", rows)
+    exp = [tuple(r) for r in con.execute(hashed_logreg_train_sql(
+        "n_chars > 180", "docs", n_buckets=128, epochs=4,
+        lr_num=1, lr_den=16)).fetchall()]
+    assert got == exp
