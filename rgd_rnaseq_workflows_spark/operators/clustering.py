@@ -341,3 +341,126 @@ def kmeans_assign_cte(k: int = 10, iters: int = 2,
             prev_c = f"{p}c{it}"
     chain.append(f"{p}af AS (SELECT vec_id, c FROM {p}a{iters})")
     return ",\n".join(chain)
+
+
+def label_silhouette_report(emb: DataFrame, label_col: str = "label",
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Partition-quality eval for a LABEL column in embedding space —
+    the simplified silhouette (Hruschka et al. 2004: distances to
+    CENTROIDS, not all pairs, so it runs at corpus scale): per point,
+    a = distance to its own label's centroid, b = distance to the
+    nearest OTHER label's centroid, s = (b−a)/max(a,b) ∈ [−1, 1].
+    High mean s ⇒ the labels carve real structure (safe to stratify /
+    train on); s < 0 points sit closer to a foreign centroid — the
+    misplaced count is the label-noise estimate a curation pass reads
+    before trusting a classifier's labels at 100 TB.
+
+    Exactness: unit-int vectors (the module's fixed-point contract);
+    centroid components are the trunc-division ``Σxi div n`` (signed
+    trunc is engine-identical — verified both engines truncate toward
+    zero); squared distances are exact int64 sums; a and b are one
+    IEEE sqrt each of exact integers, s is one rounded micro division;
+    per-label means are integer sums div counts. Singleton labels get
+    a = 0 ⇒ s = 10⁶ (the simplified-silhouette convention, documented
+    divergence from the classic s=0); a single-label input has no
+    foreign centroid and reports s = 0.
+
+    Scale shape: one corpus pass for unit-int vectors; centroids via
+    ONE posexplode aggregation (shuffle reduces to |labels|·dims rows,
+    map-side combined); the distance pass is a BROADCAST cross join
+    against the |labels|-row centroid-array frame with the zip_with
+    fold inside codegen — the corpus is never re-shuffled and no
+    point pair is ever formed. Bound: |xi| ≤ SCALE ⇒ d² ≤
+    dims·(2·SCALE)² ≈ 2.6e10 at dims=64 — int64-safe at any corpus
+    size (per-point quantities only)."""
+    kern = unit_int_kernel()
+    pts = emb.select(F.col(id_col).alias("id"),
+                     F.col(label_col).alias("lab"),
+                     kern(F.col(vec_col)).alias("xi"))
+    e = pts.select("lab", F.posexplode("xi").alias("d", "v"))
+    cent = (e.groupBy("lab", "d")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .select("lab", "d", F.expr("s div n").alias("m")))
+    carr = (cent.groupBy("lab")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m")))
+                 .alias("dm"))
+            .select(F.col("lab").alias("clab"),
+                    F.transform("dm", lambda x: x["m"]).alias("cv")))
+    d2 = F.aggregate(
+        F.zip_with("xi", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    j = (pts.crossJoin(F.broadcast(carr))
+         .select("id", "lab", "clab", d2.alias("d2")))
+    per = (j.groupBy("id", "lab")
+           .agg(F.max(F.when(F.col("lab") == F.col("clab"),
+                             F.col("d2"))).alias("a2"),
+                F.min(F.when(F.col("lab") != F.col("clab"),
+                             F.col("d2"))).alias("b2")))
+    a = F.sqrt(F.col("a2").cast("double"))
+    b = F.sqrt(F.col("b2").cast("double"))
+    s_ppm = (F.when(F.col("b2").isNull(), F.lit(0))
+             .when(F.greatest(F.col("a2"), F.col("b2")) == 0, F.lit(0))
+             .otherwise(F.round(F.lit(1e6) * (b - a)
+                                / F.greatest(a, b)))).cast("long")
+    mis = (F.col("b2").isNotNull()
+           & (F.col("b2") < F.col("a2"))).cast("long")
+    return (per.select("lab", s_ppm.alias("s"), mis.alias("mis"))
+            .groupBy("lab")
+            .agg(F.count("*").cast("long").alias("n_points"),
+                 F.sum("mis").cast("long").alias("n_misplaced"),
+                 F.expr("sum(s) div count(*)").cast("long")
+                 .alias("mean_silhouette_ppm"))
+            .select(F.col("lab").alias(label_col), "n_points",
+                    "n_misplaced", "mean_silhouette_ppm")
+            .orderBy(label_col))
+
+
+def label_silhouette_sql(table: str = "embeddings",
+                         label_col: str = "label",
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`label_silhouette_report` — identical
+    unit-int vectors, trunc-division centroids, exact d², one sqrt."""
+    return f"""
+WITH raw AS (
+  SELECT {id_col} AS id, lab, d, CAST(round(x * {SCALE}) AS BIGINT) AS xi
+  FROM (SELECT {id_col}, {label_col} AS lab,
+               unnest(CAST({vec_col} AS DOUBLE[])) AS x,
+               generate_subscripts({vec_col}, 1) AS d FROM {table})),
+nrm AS (SELECT id, CAST(sum(xi * xi) AS BIGINT) AS ss
+        FROM raw GROUP BY id),
+pts AS (
+  SELECT r.id, r.lab, r.d,
+         CAST(round(CAST(r.xi AS DOUBLE) * {SCALE}
+              / sqrt(CAST(greatest(n.ss, 1) AS DOUBLE))) AS BIGINT) AS xi
+  FROM raw r JOIN nrm n USING (id)),
+cent AS (
+  SELECT lab AS clab, d, CAST(sum(xi) // count(*) AS BIGINT) AS m
+  FROM pts GROUP BY lab, d),
+d2 AS (
+  SELECT p.id, p.lab, c.clab,
+         CAST(sum((p.xi - c.m) * (p.xi - c.m)) AS BIGINT) AS d2
+  FROM pts p JOIN cent c USING (d)
+  GROUP BY p.id, p.lab, c.clab),
+per AS (
+  SELECT id, lab,
+         max(CASE WHEN lab = clab THEN d2 END) AS a2,
+         min(CASE WHEN lab <> clab THEN d2 END) AS b2
+  FROM d2 GROUP BY id, lab),
+sil AS (
+  SELECT lab,
+         CASE WHEN b2 IS NULL THEN 0
+              WHEN greatest(a2, b2) = 0 THEN 0
+              ELSE CAST(round(1e6 * (sqrt(CAST(b2 AS DOUBLE))
+                                     - sqrt(CAST(a2 AS DOUBLE)))
+                   / greatest(sqrt(CAST(a2 AS DOUBLE)),
+                              sqrt(CAST(b2 AS DOUBLE)))) AS BIGINT)
+         END AS s,
+         CASE WHEN b2 IS NOT NULL AND b2 < a2 THEN 1 ELSE 0 END AS mis
+  FROM per)
+SELECT lab AS {label_col}, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(mis) AS BIGINT) AS n_misplaced,
+       CAST(sum(s) // count(*) AS BIGINT) AS mean_silhouette_ppm
+FROM sil GROUP BY lab ORDER BY lab
+"""

@@ -5313,3 +5313,27 @@ def quality_classifier_train(spark, sf_dir):
     return hashed_logreg_train(d, F.col("n_chars") > 150,
                                n_buckets=1 << 9, epochs=3,
                                lr_num=1, lr_den=16)
+
+
+def _silhouette_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.clustering import (
+        label_silhouette_sql)
+    return label_silhouette_sql("embeddings")
+
+
+@q("cluster_label_silhouette", ("CLUST-SIL",),
+   oracle=_silhouette_oracle(),
+   note="simplified-silhouette partition eval (Hruschka 2004 - "
+        "centroid distances, not all pairs) for the label column in "
+        "embedding space: per-label mean s=(b-a)/max(a,b) in exact "
+        "ppm and the misplaced count (closer to a foreign centroid = "
+        "the label-noise estimate); unit-int vectors, trunc-division "
+        "centroids, exact int64 d2, one IEEE sqrt per side; corpus "
+        "-> |labels|*dims centroid agg -> broadcast centroid-array "
+        "cross join with the zip_with fold in codegen - no point "
+        "pair ever formed")
+def cluster_label_silhouette(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.clustering import (
+        label_silhouette_report)
+    e = _t(spark, sf_dir, "embeddings")
+    return label_silhouette_report(e)

@@ -85,3 +85,53 @@ def test_semdedup_drops_planted_duplicate(spark, emb):
     bad = plus.filter(
         F.col("n_kept") + F.col("n_dropped") != F.col("n_members")).count()
     assert bad == 0
+
+
+def test_silhouette_planted_separation(spark):
+    """Two tight planted clusters far apart: every point sits near its
+    own centroid -> s near 1e6, zero misplaced; flipping one label
+    marks exactly that point misplaced."""
+    far = [(i, [10.0 + (i % 3) * 0.01, 0.0], 0) for i in range(6)]
+    near = [(10 + i, [0.0, 5.0 + (i % 3) * 0.01], 1) for i in range(6)]
+    df = spark.createDataFrame(
+        far + near, "vec_id long, embedding array<float>, label int")
+    rep = {r["label"]: r for r in
+           CL.label_silhouette_report(df).collect()}
+    assert rep[0]["n_misplaced"] == 0 and rep[1]["n_misplaced"] == 0
+    assert rep[0]["mean_silhouette_ppm"] > 900_000
+    assert rep[1]["mean_silhouette_ppm"] > 900_000
+    # flip one point's label: it lands nearer the foreign centroid
+    flipped = far[:5] + [(far[5][0], far[5][1], 1)] + near
+    df2 = spark.createDataFrame(
+        flipped, "vec_id long, embedding array<float>, label int")
+    rep2 = {r["label"]: r for r in
+            CL.label_silhouette_report(df2).collect()}
+    assert rep2[1]["n_misplaced"] == 1
+    assert rep2[1]["mean_silhouette_ppm"] < rep[1]["mean_silhouette_ppm"]
+
+
+def test_silhouette_single_label_and_singleton(spark):
+    """Single-label input: no foreign centroid -> s = 0. Singleton
+    label: a = 0 -> s = 1e6 (simplified-silhouette convention)."""
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0], 7), (2, [0.9, 0.1], 7)],
+        "vec_id long, embedding array<float>, label int")
+    r = CL.label_silhouette_report(one).collect()
+    assert len(r) == 1 and r[0]["mean_silhouette_ppm"] == 0
+    mix = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.99, 0.01], 0), (3, [0.0, 1.0], 9)],
+        "vec_id long, embedding array<float>, label int")
+    r2 = {x["label"]: x for x in
+          CL.label_silhouette_report(mix).collect()}
+    assert r2[9]["mean_silhouette_ppm"] == 1_000_000
+
+
+def test_silhouette_matches_duckdb_twin(spark, emb):
+    import duckdb
+    got = [tuple(r) for r in CL.label_silhouette_report(emb).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{SF}/embeddings.parquet'")
+    exp = [tuple(r) for r in
+           con.execute(CL.label_silhouette_sql()).fetchall()]
+    assert got == exp
