@@ -163,3 +163,42 @@ def cluster_keepers(edges: DataFrame, id_a: str = "id_a",
     return (comps.groupBy("comp")
             .agg(F.count("*").alias("n_members"),
                  F.min("id").alias("keeper_id")))
+
+
+def cluster_keepers_by_priority(edges: DataFrame, members: DataFrame,
+                                score_col: str, id_col: str = "doc_id",
+                                id_a: str = "id_a",
+                                id_b: str = "id_b") -> DataFrame:
+    """Quality-priority keeper policy: within each duplicate cluster
+    keep the HIGHEST-``score_col`` member (ties → min id) instead of
+    the min-id default — the policy a curation pass actually wants
+    when duplicates differ in quality (keep the longest / cleanest /
+    highest-classifier-score copy, drop the rest). Reports what the
+    policy retains: (comp, n_members, keeper_id, keeper_score,
+    total_score, dropped_score) — dropped_score is the exact volume
+    the dedup frees.
+
+    Scale shape: the component fixpoint is
+    :func:`connected_components` (one join + one agg per round); the
+    score join is a doc-scale equi-join on id; the keeper argmax is a
+    window PARTITIONED by component — cluster-sized partitions, never
+    a global sort (a pathological mega-cluster is already the dedup
+    family's documented skew case)."""
+    from pyspark.sql import Window
+    comps = connected_components(edges, id_a, id_b)
+    m = members.select(F.col(id_col).alias("id"),
+                       F.col(score_col).cast("long").alias("score"))
+    j = comps.join(m, "id")
+    w = Window.partitionBy("comp").orderBy(F.desc("score"), F.asc("id"))
+    ranked = j.withColumn("_rk", F.row_number().over(w))
+    agg = (j.groupBy("comp")
+           .agg(F.count("*").cast("long").alias("n_members"),
+                F.sum("score").cast("long").alias("total_score")))
+    keep = (ranked.filter(F.col("_rk") == 1)
+            .select("comp", F.col("id").alias("keeper_id"),
+                    F.col("score").alias("keeper_score")))
+    return (agg.join(keep, "comp")
+            .select("comp", "n_members", "keeper_id", "keeper_score",
+                    "total_score",
+                    (F.col("total_score") - F.col("keeper_score"))
+                    .cast("long").alias("dropped_score")))

@@ -1026,6 +1026,110 @@ FROM scal JOIN top USING (g)
 """
 
 
+def hill_tail_report(docs: DataFrame, ks: list[int] = (20, 50, 100),
+                     text_col: str = "text",
+                     n_buckets: int = 32) -> DataFrame:
+    """Hill power-law tail-index estimate of the term-frequency
+    distribution — the quantitative Zipf exponent
+    (:func:`term_head_report` tracks head MASS; this fits the head
+    SLOPE). For the k largest term counts c₍₁₎ ≥ … ≥ c₍ₖ₊₁₎ the Hill
+    estimator is α̂ = k / Σᵢ₌₁..ₖ ln(c₍ᵢ₎/c₍ₖ₊₁₎); natural language
+    sits near α ≈ 1 (Zipf) — a template-flooded corpus pushes α down
+    (one giant head), a gibberish/uniform corpus pushes it up. One
+    row per requested k, so the estimator's own k-stability (the
+    classic Hill-plot read) is in the report.
+
+    Exactness: per head rank the log ``lᵢ = round(10⁶·ln cᵢ)`` is one
+    fixed scalar tree over an exact integer count; per k the ratio sum
+    ``S_k = Σᵢ≤k lᵢ − k·l₍ₖ₊₁₎`` is pure integer arithmetic on the
+    rounded logs (per-term rounding of ln c instead of ln-ratio —
+    differs from the textbook float by ≤ k micro-nats, identically on
+    both engines), and ``alpha_milli = 10⁹·k div S_k`` is one integer
+    division. Ties in counts are broken by term text — a deterministic
+    head set.
+
+    Scale shape: one map-side-combined term count, then the TWO-PHASE
+    head (per-md5-bucket top-(kmax+1) windows, then a rank over
+    ≤ n_buckets·(kmax+1) survivors — the term_head discipline: no
+    reducer ever sorts the vocabulary); all k arms fold over the ONE
+    (kmax+1)-row head via conditional sums."""
+    from pyspark.sql import Window
+    sizes = sorted(set(int(k) for k in ks))
+    if not sizes or sizes[0] < 1:
+        raise ValueError("ks must be positive ints")
+    kmax = sizes[-1]
+    terms = (docs.select(F.explode(TX.tokens(text_col)).alias("t"))
+             .groupBy("t").agg(F.count("*").alias("c")))
+    order = [F.col("c").desc(), F.col("t").asc()]
+    w1 = Window.partitionBy(F.pmod(md5_long("t"), F.lit(n_buckets))) \
+        .orderBy(*order)
+    w2 = Window.partitionBy().orderBy(*order)
+    head = (terms.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= kmax + 1)
+            .withColumn("_r2", F.row_number().over(w2))
+            .filter(F.col("_r2") <= kmax + 1)
+            .withColumn("_l", F.round(F.lit(1e6)
+                                      * F.log(F.col("c").cast("double")))
+                        .cast("long")))
+    aggs = []
+    for k in sizes:
+        aggs += [
+            F.sum(F.when(F.col("_r2") <= k, F.col("_l"))).cast("long")
+            .alias(f"suml_{k}"),
+            F.max(F.when(F.col("_r2") == k + 1, F.col("_l")))
+            .cast("long").alias(f"lcut_{k}"),
+            F.max(F.when(F.col("_r2") == k + 1, F.col("c")))
+            .cast("long").alias(f"ccut_{k}")]
+    folded = head.agg(*aggs)
+    arms = [F.struct(
+        F.lit(k).cast("long").alias("k"),
+        F.col(f"ccut_{k}").alias("cutoff_count"),
+        (F.col(f"suml_{k}") - F.lit(k) * F.col(f"lcut_{k}"))
+        .cast("long").alias("sum_log_ratio_micro")) for k in sizes]
+    return (folded.select(F.explode(F.array(*arms)).alias("s"))
+            .select("s.k", "s.cutoff_count", "s.sum_log_ratio_micro")
+            .filter(F.col("cutoff_count").isNotNull())
+            .withColumn("alpha_milli", F.expr(
+                "CASE WHEN sum_log_ratio_micro <= 0 THEN NULL ELSE "
+                "1000000000 * k div sum_log_ratio_micro END")
+                .cast("long"))
+            .orderBy("k"))
+
+
+def hill_tail_sql(table: str = "documents",
+                  ks: list[int] = (20, 50, 100),
+                  text_col: str = "text") -> str:
+    """DuckDB twin of :func:`hill_tail_report` (single-window rank —
+    the two-phase head is lossless, so the plain form is the oracle)."""
+    sizes = sorted(set(int(k) for k in ks))
+    if not sizes or sizes[0] < 1:
+        raise ValueError("ks must be positive ints")
+    kmax = sizes[-1]
+    toks = TX.tokens_sql(text_col)
+    arms = " UNION ALL ".join(f"""
+SELECT {k} AS k,
+  (SELECT c FROM head WHERE r = {k} + 1) AS cutoff_count,
+  (SELECT CAST(sum(l) - {k} * (SELECT l FROM head WHERE r = {k} + 1)
+          AS BIGINT) FROM head WHERE r <= {k}) AS sum_log_ratio_micro"""
+                              for k in sizes)
+    return f"""
+WITH terms AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest({toks}) AS t FROM {table}) GROUP BY t),
+head AS (
+  SELECT c, CAST(round(1e6 * ln(CAST(c AS DOUBLE))) AS BIGINT) AS l,
+         row_number() OVER (ORDER BY c DESC, t ASC) AS r
+  FROM terms QUALIFY r <= {kmax} + 1),
+arms AS ({arms})
+SELECT CAST(k AS BIGINT) AS k, cutoff_count, sum_log_ratio_micro,
+       CAST(CASE WHEN sum_log_ratio_micro <= 0 THEN NULL
+                 ELSE CAST(1000000000 AS BIGINT) * k
+                      // sum_log_ratio_micro END
+            AS BIGINT) AS alpha_milli
+FROM arms WHERE cutoff_count IS NOT NULL ORDER BY k
+"""
+
+
 # --- collocation mining (PMI by exact-integer lift) ---------------------------
 
 def pmi_collocations(docs: DataFrame, top_k: int = 50,

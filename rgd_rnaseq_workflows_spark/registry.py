@@ -5337,3 +5337,75 @@ def cluster_label_silhouette(spark, sf_dir):
         label_silhouette_report)
     e = _t(spark, sf_dir, "embeddings")
     return label_silhouette_report(e)
+
+
+def _priority_keepers_oracle() -> str:
+    """The cluster fixpoint of _cluster_keepers_oracle with the
+    quality-priority keeper (max n_chars, tie min id) and exact
+    retained/dropped score totals."""
+    pairs_sql = REGISTRY["dedup_ngram_jaccard"].oracle.strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+comps AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+j AS (SELECT c.comp, c.id, CAST(d.n_chars AS BIGINT) AS score
+      FROM comps c JOIN documents d ON d.doc_id = c.id),
+keep AS (
+  SELECT comp, id AS keeper_id, score AS keeper_score FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY comp ORDER BY score DESC, id) AS rk FROM j)
+  WHERE rk = 1)
+SELECT j.comp, CAST(count(*) AS BIGINT) AS n_members,
+       max(k.keeper_id) AS keeper_id,
+       CAST(max(k.keeper_score) AS BIGINT) AS keeper_score,
+       CAST(sum(j.score) AS BIGINT) AS total_score,
+       CAST(sum(j.score) - max(k.keeper_score) AS BIGINT)
+         AS dropped_score
+FROM j JOIN keep k USING (comp)
+GROUP BY j.comp
+"""
+
+
+@q("dedup_priority_keepers", ("DEDUP-PRIORITY",),
+   oracle=None,  # composed below from the ngram-pairs oracle text
+   note="quality-priority keeper policy over near-dup clusters: keep "
+        "the highest-n_chars member (tie min id) instead of min-id, "
+        "with exact retained/dropped score totals - the policy a "
+        "curation pass wants when duplicate copies differ in quality; "
+        "same component fixpoint as dedup_cluster_keepers, score join "
+        "at doc scale, argmax window partitioned by cluster")
+def dedup_priority_keepers(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.components import (
+        cluster_keepers_by_priority)
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, block_col="lang", shingle_n=2,
+                                   threshold=0.8)
+    return cluster_keepers_by_priority(pairs, d, "n_chars")
+
+
+REGISTRY["dedup_priority_keepers"].oracle = _priority_keepers_oracle()
+
+
+def _hill_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import hill_tail_sql
+    return hill_tail_sql("documents", ks=(20, 50, 100))
+
+
+@q("text_hill_tail_index", ("HILL-TAIL",), oracle=_hill_oracle(),
+   note="Hill power-law tail-index of the term-frequency distribution "
+        "at k=20/50/100 (the Hill-plot stability read): per-head-rank "
+        "rounded micro-nat logs, integer ratio sums, one integer "
+        "division per k - the quantitative Zipf slope next to "
+        "term_head's mass ratios; one map-side term count then the "
+        "two-phase bucketed head (no reducer sorts the vocabulary), "
+        "all k arms folded over one (kmax+1)-row frame")
+def text_hill_tail_index(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        hill_tail_report)
+    d = _t(spark, sf_dir, "documents")
+    return hill_tail_report(d, ks=(20, 50, 100))

@@ -748,3 +748,38 @@ def test_logreg_train_matches_duckdb_twin(spark):
         "n_chars > 180", "docs", n_buckets=128, epochs=4,
         lr_num=1, lr_den=16)).fetchall()]
     assert got == exp
+
+
+def test_hill_tail_planted_zipf(spark):
+    """A planted Zipf corpus (term i appearing ~N/i times) must fit
+    alpha near 1; k-rows are present for every k with enough types."""
+    words = []
+    for i in range(1, 300):
+        words += [f"w{i:03d}"] * max(1, 1000 // i)
+    docs = spark.createDataFrame(
+        [(j, " ".join(words[j::50])) for j in range(50)],
+        "doc_id long, text string")
+    rows = {r["k"]: r for r in
+            __import__("rgd_rnaseq_workflows_spark.operators.quality",
+                       fromlist=["hill_tail_report"])
+            .hill_tail_report(docs, ks=(20, 50)).collect()}
+    assert set(rows) == {20, 50}
+    for r in rows.values():
+        assert 600 <= r["alpha_milli"] <= 1600, r
+        assert r["sum_log_ratio_micro"] > 0
+
+
+def test_hill_tail_matches_duckdb_twin(spark):
+    import duckdb
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        hill_tail_report, hill_tail_sql)
+    rows = [(i, " ".join(f"t{(i + j * j) % 61}" for j in range(30)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in hill_tail_report(df, ks=(10, 25)).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    exp = [tuple(r) for r in
+           con.execute(hill_tail_sql("docs", ks=(10, 25))).fetchall()]
+    assert got == exp
