@@ -1007,3 +1007,152 @@ SELECT stratum, CAST(n AS BIGINT) AS n_rows, w_milli,
             THEN 1 ELSE 0 END AS BIGINT) AS alloc
 FROM seats ORDER BY stratum
 """
+
+
+def _poisson1_thresholds(universe: int) -> list[int]:
+    """Inverse-CDF cut points of Poisson(1) scaled to the integer hash
+    universe, capped at weight 7 (P(X>7) < 1e-8). Computed driver-side
+    with exact doubles and embedded as integer literals, so BOTH
+    engines compare the identical thresholds — the constant-folding
+    discipline from the LSH family."""
+    from math import exp, factorial
+    cdf, acc = [], 0.0
+    for k in range(8):
+        acc += exp(-1.0) / factorial(k)
+        cdf.append(min(acc, 1.0))
+    return [int(c * universe) for c in cdf]
+
+
+def bootstrap_mean_ci(df: DataFrame, by: str, value_col: str,
+                      id_col: str = "doc_id", n_replicas: int = 32,
+                      lo_pct: int = 5, hi_pct: int = 95,
+                      seed: int = 11) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-group mean —
+    the error bar a mixing/curation decision should carry before
+    trusting a per-source statistic. The classic with-replacement
+    bootstrap needs each group resident in one place; the POISSON
+    bootstrap (replica weight ~ Poisson(1) per row, independent across
+    rows) is its distributed form: every replica's weighted mean folds
+    map-side in ONE corpus pass — no resampling shuffle, no driver
+    state.
+
+    Determinism (both engines, any partitioning): the (row, replica)
+    weight is the inverse-CDF of Poisson(1) applied to the universal
+    hash ``(a_r·x + b_r) mod p`` of the row's ``id_col`` — ONE md5 per
+    row, ``n_replicas`` integer hashes derived from it (the
+    minhash-params discipline) compared against integer thresholds
+    embedded as literals (:func:`_poisson1_thresholds`). Replica means
+    are exact-integer milli divisions; CI bounds are exact lower
+    (type-1) quantiles of the replica means — no float anywhere.
+
+    Output per group: (``by``, n_rows, mean_milli, ci_lo_milli,
+    ci_hi_milli, n_replicas_used); replicas with total weight 0
+    (possible only for tiny groups) drop out of ``n_replicas_used``.
+
+    Scale shape: the replica explode is a codegen-inline generator
+    over literal (slot, a, b) structs — never materialized; the only
+    corpus-scale shuffle is the map-side-combined
+    groupBy(group, replica) collapsing to |groups|·n_replicas rows;
+    the quantile folds run on n_replicas-row partitions."""
+    from rgd_rnaseq_workflows_spark.operators.dedup import (
+        MINHASH_P, minhash_params)
+    if not 0 < lo_pct <= hi_pct <= 100:
+        raise ValueError("need 0 < lo_pct <= hi_pct <= 100")
+    cuts = _poisson1_thresholds(MINHASH_P)
+    params = minhash_params(n_replicas)
+    x = F.pmod(md5_long(F.col("id").cast("string"), seed=seed),
+               F.lit(1 << 30))
+    base = df.select(F.col(by).alias("g"),
+                     F.col(value_col).cast("long").alias("v"),
+                     F.col(id_col).alias("id")) \
+        .select("g", "v", x.alias("x"))
+    slots = F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 ((F.col("x") * a + b) % MINHASH_P).alias("u"))
+        for r, (a, b) in enumerate(params)])
+    w = sum((F.col("s.u") >= c).cast("long") for c in cuts[:-1])
+    rep = (base.select("g", "v", F.explode(slots).alias("s"))
+           .select("g", F.col("s.r").alias("r"), "v", w.alias("w"))
+           .groupBy("g", "r")
+           .agg(F.sum(F.col("w") * F.col("v")).cast("long").alias("sv"),
+                F.sum("w").cast("long").alias("sw"))
+           .filter(F.col("sw") > 0)
+           .select("g", F.expr("1000 * sv div sw").cast("long")
+                   .alias("m")))
+    from pyspark.sql import Window
+    ww = Window.partitionBy("g").orderBy("m")
+    cum = rep.withColumn("_rk", F.row_number().over(ww))
+    tot = rep.groupBy("g").agg(F.count("*").cast("long").alias("_b"))
+    qs = (cum.join(F.broadcast(tot), "g")
+          .groupBy("g")
+          .agg(F.max("_b").alias("n_replicas_used"),
+               F.min(F.when(
+                   F.col("_rk") >= F.expr(
+                       f"(_b * {lo_pct} + 99) div 100"),
+                   F.col("m"))).cast("long").alias("ci_lo_milli"),
+               F.min(F.when(
+                   F.col("_rk") >= F.expr(
+                       f"(_b * {hi_pct} + 99) div 100"),
+                   F.col("m"))).cast("long").alias("ci_hi_milli")))
+    point = (df.groupBy(F.col(by).alias("g"))
+             .agg(F.count("*").cast("long").alias("n_rows"),
+                  F.expr(f"1000 * sum(CAST({value_col} AS BIGINT)) "
+                         f"div count(*)").cast("long")
+                  .alias("mean_milli")))
+    return (point.join(qs, "g")
+            .select(F.col("g").alias(by), "n_rows", "mean_milli",
+                    "ci_lo_milli", "ci_hi_milli",
+                    F.col("n_replicas_used").cast("long")
+                    .alias("n_replicas_used"))
+            .orderBy(by))
+
+
+def bootstrap_mean_ci_sql(src: str, by: str, value_col: str,
+                          id_col: str = "doc_id", n_replicas: int = 32,
+                          lo_pct: int = 5, hi_pct: int = 95,
+                          seed: int = 11) -> str:
+    """DuckDB twin of :func:`bootstrap_mean_ci` — identical hash
+    family, Poisson thresholds, integer milli means and type-1
+    quantile folds."""
+    from rgd_rnaseq_workflows_spark.operators.dedup import (
+        MINHASH_P, minhash_params)
+    cuts = _poisson1_thresholds(MINHASH_P)
+    params = minhash_params(n_replicas)
+    h = md5_long_sql(f"CAST({id_col} AS VARCHAR)", seed=seed)
+    arms = " UNION ALL ".join(
+        f"SELECT g, v, {r} AS r, ((x * {a} + {b}) % {MINHASH_P}) AS u "
+        f"FROM base" for r, (a, b) in enumerate(params))
+    wexpr = " + ".join(
+        f"CASE WHEN u >= {c} THEN 1 ELSE 0 END" for c in cuts[:-1])
+    return f"""
+WITH base AS (
+  SELECT {by} AS g, CAST({value_col} AS BIGINT) AS v,
+         ({h}) % {1 << 30} AS x
+  FROM {src}),
+slots AS ({arms}),
+rep AS (
+  SELECT g, r, CAST(1000 * sum(({wexpr}) * v)
+                    // sum({wexpr}) AS BIGINT) AS m
+  FROM slots GROUP BY g, r
+  HAVING sum({wexpr}) > 0),
+ranked AS (
+  SELECT g, m, row_number() OVER (PARTITION BY g ORDER BY m) AS rk,
+         count(*) OVER (PARTITION BY g) AS b
+  FROM rep),
+qs AS (
+  SELECT g, CAST(max(b) AS BIGINT) AS n_replicas_used,
+         CAST(min(CASE WHEN rk >= (b * {lo_pct} + 99) // 100
+                       THEN m END) AS BIGINT) AS ci_lo_milli,
+         CAST(min(CASE WHEN rk >= (b * {hi_pct} + 99) // 100
+                       THEN m END) AS BIGINT) AS ci_hi_milli
+  FROM ranked GROUP BY g),
+point AS (
+  SELECT {by} AS g, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(1000 * sum(CAST({value_col} AS BIGINT))
+              // count(*) AS BIGINT) AS mean_milli
+  FROM {src} GROUP BY {by})
+SELECT p.g AS {by}, p.n_rows, p.mean_milli,
+       q.ci_lo_milli, q.ci_hi_milli, q.n_replicas_used
+FROM point p JOIN qs q USING (g)
+ORDER BY {by}
+"""

@@ -5409,3 +5409,27 @@ def text_hill_tail_index(spark, sf_dir):
         hill_tail_report)
     d = _t(spark, sf_dir, "documents")
     return hill_tail_report(d, ks=(20, 50, 100))
+
+
+def _bootstrap_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        bootstrap_mean_ci_sql)
+    return bootstrap_mean_ci_sql("documents", "source", "n_chars",
+                                 n_replicas=32)
+
+
+@q("sample_bootstrap_ci", ("SAMPLE-BOOTSTRAP",),
+   oracle=_bootstrap_oracle(),
+   note="Poisson-bootstrap CI for the per-source mean (the "
+        "distributed form of resample-with-replacement: replica "
+        "weight ~ Poisson(1) per row from the md5-universal hash vs "
+        "embedded integer inverse-CDF thresholds): all 32 replica "
+        "means fold map-side in ONE corpus pass to "
+        "|groups|*replicas rows, CI bounds are exact type-1 "
+        "quantiles of integer milli means - the error bar a mixing "
+        "decision carries before trusting a sampled statistic")
+def sample_bootstrap_ci(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        bootstrap_mean_ci)
+    d = _t(spark, sf_dir, "documents")
+    return bootstrap_mean_ci(d, "source", "n_chars", n_replicas=32)

@@ -633,3 +633,63 @@ def test_neyman_allocation_all_constant_gives_zero(spark):
     df = spark.createDataFrame([("a", 5), ("b", 5)], "src string, v long")
     out = neyman_allocation(df, "src", "v", n_total=4).collect()
     assert all(r["alloc"] == 0 and r["w_milli"] == 0 for r in out)
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        bootstrap_mean_ci)
+    rows = [(i, "g", 100 + (i * 37) % 50) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                                     "n_chars long")
+    r = bootstrap_mean_ci(df, "source", "n_chars").collect()[0]
+    assert r["n_rows"] == 400 and r["n_replicas_used"] == 32
+    # CI must bracket the point estimate and be reasonably tight for
+    # a 400-row group (bootstrap se ~ sd/sqrt(n) ~ 0.7 chars)
+    assert r["ci_lo_milli"] <= r["mean_milli"] <= r["ci_hi_milli"]
+    assert r["ci_hi_milli"] - r["ci_lo_milli"] < 10_000
+    # deterministic across partitionings
+    r2 = bootstrap_mean_ci(df.repartition(13), "source",
+                           "n_chars").collect()[0]
+    assert tuple(r) == tuple(r2)
+
+
+def test_bootstrap_ci_poisson_weights_mean_one(spark):
+    """The planted-weight sanity: across rows and replicas the Poisson
+    weights must average ~1 (the bootstrap's unbiasedness)."""
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.operators.dedup import (
+        MINHASH_P, minhash_params)
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        _poisson1_thresholds)
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long
+    cuts = _poisson1_thresholds(MINHASH_P)
+    params = minhash_params(8)
+    df = spark.range(2000).select(
+        F.pmod(md5_long(F.col("id").cast("string"), seed=11),
+               F.lit(1 << 30)).alias("x"))
+    slots = F.array(*[((F.col("x") * a + b) % MINHASH_P).alias(f"u{r}")
+                      for r, (a, b) in enumerate(params)])
+    w = df.select(F.explode(slots).alias("u")).select(
+        sum((F.col("u") >= c).cast("long") for c in cuts[:-1])
+        .alias("w"))
+    m = w.agg(F.avg("w")).collect()[0][0]
+    assert 0.95 < m < 1.05
+
+
+def test_bootstrap_ci_matches_duckdb_twin(spark):
+    import duckdb
+    from rgd_rnaseq_workflows_spark.operators.sampling import (
+        bootstrap_mean_ci, bootstrap_mean_ci_sql)
+    rows = [(i, f"s{i % 3}", 50 + (i * 13) % 90) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                                     "n_chars long")
+    got = [tuple(r) for r in
+           bootstrap_mean_ci(df, "source", "n_chars",
+                             n_replicas=16).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, source VARCHAR, "
+                "n_chars BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    exp = [tuple(r) for r in con.execute(bootstrap_mean_ci_sql(
+        "t", "source", "n_chars", n_replicas=16)).fetchall()]
+    assert got == exp
