@@ -1007,3 +1007,85 @@ SELECT tot.n AS n_rows, hx.k AS n_x, hy.k AS n_y, hxy.k AS n_cells,
          // (hx.h + hy.h) END AS BIGINT) AS nmi_bp
 FROM tot, hx, hy, hxy
 """
+
+
+def benford_report(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford first-significant-digit audit of a positive numeric
+    column — the forensic data-quality screen for invented or
+    template-generated amounts (real multiplicative processes follow
+    ``P(d) = log10(1+1/d)``; fabricated or uniformly-generated values
+    don't, and TPC-H's uniform prices are a textbook violation the
+    audit should FLAG). Per digit 1–9: exact count, observed ppm,
+    Benford-expected ppm, signed deviation, and the digit's chi-square
+    contribution — the row-wise decomposition an auditor reads to see
+    WHICH digits carry the distortion.
+
+    Exactness: values are fixed-pointed to exact integer cents
+    (``round(x·100)`` — one IEEE round of the same double on both
+    engines), the first digit is the leading character of the INTEGER
+    rendering (integer→string is engine-identical; float formatting
+    is not, which is why the cast happens after fix-pointing), the
+    expected probabilities are driver-computed literals, and every
+    report number is a per-term-rounded integer (the KN discipline).
+    Non-positive and NULL values are excluded and do not count.
+
+    Scale shape: one map-side-combined groupBy over a 9-value key —
+    the corpus collapses to ≤ 9 rows in a single pass; everything
+    after is literal arithmetic."""
+    import math
+    exp_ppm = {d: round(1e6 * math.log10(1 + 1 / d))
+               for d in range(1, 10)}
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    base = (df.filter(F.col(value_col).isNotNull()
+                      & (F.col(value_col) > 0))
+            .select(digit.alias("digit"))
+            .groupBy("digit").agg(F.count("*").alias("n")))
+    tot = base.agg(F.sum("n").alias("_t"))
+    ecase = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in exp_ppm.items()) + " END"
+    return (base.crossJoin(F.broadcast(tot))
+            .select("digit", F.col("n").cast("long").alias("n_values"),
+                    F.expr("n * 1000000 div _t").cast("long")
+                    .alias("obs_ppm"),
+                    F.expr(ecase).cast("long").alias("exp_ppm"))
+            .withColumn("dev_ppm",
+                        (F.col("obs_ppm") - F.col("exp_ppm"))
+                        .cast("long"))
+            .withColumn("chi2_contrib_micro", F.round(
+                F.lit(1e6)
+                * (F.col("obs_ppm") - F.col("exp_ppm"))
+                * (F.col("obs_ppm") - F.col("exp_ppm"))
+                / (F.lit(1e6) * F.col("exp_ppm"))).cast("long"))
+            .orderBy("digit"))
+
+
+def benford_sql(table: str, value_expr: str) -> str:
+    """DuckDB twin of :func:`benford_report` — identical fix-pointing,
+    integer-string first digit, literal expectations."""
+    import math
+    exp_ppm = {d: round(1e6 * math.log10(1 + 1 / d))
+               for d in range(1, 10)}
+    ecase = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in exp_ppm.items()) + " END"
+    return f"""
+WITH base AS (
+  SELECT CAST(substr(CAST(CAST(round(CAST({value_expr} AS DOUBLE)
+                                     * 100) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM {table}
+  WHERE {value_expr} IS NOT NULL AND {value_expr} > 0
+  GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM base)
+SELECT digit, n AS n_values,
+       CAST(n * 1000000 // t AS BIGINT) AS obs_ppm,
+       CAST({ecase} AS BIGINT) AS exp_ppm,
+       CAST(n * 1000000 // t - ({ecase}) AS BIGINT) AS dev_ppm,
+       CAST(round(1e6 * (n * 1000000 // t - ({ecase}))
+                  * (n * 1000000 // t - ({ecase}))
+                  / (1e6 * ({ecase}))) AS BIGINT)
+         AS chi2_contrib_micro
+FROM base, tot
+ORDER BY digit
+"""

@@ -5433,3 +5433,25 @@ def sample_bootstrap_ci(spark, sf_dir):
         bootstrap_mean_ci)
     d = _t(spark, sf_dir, "documents")
     return bootstrap_mean_ci(d, "source", "n_chars", n_replicas=32)
+
+
+def _benford_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.profile import benford_sql
+    return benford_sql("lineitem", "l_extendedprice")
+
+
+@q("profile_benford_audit", ("PROF-BENFORD",),
+   oracle=_benford_oracle(),
+   note="Benford first-significant-digit audit of l_extendedprice: "
+        "exact integer-cent fix-pointing, integer-string first digit "
+        "(float formatting is NOT engine-portable - the cast order is "
+        "the point), driver-literal expected ppm, per-digit chi-square "
+        "contributions - the forensic screen for fabricated/template "
+        "amounts (TPC-H's uniform prices violate Benford and the "
+        "audit flags exactly that); corpus collapses to <= 9 rows in "
+        "one map-side-combined pass")
+def profile_benford_audit(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        benford_report)
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_report(li, "l_extendedprice")

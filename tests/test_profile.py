@@ -423,3 +423,30 @@ def test_source_overlap_minhash_identical_and_disjoint(spark):
     assert got[("s1", "s2")]["jaccard_bp"] == 10000  # identical sets
     assert got[("s1", "s3")]["jaccard_bp"] < 5000    # disjoint shingles
     assert len(got) == 3
+
+
+def test_benford_excludes_nonpositive_and_counts_digits(spark):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        benford_report)
+    rows = [(1.0,), (19.99,), (2.50,), (0.0,), (-5.0,), (None,),
+            (910.0,), (0.99,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = {r["digit"]: r["n_values"] for r in
+           benford_report(df, "v").collect()}
+    # cents: 100, 1999, 250, excluded, excluded, excluded, 91000, 99
+    assert got == {1: 2, 2: 1, 9: 2}
+
+
+def test_benford_matches_duckdb_twin(spark):
+    import duckdb
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        benford_report, benford_sql)
+    rows = [(float(1 + (i * i) % 977) + 0.37,) for i in range(300)]
+    df = spark.createDataFrame(rows, "v double")
+    got = [tuple(r) for r in benford_report(df, "v").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    exp = [tuple(r) for r in
+           con.execute(benford_sql("t", "v")).fetchall()]
+    assert got == exp
