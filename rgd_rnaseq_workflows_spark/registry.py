@@ -5455,3 +5455,26 @@ def profile_benford_audit(spark, sf_dir):
         benford_report)
     li = _t(spark, sf_dir, "lineitem")
     return benford_report(li, "l_extendedprice")
+
+
+def _disorder_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.timeseries import (
+        disorder_sql)
+    return disorder_sql("events")
+
+
+@q("events_disorder_report", ("EVT-DISORDER",),
+   oracle=_disorder_oracle(),
+   note="event-time disorder audit in arrival order (event_id): "
+        "lateness vs the exclusive running event-time max, exact "
+        "epoch-microsecond integers - max_late_us IS the smallest "
+        "safe withWatermark and late_ppm the drop cost of a tighter "
+        "one; the global running max is the two-phase distributed "
+        "prefix (bucket windows + metadata-scale bucket prefix, the "
+        "pack_chunks discipline), never one unpartitioned corpus "
+        "window; oracle is the plain global window (lossless)")
+def events_disorder_report(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.timeseries import (
+        disorder_report)
+    e = _events(spark, sf_dir)
+    return disorder_report(e)

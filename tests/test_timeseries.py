@@ -124,3 +124,55 @@ class TestGapfillPlan:
         assert "Scan parquet" not in plan and "FileScan" not in plan
         assert plan.count("Exchange") - plan.count("ReusedExchange") == 0
         assert "ExistingRDD" in plan
+
+
+class TestDisorderReport:
+    def _ev(self, spark, rows):
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame(rows, "event_id long, us long, "
+                                         "event_type string")
+        return df.select("event_id",
+                         F.timestamp_micros("us").alias("ts"),
+                         "event_type")
+
+    def test_hand_computed_lateness(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.timeseries import (
+            disorder_report)
+        # arrival order 1..5; ts: 100, 300, 250, 400, 150
+        rows = [(1, 100, "a"), (2, 300, "a"), (3, 250, "a"),
+                (4, 400, "b"), (5, 150, "b")]
+        got = {r["event_type"]: r for r in
+               disorder_report(self._ev(spark, rows),
+                               bucket_width=2).collect()}
+        # a: late rows: id3 (prev max 300 -> late 50); b: id5 (400->250)
+        assert (got["a"]["n_late"], got["a"]["max_late_us"]) == (1, 50)
+        assert (got["b"]["n_late"], got["b"]["max_late_us"]) == (1, 250)
+        assert got["a"]["n_events"] == 3 and got["b"]["n_events"] == 2
+
+    def test_ordered_stream_is_clean_any_bucketing(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.timeseries import (
+            disorder_report)
+        rows = [(i, i * 10, "x") for i in range(1, 200)]
+        for w in (7, 50, 1000):
+            r = disorder_report(self._ev(spark, rows),
+                                bucket_width=w).collect()[0]
+            assert r["n_late"] == 0 and r["max_late_us"] == 0
+
+    def test_two_phase_matches_global_window_twin(self, spark):
+        import duckdb
+        from rgd_rnaseq_workflows_spark.operators.timeseries import (
+            disorder_report, disorder_sql)
+        rows = [(i, ((i * 37) % 101) * 1000, f"t{i % 3}")
+                for i in range(1, 300)]
+        got = [tuple(r) for r in
+               disorder_report(self._ev(spark, rows),
+                               bucket_width=13).collect()]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE events (event_id BIGINT, "
+                    "ts TIMESTAMP, event_type VARCHAR)")
+        con.executemany(
+            "INSERT INTO events VALUES (?, make_timestamp(?), ?)",
+            rows)
+        exp = [tuple(r) for r in
+               con.execute(disorder_sql("events")).fetchall()]
+        assert got == exp
