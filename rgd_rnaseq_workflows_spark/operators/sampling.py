@@ -1066,23 +1066,34 @@ def bootstrap_mean_ci(df: DataFrame, by: str, value_col: str,
                      F.col(value_col).cast("long").alias("v"),
                      F.col(id_col).alias("id")) \
         .select("g", "v", x.alias("x"))
-    slots = F.array(*[
-        F.struct(F.lit(r).alias("r"),
-                 ((F.col("x") * a + b) % MINHASH_P).alias("u"))
-        for r, (a, b) in enumerate(params)])
-    w = sum((F.col("s.u") >= c).cast("long") for c in cuts[:-1])
+    # slot r = −1 is the POINT estimate riding the same pass with
+    # weight 1 (u = sentinel below every threshold +1 trick handled in
+    # the weight expression) — one corpus scan serves the point mean,
+    # the row count, and every replica
+    slots = F.array(
+        F.struct(F.lit(-1).alias("r"), F.lit(0).alias("u")),
+        *[F.struct(F.lit(r).alias("r"),
+                   ((F.col("x") * a + b) % MINHASH_P).alias("u"))
+          for r, (a, b) in enumerate(params)])
+    pw = sum((F.col("s.u") >= c).cast("long") for c in cuts[:-1])
+    w = F.when(F.col("s.r") == -1, F.lit(1)).otherwise(pw)
     rep = (base.select("g", "v", F.explode(slots).alias("s"))
            .select("g", F.col("s.r").alias("r"), "v", w.alias("w"))
            .groupBy("g", "r")
            .agg(F.sum(F.col("w") * F.col("v")).cast("long").alias("sv"),
                 F.sum("w").cast("long").alias("sw"))
            .filter(F.col("sw") > 0)
-           .select("g", F.expr("1000 * sv div sw").cast("long")
-                   .alias("m")))
+           .select("g", "r", "sw",
+                   F.expr("1000 * sv div sw").cast("long").alias("m")))
+    # rep is |groups|·(replicas+1) rows feeding four branches — freeze
+    # it so the corpus explode runs exactly once
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    rep = checkpoint_df(rep, eager=False)
     from pyspark.sql import Window
+    boot = rep.filter(F.col("r") >= 0).select("g", "m")
     ww = Window.partitionBy("g").orderBy("m")
-    cum = rep.withColumn("_rk", F.row_number().over(ww))
-    tot = rep.groupBy("g").agg(F.count("*").cast("long").alias("_b"))
+    cum = boot.withColumn("_rk", F.row_number().over(ww))
+    tot = boot.groupBy("g").agg(F.count("*").cast("long").alias("_b"))
     qs = (cum.join(F.broadcast(tot), "g")
           .groupBy("g")
           .agg(F.max("_b").alias("n_replicas_used"),
@@ -1094,11 +1105,9 @@ def bootstrap_mean_ci(df: DataFrame, by: str, value_col: str,
                    F.col("_rk") >= F.expr(
                        f"(_b * {hi_pct} + 99) div 100"),
                    F.col("m"))).cast("long").alias("ci_hi_milli")))
-    point = (df.groupBy(F.col(by).alias("g"))
-             .agg(F.count("*").cast("long").alias("n_rows"),
-                  F.expr(f"1000 * sum(CAST({value_col} AS BIGINT)) "
-                         f"div count(*)").cast("long")
-                  .alias("mean_milli")))
+    point = (rep.filter(F.col("r") == -1)
+             .select("g", F.col("sw").alias("n_rows"),
+                     F.col("m").alias("mean_milli")))
     return (point.join(qs, "g")
             .select(F.col("g").alias(by), "n_rows", "mean_milli",
                     "ci_lo_milli", "ci_hi_milli",

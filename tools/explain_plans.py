@@ -449,6 +449,46 @@ SHOWCASE = {
         "vectors checkpointed once; per round a least(mind, dist² to "
         "the ONE new broadcast center) projection + TakeOrdered(1) — "
         "d ops/row/round, never k·d; exact integer distances.",
+    "dedup_minhash_diversity": "pair-free redundancy estimator: "
+        "signature groupBy then a slot-value histogram that collapses "
+        "map-side; report is num_hashes rows — no pair enumerated, "
+        "runnable as a full-corpus pre-flight.",
+    "dedup_source_overlap": "corpus collapses to |sources| minhash "
+        "signatures in ONE map-side groupBy; the pair join is a "
+        "broadcast self-join on that metadata frame.",
+    "profile_join_explosion": "join-cardinality pre-flight: per-side "
+        "key-scale count tables, count-table equi-join, two-phase "
+        "lossless top-k (per-partition candidate cut, global rank on "
+        "≤ P·k survivors) — the key_skew discipline.",
+    "profile_mutual_information": "corpus → (x,y) cell table in one "
+        "map-side groupBy; margins/entropies are aggregates OF THE "
+        "CELL TABLE with broadcast 1-row totals; per-term rounded "
+        "micro-nat integer folds (mi = hx+hy−hxy integer identity).",
+    "quality_classifier_train": "distributed logreg: checkpointed "
+        "(doc,y,bucket,c) features; per epoch ONE broadcast weight "
+        "join + per-doc agg, ONE doc-keyed join back + per-bucket "
+        "gradient agg; weights/gradients are bucket-scale collects "
+        "(k-means-centroid pattern); exact integer trajectory.",
+    "cluster_label_silhouette": "centroid-based silhouette: one "
+        "posexplode agg to |labels|·dims rows, broadcast "
+        "centroid-array cross join with the zip_with distance fold in "
+        "codegen — no point pair, one corpus pass.",
+    "dedup_priority_keepers": "same component fixpoint as "
+        "cluster_keepers; score join at doc scale; keeper argmax is a "
+        "window PARTITIONED by component (cluster-sized partitions).",
+    "text_hill_tail_index": "two-phase bucketed head (nobody sorts "
+        "the vocabulary), all k arms folded over one (kmax+1)-row "
+        "frame; per-rank rounded logs, integer ratio sums.",
+    "sample_bootstrap_ci": "Poisson bootstrap: replica explode is a "
+        "codegen generator over literal (a,b) structs; ONE map-side "
+        "groupBy to |groups|·replicas rows; quantile folds on "
+        "replica-count partitions.",
+    "profile_benford_audit": "corpus collapses to ≤ 9 digit rows in "
+        "one map-side-combined pass; first digit from the INTEGER "
+        "rendering after exact cent fix-pointing.",
+    "events_disorder_report": "two-phase distributed prefix max in "
+        "arrival order (bucket windows + metadata bucket prefix "
+        "broadcast back) — never one unpartitioned corpus window.",
 }
 
 
