@@ -1089,3 +1089,106 @@ SELECT digit, n AS n_values,
 FROM base, tot
 ORDER BY digit
 """
+
+
+def group_trend_report(df: DataFrame, by: str, x_col: str,
+                       y_col: str) -> DataFrame:
+    """Per-group OLS trend line of ``y_col`` over ``x_col`` — the
+    drift detector a corpus dashboard fits per source over ingestion
+    order ("are this feed's documents getting shorter?"): slope,
+    intercept, and r² from EXACT integer moments, one corpus pass.
+
+    Exactness (the Neyman/correlations discipline): both columns must
+    be integral; the five moment sums accumulate as decimal(38,0) —
+    no float accumulation anywhere — so the OLS numerators
+    ``num = n·Sxy − Sx·Sy``, ``dx = n·Sxx − Sx²``, ``dy = n·Syy −
+    Sy²`` are exact integers (bound: |n·Sxy| < 10³⁸, i.e. corpus ×
+    value products inside 38 digits — the module's documented decimal
+    envelope). The final ratios are ONE fixed double expression each
+    (exact-integer inputs, deterministic IEEE ops, rounded once):
+    ``slope_micro = round(10⁶·num/dx)``, ``intercept_milli =
+    round(10³·(Sy·dx − num·Sx)/(n·dx))``, ``r2_ppm =
+    round(10⁶·num²/(dx·dy))``. Degenerate groups (constant x or
+    constant y ⇒ dx·dy = 0) report NULLs — a trend over a constant
+    axis is undefined, and both engines agree on the NULL.
+
+    Scale shape: ONE map-side-combined aggregation to |groups| rows;
+    everything after is per-row literal arithmetic on the metadata
+    frame. The corpus is read once and never shuffled."""
+    x = F.col(x_col).cast("decimal(38,0)")
+    y = F.col(y_col).cast("decimal(38,0)")
+    st = (df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+          .groupBy(F.col(by).alias("g"))
+          .agg(F.count("*").cast("decimal(38,0)").alias("n"),
+               F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+               F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+               F.sum(x * y).alias("sxy")))
+    st = (st.withColumn("num", F.expr("n * sxy - sx * sy"))
+          .withColumn("dx", F.expr("n * sxx - sx * sx"))
+          .withColumn("dy", F.expr("n * syy - sy * sy")))
+    d = {c: F.col(c).cast("double") for c in
+         ("n", "sx", "sy", "num", "dx", "dy")}
+    bad = (F.col("dx") == 0) | (F.col("dy") == 0)
+    return (st.select(
+        F.col("g").alias(by),
+        F.col("n").cast("long").alias("n_rows"),
+        F.when(bad, F.lit(None)).otherwise(
+            F.round(F.lit(1e6) * d["num"] / d["dx"]))
+        .cast("long").alias("slope_micro"),
+        F.when(bad, F.lit(None)).otherwise(
+            F.round(F.lit(1e3) * (d["sy"] * d["dx"]
+                                  - d["num"] * d["sx"])
+                    / (d["n"] * d["dx"])))
+        .cast("long").alias("intercept_milli"),
+        F.when(bad, F.lit(None)).otherwise(
+            F.round(F.lit(1e6) * d["num"] * d["num"]
+                    / (d["dx"] * d["dy"])))
+        .cast("long").alias("r2_ppm"))
+        .orderBy(by))
+
+
+def group_trend_sql(table: str, by: str, x_col: str,
+                    y_col: str) -> str:
+    """DuckDB twin of :func:`group_trend_report` — HUGEINT moment
+    sums (the 128-bit twin of decimal-38), identical double trees."""
+    return f"""
+WITH st AS (
+  SELECT {by} AS g, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST({x_col} AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST({y_col} AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST({x_col} AS HUGEINT)
+                  * CAST({x_col} AS HUGEINT)) AS HUGEINT) AS sxx,
+         CAST(sum(CAST({y_col} AS HUGEINT)
+                  * CAST({y_col} AS HUGEINT)) AS HUGEINT) AS syy,
+         CAST(sum(CAST({x_col} AS HUGEINT)
+                  * CAST({y_col} AS HUGEINT)) AS HUGEINT) AS sxy
+  FROM {table}
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+  GROUP BY {by}),
+mo AS (
+  SELECT g, n, sx, sy,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS dx,
+         n * syy - sy * sy AS dy
+  FROM st)
+SELECT g AS {by}, CAST(n AS BIGINT) AS n_rows,
+       CASE WHEN dx = 0 OR dy = 0 THEN NULL
+            ELSE CAST(round(1e6 * CAST(num AS DOUBLE)
+                            / CAST(dx AS DOUBLE)) AS BIGINT)
+       END AS slope_micro,
+       CASE WHEN dx = 0 OR dy = 0 THEN NULL
+            ELSE CAST(round(1e3 * (CAST(sy AS DOUBLE)
+                                   * CAST(dx AS DOUBLE)
+                                   - CAST(num AS DOUBLE)
+                                   * CAST(sx AS DOUBLE))
+                            / (CAST(n AS DOUBLE)
+                               * CAST(dx AS DOUBLE))) AS BIGINT)
+       END AS intercept_milli,
+       CASE WHEN dx = 0 OR dy = 0 THEN NULL
+            ELSE CAST(round(1e6 * CAST(num AS DOUBLE)
+                            * CAST(num AS DOUBLE)
+                            / (CAST(dx AS DOUBLE)
+                               * CAST(dy AS DOUBLE))) AS BIGINT)
+       END AS r2_ppm
+FROM mo ORDER BY {by}
+"""

@@ -5478,3 +5478,24 @@ def events_disorder_report(spark, sf_dir):
         disorder_report)
     e = _events(spark, sf_dir)
     return disorder_report(e)
+
+
+def _trend_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        group_trend_sql)
+    return group_trend_sql("documents", "source", "doc_id", "n_chars")
+
+
+@q("profile_group_trend", ("PROF-TREND",), oracle=_trend_oracle(),
+   note="per-source OLS trend of n_chars over ingestion order "
+        "(doc_id): slope/intercept/r2 from exact decimal-38 / HUGEINT "
+        "moment sums (num = n*Sxy - Sx*Sy exact - no float "
+        "accumulation, no catastrophic cancellation), one fixed "
+        "rounded double tree per ratio, NULLs on degenerate axes - "
+        "the is-this-feed-drifting detector; ONE map-side-combined "
+        "agg to |groups| rows, corpus never shuffled")
+def profile_group_trend(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        group_trend_report)
+    d = _t(spark, sf_dir, "documents")
+    return group_trend_report(d, "source", "doc_id", "n_chars")

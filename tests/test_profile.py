@@ -450,3 +450,37 @@ def test_benford_matches_duckdb_twin(spark):
     exp = [tuple(r) for r in
            con.execute(benford_sql("t", "v")).fetchall()]
     assert got == exp
+
+
+def test_group_trend_recovers_planted_line(spark):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        group_trend_report)
+    # y = 3x + 7 exactly -> slope 3e6, intercept 7000, r2 = 1e6
+    rows = [(i, 3 * i + 7, "lin") for i in range(50)]
+    # constant y -> dy = 0 -> NULLs
+    rows += [(i, 42, "flat") for i in range(10)]
+    df = spark.createDataFrame(rows, "x long, y long, g string")
+    got = {r["g"]: r for r in
+           group_trend_report(df, "g", "x", "y").collect()}
+    lin = got["lin"]
+    assert (lin["slope_micro"], lin["intercept_milli"],
+            lin["r2_ppm"]) == (3_000_000, 7_000, 1_000_000)
+    flat = got["flat"]
+    assert flat["slope_micro"] is None and flat["r2_ppm"] is None
+
+
+def test_group_trend_matches_duckdb_twin(spark):
+    import duckdb
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        group_trend_report, group_trend_sql)
+    rows = [(i, (i * 17) % 301 + i // 3, f"g{i % 4}")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "x long, y long, g string")
+    got = [tuple(r) for r in
+           group_trend_report(df, "g", "x", "y").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x BIGINT, y BIGINT, g VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    exp = [tuple(r) for r in
+           con.execute(group_trend_sql("t", "g", "x", "y")).fetchall()]
+    assert got == exp
