@@ -470,21 +470,51 @@ def source_overlap_minhash(df: DataFrame, group_col: str = "source",
     groupBy(group) with k partial mins — the corpus collapses to
     |groups| signature rows; the pair join runs on that metadata-scale
     frame (broadcast self-join), so no document pair and no shingle
-    pair is ever enumerated."""
+    pair is ever enumerated. The slot mins are MERGEABLE (min), so
+    ``streaming.corpus_stream.stream_source_signatures`` maintains the
+    identical signature table incrementally and
+    :func:`source_overlap_from_signatures` folds the live pair report
+    off the sink without re-reading the corpus."""
+    sig = source_signatures(df, group_col, text_col, num_hashes,
+                            shingle_n)
+    return source_overlap_from_signatures(sig, num_hashes)
+
+
+def source_signatures(df: DataFrame, group_col: str = "source",
+                      text_col: str = "text", num_hashes: int = 16,
+                      shingle_n: int = 3) -> DataFrame:
+    """The overlap report's sufficient statistic: per group the k slot
+    minima (g, h0..h{k-1}) — one explode + one map-side-combined
+    groupBy whose aggregates are all MIN (mergeable ⇒ maintainable
+    under Structured Streaming in complete mode)."""
     base = F.pmod(md5_long(F.col("s")), F.lit(1 << 30))
     sh = (df.select(F.col(group_col).alias("g"),
                     F.explode(shingles(text_col, shingle_n)).alias("s"))
           .select("g", base.alias("x")))
     aggs = [F.min((F.col("x") * a + b) % MINHASH_P).alias(f"h{i}")
             for i, (a, b) in enumerate(minhash_params(num_hashes))]
-    sig = sh.groupBy("g").agg(*aggs)
-    a, b = sig.alias("a"), sig.alias("b")
+    return sh.groupBy("g").agg(*aggs)
+
+
+def source_overlap_from_signatures(sig: DataFrame,
+                                   num_hashes: int = 16) -> DataFrame:
+    """Fold the pairwise overlap report from a PREBUILT signature
+    table (batch-computed or stream-maintained) — |groups|²-scale
+    metadata work only. Sides are disambiguated by RENAME, not alias:
+    a memory-sink view self-joined through aliases trips Spark's
+    self-join attribute resolution."""
+    a = sig.select(F.col("g").alias("ga"),
+                   *[F.col(f"h{i}").alias(f"xa{i}")
+                     for i in range(num_hashes)])
+    b = sig.select(F.col("g").alias("gb"),
+                   *[F.col(f"h{i}").alias(f"xb{i}")
+                     for i in range(num_hashes)])
     agree = sum(
-        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("long")
+        (F.col(f"xa{i}") == F.col(f"xb{i}")).cast("long")
         for i in range(num_hashes))
-    return (a.join(F.broadcast(b), F.col("a.g") < F.col("b.g"))
-            .select(F.col("a.g").alias("group_a"),
-                    F.col("b.g").alias("group_b"),
+    return (a.join(F.broadcast(b), F.col("ga") < F.col("gb"))
+            .select(F.col("ga").alias("group_a"),
+                    F.col("gb").alias("group_b"),
                     agree.alias("n_agree"))
             .withColumn("jaccard_bp", F.expr(
                 f"10000 * n_agree div {num_hashes}").cast("long"))

@@ -527,3 +527,23 @@ def stream_isotropy_moments(emb_stream: DataFrame,
     test-pinned; state is d rows regardless of corpus size."""
     from rgd_rnaseq_workflows_spark.operators.pca import isotropy_moments
     return isotropy_moments(emb_stream, vec_col)
+
+
+def stream_source_signatures(doc_stream: DataFrame,
+                             group_col: str = "source",
+                             text_col: str = "text",
+                             num_hashes: int = 16,
+                             shingle_n: int = 3) -> DataFrame:
+    """Incremental half of the source-overlap pre-flight
+    (``dedup.source_overlap_minhash``): the SAME per-group slot-min
+    signature expression tree running under Structured Streaming —
+    every aggregate is a MIN, so the state is exactly |groups| rows of
+    k longs (the O(1)-per-key state rule) and each micro-batch folds
+    its shingles map-side before touching state. The pairwise report
+    is a |groups|²-scale batch fold over the maintained table
+    (``dedup.source_overlap_from_signatures``) — the token-counts /
+    HLL-register sink-fold pattern; stream==batch is test-pinned."""
+    from rgd_rnaseq_workflows_spark.operators.dedup import (
+        source_signatures)
+    return source_signatures(doc_stream, group_col, text_col,
+                             num_hashes, shingle_n)

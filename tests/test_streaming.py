@@ -987,3 +987,39 @@ def test_stream_isotropy_equals_batch(spark, tmp_out):
     batch = isotropy_report(
         spark.createDataFrame(b1 + b2, schema), dims=4).collect()[0]
     assert live.asDict() == batch.asDict()
+
+
+def test_stream_source_signatures_equal_batch_overlap(spark, tmp_out):
+    """The stream-maintained per-source slot-min signature table folds
+    to EXACTLY the batch source_overlap_minhash report (min is
+    mergeable; the pair fold reads the sink, never the corpus)."""
+    import os
+
+    from rgd_rnaseq_workflows_spark.operators.dedup import (
+        source_overlap_from_signatures, source_overlap_minhash)
+    from rgd_rnaseq_workflows_spark.streaming.corpus_stream import (
+        stream_source_signatures)
+    docs = spark.createDataFrame(
+        [(1, "s1", "the quick brown fox jumps over the lazy dog"),
+         (2, "s1", "a completely different sentence lives here now"),
+         (3, "s2", "the quick brown fox jumps over the lazy dog"),
+         (4, "s2", "yet another unrelated line of words entirely"),
+         (5, "s3", "nothing in common with anything else at all")],
+        "doc_id long, source string, text string")
+    batch = sorted(tuple(r) for r in
+                   source_overlap_minhash(docs, num_hashes=8).collect())
+    src = os.path.join(tmp_out, "sig_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (stream_source_signatures(stream, num_hashes=8)
+         .writeStream.format("memory").queryName("src_sigs")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        sig = spark.sql("SELECT * FROM src_sigs")
+        streamed = sorted(tuple(r) for r in
+                          source_overlap_from_signatures(
+                              sig, num_hashes=8).collect())
+    finally:
+        q.stop()
+    assert streamed == batch and len(batch) == 3
