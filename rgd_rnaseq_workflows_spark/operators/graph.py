@@ -362,3 +362,89 @@ guard AS (
 SELECT u AS id, CAST(count(*) AS BIGINT) AS core_deg
 FROM core JOIN guard ON guard.ok = 1 WHERE iter = {iters} GROUP BY u
 """
+
+
+def assortativity_report(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b") -> DataFrame:
+    """Degree assortativity of the undirected pair graph — Newman's r:
+    the Pearson correlation of the degrees at the two ends of every
+    edge (both orientations, the standard undirected convention). A
+    near-dup graph with r ≫ 0 is hub-clustered (template farms linking
+    to template farms — dedup components will be giant); r < 0 means
+    hubs attach to leaves (star-shaped duplicate families — components
+    stay shallow). The number a graph-aware dedup reads next to
+    :func:`triangle_stats` before choosing the component strategy.
+
+    Exactness: degrees are exact counts; all five correlation moments
+    accumulate as decimal(38,0) over the directed edge list (the
+    group_trend/Neyman discipline — the numerators
+    ``num = m·Sxy − Sx·Sy`` etc. are exact integers), and
+    ``r_milli = round(10³·num/√(dx·dy))`` is one fixed double tree
+    (IEEE sqrt of exact-integer doubles). A degree-regular graph has
+    dx = dy = 0 — r is undefined and both engines report NULL.
+
+    Scale shape: degree table via one map-side-combined groupBy; two
+    equi-joins attach end degrees at edge scale; one aggregation to a
+    single metadata row. No window, no pair-of-pairs blowup."""
+    edges = _sym_edges(pairs, src, dst)
+    deg = edges.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    ends = (edges.join(deg, "u")
+            .withColumnRenamed("d", "du")
+            .join(deg.select(F.col("u").alias("v"),
+                             F.col("d").alias("dv")), "v"))
+    x = F.col("du").cast("decimal(38,0)")
+    y = F.col("dv").cast("decimal(38,0)")
+    st = ends.agg(F.count("*").cast("decimal(38,0)").alias("m"),
+                  F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+                  F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+                  F.sum(x * y).alias("sxy"))
+    st = (st.withColumn("num", F.expr("m * sxy - sx * sy"))
+          .withColumn("dx", F.expr("m * sxx - sx * sx"))
+          .withColumn("dy", F.expr("m * syy - sy * sy")))
+    nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"),
+                    F.sum("d").cast("long").alias("_dsum"))
+    bad = (F.col("dx") == 0) | (F.col("dy") == 0)
+    return (st.crossJoin(F.broadcast(nodes))
+            .select(F.col("n_nodes"),
+                    (F.col("m") / 2).cast("long").alias("n_edges"),
+                    F.expr("1000 * _dsum div n_nodes").cast("long")
+                    .alias("mean_degree_milli"),
+                    F.when(bad, F.lit(None)).otherwise(F.round(
+                        F.lit(1e3) * F.col("num").cast("double")
+                        / F.sqrt(F.col("dx").cast("double")
+                                 * F.col("dy").cast("double"))))
+                    .cast("long").alias("assortativity_milli")))
+
+
+def assortativity_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`assortativity_report` — HUGEINT moments,
+    identical double tree."""
+    return f"""
+WITH pairs AS ({pairs_sql}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+        FROM edges GROUP BY u),
+ends AS (
+  SELECT CAST(a.d AS HUGEINT) AS du, CAST(b.d AS HUGEINT) AS dv
+  FROM edges e JOIN deg a ON a.u = e.u JOIN deg b ON b.u = e.v),
+st AS (
+  SELECT CAST(count(*) AS HUGEINT) AS m,
+         sum(du) AS sx, sum(dv) AS sy,
+         sum(du * du) AS sxx, sum(dv * dv) AS syy,
+         sum(du * dv) AS sxy
+  FROM ends),
+mo AS (SELECT m, m * sxy - sx * sy AS num,
+              m * sxx - sx * sx AS dx, m * syy - sy * sy AS dy
+       FROM st),
+nodes AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(d) AS BIGINT) AS dsum FROM deg)
+SELECT n_nodes, CAST(m // 2 AS BIGINT) AS n_edges,
+       CAST(1000 * dsum // n_nodes AS BIGINT) AS mean_degree_milli,
+       CASE WHEN dx = 0 OR dy = 0 THEN NULL
+            ELSE CAST(round(1e3 * CAST(num AS DOUBLE)
+                            / sqrt(CAST(dx AS DOUBLE)
+                                   * CAST(dy AS DOUBLE))) AS BIGINT)
+       END AS assortativity_milli
+FROM mo, nodes
+"""

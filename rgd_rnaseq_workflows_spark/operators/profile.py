@@ -1192,3 +1192,73 @@ SELECT g AS {by}, CAST(n AS BIGINT) AS n_rows,
        END AS r2_ppm
 FROM mo ORDER BY {by}
 """
+
+
+def dp_noisy_counts(df: DataFrame, by: str, epsilon_milli: int = 1000,
+                    seed: int = 31) -> DataFrame:
+    """Laplace-mechanism noisy counts per group — the
+    differential-privacy release shape for a histogram (sensitivity 1:
+    one row moves one count by one), completing the privacy family
+    next to :func:`k_anonymity_report` / :func:`l_diversity_report`.
+    Per group: the true count (for the calibration caller — drop the
+    column before release), the Laplace noise drawn at scale
+    ``b = 1000/epsilon_milli``, and the released noisy count clamped
+    at 0.
+
+    SEEDED form: the noise is the inverse-CDF
+    ``−b·sign(u−½)·ln(1−2|u−½|)`` of the md5-uniform
+    ``u = (h+½)/2³⁰`` keyed on (seed, group) — h ∈ [0, 2³⁰) makes u
+    open-interval so the ln argument never reaches 0. A DETERMINISTIC
+    seed makes the release reproducible and oracle-checkable (this
+    module's contract) but is NOT private against an adversary who
+    knows the seed — a production release swaps ``seed`` for a secret
+    drawn once at release time; the mechanism, sensitivity and noise
+    distribution are exactly the production ones. Noise is rounded to
+    an integer count ONCE (geometric-mechanism style), so both
+    engines release identical values.
+
+    Scale shape: one map-side-combined groupBy to |groups| rows; the
+    noise is per-GROUP literal arithmetic (no per-row randomness), so
+    the corpus is read once and never shuffled."""
+    if epsilon_milli <= 0:
+        raise ValueError("epsilon_milli must be positive")
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long
+    b = 1000.0 / epsilon_milli
+    cnt = (df.groupBy(F.col(by).cast("string").alias("g"))
+           .agg(F.count("*").cast("long").alias("n")))
+    u = ((F.pmod(md5_long(F.col("g"), seed=seed), F.lit(1 << 30))
+          .cast("double") + F.lit(0.5)) / F.lit(float(1 << 30)))
+    mag = F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))
+    noise = F.round(-F.lit(b) * F.signum(u - F.lit(0.5))
+                    * F.log(mag)).cast("long")
+    return (cnt.select(F.col("g").alias(by), "n",
+                       noise.alias("noise"),
+                       F.greatest(F.col("n") + noise, F.lit(0))
+                       .cast("long").alias("n_noisy"))
+            .orderBy(by))
+
+
+def dp_noisy_counts_sql(table: str, by: str,
+                        epsilon_milli: int = 1000,
+                        seed: int = 31) -> str:
+    """DuckDB twin of :func:`dp_noisy_counts` — identical md5-uniform,
+    inverse-CDF tree, and single rounding."""
+    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long_sql
+    b = 1000.0 / epsilon_milli
+    h = md5_long_sql("g", seed=seed)
+    return f"""
+WITH cnt AS (
+  SELECT CAST({by} AS VARCHAR) AS g, CAST(count(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1),
+nz AS (
+  SELECT g, n,
+         CAST(round(-{b!r} * sign(u - 0.5)
+                    * ln(1 - 2 * abs(u - 0.5))) AS BIGINT) AS noise
+  FROM (SELECT g, n,
+               (CAST(({h}) % {1 << 30} AS DOUBLE) + 0.5)
+               / {float(1 << 30)!r} AS u
+        FROM cnt))
+SELECT g AS {by}, n, noise,
+       CAST(greatest(n + noise, 0) AS BIGINT) AS n_noisy
+FROM nz ORDER BY {by}
+"""

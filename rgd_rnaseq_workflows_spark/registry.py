@@ -5499,3 +5499,56 @@ def profile_group_trend(spark, sf_dir):
         group_trend_report)
     d = _t(spark, sf_dir, "documents")
     return group_trend_report(d, "source", "doc_id", "n_chars")
+
+
+def _dp_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        dp_noisy_counts_sql)
+    return dp_noisy_counts_sql("documents", "source",
+                               epsilon_milli=500)
+
+
+@q("profile_dp_noisy_counts", ("PROF-DP",), oracle=_dp_oracle(),
+   note="Laplace-mechanism noisy histogram release (sensitivity-1 "
+        "counts, b = 1/epsilon) in the SEEDED reproducible form: "
+        "noise = inverse-CDF of the md5-uniform keyed (seed, group), "
+        "one rounding to integer counts, clamp at 0 - the mechanism/"
+        "scale plumbing of a DP release with the secret seed swapped "
+        "in at production time (documented); one map-side groupBy to "
+        "|groups| rows, per-GROUP noise arithmetic, corpus never "
+        "shuffled - completes the privacy family next to k-anon/l-div")
+def profile_dp_noisy_counts(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        dp_noisy_counts)
+    d = _t(spark, sf_dir, "documents")
+    return dp_noisy_counts(d, "source", epsilon_milli=500)
+
+
+def _assortativity_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.graph import (
+        assortativity_sql)
+    pairs = _simhash_fps_ctes(bits=48, seed=101, shingle_n=2) + """
+SELECT id_a, id_b FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM fps a JOIN fps b ON a.doc_id < b.doc_id)
+WHERE hamming <= 3"""
+    return assortativity_sql(pairs)
+
+
+@q("graph_assortativity", ("GRAPH-ASSORT",),
+   oracle=_assortativity_oracle(),
+   note="Newman degree assortativity of the simhash near-dup graph: "
+        "Pearson r of end degrees over both edge orientations from "
+        "exact decimal-38/HUGEINT moments, one rounded double tree, "
+        "NULL on degree-regular graphs - hub-clustered (r>>0) means "
+        "giant dedup components, star-shaped (r<0) stays shallow; "
+        "degree groupBy + two edge-scale joins + one metadata row, "
+        "no pair-of-pairs blowup")
+def graph_assortativity(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.graph import (
+        assortativity_report)
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.simhash_near_pairs(d, bits=48, max_hamming=3,
+                                  shingle_n=2)
+    return assortativity_report(pairs)

@@ -216,3 +216,53 @@ def test_k_core_sql_guard_errors_on_non_fixpoint(spark):
                                   iters=20)).fetchall() == []
     with pytest.raises(ValueError):
         k_core_sql("SELECT 1, 2", k=2, iters=0)
+
+
+def test_assortativity_star_vs_clique(spark):
+    """A star graph is maximally disassortative (r = -1); inside a
+    clique every end degree is equal -> degree-regular -> NULL."""
+    from rgd_rnaseq_workflows_spark.operators.graph import (
+        assortativity_report)
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "id_a long, id_b long")
+    r = assortativity_report(star).collect()[0]
+    assert r["assortativity_milli"] == -1000
+    assert r["n_nodes"] == 6 and r["n_edges"] == 5
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "id_a long, id_b long")
+    r2 = assortativity_report(clique).collect()[0]
+    assert r2["assortativity_milli"] is None  # degree-regular
+
+
+def test_assortativity_matches_duckdb_twin(spark):
+    import duckdb
+    from rgd_rnaseq_workflows_spark.operators.graph import (
+        assortativity_report, assortativity_sql)
+    rows = [(i, (i * 7 + 1) % 40) for i in range(60)
+            if i != (i * 7 + 1) % 40]
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = [tuple(r) for r in assortativity_report(df).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (id_a BIGINT, id_b BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", rows)
+    exp = [tuple(r) for r in con.execute(
+        assortativity_sql("SELECT id_a, id_b FROM p")).fetchall()]
+    assert got == exp
+
+
+def test_dp_noisy_counts_release_properties(spark):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        dp_noisy_counts)
+    rows = [(f"g{i % 5}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string")
+    out = dp_noisy_counts(df, "g", epsilon_milli=1000).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["n"] == 100
+        assert r["n_noisy"] == max(0, r["n"] + r["noise"])
+        assert abs(r["noise"]) < 50  # b=1: P(|noise|>=50) ~ e^-50
+    # deterministic under repartitioning, epsilon scales the noise
+    out2 = dp_noisy_counts(df.repartition(7), "g",
+                           epsilon_milli=1000).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
