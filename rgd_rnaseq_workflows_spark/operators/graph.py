@@ -448,3 +448,79 @@ SELECT n_nodes, CAST(m // 2 AS BIGINT) AS n_edges,
        END AS assortativity_milli
 FROM mo, nodes
 """
+
+
+def label_propagation_communities(pairs: DataFrame, iters: int = 3,
+                                  src: str = "id_a",
+                                  dst: str = "id_b") -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan et al. 2007) — communities ≠ connectivity: a bridge
+    between two dense near-dup families keeps them ONE connected
+    component but TWO communities, and dedup keeper policies / split
+    hygiene often want the community grain. Deterministic variant:
+    every node simultaneously adopts the MODE of its neighbors'
+    previous labels (count desc, label asc tiebreak; labels start as
+    node ids), ``iters`` fixed rounds — no random order, no early
+    stop, so both engines walk the identical label trajectory
+    (synchronous LPA can oscillate on bipartite stars; a fixed round
+    count makes that a deterministic, documented outcome rather than
+    a nontermination).
+
+    Output: one row per final community — (community, n_members,
+    min_member), the :func:`cluster_keepers` shape at the community
+    grain.
+
+    Scale shape: per round ONE edge-scale join (labels onto edge
+    sources, shuffle co-keyed on node) + ONE map-side-combined
+    (node, label) count + ONE argmax-by-struct aggregation (max of
+    (count, −label) — no per-node window); labels are
+    checkpoint-truncated each round exactly like the pagerank loop.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    edges = checkpoint_df(_sym_edges(pairs, src, dst))
+    labels = edges.select("u").distinct() \
+        .select("u", F.col("u").alias("lab"))
+    for _ in range(iters):
+        votes = (edges.join(labels, "u")
+                 .groupBy(F.col("v").alias("u"), "lab")
+                 .agg(F.count("*").alias("c")))
+        labels = checkpoint_df(
+            votes.groupBy("u")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl")))
+                 .alias("m"))
+            .select("u", (-F.col("m.nl")).cast("long").alias("lab")))
+    return (labels.groupBy(F.col("lab").alias("community"))
+            .agg(F.count("*").cast("long").alias("n_members"),
+                 F.min("u").cast("long").alias("min_member"))
+            .orderBy("community"))
+
+
+def label_propagation_sql(pairs_sql: str, iters: int = 3) -> str:
+    """DuckDB twin of :func:`label_propagation_communities` — the
+    round loop unrolled, argmax via a window with the identical
+    (count desc, label asc) tiebreak."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    parts = [f"""
+WITH pairs AS ({pairs_sql}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+l0 AS (SELECT DISTINCT u, u AS lab FROM edges)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+v{t} AS (
+  SELECT e.v AS u, l.lab, count(*) AS c
+  FROM edges e JOIN l{t - 1} l ON l.u = e.u
+  GROUP BY e.v, l.lab),
+l{t} AS (
+  SELECT u, lab FROM (
+    SELECT u, lab, row_number() OVER (
+      PARTITION BY u ORDER BY c DESC, lab ASC) AS rk
+    FROM v{t})
+  WHERE rk = 1)""")
+    parts.append(f"""
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(u) AS BIGINT) AS min_member
+FROM l{iters} GROUP BY lab ORDER BY community""")
+    return "".join(parts)

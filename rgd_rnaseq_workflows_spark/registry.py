@@ -5552,3 +5552,34 @@ def graph_assortativity(spark, sf_dir):
     pairs = DD.simhash_near_pairs(d, bits=48, max_hamming=3,
                                   shingle_n=2)
     return assortativity_report(pairs)
+
+
+def _lpa_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.graph import (
+        label_propagation_sql)
+    pairs = _simhash_fps_ctes(bits=48, seed=101, shingle_n=2) + """
+SELECT id_a, id_b FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM fps a JOIN fps b ON a.doc_id < b.doc_id)
+WHERE hamming <= 3"""
+    return label_propagation_sql(pairs, iters=3)
+
+
+@q("graph_lpa_communities", ("GRAPH-LPA",), oracle=_lpa_oracle(),
+   note="synchronous label-propagation communities (Raghavan 2007, "
+        "deterministic variant: mode of neighbor labels, count-desc/"
+        "label-asc tiebreak, fixed rounds) over the simhash near-dup "
+        "graph - "
+        "communities, not components: a bridge keeps two dense "
+        "families one component but two communities; per round one "
+        "edge-scale join + one map-side vote count + one argmax-by-"
+        "struct agg (no per-node window), checkpoint-truncated like "
+        "the pagerank loop")
+def graph_lpa_communities(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.graph import (
+        label_propagation_communities)
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.simhash_near_pairs(d, bits=48, max_hamming=3,
+                                  shingle_n=2)
+    return label_propagation_communities(pairs, iters=3)

@@ -266,3 +266,35 @@ def test_dp_noisy_counts_release_properties(spark):
     out2 = dp_noisy_counts(df.repartition(7), "g",
                            epsilon_milli=1000).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: ONE connected
+    component but TWO LPA communities (each clique converges to its
+    min id); the bridge endpoints stay with their own clique."""
+    from rgd_rnaseq_workflows_spark.operators.graph import (
+        label_propagation_communities)
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    pairs = spark.createDataFrame(c1 + c2 + [(3, 10)],
+                                  "id_a long, id_b long")
+    out = {r["community"]: r["n_members"] for r in
+           label_propagation_communities(pairs, iters=3).collect()}
+    assert out == {0: 4, 10: 4}
+
+
+def test_lpa_matches_duckdb_twin_and_numeric_tiebreak(spark):
+    import duckdb
+    from rgd_rnaseq_workflows_spark.operators.graph import (
+        label_propagation_communities, label_propagation_sql)
+    rows = [(i, (i * 11 + 3) % 30) for i in range(50)
+            if i != (i * 11 + 3) % 30]
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = [tuple(r) for r in
+           label_propagation_communities(df, iters=3).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (id_a BIGINT, id_b BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", rows)
+    exp = [tuple(r) for r in con.execute(label_propagation_sql(
+        "SELECT id_a, id_b FROM p", iters=3)).fetchall()]
+    assert got == exp
