@@ -608,3 +608,125 @@ times AS ({tsel})
     inner = group_quantiles_sql(gaps_rel, "step_idx", "gap",
                                 list(percents))
     return f"SELECT * FROM ({inner}) ORDER BY step_idx"
+
+
+def funnel_wilson_report(events: DataFrame, steps: Sequence[str],
+                         user_col: str = "user_id", ts_col: str = "ts",
+                         type_col: str = "event_type",
+                         z_milli: int = 1960) -> DataFrame:
+    """Step-to-step funnel conversion with Wilson score bounds — the
+    uncertainty a product decision needs before reading a funnel drop
+    as real: per step k ≥ 2, the conversion ``n_k / n_{k−1}`` and its
+    Wilson interval (the binomial CI that behaves at extreme rates and
+    small counts, unlike the normal approximation). A step whose
+    interval overlaps the next step's tells you the "drop" may be
+    noise; the ppm bounds make the read exact.
+
+    Exactness: step counts are the exact :func:`funnel_user_steps`
+    integers; the Wilson bounds are ONE fixed double tree each
+    (literal z embedded driver-side, identical parenthesization in
+    the SQL twin) rounded once to ppm — the engines agree because the
+    inputs are exact integers and every IEEE op is deterministic.
+    Steps whose predecessor count is 0 report NULL bounds.
+
+    Scale shape: identical to :func:`funnel_report` — the per-user
+    step-time fold is the only corpus work (one map-side-combined
+    groupBy(user)), then a 1-row aggregation exploded to |steps|−1
+    report rows."""
+    z = z_milli / 1000.0
+    z2 = z * z
+    per = funnel_user_steps(events, steps, user_col, ts_col, type_col)
+    one = per.agg(*[F.count(F.col(f"t{i + 1}")).alias(f"n{i + 1}")
+                    for i in range(len(steps))])
+
+    def bound(kc, nc, sign):
+        p = kc.cast("double") / nc.cast("double")
+        n = nc.cast("double")
+        half = F.lit(z) * F.sqrt(p * (F.lit(1.0) - p) / n
+                                 + F.lit(z2) / (F.lit(4.0) * n * n))
+        center = p + F.lit(z2) / (F.lit(2.0) * n)
+        val = (center + sign * half) / (F.lit(1.0) + F.lit(z2) / n)
+        return F.round(F.lit(1e6) * val).cast("long")
+
+    rows = []
+    for i in range(1, len(steps)):
+        kc, nc = F.col(f"n{i + 1}"), F.col(f"n{i}")
+        ok = nc > 0
+        rows.append(F.struct(
+            F.lit(i + 1).cast("int").alias("step_idx"),
+            F.lit(steps[i]).alias("step"),
+            nc.cast("long").alias("n_prev"),
+            kc.cast("long").alias("n_conv"),
+            F.when(ok, F.expr(f"n{i + 1} * 1000000 div n{i}"))
+            .cast("long").alias("rate_ppm"),
+            F.when(ok, bound(kc, nc, F.lit(-1.0))).cast("long")
+            .alias("wilson_lo_ppm"),
+            F.when(ok, bound(kc, nc, F.lit(1.0))).cast("long")
+            .alias("wilson_hi_ppm")))
+    return (one.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.*").orderBy("step_idx"))
+
+
+def funnel_wilson_sql(src: str, steps: Sequence[str],
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      z_milli: int = 1960) -> str:
+    """DuckDB twin of :func:`funnel_wilson_report` — identical
+    step-time chain and Wilson tree."""
+    z = z_milli / 1000.0
+    z2 = z * z
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    arrs = ",\n         ".join(
+        f"list_sort(list(tsec) FILTER (WHERE {type_col} = '{s}')) AS a{i}"
+        for i, s in enumerate(steps))
+    tchain = ["a0[1] AS t1"]
+    for i in range(1, len(steps)):
+        tchain.append(
+            f"CASE WHEN t{i} IS NOT NULL THEN "
+            f"(list_filter(a{i}, x -> x > t{i}))[1] END AS t{i + 1}")
+    tsel = "SELECT user_id_, " + tchain[0] + ", " + \
+        ", ".join(f"a{i}" for i in range(1, len(steps))) + " FROM per"
+    for i in range(1, len(steps)):
+        keep = ", ".join(f"a{j}" for j in range(i + 1, len(steps)))
+        keep = (", " + keep) if keep else ""
+        tsel = (f"SELECT user_id_, "
+                + ", ".join(f"t{j}" for j in range(1, i + 1))
+                + f", {tchain[i]}{keep} FROM ({tsel})")
+
+    def bound(k, n, sign):
+        p = f"(CAST({k} AS DOUBLE) / CAST({n} AS DOUBLE))"
+        nn = f"CAST({n} AS DOUBLE)"
+        half = (f"{z!r} * sqrt({p} * (1.0 - {p}) / {nn} "
+                f"+ {z2!r} / (4.0 * {nn} * {nn}))")
+        center = f"{p} + {z2!r} / (2.0 * {nn})"
+        return (f"CAST(round(1e6 * (({center} {sign} {half}) "
+                f"/ (1.0 + {z2!r} / {nn}))) AS BIGINT)")
+
+    step_rows = []
+    for i in range(1, len(steps)):
+        k, n = f"n{i + 1}", f"n{i}"
+        step_rows.append(
+            f"SELECT {i + 1} AS step_idx, '{steps[i]}' AS step, "
+            f"CAST({n} AS BIGINT) AS n_prev, "
+            f"CAST({k} AS BIGINT) AS n_conv, "
+            f"CASE WHEN {n} > 0 THEN CAST({k} * 1000000 // {n} "
+            f"AS BIGINT) END AS rate_ppm, "
+            f"CASE WHEN {n} > 0 THEN {bound(k, n, '-')} END "
+            f"AS wilson_lo_ppm, "
+            f"CASE WHEN {n} > 0 THEN {bound(k, n, '+')} END "
+            f"AS wilson_hi_ppm FROM one")
+    aggs = ", ".join(f"count(t{i + 1}) AS n{i + 1}"
+                     for i in range(len(steps)))
+    return f"""
+WITH f AS (
+  SELECT {user_col} AS user_id_, {type_col},
+         CAST(floor(epoch({ts_col})) AS BIGINT) AS tsec
+  FROM {src} WHERE {type_col} IN ({in_list})),
+per AS (
+  SELECT user_id_,
+         {arrs}
+  FROM f GROUP BY user_id_),
+times AS ({tsel}),
+one AS (SELECT {aggs} FROM times)
+{" UNION ALL ".join(step_rows)}
+ORDER BY step_idx"""

@@ -5583,3 +5583,24 @@ def graph_lpa_communities(spark, sf_dir):
     pairs = DD.simhash_near_pairs(d, bits=48, max_hamming=3,
                                   shingle_n=2)
     return label_propagation_communities(pairs, iters=3)
+
+
+def _funnel_wilson_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        funnel_wilson_sql)
+    return funnel_wilson_sql("events", ("view", "click", "purchase"))
+
+
+@q("events_funnel_wilson", ("FUNNEL-WILSON",),
+   oracle=_funnel_wilson_oracle(),
+   note="step-to-step funnel conversion with Wilson score bounds "
+        "(the binomial CI that behaves at extreme rates, z embedded "
+        "as a driver literal, one fixed rounded double tree per "
+        "bound) - whether a funnel drop is real or noise, in exact "
+        "ppm; same single corpus fold as events_funnel then a 1-row "
+        "agg exploded to |steps|-1 rows")
+def events_funnel_wilson(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        funnel_wilson_report)
+    e = _events(spark, sf_dir)
+    return funnel_wilson_report(e, ("view", "click", "purchase"))

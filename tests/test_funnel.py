@@ -416,3 +416,32 @@ def test_funnel_gap_quantiles_matches_duckdb_twin(spark):
     exp = [tuple(r) for r in con.execute(
         funnel_gap_quantiles_sql("ev", steps)).fetchall()]
     assert got == exp and len(got) == 2
+
+
+def test_funnel_wilson_hand_checked(spark):
+    """Wilson bounds bracket the rate; a 0-of-n step gets a positive
+    upper bound (the interval's whole point at extreme rates)."""
+    from pyspark.sql import functions as F
+    from rgd_rnaseq_workflows_spark.operators.funnel import (
+        funnel_wilson_report)
+    rows = []
+    for u in range(20):
+        rows.append((u, 1000, "a"))
+        if u < 5:
+            rows.append((u, 2000, "b"))
+    df = (spark.createDataFrame(rows, "user_id long, us long, "
+                                      "event_type string")
+          .select("user_id", F.timestamp_micros(F.col("us") * 1000000)
+                  .alias("ts"), "event_type"))
+    out = {r["step_idx"]: r for r in
+           funnel_wilson_report(df, ("a", "b", "c")).collect()}
+    s2 = out[2]
+    assert (s2["n_prev"], s2["n_conv"], s2["rate_ppm"]) == (20, 5,
+                                                            250000)
+    assert s2["wilson_lo_ppm"] < 250000 < s2["wilson_hi_ppm"]
+    # textbook Wilson for 5/20 at z=1.96: [0.112, 0.469]
+    assert 100000 < s2["wilson_lo_ppm"] < 130000
+    assert 440000 < s2["wilson_hi_ppm"] < 490000
+    s3 = out[3]
+    assert s3["n_conv"] == 0 and s3["rate_ppm"] == 0
+    assert s3["wilson_lo_ppm"] == 0 and s3["wilson_hi_ppm"] > 0
