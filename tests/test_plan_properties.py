@@ -514,3 +514,50 @@ def test_mutual_information_metadata_scale_folds(spark):
     plan = _plan(spark, "profile_mutual_information")
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bootstrap_single_corpus_pass(spark):
+    """The point estimate rides the replica pass as slot r = −1: the
+    final plan reads only the checkpointed |groups|·(B+1) fold —
+    zero parquet re-scans."""
+    plan = _plan(spark, "sample_bootstrap_ci")
+    assert "ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_disorder_only_metadata_partitionless_window(spark):
+    """The two-phase prefix max: the ONLY partition-less window rides
+    the N/bucket_width bucket-maxima frame (ordered by bkt)."""
+    plan = _plan(spark, "events_disorder_report")
+    pl, first = _partitionless(plan)
+    assert len(pl) == 1
+    assert first(pl[0]).split("#")[0].strip() == "bkt"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hill_two_phase_head(spark):
+    """The vocabulary head is two-phase: a bucketed phase-1 window
+    (md5 partition expr) gates the single metadata-scale rank."""
+    plan = _plan(spark, "text_hill_tail_index")
+    _partitionless(plan)
+    import explain_plans as ep
+    assert "_r1" in plan
+    assert len(ep.partitionless_window_specs(plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lpa_and_assortativity_no_windows_no_python(spark):
+    for name in ("graph_lpa_communities", "graph_assortativity"):
+        plan = _plan(spark, name)
+        assert "Window" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_silhouette_broadcast_centroids_no_corpus_window(spark):
+    """Distances via a broadcast centroid-array join; the only Python
+    is the documented Arrow unit-int kernel; no window anywhere."""
+    plan = _plan(spark, "cluster_label_silhouette")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow kernel only
