@@ -2026,3 +2026,159 @@ FROM j
 WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
 ORDER BY bucket
 """
+
+
+def conformal_threshold_report(docs: DataFrame, weights: DataFrame,
+                               n_buckets: int,
+                               alphas_pct: list[int] = (1, 5, 10),
+                               split_bp: int = 5000,
+                               id_col: str = "doc_id",
+                               text_col: str = "text", seed: int = 5,
+                               split_seed: int = 17) -> DataFrame:
+    """Split-conformal calibration of the quality-filter threshold —
+    the finite-sample guarantee a corpus gate should carry: pick the
+    drop threshold τ_α as the k-th SMALLEST calibration logit with
+    ``k = ceil((n_cal+1)·α/100)``; then for any exchangeable new clean
+    document, ``P(logit < τ_α) ≤ α`` — at most an α-fraction of good
+    data is dropped, a guarantee that needs NO distributional
+    assumption (the conformal rank bound). One row per requested α:
+    the threshold, the exact rank that produced it, and the realized
+    drop rate on the held-out eval split (should sit ≤≈ α — the
+    report's own validity check).
+
+    Exactness: logits are the exact integer micro-logits of
+    :func:`hashed_linear_score`; the calibration split is the
+    deterministic md5 hash bucket of the doc id (engine-identical kept
+    set); the order statistic is read off a VALUE-HISTOGRAM cumulative
+    walk (the ``exact_quantiles`` discipline — the logit domain is
+    bounded by the weight range, so the walk is domain-scale, and the
+    rank arithmetic is pure integers).
+
+    Scale shape: one token explode + broadcast weight probe + ONE
+    groupBy(doc) scores the corpus (the inference lineage, run once —
+    checkpointed); the histogram collapses map-side to ≤ |domain|
+    rows; every α reads the same cumulative frame via conditional
+    mins; eval drop counts are one broadcast join of the |α|-row
+    threshold frame."""
+    from pyspark.sql import Window
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    alphas = sorted(set(int(a) for a in alphas_pct))
+    if not alphas or alphas[0] < 1 or alphas[-1] >= 100:
+        raise ValueError("alphas_pct must lie in [1, 100)")
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col))
+    toks = (base.select("id", F.explode(TX.tokens(text_col))
+                        .alias("_tok"))
+            .select("id", F.pmod(md5_long(F.col("_tok"), seed=seed),
+                                 F.lit(n_buckets)).alias("bucket")))
+    w = weights.select(F.col("bucket"), F.col("w").cast("long"))
+    scored = (toks.join(F.broadcast(w), "bucket", "left")
+              .groupBy("id")
+              .agg(F.sum(F.coalesce("w", F.lit(0))).alias("_sw"),
+                   F.count("*").alias("_nt"))
+              .select("id", F.expr(
+                  f"_sw * 1000000 div (_nt * {W_SCALE})").alias("lm"),
+                  (F.pmod(md5_long(F.col("id").cast("string"),
+                                   seed=split_seed), F.lit(10000))
+                   < split_bp).alias("is_cal")))
+    scored = checkpoint_df(scored, eager=False)
+    cal = scored.filter("is_cal")
+    hist = cal.groupBy("lm").agg(F.count("*").alias("c"))
+    wcum = (Window.orderBy("lm")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.withColumn("_cum", F.sum("c").over(wcum)) \
+        .crossJoin(F.broadcast(
+            cal.agg(F.count("*").cast("long").alias("n_cal"))))
+    aggs = [F.max("n_cal").alias("n_cal")]
+    for a in alphas:
+        k = F.expr(f"CAST(ceil((n_cal + 1) * {a} / 100.0) AS BIGINT)")
+        aggs.append(F.min(F.when(F.col("_cum") >= k, F.col("lm")))
+                    .cast("long").alias(f"tau_{a}"))
+        aggs.append(F.max(k).cast("long").alias(f"k_{a}"))
+    folded = cum.agg(*aggs)
+    arms = [F.struct(F.lit(a).cast("int").alias("alpha_pct"),
+                     F.col(f"k_{a}").alias("target_rank"),
+                     F.col(f"tau_{a}").alias("threshold_micro"))
+            for a in alphas]
+    taus = (folded.select(F.col("n_cal"),
+                          F.explode(F.array(*arms)).alias("s"))
+            .select("n_cal", "s.alpha_pct", "s.target_rank",
+                    "s.threshold_micro"))
+    ev = scored.filter(~F.col("is_cal"))
+    drops = (ev.crossJoin(F.broadcast(taus))
+             .groupBy("alpha_pct", "n_cal", "target_rank",
+                      "threshold_micro")
+             .agg(F.count("*").cast("long").alias("n_eval"),
+                  F.sum((F.col("lm") < F.col("threshold_micro"))
+                        .cast("long")).cast("long")
+                  .alias("n_eval_dropped")))
+    return (drops.select("alpha_pct", F.col("n_cal").cast("long")
+                         .alias("n_cal"), "target_rank",
+                         "threshold_micro", "n_eval",
+                         "n_eval_dropped",
+                         F.expr("n_eval_dropped * 1000000 div n_eval")
+                         .cast("long").alias("eval_drop_ppm"))
+            .orderBy("alpha_pct"))
+
+
+def conformal_threshold_sql(table: str = "documents",
+                            n_buckets: int = 1 << 12,
+                            alphas_pct: list[int] = (1, 5, 10),
+                            split_bp: int = 5000,
+                            id_col: str = "doc_id",
+                            text_col: str = "text", seed: int = 5,
+                            weight_seed: int = 23,
+                            split_seed: int = 17) -> str:
+    """DuckDB twin of :func:`conformal_threshold_report` over
+    :func:`pseudo_weights` — identical logits, split, rank walk."""
+    alphas = sorted(set(int(a) for a in alphas_pct))
+    toks = TX.tokens_sql(text_col)
+    h = md5_long_sql("_tok", seed=seed)
+    hw = md5_long_sql("CAST(i AS VARCHAR)", seed=weight_seed)
+    hs = md5_long_sql("CAST(t.id AS VARCHAR)", seed=split_seed)
+    tau_arms = ",\n  ".join(
+        f"min(CASE WHEN cum >= CAST(ceil((n_cal + 1) * {a} / 100.0) "
+        f"AS BIGINT) THEN lm END) AS tau_{a},\n  "
+        f"max(CAST(ceil((n_cal + 1) * {a} / 100.0) AS BIGINT)) "
+        f"AS k_{a}" for a in alphas)
+    rows = " UNION ALL ".join(
+        f"SELECT {a} AS alpha_pct, k_{a} AS target_rank, "
+        f"tau_{a} AS threshold_micro FROM folded" for a in alphas)
+    return f"""
+WITH _w AS MATERIALIZED (
+  SELECT CAST(i AS INTEGER) AS bucket,
+         CAST({hw} % {2 * W_SCALE + 1} - {W_SCALE} AS BIGINT) AS w
+  FROM range({n_buckets}) r(i)),
+_tk AS (
+  SELECT {id_col} AS id, CAST({h} % {n_buckets} AS INTEGER) AS bucket
+  FROM (SELECT {id_col}, unnest({toks}) AS _tok FROM {table})),
+scored AS MATERIALIZED (
+  SELECT t.id,
+         CAST(sum(coalesce(w.w, 0)) AS BIGINT) * 1000000
+           // (count(*) * {W_SCALE}) AS lm,
+         ({hs}) % 10000 < {split_bp} AS is_cal
+  FROM _tk t LEFT JOIN _w w USING (bucket)
+  GROUP BY t.id),
+ncal AS (SELECT CAST(count(*) AS BIGINT) AS n_cal
+         FROM scored WHERE is_cal),
+cum AS (
+  SELECT lm, sum(c) OVER (ORDER BY lm
+                          ROWS UNBOUNDED PRECEDING) AS cum, n_cal
+  FROM (SELECT lm, count(*) AS c FROM scored WHERE is_cal
+        GROUP BY lm), ncal),
+folded AS (
+  SELECT max(n_cal) AS n_cal,
+  {tau_arms}
+  FROM cum),
+taus AS ({rows}),
+ev AS (SELECT lm FROM scored WHERE NOT is_cal)
+SELECT t.alpha_pct, n.n_cal, t.target_rank,
+       CAST(t.threshold_micro AS BIGINT) AS threshold_micro,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN e.lm < t.threshold_micro THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_eval_dropped,
+       CAST(sum(CASE WHEN e.lm < t.threshold_micro THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS eval_drop_ppm
+FROM taus t, ncal n, ev e
+GROUP BY t.alpha_pct, n.n_cal, t.target_rank, t.threshold_micro
+ORDER BY t.alpha_pct
+"""

@@ -5604,3 +5604,29 @@ def events_funnel_wilson(spark, sf_dir):
         funnel_wilson_report)
     e = _events(spark, sf_dir)
     return funnel_wilson_report(e, ("view", "click", "purchase"))
+
+
+def _conformal_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        conformal_threshold_sql)
+    return conformal_threshold_sql("documents", n_buckets=1 << 12,
+                                   alphas_pct=(1, 5, 10))
+
+
+@q("quality_conformal_threshold", ("QUALITY-CONFORMAL",),
+   oracle=_conformal_oracle(),
+   note="split-conformal quality-gate calibration: drop threshold = "
+        "k-th smallest calibration micro-logit with k = "
+        "ceil((n_cal+1)*alpha/100), giving the assumption-free "
+        "P(clean doc dropped) <= alpha rank bound, validated against "
+        "the held-out split's realized drop rate; md5 hash split, "
+        "exact integer logits, value-histogram cumulative walk (the "
+        "exact_quantiles discipline), every alpha read off ONE "
+        "checkpointed scored frame + a |alpha|-row broadcast join")
+def quality_conformal_threshold(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        conformal_threshold_report, pseudo_weights)
+    d = _t(spark, sf_dir, "documents")
+    wt = pseudo_weights(spark, 1 << 12)
+    return conformal_threshold_report(d, wt, 1 << 12,
+                                      alphas_pct=(1, 5, 10))

@@ -783,3 +783,24 @@ def test_hill_tail_matches_duckdb_twin(spark):
     exp = [tuple(r) for r in
            con.execute(hill_tail_sql("docs", ks=(10, 25))).fetchall()]
     assert got == exp
+
+
+def test_conformal_threshold_rank_bound_holds(spark):
+    """The realized drop rate on the eval split must respect the
+    conformal bound up to finite-sample noise, and the threshold must
+    be the exact k-th smallest calibration logit."""
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        conformal_threshold_report, pseudo_weights)
+    rows = [(i, " ".join(f"w{(i * 13 + j) % 97}" for j in range(20)))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wt = pseudo_weights(spark, 256)
+    out = {r["alpha_pct"]: r for r in
+           conformal_threshold_report(df, wt, 256,
+                                      alphas_pct=(5, 20)).collect()}
+    for a, r in out.items():
+        assert r["target_rank"] == -(-(r["n_cal"] + 1) * a // 100)
+        # rank bound: eval drop rate <= alpha + noise margin
+        assert r["eval_drop_ppm"] <= (a + 5) * 10000, (a, r)
+        assert r["n_cal"] + r["n_eval"] == 600
+    assert out[5]["threshold_micro"] <= out[20]["threshold_micro"]
