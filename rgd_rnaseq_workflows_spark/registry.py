@@ -5630,3 +5630,30 @@ def quality_conformal_threshold(spark, sf_dir):
     wt = pseudo_weights(spark, 1 << 12)
     return conformal_threshold_report(d, wt, 1 << 12,
                                       alphas_pct=(1, 5, 10))
+
+
+def _basket_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.baskets import (
+        association_rules_sql)
+    return association_rules_sql(
+        "(SELECT l_orderkey, l_partkey %% 199 AS part_bucket "
+        "FROM lineitem)".replace("%%", "%"),
+        "l_orderkey", "part_bucket", min_support=5, top_k=20)
+
+
+@q("basket_association_rules", ("BASKET-RULES",),
+   oracle=_basket_oracle(),
+   note="market-basket association mining (A-priori pair stage) over "
+        "order baskets: top-k part-bucket pairs by exact integer ppm "
+        "lift with min-support pruning - pair blowup bounded by "
+        "per-basket item count via the basket-keyed self-join (never "
+        "|items|^2), min-support filters the pair-vocabulary table "
+        "before ranking, two-phase lossless top-k, broadcast item "
+        "margins; deterministic (lift desc, pair asc) tiebreak")
+def basket_association_rules(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.baskets import (
+        association_rules)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 199).alias("part_bucket"))
+    return association_rules(li, "l_orderkey", "part_bucket",
+                             min_support=5, top_k=20)
