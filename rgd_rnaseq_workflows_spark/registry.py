@@ -5657,3 +5657,26 @@ def basket_association_rules(spark, sf_dir):
         "l_orderkey", (F.col("l_partkey") % 199).alias("part_bucket"))
     return association_rules(li, "l_orderkey", "part_bucket",
                              min_support=5, top_k=20)
+
+
+def _cusum_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.timeseries import (
+        cusum_changepoint_sql)
+    return cusum_changepoint_sql(_TS_EVENTS_SQL, 3600)
+
+
+@q("events_cusum_changepoint", ("EVT-CUSUM",), oracle=_cusum_oracle(),
+   note="CUSUM change-point detection per event-type rate series: "
+        "scaled integer cumulative deviation C_k = T*prefix_k - k*S "
+        "peaks at the most likely rate shift (tie -> earliest), with "
+        "exact milli before/after means as the effect size - finds "
+        "WHERE the rate moved, complementing rate_anomaly's which-"
+        "buckets-are-outliers; corpus -> (group,bucket) counts map-"
+        "side, series-scale group windows, argmax-by-struct peak, "
+        "one broadcast cut join")
+def events_cusum_changepoint(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.timeseries import (
+        cusum_changepoint_report)
+    e = _events(spark, sf_dir)
+    ev = e.select("event_type", F.col("ts").cast("long").alias("sec"))
+    return cusum_changepoint_report(ev, 3600)

@@ -176,3 +176,36 @@ class TestDisorderReport:
         exp = [tuple(r) for r in
                con.execute(disorder_sql("events")).fetchall()]
         assert got == exp
+
+
+class TestCusumChangepoint:
+    def test_planted_level_shift(self, spark):
+        from rgd_rnaseq_workflows_spark.operators.timeseries import (
+            cusum_changepoint_report)
+        # 10 buckets at rate 2, then 10 buckets at rate 8: the CUSUM
+        # peak must sit at the last low bucket (sec 9*10=90)
+        rows = []
+        for b in range(20):
+            n = 2 if b < 10 else 8
+            rows += [("x", b * 10 + i % 10) for i in range(n)]
+        df = spark.createDataFrame(rows, "event_type string, sec long")
+        r = cusum_changepoint_report(df, 10).collect()[0]
+        assert r["cp_bucket"] == 90
+        assert r["mean_before_milli"] == 2000
+        assert r["mean_after_milli"] == 8000
+        assert r["n_buckets"] == 20 and r["total_events"] == 100
+
+    def test_matches_duckdb_twin(self, spark):
+        import duckdb
+        from rgd_rnaseq_workflows_spark.operators.timeseries import (
+            cusum_changepoint_report, cusum_changepoint_sql)
+        rows = [(f"t{i % 2}", (i * 37) % 500) for i in range(400)]
+        df = spark.createDataFrame(rows, "event_type string, sec long")
+        got = [tuple(r) for r in
+               cusum_changepoint_report(df, 50).collect()]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e (event_type VARCHAR, sec BIGINT)")
+        con.executemany("INSERT INTO e VALUES (?, ?)", rows)
+        exp = [tuple(r) for r in con.execute(cusum_changepoint_sql(
+            "SELECT * FROM e", 50)).fetchall()]
+        assert got == exp
