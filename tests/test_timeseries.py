@@ -204,8 +204,8 @@ class TestCusumChangepoint:
         got = [tuple(r) for r in
                cusum_changepoint_report(df, 50).collect()]
         con = duckdb.connect()
-        con.execute("CREATE TABLE e (event_type VARCHAR, sec BIGINT)")
-        con.executemany("INSERT INTO e VALUES (?, ?)", rows)
+        con.execute("CREATE TABLE ev (event_type VARCHAR, sec BIGINT)")
+        con.executemany("INSERT INTO ev VALUES (?, ?)", rows)
         exp = [tuple(r) for r in con.execute(cusum_changepoint_sql(
-            "SELECT * FROM e", 50)).fetchall()]
+            "SELECT * FROM ev", 50)).fetchall()]
         assert got == exp
