@@ -2182,3 +2182,75 @@ FROM taus t, ncal n, ev e
 GROUP BY t.alpha_pct, n.n_cal, t.target_rank, t.threshold_micro
 ORDER BY t.alpha_pct
 """
+
+
+def readability_report(docs: DataFrame, by: str = "source",
+                       text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per group — the classic readability screen
+    (Flesch 1948; Kincaid's military-doc recalibration is the same
+    statistic re-scaled), driven by three exact integer counts: words
+    (the module's token fold), sentences (maximal ``[.!?]+`` runs,
+    floored at one per document — headline-style fragments still form
+    one sentence), and syllables approximated as vowel-letter runs
+    (``[aeiouy]+`` — the standard cheap estimator; consistent across
+    engines because both count the identical regex matches).
+
+    ``flesch_milli = round(10³·(206.835 − 1.015·W/S − 84.6·Y/W))`` is
+    ONE fixed double tree over the exact per-group integer sums —
+    engine-identical by the module's rounding discipline. Score bands
+    read as usual (≥ 60 plain, ≤ 30 academic); a template/gibberish
+    source drifts to the extremes, which is the curation signal.
+
+    Scale shape: every statistic is a row-local regexp/token count
+    folded in ONE map-side-combined groupBy — the corpus is read once,
+    never shuffled, |groups| rows out."""
+    words = F.size(TX.tokens(text_col))
+    sents = F.greatest(
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+        F.lit(1))
+    syll = F.size(F.expr(
+        f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)"))
+    agg = (docs.groupBy(F.col(by).alias("g"))
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum(words).cast("long").alias("n_words"),
+                F.sum(sents).cast("long").alias("n_sentences"),
+                F.sum(syll).cast("long").alias("n_syllables")))
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    y = F.col("n_syllables").cast("double")
+    score = F.round(F.lit(1e3) * (F.lit(206.835)
+                                  - F.lit(1.015) * w / s
+                                  - F.lit(84.6) * y / w)).cast("long")
+    return (agg.select(F.col("g").alias(by), "n_docs", "n_words",
+                       "n_sentences", "n_syllables",
+                       F.when(F.col("n_words") > 0, score)
+                       .cast("long").alias("flesch_milli"))
+            .orderBy(by))
+
+
+def readability_sql(table: str = "documents", by: str = "source",
+                    text_col: str = "text") -> str:
+    """DuckDB twin of :func:`readability_report` — identical counts
+    and double tree."""
+    toks = TX.token_count_sql(text_col)
+    return f"""
+WITH agg AS (
+  SELECT {by} AS g, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({toks}) AS BIGINT) AS n_words,
+         CAST(sum(greatest(
+           len(regexp_extract_all({text_col}, '[.!?]+')), 1))
+           AS BIGINT) AS n_sentences,
+         CAST(sum(len(regexp_extract_all(lower({text_col}),
+                                         '[aeiouy]+')))
+           AS BIGINT) AS n_syllables
+  FROM {table} GROUP BY {by})
+SELECT g AS {by}, n_docs, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         CAST(round(1e3 * (206.835
+           - 1.015 * CAST(n_words AS DOUBLE)
+             / CAST(n_sentences AS DOUBLE)
+           - 84.6 * CAST(n_syllables AS DOUBLE)
+             / CAST(n_words AS DOUBLE))) AS BIGINT)
+       END AS flesch_milli
+FROM agg ORDER BY {by}
+"""

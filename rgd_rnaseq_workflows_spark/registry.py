@@ -5680,3 +5680,24 @@ def events_cusum_changepoint(spark, sf_dir):
     e = _events(spark, sf_dir)
     ev = e.select("event_type", F.col("ts").cast("long").alias("sec"))
     return cusum_changepoint_report(ev, 3600)
+
+
+def _readability_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        readability_sql)
+    return readability_sql("documents")
+
+
+@q("text_readability", ("TEXT-READABILITY",),
+   oracle=_readability_oracle(),
+   note="Flesch reading-ease per source from three exact integer "
+        "counts (tokens, [.!?]+ sentence runs floored at 1/doc, "
+        "vowel-run syllable estimate) and ONE rounded double tree - "
+        "the classic readability screen; row-local regexp counts "
+        "folded in one map-side-combined groupBy, corpus never "
+        "shuffled")
+def text_readability(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        readability_report)
+    d = _t(spark, sf_dir, "documents")
+    return readability_report(d)

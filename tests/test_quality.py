@@ -804,3 +804,22 @@ def test_conformal_threshold_rank_bound_holds(spark):
         assert r["eval_drop_ppm"] <= (a + 5) * 10000, (a, r)
         assert r["n_cal"] + r["n_eval"] == 600
     assert out[5]["threshold_micro"] <= out[20]["threshold_micro"]
+
+
+def test_readability_hand_checked(spark):
+    import math
+    from rgd_rnaseq_workflows_spark.operators.quality import (
+        readability_report)
+    # "the cat sat." -> 3 words, 1 sentence, 3 vowel runs (e, a, a)
+    df = spark.createDataFrame([(1, "the cat sat.", "s")],
+                               "doc_id long, text string, source string")
+    r = readability_report(df).collect()[0]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (3, 1, 3)
+    expect = round(1e3 * (206.835 - 1.015 * 3 / 1 - 84.6 * 3 / 3))
+    assert r["flesch_milli"] == expect
+    # no punctuation -> sentence floor of 1 per doc
+    df2 = spark.createDataFrame([(1, "alpha beta", "s"),
+                                 (2, "gamma delta epsilon", "s")],
+                                "doc_id long, text string, source string")
+    r2 = readability_report(df2).collect()[0]
+    assert r2["n_sentences"] == 2
