@@ -1262,3 +1262,150 @@ SELECT g AS {by}, n, noise,
        CAST(greatest(n + noise, 0) AS BIGINT) AS n_noisy
 FROM nz ORDER BY {by}
 """
+
+
+def t_closeness_report(df: DataFrame, quasi_cols: list[str],
+                       sensitive_col: str,
+                       t_milli: int = 200) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) — the step past
+    :func:`l_diversity_report`: a class can hold l distinct sensitive
+    values yet still leak by having a DIFFERENT distribution than the
+    table (the skewness attack). For an ORDERED sensitive attribute
+    the class-vs-global distance is the Earth Mover's Distance
+    ``EMD = Σᵢ |CumP_class(i) − CumP_global(i)| / (m−1)`` over the
+    global value order; classes with EMD > t are flagged. One summary
+    row: (t_milli, n_rows, n_classes, n_weak_classes, n_risk_rows,
+    risk_bp, max_t_milli).
+
+    Exactness: the cumulative comparison is cross-multiplied —
+    ``|N·cum_c(i) − n_c·cum_g(i)|`` over decimal(38,0)/HUGEINT
+    products (no probability is ever floated), and the per-class
+    ``emd_milli = 1000·Σ div (n_c·N·(m−1))`` is one integer division.
+    NULL is a sensitive value ordered last (NULLS LAST on both
+    engines, documented). Single-value domains (m = 1) have zero EMD
+    by definition.
+
+    Scale shape: corpus → (quasi, value) pair counts map-side; the
+    audit grid is |classes|·m rows (broadcast value-domain cross
+    join — the sensitive DOMAIN is audit-chosen and small); cumulative
+    windows are partitioned per class over m-row partitions; classes
+    fold to ONE metadata row."""
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    from pyspark.sql import Window
+    q = [F.col(c) for c in quasi_cols]
+    pairs = (df.groupBy(F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                              for c in quasi_cols])
+                        .alias("qk"),
+                        F.col(sensitive_col).alias("v"))
+             .agg(F.count("*").alias("c")))
+    classes = pairs.groupBy("qk").agg(F.sum("c").alias("nc"))
+    vals = (pairs.groupBy("v").agg(F.sum("c").alias("cg"))
+            .withColumn("cumg", F.sum("cg").over(
+                Window.orderBy(F.asc_nulls_last("v"))
+                .rowsBetween(Window.unboundedPreceding, 0))))
+    tot = vals.agg(F.sum("cg").cast("long").alias("N"),
+                   F.count("*").cast("long").alias("m"))
+    grid = (classes.crossJoin(F.broadcast(vals.select("v", "cumg")))
+            .join(pairs, ["qk", "v"], "left")
+            .withColumn("c", F.coalesce("c", F.lit(0)))
+            .withColumn("cumc", F.sum("c").over(
+                Window.partitionBy("qk")
+                .orderBy(F.asc_nulls_last("v"))
+                .rowsBetween(Window.unboundedPreceding, 0))))
+    dec = "decimal(38,0)"
+    emd = (grid.crossJoin(F.broadcast(tot))
+           .withColumn("_rk", F.row_number().over(
+               Window.partitionBy("qk")
+               .orderBy(F.asc_nulls_last("v"))))
+           .filter(F.col("_rk") < F.col("m"))   # i = 1..m-1
+           .groupBy("qk")
+           .agg(F.max("nc").alias("nc"), F.max("N").alias("N"),
+                F.max("m").alias("m"),
+                F.sum(F.abs(F.col("N").cast(dec) * F.col("cumc")
+                            - F.col("nc").cast(dec) * F.col("cumg")))
+                .alias("dsum"))
+           .withColumn("emd_milli", F.expr(
+               "CASE WHEN m <= 1 THEN 0 ELSE "
+               "CAST((CAST(1000 AS decimal(38,0)) * dsum) div "
+               "(CAST(nc AS decimal(38,0)) * N * (m - 1)) "
+               "AS BIGINT) END")))
+    # m=1 classes never enter emd (the i<m filter removes all rows);
+    # re-attach them with zero distance
+    emd = (classes.join(emd.select("qk", "emd_milli"), "qk", "left")
+           .withColumn("emd_milli",
+                       F.coalesce("emd_milli", F.lit(0))))
+    return emd.agg(
+        F.lit(t_milli).cast("long").alias("t_milli"),
+        F.sum("nc").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("emd_milli") > t_milli, 1).otherwise(0))
+        .cast("long").alias("n_weak_classes"),
+        F.sum(F.when(F.col("emd_milli") > t_milli, F.col("nc"))
+              .otherwise(F.lit(0))).cast("long").alias("n_risk_rows"),
+        F.expr(f"(10000 * sum(CASE WHEN emd_milli > {t_milli} "
+               f"THEN nc ELSE 0 END)) div sum(nc)").cast("long")
+        .alias("risk_bp"),
+        F.max("emd_milli").cast("long").alias("max_t_milli"))
+
+
+def t_closeness_sql(table: str, quasi_cols: list[str],
+                    sensitive_col: str, t_milli: int = 200) -> str:
+    """DuckDB twin of :func:`t_closeness_report` — identical grid,
+    cross-multiplied HUGEINT cumulative comparison, integer folds.
+    DuckDB truncating CAST on the emd division matches Spark's
+    decimal-to-bigint CAST (both truncate the exact rational)."""
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    qk = " || chr(31) || ".join(
+        f"CAST({c} AS VARCHAR)" for c in quasi_cols)
+    return f"""
+WITH pairs AS (
+  SELECT ({qk}) AS qk, {sensitive_col} AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1, 2),
+classes AS (SELECT qk, CAST(sum(c) AS BIGINT) AS nc
+            FROM pairs GROUP BY qk),
+vals AS (
+  SELECT v, cg, CAST(sum(cg) OVER (ORDER BY v ASC NULLS LAST
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumg
+  FROM (SELECT v, CAST(sum(c) AS BIGINT) AS cg
+        FROM pairs GROUP BY v)),
+tot AS (SELECT CAST(sum(cg) AS BIGINT) AS N,
+               CAST(count(*) AS BIGINT) AS m FROM vals),
+grid AS (
+  SELECT cl.qk, cl.nc, va.v, va.cumg,
+         CAST(sum(coalesce(p.c, 0)) OVER (PARTITION BY cl.qk
+              ORDER BY va.v ASC NULLS LAST
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc,
+         row_number() OVER (PARTITION BY cl.qk
+                            ORDER BY va.v ASC NULLS LAST) AS rk
+  FROM classes cl CROSS JOIN vals va
+  LEFT JOIN pairs p ON p.qk = cl.qk
+    AND (p.v = va.v OR (p.v IS NULL AND va.v IS NULL))),
+emd0 AS (
+  SELECT g.qk, max(g.nc) AS nc,
+         CAST(CASE WHEN max(t.m) <= 1 THEN 0 ELSE
+           1000 * sum(abs(CAST(t.N AS HUGEINT) * g.cumc
+                          - CAST(g.nc AS HUGEINT) * g.cumg))
+           // (CAST(max(g.nc) AS HUGEINT) * max(t.N)
+               * (max(t.m) - 1)) END AS BIGINT) AS emd_milli
+  FROM grid g, tot t
+  WHERE g.rk < t.m
+  GROUP BY g.qk),
+emd AS (
+  SELECT c.qk, c.nc, coalesce(e.emd_milli, 0) AS emd_milli
+  FROM classes c LEFT JOIN emd0 e USING (qk))
+SELECT CAST({t_milli} AS BIGINT) AS t_milli,
+       CAST(sum(nc) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN emd_milli > {t_milli} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_weak_classes,
+       CAST(sum(CASE WHEN emd_milli > {t_milli} THEN nc ELSE 0 END)
+            AS BIGINT) AS n_risk_rows,
+       CAST((10000 * sum(CASE WHEN emd_milli > {t_milli}
+                         THEN nc ELSE 0 END)) // sum(nc) AS BIGINT)
+         AS risk_bp,
+       CAST(max(emd_milli) AS BIGINT) AS max_t_milli
+FROM emd
+"""

@@ -5701,3 +5701,32 @@ def text_readability(spark, sf_dir):
         readability_report)
     d = _t(spark, sf_dir, "documents")
     return readability_report(d)
+
+
+def _t_closeness_oracle() -> str:
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        t_closeness_sql)
+    return t_closeness_sql(
+        "(SELECT lang, source, n_chars // 50 AS len_band "
+        "FROM documents)", ["lang", "source"], "len_band",
+        t_milli=200)
+
+
+@q("profile_t_closeness", ("PROF-TCLOSE",),
+   oracle=_t_closeness_oracle(),
+   note="t-closeness audit (Li 2007) over the (lang, source) quasi-"
+        "identifier: per-class EMD to the global ordered sensitive "
+        "distribution via cross-multiplied decimal-38/HUGEINT "
+        "cumulative comparisons (no probability floated), trunc-"
+        "division milli EMD identical on both engines - catches the "
+        "skewness attack l-diversity misses, completing the privacy "
+        "ladder k-anon -> l-div -> t-close -> DP; audit grid is "
+        "|classes| x m rows with m-row class windows, one metadata "
+        "row out")
+def profile_t_closeness(spark, sf_dir):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        t_closeness_report)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "len_band", F.expr("n_chars div 50"))
+    return t_closeness_report(d, ["lang", "source"], "len_band",
+                              t_milli=200)

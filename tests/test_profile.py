@@ -484,3 +484,38 @@ def test_group_trend_matches_duckdb_twin(spark):
     exp = [tuple(r) for r in
            con.execute(group_trend_sql("t", "g", "x", "y")).fetchall()]
     assert got == exp
+
+
+def test_t_closeness_hand_computed(spark):
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        t_closeness_report)
+    # global: v in {1:4, 2:4}; class a: {1:4} (skewed), class b: {2:4}
+    rows = [("a", 1)] * 4 + [("b", 2)] * 4
+    df = spark.createDataFrame(rows, "q string, s long")
+    r = t_closeness_report(df, ["q"], "s", t_milli=200).collect()[0]
+    # m=2: EMD(a) = |P_a(cum1) - P_g(cum1)| = |1 - 0.5| = 0.5 -> 500
+    assert r["max_t_milli"] == 500
+    assert r["n_weak_classes"] == 2 and r["n_risk_rows"] == 8
+    assert r["risk_bp"] == 10000
+    # identical distributions -> EMD 0, nothing weak
+    rows2 = [("a", 1), ("a", 2), ("b", 1), ("b", 2)]
+    df2 = spark.createDataFrame(rows2, "q string, s long")
+    r2 = t_closeness_report(df2, ["q"], "s", t_milli=200).collect()[0]
+    assert r2["max_t_milli"] == 0 and r2["n_weak_classes"] == 0
+
+
+def test_t_closeness_matches_duckdb_twin(spark):
+    import duckdb
+    from rgd_rnaseq_workflows_spark.operators.profile import (
+        t_closeness_report, t_closeness_sql)
+    rows = [(f"q{i % 5}", (i * 7) % 9 if i % 11 else None)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "q string, s long")
+    got = [tuple(r) for r in
+           t_closeness_report(df, ["q"], "s", t_milli=100).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (q VARCHAR, s BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = [tuple(r) for r in con.execute(
+        t_closeness_sql("t", ["q"], "s", t_milli=100)).fetchall()]
+    assert got == exp
