@@ -489,6 +489,40 @@ SHOWCASE = {
     "events_disorder_report": "two-phase distributed prefix max in "
         "arrival order (bucket windows + metadata bucket prefix "
         "broadcast back) — never one unpartitioned corpus window.",
+    "profile_dp_noisy_counts": "one map-side groupBy to |groups| "
+        "rows; Laplace noise is per-GROUP literal arithmetic — no "
+        "per-row randomness, corpus never shuffled.",
+    "graph_assortativity": "degree groupBy + two edge-scale joins + "
+        "one metadata row of HUGEINT-exact moments; no window, no "
+        "pair-of-pairs blowup.",
+    "graph_lpa_communities": "per round one edge-scale join + one "
+        "map-side vote count + one argmax-by-struct agg (no per-node "
+        "window); labels checkpoint-truncated like pagerank.",
+    "events_funnel_wilson": "same single corpus fold as "
+        "events_funnel; Wilson bounds are literal-z double trees on "
+        "the 1-row aggregate, exploded to |steps|−1 rows.",
+    "quality_conformal_threshold": "inference lineage scored once "
+        "and checkpointed; calibration order statistic via the "
+        "domain-scale histogram walk; every α reads the same "
+        "cumulative frame; eval drop counts via one |α|-row "
+        "broadcast join.",
+    "basket_association_rules": "basket-keyed self-join bounds the "
+        "pair blowup per basket (never |items|²); min-support "
+        "filters the pair vocabulary BEFORE ranking; two-phase "
+        "lossless top-k; broadcast item margins.",
+    "events_cusum_changepoint": "corpus → (group,bucket) counts "
+        "map-side; series-scale group windows (calendar-bounded), "
+        "argmax-by-struct peak, one broadcast cut join.",
+    "text_readability": "three row-local regexp/token counts folded "
+        "in one map-side-combined groupBy; corpus read once, never "
+        "shuffled.",
+    "profile_t_closeness": "corpus → (quasi, value) pairs map-side; "
+        "the audit grid is |classes|·m rows with m-row class "
+        "windows; cross-multiplied decimal cumulative comparisons; "
+        "one metadata row out.",
+    "profile_group_trend": "ONE map-side-combined agg to |groups| "
+        "rows of decimal-38 moments; ratios are literal double trees "
+        "on the metadata frame.",
 }
 
 
