@@ -1336,6 +1336,63 @@ FROM rk WHERE rn <= {k}
 """
 
 
+def _hardneg_probe_kernel(k: int, margin_ppm_unused: int,
+                          tile: int = 1024):
+    """applyInPandas kernel for ONE probed list: anchors (role 1)
+    against member candidates (role 0) via tiled GEMM; per anchor
+    emits its LOCAL top-k negatives (lossless for the global top-k —
+    a global winner is top-k within its own list) and its local
+    positive max as a sentinel row (neg_id NULL). The global merge
+    (max of local positive maxes + re-rank over ≤ nprobe·k
+    candidates) happens at candidate scale outside the kernel."""
+    import numpy as np
+    import pandas as pd
+
+    cols = ["anchor_id", "neg_id", "ci", "pb"]
+    empty = pd.DataFrame({c: np.zeros(0, dtype=np.int64)
+                          for c in cols})
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        A = pdf[pdf["role"] == 1].sort_values("id")
+        C = pdf[pdf["role"] == 0].sort_values("id")
+        if len(A) == 0 or len(C) == 0:
+            return empty
+        aid = A["id"].to_numpy(dtype=np.int64)
+        cid = C["id"].to_numpy(dtype=np.int64)
+        la = A["label"].to_numpy()
+        lc = C["label"].to_numpy()
+        VA = np.stack(A["v"].to_numpy()).astype(np.float64)
+        VC = np.stack(C["v"].to_numpy()).astype(np.float64)
+        na = np.sqrt((VA * VA).sum(axis=1))
+        nc = np.sqrt((VC * VC).sum(axis=1))
+        rows = []
+        for lo in range(0, len(aid), tile):
+            hi = min(lo + tile, len(aid))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (VA[lo:hi] @ VC.T) / np.outer(na[lo:hi], nc)
+            CI = np.round(np.round(S, 6) * 1_000_000)
+            for r in range(hi - lo):
+                i = lo + r
+                ci = CI[r]
+                valid = ~np.isnan(ci) & (cid != aid[i])
+                same = valid & (lc == la[i])
+                diff = valid & (lc != la[i])
+                if same.any():
+                    rows.append((int(aid[i]), None, None,
+                                 int(ci[same].max())))
+                nidx = np.nonzero(diff)[0]
+                if nidx.size:
+                    order = np.lexsort((cid[nidx], -ci[nidx]))[:k]
+                    for j in nidx[order]:
+                        rows.append((int(aid[i]), int(cid[j]),
+                                     int(ci[j]), None))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=cols)
+
+    return fold
+
+
 def hard_negative_report_ivf(emb: DataFrame, kc: int = 8,
                              nprobe: int = 2, iters: int = 2,
                              k: int = 5, margin_ppm: int = 50_000,
@@ -1350,19 +1407,56 @@ def hard_negative_report_ivf(emb: DataFrame, kc: int = 8,
     most once and the negative pool follows the standard IVF
     nprobe/kc recall trade. Candidate generation is the exact-int
     centroid machinery of ``operators.clustering``, so the
-    unrolled-Lloyd SQL twin replays the same lists."""
+    unrolled-Lloyd SQL twin replays the same lists.
+
+    Plan (r11): pair work runs INSIDE a per-list GEMM kernel
+    (:func:`_hardneg_probe_kernel`) — each probed list folds its
+    anchors' local top-k negatives and local positive max, and only
+    ≤ (k+1)·nprobe rows per anchor leave the task; the global merge
+    (positive max across probes + re-rank) is a candidate-scale
+    window, never a pair shuffle. A pair appears at most once (a
+    candidate lives in exactly one list), so no dedup is needed, and
+    the local top-k cut is lossless for the global top-k."""
+    from pyspark.sql import Window
     from rgd_rnaseq_workflows_spark.operators.clustering import (
         assign_topn_kernel, kmeans_fit)
     assigned, cents = kmeans_fit(emb, k=kc, iters=iters,
                                  id_col=id_col, vec_col=vec_col,
                                  persist=False)
-    cand = assigned.withColumnRenamed("cluster", "blk")
-    anch = emb.withColumn(
-        "blk", F.explode(assign_topn_kernel(cents, nprobe)(F.col(vec_col))))
-    return hard_negative_report(anch, k=k, margin_ppm=margin_ppm,
-                                id_col=id_col, vec_col=vec_col,
-                                label_col=label_col, block_col="blk",
-                                candidates=cand)
+    cand = (assigned.select(F.col("cluster").alias("blk"),
+                            F.lit(0).alias("role"),
+                            F.col(id_col).alias("id"),
+                            F.col(label_col).alias("label"),
+                            _as_double(vec_col).alias("v")))
+    anch = (emb.withColumn(
+        "blk", F.explode(assign_topn_kernel(cents, nprobe)
+                         (F.col(vec_col))))
+        .select("blk", F.lit(1).alias("role"),
+                F.col(id_col).alias("id"),
+                F.col(label_col).alias("label"),
+                _as_double(vec_col).alias("v")))
+    s1 = (cand.unionByName(anch)
+          .groupBy("blk")
+          .applyInPandas(_hardneg_probe_kernel(k, margin_ppm),
+                         "anchor_id long, neg_id long, ci long, "
+                         "pb long"))
+    pbg = s1.groupBy("anchor_id").agg(F.max("pb").alias("_pb"))
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("ci"),
+                                                F.asc("neg_id"))
+    negs = (s1.filter(F.col("neg_id").isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .join(pbg, "anchor_id"))
+    status = (F.when(F.col("_pb").isNull(), "no_positive")
+              .when(F.col("ci") >= F.col("_pb"), "violation")
+              .when(F.col("ci") + margin_ppm >= F.col("_pb"),
+                    "semi_hard")
+              .otherwise("easy"))
+    return negs.select(
+        "anchor_id", "neg_id", F.col("_rn").cast("long").alias("rank"),
+        F.round(F.col("ci") / 1_000_000.0, 6).alias("cosine_sim"),
+        F.round(F.col("_pb") / 1_000_000.0, 6).alias("pos_best_sim"),
+        status.alias("status"))
 
 
 def hard_negative_report_ivf_sql(src: str, kc: int = 8, nprobe: int = 2,
