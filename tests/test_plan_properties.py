@@ -561,3 +561,19 @@ def test_silhouette_broadcast_centroids_no_corpus_window(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan  # Arrow kernel only
+
+
+@pytest.mark.parametrize("name", [
+    "profile_group_trend", "profile_benford_audit",
+    "profile_dp_noisy_counts", "profile_mutual_information",
+    "profile_t_closeness", "events_funnel_wilson",
+    "events_cusum_changepoint", "text_readability",
+    "basket_association_rules", "quality_conformal_threshold",
+    "graph_assortativity", "text_hill_tail_index",
+])
+def test_batch14_surface_is_jvm_only(spark, name):
+    """The statistics/privacy/diagnostics additions stay inside
+    whole-stage codegen — no Python boundary anywhere."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
