@@ -289,6 +289,62 @@ def embedding_near_dup(emb: DataFrame, block_col: str = "label",
                     & (F.col("cosine_sim") >= threshold)))
 
 
+def _margin_block_kernel(k: int, tile: int = 1024):
+    """applyInPandas kernel for ONE margin block (shard key / IVF
+    list): left vectors (role 1) against right candidates (role 0) via
+    tiled GEMM; per left vector emits its LOCAL top-k positive-cosine
+    matches (ci desc, id_right asc — the global window's order, so the
+    local cut is lossless for the global top-k: any global top-k match
+    is top-k within its own block). Cosine discipline matches the join
+    path bit-for-bit at the 6-decimal contract: round(S, 6) > 0 gate,
+    then round(·c6 · 10⁶) micro-cosine integers (the hard-negative
+    kernel's rounding, oracle-green since r11). Only ≤ k rows per
+    (left, block) leave the task — the join path shuffled every
+    candidate pair row through ArrowEval + the rank window."""
+    import numpy as np
+    import pandas as pd
+
+    cols = ["id_left", "id_right", "_ci"]
+    empty = pd.DataFrame({c: np.zeros(0, dtype=np.int64) for c in cols})
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        L = pdf[pdf["role"] == 1]
+        R = pdf[pdf["role"] == 0].sort_values("id")
+        if len(L) == 0 or len(R) == 0:
+            return empty
+        lid = L["id"].to_numpy(dtype=np.int64)
+        rid = R["id"].to_numpy(dtype=np.int64)
+        VL = np.stack(L["v"].to_numpy()).astype(np.float64)
+        VR = np.stack(R["v"].to_numpy()).astype(np.float64)
+        nl = np.sqrt((VL * VL).sum(axis=1))
+        nr = np.sqrt((VR * VR).sum(axis=1))
+        out_l, out_r, out_c = [], [], []
+        for lo in range(0, len(lid), tile):
+            hi = min(lo + tile, len(lid))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (VL[lo:hi] @ VR.T) / np.outer(nl[lo:hi], nr)
+            S6 = np.round(S, 6)
+            for r in range(hi - lo):
+                row = S6[r]
+                valid = np.nonzero(~np.isnan(row) & (row > 0))[0]
+                if valid.size == 0:
+                    continue
+                ci = np.round(row[valid] * 1_000_000).astype(np.int64)
+                order = np.lexsort((rid[valid], -ci))[:k]
+                take = valid[order]
+                out_l.append(np.full(take.size, lid[lo + r],
+                                     dtype=np.int64))
+                out_r.append(rid[take])
+                out_c.append(ci[order])
+        if not out_l:
+            return empty
+        return pd.DataFrame({"id_left": np.concatenate(out_l),
+                             "id_right": np.concatenate(out_r),
+                             "_ci": np.concatenate(out_c)})
+
+    return fold
+
+
 def margin_alignment(left: DataFrame, right: DataFrame, k: int = 4,
                      min_margin_ppm: int = 1_000_000,
                      id_col: str = "vec_id", vec_col: str = "embedding",
@@ -313,27 +369,48 @@ def margin_alignment(left: DataFrame, right: DataFrame, k: int = 4,
     matches drop (mining wants dense neighborhoods — documented).
 
     Scale: with ``block_col`` (an LSH bucket / cluster id, the
-    ``embedding_near_dup`` discipline) the candidate join is equi on the
-    block and the per-left top-k is a bounded window per block; without
-    it the join is the exact cross product — the test/oracle shape, not
-    the 100 TB one.
+    ``embedding_near_dup`` discipline) the whole per-block fold runs
+    inside ONE tiled-GEMM ``applyInPandas`` kernel
+    (:func:`_margin_block_kernel`) — candidate pairs never leave the
+    task, only ≤ k local-top-k rows per (left, block) do, and the
+    global rank below is candidate-scale (≤ k·nprobe rows per left),
+    never a pair shuffle; without it the join is the exact cross
+    product — the test/oracle shape, not the 100 TB one.
     """
     from pyspark.sql import Window
-    blk = [block_col] if block_col else []
-    l = left.select(*blk, F.col(id_col).alias("id_left"),
-                    _as_double(vec_col).alias("_vl"))
-    r = right.select(*blk, F.col(id_col).alias("id_right"),
-                     _as_double(vec_col).alias("_vr"))
-    joined = l.join(r, blk) if block_col else l.crossJoin(r)
-    # Arrow pair cosine, not the interpreted 3×dims HOF fold per pair —
-    # round(·,6) absorbs kernel-vs-sequential ulps (the
-    # embedding_near_dup join-impl precedent, driver-green since r4)
-    cos6 = F.round(cosine_kernel()(F.col("_vl"), F.col("_vr")), 6)
-    sc = (joined.select("id_left", "id_right", cos6.alias("_c"))
-          .filter(~F.isnan("_c") & (F.col("_c") > 0))
-          .select("id_left", "id_right",
-                  F.round(F.col("_c") * 1_000_000).cast("long")
-                  .alias("_ci")))
+    if block_col:
+        # per-block GEMM fold (the r11 hard-negative kernel shape):
+        # candidate pairs never leave the task — each (left, block)
+        # contributes its local top-k rows, lossless for the global
+        # top-k, and the global rank below runs at ≤ k·(blocks per
+        # left) candidate scale instead of pair scale
+        l = left.select(F.col(block_col).alias("_blk"),
+                        F.lit(1).alias("role"),
+                        F.col(id_col).alias("id"),
+                        _as_double(vec_col).alias("v"))
+        r = right.select(F.col(block_col).alias("_blk"),
+                         F.lit(0).alias("role"),
+                         F.col(id_col).alias("id"),
+                         _as_double(vec_col).alias("v"))
+        sc = (l.unionByName(r)
+              .groupBy("_blk")
+              .applyInPandas(_margin_block_kernel(k),
+                             "id_left long, id_right long, _ci long"))
+    else:
+        l = left.select(F.col(id_col).alias("id_left"),
+                        _as_double(vec_col).alias("_vl"))
+        r = right.select(F.col(id_col).alias("id_right"),
+                         _as_double(vec_col).alias("_vr"))
+        joined = l.crossJoin(r)
+        # Arrow pair cosine, not the interpreted 3×dims HOF fold per
+        # pair — round(·,6) absorbs kernel-vs-sequential ulps (the
+        # embedding_near_dup join-impl precedent, driver-green since r4)
+        cos6 = F.round(cosine_kernel()(F.col("_vl"), F.col("_vr")), 6)
+        sc = (joined.select("id_left", "id_right", cos6.alias("_c"))
+              .filter(~F.isnan("_c") & (F.col("_c") > 0))
+              .select("id_left", "id_right",
+                      F.round(F.col("_c") * 1_000_000).cast("long")
+                      .alias("_ci")))
     w = Window.partitionBy("id_left").orderBy(F.desc("_ci"), "id_right")
     rk = sc.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= k)
