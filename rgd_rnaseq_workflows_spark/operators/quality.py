@@ -786,14 +786,13 @@ def hashed_logreg_train(docs: DataFrame, truth, n_buckets: int,
     Scale shape: the (doc, y, bucket, c) feature table is built ONCE
     (one explode + one map-side-combined groupBy) and checkpointed;
     each epoch is one broadcast weight join + per-doc aggregation,
-    then one doc-keyed join back + per-bucket gradient aggregation —
-    two shuffles per epoch, corpus passes ``O(epochs)``. The epoch
-    METRICS ride the gradient aggregation as a sentinel bucket (−1)
-    row, so each epoch is ONE action and the per-doc scoring subplan
-    runs once (the two-action form re-scored every document for the
-    gradient pass). Weights and gradients are bucket-scale metadata
-    (≤ n_buckets + 1 rows): the ONLY driver collects, exactly the
-    k-means-centroid pattern.
+    CHECKPOINTED so the scoring subplan runs once per epoch (the
+    metrics action materializes it; the gradient pass — one doc-keyed
+    join back + per-bucket aggregation — re-reads the materialized
+    doc-scale (id, y, z) rows instead of re-scoring the corpus).
+    Two shuffles per epoch, corpus passes ``O(epochs)``. Weights and
+    gradients are bucket-scale metadata (≤ n_buckets rows): the ONLY
+    driver collects, exactly the k-means-centroid pattern.
 
     ``truth`` is a Column expression evaluated per document (0/1)."""
     from rgd_rnaseq_workflows_spark.session import checkpoint_df
@@ -826,59 +825,40 @@ def hashed_logreg_train(docs: DataFrame, truth, n_buckets: int,
         per_doc = (scored.groupBy("id", "y")
                    .agg(F.sum(F.coalesce(F.col("w"), F.lit(0))
                               * F.col("c")).cast("long").alias("z")))
+        if epoch < epochs:
+            # the gradient pass below re-reads per_doc: checkpoint the
+            # doc-scale (id, y, z) rows so the corpus-scale scoring
+            # subplan (broadcast weight join + per-doc agg over tk)
+            # runs ONCE per epoch — the metrics action materializes it
+            per_doc = checkpoint_df(per_doc, eager=False)
         zd = F.col("z").cast("double") / 1e6
         loss_term = F.round(F.lit(1e6) * (
             F.log(F.lit(1.0) + F.exp(-F.abs(zd)))
             + F.greatest(zd, F.lit(0.0))
             - F.col("y") * zd)).cast("long")
-        metric_rows = per_doc.select(
-            F.lit(-1).cast("int").alias("bucket"),
-            F.lit(0).cast("long").alias("_v0"),
-            F.lit(1).cast("long").alias("_v1"),
-            F.col("y").cast("long").alias("_v2"),
-            ((F.col("z") > 0).cast("int") == F.col("y"))
-            .cast("long").alias("_v3"),
-            loss_term.alias("_v4"))
-        if epoch == epochs:
-            # final epoch: no gradient needed — metrics-only action
-            rows = (metric_rows.groupBy("bucket")
-                    .agg(*[F.sum(f"_v{i}").cast("long").alias(f"_v{i}")
-                           for i in range(5)]).collect())
-            grads = []
-        else:
-            # ONE action per epoch: the per-bucket gradient and the
-            # epoch metrics ride the SAME groupBy (metrics as a
-            # sentinel bucket −1) — the two-action form recomputed the
-            # whole per-doc scoring subplan for the gradient pass
-            p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zd)), 9)
-            grad_rows = (tk.join(per_doc.select("id", p.alias("p")), "id")
-                         .select(
-                "bucket",
-                F.round(F.lit(1e6) * (F.col("p") - F.col("y"))
-                        * F.col("c")).cast("long").alias("_v0"),
-                *[F.lit(0).cast("long").alias(f"_v{i}")
-                  for i in range(1, 5)]))
-            rows = (grad_rows.unionByName(metric_rows)
-                    .groupBy("bucket")
-                    .agg(*[F.sum(f"_v{i}").cast("long").alias(f"_v{i}")
-                           for i in range(5)]).collect())
-            grads = [r for r in rows if r["bucket"] >= 0]
-        mrow = next((r for r in rows if r["bucket"] == -1), None)
-        # empty corpus: groupBy yields no rows where the old bare agg
-        # yielded (0, NULL, NULL, NULL) — synthesize that row
-        m = ({"n_docs": mrow["_v1"], "n_pos": mrow["_v2"],
-              "n_correct": mrow["_v3"], "loss_micro": mrow["_v4"]}
-             if mrow is not None else
-             {"n_docs": 0, "n_pos": None, "n_correct": None,
-              "loss_micro": None})
+        m = per_doc.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum(((F.col("z") > 0).cast("int") == F.col("y"))
+                  .cast("long")).cast("long").alias("n_correct"),
+            F.sum(loss_term).cast("long").alias("loss_micro")
+        ).collect()[0]
         out.append((epoch, m["n_docs"], m["n_pos"], m["n_correct"],
                     10000 * m["n_correct"] // m["n_docs"]
                     if m["n_docs"] else 0, m["loss_micro"]))
         if epoch == epochs:
             break
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zd)), 9)
+        grads = (tk.join(per_doc.select("id", p.alias("p")), "id")
+                 .withColumn("_g", F.round(
+                     F.lit(1e6) * (F.col("p") - F.col("y"))
+                     * F.col("c")).cast("long"))
+                 .groupBy("bucket")
+                 .agg(F.sum("_g").cast("long").alias("g"))
+                 .collect())
         n = int(m["n_docs"])
         for r in grads:
-            b, g = int(r["bucket"]), int(r["_v0"])
+            b, g = int(r["bucket"]), int(r["g"])
             step = (lr_num * g) // (lr_den * n)
             if (lr_num * g) % (lr_den * n) != 0 and (lr_num * g) < 0:
                 step += 1          # mirror trunc-toward-zero division

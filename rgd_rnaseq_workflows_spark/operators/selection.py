@@ -11,20 +11,15 @@ standard algorithm for data-subset selection.
 
 Scale shape: the shingle table is derived ONCE (sorted 60-bit md5-long
 arrays — the PPJoin token-set representation, ``dedup.hashed_shingles``)
-and lineage-truncated, together with its exploded (id, tok) form; each
-of the k rounds is one broadcast ANTI-join of the token table against
-the covered set (k selected docs' tokens — driver metadata shipped as
-a broadcast frame, never a plan literal) + one map-side-combined
-per-doc gain count + one distributed TakeOrdered(1). Per-token work is
-O(1): the previous form evaluated ``array_except(hs, covered_lit)``
-per DOCUMENT, which rebuilds a hash set of the whole covered universe
-for every row every round — O(|covered|) per doc, quadratic in
-picked-coverage at fixed k and a growing plan literal to boot. k
-rounds ⇒ k corpus passes, one doc-scale gain shuffle each, k one-row
-collects. Ties break on ascending id; selection stops early only when
-the corpus is exhausted (zero-gain picks still select, so exactly
-``min(k, |docs|)`` rows come back — the deterministic contract the SQL
-twin encodes level by level).
+and lineage-truncated; each of the k rounds is one distributed
+TakeOrdered(1) over ``size(array_except(hs, covered))`` — a JVM array
+expression against a broadcast literal of the shingles covered so far
+(bounded by the k selected docs' sets, driver metadata). k rounds ⇒
+k corpus passes and k one-row collects; no pair joins, no shuffles
+beyond the scan. Ties break on ascending id; selection stops early
+only when the corpus is exhausted (zero-gain picks still select, so
+exactly ``min(k, |docs|)`` rows come back — the deterministic contract
+the SQL twin encodes level by level).
 
 Exactness: gains are integer set sizes over the identical hash
 universe on both engines (``md5_long`` / ``md5_long_sql``), so the
@@ -57,31 +52,17 @@ def greedy_max_cover(docs: DataFrame, k: int, shingle_n: int = 2,
         docs.select(F.col(id_col).alias("id"),
                     hashed_shingles(text_col, shingle_n).alias("hs")),
         eager=False)  # k rounds re-read it
-    # exploded DISTINCT token table, derived once off the checkpointed
-    # blocks (array_distinct mirrors array_except's set semantics in
-    # case of md5 collisions inside one doc)
-    ex = checkpoint_df(
-        hs.select("id", F.explode(F.array_distinct("hs")).alias("tok")),
-        eager=False)
 
     covered: set[int] = set()
     selected: list = []
     out: list[tuple] = []
     for rank in range(1, k + 1):
-        rem_ex = (ex.filter(~F.col("id").isin(selected))
-                  if selected else ex)
-        if covered:
-            cov_df = spark.createDataFrame(
-                [(t,) for t in sorted(covered)], "tok bigint")
-            rem_ex = rem_ex.join(F.broadcast(cov_df), "tok", "left_anti")
-        gains = rem_ex.groupBy("id").agg(
-            F.count("*").cast("int").alias("_g"))
         rem = hs.filter(~F.col("id").isin(selected)) if selected else hs
-        pick = (rem.join(gains, "id", "left")
-                .select("id",
-                        F.coalesce(F.col("_g"), F.lit(0)).alias("gain"),
-                        "hs")
-                .orderBy(F.desc("gain"), F.asc("id")).limit(1).collect())
+        cov_lit = F.lit(sorted(covered)).cast("array<bigint>")
+        pick = (rem.select(
+            "id", F.size(F.array_except("hs", cov_lit)).alias("gain"),
+            "hs")
+            .orderBy(F.desc("gain"), F.asc("id")).limit(1).collect())
         if not pick:
             break
         row = pick[0]
