@@ -385,8 +385,12 @@ def assortativity_report(pairs: DataFrame, src: str = "id_a",
 
     Scale shape: degree table via one map-side-combined groupBy; two
     equi-joins attach end degrees at edge scale; one aggregation to a
-    single metadata row. No window, no pair-of-pairs blowup."""
-    edges = _sym_edges(pairs, src, dst)
+    single metadata row. No window, no pair-of-pairs blowup. The edge
+    list is checkpoint-truncated first (the triangle_stats/LPA
+    pattern): deg, ends and nodes all replay the materialized edge
+    scan instead of re-running the caller's pair GENERATION once per
+    consuming subtree."""
+    edges = checkpoint_df(_sym_edges(pairs, src, dst))
     deg = edges.groupBy("u").agg(F.count("*").cast("long").alias("d"))
     ends = (edges.join(deg, "u")
             .withColumnRenamed("d", "du")
