@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from rgd_rnaseq_workflows_spark.functions.hashing import md5_long, md5_long_sql
 from rgd_rnaseq_workflows_spark.functions.text import shingles_all, shingles_all_sql
+from rgd_rnaseq_workflows_spark.session import checkpoint_df
 
 # Packed-key position budget: key = h·2^_POS_BITS + (cap-1-pos) must fit
 # int64 with the 40-bit truncated hash (40 + _POS_BITS < 63). Documents
@@ -93,9 +94,14 @@ def shared_fingerprint_pairs(fps: DataFrame, id_col: str = "doc_id",
                              min_shared: int = 2) -> DataFrame:
     """Cross-document partial-overlap report: (id_a, id_b, n_shared) for
     pairs sharing ≥ ``min_shared`` distinct selected fingerprints —
-    equi-join on fp, count agg, never all-pairs."""
-    a = fps.select(F.col(id_col).alias("id_a"), "fp").distinct()
-    b = fps.select(F.col(id_col).alias("id_b"), "fp").distinct()
+    equi-join on fp, count agg, never all-pairs. The distinct (id, fp)
+    frame is checkpoint-truncated ONCE: both join sides replay the
+    materialized selection set instead of re-running the caller's
+    fingerprint derivation (posexplode + two windows) per side."""
+    da = checkpoint_df(
+        fps.select(F.col(id_col).alias("_id"), "fp").distinct())
+    a = da.select(F.col("_id").alias("id_a"), "fp")
+    b = da.select(F.col("_id").alias("id_b"), "fp")
     return (a.join(b, "fp")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
@@ -125,7 +131,11 @@ def cross_containment_pairs(new_fps: DataFrame, old_fps: DataFrame,
     corpus-scale shuffle, and per-new-doc sizes ride a doc-scale join.
     ``containment`` is a single division of exact integers.
     """
-    na = new_fps.select(F.col(id_col).alias("id_new"), "fp").distinct()
+    # the new side feeds TWO subtrees (match join + per-doc sizes):
+    # checkpoint it once so the incoming fingerprint derivation does
+    # not replay per consumer; the lake side is consumed once
+    na = checkpoint_df(
+        new_fps.select(F.col(id_col).alias("id_new"), "fp").distinct())
     ob = old_fps.select(F.col(id_col).alias("id_old"), "fp").distinct()
     sizes = na.groupBy("id_new").agg(F.count("*").alias("n_fp_new"))
     pairs = (na.join(ob, "fp")
@@ -170,7 +180,12 @@ def containment_keepers(fps: DataFrame, id_col: str = "doc_id",
     best-container pick ride pair-scale aggregations, and the final
     report is one broadcast-scale left join per doc row.
     """
-    da = fps.select(F.col(id_col).alias("_id"), "fp").distinct()
+    # the distinct selection set feeds the pair join twice and the
+    # size table (itself consumed three times): checkpoint it once —
+    # without this the fingerprint derivation replays per subtree
+    # (measured 14 parquet scans in one containment-keepers plan)
+    da = checkpoint_df(
+        fps.select(F.col(id_col).alias("_id"), "fp").distinct())
     sizes = da.groupBy("_id").agg(F.count("*").cast("long").alias("n_fp"))
     und = (da.alias("a")
            .join(da.alias("b"), "fp")
@@ -390,6 +405,9 @@ def shared_span_report(fps: DataFrame, k: int, w: int,
     are pair-overlap scale, not corpus scale. All-pairs never happens:
     only documents sharing a fingerprint meet.
     """
+    # the (id, fp, pos) selection set feeds both join sides:
+    # checkpoint once so the fingerprint windows run once, not twice
+    fps = checkpoint_df(fps.select(F.col(id_col), "fp", "pos"))
     a = fps.select(F.col(id_col).alias("id_a"), "fp",
                    F.col("pos").alias("pos_a"))
     b = fps.select(F.col(id_col).alias("id_b"), "fp",
