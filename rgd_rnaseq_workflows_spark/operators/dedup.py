@@ -630,6 +630,15 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
             .withColumn("pos", F.row_number().over(w))
             .filter(F.col("pos") <= prefix_len)
             .select(F.col(id_col), "_blk", "sz", "pos", "tok"))
+    # the prefix table feeds BOTH sides of the candidate self-join;
+    # planned un-truncated, each side re-runs the freq join + per-doc
+    # rank window (one side sits under a BroadcastExchange, so AQE's
+    # exchange reuse never matches the two subtrees). One lazy
+    # checkpoint makes the prefix derivation run once — measured
+    # 3.32s -> 2.72s (0.82x) interleaved at sf0.1, and at 100 TB it is
+    # the difference between one and two passes over the ~20% prefix
+    # slice of the token table
+    pref = checkpoint_df(pref, eager=False)
     a, b = pref.alias("a"), pref.alias("b")
     alpha = F.ceil((F.col("a.sz") + F.col("b.sz"))
                    * threshold / (1.0 + threshold))
@@ -755,7 +764,13 @@ def hamming_near_pairs(fps: DataFrame, sig_col: str, id_col: str,
     (SimHash fingerprints, image perceptual hashes, audio fingerprints):
     the (max_hamming+1)-disjoint-block pigeonhole blocking — a pair
     within ``max_hamming`` bits must agree exactly on ≥1 block, so the
-    join is equi on (block, key), never cross."""
+    join is equi on (block, key), never cross.
+
+    The signature frame is checkpoint-truncated first: the blocked
+    frame feeds BOTH sides of the equi-join, and un-truncated each side
+    replays the caller's whole fingerprint derivation (for simhash: the
+    feature explode + packed-vote aggregation over the corpus)."""
+    fps = checkpoint_df(fps, eager=False)
     n_blocks = max_hamming + 1
     base, extra = divmod(bits, n_blocks)
     parts, off = [], 0
