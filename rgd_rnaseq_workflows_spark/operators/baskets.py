@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from rgd_rnaseq_workflows_spark.session import checkpoint_df
+
 
 def association_rules(tx: DataFrame, basket_col: str, item_col: str,
                       min_support: int = 5, top_k: int = 20,
@@ -44,10 +46,14 @@ def association_rules(tx: DataFrame, basket_col: str, item_col: str,
     min-support filter at pair-vocabulary scale → two-phase top-k
     (per-partition candidate cut under the total order, then a rank
     over ≤ P·top_k survivors) → broadcast item margins."""
-    b = (tx.select(F.col(basket_col).alias("bk"),
-                   F.col(item_col).cast("long").alias("it"))
-         .filter(F.col("it").isNotNull())
-         .distinct())
+    # the deduped basket table feeds FOUR subtrees (basket total, item
+    # margins, both self-join sides); checkpoint it once so the
+    # distinct shuffle runs once instead of once per consumer
+    b = checkpoint_df(
+        tx.select(F.col(basket_col).alias("bk"),
+                  F.col(item_col).cast("long").alias("it"))
+        .filter(F.col("it").isNotNull())
+        .distinct(), eager=False)
     nb = b.agg(F.countDistinct("bk").cast("long").alias("_n"))
     items = b.groupBy("it").agg(F.count("*").alias("c"))
     a, c = b.alias("a"), b.alias("c")

@@ -48,25 +48,25 @@ def boilerplate_ngrams(corpus: DataFrame, shingle_n: int = 3,
                        F.explode(shingles(text_col, shingle_n))
                        .alias("g"))
          .filter(F.col("g") != ""))
-    hashed = g.select("source", md5_long(F.col("g")).alias("h"))
-    # distinct grams per doc → count == document frequency
+    hashed = g.select("source", md5_long(F.col("g")).alias("h"), "g")
+    # distinct grams per doc → count == document frequency; min(g)
+    # resolves the gram NAME in the same map-side-combined pass (the
+    # partial min collapses each group's gram bytes to one value per
+    # map task), so the corpus explode + md5 run ONCE — the previous
+    # two-pass form re-derived the whole exploded gram table a second
+    # time just to name the flagged survivors
     freq = hashed.groupBy("source", "h").agg(
-        F.count("*").cast("long").alias("n_docs"))
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("g").alias("gram"))
     totals = (corpus.groupBy(F.col(source_col).alias("source"))
               .agg(F.count("*").cast("long").alias("_n_src")))
     flagged = (freq.join(F.broadcast(totals), "source")
                .filter((F.col("n_docs") >= min_docs)
                        & (F.col("n_docs") * 10000
                           >= F.lit(min_doc_bps) * F.col("_n_src"))))
-    names = (g.select("source", md5_long(F.col("g")).alias("h"), "g")
-             .join(F.broadcast(flagged.select("source", "h")),
-                   ["source", "h"], "left_semi")
-             .groupBy("source", "h")
-             .agg(F.min("g").alias("gram")))
-    return (flagged.join(names, ["source", "h"])
-            .select("source", "gram", "n_docs",
-                    F.round(F.col("n_docs") / F.col("_n_src"), 6)
-                    .alias("doc_frac6")))
+    return flagged.select("source", "gram", "n_docs",
+                          F.round(F.col("n_docs") / F.col("_n_src"), 6)
+                          .alias("doc_frac6"))
 
 
 def boilerplate_score(corpus: DataFrame, flagged: DataFrame,
