@@ -113,15 +113,17 @@ def ngram_coverage_report(docs: DataFrame, n: int = 4,
     dup_grams = (grams.groupBy("g")
                  .agg(F.countDistinct(id_col).alias("nd"))
                  .filter(F.col("nd") >= 2)
-                 .select("g"))
-    per_doc_total = grams.groupBy(id_col).agg(
-        F.count("*").alias("n_positions"))
-    per_doc_dup = (grams.join(dup_grams, "g")
-                   .groupBy(id_col).agg(F.count("*").alias("n_dup_positions")))
-    return (per_doc_total.join(per_doc_dup, id_col, "left")
-            .select(id_col, "n_positions",
-                    F.coalesce("n_dup_positions", F.lit(0)).cast("long")
-                    .alias("n_dup_positions"))
+                 .select("g", F.lit(1).alias("_dup")))
+    # ONE join + ONE per-doc aggregation scores total and duplicated
+    # positions together (count counts non-null _dup markers) — the
+    # previous three-consumer form re-ran the corpus gram explode for
+    # the totals and again for the dup positions; two streaming corpus
+    # passes (frequency side, scoring side) are the minimum without
+    # materializing the string gram table
+    return (grams.join(dup_grams, "g", "left")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_positions"),
+                 F.count("_dup").cast("long").alias("n_dup_positions"))
             .withColumn("dup_frac",
                         F.round(F.col("n_dup_positions")
                                 / F.col("n_positions"), 4)))
@@ -1242,9 +1244,15 @@ def length_outlier_report(docs: DataFrame, by: str = "source",
     corpus-scale passes are the two histogram builds.
     """
     from pyspark.sql import Window
+
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
     v = F.col(value_col).cast("long")
-    hist = (docs.select(F.col(by).alias("g"), v.alias("v"))
-            .groupBy("g", "v").agg(F.count("*").alias("c")))
+    # the histogram feeds five subtrees (median walk ×2, deviation
+    # histogram, final stats): checkpoint the domain-scale counts once
+    # so the corpus scan + map-side fold run once, not per consumer
+    hist = checkpoint_df(
+        docs.select(F.col(by).alias("g"), v.alias("v"))
+        .groupBy("g", "v").agg(F.count("*").alias("c")), eager=False)
 
     def lower_median(h: DataFrame, out: str) -> DataFrame:
         w = Window.partitionBy("g").orderBy("v")
