@@ -629,11 +629,13 @@ def fk_candidates_report(spark, pairs: list[tuple[DataFrame, str,
               .select(F.col(ccol).cast("long").alias("v")).distinct())
         pv = (parent.filter(F.col(pcol).isNotNull())
               .select(F.col(pcol).cast("long").alias("v")).distinct())
-        hit = cv.join(pv, "v", "left_semi")
+        # ONE left join + ONE aggregation counts total and contained
+        # values together (count of non-null markers) — the semi-join +
+        # separate total form scanned and deduped the child twice
         outs.append(
-            cv.agg(F.count("*").cast("long").alias("n_child_values"))
-            .crossJoin(hit.agg(F.count("*").cast("long")
-                               .alias("n_contained")))
+            cv.join(pv.withColumn("_hit", F.lit(1)), "v", "left")
+            .agg(F.count("*").cast("long").alias("n_child_values"),
+                 F.count("_hit").cast("long").alias("n_contained"))
             .select(F.lit(label).alias("relation"), "n_child_values",
                     "n_contained",
                     (F.col("n_child_values") - F.col("n_contained"))
