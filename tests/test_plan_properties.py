@@ -382,10 +382,18 @@ def test_correlations_single_pass_no_join(spark):
 
 
 def test_fk_candidates_semi_join_at_value_scale(spark):
-    """Each relation audits via a LeftSemi over DISTINCT value sets —
-    aggregates below the join, never a row-level table join."""
+    """Each relation audits via ONE LeftOuter join over DISTINCT value
+    sets — aggregates below the join, never a row-level table join
+    (r11: the LeftSemi + separate-total form deduped the child values
+    twice; total and contained now count in a single aggregation)."""
     plan = _plan(spark, "profile_fk_candidates")
-    assert "LeftSemi" in plan
+    lines = plan.splitlines()
+    join_idx = [i for i, line in enumerate(lines)
+                if "Join LeftOuter" in line]
+    assert join_idx, "expected the value-scale LeftOuter joins"
+    for i in join_idx:
+        # left child directly below the join is the distinct-value agg
+        assert "HashAggregate" in lines[i + 1], lines[i + 1]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
