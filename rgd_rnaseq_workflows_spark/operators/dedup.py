@@ -553,14 +553,24 @@ ORDER BY group_a, group_b
 # --- n-gram Jaccard with key blocking -------------------------------------------
 
 def hashed_shingles(text_col: str = "text", n: int = 1):
-    """The PPJoin token set as a COLUMN expression: sorted 60-bit
-    md5-long hashes of the word n-gram shingles. Exposed so a pipeline
+    """The PPJoin token set as a COLUMN expression: sorted 64-bit
+    xxhash64 hashes of the word n-gram shingles. Exposed so a pipeline
     can materialize it ONCE on its shared survivor frame (the
     one-token-frame curation contract, ``plans.corpus``) and hand it to
     :func:`ngram_jaccard_pairs` via ``hashed_col`` instead of paying a
-    second derivation + checkpoint round."""
+    second derivation + checkpoint round.
+
+    Hash choice (r11, guide §4.1 "prefer built-ins"): these hashes are
+    INTERNAL set elements only — every consumer's oracle compares
+    string-shingle results (``ngram_jaccard`` twins) or pure set
+    CARDINALITIES (``greedy_max_cover``), never the hash values — so
+    the portable-md5 requirement that binds ``md5_long`` users does not
+    apply here. ``xxhash64`` runs in whole-stage codegen (no
+    MessageDigest + hex `conv` per shingle); measured 0.94 → 0.70 s for
+    the sf0.1 shingle table. 64-bit vs the md5-substring's 60-bit also
+    strictly lowers the collision odds both forms already rely on."""
     return F.array_sort(F.transform(shingles(text_col, n),
-                                    lambda s: md5_long(s)))
+                                    lambda s: F.xxhash64(s)))
 
 
 def ngram_jaccard_pairs(df: DataFrame, block_col: str,
@@ -624,12 +634,26 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
     exploded = hashed.select(F.col(id_col), "_blk", "sz",
                              F.explode("hs").alias("tok"))
     freq = exploded.groupBy("_blk", "tok").agg(F.count("*").alias("df"))
-    w = Window.partitionBy(id_col).orderBy("df", "tok")
     prefix_len = (F.floor(F.col("sz") * (1.0 - threshold)) + 1).cast("int")
+    # canonical per-doc rank in the ARRAY domain (r11): collect each
+    # doc's (df, tok) pairs, sort once per doc, slice the prefix, THEN
+    # posexplode — same single exchange as the old
+    # row_number().over(partitionBy(id)) window, but the prefix filter
+    # runs before any row leaves the aggregation (the window ranked all
+    # tokens and filtered after its partition-wide sort), and the sort
+    # is per-doc (Σ sz·log sz) instead of per-partition
+    # (N·log N over every exploded row). (df, tok) struct order ==
+    # (df ASC, tok ASC), the exact window order; ties are impossible
+    # (hs is distinct per doc).
     pref = (exploded.join(freq, ["_blk", "tok"])
-            .withColumn("pos", F.row_number().over(w))
-            .filter(F.col("pos") <= prefix_len)
-            .select(F.col(id_col), "_blk", "sz", "pos", "tok"))
+            .groupBy(F.col(id_col), "_blk", "sz")
+            .agg(F.sort_array(F.collect_list(F.struct("df", "tok")))
+                 .alias("_st"))
+            .select(F.col(id_col), "_blk", "sz",
+                    F.posexplode(F.slice("_st", F.lit(1), prefix_len)))
+            .select(F.col(id_col), "_blk", "sz",
+                    (F.col("pos") + 1).cast("int").alias("pos"),
+                    F.col("col.tok").alias("tok")))
     # the prefix table feeds BOTH sides of the candidate self-join;
     # planned un-truncated, each side re-runs the freq join + per-doc
     # rank window (one side sits under a BroadcastExchange, so AQE's
@@ -649,6 +673,29 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
     ubound = (F.least(F.col("a.pos"), F.col("b.pos"))
               + F.least(F.col("a.sz") - F.col("a.pos"),
                         F.col("b.sz") - F.col("b.pos")))
+    # indexing-prefix gate (r11, Xiao et al. PPJoin): a true pair's
+    # (sz, id)-SMALLER record must contribute a shared token from its
+    # first ⌊(1−t)/(1+t)·sz⌋+1 tokens (overlap α ≥ ⌈2t/(1+t)·sz_small⌉
+    # once the partner is at least as large bounds the smaller side's
+    # needed prefix by the SHORT length, the larger side's by the long
+    # probe prefix). Rather than restricting the join itself — which
+    # drops match rows and thereby WEAKENS the accumulated filter
+    # below (measured: candidates rose 106,718 → 141,707 at sf0.1
+    # because smaller c also shrinks max_pos) — each match row carries
+    # an ``is_short`` flag and the candidate aggregation requires ≥ 1
+    # flagged row per pair: the accumulated bound keeps its full
+    # symmetric-match strength AND the pair gains a strictly-pruning
+    # extra requirement (hot tokens sit in ~45% fewer short prefixes
+    # at t=0.8, the adversarial hot-key case at corpus scale; on the
+    # high-overlap sf0.1 fixture it prunes only 106,718 → 106,670).
+    short_a = (F.floor(F.col("a.sz") * (1.0 - threshold)
+                       / (1.0 + threshold)) + 1).cast("int")
+    short_b = (F.floor(F.col("b.sz") * (1.0 - threshold)
+                       / (1.0 + threshold)) + 1).cast("int")
+    # id_a < id_b in the join, so sz_a <= sz_b ⇒ a is the (sz, id)-min
+    short_row = F.when(F.col("a.sz") <= F.col("b.sz"),
+                       F.col("a.pos") <= short_a) \
+                 .otherwise(F.col("b.pos") <= short_b)
     matches = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
                       & (F.col("a._blk") == F.col("b._blk"))
                       & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -660,7 +707,8 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
                        F.col("a.sz").alias("sz_a"),
                        F.col("b.sz").alias("sz_b"),
                        F.col("a.pos").alias("pos_a"),
-                       F.col("b.pos").alias("pos_b")))
+                       F.col("b.pos").alias("pos_b"),
+                       short_row.cast("int").alias("is_short")))
     # accumulated PPJoin filter (replaces the plain distinct, same one
     # shuffle): c = shared prefix tokens; by the canonical order every
     # shared token ranked below the LAST match is one of those c, and the
@@ -672,10 +720,12 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
     cand = (matches.groupBy("id_a", "id_b", "sz_a", "sz_b")
             .agg(F.count("*").alias("c"),
                  F.max("pos_a").alias("mpa"),
-                 F.max("pos_b").alias("mpb"))
-            .filter(F.col("c")
-                    + F.least(F.col("sz_a") - F.col("mpa"),
-                              F.col("sz_b") - F.col("mpb")) >= agg_alpha)
+                 F.max("pos_b").alias("mpb"),
+                 F.max("is_short").alias("has_short"))
+            .filter((F.col("c")
+                     + F.least(F.col("sz_a") - F.col("mpa"),
+                               F.col("sz_b") - F.col("mpb")) >= agg_alpha)
+                    & (F.col("has_short") == 1))
             .select("id_a", "id_b"))
     sets = hashed.select(F.col(id_col), "hs", "sz")
     if broadcast_verify is True:
