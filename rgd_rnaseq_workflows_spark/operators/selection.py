@@ -44,31 +44,47 @@ def greedy_max_cover(docs: DataFrame, k: int, shingle_n: int = 2,
     """Greedy coverage selection: ``min(k, |docs|)`` rows of
     ``(rank, id, gain, covered_total)`` where ``gain`` is the number
     of corpus shingles the pick newly covers and ``covered_total``
-    the running union size."""
+    the running union size.
+
+    Incremental-remainder form (r11): instead of re-scanning the full
+    shingle table against a GROWING ``covered`` literal (round r cost
+    n·|covered| per row, plus a plan literal of |covered| longs that is
+    re-analyzed/re-codegen'd and shipped in every task binary), each
+    round maintains ``hs := hs \\ pick_hs`` behind a lazy checkpoint —
+    so ``gain`` is just ``size(hs)`` and the only literal is the last
+    pick's remaining shingles (≤ one doc's worth). Pick sequence is
+    unchanged: ``hs`` after r rounds equals the original
+    ``array_except(hs, covered_r)`` exactly, ``covered_total`` is the
+    running gain sum (each gain counts exactly the newly covered
+    shingles), and ties stay (gain DESC, id ASC). Superseded round
+    tables are dropped by the driver's ContextCleaner once their frames
+    go out of scope — at any moment one remainder table is live plus
+    the one being built."""
     if k < 1:
         raise ValueError("k must be >= 1")
     spark = docs.sparkSession
-    hs = checkpoint_df(
+    rem = checkpoint_df(
         docs.select(F.col(id_col).alias("id"),
                     hashed_shingles(text_col, shingle_n).alias("hs")),
-        eager=False)  # k rounds re-read it
+        eager=False)
 
-    covered: set[int] = set()
-    selected: list = []
     out: list[tuple] = []
+    covered_total = 0
     for rank in range(1, k + 1):
-        rem = hs.filter(~F.col("id").isin(selected)) if selected else hs
-        cov_lit = F.lit(sorted(covered)).cast("array<bigint>")
-        pick = (rem.select(
-            "id", F.size(F.array_except("hs", cov_lit)).alias("gain"),
-            "hs")
-            .orderBy(F.desc("gain"), F.asc("id")).limit(1).collect())
+        pick = (rem.select("id", F.size("hs").alias("gain"), "hs")
+                .orderBy(F.desc("gain"), F.asc("id")).limit(1).collect())
         if not pick:
             break
         row = pick[0]
-        covered.update(row["hs"])
-        selected.append(row["id"])
-        out.append((rank, row["id"], row["gain"], len(covered)))
+        covered_total += row["gain"]
+        out.append((rank, row["id"], row["gain"], covered_total))
+        if rank == k:
+            break  # no next round to prepare
+        pick_lit = F.lit(list(row["hs"])).cast("array<bigint>")
+        rem = checkpoint_df(
+            rem.filter(F.col("id") != row["id"])
+            .select("id", F.array_except("hs", pick_lit).alias("hs")),
+            eager=False)
     return spark.createDataFrame(
         out, f"rank long, {id_col} long, gain long, covered_total long")
 

@@ -5006,11 +5006,12 @@ def _maxcover_oracle() -> str:
 @q("sample_greedy_maxcover", ("MAXCOVER",), oracle=_maxcover_oracle(),
    note="submodular diversity selection: greedy max-cover over bigram "
         "shingles (Nemhauser 1-1/e guarantee) - seed sets / eval "
-        "slices / 'show me what is in here' subsets; the shingle "
-        "table derives once (PPJoin 60-bit hash arrays, lineage "
-        "truncated), each of k rounds is one distributed "
-        "TakeOrdered(1) on size(array_except(hs, covered-literal)) - "
-        "k corpus passes, k one-row collects, zero joins; pick "
+        "slices / 'show me what is in here' subsets; incremental-"
+        "remainder rounds (r11): the checkpointed shingle table is "
+        "updated hs := hs \\ pick per round, so each of k rounds is "
+        "one distributed TakeOrdered(1) on size(hs) plus a one-doc "
+        "literal subtraction - k corpus passes, k one-row collects, "
+        "zero joins, no growing covered-literal; pick "
         "sequence bit-reproduced by the k-level unrolled DuckDB twin")
 def sample_greedy_maxcover(spark, sf_dir):
     from rgd_rnaseq_workflows_spark.operators.selection import (
