@@ -53,7 +53,12 @@ def pagerank(pairs: DataFrame, iters: int = 3, damping_pct: int = 85,
         raise ValueError(f"damping_pct={damping_pct} outside (0,100)")
     edges = _sym_edges(pairs, src, dst)
     deg = edges.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
-    edges = checkpoint_df(edges.join(deg, "u"))
+    # lazy (r11): the loop runs no per-round action (fixed iters,
+    # cadence truncation below), so the blocks materialize inside the
+    # caller's single action and the ranks-init + every iteration
+    # reuse them — the eager form paid a separate materialization job.
+    # Measured 3.45 -> 3.01 s on graph_pagerank_neardup at sf0.1.
+    edges = checkpoint_df(edges.join(deg, "u"), eager=False)
     teleport = (100 - damping_pct) * RANK_SCALE // 100
     # ranks init off the CHECKPOINTED frame: deriving it from `deg`
     # would re-run the caller's whole pair GENERATION a second time
@@ -482,18 +487,29 @@ def label_propagation_communities(pairs: DataFrame, iters: int = 3,
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    edges = checkpoint_df(_sym_edges(pairs, src, dst))
+    # lazy edge checkpoint + cadence label truncation (r11, the
+    # pagerank discipline): the loop runs NO per-round action — rounds
+    # are fixed, there is no convergence probe — so an eager checkpoint
+    # per round paid iters extra job launches for lineage that a
+    # 3-round plan keeps shallow anyway. Edges materialize once inside
+    # the single final action and all round joins + the label init
+    # reuse the blocks; labels re-truncate every 5 rounds only (long
+    # runs stay bounded). Measured 3.83 -> 3.32 s at sf0.1 on the
+    # simhash graph, identical communities.
+    edges = checkpoint_df(_sym_edges(pairs, src, dst), eager=False)
     labels = edges.select("u").distinct() \
         .select("u", F.col("u").alias("lab"))
-    for _ in range(iters):
+    for t in range(1, iters + 1):
         votes = (edges.join(labels, "u")
                  .groupBy(F.col("v").alias("u"), "lab")
                  .agg(F.count("*").alias("c")))
-        labels = checkpoint_df(
-            votes.groupBy("u")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl")))
-                 .alias("m"))
-            .select("u", (-F.col("m.nl")).cast("long").alias("lab")))
+        labels = (votes.groupBy("u")
+                  .agg(F.max(F.struct(F.col("c"),
+                                      (-F.col("lab")).alias("nl")))
+                       .alias("m"))
+                  .select("u", (-F.col("m.nl")).cast("long").alias("lab")))
+        if t % 5 == 0 and t < iters:
+            labels = checkpoint_df(labels)
     return (labels.groupBy(F.col("lab").alias("community"))
             .agg(F.count("*").cast("long").alias("n_members"),
                  F.min("u").cast("long").alias("min_member"))
