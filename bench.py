@@ -114,17 +114,71 @@ def main() -> None:
 
     q_cov = {n: cov(warm(xs)) for n, xs in runs.items()}
     sent_w = warm(sentinel_runs)
+
+    def sent_spread(xs: list[float]) -> float:
+        ok = [x for x in xs if x > 0]
+        return round(max(ok) / min(ok), 3) if ok else -1.0
+
     noise = {
         "sentinel_secs": sentinel_runs,
         "sentinel_median": median(sent_w),
         "sentinel_cov": cov(sent_w),
-        "sentinel_max_over_min": (
-            round(max(sent_w) / min(sent_w), 3)
-            if sent_w and min(sent_w) > 0 else -1.0),
+        "sentinel_max_over_min": sent_spread(sent_w),
         "high_cov_queries": sorted(
             n for n, c in q_cov.items()
             if c > 0.25 and timings.get(n, 0) > 0.3),
     }
+    # Self-qualification (r11 verdict task 1): a sentinel spread > 1.5
+    # means a box slow phase polluted some samples (bench.py's own
+    # documented distrust rule). Run ONE extra full pass and fold its
+    # samples into the medians — the median of 4 with <=2 polluted
+    # samples lands on a quiet sample. The extra pass's own sentinel
+    # spread then decides whether the record is trustworthy; if IT is
+    # still turbulent, mark the whole record suspect so the
+    # round-over-round comparison knows to distrust it.
+    requalify: dict = {"attempted": False}
+    if noise["sentinel_max_over_min"] > 1.5:
+        requalify["attempted"] = True
+        extra_sent: list[float] = []
+        for qi, (name, spec) in enumerate(REGISTRY.items()):
+            if qi % SENTINEL_EVERY == 0:
+                gc.collect()
+                t0 = time.time()
+                sentinel_spec.fn(spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                extra_sent.append(round(time.time() - t0, 3))
+            if not spec.production:
+                continue
+            gc.collect()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            try:
+                spec.fn(spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                runs.setdefault(name, []).append(round(time.time() - t0, 3))
+            except Exception as e:
+                runs.setdefault(name, []).append(-1.0)
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+        sentinel_runs = sentinel_runs + extra_sent
+        timings = {name: median(xs) for name, xs in runs.items()}
+        total = round(sum(t for t in timings.values() if t >= 0), 3)
+        q_cov = {n: cov(warm(xs)) for n, xs in runs.items()}
+        requalify["extra_pass_sentinel_secs"] = extra_sent
+        requalify["extra_pass_sentinel_max_over_min"] = \
+            sent_spread(warm(extra_sent))
+        noise = {
+            "sentinel_secs": sentinel_runs,
+            "sentinel_median": median(warm(sentinel_runs)),
+            "sentinel_cov": cov(warm(sentinel_runs)),
+            "sentinel_max_over_min": noise["sentinel_max_over_min"],
+            "high_cov_queries": sorted(
+                n for n, c in q_cov.items()
+                if c > 0.25 and timings.get(n, 0) > 0.3),
+        }
+    noise["record_suspect"] = bool(
+        requalify["attempted"]
+        and requalify.get("extra_pass_sentinel_max_over_min", 99) > 1.5)
+    noise["requalify"] = requalify
     full = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -162,15 +216,38 @@ def main() -> None:
             "sentinel_cov": noise["sentinel_cov"],
             "sentinel_max_over_min": noise["sentinel_max_over_min"],
             "n_high_cov_queries": len(noise["high_cov_queries"]),
+            "record_suspect": noise["record_suspect"],
         },
         "queries": {},
     }
+    if noise["requalify"]["attempted"]:
+        compact["noise"]["requalified_max_over_min"] = \
+            noise["requalify"]["extra_pass_sentinel_max_over_min"]
     budget = 1800
+    # Deterministic headline set (r11 verdict task 3): the compact line
+    # only fits ~45 of 220+ medians, so a purely slowest-first list
+    # churns round over round and fabricates "dropped_from_bench"
+    # entries. Pin the previous round's headline names (stored in the
+    # repo) first, then fill any remaining budget slowest-first.
+    pinned_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_headline.json")
+    if os.path.exists(pinned_path):
+        with open(pinned_path) as fh:
+            for name in json.load(fh):
+                if name in timings:
+                    compact["queries"][name] = timings[name]
     for name in sorted(timings, key=lambda n: -timings[n]):
+        if name in compact["queries"]:
+            continue
         compact["queries"][name] = timings[name]
         if len(json.dumps(compact)) > budget:
             del compact["queries"][name]
             break
+    # safety valve: if the pinned set alone ever outgrows the budget,
+    # trim fastest-first so the slow (triage-relevant) entries survive
+    while len(json.dumps(compact)) > budget and compact["queries"]:
+        del compact["queries"][min(compact["queries"],
+                                   key=lambda n: compact["queries"][n])]
     sys.stdout.flush()
     print(json.dumps(compact))
 
