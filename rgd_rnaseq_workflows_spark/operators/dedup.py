@@ -166,7 +166,14 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
           .select(F.col(id_col), base.alias("x")))
     aggs = [F.min((F.col("x") * a + b) % MINHASH_P).alias(f"h{i}")
             for i, (a, b) in enumerate(minhash_params(num_hashes))]
-    sigs = sh.groupBy(id_col).agg(*aggs)
+    # checkpoint the doc-scale signature table (r12, guide §2.4/§5):
+    # the banded candidate self-join consumes it from BOTH sides, and
+    # one side sits under a BroadcastExchange, so exchange reuse never
+    # matches the two subtrees — un-truncated, the shingle explode +
+    # k-min aggregation ran twice (the 0b09c40 PPJoin failure mode,
+    # same cure as minhash_calibration_report already had)
+    sigs = (sh.groupBy(id_col).agg(*aggs)
+            .transform(checkpoint_df, eager=False))
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
     sets_df = hashed
     out = (cand
@@ -573,21 +580,32 @@ def hashed_shingles(text_col: str = "text", n: int = 1):
                                     lambda s: F.xxhash64(s)))
 
 
+# Per-doc shingle-count bound for the collect_list prefix build: a doc
+# with more distinct shingles than this routes through the spill-safe
+# row_number window instead (see ngram_jaccard_pairs). 2^18 structs of
+# (int df, long tok) keep the largest aggregation buffer ~4 MB.
+PPJOIN_PREFIX_COLLECT_CAP = 1 << 18
+
+
 def ngram_jaccard_pairs(df: DataFrame, block_col: str,
                         text_col: str = "text", id_col: str = "doc_id",
                         shingle_n: int = 1,
                         threshold: float = 0.5,
                         broadcast_verify: bool | None = None,
-                        hashed_col: str | None = None) -> DataFrame:
+                        hashed_col: str | None = None,
+                        collect_cap: int = PPJOIN_PREFIX_COLLECT_CAP
+                        ) -> DataFrame:
     """Blocked n-gram Jaccard: compare only docs sharing ``block_col``
     (at scale the block is a cheap partition key — source, language, LSH
     bucket), then exact set Jaccard.
 
     Scale design — this is a PPJoin set-similarity join, never an
     all-pairs loop:
-    - shingles are hashed to 60-bit ints once (array ops on longs, not
-      strings); the hashed table is materialized once (``checkpoint_df``)
-      because four plan subtrees consume it;
+    - shingles are hashed to 64-bit xxhash64 ints once (array ops on
+      longs, not strings — see :func:`hashed_shingles` for the
+      collision-conditional cross-engine note); the hashed table is
+      materialized once (``checkpoint_df``) because four plan subtrees
+      consume it;
     - **canonical frequency ordering**: tokens are ranked per block by
       ascending document frequency (one agg + one per-doc window), so each
       doc's prefix holds its RAREST tokens — the classic PPJoin ordering;
@@ -634,7 +652,19 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
     exploded = hashed.select(F.col(id_col), "_blk", "sz",
                              F.explode("hs").alias("tok"))
     freq = exploded.groupBy("_blk", "tok").agg(F.count("*").alias("df"))
-    prefix_len = (F.floor(F.col("sz") * (1.0 - threshold)) + 1).cast("int")
+    # epsilon-safe rounding (r12, advisor finding): every pruning bound
+    # below is an exact rational (e.g. sz·(1−t)) evaluated in doubles,
+    # and at exact-integer boundaries the double drifts BELOW the true
+    # value (5·0.2 → 0.999…8), silently SHORTENING the prefix /
+    # RAISING alpha / FAILING the length filter — a false negative vs
+    # the naive oracle on boundary pairs (two 9-shingle docs sharing 8
+    # at t=0.8). The epsilon is always applied in the pruning-WEAKENING
+    # direction (longer prefix, smaller alpha, permissive length
+    # filter), so it can only admit extra candidates for the exact
+    # verify stage to re-check — never drop a true pair.
+    _EPS = 1e-9
+    prefix_len = (F.floor(F.col("sz") * (1.0 - threshold) + _EPS) + 1) \
+        .cast("int")
     # canonical per-doc rank in the ARRAY domain (r11): collect each
     # doc's (df, tok) pairs, sort once per doc, slice the prefix, THEN
     # posexplode — same single exchange as the old
@@ -645,7 +675,8 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
     # (N·log N over every exploded row). (df, tok) struct order ==
     # (df ASC, tok ASC), the exact window order; ties are impossible
     # (hs is distinct per doc).
-    pref = (exploded.join(freq, ["_blk", "tok"])
+    joined = exploded.join(freq, ["_blk", "tok"])
+    pref = (joined.filter(F.col("sz") <= collect_cap)
             .groupBy(F.col(id_col), "_blk", "sz")
             .agg(F.sort_array(F.collect_list(F.struct("df", "tok")))
                  .alias("_st"))
@@ -654,6 +685,25 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
             .select(F.col(id_col), "_blk", "sz",
                     (F.col("pos") + 1).cast("int").alias("pos"),
                     F.col("col.tok").alias("tok")))
+    # memory guard (r12, r11-verdict task 6): collect_list cannot
+    # spill, so one pathological document (shingle count above
+    # ``collect_cap``) would OOM its aggregation task where the old
+    # WindowExec form spilled its sort to disk. Docs over the cap take
+    # exactly that window form — a per-doc sort-based rank that spills
+    # safely — and produce the identical (pos, tok) prefix rows
+    # ((df, tok) struct order == (df ASC, tok ASC), ties impossible).
+    # The fallback branch's freq subtree is exchange-identical to the
+    # main branch's, so it is planned as a reused shuffle stage, and
+    # its doc side prunes to zero rows at the checkpoint scan when no
+    # doc exceeds the cap (the normal case: plan shape gains one empty
+    # union arm, verified in the r12 plan dumps / A-B).
+    w_doc = Window.partitionBy(id_col, "_blk").orderBy("df", "tok")
+    big = (joined.filter(F.col("sz") > collect_cap)
+           .select(F.col(id_col), "_blk", "sz", "tok",
+                   F.row_number().over(w_doc).cast("int").alias("pos"))
+           .filter(F.col("pos") <= prefix_len)
+           .select(F.col(id_col), "_blk", "sz", "pos", "tok"))
+    pref = pref.unionByName(big)
     # the prefix table feeds BOTH sides of the candidate self-join;
     # planned un-truncated, each side re-runs the freq join + per-doc
     # rank window (one side sits under a BroadcastExchange, so AQE's
@@ -665,7 +715,7 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
     pref = checkpoint_df(pref, eager=False)
     a, b = pref.alias("a"), pref.alias("b")
     alpha = F.ceil((F.col("a.sz") + F.col("b.sz"))
-                   * threshold / (1.0 + threshold))
+                   * threshold / (1.0 + threshold) - _EPS)
     # per-row positional bound, valid for EVERY matched token of a truly
     # similar pair: shared tokens ranked ≤ this one all sit in both
     # prefixes (≤ min(i,j) of them — global canonical order), shared
@@ -689,9 +739,9 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
     # at t=0.8, the adversarial hot-key case at corpus scale; on the
     # high-overlap sf0.1 fixture it prunes only 106,718 → 106,670).
     short_a = (F.floor(F.col("a.sz") * (1.0 - threshold)
-                       / (1.0 + threshold)) + 1).cast("int")
+                       / (1.0 + threshold) + _EPS) + 1).cast("int")
     short_b = (F.floor(F.col("b.sz") * (1.0 - threshold)
-                       / (1.0 + threshold)) + 1).cast("int")
+                       / (1.0 + threshold) + _EPS) + 1).cast("int")
     # id_a < id_b in the join, so sz_a <= sz_b ⇒ a is the (sz, id)-min
     short_row = F.when(F.col("a.sz") <= F.col("b.sz"),
                        F.col("a.pos") <= short_a) \
@@ -699,8 +749,8 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
     matches = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
                       & (F.col("a._blk") == F.col("b._blk"))
                       & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                      & (F.col("a.sz") >= F.col("b.sz") * threshold)
-                      & (F.col("b.sz") >= F.col("a.sz") * threshold)
+                      & (F.col("a.sz") >= F.col("b.sz") * threshold - _EPS)
+                      & (F.col("b.sz") >= F.col("a.sz") * threshold - _EPS)
                       & (ubound >= alpha))
                .select(F.col(f"a.{id_col}").alias("id_a"),
                        F.col(f"b.{id_col}").alias("id_b"),
@@ -716,7 +766,7 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
     # overlap ≤ c + min(sz_a − max_pos_a, sz_b − max_pos_b) — a strictly
     # tighter candidate gate than any single-match bound
     agg_alpha = F.ceil((F.col("sz_a") + F.col("sz_b"))
-                       * threshold / (1.0 + threshold))
+                       * threshold / (1.0 + threshold) - _EPS)
     cand = (matches.groupBy("id_a", "id_b", "sz_a", "sz_b")
             .agg(F.count("*").alias("c"),
                  F.max("pos_a").alias("mpa"),

@@ -9,9 +9,10 @@ with the largest marginal gain, k times) carries the classic
 (1 − 1/e) optimality guarantee (Nemhauser/Wolsey/Fisher 1978) — the
 standard algorithm for data-subset selection.
 
-Scale shape: the shingle table is derived ONCE (sorted 60-bit md5-long
-arrays — the PPJoin token-set representation, ``dedup.hashed_shingles``)
-and lineage-truncated; each of the k rounds is one distributed
+Scale shape: the shingle table is derived ONCE (sorted 64-bit
+xxhash64-long arrays — the PPJoin token-set representation,
+``dedup.hashed_shingles``) and lineage-truncated; each of the k rounds
+is one distributed
 TakeOrdered(1) over ``size(array_except(hs, covered))`` — a JVM array
 expression against a broadcast literal of the shingles covered so far
 (bounded by the k selected docs' sets, driver metadata). k rounds ⇒
@@ -21,10 +22,14 @@ only when the corpus is exhausted (zero-gain picks still select, so
 exactly ``min(k, |docs|)`` rows come back — the deterministic contract
 the SQL twin encodes level by level).
 
-Exactness: gains are integer set sizes over the identical hash
-universe on both engines (``md5_long`` / ``md5_long_sql``), so the
-pick sequence is bit-reproducible. LLM-pipeline extension (no
-reference counterpart); family: sampling/selection.
+Exactness: gains are integer set CARDINALITIES. The Spark side hashes
+shingles with ``xxhash64`` (r11, codegen) while the DuckDB twin keeps
+``md5_long_sql`` — the universes differ, so pick-sequence parity is
+COLLISION-CONDITIONAL (both hash families must be injective on the
+shingle vocabulary), not bit-identical by construction; set sizes, and
+therefore gains and picks, agree whenever neither family collides.
+LLM-pipeline extension (no reference counterpart); family:
+sampling/selection.
 """
 
 from __future__ import annotations

@@ -323,3 +323,45 @@ def test_minhash_calibration_report(spark):
         minhash_calibration_sql("documents", num_hashes=8, band_size=2,
                                 shingle_n=3)).fetchall())
     assert sorted(tuple(r) for r in rows) == exp
+
+
+def test_ppjoin_boundary_pairs_epsilon_safe(spark):
+    """Exact-threshold boundary pairs (r12 advisor regression): the
+    pruning bounds (prefix_len, alpha, short-prefix, length filter) are
+    exact rationals evaluated in doubles, and at exact-integer
+    boundaries (t=0.8: sz=5 prefix, sz=9 short prefix, 4 >= 0.8*5
+    length filter, alpha at sz_a+sz_b=18) the drift used to falsely
+    prune pairs whose Jaccard is EXACTLY the threshold. The
+    epsilon-safe bounds must return them."""
+    # two 9-token docs sharing 8 tokens: J = 8/10 = 0.8 exactly
+    # (advisor high finding: has_short gate pruned this pair)
+    a9 = " ".join(f"w{i}" for i in range(9))
+    b9 = " ".join([f"w{i}" for i in range(8)] + ["z9"])
+    # 4-token doc contained in a 5-token doc: J = 4/5 = 0.8 exactly
+    # (advisor medium finding: prefix_len AND the length filter both
+    # pruned this pair)
+    a4 = " ".join(f"v{i}" for i in range(4))
+    b5 = " ".join(f"v{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [(1, a9, "en"), (2, b9, "en"), (3, a4, "en"), (4, b5, "en")],
+        ["doc_id", "text", "lang"])
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, "lang", shingle_n=1,
+                                        threshold=0.8).collect()}
+    assert got == {(1, 2): 0.8, (3, 4): 0.8}
+
+
+def test_ppjoin_collect_cap_window_fallback(spark):
+    """Docs above ``collect_cap`` take the spill-safe row_number window
+    prefix build (the collect_list buffer cannot spill); forcing a tiny
+    cap must leave the result set bit-identical."""
+    docs = _docs(spark)
+    base = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, "lang", shingle_n=1, threshold=0.3).collect()))
+    capped = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, "lang", shingle_n=1, threshold=0.3,
+        collect_cap=4).collect()))   # every 5+-shingle doc → window path
+    mixed = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, "lang", shingle_n=1, threshold=0.3,
+        collect_cap=7).collect()))   # both paths populated
+    assert base and capped == base and mixed == base
