@@ -11,7 +11,8 @@ engine uses the Karp–Miller–Rosenberg fingerprint-doubling ladder,
 Spark-first:
 
 - **Fingerprints are built per row, in codegen, with ZERO shuffle**:
-  level 0 hashes each token (the house 60-bit md5 integer), level k
+  level 0 hashes each token (codegen ``xxhash64``; the DuckDB twin
+  uses its own md5 ladder — see the cross-engine note below), level k
   combines ``h[i]`` with ``h[i + 2^(k-1)]`` via one ``zip_with`` over
   the array and a shifted ``slice`` of itself — O(n·log L) work per
   document, all inside whole-stage codegen, no explode until the final
@@ -34,10 +35,17 @@ window gets a NULL partner in ``zip_with`` (or an out-of-range list
 index in the DuckDB twin), the ``concat``/``||`` combine yields NULL,
 and the explode filter drops it — identical in both engines.
 
-Cross-engine exactness: every fingerprint is the house md5-prefix
-integer (``functions.hashing.md5_long``) of either a token or the
-``"<a>:<b>"`` decimal-string combine, so the DuckDB twin
-(:func:`exact_substring_report_sql`) replays the ladder bit-for-bit.
+Cross-engine semantics (r12): the Spark ladder hashes with codegen
+``xxhash64`` (token level and the two-long combine) while the DuckDB
+twin (:func:`exact_substring_report_sql`) keeps the md5-prefix ladder —
+the fingerprints are INTERNAL (no registered surface exposes an fp
+value; every output is counts/spans/token accounting), so the engines
+agree whenever both hash families are injective on the corpus's window
+vocabulary (collision-conditional, the ``dedup.hashed_shingles``
+argument; both forms already relied on their own collision-freeness).
+The swap removes one MessageDigest + hex-``conv`` + decimal-string
+concat per token PER LADDER LEVEL — the dominant per-task cost of the
+whole family (guide §4.1: prefer codegen built-ins).
 
 Reference scope note: the reference pipeline has no dedup surface;
 this is the LLM-pipeline extension family (the one dedup modality the
@@ -51,17 +59,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rgd_rnaseq_workflows_spark.functions import text as TX
-from rgd_rnaseq_workflows_spark.functions.hashing import (
-    md5_long, md5_long_sql)
+from rgd_rnaseq_workflows_spark.functions.hashing import md5_long_sql
 
 _BIG = 1 << 30  # slice length bound (arrays are document-sized)
 
 
 def _combine(a: Column, b: Column) -> Column:
-    # md5_long of "<a>:<b>"; F.concat (NOT concat_ws) so a missing
-    # partner propagates NULL instead of hashing the half-window
-    return md5_long(F.concat(a.cast("string"), F.lit(":"),
-                             b.cast("string")))
+    # xxhash64 over the two child fingerprints — pure codegen long
+    # hashing, no string materialization. xxhash64 SKIPS null inputs
+    # (hashing the seed alone) instead of propagating them, so the
+    # boundary NULL (a position with no full window gets a NULL partner
+    # from zip_with) is restored explicitly: the half-window must yield
+    # NULL, exactly like the old NULL-propagating F.concat form.
+    return F.when(a.isNull() | b.isNull(),
+                  F.lit(None).cast("long")) \
+        .otherwise(F.xxhash64(a, b))
 
 
 def _combine_sql(a: str, b: str) -> str:
@@ -87,7 +99,7 @@ def _ladder_widths(window: int) -> list[int]:
 def window_fingerprints(docs: DataFrame, window: int,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
-    """(doc_id, pos, fp): one 60-bit fingerprint per 0-based start
+    """(doc_id, pos, fp): one 64-bit fingerprint per 0-based start
     position that has a full ``window``-token window — fingerprint
     equality ⇔ exact token-sequence equality (mod md5 collisions).
     The ladder is pure array codegen; the only shuffle-bound output is
@@ -102,7 +114,7 @@ def window_fingerprints(docs: DataFrame, window: int,
     # attribute computed once (CollapseProject keeps projects split
     # when a non-cheap alias is referenced more than once).
     lvl = docs.select(F.col(id_col).alias("doc_id"),
-                      F.transform(toks, lambda t: md5_long(t))
+                      F.transform(toks, lambda t: F.xxhash64(t))
                       .alias("_h"))
     for off in _ladder_widths(window):
         lvl = lvl.withColumn(
@@ -363,7 +375,7 @@ def multi_window_fingerprints(docs: DataFrame, windows: tuple[int, ...],
     # one projection per level (the window_fingerprints double-eval
     # rule); _h<L> holds the level whose windows span L tokens
     lvl = docs.select(F.col(id_col).alias("doc_id"),
-                      F.transform(toks, lambda t: md5_long(t))
+                      F.transform(toks, lambda t: F.xxhash64(t))
                       .alias("_h1"))
     cur = 1
     while 2 * cur <= ws[-1]:
@@ -532,7 +544,7 @@ def substring_contamination(docs: DataFrame, bench: DataFrame,
     documents it touches; ordered.
 
     Scale shape: one fingerprint ladder per side, the join keys on the
-    60-bit fp — the benchmark side is eval-scale and its distinct
+    64-bit fp — the benchmark side is eval-scale and its distinct
     (fp, bench_id) table broadcasts, so the corpus never shuffles."""
     dfp = window_fingerprints(docs, window, id_col, text_col)
     bfp = (window_fingerprints(bench, window, id_col, text_col)
