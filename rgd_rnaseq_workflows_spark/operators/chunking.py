@@ -74,8 +74,11 @@ FROM st"""
 # =============================================================================
 
 # Cut probability 1/CDC_DIVISOR per token position -> mean chunk length
-# ~= CDC_DIVISOR tokens. The hash is the house md5 60-bit family, so the
-# SQL twin replays identical boundaries.
+# ~= CDC_DIVISOR tokens. The CUT hash is the house md5 60-bit family —
+# it is semantically load-bearing (it decides WHERE boundaries fall, so
+# chunk counts/lengths depend on its exact values) and the SQL twin
+# replays identical boundaries. Chunk IDENTITY (below) is equality-only
+# and uses codegen xxhash64.
 CDC_DIVISOR = 8
 
 
@@ -83,6 +86,18 @@ def _md5_long_expr(s: str) -> str:
     """Spark-SQL text of functions.hashing.md5_long over expression
     ``s`` (60-bit: 15 hex digits)."""
     return f"CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _chunk_id_expr(s: str) -> str:
+    """Chunk-identity hash (r12, guide §4.1): ``xxhash64`` in codegen
+    instead of one MessageDigest + hex-``conv`` per chunk. The identity
+    hash is INTERNAL — every registered output is a count, containment
+    ratio or keeper flag over hash EQUALITY, never a hash value — so
+    the DuckDB twins keep md5 identity and the engines agree whenever
+    both families are injective on the corpus's chunk vocabulary
+    (collision-conditional, as both already were). The CUT hash above
+    must stay md5: boundary positions are part of the semantics."""
+    return f"xxhash64({s})"
 
 
 def _cdc_base(docs: DataFrame, k: int, divisor: int,
@@ -128,7 +143,7 @@ def _cdc_chunks(docs: DataFrame, k: int, divisor: int,
     return (cut.select(*keep_cols, "_id", "_t",
                        F.explode(F.expr(spans)).alias("_s"))
             .select(*keep_cols, "_id",
-                    F.expr(_md5_long_expr(chunk_str)).alias("_h"),
+                    F.expr(_chunk_id_expr(chunk_str)).alias("_h"),
                     F.expr("_s._end - _s._start + 1").cast("long")
                     .alias("_len")))
 
@@ -146,7 +161,7 @@ def chunk_sets_rowlocal(docs: DataFrame, k: int = 2,
     policy compacts over it batch-side, see
     :func:`cdc_containment_keepers_from_chunks`)."""
     cut, spans = _cdc_base(docs, k, divisor, [], id_col, text_col)
-    chunk_h = _md5_long_expr(
+    chunk_h = _chunk_id_expr(
         "array_join(slice(_t, s._start, s._end - s._start + 1), ' ')")
     hashes = f"array_distinct(transform({spans}, s -> {chunk_h}))"
     return cut.select("_id", F.explode(F.expr(hashes)).alias("_h"))

@@ -90,19 +90,22 @@ def cross_source_matrix(corpus: DataFrame, shingle_n: int = 3,
     k(k−1)/2 ≤ S²/2 rows — sources are few, so the join output is
     pair-count scale. The matrix is S²/2 rows of metadata.
     """
-    from rgd_rnaseq_workflows_spark.functions.hashing import md5_long
     # NOT checkpointed: the self-join's two branches shuffle the same
     # subtree on the same key, so ReuseExchange already computes the
     # distinct table once — an explicit localCheckpoint was measured
     # SLOWER (161 s → 273 s at 100×: it forces a full materialization
     # the reused exchange never pays).
-    # Grams are md5-hashed to longs BEFORE the distinct (the dedup-
-    # family key discipline): the shuffle and join carry 8-byte keys
-    # instead of strings. Honest collision note: a 60-bit collision
-    # between grams UNIQUE to two different sources fabricates a
-    # shared key — at web scale (~1e11 distinct grams) expect
-    # n²/2^61 ≈ thousands of collisions, so treat min_shared=1 rows
-    # as candidates and use min_shared ≥ 2 for alerting.
+    # Grams are hashed to longs BEFORE the distinct (the dedup-family
+    # key discipline): the shuffle and join carry 8-byte keys instead
+    # of strings. r12 (guide §4.1): the hash is codegen ``xxhash64``
+    # instead of md5+hex-``conv`` — the gram keys are INTERNAL (the
+    # output is shared-gram COUNTS; the DuckDB twin keeps md5 keys and
+    # counts the same distinct grams whenever neither family collides,
+    # the dedup.hashed_shingles argument). Honest collision note: a
+    # 64-bit collision between grams UNIQUE to two different sources
+    # fabricates a shared key — at web scale (~1e11 distinct grams)
+    # expect n²/2^65 ≈ hundreds of collisions, so treat min_shared=1
+    # rows as candidates and use min_shared ≥ 2 for alerting.
     # Empty grams are dropped: shingles() emits a doc's full token
     # string when shorter than n, and a blank document would otherwise
     # pair every source containing one.
@@ -110,7 +113,7 @@ def cross_source_matrix(corpus: DataFrame, shingle_n: int = 3,
                         F.explode(shingles(text_col, shingle_n))
                         .alias("_g"))
           .filter(F.col("_g") != "")
-          .select("_src", md5_long(F.col("_g")).alias("sh"))
+          .select("_src", F.xxhash64(F.col("_g")).alias("sh"))
           .distinct())
     a = sh.select(F.col("_src").alias("source_a"), "sh")
     b = sh.select(F.col("_src").alias("source_b"), "sh")
@@ -129,8 +132,9 @@ def cross_source_matrix_sql(table: str = "documents", shingle_n: int = 3,
                             min_shared: int = 1,
                             source_col: str = "source",
                             text_col: str = "text") -> str:
-    """DuckDB twin of :func:`cross_source_matrix` (same md5-long gram
-    keys)."""
+    """DuckDB twin of :func:`cross_source_matrix` (md5-long gram keys;
+    the Spark side uses xxhash64 — shared-gram counts agree whenever
+    neither hash family collides on the gram vocabulary)."""
     from rgd_rnaseq_workflows_spark.functions.hashing import md5_long_sql
     from rgd_rnaseq_workflows_spark.functions.text import shingles_sql
     sh = shingles_sql(text_col, shingle_n)
