@@ -585,3 +585,35 @@ def test_batch14_surface_is_jvm_only(spark, name):
     plan = _plan(spark, name)
     assert "BatchEvalPython" not in plan, name
     assert "ArrowEvalPython" not in plan, name
+
+
+def test_graph_loop_checkpoints_are_lazy(spark, monkeypatch):
+    """r12 (r11-verdict task 9): the pagerank/LPA loops run NO
+    per-round action — rounds are fixed, there is no convergence probe —
+    so every checkpoint taken during loop CONSTRUCTION must be lazy
+    (``eager=False``): an eager regression would pay a separate
+    full-materialization job per checkpoint before the caller's single
+    action (measured r11: pagerank 3.45→3.01 s, LPA 3.83→3.32 s from
+    exactly this). White-box pin: record the ``eager`` flag of every
+    checkpoint_df call made while building the frame. (A job-count pin
+    is NOT possible: under AQE even a lazy localCheckpoint materializes
+    the intermediate shuffle stages at construction.)"""
+    import rgd_rnaseq_workflows_spark.operators.graph as G
+    from rgd_rnaseq_workflows_spark.session import checkpoint_df
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (5, 6)], ["id_a", "id_b"])
+
+    calls: list[bool] = []
+
+    def recording(df, eager: bool = True):
+        calls.append(eager)
+        return checkpoint_df(df, eager=eager)
+
+    monkeypatch.setattr(G, "checkpoint_df", recording)
+    for build in (lambda: G.pagerank(pairs, iters=3),
+                  lambda: G.label_propagation_communities(pairs, iters=3)):
+        calls.clear()
+        df = build()
+        assert calls and all(e is False for e in calls), \
+            f"eager checkpoint inside loop construction: {calls}"
+        assert df.count() > 0              # the single action still works
